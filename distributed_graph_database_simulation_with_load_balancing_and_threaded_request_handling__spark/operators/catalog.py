@@ -1,0 +1,90 @@
+"""Graph catalog mutation: add_graph (O1) / modify_graph (O2).
+
+Reference semantics: op 1 creates a graph (file ``G<gno>.txt`` +
+per-graph semaphore pair, primary_server.c:104-120) and fails
+operationally if re-added; op 2 wholesale-replaces an existing graph's
+contents (same write path, opens existing semaphores,
+primary_server.c:121-135).  Both are whole-graph writes, not deltas.
+
+Spark-native rendering: the database is one Parquet dataset partitioned
+by ``graph_id``; add = write a new partition (errorifexists at the
+logical level), modify = dynamic partition overwrite of exactly that
+partition.  The reference's reader/writer semaphores (O9) are
+unnecessary: Parquet commits are atomic at the partition level and
+readers see immutable snapshots — documented non-goal (SURVEY.md §2.1).
+
+At 100 TB: partitioning by graph_id gives partition pruning for every
+single-graph query, and dynamic partition overwrite touches only the
+mutated graph — no full-table rewrite, no locking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.graphs import edges_from_pairs
+from ..sources.schema import GRAPH_EDGES_SCHEMA
+
+class GraphCatalog:
+    """A graph database rooted at a Parquet path, one partition per
+    graph_id."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        # Only the mutated partition is replaced on overwrite-mode writes.
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    def _existing_ids(self) -> set[int]:
+        try:
+            df = self.spark.read.schema(GRAPH_EDGES_SCHEMA).parquet(self.path)
+        except Exception:
+            return set()
+        return {int(r["graph_id"]) for r in df.select("graph_id").distinct().collect()}
+
+    def add_graph(self, graph_id: int, pairs: DataFrame) -> None:
+        """O1: ingest a new graph.  Raises if the id exists — the
+        analogue of the reference's 'create semaphores with O_CREAT'
+        branch being the add-only path (primary_server.c:106-117)."""
+        if graph_id in self._existing_ids():
+            raise ValueError(f"graph {graph_id} already exists; use modify_graph")
+        self._write(graph_id, pairs)
+
+    def modify_graph(self, graph_id: int, pairs: DataFrame) -> None:
+        """O2: wholesale replace an existing graph (whole-file overwrite
+        in the reference, primary_server.c:138-153)."""
+        if graph_id not in self._existing_ids():
+            raise ValueError(f"graph {graph_id} does not exist; add it first "
+                             "(instructions.txt:18-20 invariant)")
+        self._write(graph_id, pairs)
+
+    def _write(self, graph_id: int, pairs: DataFrame) -> None:
+        edges = edges_from_pairs(pairs, graph_id=graph_id, symmetric=True)
+        (
+            edges.write.mode("overwrite")
+            .partitionBy("graph_id")
+            .parquet(self.path)
+        )
+
+    def edges(self, graph_id: int | None = None) -> DataFrame:
+        df = self.spark.read.schema(GRAPH_EDGES_SCHEMA).parquet(self.path)
+        if graph_id is not None:
+            df = df.where(F.col("graph_id") == graph_id)  # partition pruning
+        return df.select("graph_id", "src", "dst")
+
+def add_graph(pairs: DataFrame, *, graph_id: int) -> DataFrame:
+    """Pure (side-effect-free) form of O1 for declarative pipelines:
+    normalize raw pairs into the canonical symmetric edge list that the
+    catalog would persist."""
+    return edges_from_pairs(pairs, graph_id=graph_id, symmetric=True)
+
+def modify_graph(current: DataFrame, replacement_pairs: DataFrame, *, graph_id: int) -> DataFrame:
+    """Pure form of O2: the database edge list after wholesale replacing
+    one graph's partition — anti-join out the old partition, union in
+    the normalized replacement.  (The physical catalog does this as a
+    dynamic partition overwrite; this declared form is what the DuckDB
+    oracle checks.)"""
+    kept = current.where(F.col("graph_id") != graph_id)
+    replaced = edges_from_pairs(replacement_pairs, graph_id=graph_id, symmetric=True)
+    return kept.unionByName(replaced)

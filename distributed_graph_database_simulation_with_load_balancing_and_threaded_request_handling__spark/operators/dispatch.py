@@ -1,0 +1,121 @@
+"""Request routing (O5), scheduling (O6), and batch dispatch.
+
+Reference semantics:
+* Routing (load_balancer.c:59-76): ops 1,2 -> primary server; ops 3,4 ->
+  secondary-1 if ``seq_no % 2 == 0`` else secondary-2 (parity hash).
+* Scheduling (load_balancer.c:49): ``msgrcv(..., -100, 0)`` — the
+  kernel delivers the lowest pending mtype first, i.e. requests are
+  serviced in ascending seq_no order among those pending.
+
+Spark-native rendering: routing is a single CASE projection (Spark's
+HashPartitioning is the cluster-scale generalization of the parity
+split); scheduling is a window rank over seq_no.  Both are
+whole-stage-codegen'd expressions — no shuffles except the window sort
+for the service order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+ROUTE_PRIMARY = "primary"
+ROUTE_SS1 = "ss1"
+ROUTE_SS2 = "ss2"
+
+def route_expr() -> F.Column:
+    """The load balancer's decision (load_balancer.c:65-70) as one
+    column expression."""
+    return (
+        F.when(F.col("op_no").isin(1, 2), F.lit(ROUTE_PRIMARY))
+        .when(F.col("seq_no") % 2 == 0, F.lit(ROUTE_SS1))
+        .otherwise(F.lit(ROUTE_SS2))
+    )
+
+def route_requests(requests: DataFrame) -> DataFrame:
+    """Tag each request with its destination server (O5).
+
+    Returns the request columns plus ``route``.
+    """
+    return requests.withColumn("route", route_expr())
+
+def route_counts(requests: DataFrame) -> DataFrame:
+    """Per-server request load — the observable effect of the balancer.
+    Map-side partial aggregation; one small shuffle."""
+    return (
+        route_requests(requests)
+        .groupBy("route")
+        .agg(F.count("*").cast("long").alias("n_requests"))
+    )
+
+def schedule_requests(requests: DataFrame) -> DataFrame:
+    """Lowest-seq_no-first service order (O6): rank requests the way the
+    kernel's ``msgrcv(-100)`` would drain them.
+
+    A global window sort — fine for a request log; at 100 TB of
+    requests you would rank within time buckets instead (the total
+    order is only meaningful per drain cycle).
+    """
+    w = Window.orderBy("seq_no")
+    return requests.select(
+        "*", F.row_number().over(w).cast("int").alias("service_order")
+    )
+
+def run_requests(requests: DataFrame, edges: DataFrame) -> DataFrame:
+    """Batch dispatch: execute every read request (ops 3/4) in one
+    declarative plan, returning ``(seq_no, op_no, graph_id, vertex,
+    level)`` — BFS rows carry their hop distance, DFS-leaf rows carry
+    level NULL.
+
+    This is the engine's analogue of the server loop: instead of one
+    pthread per request (primary_server.c:235-238), all requests of a
+    kind become one set-oriented job over the union of their graphs.
+    Assumes tree graphs (the reference's operating envelope) so DFS
+    uses the degree rewrite and BFS levels come from per-graph hop
+    distance — computed via the iterative frontier loop per distinct
+    (graph, start) pair.
+    """
+    from .traverse import bfs_levels, dfs_leaves
+
+    reads = requests.where(F.col("op_no").isin(3, 4)).collect()
+    spark = requests.sparkSession
+    outs: list[DataFrame] = []
+    for r in reads:
+        gid = int(r["graph_id"]) if "graph_id" in requests.columns else None
+        if r["op_no"] == 4:
+            d = bfs_levels(edges, int(r["start_vertex"]), graph_id=gid)
+            d = d.select(
+                F.lit(int(r["seq_no"])).alias("seq_no"),
+                F.lit(4).alias("op_no"),
+                F.lit(gid).alias("graph_id"),
+                "vertex",
+                "level",
+            )
+        else:
+            d = dfs_leaves(edges, int(r["start_vertex"]), graph_id=gid)
+            d = d.select(
+                F.lit(int(r["seq_no"])).alias("seq_no"),
+                F.lit(3).alias("op_no"),
+                F.lit(gid).alias("graph_id"),
+                F.col("leaf").alias("vertex"),
+                F.lit(None).cast("int").alias("level"),
+            )
+        outs.append(d)
+    if not outs:
+        return spark.createDataFrame(
+            [], "seq_no int, op_no int, graph_id int, vertex long, level int"
+        )
+    out = outs[0]
+    for d in outs[1:]:
+        out = out.unionByName(d)
+    return out
+
+def format_reply(result: DataFrame) -> DataFrame:
+    """O12 compat: space-joined 1-indexed vertex list per request, the
+    reference's reply string (secondary_server.c:311-329)."""
+    return (
+        result.orderBy("level", "vertex")
+        .groupBy("seq_no")
+        .agg(F.concat_ws(" ", F.collect_list(F.col("vertex").cast("string"))).alias("reply"))
+    )

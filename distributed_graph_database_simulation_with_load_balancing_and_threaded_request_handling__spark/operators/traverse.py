@@ -1,0 +1,185 @@
+"""Graph traversal operators: level-synchronous BFS and DFS-leaves.
+
+Reference semantics being reproduced:
+
+* BFS (op 4, ``parallel_bfs`` secondary_server.c:94-140): traverse from
+  a start vertex, output all reached vertices in level order; order
+  within a level is unspecified ("Order of vertices do not matter for
+  vertices at the same distance" — Sample IO doc).  The reference's
+  one-pthread-per-frontier-vertex with a join barrier per level
+  (secondary_server.c:110-132) is exactly a bulk-synchronous superstep:
+  here each level is one Spark stage and the shuffle is the barrier.
+
+* DFS (op 3, ``parallel_dfs`` secondary_server.c:185-213): for a tree
+  rooted at the start vertex, output the set of LEAF vertices — "a node
+  should appear in the output iff it becomes a leaf node when the tree
+  is rooted at the starting vertex" (Sample IO doc).  A vertex emits
+  itself iff it spawns zero child traversals (secondary_server.c:171-178).
+
+Documented deviation: for disconnected inputs the reference emits
+uninitialized memory (it assumes connectedness, SURVEY.md §1.1); this
+engine returns only reached vertices.
+
+Scale posture (100 TB): the frontier join shuffles on the vertex key;
+AQE right-sizes each level (frontiers vary by orders of magnitude).
+``localCheckpoint`` truncates lineage each level so plans stay O(1)
+deep instead of O(depth).  The visited set is carried as a running
+union of per-level checkpointed frontiers — the anti-join against it is
+shuffle-partitioned on the same key as the frontier join, so a level
+costs two shuffles of frontier-sized data, never edge-sized data
+(edges are scanned, filtered by the join, but not re-shuffled when AQE
+picks a broadcast of the frontier side for small frontiers).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+def _edges_only(edges: DataFrame, graph_id: int | None) -> DataFrame:
+    e = edges
+    if graph_id is not None and "graph_id" in e.columns:
+        e = e.where(F.col("graph_id") == graph_id)  # partition-prunable predicate
+    return e.select(F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst"))
+
+def bfs_levels(
+    edges: DataFrame,
+    start_vertex: int,
+    *,
+    graph_id: int | None = None,
+    max_levels: int | None = None,
+    validate_start: bool = True,
+) -> DataFrame:
+    """Hop distance from ``start_vertex`` over a symmetric edge list.
+
+    Returns ``(vertex: long, level: int)`` for every reached vertex.
+    Level-synchronous iterative frontier expansion — the Spark-native
+    rendering of the reference's per-level thread fan-out + join
+    barrier (secondary_server.c:110-132).
+
+    ``validate_start`` raises for a start vertex absent from the graph
+    (FIXTURES.md: the reference indexes row -1 on out-of-range input,
+    e.g. inp.txt:36-39 start=0; the engine raises instead).  The check
+    is one src-pushdown filter probe; disable inside tight loops.
+    """
+    spark = edges.sparkSession
+    e = _edges_only(edges, graph_id)
+    if validate_start and e.where(F.col("src") == int(start_vertex)).limit(1).isEmpty():
+        raise ValueError(
+            f"start vertex {start_vertex} not present in graph"
+            + (f" {graph_id}" if graph_id is not None else "")
+        )
+
+    frontier = spark.createDataFrame([(int(start_vertex), 0)], "vertex long, level int")
+    frontier = frontier.localCheckpoint(eager=True)
+    visited_levels = [frontier]
+    level = 0
+    while True:
+        level += 1
+        if max_levels is not None and level > max_levels:
+            break
+        # Superstep: expand frontier one hop, drop already-visited.
+        neighbors = (
+            frontier.join(e, frontier["vertex"] == e["src"])
+            .select(e["dst"].alias("vertex"))
+            .distinct()
+        )
+        visited = visited_levels[0]
+        for v in visited_levels[1:]:
+            visited = visited.unionAll(v)
+        new = (
+            neighbors.join(visited.select("vertex"), on="vertex", how="left_anti")
+            .select(F.col("vertex"), F.lit(level).cast("int").alias("level"))
+        )
+        # Materialize + truncate lineage; also gives AQE exact stats for
+        # the next level's join-side selection (broadcast tiny frontiers).
+        new = new.localCheckpoint(eager=True)
+        if new.isEmpty():
+            break
+        visited_levels.append(new)
+        frontier = new
+
+    out = visited_levels[0]
+    for v in visited_levels[1:]:
+        out = out.unionAll(v)
+    return out
+
+def bfs_level_order(
+    edges: DataFrame,
+    start_vertex: int,
+    *,
+    graph_id: int | None = None,
+) -> DataFrame:
+    """BFS output contract of the reference (O4+O12): reached vertices
+    in level order.  Within-level order is unspecified in the reference;
+    we make it deterministic with the (level, vertex) sort and expose the
+    1-based rank as ``pos`` (the reference's position in the space-joined
+    reply string, secondary_server.c:311-329)."""
+    from pyspark.sql.window import Window
+
+    levels = bfs_levels(edges, start_vertex, graph_id=graph_id)
+    w = Window.orderBy("level", "vertex")
+    return levels.select(
+        "vertex", "level", F.row_number().over(w).cast("int").alias("pos")
+    )
+
+def dfs_leaves(
+    edges: DataFrame,
+    start_vertex: int,
+    *,
+    graph_id: int | None = None,
+    assume_tree: bool = True,
+) -> DataFrame:
+    """Leaf set of the graph rooted at ``start_vertex`` (op 3).
+
+    Tree fast path (the engine's one planner rewrite, SURVEY.md §4):
+    for a tree, the leaves when rooted at s are exactly the degree-1
+    vertices excluding s — no traversal needed, one aggregation.  The
+    reference itself leans on the tree assumption ("Since the graph is
+    a tree, there are no race conditions", secondary_server.c:82).
+
+    General path (``assume_tree=False``): orient the graph by BFS from
+    the root; a reached vertex is a leaf iff it has no neighbor one
+    level deeper (no children in the BFS tree) and is not the root.
+    For trees both paths agree; the general path also handles
+    disconnected inputs by only considering reached vertices.
+
+    Returns ``(leaf: long)``.
+    """
+    e = _edges_only(edges, graph_id)
+    if e.where(F.col("src") == int(start_vertex)).limit(1).isEmpty():
+        raise ValueError(
+            f"start vertex {start_vertex} not present in graph"
+            + (f" {graph_id}" if graph_id is not None else "")
+        )
+    if assume_tree:
+        deg = e.groupBy("src").agg(F.count_distinct("dst").alias("degree"))
+        return (
+            deg.where((F.col("degree") == 1) & (F.col("src") != int(start_vertex)))
+            .select(F.col("src").alias("leaf"))
+        )
+    levels = bfs_levels(edges, start_vertex, graph_id=graph_id, validate_start=False)
+    # v has a child iff some neighbor sits one level deeper.
+    nbr_levels = (
+        e.join(levels.withColumnRenamed("vertex", "dst").withColumnRenamed("level", "dst_level"), on="dst")
+        .join(levels.withColumnRenamed("vertex", "src").withColumnRenamed("level", "src_level"), on="src")
+    )
+    parents = (
+        nbr_levels.where(F.col("dst_level") == F.col("src_level") + 1)
+        .select(F.col("src").alias("vertex"))
+        .distinct()
+    )
+    return (
+        levels.join(parents, on="vertex", how="left_anti")
+        .where(F.col("vertex") != int(start_vertex))
+        .select(F.col("vertex").alias("leaf"))
+    )
+
+def connected_count(
+    edges: DataFrame, start_vertex: int, *, graph_id: int | None = None
+) -> DataFrame:
+    """Number of vertices reachable from ``start_vertex`` — the
+    connectivity invariant the reference silently assumes (its BFS
+    reports exactly n vertices, secondary_server.c:96-97)."""
+    levels = bfs_levels(edges, start_vertex, graph_id=graph_id)
+    return levels.agg(F.count("*").cast("long").alias("n_reachable"))

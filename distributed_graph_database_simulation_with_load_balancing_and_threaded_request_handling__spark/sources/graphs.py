@@ -1,0 +1,104 @@
+"""Graph construction over the driver testdata (FIXTURES.md §3) and
+edge-list normalization.
+
+The derived graph is the deterministic 4-level tree
+``root 999 -> regions (r_regionkey) -> nations (100+n_nationkey) ->
+customers (1000+c_custkey)`` so every traversal query has a plain-SQL
+(``WITH RECURSIVE``) DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .tables import load_table
+
+ROOT_VID = 999
+
+def derived_tree_edges(
+    spark: SparkSession, sf_dir: str, *, symmetric: bool = True, graph_id: int = 1
+) -> DataFrame:
+    """Edge list of the derived tree over region/nation/customer.
+
+    Directed parent->child when ``symmetric=False`` (what the SQL
+    recursive oracle traverses); both directions when True (what the
+    engine stores — the reference stores symmetric adjacency matrices,
+    G1.txt/G2.txt/G3.txt are all symmetric).
+    """
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+
+    e0 = (
+        region.select(
+            F.lit(ROOT_VID).cast("long").alias("src"),
+            F.col("r_regionkey").cast("long").alias("dst"),
+        )
+        .unionAll(
+            nation.select(
+                F.col("n_regionkey").cast("long").alias("src"),
+                (F.col("n_nationkey") + 100).cast("long").alias("dst"),
+            )
+        )
+        .unionAll(
+            customer.select(
+                (F.col("c_nationkey") + 100).cast("long").alias("src"),
+                (F.col("c_custkey") + 1000).cast("long").alias("dst"),
+            )
+        )
+    )
+    if symmetric:
+        e0 = e0.unionAll(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    return e0.select(F.lit(graph_id).cast("int").alias("graph_id"), "src", "dst")
+
+def edges_from_pairs(pairs: DataFrame, *, graph_id: int = 1, symmetric: bool = True) -> DataFrame:
+    """Normalize raw (src,dst) pairs into a canonical undirected edge
+    list: drop self-loops, dedupe, symmetrize.
+
+    This is the ingest normalization of the reference's add_graph (O1,
+    primary_server.c:86-179) re-expressed declaratively — the reference
+    trusts the client's dense matrix; we canonicalize an edge list.
+    One shuffle (the distinct); symmetrization is a shuffle-free union
+    + projection on top.
+    """
+    canon = (
+        pairs.select(
+            F.least("src", "dst").cast("long").alias("src"),
+            F.greatest("src", "dst").cast("long").alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    out = canon
+    if symmetric:
+        out = canon.unionAll(
+            canon.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    return out.select(F.lit(graph_id).cast("int").alias("graph_id"), "src", "dst")
+
+def requests_from_orders(spark: SparkSession, sf_dir: str, *, limit: int | None = None) -> DataFrame:
+    """Deterministic `requests` table derived from `orders`, shaped per
+    FIXTURES.md §1 (the reference's "<seq_no> <op_no> <filename>" +
+    start-vertex payload, client (1).c:63-73,105).
+
+    op_no cycles 1..4 on o_orderkey; graph_name cycles G1..G5;
+    start_vertex only for read ops (3/4), NULL for writes — mirroring
+    the reference where the shm payload is a matrix for ops 1/2 and a
+    single int for ops 3/4 (client (1).c:78-104 vs 137-155).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    df = orders.select(
+        F.col("o_orderkey").cast("int").alias("seq_no"),
+        (F.col("o_orderkey") % 4 + 1).cast("int").alias("op_no"),
+        F.concat(F.lit("G"), (F.col("o_orderkey") % 5 + 1).cast("string"), F.lit(".txt")).alias(
+            "graph_name"
+        ),
+        F.when(
+            (F.col("o_orderkey") % 4 + 1).isin(3, 4),
+            (F.col("o_orderkey") % 20 + 1).cast("int"),
+        ).alias("start_vertex"),
+    )
+    if limit is not None:
+        df = df.limit(limit)
+    return df

@@ -1,0 +1,69 @@
+"""Compatibility reader/writer for the reference's on-disk graph
+format (O7/O8): a text file whose first line is ``n`` followed by n
+lines of n whitespace-separated ints; nonzero cell = edge.
+
+Writer semantics follow primary_server.c:145-151 (``fprintf`` of n then
+the matrix rows); reader semantics follow secondary_server.c:272-286
+(``fscanf`` loop).  The reference treats any nonzero cell as an edge on
+the BFS path (secondary_server.c:83) and ==1 on the DFS path
+(secondary_server.c:162); since all shipped data is 0/1 the engine
+standardizes on nonzero-as-edge.
+
+Scale note: this format is a dense n x n matrix with a hard reference
+cap of n=30 (primary_server.c:18) — a small-graph compatibility shim,
+deliberately parsed driver-side.  Large graphs use the Parquet
+edge-list tables; nothing at 100 TB flows through here.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .schema import GRAPH_EDGES_SCHEMA
+
+def read_adjacency_text(
+    spark: SparkSession, path: str, *, graph_id: int = 1, one_indexed: bool = True
+) -> DataFrame:
+    """Parse a reference-format graph file into a (graph_id, src, dst)
+    edge-list DataFrame (both matrix directions preserved).
+
+    Row/column indices are 0-based in the file; user-facing vertex ids
+    are 1-indexed (the reference increments on output,
+    secondary_server.c:318), so the default shifts by +1.
+    """
+    with open(path) as f:
+        tokens = f.read().split()
+    n = int(tokens[0])
+    cells = tokens[1:]
+    if len(cells) < n * n:
+        raise ValueError(f"{path}: expected {n * n} matrix cells, found {len(cells)}")
+    shift = 1 if one_indexed else 0
+    rows = [
+        (graph_id, r + shift, c + shift)
+        for r in range(n)
+        for c in range(n)
+        if int(cells[r * n + c]) != 0
+    ]
+    return spark.createDataFrame(rows, schema=GRAPH_EDGES_SCHEMA)
+
+def write_adjacency_text(edges: DataFrame, path: str, *, one_indexed: bool = True) -> None:
+    """Serialize one graph's edge list back to the reference text
+    format (n, then n rows of n space-separated ints)."""
+    shift = 1 if one_indexed else 0
+    pairs = [
+        (int(r["src"]) - shift, int(r["dst"]) - shift)
+        for r in edges.select("src", "dst").collect()
+    ]
+    n = max((max(s, d) for s, d in pairs), default=-1) + 1
+    adj = [[0] * n for _ in range(n)]
+    for s, d in pairs:
+        adj[s][d] = 1
+        adj[d][s] = 1
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(f"{n}\n")
+        for row in adj:
+            f.write(" ".join(map(str, row)) + "\n")
+    os.replace(tmp, path)

@@ -1,0 +1,119 @@
+"""Tests for catalog mutation (O1/O2), routing (O5), scheduling (O6),
+batch dispatch, stats, and the text-matrix compat IO (O7/O8)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.catalog import (
+    GraphCatalog,
+    add_graph,
+    modify_graph,
+)
+from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.dispatch import (
+    format_reply,
+    route_counts,
+    route_requests,
+    run_requests,
+    schedule_requests,
+)
+from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.stats import graph_stats
+from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.sources.matrix_io import (
+    read_adjacency_text,
+    write_adjacency_text,
+)
+
+from conftest import REF_G1, REF_G2, REF_G2_POST, REF_G3, make_edges
+
+def pairs_df(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+def edge_set(df):
+    return {(r["graph_id"], r["src"], r["dst"]) for r in df.collect()}
+
+def test_add_graph_normalizes(spark):
+    # Duplicates, reversed duplicates, and a self-loop all collapse.
+    raw = pairs_df(spark, [(1, 2), (2, 1), (1, 2), (3, 3), (2, 3)])
+    out = add_graph(raw, graph_id=7)
+    assert edge_set(out) == {
+        (7, 1, 2), (7, 2, 1), (7, 2, 3), (7, 3, 2),
+    }
+
+def test_modify_graph_replaces_one_partition(spark):
+    current = make_edges(spark, REF_G1, graph_id=1).unionAll(
+        make_edges(spark, REF_G2, graph_id=2)
+    )
+    out = modify_graph(current, pairs_df(spark, REF_G2_POST), graph_id=2)
+    expect = edge_set(make_edges(spark, REF_G1, graph_id=1)) | edge_set(
+        make_edges(spark, REF_G2_POST, graph_id=2)
+    )
+    assert edge_set(out) == expect
+
+def test_graph_catalog_roundtrip(spark, tmp_path):
+    cat = GraphCatalog(spark, str(tmp_path / "gdb"))
+    cat.add_graph(1, pairs_df(spark, REF_G1))
+    cat.add_graph(2, pairs_df(spark, REF_G2))
+    with pytest.raises(ValueError, match="already exists"):
+        cat.add_graph(1, pairs_df(spark, REF_G1))
+    # inp.txt session: modify G2 from 2-vertex to the 3-path.
+    cat.modify_graph(2, pairs_df(spark, REF_G2_POST))
+    with pytest.raises(ValueError, match="does not exist"):
+        cat.modify_graph(9, pairs_df(spark, REF_G1))
+    assert edge_set(cat.edges(2)) == edge_set(make_edges(spark, REF_G2_POST, graph_id=2))
+    # Graph 1 untouched by the partition overwrite.
+    assert edge_set(cat.edges(1)) == edge_set(make_edges(spark, REF_G1, graph_id=1))
+
+def test_route_requests_parity(spark):
+    reqs = spark.createDataFrame(
+        [(1, 1, "G1.txt", None), (2, 2, "G1.txt", None),
+         (3, 3, "G1.txt", 1), (4, 4, "G1.txt", 1), (5, 4, "G1.txt", 2)],
+        "seq_no int, op_no int, graph_name string, start_vertex int",
+    )
+    routes = {r["seq_no"]: r["route"] for r in route_requests(reqs).collect()}
+    assert routes == {1: "primary", 2: "primary", 3: "ss2", 4: "ss1", 5: "ss2"}
+    counts = {r["route"]: r["n_requests"] for r in route_counts(reqs).collect()}
+    assert counts == {"primary": 2, "ss1": 1, "ss2": 2}
+
+def test_schedule_requests_lowest_seq_first(spark):
+    reqs = spark.createDataFrame(
+        [(42, 3, "G1.txt", 1), (7, 4, "G1.txt", 1), (19, 1, "G1.txt", None)],
+        "seq_no int, op_no int, graph_name string, start_vertex int",
+    )
+    rows = schedule_requests(reqs).orderBy("service_order").collect()
+    assert [r["seq_no"] for r in rows] == [7, 19, 42]
+    assert [r["service_order"] for r in rows] == [1, 2, 3]
+
+def test_run_requests_and_reply(spark):
+    edges = make_edges(spark, REF_G3, graph_id=3)
+    reqs = spark.createDataFrame(
+        [(10, 3, 3, 3), (11, 4, 3, 2)],
+        "seq_no int, op_no int, graph_id int, start_vertex int",
+    )
+    out = run_requests(reqs, edges)
+    dfs_rows = {r["vertex"] for r in out.where(F.col("seq_no") == 10).collect()}
+    assert dfs_rows == {1, 4, 5}  # inp.txt:32-35 request: DFS G3 from 3
+    bfs_rows = {(r["vertex"], r["level"]) for r in out.where(F.col("seq_no") == 11).collect()}
+    assert bfs_rows == {(2, 0), (1, 1), (3, 1), (4, 1), (5, 1)}
+    replies = {r["seq_no"]: r["reply"] for r in format_reply(out).collect()}
+    assert replies[11].startswith("2 ")  # root first (level order)
+    assert set(replies[10].split()) == {"1", "4", "5"}
+
+def test_graph_stats(spark):
+    edges = make_edges(spark, REF_G3, graph_id=3).unionAll(
+        make_edges(spark, REF_G1, graph_id=1)
+    )
+    stats = {r["graph_id"]: r for r in graph_stats(edges).collect()}
+    assert stats[3]["n_vertices"] == 5
+    assert stats[3]["n_edges"] == 4
+    assert stats[3]["max_degree"] == 4  # star center
+    assert stats[1]["max_degree"] == 2  # path interior
+
+def test_matrix_io_roundtrip(spark, tmp_path):
+    # Write the ref_G3 star in reference text format, read it back.
+    path = str(tmp_path / "G3.txt")
+    edges = make_edges(spark, REF_G3, graph_id=3)
+    write_adjacency_text(edges, path)
+    with open(path) as f:
+        first = f.readline().strip()
+    assert first == "5"
+    back = read_adjacency_text(spark, path, graph_id=3)
+    assert edge_set(back) == edge_set(edges)

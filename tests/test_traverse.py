@@ -1,0 +1,90 @@
+"""Golden tests for BFS/DFS against the reference's Sample-IO
+acceptance rules (FIXTURES.md §2): BFS compares (vertex, level) pairs
+order-insensitively; DFS compares the leaf set."""
+
+import pytest
+
+from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.traverse import (
+    bfs_level_order,
+    bfs_levels,
+    connected_count,
+    dfs_leaves,
+)
+
+from conftest import REF_G1, REF_G2_POST, REF_G3, SIO_G1, SIO_G2, make_edges
+
+def levels_of(df):
+    return {(r["vertex"], r["level"]) for r in df.collect()}
+
+def leaves_of(df):
+    return {r["leaf"] for r in df.collect()}
+
+@pytest.mark.parametrize(
+    "pairs,start,expected",
+    [
+        (SIO_G1, 1, {(1, 0), (2, 1), (3, 2), (4, 2), (5, 3)}),
+        (SIO_G1, 2, {(2, 0), (1, 1), (3, 1), (4, 1), (5, 2)}),
+        (SIO_G2, 1, {(1, 0), (2, 1), (4, 1), (3, 2), (5, 2), (7, 2), (6, 3)}),
+        (REF_G1, 1, {(1, 0), (2, 1), (3, 2), (4, 3), (5, 4)}),
+        (REF_G3, 2, {(2, 0), (1, 1), (3, 1), (4, 1), (5, 1)}),
+    ],
+)
+def test_bfs_levels_golden(spark, pairs, start, expected):
+    edges = make_edges(spark, pairs)
+    assert levels_of(bfs_levels(edges, start, graph_id=1)) == expected
+
+@pytest.mark.parametrize(
+    "pairs,start,expected",
+    [
+        (SIO_G1, 1, {3, 5}),
+        (SIO_G1, 2, {1, 3, 5}),
+        (SIO_G1, 4, {1, 3, 5}),
+        (REF_G1, 1, {5}),
+        (REF_G1, 3, {1, 5}),
+        (REF_G3, 3, {1, 4, 5}),
+        (REF_G2_POST, 2, {1, 3}),
+    ],
+)
+def test_dfs_leaves_golden(spark, pairs, start, expected):
+    edges = make_edges(spark, pairs)
+    assert leaves_of(dfs_leaves(edges, start, graph_id=1)) == expected
+    # General (non-tree-assuming) path must agree on trees.
+    assert leaves_of(dfs_leaves(edges, start, graph_id=1, assume_tree=False)) == expected
+
+def test_bfs_level_order_positions(spark):
+    edges = make_edges(spark, REF_G1)
+    rows = bfs_level_order(edges, 1, graph_id=1).orderBy("pos").collect()
+    assert [(r["vertex"], r["level"], r["pos"]) for r in rows] == [
+        (1, 0, 1), (2, 1, 2), (3, 2, 3), (4, 3, 4), (5, 4, 5),
+    ]
+
+def test_bfs_disconnected_returns_reached_only(spark):
+    # Two components: 1-2-3 and 4-5.  Documented deviation from the
+    # reference (which emits garbage, SURVEY.md §1.1).
+    edges = make_edges(spark, [(1, 2), (2, 3), (4, 5)])
+    assert levels_of(bfs_levels(edges, 1, graph_id=1)) == {(1, 0), (2, 1), (3, 2)}
+    assert connected_count(edges, 1, graph_id=1).collect()[0]["n_reachable"] == 3
+
+def test_dfs_leaves_general_path_disconnected(spark):
+    edges = make_edges(spark, [(1, 2), (2, 3), (4, 5)])
+    assert leaves_of(dfs_leaves(edges, 1, graph_id=1, assume_tree=False)) == {3}
+
+def test_bfs_single_vertex_start_is_level_zero(spark):
+    edges = make_edges(spark, [(1, 2)])
+    assert levels_of(bfs_levels(edges, 2, graph_id=1)) == {(2, 0), (1, 1)}
+
+def test_absent_start_vertex_raises(spark):
+    # FIXTURES.md: the reference indexes row -1 for out-of-range starts
+    # (inp.txt:36-39); the engine raises instead.
+    edges = make_edges(spark, [(1, 2)])
+    with pytest.raises(ValueError, match="not present"):
+        bfs_levels(edges, 42, graph_id=1)
+    with pytest.raises(ValueError, match="not present"):
+        dfs_leaves(edges, 42, graph_id=1)
+
+def test_graph_id_isolation(spark):
+    e1 = make_edges(spark, [(1, 2), (2, 3)], graph_id=1)
+    e2 = make_edges(spark, [(1, 9), (9, 10)], graph_id=2)
+    both = e1.unionAll(e2)
+    assert levels_of(bfs_levels(both, 1, graph_id=1)) == {(1, 0), (2, 1), (3, 2)}
+    assert leaves_of(dfs_leaves(both, 1, graph_id=2)) == {10}
