@@ -43,6 +43,26 @@ from distributed_graph_database_simulation_with_load_balancing_and_threaded_requ
     requests_from_orders,
 )
 from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.sources.tables import load_table
+from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.dedup import (
+    exact_dedup,
+    fingerprint_dedup,
+    minhash_dedup,
+    ngram_jaccard_pairs,
+    simhash_dedup,
+)
+from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.similarity import (
+    cosine_topk,
+    embedding_near_dup,
+    lsh_topk,
+)
+from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.textops import (
+    corpus_stats,
+    doc_features,
+)
+from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.multimodal import (
+    attach_media,
+    extract_media_meta,
+)
 
 # ---------------------------------------------------------------------------
 # Shared derived-graph constructions (FIXTURES.md §3).
@@ -112,6 +132,17 @@ _SQL_REQUESTS = """
   FROM orders
 """
 
+# Normalized text (lowercase, non-alnum runs -> single space, trim) —
+# must stay in lockstep with functions/textfns.normalize_text.
+_SQL_NORM = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+
+# Whitespace token count with the empty-text guard — lockstep with
+# functions/textfns.token_count.
+_SQL_NTOK = (
+    "CAST(CASE WHEN trim(text) = '' THEN 0 "
+    "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT)"
+)
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -157,6 +188,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         edges = derived_tree_edges(spark, sf_dir, symmetric=True)
         return connected_count(edges, ROOT_VID, graph_id=1)
 
+    # --- training-data extension operators (SURVEY.md §2.3 north-star) ---
+
+    def q_dedup_exact(spark, sf_dir):
+        return exact_dedup(load_table(spark, sf_dir, "documents"))
+
+    def q_fingerprint_dedup(spark, sf_dir):
+        return fingerprint_dedup(load_table(spark, sf_dir, "documents"))
+
+    def q_doc_features(spark, sf_dir):
+        return doc_features(load_table(spark, sf_dir, "documents"))
+
+    def q_text_stats(spark, sf_dir):
+        return corpus_stats(load_table(spark, sf_dir, "documents"))
+
+    def q_ngram_jaccard(spark, sf_dir):
+        return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.5)
+
+    def q_minhash_dedup(spark, sf_dir):  # rows-only: probabilistic recall
+        return minhash_dedup(load_table(spark, sf_dir, "documents"), threshold=0.8)
+
+    def q_simhash_dedup(spark, sf_dir):  # rows-only: hash-sketch specific
+        return simhash_dedup(load_table(spark, sf_dir, "documents"), max_hamming=3)
+
+    def q_sim_topk(spark, sf_dir):
+        emb = load_table(spark, sf_dir, "embeddings")
+        qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+        return cosine_topk(emb, qvec, 10)
+
+    def q_lsh_topk(spark, sf_dir):  # rows-only: approximate by design
+        emb = load_table(spark, sf_dir, "embeddings")
+        qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+        return lsh_topk(emb, qvec, 10)
+
+    def q_embedding_near_dup(spark, sf_dir):  # rows-only: LSH-blocked
+        return embedding_near_dup(load_table(spark, sf_dir, "embeddings"), threshold=0.95)
+
+    def q_media_meta(spark, sf_dir):
+        media = attach_media(load_table(spark, sf_dir, "documents"))
+        return extract_media_meta(media).select("media_id", "media_type", "n_bytes", "sha256")
+
     return {
         "q_add_graph": q_add_graph,
         "q_modify_graph": q_modify_graph,
@@ -167,6 +238,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_request_sched": q_request_sched,
         "q_graph_stats": q_graph_stats,
         "q_connected_count": q_connected_count,
+        "q_dedup_exact": q_dedup_exact,
+        "q_fingerprint_dedup": q_fingerprint_dedup,
+        "q_doc_features": q_doc_features,
+        "q_text_stats": q_text_stats,
+        "q_ngram_jaccard": q_ngram_jaccard,
+        "q_minhash_dedup": q_minhash_dedup,
+        "q_simhash_dedup": q_simhash_dedup,
+        "q_sim_topk": q_sim_topk,
+        "q_lsh_topk": q_lsh_topk,
+        "q_embedding_near_dup": q_embedding_near_dup,
+        "q_media_meta": q_media_meta,
     }
 
 def oracle_sql() -> dict[str, str]:
@@ -246,5 +328,123 @@ def oracle_sql() -> dict[str, str]:
         "q_connected_count": f"""
             WITH b AS ({_SQL_BFS})
             SELECT CAST(COUNT(*) AS BIGINT) AS n_reachable FROM b
+        """,
+        "q_dedup_exact": """
+            SELECT md5(text) AS text_hash,
+                   CAST(COUNT(*) AS BIGINT) AS n_dups,
+                   CAST(MIN(doc_id) AS BIGINT) AS keep_id
+            FROM documents GROUP BY 1
+        """,
+        "q_fingerprint_dedup": f"""
+            SELECT md5({_SQL_NORM}) AS fp,
+                   CAST(COUNT(*) AS BIGINT) AS n_dups,
+                   CAST(MIN(doc_id) AS BIGINT) AS keep_id
+            FROM documents GROUP BY 1
+        """,
+        "q_doc_features": f"""
+            WITH feat AS (
+              SELECT doc_id,
+                     CAST(length(text) AS BIGINT) AS n_chars_obs,
+                     {_SQL_NTOK} AS n_tokens,
+                     CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_subtokens,
+                     CASE WHEN length(text) = 0 THEN 0.0
+                          ELSE length(regexp_replace(text, '[^.,;:!?''"]', '', 'g')) * 1.0 / length(text)
+                     END AS pr,
+                     CASE WHEN trim(text) = '' THEN 0.0
+                          ELSE len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                                   x -> x IN ('the','a','of','and','to','in','is','it'))) * 1.0
+                               / len(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                     END AS sr,
+                     ' ' || lower(text) || ' ' AS padded,
+                     md5({_SQL_NORM}) AS fp
+              FROM documents
+            ),
+            scored AS (
+              SELECT *,
+                     (CASE WHEN contains(padded, ' the ') THEN 1 ELSE 0 END
+                      + CASE WHEN contains(padded, ' a ') THEN 1 ELSE 0 END
+                      + CASE WHEN contains(padded, ' of ') THEN 1 ELSE 0 END) AS s_en,
+                     (CASE WHEN contains(padded, ' der ') THEN 1 ELSE 0 END
+                      + CASE WHEN contains(padded, ' und ') THEN 1 ELSE 0 END
+                      + CASE WHEN contains(padded, ' die ') THEN 1 ELSE 0 END) AS s_de,
+                     (CASE WHEN contains(padded, ' el ') THEN 1 ELSE 0 END
+                      + CASE WHEN contains(padded, ' y ') THEN 1 ELSE 0 END
+                      + CASE WHEN contains(padded, ' de ') THEN 1 ELSE 0 END) AS s_es,
+                     (CASE WHEN contains(padded, ' le ') THEN 1 ELSE 0 END
+                      + CASE WHEN contains(padded, ' et ') THEN 1 ELSE 0 END
+                      + CASE WHEN contains(padded, ' la ') THEN 1 ELSE 0 END) AS s_fr
+              FROM feat
+            )
+            SELECT doc_id, n_chars_obs, n_tokens, n_subtokens,
+                   round(pr, 6) AS punct_ratio,
+                   round(sr, 6) AS stopword_ratio,
+                   round(greatest(0.0, least(1.0,
+                       least(n_chars_obs / 500.0, 1.0) * 0.5
+                       + least(sr * 5.0, 1.0) * 0.3
+                       + (1.0 - least(pr * 10.0, 1.0)) * 0.2)), 6) AS quality_score,
+                   CASE WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+                        WHEN s_de > 0 AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_en THEN 'de'
+                        WHEN s_es > 0 AND s_es >= s_fr AND s_es >= s_en AND s_es >= s_de THEN 'es'
+                        WHEN s_fr > 0 AND s_fr >= s_en AND s_fr >= s_de AND s_fr >= s_es THEN 'fr'
+                        ELSE 'und' END AS lang_guess,
+                   fp
+            FROM scored
+        """,
+        "q_text_stats": f"""
+            SELECT lang,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+                   CAST(SUM({_SQL_NTOK}) AS BIGINT) AS total_tokens,
+                   round(AVG(length(text)), 4) AS avg_chars,
+                   round(AVG({_SQL_NTOK}), 4) AS avg_tokens
+            FROM documents GROUP BY lang
+        """,
+        "q_ngram_jaccard": f"""
+            WITH toks AS (
+              SELECT doc_id,
+                     CASE WHEN {_SQL_NORM} = '' THEN CAST([] AS VARCHAR[])
+                          ELSE regexp_split_to_array({_SQL_NORM}, '\\s+') END AS t
+              FROM documents
+            ),
+            grams AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                        range(1, greatest(len(t) - 2, 1) + 1),
+                        i -> array_to_string(t[i:i+2], ' '))) AS g
+              FROM toks
+            ),
+            inv AS (SELECT doc_id, len(g) AS n, unnest(g) AS gram FROM grams),
+            pairs AS (
+              SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+                     CAST(COUNT(*) AS DOUBLE) AS inter,
+                     any_value(x.n) AS na, any_value(y.n) AS nb
+              FROM inv x JOIN inv y ON x.gram = y.gram AND x.doc_id < y.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT id_a, id_b, round(inter / (na + nb - inter), 6) AS jaccard
+            FROM pairs WHERE round(inter / (na + nb - inter), 6) >= 0.5
+        """,
+        "q_sim_topk": """
+            WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+            sims AS (
+              SELECT e.vec_id,
+                     round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 4) AS sim
+              FROM embeddings e CROSS JOIN q
+            ),
+            ranked AS (
+              SELECT vec_id, sim,
+                     CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id) AS INTEGER) AS rank
+              FROM sims
+            )
+            SELECT vec_id, sim, rank FROM ranked WHERE rank <= 10
+        """,
+        "q_media_meta": """
+            SELECT CAST(doc_id AS BIGINT) AS media_id,
+                   CASE WHEN doc_id % 3 = 0 THEN 'image'
+                        WHEN doc_id % 3 = 1 THEN 'audio'
+                        ELSE 'video' END AS media_type,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   sha256(text) AS sha256
+            FROM documents
         """,
     }

@@ -1,0 +1,295 @@
+"""Deduplication operators for large-scale training-data pipelines:
+exact, MinHash+LSH, SimHash, and n-gram Jaccard.
+
+Scale posture (100 TB): every variant is one groupBy/self-join on a
+*hash* key — never on raw text.  Exact dedup shuffles 16-byte digests;
+MinHash shuffles (band, bucket) pairs; SimHash shuffles 4 band ints.
+Candidate verification touches only bucket-colliding pairs, and AQE's
+skew-join splitting handles pathological buckets (e.g. boilerplate
+documents).  For truly degenerate buckets, ``max_bucket_size`` drops
+buckets larger than the cap (standard practice: a bucket with
+thousands of documents is boilerplate, not near-duplication signal —
+and the cap is what keeps the self-join from going quadratic).
+
+Execution shape: the sketches (MinHash signature, SimHash bit-sums)
+are built as explode -> xxhash64 -> wide partial aggregation, NOT as
+nested higher-order array functions.  Spark's higher-order functions
+are CodegenFallback (interpreted) and re-evaluate lambda-captured
+expressions per element, so a nested formulation re-runs the
+normalization regexp per shingle per seed — orders of magnitude
+slower.  The aggregation form is whole-stage-codegen'd, map-side
+combined, and its shuffle carries (id, k longs) only.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.hashing import band_hashes, pack_sign_bits
+from ..functions.textfns import char_shingles_normed, fingerprint, normalize_text, tokens
+
+
+def exact_dedup(
+    documents: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact duplicate grouping by text digest: one row per distinct
+    text with the group size and the representative (min id) — the
+    keep-list of hash-based dedup.
+
+    Digest-first means the shuffle carries 32-hex-char keys, not
+    documents; at 100 TB the text column never leaves the map side.
+    """
+    return (
+        documents.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(
+            F.count("*").cast("long").alias("n_dups"),
+            F.min(id_col).alias("keep_id"),
+        )
+    )
+
+
+def fingerprint_dedup(
+    documents: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Near-exact dedup on the normalized-text fingerprint (md5 after
+    lowercase/punctuation/whitespace canonicalization) — catches
+    trivially-mutated copies that exact hashing misses."""
+    return (
+        documents.select(fingerprint(F.col(text_col)).alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(F.count("*").cast("long").alias("n_dups"), F.min(id_col).alias("keep_id"))
+    )
+
+
+def _shingle_rows(
+    documents: DataFrame, *, text_col: str, id_col: str, shingle_len: int
+) -> DataFrame:
+    """(id, shingle) exploded rows.  Normalization is staged into its
+    own projection so the regexp runs once per document; the shingle
+    transform then only does substrings of a plain attribute."""
+    normed = documents.select(
+        F.col(id_col).alias("id"), normalize_text(F.col(text_col)).alias("norm")
+    )
+    return normed.select(
+        "id", F.explode(char_shingles_normed(F.col("norm"), shingle_len)).alias("shingle")
+    )
+
+
+def _minhash_signatures(shingle_rows: DataFrame, num_hashes: int) -> DataFrame:
+    """(id, sig: array<bigint>): signature element i is
+    min over shingles of xxhash64(shingle, seed=i) — the Broder / MMDS
+    ch.3 construction as ``num_hashes`` parallel MIN aggregates.
+    Partial aggregation computes the mins map-side, so the shuffle per
+    document is exactly ``num_hashes`` longs."""
+    mins = shingle_rows.groupBy("id").agg(
+        *[
+            F.min(F.xxhash64("shingle", F.lit(i))).alias(f"_h{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    return mins.select(
+        "id", F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def _bucket_pairs(
+    sigs: DataFrame, bands: int, rows: int, max_bucket_size: int
+) -> DataFrame:
+    """LSH band-bucket self-join: (id_a, id_b) with id_a < id_b for
+    every pair sharing at least one band bucket, with degenerate
+    buckets (> max_bucket_size members) dropped before the join."""
+    buckets = sigs.select(
+        "id", F.posexplode(band_hashes(F.col("sig"), bands, rows)).alias("band", "bucket")
+    )
+    sized = buckets.withColumn(
+        "bsz", F.count("*").over(Window.partitionBy("band", "bucket"))
+    ).where(F.col("bsz") <= max_bucket_size)
+    a = sized.select("band", "bucket", F.col("id").alias("id_a"))
+    b = sized.select("band", "bucket", F.col("id").alias("id_b"))
+    return (
+        a.join(b, on=["band", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_candidates(
+    documents: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_len: int = 5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs ``(id_a, id_b)`` with id_a < id_b.
+
+    shingle -> minhash -> band -> bucket -> bucket-join, the classic
+    MMDS ch.3 pipeline.  With k=32 hashes and b=8 bands (r=4), the
+    candidate threshold is (1/b)^(1/r) ~ 0.59 Jaccard.
+    """
+    rows = num_hashes // bands
+    sh = _shingle_rows(documents, text_col=text_col, id_col=id_col, shingle_len=shingle_len)
+    sigs = _minhash_signatures(sh, num_hashes)
+    return _bucket_pairs(sigs, bands, rows, max_bucket_size)
+
+
+def minhash_dedup(
+    documents: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_len: int = 5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.8,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Verified near-duplicate pairs: LSH candidates filtered by exact
+    character-shingle Jaccard >= threshold.  Returns
+    ``(id_a, id_b, jaccard)`` (jaccard rounded to 6 places)."""
+    rows = num_hashes // bands
+    sh = _shingle_rows(documents, text_col=text_col, id_col=id_col, shingle_len=shingle_len)
+    cands = _bucket_pairs(_minhash_signatures(sh, num_hashes), bands, rows, max_bucket_size)
+    sets_ = sh.groupBy("id").agg(F.collect_set("shingle").alias("sh"))
+    return (
+        cands.join(sets_.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), on="id_a")
+        .join(sets_.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), on="id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram_len: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact token-n-gram Jaccard similarity for all pairs above
+    threshold — the brute-force ground truth the sketch methods
+    approximate.  All-pairs via an inverted-index join on shared
+    n-grams (documents sharing zero n-grams never meet), not a blind
+    cross join; still quadratic in the worst case, so reserve for
+    bounded subsets / verification.  Returns (id_a, id_b, jaccard)."""
+    toks = documents.select(
+        F.col(id_col).alias("id"), tokens(normalize_text(F.col(text_col))).alias("t")
+    )
+    grams = toks.select(
+        "id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(
+                    F.lit(1), F.greatest(F.size("t") - (ngram_len - 1), F.lit(1))
+                ),
+                lambda i: F.concat_ws(" ", F.slice(F.col("t"), i, ngram_len)),
+            )
+        ).alias("grams"),
+    )
+    inv = grams.select("id", F.size("grams").alias("n"), F.explode("grams").alias("g"))
+    pairs = (
+        inv.alias("x")
+        .join(inv.alias("y"), on="g")
+        .where(F.col("x.id") < F.col("y.id"))
+        .groupBy(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .agg(
+            F.count("*").cast("double").alias("inter"),
+            F.first("x.n").alias("na"),
+            F.first("y.n").alias("nb"),
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6).alias(
+                "jaccard"
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return pairs
+
+
+def _simhash_df(
+    documents: DataFrame, *, text_col: str, id_col: str, bands: int
+) -> DataFrame:
+    """(id, sh: bigint, bandv: array<bigint>): Charikar SimHash as 64
+    parallel SUM aggregates of per-token-hash sign contributions.
+    Value bit i of ``sh`` is 1 iff sum over tokens of (+1 if bit i of
+    xxhash64(token) else -1) > 0.  Documents with zero tokens are
+    excluded (empty text is exact-dedup territory, not near-dup)."""
+    assert 64 % bands == 0
+    width = 64 // bands
+    tok_hashes = documents.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(normalize_text(F.col(text_col)))).alias("tok"),
+    ).select("id", F.xxhash64("tok").alias("th"))
+    bitsums = tok_hashes.groupBy("id").agg(
+        *[
+            F.sum(F.when(F.bit_get("th", F.lit(i)) == 1, 1).otherwise(-1)).alias(f"_b{i}")
+            for i in range(64)
+        ]
+    )
+
+    def bit(i: int):
+        return F.when(F.col(f"_b{i}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+
+    band_vals = [
+        reduce(
+            lambda acc, o: acc.bitwiseOR(F.shiftleft(bit(j * width + o), o)),
+            range(width),
+            F.lit(0).cast("long"),
+        )
+        for j in range(bands)
+    ]
+    return bitsums.select(
+        "id",
+        pack_sign_bits([bit(i) for i in range(64)]).alias("sh"),
+        F.array(*band_vals).alias("bandv"),
+    )
+
+
+def simhash_dedup(
+    documents: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs: band-blocked candidates verified by
+    Hamming distance <= max_hamming on the 64-bit simhash.  With 4
+    bands, any pair within distance 3 shares a band (pigeonhole), so
+    recall is exact for the default threshold.  Returns
+    (id_a, id_b, hamming)."""
+    sh = _simhash_df(documents, text_col=text_col, id_col=id_col, bands=bands)
+    blocked = sh.select("id", "sh", F.posexplode("bandv").alias("band", "bv"))
+    a = blocked.select("band", "bv", F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = blocked.select("band", "bv", F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        a.join(b, on=["band", "bv"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )

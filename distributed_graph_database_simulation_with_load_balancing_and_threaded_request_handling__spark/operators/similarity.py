@@ -1,0 +1,161 @@
+"""Similarity search over an embedding column (``array<float>``):
+brute-force cosine top-k as the exact baseline, and a random-
+hyperplane LSH-bucketed variant as the scale path.
+
+Scale posture (100 TB): brute-force top-k against ONE query is a
+single scan + local top-k per partition + tiny final merge (Spark's
+sort-limit is already partial top-k — no full sort, no full shuffle).
+For batch queries, the LSH variant buckets both sides on hyperplane
+sign bits so each query only scans its own buckets; the
+embedding-cosine near-dup join uses the same buckets symmetrically.
+All vector math is `zip_with`/`aggregate` (JVM); no UDFs.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.vectors import as_double_vec, cosine_sim
+
+def _vec_lit(vec: list[float]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in vec]).cast("array<double>")
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Exact top-k by cosine similarity to one query vector.
+
+    Returns ``(vec_id, sim, rank)``; similarity is rounded (default 4
+    digits) and ranking breaks ties by id so results are deterministic
+    across engines and partitionings.
+    """
+    q = _vec_lit(query_vec)
+    sims = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.round(cosine_sim(as_double_vec(F.col(vec_col)), q), round_digits).alias("sim"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+    )
+
+def hyperplane_signature(vec: Column, hyperplanes: list[list[float]]) -> Column:
+    """LSH signature: one sign bit per random hyperplane, packed into
+    a bigint (Horner).  sign(h . v) is locality-sensitive for cosine:
+    P[bit differs] = angle/pi (Charikar 2002)."""
+    sig = F.lit(0).cast("long")
+    for h in hyperplanes:
+        d = F.aggregate(
+            F.zip_with(vec, _vec_lit(h), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        sig = sig * 2 + F.when(d >= 0, 1).otherwise(0)
+    return sig
+
+def make_hyperplanes(num: int, dim: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (pure-python LCG so the
+    result is reproducible everywhere without numpy state)."""
+    state = seed
+    out = []
+    for _ in range(num):
+        row = []
+        for _ in range(dim):
+            # Park-Miller LCG -> uniform(-1, 1) -> Box-Muller-free
+            # (uniform directions are fine for sign-LSH).
+            state = (state * 48271) % 2147483647
+            row.append(state / 2147483647.0 * 2.0 - 1.0)
+        out.append(row)
+    return out
+
+def lsh_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_planes: int = 8,
+    num_tables: int = 4,
+    seed: int = 42,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Approximate top-k: restrict the exact scoring to rows that share
+    an LSH bucket with the query in any of ``num_tables`` hash tables
+    (multi-table = recall amplification), then rank as cosine_topk.
+
+    At scale the bucket filter is a pushdown-able equality on a
+    precomputable signature column — score ~n/2^planes of the data per
+    table instead of everything.
+    """
+    dim = len(query_vec)
+    v = as_double_vec(F.col(vec_col))
+    match = F.lit(False)
+    for t in range(num_tables):
+        planes = make_hyperplanes(num_planes, dim, seed=seed + 1000 * t)
+        qsig = 0
+        for h in planes:
+            d = sum(x * y for x, y in zip(h, query_vec))
+            qsig = qsig * 2 + (1 if d >= 0 else 0)
+        match = match | (hyperplane_signature(v, planes) == F.lit(qsig))
+    cand = embeddings.where(match)
+    return cosine_topk(
+        cand, query_vec, k, vec_col=vec_col, id_col=id_col, round_digits=round_digits
+    )
+
+def embedding_near_dup(
+    embeddings: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    num_planes: int = 8,
+    num_tables: int = 4,
+    seed: int = 42,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, sim >=
+    threshold), LSH-blocked: only pairs sharing a bucket in some table
+    are scored.  The all-pairs cross join never happens."""
+    dim_row = embeddings.select(F.size(vec_col).alias("d")).first()
+    dim = int(dim_row["d"])
+    v = as_double_vec(F.col(vec_col))
+    sigs = embeddings.select(
+        F.col(id_col).alias("id"),
+        v.alias("vec"),
+        F.array(
+            *[
+                hyperplane_signature(v, make_hyperplanes(num_planes, dim, seed=seed + 1000 * t))
+                for t in range(num_tables)
+            ]
+        ).alias("sigs"),
+    )
+    blocked = sigs.select("id", "vec", F.posexplode("sigs").alias("table", "sig"))
+    a = blocked.select("table", "sig", F.col("id").alias("id_a"), F.col("vec").alias("vec_a"))
+    b = blocked.select("table", "sig", F.col("id").alias("id_b"), F.col("vec").alias("vec_b"))
+    pairs = (
+        a.join(b, on=["table", "sig"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine_sim(F.col("vec_a"), F.col("vec_b")), round_digits).alias("sim"),
+        )
+        .where(F.col("sim") >= threshold)
+        # Dedup AFTER scoring+filtering: the shuffle carries only
+        # surviving (id, id, sim) triples, never vectors.
+        .distinct()
+    )
+    return pairs

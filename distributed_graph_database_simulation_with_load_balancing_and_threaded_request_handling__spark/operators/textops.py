@@ -1,0 +1,108 @@
+"""Text-analysis operators over a documents table: per-document
+features (token counts, quality ratios, language guess, fingerprint)
+and per-language corpus statistics.
+
+Everything is built-in column expressions (whole-stage codegen) with
+exact ANSI-SQL equivalents — the DuckDB oracle runs the same logic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.textfns import (
+    bpe_ish_token_count,
+    fingerprint,
+    punct_ratio,
+    stopword_ratio,
+    token_count,
+)
+
+# Marker words per language, fixed precedence for argmax ties.  A real
+# language-ID model uses char-n-gram profiles; this is the same
+# *operator shape* (deterministic scoring + argmax) with a toy model,
+# which keeps it SQL-oracle-checkable.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of"),
+    "de": ("der", "und", "die"),
+    "es": ("el", "y", "de"),
+    "fr": ("le", "et", "la"),
+}
+_PRECEDENCE = ("en", "de", "es", "fr")
+
+def _lang_score(c: Column, lang: str) -> Column:
+    padded = F.concat(F.lit(" "), F.lower(c), F.lit(" "))
+    s = F.lit(0)
+    for m in LANG_MARKERS[lang]:
+        s = s + F.when(padded.contains(f" {m} "), 1).otherwise(0)
+    return s
+
+def lang_guess(c: Column) -> Column:
+    """Deterministic marker-count argmax with fixed precedence;
+    'und' (undetermined) when no marker hits."""
+    scores = {lang: _lang_score(c, lang) for lang in _PRECEDENCE}
+    best = F.greatest(*scores.values())
+    expr = F.lit("und")
+    # Build the CASE from lowest precedence up so higher precedence wins ties.
+    for lang in reversed(_PRECEDENCE):
+        expr = F.when((scores[lang] > 0) & (scores[lang] == best), F.lit(lang)).otherwise(expr)
+    return expr
+
+def doc_features(
+    documents: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document feature row: counts, ratios, quality score,
+    language guess, fingerprint.
+
+    quality_score is a fixed linear blend (bounded to [0,1]):
+    length term (saturating at 500 chars) + stopword presence -
+    punctuation excess.  The exact formula matters less than it being
+    deterministic, monotone in the obvious directions, and cheap.
+    """
+    t = F.col(text_col)
+    n_chars = F.length(t).cast("long")
+    n_tok = token_count(t)
+    pr = punct_ratio(t)
+    sr = stopword_ratio(t)
+    quality = F.round(
+        F.greatest(
+            F.lit(0.0),
+            F.least(
+                F.lit(1.0),
+                F.least(n_chars.cast("double") / 500.0, F.lit(1.0)) * 0.5
+                + F.least(sr * 5.0, F.lit(1.0)) * 0.3
+                + (1.0 - F.least(pr * 10.0, F.lit(1.0))) * 0.2,
+            ),
+        ),
+        6,
+    )
+    return documents.select(
+        F.col(id_col),
+        n_chars.alias("n_chars_obs"),
+        n_tok.alias("n_tokens"),
+        bpe_ish_token_count(t).alias("n_subtokens"),
+        F.round(pr, 6).alias("punct_ratio"),
+        F.round(sr, 6).alias("stopword_ratio"),
+        quality.alias("quality_score"),
+        lang_guess(t).alias("lang_guess"),
+        fingerprint(t).alias("fp"),
+    )
+
+def corpus_stats(
+    documents: DataFrame, *, text_col: str = "text", lang_col: str = "lang"
+) -> DataFrame:
+    """Per-language corpus rollup: doc count, char/token totals and
+    means.  One partial-aggregated shuffle on the (low-cardinality)
+    language key."""
+    t = F.col(text_col)
+    return (
+        documents.groupBy(F.col(lang_col).alias("lang"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.length(t)).cast("long").alias("total_chars"),
+            F.sum(token_count(t)).cast("long").alias("total_tokens"),
+            F.round(F.avg(F.length(t)), 4).alias("avg_chars"),
+            F.round(F.avg(token_count(t)), 4).alias("avg_tokens"),
+        )
+    )

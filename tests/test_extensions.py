@@ -1,0 +1,151 @@
+"""Tests for the training-data extension operators: dedup family,
+similarity search, text analysis, multimodal plumbing."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.dedup import (
+    exact_dedup,
+    fingerprint_dedup,
+    minhash_candidates,
+    minhash_dedup,
+    ngram_jaccard_pairs,
+    simhash_dedup,
+)
+from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.multimodal import (
+    attach_media,
+    decode_image,
+    extract_media_meta,
+    fake_decode_meta,
+    frame_sample,
+)
+from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.similarity import (
+    cosine_topk,
+    embedding_near_dup,
+    lsh_topk,
+)
+from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.textops import (
+    corpus_stats,
+    doc_features,
+)
+
+BASE = "the quick brown fox jumps over the lazy dog and runs away fast"
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, BASE, "en", "s1"),
+            (2, BASE + "!", "en", "s2"),                       # near-dup of 1
+            (3, "completely different content about spark dataframes", "en", "s3"),
+            (4, BASE, "en", "s4"),                             # exact dup of 1
+            (5, "der hund und die katze der baum im garten", "de", "s5"),
+            (6, "", "en", "s6"),                               # empty text edge case
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+
+def test_exact_dedup(docs):
+    groups = {r["keep_id"]: r["n_dups"] for r in exact_dedup(docs).collect()}
+    assert groups[1] == 2          # docs 1 and 4
+    assert groups[2] == 1
+    assert sum(groups.values()) == 6
+
+def test_fingerprint_dedup_catches_punct_variant(docs):
+    # Normalization folds doc 2's trailing '!' into doc 1's fingerprint.
+    groups = {r["keep_id"]: r["n_dups"] for r in fingerprint_dedup(docs).collect()}
+    assert groups[1] == 3          # docs 1, 2, 4
+
+def test_minhash_dedup_finds_near_dups(docs):
+    pairs = {(r["id_a"], r["id_b"]) for r in minhash_dedup(docs, threshold=0.7).collect()}
+    assert (1, 2) in pairs and (1, 4) in pairs and (2, 4) in pairs
+    assert not any(3 in p or 5 in p or 6 in p for p in pairs)
+
+def test_minhash_candidates_no_self_pairs(docs):
+    cands = minhash_candidates(docs).collect()
+    assert all(r["id_a"] < r["id_b"] for r in cands)
+
+def test_simhash_dedup(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_dedup(docs, max_hamming=3).collect()}
+    assert pairs[(1, 4)] == 0      # identical text -> identical simhash
+    assert (1, 2) in pairs         # punctuation-only variant is within 3 bits
+    assert not any(3 in p for p in pairs)
+
+def test_ngram_jaccard_exact_values(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert pairs[(1, 4)] == 1.0
+    assert pairs[(1, 2)] == 1.0    # '!' normalized away -> same trigram set
+    assert (3, 5) not in pairs
+
+def test_doc_features(docs):
+    f = {r["doc_id"]: r for r in doc_features(docs).collect()}
+    assert f[1]["n_tokens"] == 13
+    assert f[1]["lang_guess"] == "en"
+    assert f[5]["lang_guess"] == "de"
+    assert f[6]["n_tokens"] == 0 and f[6]["n_chars_obs"] == 0
+    assert f[6]["quality_score"] == 0.0 + f[6]["quality_score"]  # non-null
+    assert f[1]["fp"] == f[2]["fp"] == f[4]["fp"]
+    assert 0.0 <= f[3]["quality_score"] <= 1.0
+
+def test_corpus_stats(docs):
+    s = {r["lang"]: r for r in corpus_stats(docs).collect()}
+    assert s["en"]["n_docs"] == 5
+    assert s["de"]["total_tokens"] == 9
+    assert s["en"]["avg_tokens"] == pytest.approx((13 + 13 + 6 + 13 + 0) / 5, abs=1e-3)
+
+# --- similarity ---
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    # 40 deterministic vectors in 8-d; ids 0,13,26,39 are collinear
+    # (i % 13 pattern repeats every 13 ids).
+    return spark.createDataFrame(
+        [(i, [float((i * 7 + j) % 13 - 6) for j in range(8)]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+
+QUERY = [float((0 * 7 + j) % 13 - 6) for j in range(8)]
+
+def test_cosine_topk_exact(embeddings):
+    rows = cosine_topk(embeddings, QUERY, 5).collect()
+    assert [r["rank"] for r in rows] == [1, 2, 3, 4, 5]
+    top = [r["vec_id"] for r in rows]
+    assert top[:4] == [0, 13, 26, 39]  # sim 1.0, tie-broken by id
+    assert rows[0]["sim"] == 1.0
+
+def test_lsh_topk_agrees_with_exact_on_top_hits(embeddings):
+    exact = [r["vec_id"] for r in cosine_topk(embeddings, QUERY, 4).collect()]
+    approx = [r["vec_id"] for r in lsh_topk(embeddings, QUERY, 4).collect()]
+    # Identical vectors always share every bucket with the query.
+    assert set(exact) == set(approx) == {0, 13, 26, 39}
+
+def test_embedding_near_dup_blocks_then_verifies(embeddings):
+    pairs = {(r["id_a"], r["id_b"]) for r in embedding_near_dup(embeddings, threshold=0.9999).collect()}
+    assert {(0, 13), (0, 26), (13, 26), (0, 39)} <= pairs
+    assert all(a < b for a, b in pairs)
+
+# --- multimodal ---
+
+def test_extract_media_meta_matches_hashlib(docs):
+    media = attach_media(docs)
+    meta = {r["media_id"]: r for r in extract_media_meta(media).collect()}
+    assert meta[1]["n_bytes"] == len(BASE.encode())
+    assert meta[1]["sha256"] == hashlib.sha256(BASE.encode()).hexdigest()
+    w, h = fake_decode_meta(BASE.encode())
+    assert (meta[1]["width"], meta[1]["height"]) == (w, h)
+    assert set(meta[k]["media_type"] for k in meta) <= {"image", "audio", "video"}
+
+def test_decode_stub_raises():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")
+
+def test_frame_sample_caps_frames(spark):
+    docs = spark.createDataFrame(
+        [(2, "x" * 1000, "en", "s")], "doc_id long, text string, lang string, source string"
+    )
+    media = attach_media(docs)  # id 2 -> video
+    frames = frame_sample(media, chunk_bytes=100, max_frames=4).collect()
+    assert 0 < len(frames) <= 4
+    assert all(len(bytes(r["frame"])) <= 100 for r in frames)
