@@ -19,6 +19,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.vectors import as_double_vec, cosine_sim
+from ..partitioning import ensure_parallelism
 
 def _vec_lit(vec: list[float]) -> Column:
     return F.array(*[F.lit(float(x)) for x in vec]).cast("array<double>")
@@ -132,6 +133,7 @@ def embedding_near_dup(
     dim_row = embeddings.select(F.size(vec_col).alias("d")).first()
     dim = int(dim_row["d"])
     v = as_double_vec(F.col(vec_col))
+    embeddings = ensure_parallelism(embeddings.select(id_col, vec_col))
     sigs = embeddings.select(
         F.col(id_col).alias("id"),
         v.alias("vec"),
