@@ -62,7 +62,7 @@ def schedule_requests(requests: DataFrame) -> DataFrame:
         "*", F.row_number().over(w).cast("int").alias("service_order")
     )
 
-def run_requests(requests: DataFrame, edges: DataFrame) -> DataFrame:
+def run_requests(requests: DataFrame, edges: DataFrame, *, assume_tree: bool = True) -> DataFrame:
     """Batch dispatch: execute every read request (ops 3/4) in one
     declarative plan, returning ``(seq_no, op_no, graph_id, vertex,
     level)`` — BFS rows carry their hop distance, DFS-leaf rows carry
@@ -71,13 +71,15 @@ def run_requests(requests: DataFrame, edges: DataFrame) -> DataFrame:
     This is the engine's analogue of the server loop: instead of one
     pthread per request (primary_server.c:235-238), all requests of a
     kind become one set-oriented job over the union of their graphs.
-    Assumes tree graphs (the reference's operating envelope) so DFS
-    uses the degree rewrite and BFS levels come from per-graph hop
-    distance — computed via the iterative frontier loop per distinct
-    (graph, start) pair.
+    Strategy per op comes from the planner (plans/planner.py):
+    ``assume_tree`` selects rule R1 (degree rewrite) for op 3, matching
+    the reference's tree envelope; BFS levels come from the iterative
+    frontier loop (R2) per distinct (graph, start) pair.
     """
+    from ..plans.planner import plan_request
     from .traverse import bfs_levels, dfs_leaves
 
+    dfs_plan = plan_request(3, assume_tree=assume_tree)
     reads = requests.where(F.col("op_no").isin(3, 4)).collect()
     spark = requests.sparkSession
     outs: list[DataFrame] = []
@@ -93,7 +95,12 @@ def run_requests(requests: DataFrame, edges: DataFrame) -> DataFrame:
                 "level",
             )
         else:
-            d = dfs_leaves(edges, int(r["start_vertex"]), graph_id=gid)
+            d = dfs_leaves(
+                edges,
+                int(r["start_vertex"]),
+                graph_id=gid,
+                assume_tree=dfs_plan.rule == "R1",
+            )
             d = d.select(
                 F.lit(int(r["seq_no"])).alias("seq_no"),
                 F.lit(3).alias("op_no"),

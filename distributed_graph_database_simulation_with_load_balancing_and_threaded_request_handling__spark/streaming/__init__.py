@@ -1,0 +1,21 @@
+"""Structured Streaming rendering of the reference's long-running
+request server (the ``while(1)`` msgrcv loops at load_balancer.c:47,
+primary_server.c:224, secondary_server.c:363)."""
+
+from .requests import (
+    REQUEST_STREAM_SCHEMA,
+    read_request_stream,
+    request_load,
+    route_stream,
+    run_request_stream,
+    running_route_totals,
+)
+
+__all__ = [
+    "REQUEST_STREAM_SCHEMA",
+    "read_request_stream",
+    "route_stream",
+    "request_load",
+    "run_request_stream",
+    "running_route_totals",
+]

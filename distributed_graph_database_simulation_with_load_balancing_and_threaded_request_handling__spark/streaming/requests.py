@@ -1,0 +1,133 @@
+"""Streaming request processing — the faithful analogue of the
+reference's server loop.
+
+Reference model being reproduced: clients append requests to a queue
+(SysV msgq, load_balancer.c:40); the balancer drains them
+lowest-seq_no-first (``msgrcv(..., -100, 0)``, load_balancer.c:49),
+routes by op/parity (load_balancer.c:65-70), and servers process each
+request and reply.  Structured Streaming renders this as: a file
+source is the queue, a micro-batch is one drain cycle, ``foreachBatch``
+is the server dispatch, and the routing/scheduling expressions are the
+same ones the batch layer uses (operators/dispatch.py).
+
+Scale posture: the stateless route projection and the windowed load
+aggregation are standard streaming shapes (watermark bounds state; the
+window-agg state store is keyed by (window, route) — tiny).  The
+custom stateful operator uses ``applyInPandasWithState`` with per-route
+keys, so state is one counter per server — nothing grows with volume.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType, TimestampType
+
+from ..operators.dispatch import route_expr, run_requests, schedule_requests
+from ..sources.schema import REQUESTS_SCHEMA
+
+# The request message plus an arrival timestamp (the msgsnd instant —
+# the queue gives the reference this ordering implicitly; a stream
+# needs it explicit for watermarks/windows).
+REQUEST_STREAM_SCHEMA = StructType(
+    REQUESTS_SCHEMA.fields + [StructField("event_time", TimestampType(), True)]
+)
+
+
+def read_request_stream(
+    spark: SparkSession, path: str, *, fmt: str = "json", max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source request queue: every file dropped under ``path`` is
+    a batch of submitted requests (the msgsnd analogue,
+    client (1).c:105-112).  ``maxFilesPerTrigger`` bounds drain-cycle
+    size the way the kernel's queue depth did."""
+    reader = spark.readStream.schema(REQUEST_STREAM_SCHEMA).format(fmt)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(path)
+
+
+def route_stream(requests: DataFrame) -> DataFrame:
+    """Stateless routing projection (O5) on a streaming DataFrame —
+    identical expression to the batch layer's route_requests."""
+    return requests.withColumn("route", route_expr())
+
+
+def request_load(
+    requests: DataFrame,
+    *,
+    window_duration: str = "10 seconds",
+    watermark: str = "30 seconds",
+) -> DataFrame:
+    """Per-server request load over event-time windows with late-data
+    tolerance: the streaming generalization of route_counts.  The
+    watermark bounds aggregation state (windows older than the
+    watermark are finalized and dropped from the store)."""
+    return (
+        route_stream(requests)
+        .withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", window_duration).alias("window"), "route")
+        .agg(F.count("*").cast("long").alias("n_requests"))
+    )
+
+
+def run_request_stream(
+    requests: DataFrame,
+    edges: DataFrame,
+    sink: Callable[[DataFrame, int], None],
+    *,
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+):
+    """The server loop: each micro-batch is one drain cycle — requests
+    are serviced lowest-seq_no-first within the cycle (the
+    ``msgrcv(-100)`` discipline, load_balancer.c:49), read ops are
+    dispatched against the graph database, and the result rows go to
+    ``sink`` (the reply message, mtype = seq_no + 100).
+
+    Returns the started StreamingQuery; callers should
+    ``awaitTermination()``."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        cycle = schedule_requests(batch_df.select(*[f.name for f in REQUESTS_SCHEMA.fields]))
+        results = run_requests(cycle.drop("service_order"), edges)
+        sink(results, batch_id)
+
+    writer = requests.writeStream.foreachBatch(process).outputMode("update")
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def running_route_totals(requests: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: a
+    running request counter per server across micro-batches — the
+    streaming analogue of the reference's per-server request slot
+    bookkeeping (primary_server.c:220-238).  State per key is one
+    long; output mode must be 'update'."""
+    import pandas as pd  # arrow batches; never per-row python
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "route string, n_total long"
+    state_schema = "n long"
+
+    def update(
+        key: tuple, pdfs: Iterable["pd.DataFrame"], state: GroupState
+    ) -> Iterable["pd.DataFrame"]:
+        seen = sum(len(pdf) for pdf in pdfs)
+        (prev,) = state.get if state.exists else (0,)
+        total = prev + seen
+        state.update((total,))
+        yield pd.DataFrame({"route": [key[0]], "n_total": [total]})
+
+    return (
+        route_stream(requests)
+        .groupBy("route")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "Update", GroupStateTimeout.NoTimeout
+        )
+    )

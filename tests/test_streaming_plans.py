@@ -1,0 +1,169 @@
+"""Tests for the Structured Streaming request loop and the planner
+layer."""
+
+import datetime
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import SIO_G1, make_edges
+from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.dispatch import (
+    run_requests,
+)
+from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.plans.planner import (
+    explain_requests,
+    plan_request,
+)
+from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.streaming import (
+    read_request_stream,
+    request_load,
+    route_stream,
+    run_request_stream,
+    running_route_totals,
+)
+
+# Request rows: G1 of the Sample-IO doc; op 3 from 1 -> leaves {3, 5},
+# op 4 from 1 -> levels 0:{1} 1:{2} 2:{3,4} 3:{5}.
+REQS = [
+    {"seq_no": 1, "op_no": 3, "graph_name": "G1.txt", "start_vertex": 1,
+     "event_time": "2026-08-13T10:00:01"},
+    {"seq_no": 2, "op_no": 4, "graph_name": "G1.txt", "start_vertex": 1,
+     "event_time": "2026-08-13T10:00:02"},
+    {"seq_no": 3, "op_no": 1, "graph_name": "G2.txt", "start_vertex": None,
+     "event_time": "2026-08-13T10:00:12"},
+    {"seq_no": 4, "op_no": 4, "graph_name": "G1.txt", "start_vertex": 2,
+     "event_time": "2026-08-13T10:00:13"},
+]
+
+
+@pytest.fixture()
+def request_dir(tmp_path):
+    d = tmp_path / "queue"
+    d.mkdir()
+    # Two files = two ingestable chunks.
+    (d / "batch0.json").write_text("\n".join(json.dumps(r) for r in REQS[:2]))
+    (d / "batch1.json").write_text("\n".join(json.dumps(r) for r in REQS[2:]))
+    return str(d)
+
+
+def test_route_stream_is_streaming_and_matches_batch(spark, request_dir):
+    stream = route_stream(read_request_stream(spark, request_dir))
+    assert stream.isStreaming
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("routed")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["seq_no"]: r["route"] for r in spark.table("routed").collect()}
+    # op 1 -> primary; reads: even seq -> ss1, odd -> ss2.
+    assert got == {1: "ss2", 2: "ss1", 3: "primary", 4: "ss1"}
+
+
+def test_request_load_windowed_counts(spark, request_dir):
+    stream = request_load(
+        read_request_stream(spark, request_dir),
+        window_duration="10 seconds",
+        watermark="30 seconds",
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("load_by_window")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table("load_by_window").collect()
+    by_key = {
+        (r["window"]["start"].second, r["route"]): r["n_requests"] for r in rows
+    }
+    # 10:00:00-10 window: seq 1 (ss2), seq 2 (ss1); 10:00:10-20: seq 3
+    # (primary), seq 4 (ss1).
+    assert by_key == {(0, "ss2"): 1, (0, "ss1"): 1, (10, "primary"): 1, (10, "ss1"): 1}
+
+
+def test_run_request_stream_matches_batch_dispatch(spark, request_dir, tmp_path):
+    edges = make_edges(spark, SIO_G1)
+    collected = []
+
+    def sink(df, batch_id):
+        collected.extend(df.collect())
+
+    q = run_request_stream(
+        read_request_stream(spark, request_dir),
+        edges,
+        sink,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    batch_reqs = spark.createDataFrame(
+        [(r["seq_no"], r["op_no"], r["graph_name"], r["start_vertex"]) for r in REQS],
+        "seq_no int, op_no int, graph_name string, start_vertex int",
+    )
+    expected = {
+        (r["seq_no"], r["vertex"], r["level"])
+        for r in run_requests(batch_reqs, edges).collect()
+    }
+    got = {(r["seq_no"], r["vertex"], r["level"]) for r in collected}
+    assert got == expected
+    # Spot-check reference golden outputs: DFS(1) leaves {3,5}; BFS(1)
+    # levels: vertex 5 at level 3.
+    assert {(v) for (s, v, l) in got if s == 1} == {3, 5}
+    assert (2, 5, 3) in got
+
+
+def test_running_route_totals_stateful(spark, request_dir):
+    stream = running_route_totals(read_request_stream(spark, request_dir))
+    collected = []
+    q = (
+        stream.writeStream.foreachBatch(lambda df, bid: collected.extend(df.collect()))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    finals = {}
+    for r in collected:
+        finals[r["route"]] = max(finals.get(r["route"], 0), r["n_total"])
+    assert finals == {"ss1": 2, "ss2": 1, "primary": 1}
+
+
+# --- planner ---
+
+
+def test_plan_request_rules():
+    assert plan_request(3).rule == "R1"  # tree fast path is default
+    assert plan_request(3, assume_tree=False).rule == "R2"
+    assert plan_request(4).rule == "R2"
+    assert plan_request(1).rule == "R3" and plan_request(2).rule == "R3"
+    with pytest.raises(ValueError):
+        plan_request(5)
+    text = plan_request(3).explain()
+    assert "degree-aggregation" in text and "R1" in text
+
+
+def test_explain_requests_tags_all_ops(spark):
+    reqs = spark.createDataFrame(
+        [(i, i % 4 + 1, f"G{i}.txt", 1) for i in range(8)],
+        "seq_no int, op_no int, graph_name string, start_vertex int",
+    )
+    tagged = {r["op_no"]: r["strategy"] for r in explain_requests(reqs).collect()}
+    assert tagged[1] == "partition-append (errorifexists)"
+    assert tagged[3] == "degree-aggregation"
+    assert "frontier" in tagged[4]
+
+
+def test_run_requests_non_tree_path_agrees_on_tree(spark):
+    edges = make_edges(spark, SIO_G1)
+    reqs = spark.createDataFrame(
+        [(1, 3, "G1.txt", 2)], "seq_no int, op_no int, graph_name string, start_vertex int"
+    )
+    fast = {r["vertex"] for r in run_requests(reqs, edges).collect()}
+    general = {r["vertex"] for r in run_requests(reqs, edges, assume_tree=False).collect()}
+    assert fast == general == {1, 3, 5}  # Sample-IO: DFS from 2 -> 1 3 5
