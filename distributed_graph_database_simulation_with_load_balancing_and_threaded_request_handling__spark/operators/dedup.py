@@ -23,13 +23,11 @@ combined, and its shuffle carries (id, k longs) only.
 
 from __future__ import annotations
 
-from functools import reduce
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.hashing import band_hashes, pack_sign_bits
+from ..functions.hashing import band_hashes
 from ..functions.textfns import char_shingles_normed, fingerprint, normalize_text, tokens
 from ..partitioning import ensure_parallelism
 
@@ -302,11 +300,24 @@ def ngram_jaccard_pairs(
 def _simhash_df(
     documents: DataFrame, *, text_col: str, id_col: str, bands: int
 ) -> DataFrame:
-    """(id, sh: bigint, bandv: array<bigint>): Charikar SimHash as 64
-    parallel SUM aggregates of per-token-hash sign contributions.
+    """(id, sh: bigint, bandv: array<bigint>): Charikar SimHash.
     Value bit i of ``sh`` is 1 iff sum over tokens of (+1 if bit i of
     xxhash64(token) else -1) > 0.  Documents with zero tokens are
-    excluded (empty text is exact-dedup territory, not near-dup)."""
+    excluded (empty text is exact-dedup territory, not near-dup).
+
+    Shape: explode the 64 bit positions per token hash and aggregate
+    (id, bit) sign sums, then fold the 64 rows per document into the
+    packed hash + band values with conditional shift sums.  A 64-wide
+    single-row aggregate would shuffle less (one row per id vs 64) but
+    its generated code takes seconds to JIT; this form keeps every
+    stage's codegen tiny, and both shuffles are partial-aggregated
+    map-side so the per-document exchange volume is a fixed ~64 rows
+    of three ints either way.
+
+    Packing safety under ANSI arithmetic: the shift results are
+    distinct powers of two (bit 63 = Long.MIN_VALUE), so their sum is
+    exactly the two's-complement value and no partial order of
+    additions can overflow."""
     assert 64 % bands == 0
     width = 64 // bands
     tok_hashes = ensure_parallelism(
@@ -315,28 +326,31 @@ def _simhash_df(
             F.explode(tokens(normalize_text(F.col(text_col)))).alias("tok"),
         )
     ).select("id", F.xxhash64("tok").alias("th"))
-    bitsums = tok_hashes.groupBy("id").agg(
-        *[
-            F.sum(F.when(F.bit_get("th", F.lit(i)) == 1, 1).otherwise(-1)).alias(f"_b{i}")
-            for i in range(64)
-        ]
-    )
-
-    def bit(i: int):
-        return F.when(F.col(f"_b{i}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
-
-    band_vals = [
-        reduce(
-            lambda acc, o: acc.bitwiseOR(F.shiftleft(bit(j * width + o), o)),
-            range(width),
-            F.lit(0).cast("long"),
+    bit_sums = (
+        tok_hashes.select(
+            "id", "th", F.explode(F.sequence(F.lit(0), F.lit(63))).alias("i")
         )
-        for j in range(bands)
-    ]
-    return bitsums.select(
-        "id",
-        pack_sign_bits([bit(i) for i in range(64)]).alias("sh"),
-        F.array(*band_vals).alias("bandv"),
+        .groupBy("id", "i")
+        .agg(F.sum(F.when(F.bit_get("th", F.col("i")) == 1, 1).otherwise(-1)).alias("s"))
+    )
+    set_bit = F.col("s") > 0
+    one = "CAST(1 AS BIGINT)"
+    return bit_sums.groupBy("id").agg(
+        F.sum(
+            F.when(set_bit, F.expr(f"shiftleft({one}, CAST(i AS INT))"))
+            .otherwise(F.lit(0).cast("long"))
+        ).alias("sh"),
+        F.array(
+            *[
+                F.sum(
+                    F.when(
+                        set_bit & (F.col("i") >= j * width) & (F.col("i") < (j + 1) * width),
+                        F.expr(f"shiftleft({one}, CAST(i - {j * width} AS INT))"),
+                    ).otherwise(F.lit(0).cast("long"))
+                )
+                for j in range(bands)
+            ]
+        ).alias("bandv"),
     )
 
 

@@ -39,10 +39,24 @@ def cosine_topk(
     digits) and ranking breaks ties by id so results are deterministic
     across engines and partitionings.
     """
+    # Precompute the (constant) query norm driver-side: Catalyst does
+    # not constant-fold aggregate() over array literals, so leaving it
+    # symbolic re-evaluates the query-norm reduction per row.
     q = _vec_lit(query_vec)
+    q_norm = math.sqrt(sum(float(x) * float(x) for x in query_vec))
+    v = as_double_vec(F.col(vec_col))
+    from ..functions.vectors import dot, l2_norm
+
+    sim = (
+        F.lit(0.0)
+        if q_norm == 0.0
+        else F.when(l2_norm(v) == 0, F.lit(0.0)).otherwise(
+            dot(v, q) / (l2_norm(v) * F.lit(q_norm))
+        )
+    )
     sims = embeddings.select(
         F.col(id_col).alias("vec_id"),
-        F.round(cosine_sim(as_double_vec(F.col(vec_col)), q), round_digits).alias("sim"),
+        F.round(sim, round_digits).alias("sim"),
     )
     from pyspark.sql.window import Window
 
