@@ -63,6 +63,13 @@ from distributed_graph_database_simulation_with_load_balancing_and_threaded_requ
     attach_media,
     extract_media_meta,
 )
+from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.relational import (
+    brand_revenue,
+    event_props_filter,
+    event_windows,
+    pricing_summary,
+    top_events_per_type,
+)
 
 # ---------------------------------------------------------------------------
 # Shared derived-graph constructions (FIXTURES.md §3).
@@ -228,6 +235,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         media = attach_media(load_table(spark, sf_dir, "documents"))
         return extract_media_meta(media).select("media_id", "media_type", "n_bytes", "sha256")
 
+    # --- relational surface (SURVEY.md §2.2 categories) ---
+
+    def q_pricing_summary(spark, sf_dir):
+        return pricing_summary(load_table(spark, sf_dir, "lineitem"))
+
+    def q_event_windows(spark, sf_dir):
+        return event_windows(load_table(spark, sf_dir, "events"))
+
+    def q_top_events(spark, sf_dir):
+        return top_events_per_type(load_table(spark, sf_dir, "events"), 3)
+
+    def q_event_props(spark, sf_dir):
+        return event_props_filter(load_table(spark, sf_dir, "events"))
+
+    def q_brand_revenue(spark, sf_dir):
+        return brand_revenue(
+            load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+        )
+
     return {
         "q_add_graph": q_add_graph,
         "q_modify_graph": q_modify_graph,
@@ -249,6 +275,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lsh_topk": q_lsh_topk,
         "q_embedding_near_dup": q_embedding_near_dup,
         "q_media_meta": q_media_meta,
+        "q_pricing_summary": q_pricing_summary,
+        "q_event_windows": q_event_windows,
+        "q_top_events": q_top_events,
+        "q_event_props": q_event_props,
+        "q_brand_revenue": q_brand_revenue,
     }
 
 def oracle_sql() -> dict[str, str]:
@@ -446,5 +477,64 @@ def oracle_sql() -> dict[str, str]:
                    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                    sha256(text) AS sha256
             FROM documents
+        """,
+        # Exact-decimal aggregation on both sides makes the sums
+        # bit-identical regardless of partitioning; averages divide the
+        # double-cast sum so both engines do the same double / count.
+        "q_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
+                   round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_base_price,
+                   round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                              * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 4) AS sum_disc_price,
+                   round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                              * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                              * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE), 4) AS sum_charge,
+                   round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+                   round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_price,
+                   round(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
+                   CAST(COUNT(*) AS BIGINT) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q_event_windows": """
+            SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+                   time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+                   event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   round(SUM(value), 4) AS total_value
+            FROM events GROUP BY 1, 2, 3
+        """,
+        "q_top_events": """
+            WITH ranked AS (
+              SELECT event_type, event_id, value,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY event_type ORDER BY value DESC, event_id
+                     ) AS rnk
+              FROM events
+            )
+            SELECT event_type, event_id, round(value, 6) AS value,
+                   CAST(rnk AS INTEGER) AS rnk
+            FROM ranked WHERE rnk <= 3
+        """,
+        "q_event_props": """
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   round(AVG(k), 6) AS avg_k
+            FROM (
+              SELECT event_type,
+                     CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+              FROM events
+            )
+            WHERE k >= 50 GROUP BY event_type
+        """,
+        "q_brand_revenue": """
+            SELECT p_brand,
+                   round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                              * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 4) AS revenue,
+                   CAST(COUNT(*) AS BIGINT) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_brand
         """,
     }

@@ -1,0 +1,128 @@
+"""Relational analytics operators over the event/lineitem tables —
+the standard-category surface the reference has no analogue for
+(SURVEY.md §2.2: joins, windows, sorts, date/JSON scalar functions are
+all absent there; the engine provides them as first-class declared
+queries).
+
+Scale notes per operator are inline; the common thread: aggregations
+are partial-aggregated on their grouping keys, small dimensions are
+broadcast explicitly, and the only global sorts are on
+post-aggregation row counts (a handful of groups), never raw data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# Sums over large double columns are order-sensitive; aggregating in
+# DECIMAL makes them exact and therefore bit-identical to the DuckDB
+# oracle regardless of partitioning/order.  Cast back to double (and
+# round) only at the output boundary.
+_DEC = "decimal(18,2)"
+
+
+def pricing_summary(lineitem: DataFrame, *, cutoff: str = "1998-09-02") -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: per (returnflag, linestatus)
+    totals over shipped lineitems.
+
+    The shipdate filter reaches the parquet scan (PushedFilters);
+    grouping cardinality is tiny so the shuffle after map-side partial
+    aggregation carries a handful of rows per partition.
+    """
+    li = lineitem.where(F.col("l_shipdate") <= F.lit(cutoff).cast("timestamp"))
+    qty = F.col("l_quantity").cast(_DEC)
+    price = F.col("l_extendedprice").cast(_DEC)
+    disc = F.col("l_discount").cast(_DEC)
+    tax = F.col("l_tax").cast(_DEC)
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(qty).cast("double"), 2).alias("sum_qty"),
+            F.round(F.sum(price).cast("double"), 2).alias("sum_base_price"),
+            F.round(F.sum(price * (1 - disc)).cast("double"), 4).alias("sum_disc_price"),
+            F.round(F.sum(price * (1 - disc) * (1 + tax)).cast("double"), 4).alias("sum_charge"),
+            # Averages divide the exact decimal sum AFTER the double
+            # cast: double / long is deterministic, while decimal
+            # division scale rules differ between engines.
+            F.round(F.sum(qty).cast("double") / F.count("*"), 6).alias("avg_qty"),
+            F.round(F.sum(price).cast("double") / F.count("*"), 6).alias("avg_price"),
+            F.round(F.sum(disc).cast("double") / F.count("*"), 6).alias("avg_disc"),
+            F.count("*").cast("long").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def event_windows(events: DataFrame, *, duration: str = "1 hour") -> DataFrame:
+    """Tumbling-window event rollup: count + value sum per
+    (window, event_type) — the batch twin of the streaming
+    request_load aggregation (same grouping, same state shape).
+    """
+    return (
+        events.groupBy(F.window("ts", duration).alias("w"), "event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def top_events_per_type(events: DataFrame, k: int = 3) -> DataFrame:
+    """Top-k events by value within each event_type (ties broken by
+    event_id) — the partitioned-window top-k pattern.  The window sort
+    is per-type (parallel across types), never global.
+    """
+    w = Window.partitionBy("event_type").orderBy(F.col("value").desc(), F.col("event_id"))
+    return (
+        events.select(
+            "event_type",
+            "event_id",
+            F.round("value", 6).alias("value"),
+            F.row_number().over(w).cast("int").alias("rnk"),
+        )
+        .where(F.col("rnk") <= k)
+    )
+
+
+def event_props_filter(events: DataFrame, *, min_k: int = 50) -> DataFrame:
+    """JSON scalar-function surface: extract ``$.k`` from the props
+    JSON column, filter, and count per event_type.  get_json_object is
+    JVM-side (Jackson), evaluated in the scan projection."""
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        events.select("event_type", k.alias("k"))
+        .where(F.col("k") >= min_k)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+        )
+    )
+
+
+def brand_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """Per-brand discounted revenue: fact-to-dimension join with the
+    dimension side explicitly broadcast — at 100 TB the lineitem side
+    never shuffles; each task streams its scan partition against the
+    replicated part table (classic star-schema join strategy).
+    """
+    price = F.col("l_extendedprice").cast(_DEC)
+    disc = F.col("l_discount").cast(_DEC)
+    return (
+        lineitem.join(F.broadcast(part.select("p_partkey", "p_brand")),
+                      lineitem["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum(price * (1 - disc)).cast("double"), 4).alias("revenue"),
+            F.count("*").cast("long").alias("n_items"),
+        )
+    )

@@ -10,6 +10,8 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
 
 TABLE_NAMES = (
     "region",
@@ -24,9 +26,24 @@ TABLE_NAMES = (
     "embeddings",
 )
 
+# Parquet columns written as TIMESTAMP(NANOS) are rejected by Spark's
+# vectorized reader unless read as raw nanosecond longs; table -> list
+# of such columns, converted to micros timestamps after the scan
+# (integer DIV keeps full precision — a double division would lose
+# microseconds past 2^53 ns).
+_NANOS_TS_COLS = {"events": ["ts"]}
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table (lazy scan; no materialization)."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name in _NANOS_TS_COLS:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        for col in _NANOS_TS_COLS[name]:
+            if isinstance(df.schema[col].dataType, LongType):
+                df = df.withColumn(col, F.expr(f"timestamp_micros({col} DIV 1000)"))
+        return df
+    return spark.read.parquet(path)
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     return {n: load_table(spark, sf_dir, n) for n in (names or TABLE_NAMES)}

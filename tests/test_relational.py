@@ -1,0 +1,102 @@
+"""Unit tests for the relational analytics operators."""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.relational import (
+    brand_revenue,
+    event_props_filter,
+    event_windows,
+    pricing_summary,
+    top_events_per_type,
+)
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark):
+    ts = datetime.datetime(1995, 6, 1)
+    late = datetime.datetime(1999, 1, 1)
+    rows = [
+        (1, 10, 1.0, 100.0, 0.10, 0.05, "A", "F", ts),
+        (2, 10, 2.0, 200.0, 0.00, 0.10, "A", "F", ts),
+        (3, 20, 3.0, 300.0, 0.20, 0.00, "N", "O", ts),
+        (4, 20, 9.0, 900.0, 0.50, 0.50, "N", "O", late),  # past cutoff
+    ]
+    return spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_quantity double, l_extendedprice double,"
+        "l_discount double, l_tax double, l_returnflag string, l_linestatus string,"
+        "l_shipdate timestamp",
+    )
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (i, base + datetime.timedelta(minutes=40 * i), i % 3, "click" if i % 2 else "view",
+         float(i), '{"k": %d}' % (i * 10))
+        for i in range(6)
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string,"
+        "value double, props string"
+    )
+
+
+def test_pricing_summary_values(lineitem):
+    out = {(r["l_returnflag"], r["l_linestatus"]): r for r in pricing_summary(lineitem).collect()}
+    af = out[("A", "F")]
+    assert af["count_order"] == 2
+    assert af["sum_qty"] == 3.0
+    assert af["sum_base_price"] == 300.0
+    # 100*0.9 + 200*1.0 = 290
+    assert af["sum_disc_price"] == pytest.approx(290.0)
+    # 90*1.05 + 200*1.10 = 314.5
+    assert af["sum_charge"] == pytest.approx(314.5)
+    assert af["avg_disc"] == pytest.approx(0.05)
+    no = out[("N", "O")]
+    assert no["count_order"] == 1  # the late row is filtered at the scan
+
+
+def test_event_windows_buckets(events):
+    rows = event_windows(events, duration="1 hour").collect()
+    # events at minutes 0,40 land in hour 0; 80,120(boundary->hour2)...
+    # minutes: 0,40 -> h0; 80 -> h1; 120,160 -> h2; 200 -> h3
+    per_window = {}
+    for r in rows:
+        per_window.setdefault(r["window_start"].hour, 0)
+        per_window[r["window_start"].hour] += r["n_events"]
+    assert per_window == {0: 2, 1: 1, 2: 2, 3: 1}
+    assert all(r["window_end"] > r["window_start"] for r in rows)
+
+
+def test_top_events_per_type(events):
+    rows = top_events_per_type(events, k=2).collect()
+    clicks = sorted((r["rnk"], r["event_id"]) for r in rows if r["event_type"] == "click")
+    assert clicks == [(1, 5), (2, 3)]  # odd ids are clicks, top value = id
+    assert all(r["rnk"] <= 2 for r in rows)
+
+
+def test_event_props_filter_extracts_json(events):
+    out = {r["event_type"]: r for r in event_props_filter(events, min_k=30).collect()}
+    # k = id*10 >= 30 -> ids 3,4,5; clicks: 3,5 (k 30,50); views: 4 (k 40)
+    assert out["click"]["n_events"] == 2
+    assert out["click"]["avg_k"] == pytest.approx(40.0)
+    assert out["view"]["n_events"] == 1
+
+
+def test_brand_revenue_broadcast_join(spark, lineitem):
+    part = spark.createDataFrame(
+        [(10, "BRAND#1"), (20, "BRAND#2")], "p_partkey long, p_brand string"
+    )
+    out = {r["p_brand"]: r for r in brand_revenue(lineitem, part).collect()}
+    assert out["BRAND#1"]["n_items"] == 2
+    assert out["BRAND#1"]["revenue"] == pytest.approx(290.0)
+    assert out["BRAND#2"]["n_items"] == 2
+    assert out["BRAND#2"]["revenue"] == pytest.approx(300.0 * 0.8 + 900.0 * 0.5)
+    # The dimension side must be planned as a broadcast join.
+    plan = brand_revenue(lineitem, part)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
