@@ -63,46 +63,56 @@ def bfs_levels(
     is one src-pushdown filter probe; disable inside tight loops.
     """
     spark = edges.sparkSession
-    e = _edges_only(edges, graph_id)
-    if validate_start and e.where(F.col("src") == int(start_vertex)).limit(1).isEmpty():
-        raise ValueError(
-            f"start vertex {start_vertex} not present in graph"
-            + (f" {graph_id}" if graph_id is not None else "")
-        )
+    # The edge list is scanned once per level by the frontier join; if
+    # it is itself a derived pipeline (unions, normalization) that
+    # whole pipeline would re-execute every superstep.  Persist it for
+    # the loop's lifetime — the standard iterative-algorithm posture
+    # (GraphX caches the graph the same way); MEMORY_AND_DISK so a
+    # 100 TB graph partition spills instead of OOMing.
+    e = _edges_only(edges, graph_id).persist()
+    try:
+        if validate_start and e.where(F.col("src") == int(start_vertex)).limit(1).isEmpty():
+            raise ValueError(
+                f"start vertex {start_vertex} not present in graph"
+                + (f" {graph_id}" if graph_id is not None else "")
+            )
 
-    frontier = spark.createDataFrame([(int(start_vertex), 0)], "vertex long, level int")
-    frontier = frontier.localCheckpoint(eager=True)
-    visited_levels = [frontier]
-    level = 0
-    while True:
-        level += 1
-        if max_levels is not None and level > max_levels:
-            break
-        # Superstep: expand frontier one hop, drop already-visited.
-        neighbors = (
-            frontier.join(e, frontier["vertex"] == e["src"])
-            .select(e["dst"].alias("vertex"))
-            .distinct()
-        )
-        visited = visited_levels[0]
+        frontier = spark.createDataFrame([(int(start_vertex), 0)], "vertex long, level int")
+        frontier = frontier.localCheckpoint(eager=True)
+        visited_levels = [frontier]
+        level = 0
+        while True:
+            level += 1
+            if max_levels is not None and level > max_levels:
+                break
+            # Superstep: expand frontier one hop, drop already-visited.
+            neighbors = (
+                frontier.join(e, frontier["vertex"] == e["src"])
+                .select(e["dst"].alias("vertex"))
+                .distinct()
+            )
+            visited = visited_levels[0]
+            for v in visited_levels[1:]:
+                visited = visited.unionAll(v)
+            new = (
+                neighbors.join(visited.select("vertex"), on="vertex", how="left_anti")
+                .select(F.col("vertex"), F.lit(level).cast("int").alias("level"))
+            )
+            # Materialize + truncate lineage; also gives AQE exact stats
+            # for the next level's join-side selection (broadcast tiny
+            # frontiers).
+            new = new.localCheckpoint(eager=True)
+            if new.isEmpty():
+                break
+            visited_levels.append(new)
+            frontier = new
+
+        out = visited_levels[0]
         for v in visited_levels[1:]:
-            visited = visited.unionAll(v)
-        new = (
-            neighbors.join(visited.select("vertex"), on="vertex", how="left_anti")
-            .select(F.col("vertex"), F.lit(level).cast("int").alias("level"))
-        )
-        # Materialize + truncate lineage; also gives AQE exact stats for
-        # the next level's join-side selection (broadcast tiny frontiers).
-        new = new.localCheckpoint(eager=True)
-        if new.isEmpty():
-            break
-        visited_levels.append(new)
-        frontier = new
-
-    out = visited_levels[0]
-    for v in visited_levels[1:]:
-        out = out.unionAll(v)
-    return out
+            out = out.unionAll(v)
+        return out
+    finally:
+        e.unpersist(blocking=False)
 
 def bfs_level_order(
     edges: DataFrame,
@@ -114,13 +124,34 @@ def bfs_level_order(
     in level order.  Within-level order is unspecified in the reference;
     we make it deterministic with the (level, vertex) sort and expose the
     1-based rank as ``pos`` (the reference's position in the space-joined
-    reply string, secondary_server.c:311-329)."""
+    reply string, secondary_server.c:311-329).
+
+    The global rank is computed scalably: rank within each level (a
+    parallel partitioned window) plus the running count of shallower
+    levels (a window over the per-level counts — one row per level, so
+    its single-partition sort is O(depth), not O(vertices)).  A naive
+    ``row_number() OVER (ORDER BY level, vertex)`` would pull every row
+    through one partition."""
     from pyspark.sql.window import Window
 
     levels = bfs_levels(edges, start_vertex, graph_id=graph_id)
-    w = Window.orderBy("level", "vertex")
-    return levels.select(
-        "vertex", "level", F.row_number().over(w).cast("int").alias("pos")
+    in_level = F.row_number().over(Window.partitionBy("level").orderBy("vertex"))
+    offsets = levels.groupBy("level").agg(F.count("*").alias("_n")).select(
+        "level",
+        (
+            F.sum("_n").over(
+                Window.orderBy("level").rowsBetween(Window.unboundedPreceding, -1)
+            )
+        ).alias("_offset"),
+    ).fillna({"_offset": 0})
+    return (
+        levels.select("vertex", "level", in_level.alias("_rn"))
+        .join(offsets, on="level")
+        .select(
+            "vertex",
+            "level",
+            (F.col("_offset") + F.col("_rn")).cast("int").alias("pos"),
+        )
     )
 
 def dfs_leaves(
