@@ -53,6 +53,7 @@ from distributed_graph_database_simulation_with_load_balancing_and_threaded_requ
 from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.similarity import (
     cosine_topk,
     embedding_near_dup,
+    ivf_topk,
     lsh_topk,
 )
 from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.textops import (
@@ -228,6 +229,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
         return lsh_topk(emb, qvec, 10)
 
+    def q_ivf_topk(spark, sf_dir):  # rows-only: approximate by design
+        emb = load_table(spark, sf_dir, "embeddings")
+        qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+        return ivf_topk(emb, qvec, 10)
+
     def q_embedding_near_dup(spark, sf_dir):  # rows-only: LSH-blocked
         return embedding_near_dup(load_table(spark, sf_dir, "embeddings"), threshold=0.95)
 
@@ -273,6 +279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_simhash_dedup": q_simhash_dedup,
         "q_sim_topk": q_sim_topk,
         "q_lsh_topk": q_lsh_topk,
+        "q_ivf_topk": q_ivf_topk,
         "q_embedding_near_dup": q_embedding_near_dup,
         "q_media_meta": q_media_meta,
         "q_pricing_summary": q_pricing_summary,

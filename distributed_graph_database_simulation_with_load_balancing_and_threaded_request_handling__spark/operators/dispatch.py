@@ -70,53 +70,84 @@ def run_requests(requests: DataFrame, edges: DataFrame, *, assume_tree: bool = T
 
     This is the engine's analogue of the server loop: instead of one
     pthread per request (primary_server.c:235-238), all requests of a
-    kind become one set-oriented job over the union of their graphs.
-    Strategy per op comes from the planner (plans/planner.py):
-    ``assume_tree`` selects rule R1 (degree rewrite) for op 3, matching
-    the reference's tree envelope; BFS levels come from the iterative
-    frontier loop (R2) per distinct (graph, start) pair.
+    kind become ONE set-oriented job: every op-4 request rides a single
+    multi-source BFS (one frontier loop for the whole batch, supersteps
+    = the deepest traversal requested), and every op-3 request shares
+    one degree aggregation (planner rule R1) when ``assume_tree``.
+    Distinct (graph, start) pairs are traversed once and fanned back
+    out to their seq_nos by join.  Requests whose start vertex is
+    absent from the graph produce no rows (the reference reads
+    out-of-bounds memory there, SURVEY.md §2.1; single-source
+    ``bfs_levels`` offers the hard-error variant).
+
+    Without a ``graph_id`` request column the whole edge set is
+    treated as one graph (the output's graph_id is NULL), matching the
+    name-keyed request shape of the reference client.
     """
     from ..plans.planner import plan_request
-    from .traverse import bfs_levels, dfs_leaves
+    from .traverse import bfs_levels_multi, dfs_leaves, dfs_leaves_multi
 
     dfs_plan = plan_request(3, assume_tree=assume_tree)
-    reads = requests.where(F.col("op_no").isin(3, 4)).collect()
-    spark = requests.sparkSession
-    outs: list[DataFrame] = []
-    for r in reads:
-        gid = int(r["graph_id"]) if "graph_id" in requests.columns else None
-        if r["op_no"] == 4:
-            d = bfs_levels(edges, int(r["start_vertex"]), graph_id=gid)
-            d = d.select(
-                F.lit(int(r["seq_no"])).alias("seq_no"),
-                F.lit(4).alias("op_no"),
-                F.lit(gid).alias("graph_id"),
-                "vertex",
-                "level",
+    has_gid = "graph_id" in requests.columns
+    if has_gid:
+        e = edges.select("graph_id", "src", "dst")
+        req_gid = F.col("graph_id").cast("int")
+        out_gid = F.col("graph_id").cast("int")
+    else:
+        e = edges.select(F.lit(0).alias("graph_id"), "src", "dst")
+        req_gid = F.lit(0)
+        out_gid = F.lit(None).cast("int")
+
+    reads = requests.where(F.col("op_no").isin(3, 4)).select(
+        F.col("seq_no").cast("int").alias("seq_no"),
+        F.col("op_no").cast("int").alias("op_no"),
+        req_gid.alias("graph_id"),
+        F.col("start_vertex").cast("long").alias("start"),
+    )
+
+    op4 = reads.where(F.col("op_no") == 4)
+    bfs = bfs_levels_multi(e, op4.select("graph_id", "start"))
+    out4 = op4.join(bfs, on=["graph_id", "start"]).select(
+        "seq_no",
+        F.lit(4).alias("op_no"),
+        out_gid.alias("graph_id"),
+        "vertex",
+        "level",
+    )
+
+    op3 = reads.where(F.col("op_no") == 3)
+    if dfs_plan.rule == "R1":
+        leaves = dfs_leaves_multi(e, op3.select("graph_id", "start"))
+        out3 = op3.join(leaves, on=["graph_id", "start"]).select(
+            "seq_no",
+            F.lit(3).alias("op_no"),
+            out_gid.alias("graph_id"),
+            F.col("leaf").alias("vertex"),
+            F.lit(None).cast("int").alias("level"),
+        )
+    else:
+        # General (non-tree) path: per-request orientation loops.
+        spark = requests.sparkSession
+        outs: list[DataFrame] = []
+        for r in op3.collect():
+            gid = int(r["graph_id"]) if has_gid else None
+            d = dfs_leaves(edges, int(r["start"]), graph_id=gid, assume_tree=False)
+            outs.append(
+                d.select(
+                    F.lit(int(r["seq_no"])).alias("seq_no"),
+                    F.lit(3).alias("op_no"),
+                    F.lit(gid).cast("int").alias("graph_id"),
+                    F.col("leaf").alias("vertex"),
+                    F.lit(None).cast("int").alias("level"),
+                )
             )
-        else:
-            d = dfs_leaves(
-                edges,
-                int(r["start_vertex"]),
-                graph_id=gid,
-                assume_tree=dfs_plan.rule == "R1",
-            )
-            d = d.select(
-                F.lit(int(r["seq_no"])).alias("seq_no"),
-                F.lit(3).alias("op_no"),
-                F.lit(gid).alias("graph_id"),
-                F.col("leaf").alias("vertex"),
-                F.lit(None).cast("int").alias("level"),
-            )
-        outs.append(d)
-    if not outs:
-        return spark.createDataFrame(
+        out3 = outs[0] if outs else spark.createDataFrame(
             [], "seq_no int, op_no int, graph_id int, vertex long, level int"
         )
-    out = outs[0]
-    for d in outs[1:]:
-        out = out.unionByName(d)
-    return out
+        for d in outs[1:]:
+            out3 = out3.unionByName(d)
+
+    return out4.unionByName(out3)
 
 def format_reply(result: DataFrame) -> DataFrame:
     """O12 compat: space-joined 1-indexed vertex list per request, the

@@ -18,7 +18,7 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.vectors import as_double_vec, cosine_sim
+from ..functions.vectors import as_double_vec, cosine_sim, dot, l2_norm
 from ..partitioning import ensure_parallelism
 
 def _vec_lit(vec: list[float]) -> Column:
@@ -45,8 +45,6 @@ def cosine_topk(
     q = _vec_lit(query_vec)
     q_norm = math.sqrt(sum(float(x) * float(x) for x in query_vec))
     v = as_double_vec(F.col(vec_col))
-    from ..functions.vectors import dot, l2_norm
-
     sim = (
         F.lit(0.0)
         if q_norm == 0.0
@@ -129,6 +127,77 @@ def lsh_topk(
     return cosine_topk(
         cand, query_vec, k, vec_col=vec_col, id_col=id_col, round_digits=round_digits
     )
+
+def ivf_centroids(
+    embeddings: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = 16,
+) -> list[list[float]]:
+    """Deterministic coarse quantizer for IVF: take the ``n_cells``
+    vectors with the smallest xxhash64(id) as centroids — a seeded
+    uniform sample without any iterative training (k-means would
+    sharpen cells but adds nothing to the partitioning/probing shape
+    being exercised; swap in ``pyspark.ml`` KMeans for production
+    recall)."""
+    rows = (
+        embeddings.select(F.col(id_col).alias("id"), as_double_vec(F.col(vec_col)).alias("v"))
+        .orderBy(F.xxhash64(F.col("id")))
+        .limit(n_cells)
+        .collect()
+    )
+    return [[float(x) for x in r["v"]] for r in rows]
+
+
+def _nearest_cell(vec: Column, centroids: list[list[float]]) -> Column:
+    """1-based index of the nearest centroid by squared L2 distance.
+    argmin_j |v - c_j|^2 == argmin_j (|c_j|^2 - 2 v.c_j), so each cell
+    costs one dot product against a literal array."""
+    scores = F.array(
+        *[
+            F.lit(sum(x * x for x in c)) - 2.0 * dot(vec, _vec_lit(c))
+            for c in centroids
+        ]
+    )
+    return F.array_position(scores, F.array_min(scores)).cast("int")
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = 16,
+    n_probe: int = 4,
+    round_digits: int = 4,
+) -> DataFrame:
+    """IVF approximate top-k: partition vectors into coarse cells
+    (inverted file), probe only the ``n_probe`` cells nearest the
+    query, score exactly within them.
+
+    At 100 TB the cell id is a precomputable partition/cluster column:
+    the probe becomes a partition-pruned scan touching n_probe/n_cells
+    of the data, and the scored remainder is a per-partition top-k
+    merge (TakeOrderedAndProject), never a full shuffle.
+    """
+    cents = ivf_centroids(
+        embeddings, vec_col=vec_col, id_col=id_col, n_cells=n_cells
+    )
+
+    def sqdist(c: list[float]) -> float:
+        return sum((x - y) * (x - y) for x, y in zip(c, query_vec))
+
+    probe = sorted(range(len(cents)), key=lambda j: (sqdist(cents[j]), j))[:n_probe]
+    probe_cells = [j + 1 for j in probe]  # 1-based to match array_position
+    v = as_double_vec(F.col(vec_col))
+    cand = embeddings.where(_nearest_cell(v, cents).isin(probe_cells))
+    return cosine_topk(
+        cand, query_vec, k, vec_col=vec_col, id_col=id_col, round_digits=round_digits
+    )
+
 
 def embedding_near_dup(
     embeddings: DataFrame,

@@ -114,6 +114,112 @@ def bfs_levels(
     finally:
         e.unpersist(blocking=False)
 
+def bfs_levels_multi(edges: DataFrame, sources: DataFrame) -> DataFrame:
+    """Multi-source BFS: one level-synchronous loop for ANY number of
+    (graph_id, start) traversals at once — the set-oriented form of the
+    reference's many-concurrent-requests workload (one pthread per
+    request, secondary_server.c:374-377, becomes one frontier carrying
+    every traversal).
+
+    ``sources`` needs columns (graph_id, start); returns
+    (graph_id, start, vertex, level) for every reached vertex of every
+    traversal.  Starts absent from their graph yield no rows (the
+    reference reads out-of-bounds memory there; callers wanting a hard
+    error use single-source ``bfs_levels``'s validate_start).
+
+    Scale: the frontier is keyed (graph_id, start, vertex) so distinct
+    traversals never interfere; the edge join shuffles on
+    (graph_id, src) — co-partitioned with a graph_id-bucketed edge
+    table; supersteps = the deepest requested traversal, not the sum.
+    """
+    spark = edges.sparkSession
+    e = edges.select(
+        F.col("graph_id").cast("int").alias("graph_id"),
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+    ).persist()
+    try:
+        src0 = sources.select(
+            F.col("graph_id").cast("int").alias("graph_id"),
+            F.col("start").cast("long").alias("start"),
+        ).distinct()
+        # Keep only starts that exist in their graph (semi join).
+        frontier = (
+            src0.join(
+                e.select("graph_id", F.col("src").alias("start")).distinct(),
+                on=["graph_id", "start"],
+                how="left_semi",
+            )
+            .select("graph_id", "start", F.col("start").alias("vertex"),
+                    F.lit(0).cast("int").alias("level"))
+            .localCheckpoint(eager=True)
+        )
+        visited_levels = [frontier]
+        level = 0
+        while True:
+            level += 1
+            neighbors = (
+                frontier.join(
+                    e,
+                    on=[
+                        frontier["graph_id"] == e["graph_id"],
+                        frontier["vertex"] == e["src"],
+                    ],
+                )
+                .select(
+                    frontier["graph_id"], frontier["start"], e["dst"].alias("vertex")
+                )
+                .distinct()
+            )
+            visited = visited_levels[0]
+            for v in visited_levels[1:]:
+                visited = visited.unionAll(v)
+            new = (
+                neighbors.join(
+                    visited.select("graph_id", "start", "vertex"),
+                    on=["graph_id", "start", "vertex"],
+                    how="left_anti",
+                )
+                .select("graph_id", "start", "vertex",
+                        F.lit(level).cast("int").alias("level"))
+                .localCheckpoint(eager=True)
+            )
+            if new.isEmpty():
+                break
+            visited_levels.append(new)
+            frontier = new
+        out = visited_levels[0]
+        for v in visited_levels[1:]:
+            out = out.unionAll(v)
+        return out
+    finally:
+        e.unpersist(blocking=False)
+
+
+def dfs_leaves_multi(edges: DataFrame, sources: DataFrame) -> DataFrame:
+    """Batched tree DFS-leaves (planner rule R1 applied set-wise): for
+    every (graph_id, start) request at once, the leaf set is the
+    degree-1 vertices of that graph minus the start — ONE degree
+    aggregation joined against all requests, regardless of request
+    count.  Returns (graph_id, start, leaf)."""
+    e = edges.select("graph_id", "src", "dst")
+    deg = e.groupBy("graph_id", "src").agg(F.count_distinct("dst").alias("degree"))
+    src0 = sources.select(
+        F.col("graph_id").cast("int").alias("graph_id"),
+        F.col("start").cast("long").alias("start"),
+    ).distinct()
+    valid = src0.join(
+        deg.select("graph_id", F.col("src").alias("start")),
+        on=["graph_id", "start"],
+        how="left_semi",
+    )
+    return (
+        valid.join(deg.where(F.col("degree") == 1), on="graph_id")
+        .where(F.col("src") != F.col("start"))
+        .select("graph_id", "start", F.col("src").alias("leaf"))
+    )
+
+
 def bfs_level_order(
     edges: DataFrame,
     start_vertex: int,

@@ -24,6 +24,7 @@ from distributed_graph_database_simulation_with_load_balancing_and_threaded_requ
 from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.similarity import (
     cosine_topk,
     embedding_near_dup,
+    ivf_topk,
     lsh_topk,
 )
 from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.textops import (
@@ -120,6 +121,14 @@ def test_lsh_topk_agrees_with_exact_on_top_hits(embeddings):
     approx = [r["vec_id"] for r in lsh_topk(embeddings, QUERY, 4).collect()]
     # Identical vectors always share every bucket with the query.
     assert set(exact) == set(approx) == {0, 13, 26, 39}
+
+def test_ivf_topk_recalls_identical_vectors(embeddings):
+    # Identical vectors land in the same IVF cell as the query, so the
+    # probed search must recover them all.
+    rows = ivf_topk(embeddings, QUERY, 4, n_cells=8, n_probe=2).collect()
+    assert {r["vec_id"] for r in rows} == {0, 13, 26, 39}
+    assert rows[0]["sim"] == 1.0
+
 
 def test_embedding_near_dup_blocks_then_verifies(embeddings):
     pairs = {(r["id_a"], r["id_b"]) for r in embedding_near_dup(embeddings, threshold=0.9999).collect()}
