@@ -70,6 +70,11 @@ from distributed_graph_database_simulation_with_load_balancing_and_threaded_requ
     event_windows,
     pricing_summary,
     top_events_per_type,
+    user_cohort,
+)
+from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.dispatch import (
+    format_reply,
+    run_requests,
 )
 
 # ---------------------------------------------------------------------------
@@ -260,6 +265,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
         )
 
+    def q_user_cohort(spark, sf_dir):
+        return user_cohort(load_table(spark, sf_dir, "events"))
+
+    def q_request_replies(spark, sf_dir):
+        # O12 end-to-end: dispatch a fixed BFS + DFS request pair over
+        # the derived tree and format the reference-style reply strings.
+        edges = derived_tree_edges(spark, sf_dir, symmetric=True)
+        reqs = spark.createDataFrame(
+            [(1, 4, 1, ROOT_VID), (2, 3, 1, ROOT_VID)],
+            "seq_no int, op_no int, graph_id int, start_vertex int",
+        )
+        return format_reply(run_requests(reqs, edges))
+
     return {
         "q_add_graph": q_add_graph,
         "q_modify_graph": q_modify_graph,
@@ -287,6 +305,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_top_events": q_top_events,
         "q_event_props": q_event_props,
         "q_brand_revenue": q_brand_revenue,
+        "q_user_cohort": q_user_cohort,
+        "q_request_replies": q_request_replies,
     }
 
 def oracle_sql() -> dict[str, str]:
@@ -543,5 +563,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_items
             FROM lineitem JOIN part ON l_partkey = p_partkey
             GROUP BY p_brand
+        """,
+        "q_user_cohort": """
+            SELECT DISTINCT user_id FROM events
+            WHERE event_type = 'purchase' AND value >= 100
+            INTERSECT
+            SELECT DISTINCT user_id FROM events
+            WHERE event_type = 'click' AND value >= 100
+            EXCEPT
+            SELECT DISTINCT user_id FROM events
+            WHERE event_type = 'error' AND value >= 400
+        """,
+        "q_request_replies": f"""
+            WITH b AS ({_SQL_BFS}),
+            sym AS ({_SQL_SYM}),
+            deg AS (SELECT src, COUNT(DISTINCT dst) AS d FROM sym GROUP BY src)
+            SELECT CAST(1 AS INTEGER) AS seq_no,
+                   string_agg(CAST(vertex AS VARCHAR), ' ' ORDER BY level, vertex) AS reply
+            FROM b
+            UNION ALL
+            SELECT CAST(2 AS INTEGER),
+                   string_agg(CAST(src AS VARCHAR), ' ' ORDER BY src)
+            FROM deg WHERE d = 1 AND src <> 999
         """,
     }

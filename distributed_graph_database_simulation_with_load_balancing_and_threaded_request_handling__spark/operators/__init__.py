@@ -1,16 +1,44 @@
-"""Engine operators: traversal (BFS/DFS), catalog mutation
-(add/modify graph), request dispatch, graph statistics, and the
-training-data extension suite (dedup, similarity, text, multimodal)."""
+"""Engine operators: traversal (BFS/DFS, single- and multi-source),
+catalog mutation (add/modify graph), request dispatch, graph
+statistics, relational analytics, and the training-data extension
+suite (dedup, similarity, text, multimodal)."""
 
-from .traverse import bfs_levels, bfs_level_order, dfs_leaves, connected_count
+from .traverse import (
+    bfs_levels,
+    bfs_levels_multi,
+    bfs_level_order,
+    connected_count,
+    dfs_leaves,
+    dfs_leaves_multi,
+)
 from .catalog import GraphCatalog, add_graph, modify_graph
-from .dispatch import route_requests, schedule_requests, run_requests
+from .dispatch import format_reply, route_requests, schedule_requests, run_requests
 from .stats import graph_stats
+from .dedup import (
+    exact_dedup,
+    fingerprint_dedup,
+    minhash_candidates,
+    minhash_dedup,
+    ngram_jaccard_pairs,
+    simhash_dedup,
+)
+from .similarity import cosine_topk, embedding_near_dup, ivf_topk, lsh_topk
+from .textops import corpus_stats, doc_features
+from .multimodal import attach_media, extract_media_meta, frame_sample
+from .relational import (
+    brand_revenue,
+    event_props_filter,
+    event_windows,
+    pricing_summary,
+    top_events_per_type,
+)
 
 __all__ = [
     "bfs_levels",
+    "bfs_levels_multi",
     "bfs_level_order",
     "dfs_leaves",
+    "dfs_leaves_multi",
     "connected_count",
     "GraphCatalog",
     "add_graph",
@@ -18,5 +46,26 @@ __all__ = [
     "route_requests",
     "schedule_requests",
     "run_requests",
+    "format_reply",
     "graph_stats",
+    "exact_dedup",
+    "fingerprint_dedup",
+    "minhash_candidates",
+    "minhash_dedup",
+    "ngram_jaccard_pairs",
+    "simhash_dedup",
+    "cosine_topk",
+    "lsh_topk",
+    "ivf_topk",
+    "embedding_near_dup",
+    "corpus_stats",
+    "doc_features",
+    "attach_media",
+    "extract_media_meta",
+    "frame_sample",
+    "brand_revenue",
+    "event_props_filter",
+    "event_windows",
+    "pricing_summary",
+    "top_events_per_type",
 ]

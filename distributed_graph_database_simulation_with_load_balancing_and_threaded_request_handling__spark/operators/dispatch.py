@@ -150,10 +150,23 @@ def run_requests(requests: DataFrame, edges: DataFrame, *, assume_tree: bool = T
     return out4.unionByName(out3)
 
 def format_reply(result: DataFrame) -> DataFrame:
-    """O12 compat: space-joined 1-indexed vertex list per request, the
-    reference's reply string (secondary_server.c:311-329)."""
-    return (
-        result.orderBy("level", "vertex")
-        .groupBy("seq_no")
-        .agg(F.concat_ws(" ", F.collect_list(F.col("vertex").cast("string"))).alias("reply"))
+    """O12 compat: space-joined vertex list per request in (level,
+    vertex) order — the reference's reply string
+    (secondary_server.c:311-329; level order per the BFS contract,
+    within-level order made deterministic by vertex id).
+
+    collect_list order is not defined after a shuffle, so the ordering
+    is imposed INSIDE the aggregate: collect (level, vertex) structs,
+    array_sort, then project the vertex out — deterministic under any
+    partitioning.  DFS rows carry NULL level; coalescing to 0 keeps
+    the struct comparison null-free (all rows of a request share an
+    op, so the coalesce never mixes orderings within a group)."""
+    pair = F.struct(F.coalesce("level", F.lit(0)).alias("l"), F.col("vertex").alias("v"))
+    return result.groupBy("seq_no").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(pair)), lambda s: s["v"].cast("string")
+            ),
+            " ",
+        ).alias("reply")
     )

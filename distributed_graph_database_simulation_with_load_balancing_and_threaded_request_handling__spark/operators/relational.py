@@ -109,6 +109,33 @@ def event_props_filter(events: DataFrame, *, min_k: int = 50) -> DataFrame:
     )
 
 
+def user_cohort(
+    events: DataFrame,
+    *,
+    min_purchase: float = 100.0,
+    min_click: float = 100.0,
+    error_cap: float = 400.0,
+) -> DataFrame:
+    """Set-operation surface: users with a purchase of value >=
+    ``min_purchase`` INTERSECT users with a click of value >=
+    ``min_click``, EXCEPT users with any error of value >=
+    ``error_cap``.  Spark plans intersect/subtract as aggregations +
+    joins on the distinct user key — three small exchanges of bare
+    ids; the type/value predicates push into the scan."""
+    def users(t: str, vmin: float) -> DataFrame:
+        return (
+            events.where((F.col("event_type") == t) & (F.col("value") >= vmin))
+            .select("user_id")
+            .distinct()
+        )
+
+    return (
+        users("purchase", min_purchase)
+        .intersect(users("click", min_click))
+        .subtract(users("error", error_cap))
+    )
+
+
 def brand_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
     """Per-brand discounted revenue: fact-to-dimension join with the
     dimension side explicitly broadcast — at 100 TB the lineitem side
