@@ -88,6 +88,20 @@ def test_event_props_filter_extracts_json(events):
     assert out["view"]["n_events"] == 1
 
 
+def test_pricing_summary_pushes_date_filter_to_scan(spark, lineitem, tmp_path):
+    # Through a real parquet scan, the shipdate predicate must reach
+    # the reader (PushedFilters) instead of filtering post-scan.
+    p = str(tmp_path / "li.parquet")
+    lineitem.write.parquet(p)
+    plan = (
+        pricing_summary(spark.read.parquet(p))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
 def test_brand_revenue_broadcast_join(spark, lineitem):
     part = spark.createDataFrame(
         [(10, "BRAND#1"), (20, "BRAND#2")], "p_partkey long, p_brand string"
