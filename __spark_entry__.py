@@ -34,6 +34,7 @@ from distributed_graph_database_simulation_with_load_balancing_and_threaded_requ
 from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.traverse import (
     bfs_level_order,
     bfs_levels,
+    connected_components,
     connected_count,
     dfs_leaves,
 )
@@ -201,6 +202,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         edges = derived_tree_edges(spark, sf_dir, symmetric=True)
         return connected_count(edges, ROOT_VID, graph_id=1)
 
+    def q_connected_components(spark, sf_dir):
+        # Drop the root so the derived tree decomposes into one
+        # component per region (hash-min label propagation).
+        edges = derived_tree_edges(spark, sf_dir, symmetric=True).where(
+            (F.col("src") != ROOT_VID) & (F.col("dst") != ROOT_VID)
+        )
+        return connected_components(edges, graph_id=1)
+
     # --- training-data extension operators (SURVEY.md §2.3 north-star) ---
 
     def q_dedup_exact(spark, sf_dir):
@@ -288,6 +297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_request_sched": q_request_sched,
         "q_graph_stats": q_graph_stats,
         "q_connected_count": q_connected_count,
+        "q_connected_components": q_connected_components,
         "q_dedup_exact": q_dedup_exact,
         "q_fingerprint_dedup": q_fingerprint_dedup,
         "q_doc_features": q_doc_features,
@@ -386,6 +396,20 @@ def oracle_sql() -> dict[str, str]:
         "q_connected_count": f"""
             WITH b AS ({_SQL_BFS})
             SELECT CAST(COUNT(*) AS BIGINT) AS n_reachable FROM b
+        """,
+        "q_connected_components": f"""
+            WITH RECURSIVE e0 AS ({_SQL_E0}),
+            sym AS (
+              SELECT src, dst FROM e0 WHERE src <> 999 AND dst <> 999
+              UNION ALL
+              SELECT dst, src FROM e0 WHERE src <> 999 AND dst <> 999
+            ),
+            reach(v, r) AS (
+              SELECT DISTINCT src, src FROM sym
+              UNION
+              SELECT s.dst, reach.r FROM reach JOIN sym s ON s.src = reach.v
+            )
+            SELECT v AS vertex, MIN(r) AS component FROM reach GROUP BY v
         """,
         "q_dedup_exact": """
             SELECT md5(text) AS text_hash,

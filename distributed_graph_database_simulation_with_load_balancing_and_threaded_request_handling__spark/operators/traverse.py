@@ -312,6 +312,66 @@ def dfs_leaves(
         .select(F.col("vertex").alias("leaf"))
     )
 
+def connected_components(
+    edges: DataFrame, *, graph_id: int | None = None, max_iters: int = 50
+) -> DataFrame:
+    """Connected components by hash-min label propagation (the
+    canonical Pregel algorithm; GraphX `connectedComponents` computes
+    the same fixpoint): every vertex starts labeled with its own id
+    and repeatedly adopts the minimum label in its closed neighborhood
+    until no label changes.  Returns ``(vertex, component)`` where
+    component is the minimum vertex id of the component.
+
+    Extension beyond the reference's BFS/DFS (SURVEY.md §2.2 "graph
+    ops beyond BFS/DFS") — the connectivity assumption the reference
+    silently makes (secondary_server.c:96-97), checked instead of
+    assumed.
+
+    Scale: each round is one (labels ⋈ edges) shuffle keyed on the
+    vertex + a min-aggregation — both partial-aggregated; rounds ≈
+    graph diameter (hash-min), labels are localCheckpointed so lineage
+    stays flat.  Convergence is detected with a changed-label count on
+    the joined old/new labels.
+    """
+    e = _edges_only(edges, graph_id).persist()
+    try:
+        labels = (
+            e.select(F.col("src").alias("vertex"))
+            .distinct()
+            .select("vertex", F.col("vertex").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        for _ in range(max_iters):
+            nbr_min = (
+                labels.join(e, labels["vertex"] == e["src"])
+                .groupBy(e["dst"].alias("vertex"))
+                .agg(F.min("component").alias("nbr_component"))
+            )
+            new_labels = (
+                labels.join(nbr_min, on="vertex", how="left")
+                .select(
+                    "vertex",
+                    F.least(
+                        "component", F.coalesce("nbr_component", "component")
+                    ).alias("component"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            converged = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), on="vertex")
+                .where(F.col("n.component") != F.col("o.component"))
+                .limit(1)
+                .isEmpty()
+            )
+            labels = new_labels
+            if converged:
+                break
+        return labels
+    finally:
+        e.unpersist(blocking=False)
+
+
 def connected_count(
     edges: DataFrame, start_vertex: int, *, graph_id: int | None = None
 ) -> DataFrame:

@@ -136,3 +136,17 @@ def test_dfs_leaves_multi_per_request_roots(spark):
     # degree-1 vertices are {3,5,6}; minus the root.
     assert got[1] == {3, 5, 6}
     assert got[5] == {3, 6}
+
+
+def test_connected_components_forest(spark):
+    # Two disjoint graphs in one edge set -> components = min vertex id
+    # of each tree.
+    e = make_edges(spark, [(1, 2), (2, 3)], graph_id=1).unionByName(
+        make_edges(spark, [(10, 11), (11, 12), (12, 13)], graph_id=1)
+    )
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.traverse import (
+        connected_components,
+    )
+
+    got = {r["vertex"]: r["component"] for r in connected_components(e, graph_id=1).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 13: 10}
