@@ -15,6 +15,8 @@ from __future__ import annotations
 
 import math
 
+import pandas as pd  # module-level so stringified UDF type hints resolve
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -78,6 +80,35 @@ def hyperplane_signature(vec: Column, hyperplanes: list[list[float]]) -> Column:
         sig = sig * 2 + F.when(d >= 0, 1).otherwise(0)
     return sig
 
+
+def hyperplane_signatures_arrow(table_planes: list[list[list[float]]]):
+    """Arrow-vectorized form of hyperplane_signature for ALL tables at
+    once: one Pandas UDF computing the whole batch's sign bits as a
+    single numpy matmul (batch x dim) @ (dim x planes*tables), then
+    packing bits per table.  ~planes*tables interpreted dot-reductions
+    per row collapse into one BLAS call per Arrow batch — the
+    "vectorized Pandas UDF beats expression-at-a-time" path for wide
+    numeric kernels.  Returns a UDF: array<float> -> array<bigint>."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    n_tables = len(table_planes)
+    n_planes = len(table_planes[0])
+    # (dim, tables*planes), column-major by table then plane.
+    mat = np.asarray(
+        [plane for planes in table_planes for plane in planes], dtype=np.float64
+    ).T
+    weights = (2 ** np.arange(n_planes - 1, -1, -1)).astype(np.int64)
+
+    @pandas_udf("array<bigint>")
+    def sigs(vecs: pd.Series) -> pd.Series:
+        v = np.asarray(vecs.tolist(), dtype=np.float64)  # (batch, dim)
+        bits = (v @ mat >= 0).astype(np.int64)  # (batch, tables*planes)
+        per_table = bits.reshape(len(v), n_tables, n_planes) @ weights  # (batch, tables)
+        return pd.Series(list(per_table))
+
+    return sigs
+
 def make_hyperplanes(num: int, dim: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes (pure-python LCG so the
     result is reproducible everywhere without numpy state)."""
@@ -114,16 +145,22 @@ def lsh_topk(
     table instead of everything.
     """
     dim = len(query_vec)
-    v = as_double_vec(F.col(vec_col))
-    match = F.lit(False)
-    for t in range(num_tables):
-        planes = make_hyperplanes(num_planes, dim, seed=seed + 1000 * t)
+    all_planes = [
+        make_hyperplanes(num_planes, dim, seed=seed + 1000 * t) for t in range(num_tables)
+    ]
+    qsigs = []
+    for planes in all_planes:
         qsig = 0
         for h in planes:
             d = sum(x * y for x, y in zip(h, query_vec))
             qsig = qsig * 2 + (1 if d >= 0 else 0)
-        match = match | (hyperplane_signature(v, planes) == F.lit(qsig))
-    cand = embeddings.where(match)
+        qsigs.append(qsig)
+    sig_udf = hyperplane_signatures_arrow(all_planes)
+    with_sigs = embeddings.withColumn("_sigs", sig_udf(F.col(vec_col)))
+    match = F.lit(False)
+    for t, qsig in enumerate(qsigs):
+        match = match | (F.col("_sigs")[t] == F.lit(qsig))
+    cand = with_sigs.where(match).drop("_sigs")
     return cosine_topk(
         cand, query_vec, k, vec_col=vec_col, id_col=id_col, round_digits=round_digits
     )
@@ -217,15 +254,13 @@ def embedding_near_dup(
     dim = int(dim_row["d"])
     v = as_double_vec(F.col(vec_col))
     embeddings = ensure_parallelism(embeddings.select(id_col, vec_col))
+    sig_udf = hyperplane_signatures_arrow(
+        [make_hyperplanes(num_planes, dim, seed=seed + 1000 * t) for t in range(num_tables)]
+    )
     sigs = embeddings.select(
         F.col(id_col).alias("id"),
         v.alias("vec"),
-        F.array(
-            *[
-                hyperplane_signature(v, make_hyperplanes(num_planes, dim, seed=seed + 1000 * t))
-                for t in range(num_tables)
-            ]
-        ).alias("sigs"),
+        sig_udf(F.col(vec_col)).alias("sigs"),
     )
     blocked = sigs.select("id", "vec", F.posexplode("sigs").alias("table", "sig"))
     a = blocked.select("table", "sig", F.col("id").alias("id_a"), F.col("vec").alias("vec_a"))
