@@ -50,6 +50,7 @@ from distributed_graph_database_simulation_with_load_balancing_and_threaded_requ
     minhash_dedup,
     ngram_jaccard_pairs,
     simhash_dedup,
+    winnow_fingerprints,
 )
 from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.similarity import (
     cosine_topk,
@@ -233,6 +234,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_simhash_dedup(spark, sf_dir):  # rows-only: hash-sketch specific
         return simhash_dedup(load_table(spark, sf_dir, "documents"), max_hamming=3)
 
+    def q_winnow_fp(spark, sf_dir):
+        return winnow_fingerprints(load_table(spark, sf_dir, "documents"))
+
     def q_sim_topk(spark, sf_dir):
         emb = load_table(spark, sf_dir, "embeddings")
         qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
@@ -305,6 +309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_minhash_dedup": q_minhash_dedup,
         "q_simhash_dedup": q_simhash_dedup,
+        "q_winnow_fp": q_winnow_fp,
         "q_sim_topk": q_sim_topk,
         "q_lsh_topk": q_lsh_topk,
         "q_ivf_topk": q_ivf_topk,
@@ -471,6 +476,27 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'und' END AS lang_guess,
                    fp
             FROM scored
+        """,
+        "q_winnow_fp": f"""
+            WITH n AS (
+              SELECT doc_id, {_SQL_NORM} AS t FROM documents
+            ),
+            pos AS (
+              SELECT doc_id, len(t) - 4 AS n_grams, t,
+                     unnest(range(1, greatest(len(t) - 4, 0) + 1)) AS p
+              FROM n WHERE len(t) >= 5
+            ),
+            g AS (
+              SELECT doc_id, n_grams, p, md5(substr(t, CAST(p AS INTEGER), 5)) AS h
+              FROM pos
+            ),
+            win AS (
+              SELECT doc_id, p, n_grams,
+                     min(h) OVER (PARTITION BY doc_id ORDER BY p
+                                  ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+              FROM g
+            )
+            SELECT DISTINCT doc_id, fp FROM win WHERE p <= n_grams - 3
         """,
         "q_text_stats": f"""
             SELECT lang,

@@ -65,6 +65,60 @@ def fingerprint_dedup(
     )
 
 
+def winnow_fingerprints(
+    documents: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """Document fingerprinting by winnowing (Schleimer, Wilkerson,
+    Aiken — SIGMOD 2003, the MOSS scheme): hash every character k-gram
+    of the normalized text, slide a window of ``window`` consecutive
+    gram hashes, keep the minimum of each window; the distinct minima
+    are the document's fingerprint set.  Guarantee: any shared
+    substring of length >= window + k - 1 contributes at least one
+    shared fingerprint — the rolling-hash selection makes fingerprints
+    position-robust where head-anchored sampling is not.
+
+    md5 (lexicographic min) rather than xxhash64 so the selection is
+    reproducible in ANSI SQL for the oracle; swap the hash for
+    xxhash64 in production for cheaper bytes.  Documents with fewer
+    than k + window - 1 normalized characters produce no fingerprints
+    (winnowing is undefined below one full window).
+
+    Returns ``(doc_id, fp)``.  Scale: per-gram rows partial-minimize
+    inside a per-document window sort — the shuffle is keyed on the
+    document id, and only distinct (id, min-hash) pairs leave the
+    aggregation.
+    """
+    normed = ensure_parallelism(
+        documents.select(
+            F.col(id_col).alias("doc_id"), normalize_text(F.col(text_col)).alias("norm")
+        )
+    ).where(F.length("norm") >= k)
+    grams = normed.select(
+        "doc_id",
+        (F.length("norm") - (k - 1)).alias("n_grams"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("norm") - (k - 1)),
+                lambda i: F.md5(F.substring(F.col("norm"), i, F.lit(k))),
+            )
+        ).alias("pos", "h"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.currentRow, window - 1
+    )
+    return (
+        grams.withColumn("fp", F.min("h").over(w))
+        .where(F.col("pos") <= F.col("n_grams") - window)  # full windows only (pos is 0-based)
+        .select("doc_id", "fp")
+        .distinct()
+    )
+
+
 def _shingle_rows(
     documents: DataFrame, *, text_col: str, id_col: str, shingle_len: int
 ) -> DataFrame:

@@ -158,3 +158,27 @@ def test_frame_sample_caps_frames(spark):
     frames = frame_sample(media, chunk_bytes=100, max_frames=4).collect()
     assert 0 < len(frames) <= 4
     assert all(len(bytes(r["frame"])) <= 100 for r in frames)
+
+
+def test_winnow_fingerprints_shared_substring(spark):
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.dedup import (
+        winnow_fingerprints,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon", "en", "s"),
+            (2, "XX alpha beta gamma delta YY", "en", "s"),   # shares a long run
+            (3, "completely unrelated words here", "en", "s"),
+            (4, "tiny", "en", "s"),                            # < k+window-1 chars
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    fps = {}
+    for r in winnow_fingerprints(docs, k=5, window=4).collect():
+        fps.setdefault(r["doc_id"], set()).add(r["fp"])
+    # Winnowing guarantee: a shared substring of length >= k+window-1=8
+    # yields a shared fingerprint.
+    assert fps[1] & fps[2]
+    assert not (fps[1] & fps[3])
+    assert 4 not in fps  # too short for one full window
