@@ -73,6 +73,23 @@ class GraphCatalog:
             df = df.where(F.col("graph_id") == graph_id)  # partition pruning
         return df.select("graph_id", "src", "dst")
 
+    def save_bucketed(self, table_name: str, *, n_buckets: int = 32) -> None:
+        """Publish the catalog as a metastore table bucketed by ``src``
+        (sorted within buckets): per-vertex aggregations (degree,
+        DFS-leaves R1) and src-keyed joins then read pre-partitioned
+        data and skip their shuffle entirely — the cluster-scale
+        co-location strategy SCALE.md describes.  One-time cost: the
+        bucketing write itself shuffles on src."""
+        (
+            self.spark.read.schema(GRAPH_EDGES_SCHEMA)
+            .parquet(self.path)
+            .write.mode("overwrite")
+            .bucketBy(n_buckets, "src")
+            .sortBy("src")
+            .format("parquet")
+            .saveAsTable(table_name)
+        )
+
 def add_graph(pairs: DataFrame, *, graph_id: int) -> DataFrame:
     """Pure (side-effect-free) form of O1 for declarative pipelines:
     normalize raw pairs into the canonical symmetric edge list that the

@@ -117,3 +117,27 @@ def test_matrix_io_roundtrip(spark, tmp_path):
     assert first == "5"
     back = read_adjacency_text(spark, path, graph_id=3)
     assert edge_set(back) == edge_set(edges)
+
+
+def test_bucketed_catalog_degree_agg_skips_shuffle(spark, tmp_path):
+    import uuid
+
+    cat = GraphCatalog(spark, str(tmp_path / "gdb"))
+    cat.add_graph(1, spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 40)], "src long, dst long"
+    ))
+    name = f"edges_bucketed_{uuid.uuid4().hex[:8]}"
+    try:
+        cat.save_bucketed(name, n_buckets=4)
+        agg = (
+            spark.table(name)
+            .groupBy("src")
+            .agg(F.count("*").alias("degree"))
+        )
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        # Bucketing by src pre-partitions the scan: the per-vertex
+        # aggregation must not introduce an Exchange.
+        assert "Exchange" not in plan
+        assert agg.count() > 0
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
