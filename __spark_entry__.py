@@ -71,6 +71,7 @@ from distributed_graph_database_simulation_with_load_balancing_and_threaded_requ
     event_props_filter,
     event_windows,
     pricing_summary,
+    sessionize_events,
     top_events_per_type,
     user_cohort,
 )
@@ -281,6 +282,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_user_cohort(spark, sf_dir):
         return user_cohort(load_table(spark, sf_dir, "events"))
 
+    def q_sessions(spark, sf_dir):
+        return sessionize_events(load_table(spark, sf_dir, "events"))
+
     def q_request_replies(spark, sf_dir):
         # O12 end-to-end: dispatch a fixed BFS + DFS request pair over
         # the derived tree and format the reference-style reply strings.
@@ -321,6 +325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_event_props": q_event_props,
         "q_brand_revenue": q_brand_revenue,
         "q_user_cohort": q_user_cohort,
+        "q_sessions": q_sessions,
         "q_request_replies": q_request_replies,
     }
 
@@ -623,6 +628,27 @@ def oracle_sql() -> dict[str, str]:
             EXCEPT
             SELECT DISTINCT user_id FROM events
             WHERE event_type = 'error' AND value >= 400
+        """,
+        "q_sessions": """
+            WITH flagged AS (
+              SELECT user_id, ts, event_id, value,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                          THEN 1 ELSE 0 END AS boundary
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            sess AS (
+              SELECT user_id, ts, event_id, value,
+                     SUM(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS session_no
+              FROM flagged
+            )
+            SELECT user_id, CAST(session_no AS INTEGER) AS session_no,
+                   MIN(ts) AS session_start, MAX(ts) AS session_end,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   round(SUM(value), 4) AS total_value
+            FROM sess GROUP BY user_id, session_no
         """,
         "q_request_replies": f"""
             WITH b AS ({_SQL_BFS}),

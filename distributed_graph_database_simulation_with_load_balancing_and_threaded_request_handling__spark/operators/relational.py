@@ -109,6 +109,56 @@ def event_props_filter(events: DataFrame, *, min_k: int = 50) -> DataFrame:
     )
 
 
+def sessionize_events(
+    events: DataFrame, *, gap_minutes: int = 30
+) -> DataFrame:
+    """Gap-based sessionization: a user's events belong to one session
+    until a silence longer than ``gap_minutes``; the classic
+    lag + running-sum-of-boundaries construction.  Returns one row per
+    session: (user_id, session_no, session_start, session_end,
+    n_events, total_value).
+
+    Scale: both windows partition by user_id — parallel across users,
+    and the per-user sort is bounded by one user's history.  This is
+    the batch twin of Structured Streaming's
+    ``groupBy(session_window(...))``.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    flagged = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        # Exact microsecond arithmetic (unix_micros) so the boundary
+        # decision is bit-identical to the oracle's epoch_us.
+        (
+            prev_ts.isNull()
+            | (
+                (F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts))
+                > gap_minutes * 60 * 1_000_000
+            )
+        )
+        .cast("int")
+        .alias("boundary"),
+    )
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    with_sess = flagged.select(
+        "user_id", "ts", "event_id", "value", F.sum("boundary").over(run).alias("session_no")
+    )
+    return (
+        with_sess.groupBy("user_id", F.col("session_no").cast("int").alias("session_no"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+
+
 def user_cohort(
     events: DataFrame,
     *,

@@ -114,3 +114,27 @@ def test_brand_revenue_broadcast_join(spark, lineitem):
     # The dimension side must be planned as a broadcast join.
     plan = brand_revenue(lineitem, part)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+def test_sessionize_events_gap_boundaries(spark):
+    import datetime
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.relational import (
+        sessionize_events,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    mins = lambda m: t0 + datetime.timedelta(minutes=m)
+    rows = [
+        (1, mins(0), 7, "click", 1.0, "{}"),
+        (2, mins(10), 7, "view", 2.0, "{}"),    # same session (gap 10m)
+        (3, mins(50), 7, "click", 3.0, "{}"),   # new session (gap 40m)
+        (4, mins(55), 8, "click", 4.0, "{}"),   # other user, own session
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string,"
+        "value double, props string"
+    )
+    out = {(r["user_id"], r["session_no"]): r for r in sessionize_events(events, gap_minutes=30).collect()}
+    assert out[(7, 1)]["n_events"] == 2 and out[(7, 1)]["total_value"] == 3.0
+    assert out[(7, 2)]["n_events"] == 1 and out[(7, 2)]["session_start"] == mins(50)
+    assert out[(8, 1)]["n_events"] == 1
+    assert len(out) == 3
