@@ -69,7 +69,12 @@ def cosine_topk(
 def hyperplane_signature(vec: Column, hyperplanes: list[list[float]]) -> Column:
     """LSH signature: one sign bit per random hyperplane, packed into
     a bigint (Horner).  sign(h . v) is locality-sensitive for cosine:
-    P[bit differs] = angle/pi (Charikar 2002)."""
+    P[bit differs] = angle/pi (Charikar 2002).
+
+    Expression-native (no Python worker) variant — useful where a
+    Python runtime is unavailable; the engine's hot paths use
+    ``hyperplane_signatures_arrow`` (one numpy matmul per Arrow batch
+    instead of planes*tables interpreted reductions per row)."""
     sig = F.lit(0).cast("long")
     for h in hyperplanes:
         d = F.aggregate(
