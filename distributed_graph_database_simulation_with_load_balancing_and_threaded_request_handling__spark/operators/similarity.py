@@ -192,17 +192,24 @@ def ivf_centroids(
     return [[float(x) for x in r["v"]] for r in rows]
 
 
-def _nearest_cell(vec: Column, centroids: list[list[float]]) -> Column:
-    """1-based index of the nearest centroid by squared L2 distance.
-    argmin_j |v - c_j|^2 == argmin_j (|c_j|^2 - 2 v.c_j), so each cell
-    costs one dot product against a literal array."""
-    scores = F.array(
-        *[
-            F.lit(sum(x * x for x in c)) - 2.0 * dot(vec, _vec_lit(c))
-            for c in centroids
-        ]
-    )
-    return F.array_position(scores, F.array_min(scores)).cast("int")
+def _nearest_cell_arrow(centroids: list[list[float]]):
+    """1-based nearest-centroid index by squared L2 distance, as an
+    Arrow Pandas UDF: argmin_j (|c_j|^2 - 2 v.c_j) for the whole batch
+    in one numpy matmul (ties -> lowest index, matching a sequential
+    argmin).  UDF: array<float> -> int."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    c = np.asarray(centroids, dtype=np.float64)  # (cells, dim)
+    c_sq = (c * c).sum(axis=1)  # (cells,)
+
+    @pandas_udf("int")
+    def cell(vecs: pd.Series) -> pd.Series:
+        v = np.asarray(vecs.tolist(), dtype=np.float64)  # (batch, dim)
+        scores = c_sq[None, :] - 2.0 * (v @ c.T)  # (batch, cells)
+        return pd.Series(scores.argmin(axis=1) + 1).astype("int32")
+
+    return cell
 
 
 def ivf_topk(
@@ -233,9 +240,8 @@ def ivf_topk(
         return sum((x - y) * (x - y) for x, y in zip(c, query_vec))
 
     probe = sorted(range(len(cents)), key=lambda j: (sqdist(cents[j]), j))[:n_probe]
-    probe_cells = [j + 1 for j in probe]  # 1-based to match array_position
-    v = as_double_vec(F.col(vec_col))
-    cand = embeddings.where(_nearest_cell(v, cents).isin(probe_cells))
+    probe_cells = [j + 1 for j in probe]  # 1-based cell ids
+    cand = embeddings.where(_nearest_cell_arrow(cents)(F.col(vec_col)).isin(probe_cells))
     return cosine_topk(
         cand, query_vec, k, vec_col=vec_col, id_col=id_col, round_digits=round_digits
     )
