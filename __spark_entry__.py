@@ -68,9 +68,11 @@ from distributed_graph_database_simulation_with_load_balancing_and_threaded_requ
 )
 from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.relational import (
     brand_revenue,
+    customers_without_orders,
     event_props_filter,
     event_windows,
     pricing_summary,
+    quality_percentiles,
     sessionize_events,
     top_events_per_type,
     user_cohort,
@@ -285,6 +287,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_sessions(spark, sf_dir):
         return sessionize_events(load_table(spark, sf_dir, "events"))
 
+    def q_no_orders(spark, sf_dir):
+        return customers_without_orders(
+            load_table(spark, sf_dir, "customer"),
+            load_table(spark, sf_dir, "orders"),
+            min_total=300_000.0,
+        )
+
+    def q_quality_pct(spark, sf_dir):
+        return quality_percentiles(load_table(spark, sf_dir, "documents"))
+
     def q_request_replies(spark, sf_dir):
         # O12 end-to-end: dispatch a fixed BFS + DFS request pair over
         # the derived tree and format the reference-style reply strings.
@@ -326,6 +338,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_brand_revenue": q_brand_revenue,
         "q_user_cohort": q_user_cohort,
         "q_sessions": q_sessions,
+        "q_no_orders": q_no_orders,
+        "q_quality_pct": q_quality_pct,
         "q_request_replies": q_request_replies,
     }
 
@@ -628,6 +642,21 @@ def oracle_sql() -> dict[str, str]:
             EXCEPT
             SELECT DISTINCT user_id FROM events
             WHERE event_type = 'error' AND value >= 400
+        """,
+        "q_no_orders": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE NOT EXISTS (
+              SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_totalprice > 300000
+            )
+        """,
+        "q_quality_pct": """
+            SELECT lang,
+                   round(quantile_cont(CAST(length(text) AS DOUBLE), 0.25), 4) AS p25_chars,
+                   round(quantile_cont(CAST(length(text) AS DOUBLE), 0.5), 4) AS p50_chars,
+                   round(quantile_cont(CAST(length(text) AS DOUBLE), 0.9), 4) AS p90_chars,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM documents GROUP BY lang
         """,
         "q_sessions": """
             WITH flagged AS (

@@ -186,6 +186,37 @@ def user_cohort(
     )
 
 
+def customers_without_orders(
+    customer: DataFrame, orders: DataFrame, *, min_total: float = 0.0
+) -> DataFrame:
+    """Anti-join surface: customers with no order totaling more than
+    ``min_total``.  left_anti keeps the probe side streaming — the
+    build side is the filtered distinct order keys, broadcast when
+    small enough; the price predicate pushes into the orders scan."""
+    qualifying = orders.where(F.col("o_totalprice") > min_total).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return customer.join(qualifying, on="c_custkey", how="left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+def quality_percentiles(documents: DataFrame) -> DataFrame:
+    """Distribution stats: exact interpolated p25/p50/p90 of document
+    length per language.  Exact percentile needs the group's values
+    together (a per-group sort) — fine on a language key; for
+    high-cardinality keys switch to approx_percentile (t-digest,
+    mergeable map-side)."""
+    n = F.length("text").cast("double")
+    return documents.groupBy("lang").agg(
+        *[
+            F.round(F.percentile(n, F.lit(p)), 4).alias(f"p{int(p * 100)}_chars")
+            for p in (0.25, 0.5, 0.9)
+        ],
+        F.count("*").cast("long").alias("n_docs"),
+    )
+
+
 def brand_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
     """Per-brand discounted revenue: fact-to-dimension join with the
     dimension side explicitly broadcast — at 100 TB the lineitem side
