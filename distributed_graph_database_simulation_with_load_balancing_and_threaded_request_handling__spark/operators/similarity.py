@@ -60,11 +60,14 @@ def cosine_topk(
     )
     from pyspark.sql.window import Window
 
+    # orderBy().limit(k) compiles to TakeOrderedAndProject — per-partition
+    # partial top-k + tiny driver merge, with no full sort and no reliance
+    # on the InferWindowGroupLimit rescue a global row_number window needs.
+    # The rank window then runs over at most k rows (a single tiny
+    # partition by construction), so its "global" sort is O(k).
+    top = sims.orderBy(F.col("sim").desc(), F.col("vec_id")).limit(k)
     w = Window.orderBy(F.col("sim").desc(), F.col("vec_id"))
-    return (
-        sims.withColumn("rank", F.row_number().over(w).cast("int"))
-        .where(F.col("rank") <= k)
-    )
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))
 
 def hyperplane_signature(vec: Column, hyperplanes: list[list[float]]) -> Column:
     """LSH signature: one sign bit per random hyperplane, packed into
@@ -178,14 +181,17 @@ def ivf_centroids(
     n_cells: int = 16,
 ) -> list[list[float]]:
     """Deterministic coarse quantizer for IVF: take the ``n_cells``
-    vectors with the smallest xxhash64(id) as centroids — a seeded
+    vectors with the smallest md5(id-as-string) as centroids — a seeded
     uniform sample without any iterative training (k-means would
     sharpen cells but adds nothing to the partitioning/probing shape
     being exercised; swap in ``pyspark.ml`` KMeans for production
-    recall)."""
+    recall).  md5-of-decimal-string rather than xxhash64 so the
+    selection is reproducible in ANSI SQL for the oracle — the hash
+    runs over ``n_cells``-bounded driver work, never the data path.
+    Cell ids are 1-based positions in (md5, id) order."""
     rows = (
         embeddings.select(F.col(id_col).alias("id"), as_double_vec(F.col(vec_col)).alias("v"))
-        .orderBy(F.xxhash64(F.col("id")))
+        .orderBy(F.md5(F.col("id").cast("string")), F.col("id"))
         .limit(n_cells)
         .collect()
     )
@@ -257,36 +263,64 @@ def embedding_near_dup(
     num_tables: int = 4,
     seed: int = 42,
     round_digits: int = 6,
+    max_bucket_size: int = 1000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, sim >=
     threshold), LSH-blocked: only pairs sharing a bucket in some table
-    are scored.  The all-pairs cross join never happens."""
+    are scored.  The all-pairs cross join never happens.
+
+    Scale shape (mirrors the minhash LSH join, dedup.py):
+
+    * Degenerate buckets (> ``max_bucket_size`` members — boilerplate
+      or all-zero vectors) are dropped before the self-join, so no
+      bucket can make the join quadratic.
+    * The self-join carries bare ids only; candidate pairs are
+      ``distinct``-ed FIRST, then vectors are fetched for the
+      surviving pairs — each pair is scored exactly once, not once
+      per shared table, and the bucket shuffle never carries vector
+      payload.
+
+    Recall note: sign-LSH signatures are invariant under positive
+    scaling of a vector (sign(h.v) == sign(h.cv) for c > 0), so exact
+    and positively-scaled copies collide in every table and are found
+    with probability 1 — the basis of the planted-duplicate oracle in
+    ``__spark_entry__.q_embedding_near_dup``.
+    """
+    from pyspark.sql.window import Window
+
     dim_row = embeddings.select(F.size(vec_col).alias("d")).first()
     dim = int(dim_row["d"])
-    v = as_double_vec(F.col(vec_col))
     embeddings = ensure_parallelism(embeddings.select(id_col, vec_col))
     sig_udf = hyperplane_signatures_arrow(
         [make_hyperplanes(num_planes, dim, seed=seed + 1000 * t) for t in range(num_tables)]
     )
     sigs = embeddings.select(
-        F.col(id_col).alias("id"),
-        v.alias("vec"),
-        sig_udf(F.col(vec_col)).alias("sigs"),
+        F.col(id_col).alias("id"), sig_udf(F.col(vec_col)).alias("sigs")
     )
-    blocked = sigs.select("id", "vec", F.posexplode("sigs").alias("table", "sig"))
-    a = blocked.select("table", "sig", F.col("id").alias("id_a"), F.col("vec").alias("vec_a"))
-    b = blocked.select("table", "sig", F.col("id").alias("id_b"), F.col("vec").alias("vec_b"))
-    pairs = (
+    blocked = sigs.select("id", F.posexplode("sigs").alias("table", "sig"))
+    sized = blocked.withColumn(
+        "bsz", F.count("*").over(Window.partitionBy("table", "sig"))
+    ).where(F.col("bsz") <= max_bucket_size)
+    a = sized.select("table", "sig", F.col("id").alias("id_a"))
+    b = sized.select("table", "sig", F.col("id").alias("id_b"))
+    cand = (
         a.join(b, on=["table", "sig"])
         .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    vecs = embeddings.select(
+        F.col(id_col).alias("id"), as_double_vec(F.col(vec_col)).alias("vec")
+    )
+    return (
+        cand.join(
+            vecs.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a")), on="id_a"
+        )
+        .join(vecs.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b")), on="id_b")
         .select(
             "id_a",
             "id_b",
             F.round(cosine_sim(F.col("vec_a"), F.col("vec_b")), round_digits).alias("sim"),
         )
         .where(F.col("sim") >= threshold)
-        # Dedup AFTER scoring+filtering: the shuffle carries only
-        # surviving (id, id, sim) triples, never vectors.
-        .distinct()
     )
-    return pairs
