@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.hashing import band_hashes
+from ..functions.hashing import band_hashes, band_keys_str
 from ..functions.textfns import char_shingles_normed, fingerprint, normalize_text, tokens
 from ..partitioning import ensure_parallelism
 
@@ -135,31 +135,57 @@ def _shingle_rows(
     )
 
 
-def _minhash_signatures(shingle_rows: DataFrame, num_hashes: int) -> DataFrame:
-    """(id, sig: array<bigint>): signature element i is
-    min over shingles of xxhash64(shingle, seed=i) — the Broder / MMDS
-    ch.3 construction as ``num_hashes`` parallel MIN aggregates.
-    Partial aggregation computes the mins map-side, so the shuffle per
-    document is exactly ``num_hashes`` longs."""
-    mins = shingle_rows.groupBy("id").agg(
-        *[
+def _minhash_signatures(
+    shingle_rows: DataFrame, num_hashes: int, hash_fn: str = "xxhash64"
+) -> DataFrame:
+    """(id, sig: array): signature element i is min over shingles of
+    h_i(shingle) — the Broder / MMDS ch.3 construction as
+    ``num_hashes`` parallel MIN aggregates.  Partial aggregation
+    computes the mins map-side, so the shuffle per document is exactly
+    ``num_hashes`` values.
+
+    ``hash_fn``:
+
+    * ``"xxhash64"`` (default, the scale path): h_i = xxhash64(s, i),
+      8-byte longs in the shuffle.
+    * ``"md5"``: h_i = md5('i:' || s), lexicographic min over the hex
+      strings — byte-for-byte reproducible in ANSI SQL (DuckDB
+      ``md5``), which is what makes the recall oracle exact.  32-byte
+      strings in the shuffle; same plan shape otherwise.
+    """
+    if hash_fn == "md5":
+        aggs = [
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"_h{i}")
+            for i in range(num_hashes)
+        ]
+    else:
+        aggs = [
             F.min(F.xxhash64("shingle", F.lit(i))).alias(f"_h{i}")
             for i in range(num_hashes)
         ]
-    )
+    mins = shingle_rows.groupBy("id").agg(*aggs)
     return mins.select(
         "id", F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias("sig")
     )
 
 
+def _band_keys(sig, bands: int, rows: int, hash_fn: str):
+    return (
+        band_keys_str(sig, bands, rows)
+        if hash_fn == "md5"
+        else band_hashes(sig, bands, rows)
+    )
+
+
 def _bucket_pairs(
-    sigs: DataFrame, bands: int, rows: int, max_bucket_size: int
+    sigs: DataFrame, bands: int, rows: int, max_bucket_size: int, hash_fn: str = "xxhash64"
 ) -> DataFrame:
     """LSH band-bucket self-join: (id_a, id_b) with id_a < id_b for
     every pair sharing at least one band bucket, with degenerate
     buckets (> max_bucket_size members) dropped before the join."""
     buckets = sigs.select(
-        "id", F.posexplode(band_hashes(F.col("sig"), bands, rows)).alias("band", "bucket")
+        "id",
+        F.posexplode(_band_keys(F.col("sig"), bands, rows, hash_fn)).alias("band", "bucket"),
     )
     sized = buckets.withColumn(
         "bsz", F.count("*").over(Window.partitionBy("band", "bucket"))
@@ -183,6 +209,7 @@ def minhash_candidates(
     num_hashes: int = 32,
     bands: int = 8,
     max_bucket_size: int = 1000,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """MinHash-LSH candidate pairs ``(id_a, id_b)`` with id_a < id_b.
 
@@ -192,8 +219,8 @@ def minhash_candidates(
     """
     rows = num_hashes // bands
     sh = _shingle_rows(documents, text_col=text_col, id_col=id_col, shingle_len=shingle_len)
-    sigs = _minhash_signatures(sh, num_hashes)
-    return _bucket_pairs(sigs, bands, rows, max_bucket_size)
+    sigs = _minhash_signatures(sh, num_hashes, hash_fn)
+    return _bucket_pairs(sigs, bands, rows, max_bucket_size, hash_fn)
 
 
 def minhash_dedup(
@@ -206,10 +233,13 @@ def minhash_dedup(
     bands: int = 8,
     threshold: float = 0.8,
     max_bucket_size: int = 1000,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Verified near-duplicate pairs: LSH candidates filtered by exact
     character-shingle Jaccard >= threshold.  Returns
     ``(id_a, id_b, jaccard)`` (jaccard rounded to 6 places).
+    ``hash_fn="md5"`` selects the SQL-reproducible signature variant
+    (see ``_minhash_signatures``) used by the recall oracle.
 
     Verification is two-stage: candidates are first screened by the
     *signature-estimated* Jaccard (fraction of agreeing minhash
@@ -224,13 +254,13 @@ def minhash_dedup(
     """
     rows = num_hashes // bands
     sh = _shingle_rows(documents, text_col=text_col, id_col=id_col, shingle_len=shingle_len)
-    sigs = _minhash_signatures(sh, num_hashes)
+    sigs = _minhash_signatures(sh, num_hashes, hash_fn)
     # Carry the signature through the bucket self-join so screening is
     # an inline expression on the join output, not two more joins back
     # to the signature table.
     buckets = sigs.select(
         "id", "sig",
-        F.posexplode(band_hashes(F.col("sig"), bands, rows)).alias("band", "bucket"),
+        F.posexplode(_band_keys(F.col("sig"), bands, rows, hash_fn)).alias("band", "bucket"),
     )
     sized = buckets.withColumn(
         "bsz", F.count("*").over(Window.partitionBy("band", "bucket"))
@@ -271,6 +301,64 @@ def minhash_dedup(
         )
         .where(F.col("jaccard") >= threshold)
     )
+
+
+def _jaccard_pairs_from_items(items: DataFrame, threshold: float) -> DataFrame:
+    """Exact set-Jaccard pairs from DISTINCT ``(id, item)`` rows:
+    inverted-index join on shared items (pairs sharing zero items never
+    meet), with the exact length prefilter applied inside the join —
+    J(x,y) >= t implies min(|x|,|y|)/max(|x|,|y|) >= t, so
+    size-incompatible pairs are discarded before the pair aggregation.
+    Returns ``(id_a, id_b, jaccard)`` with jaccard rounded to 6."""
+    inv = items.join(
+        items.groupBy("id").agg(F.count("*").cast("int").alias("n")), on="id"
+    ).select("id", "n", items.columns[1])
+    item_col = items.columns[1]
+    pairs = (
+        inv.alias("x")
+        .join(
+            inv.alias("y"),
+            on=[
+                F.col(f"x.{item_col}") == F.col(f"y.{item_col}"),
+                F.col("y.n") * 1.0 >= threshold * F.col("x.n"),
+                F.col("x.n") * 1.0 >= threshold * F.col("y.n"),
+            ],
+        )
+        .where(F.col("x.id") < F.col("y.id"))
+        .groupBy(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .agg(
+            F.count("*").cast("double").alias("inter"),
+            F.first("x.n").alias("na"),
+            F.first("y.n").alias("nb"),
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6).alias(
+                "jaccard"
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return pairs
+
+
+def shingle_jaccard_pairs(
+    documents: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_len: int = 5,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact character-shingle Jaccard pairs above threshold — the
+    ground truth ``minhash_dedup`` approximates (same shingle set, same
+    similarity), so ``|minhash pairs| / |these pairs|`` is the measured
+    LSH recall.  Inverted-index join, worst-case quadratic: a
+    verification tool, not a scale path (that's what MinHash is for).
+    Returns ``(id_a, id_b, jaccard)``."""
+    sh = _shingle_rows(documents, text_col=text_col, id_col=id_col, shingle_len=shingle_len)
+    return _jaccard_pairs_from_items(sh, threshold)
 
 
 def ngram_jaccard_pairs(
@@ -316,48 +404,24 @@ def ngram_jaccard_pairs(
         .select("id", "g")
         .distinct()
     )
-    inv = grams.join(
-        grams.groupBy("id").agg(F.count("*").cast("int").alias("n")), on="id"
-    ).select("id", "n", "g")
-    # Exact length prefilter: J(x,y) >= t implies min(|x|,|y|)/max >= t,
-    # so size-incompatible pairs can be discarded inside the join
-    # before they ever reach the pair aggregation.
-    pairs = (
-        inv.alias("x")
-        .join(
-            inv.alias("y"),
-            on=[
-                F.col("x.g") == F.col("y.g"),
-                F.col("y.n") * 1.0 >= threshold * F.col("x.n"),
-                F.col("x.n") * 1.0 >= threshold * F.col("y.n"),
-            ],
-        )
-        .where(F.col("x.id") < F.col("y.id"))
-        .groupBy(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
-        .agg(
-            F.count("*").cast("double").alias("inter"),
-            F.first("x.n").alias("na"),
-            F.first("y.n").alias("nb"),
-        )
-        .select(
-            "id_a",
-            "id_b",
-            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6).alias(
-                "jaccard"
-            ),
-        )
-        .where(F.col("jaccard") >= threshold)
-    )
-    return pairs
+    return _jaccard_pairs_from_items(grams, threshold)
 
 
 def _simhash_df(
-    documents: DataFrame, *, text_col: str, id_col: str, bands: int
+    documents: DataFrame, *, text_col: str, id_col: str, bands: int,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(id, sh: bigint, bandv: array<bigint>): Charikar SimHash.
     Value bit i of ``sh`` is 1 iff sum over tokens of (+1 if bit i of
-    xxhash64(token) else -1) > 0.  Documents with zero tokens are
+    hash(token) else -1) > 0.  Documents with zero tokens are
     excluded (empty text is exact-dedup territory, not near-dup).
+
+    ``hash_fn="xxhash64"`` (default): 64-bit token hashes, 64-bit
+    simhash.  ``hash_fn="md5"``: the token hash is the first 15 hex
+    digits of md5 parsed as a 60-bit integer — exactly
+    ``conv(substring(md5(tok), 1, 15), 16, 10)`` — so the whole
+    pipeline is reproducible in ANSI SQL (nibble-sum reconstruction in
+    DuckDB); the simhash is then 60 bits wide.  Same plan shape.
 
     Shape: explode the 64 bit positions per token hash and aggregate
     (id, bit) sign sums, then fold the 64 rows per document into the
@@ -372,17 +436,23 @@ def _simhash_df(
     distinct powers of two (bit 63 = Long.MIN_VALUE), so their sum is
     exactly the two's-complement value and no partial order of
     additions can overflow."""
-    assert 64 % bands == 0
-    width = 64 // bands
-    tok_hashes = ensure_parallelism(
+    n_bits = 60 if hash_fn == "md5" else 64
+    assert n_bits % bands == 0
+    width = n_bits // bands
+    tok_rows = ensure_parallelism(
         documents.select(
             F.col(id_col).alias("id"),
             F.explode(tokens(normalize_text(F.col(text_col)))).alias("tok"),
         )
-    ).select("id", F.xxhash64("tok").alias("th"))
+    )
+    if hash_fn == "md5":
+        th = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
+    else:
+        th = F.xxhash64("tok")
+    tok_hashes = tok_rows.select("id", th.alias("th"))
     bit_sums = (
         tok_hashes.select(
-            "id", "th", F.explode(F.sequence(F.lit(0), F.lit(63))).alias("i")
+            "id", "th", F.explode(F.sequence(F.lit(0), F.lit(n_bits - 1))).alias("i")
         )
         .groupBy("id", "i")
         .agg(F.sum(F.when(F.bit_get("th", F.col("i")) == 1, 1).otherwise(-1)).alias("s"))
@@ -415,13 +485,14 @@ def simhash_dedup(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     bands: int = 4,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """SimHash near-dup pairs: band-blocked candidates verified by
     Hamming distance <= max_hamming on the 64-bit simhash.  With 4
     bands, any pair within distance 3 shares a band (pigeonhole), so
     recall is exact for the default threshold.  Returns
     (id_a, id_b, hamming)."""
-    sh = _simhash_df(documents, text_col=text_col, id_col=id_col, bands=bands)
+    sh = _simhash_df(documents, text_col=text_col, id_col=id_col, bands=bands, hash_fn=hash_fn)
     blocked = sh.select("id", "sh", F.posexplode("bandv").alias("band", "bv"))
     a = blocked.select("band", "bv", F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = blocked.select("band", "bv", F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
@@ -434,5 +505,34 @@ def simhash_dedup(
             F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
         )
         .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_allpairs(
+    documents: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Brute-force SimHash ground truth: Hamming distance over ALL
+    pairs (no band blocking).  ``simhash_dedup`` with ``bands >
+    max_hamming`` must return exactly this set (pigeonhole: a pair
+    within distance d differs in at most d bands, so with more bands
+    than differing bits some band matches) — comparing the two is the
+    measured-recall contract for the banding.  O(n^2) verification
+    tool; returns (id_a, id_b, hamming)."""
+    sh = _simhash_df(documents, text_col=text_col, id_col=id_col, bands=1, hash_fn=hash_fn)
+    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
+        )
         .where(F.col("hamming") <= max_hamming)
     )
