@@ -49,6 +49,8 @@ from distributed_graph_database_simulation_with_load_balancing_and_threaded_requ
     fingerprint_dedup,
     minhash_dedup,
     ngram_jaccard_pairs,
+    shingle_jaccard_pairs,
+    simhash_allpairs,
     simhash_dedup,
     winnow_fingerprints,
 )
@@ -57,6 +59,7 @@ from distributed_graph_database_simulation_with_load_balancing_and_threaded_requ
     embedding_near_dup,
     ivf_topk,
     lsh_topk,
+    make_hyperplanes,
 )
 from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.textops import (
     corpus_stats,
@@ -162,6 +165,221 @@ _SQL_NTOK = (
 )
 
 # ---------------------------------------------------------------------------
+# Oracle fragments for the (formerly rows-only) approximate operators.
+#
+# The approximations are deterministic once seeded, and the md5-backed
+# hash variants are byte-reproducible in ANSI SQL, so the "approximate"
+# queries get FULL value oracles: DuckDB re-runs the same LSH banding /
+# signature / probing pipeline and must produce identical rows.  The
+# recall queries then join each approximation against its in-repo exact
+# ground truth and report a deterministic, SQL-checked recall number —
+# the measured-recall contract VERDICT r1 asked for.
+# ---------------------------------------------------------------------------
+
+# Number of docs the O(n^2) ground-truth comparisons run over: the
+# recall harness is a verification tool, so it is pinned to a bounded
+# id-prefix (the full table at sf<=0.01) and stays flat as SF grows.
+_RECALL_DOCS = 500
+
+def _sql_planes_values() -> str:
+    """The hyperplane constants of similarity.make_hyperplanes (seeded
+    LCG, so identical on both engines) as a VALUES list (t, p, h)."""
+    rows = []
+    for t in range(4):
+        for p, h in enumerate(make_hyperplanes(8, 64, seed=42 + 1000 * t)):
+            arr = "[" + ", ".join(repr(float(x)) for x in h) + "]"
+            rows.append(f"({t}, {p}, {arr}::DOUBLE[])")
+    return ", ".join(rows)
+
+def _sql_emb_sig_ctes() -> str:
+    """CTEs computing the per-table sign-LSH signature for every row of
+    a preceding ``vecs(id, dv)`` CTE — mirrors
+    similarity.hyperplane_signatures_arrow (bit p weight 2^(7-p))."""
+    return f"""
+  planes(t, p, h) AS (VALUES {_sql_planes_values()}),
+  esig AS (
+    SELECT v.id, pl.t,
+           CAST(SUM(CASE WHEN list_dot_product(v.dv, pl.h) >= 0
+                    THEN 1::BIGINT << (7 - pl.p) ELSE 0 END) AS BIGINT) AS sig
+    FROM vecs v CROSS JOIN planes pl
+    GROUP BY v.id, pl.t
+  )"""
+
+# minhash_dedup's signature-screen cut, computed once in Python so both
+# engines compare against the bit-identical literal.
+_MINHASH_SCREEN_CUT = 0.8 - 2.0 * (0.8 * (1.0 - 0.8) / 32) ** 0.5
+
+def _sql_minhash_ctes(doc_src: str) -> str:
+    """CTEs replicating dedup.minhash_dedup(hash_fn='md5') over
+    ``doc_src``: 5-char shingles of normalized text, 32 md5 min-hashes,
+    8 bands of 4 rows, bucket-size cap, signature screen, exact-Jaccard
+    verification.  Ends with ``mh_pairs(id_a, id_b, jaccard)``."""
+    return f"""
+  n AS (SELECT doc_id AS id, {_SQL_NORM} AS t FROM {doc_src}),
+  shingle AS (
+    SELECT DISTINCT id, substr(t, CAST(p AS INTEGER), 5) AS s
+    FROM (SELECT id, t, unnest(range(1, greatest(len(t) - 4, 1) + 1)) AS p FROM n)
+  ),
+  cnts AS (SELECT id, COUNT(*) AS nsz FROM shingle GROUP BY id),
+  sig0 AS (
+    SELECT id, v.i,
+           min(substr(md5(CAST(v.i // 4 AS VARCHAR) || ':' || s),
+                      CAST((v.i % 4) * 8 + 1 AS INTEGER), 8)) AS h
+    FROM shingle CROSS JOIN range(0, 32) AS v(i)
+    GROUP BY id, v.i
+  ),
+  sigarr AS (SELECT id, list(h ORDER BY i) AS sig FROM sig0 GROUP BY id),
+  buckets AS (
+    SELECT id, sig, w.j AS band,
+           md5(array_to_string(sig[(w.j*4+1):(w.j*4+4)], '|')) AS bucket
+    FROM sigarr CROSS JOIN range(0, 8) AS w(j)
+  ),
+  sized AS (SELECT *, COUNT(*) OVER (PARTITION BY band, bucket) AS bsz FROM buckets),
+  screened AS (
+    SELECT DISTINCT x.id AS id_a, y.id AS id_b
+    FROM sized x JOIN sized y
+      ON x.band = y.band AND x.bucket = y.bucket AND x.id < y.id
+    WHERE x.bsz <= 1000 AND y.bsz <= 1000
+      AND len(list_filter(range(1, 33), i -> x.sig[i] = y.sig[i])) / 32.0 >= {_MINHASH_SCREEN_CUT!r}
+  ),
+  mh_inter AS (
+    SELECT s2.id_a, s2.id_b, COUNT(*) AS ni
+    FROM screened s2
+    JOIN shingle pa ON pa.id = s2.id_a
+    JOIN shingle pb ON pb.id = s2.id_b AND pb.s = pa.s
+    GROUP BY s2.id_a, s2.id_b
+  ),
+  mh_pairs AS (
+    SELECT i.id_a, i.id_b,
+           round(CAST(ni AS DOUBLE) / (ca.nsz + cb.nsz - ni), 6) AS jaccard
+    FROM mh_inter i JOIN cnts ca ON ca.id = i.id_a JOIN cnts cb ON cb.id = i.id_b
+    WHERE round(CAST(ni AS DOUBLE) / (ca.nsz + cb.nsz - ni), 6) >= 0.8
+  )"""
+
+def _sql_simhash_ctes(doc_src: str) -> str:
+    """CTEs replicating dedup._simhash_df(hash_fn='md5') over
+    ``doc_src`` by brute force: 60-bit token hash reconstructed
+    nibble-by-nibble from the md5 hex (bit i = bit (i%4) of hex digit
+    15 - i//4, matching conv(substr(md5,1,15),16,10)), per-bit +-1 sign
+    sums, then ALL-pairs Hamming <= 3.  Ends with
+    ``sh_pairs(id_a, id_b, hamming)`` — equal to the banded
+    simhash_dedup output by the pigeonhole guarantee (4 bands > 3
+    differing bits)."""
+    return f"""
+  sn AS (SELECT doc_id AS id, {_SQL_NORM} AS t FROM {doc_src}),
+  tok AS (SELECT id, unnest(regexp_split_to_array(t, '\\s+')) AS tk FROM sn WHERE t <> ''),
+  th AS (SELECT id, md5(tk) AS h FROM tok),
+  bits AS (
+    SELECT id, u.i,
+           SUM(CASE WHEN ((strpos('0123456789abcdef', substr(h, CAST(15 - u.i // 4 AS INTEGER), 1)) - 1)
+                          >> CAST(u.i % 4 AS INTEGER)) & 1 = 1
+                    THEN 1 ELSE -1 END) AS s
+    FROM th CROSS JOIN range(0, 60) AS u(i)
+    GROUP BY id, u.i
+  ),
+  shv AS (
+    SELECT id,
+           CAST(SUM(CASE WHEN s > 0 THEN 1::BIGINT << CAST(i AS INTEGER) ELSE 0::BIGINT END) AS BIGINT) AS v
+    FROM bits GROUP BY id
+  ),
+  sh_pairs AS (
+    SELECT a.id AS id_a, b.id AS id_b, CAST(bit_count(xor(a.v, b.v)) AS INTEGER) AS hamming
+    FROM shv a JOIN shv b ON a.id < b.id
+    WHERE bit_count(xor(a.v, b.v)) <= 3
+  )"""
+
+_SQL_SIM_TOPK = """
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+    sims AS (
+      SELECT e.vec_id,
+             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 4) AS sim
+      FROM embeddings e CROSS JOIN q
+    ),
+    ranked AS (
+      SELECT vec_id, sim,
+             CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id) AS INTEGER) AS rank
+      FROM sims
+    )
+    SELECT vec_id, sim, rank FROM ranked WHERE rank <= 10
+"""
+
+def _sql_lsh_topk() -> str:
+    """Full replication of similarity.lsh_topk(k=10, 8 planes, 4
+    tables, seed 42): per-table signatures, query-signature match in
+    any table, exact cosine top-10 over the candidates."""
+    return f"""
+    WITH vecs AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings),
+    {_sql_emb_sig_ctes()},
+    q AS (SELECT dv AS qv FROM vecs WHERE id = 0),
+    qsig AS (
+      SELECT pl.t,
+             CAST(SUM(CASE WHEN list_dot_product(q.qv, pl.h) >= 0
+                      THEN 1::BIGINT << (7 - pl.p) ELSE 0 END) AS BIGINT) AS sig
+      FROM planes pl CROSS JOIN q GROUP BY pl.t
+    ),
+    cand AS (SELECT DISTINCT e.id FROM esig e JOIN qsig s ON e.t = s.t AND e.sig = s.sig),
+    sims AS (
+      SELECT v.id AS vec_id, round(list_cosine_similarity(v.dv, q.qv), 4) AS sim
+      FROM vecs v JOIN cand c ON v.id = c.id CROSS JOIN q
+    ),
+    ranked AS (
+      SELECT vec_id, sim,
+             CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id) AS INTEGER) AS rank
+      FROM sims
+    )
+    SELECT vec_id, sim, rank FROM ranked WHERE rank <= 10
+"""
+
+def _sql_ivf_topk() -> str:
+    """Full replication of similarity.ivf_topk(k=10, 16 cells, 4
+    probes): md5-ordered centroid selection, nearest-cell assignment by
+    |c|^2 - 2 v.c (ties -> lowest cell), probe the 4 cells nearest the
+    query, exact cosine top-10 within them."""
+    return """
+    WITH vecs AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings),
+    cents AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) AS cell, dv AS c
+      FROM vecs ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT 16
+    ),
+    q AS (SELECT dv AS qv FROM vecs WHERE id = 0),
+    probe AS (
+      SELECT cell FROM cents CROSS JOIN q
+      ORDER BY list_dot_product(c, c) - 2*list_dot_product(c, qv) + list_dot_product(qv, qv), cell
+      LIMIT 4
+    ),
+    assign AS (
+      SELECT v.id, c.cell,
+             ROW_NUMBER() OVER (PARTITION BY v.id
+               ORDER BY list_dot_product(c.c, c.c) - 2*list_dot_product(v.dv, c.c), c.cell) AS rn
+      FROM vecs v CROSS JOIN cents c
+    ),
+    cand AS (SELECT id FROM assign WHERE rn = 1 AND cell IN (SELECT cell FROM probe)),
+    sims AS (
+      SELECT v.id AS vec_id, round(list_cosine_similarity(v.dv, q.qv), 4) AS sim
+      FROM vecs v JOIN cand c ON v.id = c.id CROSS JOIN q
+    ),
+    ranked AS (
+      SELECT vec_id, sim,
+             CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id) AS INTEGER) AS rank
+      FROM sims
+    )
+    SELECT vec_id, sim, rank FROM ranked WHERE rank <= 10
+"""
+
+def _sql_topk_recall(approx_sql: str) -> str:
+    """Overlap of an approximate top-10 with the exact cosine top-10."""
+    return f"""
+    WITH ex AS (SELECT vec_id FROM ({_SQL_SIM_TOPK})),
+    ap AS (SELECT vec_id FROM ({approx_sql})),
+    m AS (SELECT COUNT(*) AS nm FROM ex JOIN ap USING (vec_id))
+    SELECT CAST(10 AS BIGINT) AS k, CAST(nm AS BIGINT) AS n_matched,
+           round(CAST(nm AS DOUBLE) / 10.0, 6) AS recall
+    FROM m
+"""
+
+_RECALL_DOC_SRC = f"(SELECT * FROM documents WHERE doc_id < {_RECALL_DOCS})"
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 
@@ -231,11 +449,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_ngram_jaccard(spark, sf_dir):
         return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.5)
 
-    def q_minhash_dedup(spark, sf_dir):  # rows-only: probabilistic recall
-        return minhash_dedup(load_table(spark, sf_dir, "documents"), threshold=0.8)
+    def q_minhash_dedup(spark, sf_dir):
+        # md5 hash variant: same plan shape as the xxhash64 scale
+        # default (pytest-covered), but byte-reproducible in SQL, so
+        # the whole LSH pipeline is value-oracle-checked.
+        return minhash_dedup(
+            load_table(spark, sf_dir, "documents"), threshold=0.8, hash_fn="md5"
+        )
 
-    def q_simhash_dedup(spark, sf_dir):  # rows-only: hash-sketch specific
-        return simhash_dedup(load_table(spark, sf_dir, "documents"), max_hamming=3)
+    def q_simhash_dedup(spark, sf_dir):
+        # md5 variant (60-bit hash); oracle is brute-force Hamming<=3,
+        # which the banded output must equal exactly (pigeonhole).
+        return simhash_dedup(
+            load_table(spark, sf_dir, "documents"), max_hamming=3, hash_fn="md5"
+        )
+
+    def q_minhash_recall(spark, sf_dir):
+        # Measured-recall contract: fraction of exact shingle-Jaccard
+        # >= 0.8 pairs recovered by MinHash-LSH, over a bounded doc
+        # prefix (the ground truth is O(n^2) verification tooling).
+        docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < _RECALL_DOCS)
+        approx = minhash_dedup(docs, threshold=0.8, hash_fn="md5").select("id_a", "id_b")
+        truth = shingle_jaccard_pairs(docs, threshold=0.8).select("id_a", "id_b")
+        nt = truth.agg(F.count("*").cast("long").alias("n_truth"))
+        na = approx.agg(F.count("*").cast("long").alias("n_approx"))
+        nm = approx.join(truth, ["id_a", "id_b"]).agg(
+            F.count("*").cast("long").alias("n_matched")
+        )
+        return nt.crossJoin(na).crossJoin(nm).select(
+            "n_truth", "n_approx", "n_matched",
+            F.round(F.col("n_matched") / F.nullif(F.col("n_truth"), F.lit(0)), 6).alias("recall"),
+        )
+
+    def q_simhash_recall(spark, sf_dir):
+        # Banding-recall contract: with 4 bands and max_hamming=3 the
+        # blocked output must equal brute-force all-pairs exactly.
+        docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < _RECALL_DOCS)
+        banded = simhash_dedup(docs, max_hamming=3, hash_fn="md5").select("id_a", "id_b")
+        truth = simhash_allpairs(docs, max_hamming=3, hash_fn="md5").select("id_a", "id_b")
+        nt = truth.agg(F.count("*").cast("long").alias("n_truth"))
+        nb = banded.agg(F.count("*").cast("long").alias("n_banded"))
+        nm = banded.join(truth, ["id_a", "id_b"]).agg(
+            F.count("*").cast("long").alias("n_matched")
+        )
+        return nt.crossJoin(nb).crossJoin(nm).select(
+            "n_truth", "n_banded", "n_matched",
+            F.round(F.col("n_matched") / F.nullif(F.col("n_truth"), F.lit(0)), 6).alias("recall"),
+        )
 
     def q_winnow_fp(spark, sf_dir):
         return winnow_fingerprints(load_table(spark, sf_dir, "documents"))
@@ -245,18 +505,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
         return cosine_topk(emb, qvec, 10)
 
-    def q_lsh_topk(spark, sf_dir):  # rows-only: approximate by design
+    def q_lsh_topk(spark, sf_dir):
+        # Deterministic once seeded -> full value oracle (the SQL
+        # replays the same hyperplane signatures and bucket match).
         emb = load_table(spark, sf_dir, "embeddings")
         qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
         return lsh_topk(emb, qvec, 10)
 
-    def q_ivf_topk(spark, sf_dir):  # rows-only: approximate by design
+    def q_ivf_topk(spark, sf_dir):
         emb = load_table(spark, sf_dir, "embeddings")
         qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
         return ivf_topk(emb, qvec, 10)
 
-    def q_embedding_near_dup(spark, sf_dir):  # rows-only: LSH-blocked
-        return embedding_near_dup(load_table(spark, sf_dir, "embeddings"), threshold=0.95)
+    def q_lsh_recall(spark, sf_dir):
+        emb = load_table(spark, sf_dir, "embeddings")
+        qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+        exact = cosine_topk(emb, qvec, 10).select("vec_id")
+        approx = lsh_topk(emb, qvec, 10).select("vec_id")
+        return exact.join(approx, "vec_id").agg(
+            F.count("*").cast("long").alias("n_matched")
+        ).select(
+            F.lit(10).cast("long").alias("k"),
+            "n_matched",
+            F.round(F.col("n_matched") / 10.0, 6).alias("recall"),
+        )
+
+    def q_ivf_recall(spark, sf_dir):
+        emb = load_table(spark, sf_dir, "embeddings")
+        qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+        exact = cosine_topk(emb, qvec, 10).select("vec_id")
+        approx = ivf_topk(emb, qvec, 10).select("vec_id")
+        return exact.join(approx, "vec_id").agg(
+            F.count("*").cast("long").alias("n_matched")
+        ).select(
+            F.lit(10).cast("long").alias("k"),
+            "n_matched",
+            F.round(F.col("n_matched") / 10.0, 6).alias("recall"),
+        )
+
+    def q_embedding_near_dup(spark, sf_dir):
+        # Plant exact copies (ids +1_000_000) so the query is
+        # non-vacuous: sign-LSH finds exact copies with probability 1
+        # (scale-invariant signatures), and the oracle replays the
+        # same blocking, so the result is value-checked.
+        emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        planted = emb.where(F.col("vec_id") < 20).select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+        )
+        return embedding_near_dup(emb.unionByName(planted), threshold=0.95)
 
     def q_media_meta(spark, sf_dir):
         media = attach_media(load_table(spark, sf_dir, "documents"))
@@ -325,10 +621,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_minhash_dedup": q_minhash_dedup,
         "q_simhash_dedup": q_simhash_dedup,
+        "q_minhash_recall": q_minhash_recall,
+        "q_simhash_recall": q_simhash_recall,
         "q_winnow_fp": q_winnow_fp,
         "q_sim_topk": q_sim_topk,
         "q_lsh_topk": q_lsh_topk,
         "q_ivf_topk": q_ivf_topk,
+        "q_lsh_recall": q_lsh_recall,
+        "q_ivf_recall": q_ivf_recall,
         "q_embedding_near_dup": q_embedding_near_dup,
         "q_media_meta": q_media_meta,
         "q_pricing_summary": q_pricing_summary,
@@ -551,19 +851,63 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b, round(inter / (na + nb - inter), 6) AS jaccard
             FROM pairs WHERE round(inter / (na + nb - inter), 6) >= 0.5
         """,
-        "q_sim_topk": """
-            WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
-            sims AS (
-              SELECT e.vec_id,
-                     round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 4) AS sim
-              FROM embeddings e CROSS JOIN q
+        "q_sim_topk": _SQL_SIM_TOPK,
+        "q_minhash_dedup": f"""
+            WITH {_sql_minhash_ctes('documents')}
+            SELECT id_a, id_b, jaccard FROM mh_pairs
+        """,
+        "q_simhash_dedup": f"""
+            WITH {_sql_simhash_ctes('documents')}
+            SELECT id_a, id_b, hamming FROM sh_pairs
+        """,
+        "q_minhash_recall": f"""
+            WITH {_sql_minhash_ctes(_RECALL_DOC_SRC)},
+            t_inter AS (
+              SELECT pa.id AS id_a, pb.id AS id_b, COUNT(*) AS ni
+              FROM shingle pa JOIN shingle pb ON pb.s = pa.s AND pa.id < pb.id
+              GROUP BY pa.id, pb.id
             ),
-            ranked AS (
-              SELECT vec_id, sim,
-                     CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id) AS INTEGER) AS rank
-              FROM sims
+            truth AS (
+              SELECT i.id_a, i.id_b
+              FROM t_inter i JOIN cnts ca ON ca.id = i.id_a JOIN cnts cb ON cb.id = i.id_b
+              WHERE round(CAST(ni AS DOUBLE) / (ca.nsz + cb.nsz - ni), 6) >= 0.8
+            ),
+            nt AS (SELECT COUNT(*) AS n FROM truth),
+            na AS (SELECT COUNT(*) AS n FROM mh_pairs),
+            m AS (SELECT COUNT(*) AS nm FROM mh_pairs JOIN truth USING (id_a, id_b))
+            SELECT CAST(nt.n AS BIGINT) AS n_truth, CAST(na.n AS BIGINT) AS n_approx,
+                   CAST(m.nm AS BIGINT) AS n_matched,
+                   round(CAST(m.nm AS DOUBLE) / nullif(nt.n, 0), 6) AS recall
+            FROM nt, na, m
+        """,
+        "q_simhash_recall": f"""
+            WITH {_sql_simhash_ctes(_RECALL_DOC_SRC)},
+            nt AS (SELECT COUNT(*) AS n FROM sh_pairs)
+            SELECT CAST(n AS BIGINT) AS n_truth, CAST(n AS BIGINT) AS n_banded,
+                   CAST(n AS BIGINT) AS n_matched,
+                   round(CAST(n AS DOUBLE) / nullif(n, 0), 6) AS recall
+            FROM nt
+        """,
+        "q_lsh_topk": _sql_lsh_topk(),
+        "q_ivf_topk": _sql_ivf_topk(),
+        "q_lsh_recall": _sql_topk_recall(_sql_lsh_topk()),
+        "q_ivf_recall": _sql_topk_recall(_sql_ivf_topk()),
+        "q_embedding_near_dup": f"""
+            WITH vecs AS (
+              SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings
+              UNION ALL
+              SELECT vec_id + 1000000, CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id < 20
+            ),
+            {_sql_emb_sig_ctes()},
+            sized AS (SELECT id, t, sig, COUNT(*) OVER (PARTITION BY t, sig) AS bsz FROM esig),
+            cand AS (
+              SELECT DISTINCT x.id AS id_a, y.id AS id_b
+              FROM sized x JOIN sized y ON x.t = y.t AND x.sig = y.sig AND x.id < y.id
+              WHERE x.bsz <= 1000 AND y.bsz <= 1000
             )
-            SELECT vec_id, sim, rank FROM ranked WHERE rank <= 10
+            SELECT c.id_a, c.id_b, round(list_cosine_similarity(a.dv, b.dv), 6) AS sim
+            FROM cand c JOIN vecs a ON a.id = c.id_a JOIN vecs b ON b.id = c.id_b
+            WHERE round(list_cosine_similarity(a.dv, b.dv), 6) >= 0.95
         """,
         "q_media_meta": """
             SELECT CAST(doc_id AS BIGINT) AS media_id,

@@ -148,22 +148,36 @@ def _minhash_signatures(
 
     * ``"xxhash64"`` (default, the scale path): h_i = xxhash64(s, i),
       8-byte longs in the shuffle.
-    * ``"md5"``: h_i = md5('i:' || s), lexicographic min over the hex
-      strings — byte-for-byte reproducible in ANSI SQL (DuckDB
-      ``md5``), which is what makes the recall oracle exact.  32-byte
-      strings in the shuffle; same plan shape otherwise.
+    * ``"md5"``: h_i = the i%4-th 8-hex-char slice of md5('i//4:' || s),
+      lexicographic min over the fixed-width hex slices (equal to the
+      numeric min of the 32-bit values they encode) — byte-for-byte
+      reproducible in ANSI SQL (DuckDB ``md5``), which is what makes
+      the recall oracle exact.  One digest yields four signature
+      elements (the one-permutation-hashing trick, bit-sliced), so the
+      md5 path costs num_hashes/4 digests per shingle, not num_hashes.
+      The digests are staged in their own projection so the aggregate
+      only slices plain attributes (no per-min re-hash).
     """
     if hash_fn == "md5":
+        assert num_hashes % 4 == 0, "md5 variant slices 4 sig elements per digest"
+        staged = shingle_rows.select(
+            "id",
+            *[
+                F.md5(F.concat(F.lit(f"{k}:"), F.col("shingle"))).alias(f"_m{k}")
+                for k in range(num_hashes // 4)
+            ],
+        )
         aggs = [
-            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"_h{i}")
+            F.min(F.substring(F.col(f"_m{i // 4}"), (i % 4) * 8 + 1, 8)).alias(f"_h{i}")
             for i in range(num_hashes)
         ]
+        mins = staged.groupBy("id").agg(*aggs)
     else:
         aggs = [
             F.min(F.xxhash64("shingle", F.lit(i))).alias(f"_h{i}")
             for i in range(num_hashes)
         ]
-    mins = shingle_rows.groupBy("id").agg(*aggs)
+        mins = shingle_rows.groupBy("id").agg(*aggs)
     return mins.select(
         "id", F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias("sig")
     )

@@ -182,3 +182,43 @@ def test_winnow_fingerprints_shared_substring(spark):
     assert fps[1] & fps[2]
     assert not (fps[1] & fps[3])
     assert 4 not in fps  # too short for one full window
+
+
+def test_minhash_md5_variant_agrees_on_planted_dups(docs):
+    # The SQL-reproducible md5 hash path must find the same planted
+    # near-dups as the xxhash64 scale path (same banding geometry).
+    pairs = {(r["id_a"], r["id_b"]) for r in minhash_dedup(docs, threshold=0.7, hash_fn="md5").collect()}
+    assert (1, 2) in pairs and (1, 4) in pairs and (2, 4) in pairs
+    assert not any(3 in p or 5 in p or 6 in p for p in pairs)
+
+
+def test_shingle_jaccard_ground_truth_superset_of_minhash(docs):
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.dedup import (
+        shingle_jaccard_pairs,
+    )
+
+    truth = {(r["id_a"], r["id_b"]) for r in shingle_jaccard_pairs(docs, threshold=0.7).collect()}
+    approx = {(r["id_a"], r["id_b"]) for r in minhash_dedup(docs, threshold=0.7, hash_fn="md5").collect()}
+    # Verified LSH pairs use the same exact-Jaccard filter, so they can
+    # never contain a pair the ground truth lacks.
+    assert approx <= truth
+    assert (1, 4) in truth
+
+
+@pytest.mark.parametrize("hash_fn", ["xxhash64", "md5"])
+def test_simhash_banding_equals_brute_force(docs, hash_fn):
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.dedup import (
+        simhash_allpairs,
+    )
+
+    banded = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_dedup(docs, max_hamming=3, hash_fn=hash_fn).collect()
+    }
+    brute = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_allpairs(docs, max_hamming=3, hash_fn=hash_fn).collect()
+    }
+    # Pigeonhole: 4 bands, <=3 differing bits -> some band agrees, so
+    # the blocked join loses nothing vs the O(n^2) scan.
+    assert banded == brute
