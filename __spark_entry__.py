@@ -45,6 +45,7 @@ from distributed_graph_database_simulation_with_load_balancing_and_threaded_requ
 )
 from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.sources.tables import load_table
 from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.dedup import (
+    dedup_clusters,
     exact_dedup,
     fingerprint_dedup,
     minhash_dedup,
@@ -497,6 +498,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round(F.col("n_matched") / F.nullif(F.col("n_truth"), F.lit(0)), 6).alias("recall"),
         )
 
+    def q_dedup_clusters(spark, sf_dir):
+        # Transitive keep-list: connected components over the minhash
+        # near-dup pair graph + singleton fill-in -> one verdict per
+        # document (the consumable a dedup pipeline actually applies).
+        docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < _RECALL_DOCS)
+        pairs = minhash_dedup(docs, threshold=0.8, hash_fn="md5")
+        return dedup_clusters(pairs, documents=docs, id_col="doc_id")
+
     def q_winnow_fp(spark, sf_dir):
         return winnow_fingerprints(load_table(spark, sf_dir, "documents"))
 
@@ -623,6 +632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_simhash_dedup": q_simhash_dedup,
         "q_minhash_recall": q_minhash_recall,
         "q_simhash_recall": q_simhash_recall,
+        "q_dedup_clusters": q_dedup_clusters,
         "q_winnow_fp": q_winnow_fp,
         "q_sim_topk": q_sim_topk,
         "q_lsh_topk": q_lsh_topk,
@@ -887,6 +897,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n AS BIGINT) AS n_matched,
                    round(CAST(n AS DOUBLE) / nullif(n, 0), 6) AS recall
             FROM nt
+        """,
+        "q_dedup_clusters": f"""
+            WITH RECURSIVE {_sql_minhash_ctes(_RECALL_DOC_SRC)},
+            sympairs AS (
+              SELECT id_a AS src, id_b AS dst FROM mh_pairs
+              UNION
+              SELECT id_b, id_a FROM mh_pairs
+            ),
+            reach(v, r) AS (
+              SELECT DISTINCT src, src FROM sympairs
+              UNION
+              SELECT s.dst, reach.r FROM reach JOIN sympairs s ON s.src = reach.v
+            ),
+            comp AS (SELECT v, MIN(r) AS cluster_id FROM reach GROUP BY v)
+            SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+                   (d.doc_id = COALESCE(c.cluster_id, d.doc_id)) AS keep
+            FROM {_RECALL_DOC_SRC} d
+            LEFT JOIN comp c ON c.v = d.doc_id
         """,
         "q_lsh_topk": _sql_lsh_topk(),
         "q_ivf_topk": _sql_ivf_topk(),

@@ -317,6 +317,57 @@ def minhash_dedup(
     )
 
 
+def dedup_clusters(
+    pairs: DataFrame,
+    *,
+    documents: DataFrame | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Transitive dedup keep-list from near-duplicate *pairs*: the
+    consumable a real pipeline wants.  Near-duplication is not
+    transitive (A~B and B~C does not imply A~C), but keeping one
+    representative per *connected component* of the pair graph is the
+    standard conservative policy — this runs hash-min connected
+    components (traverse.connected_components) over the pairs and
+    returns ``(id_col, cluster_id, keep)`` where ``cluster_id`` is the
+    minimum doc id in the component and ``keep`` marks the one row per
+    cluster to retain.
+
+    When ``documents`` is given, docs appearing in no pair are emitted
+    as their own singleton clusters (keep = true), so the output is a
+    complete per-document verdict, not just the entangled subset.
+
+    Scale: the pair graph is tiny relative to the corpus (it contains
+    only near-duplicate docs), so the iterative CC runs over the
+    already-reduced edge set; the singleton fill-in is one broadcast-
+    friendly left join keyed on the doc id.
+    """
+    from .traverse import connected_components
+
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    sym = edges.unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    comp = connected_components(sym)
+    out = comp.select(
+        F.col("vertex").alias(id_col), F.col("component").alias("cluster_id")
+    )
+    if documents is not None:
+        out = (
+            documents.select(id_col)
+            .join(out, on=id_col, how="left")
+            .select(
+                id_col,
+                F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
+            )
+        )
+    return out.select(
+        id_col,
+        "cluster_id",
+        (F.col(id_col) == F.col("cluster_id")).alias("keep"),
+    )
+
+
 def _jaccard_pairs_from_items(items: DataFrame, threshold: float) -> DataFrame:
     """Exact set-Jaccard pairs from DISTINCT ``(id, item)`` rows:
     inverted-index join on shared items (pairs sharing zero items never

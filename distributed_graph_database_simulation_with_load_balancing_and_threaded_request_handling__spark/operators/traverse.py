@@ -331,9 +331,14 @@ def connected_components(
     vertex + a min-aggregation — both partial-aggregated; rounds ≈
     graph diameter (hash-min), labels are localCheckpointed so lineage
     stays flat.  Convergence is detected with a changed-label count on
-    the joined old/new labels.
+    the joined old/new labels.  Exhausting ``max_iters`` without
+    convergence raises rather than silently returning wrong labels
+    (hash-min needs ~diameter rounds; a path graph longer than
+    ``max_iters`` would otherwise get incorrect components with no
+    signal).
     """
     e = _edges_only(edges, graph_id).persist()
+    converged = False
     try:
         labels = (
             e.select(F.col("src").alias("vertex"))
@@ -367,6 +372,11 @@ def connected_components(
             labels = new_labels
             if converged:
                 break
+        if not converged:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iters} rounds "
+                "(graph diameter exceeds max_iters); raise max_iters"
+            )
         return labels
     finally:
         e.unpersist(blocking=False)

@@ -222,3 +222,18 @@ def test_simhash_banding_equals_brute_force(docs, hash_fn):
     # Pigeonhole: 4 bands, <=3 differing bits -> some band agrees, so
     # the blocked join loses nothing vs the O(n^2) scan.
     assert banded == brute
+
+
+def test_dedup_clusters_keep_list(docs):
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.dedup import (
+        dedup_clusters,
+    )
+
+    pairs = minhash_dedup(docs, threshold=0.7, hash_fn="md5")
+    out = {r["doc_id"]: (r["cluster_id"], r["keep"]) for r in dedup_clusters(pairs, documents=docs).collect()}
+    assert len(out) == 6                      # complete per-document verdict
+    assert out[1] == (1, True)                # cluster {1,2,4} keeps min id
+    assert out[2] == (1, False)
+    assert out[4] == (1, False)
+    for singleton in (3, 5, 6):
+        assert out[singleton] == (singleton, True)
