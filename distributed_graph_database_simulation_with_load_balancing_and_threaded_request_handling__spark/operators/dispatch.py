@@ -73,7 +73,10 @@ def run_requests(requests: DataFrame, edges: DataFrame, *, assume_tree: bool = T
     kind become ONE set-oriented job: every op-4 request rides a single
     multi-source BFS (one frontier loop for the whole batch, supersteps
     = the deepest traversal requested), and every op-3 request shares
-    one degree aggregation (planner rule R1) when ``assume_tree``.
+    one degree aggregation (planner rule R1) when ``assume_tree``, or
+    one multi-source BFS orientation + child-detection join
+    (``dfs_leaves_multi_general``) otherwise — both paths are
+    request-count-independent with no driver-side per-request loop.
     Distinct (graph, start) pairs are traversed once and fanned back
     out to their seq_nos by join.  Requests whose start vertex is
     absent from the graph produce no rows (the reference reads
@@ -85,7 +88,7 @@ def run_requests(requests: DataFrame, edges: DataFrame, *, assume_tree: bool = T
     name-keyed request shape of the reference client.
     """
     from ..plans.planner import plan_request
-    from .traverse import bfs_levels_multi, dfs_leaves, dfs_leaves_multi
+    from .traverse import bfs_levels_multi, dfs_leaves_multi, dfs_leaves_multi_general
 
     dfs_plan = plan_request(3, assume_tree=assume_tree)
     has_gid = "graph_id" in requests.columns
@@ -118,34 +121,18 @@ def run_requests(requests: DataFrame, edges: DataFrame, *, assume_tree: bool = T
     op3 = reads.where(F.col("op_no") == 3)
     if dfs_plan.rule == "R1":
         leaves = dfs_leaves_multi(e, op3.select("graph_id", "start"))
-        out3 = op3.join(leaves, on=["graph_id", "start"]).select(
-            "seq_no",
-            F.lit(3).alias("op_no"),
-            out_gid.alias("graph_id"),
-            F.col("leaf").alias("vertex"),
-            F.lit(None).cast("int").alias("level"),
-        )
     else:
-        # General (non-tree) path: per-request orientation loops.
-        spark = requests.sparkSession
-        outs: list[DataFrame] = []
-        for r in op3.collect():
-            gid = int(r["graph_id"]) if has_gid else None
-            d = dfs_leaves(edges, int(r["start"]), graph_id=gid, assume_tree=False)
-            outs.append(
-                d.select(
-                    F.lit(int(r["seq_no"])).alias("seq_no"),
-                    F.lit(3).alias("op_no"),
-                    F.lit(gid).cast("int").alias("graph_id"),
-                    F.col("leaf").alias("vertex"),
-                    F.lit(None).cast("int").alias("level"),
-                )
-            )
-        out3 = outs[0] if outs else spark.createDataFrame(
-            [], "seq_no int, op_no int, graph_id int, vertex long, level int"
-        )
-        for d in outs[1:]:
-            out3 = out3.unionByName(d)
+        # General (non-tree) path: the same set-oriented shape — one
+        # multi-source BFS orientation + child-detection join for the
+        # whole batch (no per-request driver loop, no collect()).
+        leaves = dfs_leaves_multi_general(e, op3.select("graph_id", "start"))
+    out3 = op3.join(leaves, on=["graph_id", "start"]).select(
+        "seq_no",
+        F.lit(3).alias("op_no"),
+        out_gid.alias("graph_id"),
+        F.col("leaf").alias("vertex"),
+        F.lit(None).cast("int").alias("level"),
+    )
 
     return out4.unionByName(out3)
 

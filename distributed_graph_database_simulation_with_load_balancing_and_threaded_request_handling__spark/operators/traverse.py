@@ -220,6 +220,55 @@ def dfs_leaves_multi(edges: DataFrame, sources: DataFrame) -> DataFrame:
     )
 
 
+def dfs_leaves_multi_general(edges: DataFrame, sources: DataFrame) -> DataFrame:
+    """Batched GENERAL (non-tree) DFS-leaves: orient every
+    (graph_id, start) traversal at once with ``bfs_levels_multi``,
+    then a reached vertex is a leaf iff it has no neighbor one level
+    deeper in ITS traversal (i.e. no children in that BFS tree) and is
+    not the start — the same child-detection join the single-source
+    general path uses, generalized per (graph_id, start).
+
+    This is the set-oriented replacement for the former per-request
+    driver loop in ``dispatch.run_requests`` (one plan, two iterative
+    jobs total, for ANY request count); per request it agrees with
+    ``dfs_leaves(..., assume_tree=False)``.  Starts absent from their
+    graph yield no rows (multi-request contract).  Returns
+    (graph_id, start, leaf).
+    """
+    e = edges.select(
+        F.col("graph_id").cast("int").alias("graph_id"),
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+    )
+    levels = bfs_levels_multi(edges, sources)
+    nbr = (
+        levels.alias("s")
+        .join(
+            e.alias("ed"),
+            (F.col("s.graph_id") == F.col("ed.graph_id"))
+            & (F.col("s.vertex") == F.col("ed.src")),
+        )
+        .join(
+            levels.alias("d"),
+            (F.col("d.graph_id") == F.col("s.graph_id"))
+            & (F.col("d.start") == F.col("s.start"))
+            & (F.col("d.vertex") == F.col("ed.dst")),
+        )
+        .where(F.col("d.level") == F.col("s.level") + 1)
+        .select(
+            F.col("s.graph_id").alias("graph_id"),
+            F.col("s.start").alias("start"),
+            F.col("s.vertex").alias("vertex"),
+        )
+        .distinct()
+    )
+    return (
+        levels.join(nbr, on=["graph_id", "start", "vertex"], how="left_anti")
+        .where(F.col("vertex") != F.col("start"))
+        .select("graph_id", "start", F.col("vertex").alias("leaf"))
+    )
+
+
 def bfs_level_order(
     edges: DataFrame,
     start_vertex: int,
