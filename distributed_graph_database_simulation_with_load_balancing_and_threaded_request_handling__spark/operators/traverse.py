@@ -23,12 +23,19 @@ engine returns only reached vertices.
 Scale posture (100 TB): the frontier join shuffles on the vertex key;
 AQE right-sizes each level (frontiers vary by orders of magnitude).
 ``localCheckpoint`` truncates lineage each level so plans stay O(1)
-deep instead of O(depth).  The visited set is carried as a running
-union of per-level checkpointed frontiers — the anti-join against it is
-shuffle-partitioned on the same key as the frontier join, so a level
-costs two shuffles of frontier-sized data, never edge-sized data
-(edges are scanned, filtered by the join, but not re-shuffled when AQE
-picks a broadcast of the frontier side for small frontiers).
+deep instead of O(depth); the lazy-checkpoint-then-count idiom makes
+each superstep exactly ONE Spark action (the count materializes the
+checkpoint AND detects the empty frontier — no separate isEmpty probe).
+Visited-set dedup: with ``undirected=True`` (the engine's canonical
+edge lists are symmetric, sources/graphs.py ``edges_from_pairs``) a
+neighbor of a level-L vertex can only sit at level L-1, L, or L+1, so
+the anti-join needs only the LAST TWO frontiers — genuinely
+frontier-sized, independent of how many vertices were reached.  With
+``undirected=False`` (directed inputs) the anti-join's build side is
+the full accumulated visited set, which is the inherent cost of
+level-synchronous BFS on directed graphs.  Edges are scanned and
+filtered by the join but never re-shuffled when AQE broadcasts the
+small frontier side.
 """
 
 from __future__ import annotations
@@ -49,6 +56,7 @@ def bfs_levels(
     graph_id: int | None = None,
     max_levels: int | None = None,
     validate_start: bool = True,
+    undirected: bool = True,
 ) -> DataFrame:
     """Hop distance from ``start_vertex`` over a symmetric edge list.
 
@@ -61,6 +69,14 @@ def bfs_levels(
     (FIXTURES.md: the reference indexes row -1 on out-of-range input,
     e.g. inp.txt:36-39 start=0; the engine raises instead).  The check
     is one src-pushdown filter probe; disable inside tight loops.
+
+    ``undirected`` (default True, matching the engine's canonical
+    symmetric edge lists and the reference's symmetric adjacency
+    matrices) enables frontier-sized dedup: the anti-join sees only the
+    last two frontiers.  Pass False for directed edge lists — the
+    last-two-frontiers property does not hold there (a directed edge
+    may jump back to a much shallower vertex) and the full visited set
+    must be retained.
     """
     spark = edges.sparkSession
     # The edge list is scanned once per level by the frontier join; if
@@ -80,6 +96,9 @@ def bfs_levels(
         frontier = spark.createDataFrame([(int(start_vertex), 0)], "vertex long, level int")
         frontier = frontier.localCheckpoint(eager=True)
         visited_levels = [frontier]
+        # Directed mode only: running union of all frontier keys seen.
+        seen_keys = frontier.select("vertex")
+        prev_keys: DataFrame | None = None
         level = 0
         while True:
             level += 1
@@ -91,20 +110,26 @@ def bfs_levels(
                 .select(e["dst"].alias("vertex"))
                 .distinct()
             )
-            visited = visited_levels[0]
-            for v in visited_levels[1:]:
-                visited = visited.unionAll(v)
+            if undirected:
+                dedup = frontier.select("vertex")
+                if prev_keys is not None:
+                    dedup = dedup.unionAll(prev_keys)
+            else:
+                dedup = seen_keys
             new = (
-                neighbors.join(visited.select("vertex"), on="vertex", how="left_anti")
+                neighbors.join(dedup, on="vertex", how="left_anti")
                 .select(F.col("vertex"), F.lit(level).cast("int").alias("level"))
             )
-            # Materialize + truncate lineage; also gives AQE exact stats
-            # for the next level's join-side selection (broadcast tiny
-            # frontiers).
-            new = new.localCheckpoint(eager=True)
-            if new.isEmpty():
+            # Lazy checkpoint + count = ONE action that materializes the
+            # level (truncating lineage, giving AQE exact stats for the
+            # next join) and detects the empty frontier.
+            new = new.localCheckpoint(eager=False)
+            if new.count() == 0:
                 break
             visited_levels.append(new)
+            prev_keys = frontier.select("vertex")
+            if not undirected:
+                seen_keys = seen_keys.unionAll(new.select("vertex"))
             frontier = new
 
         out = visited_levels[0]
@@ -114,7 +139,9 @@ def bfs_levels(
     finally:
         e.unpersist(blocking=False)
 
-def bfs_levels_multi(edges: DataFrame, sources: DataFrame) -> DataFrame:
+def bfs_levels_multi(
+    edges: DataFrame, sources: DataFrame, *, undirected: bool = True
+) -> DataFrame:
     """Multi-source BFS: one level-synchronous loop for ANY number of
     (graph_id, start) traversals at once — the set-oriented form of the
     reference's many-concurrent-requests workload (one pthread per
@@ -131,6 +158,9 @@ def bfs_levels_multi(edges: DataFrame, sources: DataFrame) -> DataFrame:
     traversals never interfere; the edge join shuffles on
     (graph_id, src) — co-partitioned with a graph_id-bucketed edge
     table; supersteps = the deepest requested traversal, not the sum.
+    One Spark action per superstep (lazy checkpoint + count) and, with
+    ``undirected`` (default — canonical edge lists are symmetric),
+    last-two-frontiers dedup per traversal (see ``bfs_levels``).
     """
     spark = edges.sparkSession
     e = edges.select(
@@ -155,6 +185,9 @@ def bfs_levels_multi(edges: DataFrame, sources: DataFrame) -> DataFrame:
             .localCheckpoint(eager=True)
         )
         visited_levels = [frontier]
+        keys = ["graph_id", "start", "vertex"]
+        seen_keys = frontier.select(*keys)
+        prev_keys: DataFrame | None = None
         level = 0
         while True:
             level += 1
@@ -171,22 +204,24 @@ def bfs_levels_multi(edges: DataFrame, sources: DataFrame) -> DataFrame:
                 )
                 .distinct()
             )
-            visited = visited_levels[0]
-            for v in visited_levels[1:]:
-                visited = visited.unionAll(v)
+            if undirected:
+                dedup = frontier.select(*keys)
+                if prev_keys is not None:
+                    dedup = dedup.unionAll(prev_keys)
+            else:
+                dedup = seen_keys
             new = (
-                neighbors.join(
-                    visited.select("graph_id", "start", "vertex"),
-                    on=["graph_id", "start", "vertex"],
-                    how="left_anti",
-                )
+                neighbors.join(dedup, on=keys, how="left_anti")
                 .select("graph_id", "start", "vertex",
                         F.lit(level).cast("int").alias("level"))
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
-            if new.isEmpty():
+            if new.count() == 0:
                 break
             visited_levels.append(new)
+            prev_keys = frontier.select(*keys)
+            if not undirected:
+                seen_keys = seen_keys.unionAll(new.select(*keys))
             frontier = new
         out = visited_levels[0]
         for v in visited_levels[1:]:
@@ -379,8 +414,9 @@ def connected_components(
     Scale: each round is one (labels ⋈ edges) shuffle keyed on the
     vertex + a min-aggregation — both partial-aggregated; rounds ≈
     graph diameter (hash-min), labels are localCheckpointed so lineage
-    stays flat.  Convergence is detected with a changed-label count on
-    the joined old/new labels.  Exhausting ``max_iters`` without
+    stays flat.  Convergence is a ``_changed`` flag summed in the SAME
+    action that materializes the round's checkpoint — one Spark job per
+    round, no separate old-vs-new join probe.  Exhausting ``max_iters`` without
     convergence raises rather than silently returning wrong labels
     (hash-min needs ~diameter rounds; a path graph longer than
     ``max_iters`` would otherwise get incorrect components with no
@@ -393,7 +429,7 @@ def connected_components(
             e.select(F.col("src").alias("vertex"))
             .distinct()
             .select("vertex", F.col("vertex").alias("component"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)  # materialized by round 1's action
         )
         for _ in range(max_iters):
             nbr_min = (
@@ -408,18 +444,17 @@ def connected_components(
                     F.least(
                         "component", F.coalesce("nbr_component", "component")
                     ).alias("component"),
+                    (
+                        F.coalesce("nbr_component", "component")
+                        < F.col("component")
+                    ).cast("int").alias("_changed"),
                 )
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
-            converged = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), on="vertex")
-                .where(F.col("n.component") != F.col("o.component"))
-                .limit(1)
-                .isEmpty()
-            )
-            labels = new_labels
-            if converged:
+            n_changed = new_labels.agg(F.sum("_changed")).collect()[0][0] or 0
+            labels = new_labels.drop("_changed")
+            if n_changed == 0:
+                converged = True
                 break
         if not converged:
             raise RuntimeError(

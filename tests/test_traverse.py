@@ -82,6 +82,16 @@ def test_absent_start_vertex_raises(spark):
     with pytest.raises(ValueError, match="not present"):
         dfs_leaves(edges, 42, graph_id=1)
 
+def test_bfs_levels_directed_mode_handles_back_edges(spark):
+    # Directed path 1->2->3->4->5 plus a back-jump 5->1: the
+    # last-two-frontiers dedup of undirected mode would re-emit vertex
+    # 1 at level 5; directed mode keeps the full visited set.
+    rows = [(1, 1, 2), (1, 2, 3), (1, 3, 4), (1, 4, 5), (1, 5, 1)]
+    edges = spark.createDataFrame(rows, "graph_id int, src long, dst long")
+    got = levels_of(bfs_levels(edges, 1, graph_id=1, undirected=False))
+    assert got == {(1, 0), (2, 1), (3, 2), (4, 3), (5, 4)}
+
+
 def test_graph_id_isolation(spark):
     e1 = make_edges(spark, [(1, 2), (2, 3)], graph_id=1)
     e2 = make_edges(spark, [(1, 9), (9, 10)], graph_id=2)
