@@ -28,44 +28,86 @@ from ..sources.schema import GRAPH_EDGES_SCHEMA
 
 class GraphCatalog:
     """A graph database rooted at a Parquet path, one partition per
-    graph_id."""
+    graph_id.
+
+    Single-writer assumption (documented contract): like the reference's
+    one primary server owning all mutations (primary_server.c:68), the
+    catalog assumes one writer at a time.  ``add_graph`` re-probes the
+    target partition directory immediately before writing to narrow the
+    check-then-write window, but two truly concurrent writers racing on
+    the same graph_id are outside the contract (the loser's partition is
+    atomically replaced, not interleaved — Parquet partition commits
+    stay atomic either way)."""
 
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = path
-        # Only the mutated partition is replaced on overwrite-mode writes.
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    def _hadoop_fs(self):
+        """(FileSystem, Path) for the catalog root via the JVM Hadoop
+        API — partition existence from filesystem METADATA (an O(dirs)
+        listing), never a data scan.  The reference keeps the same
+        registry driver-side as ``gnos[100]`` (primary_server.c:68)."""
+        jvm = self.spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(self.path)
+        fs = jpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        return fs, jpath
+
+    def _partition_exists(self, graph_id: int) -> bool:
+        fs, jpath = self._hadoop_fs()
+        jvm = self.spark._jvm
+        return bool(
+            fs.exists(jvm.org.apache.hadoop.fs.Path(jpath, f"graph_id={int(graph_id)}"))
+        )
 
     def _existing_ids(self) -> set[int]:
-        try:
-            df = self.spark.read.schema(GRAPH_EDGES_SCHEMA).parquet(self.path)
-        except Exception:
+        """Registered graph ids from the partition-directory listing
+        (no data scan; O(partitions) filesystem metadata)."""
+        fs, jpath = self._hadoop_fs()
+        if not fs.exists(jpath):
             return set()
-        return {int(r["graph_id"]) for r in df.select("graph_id").distinct().collect()}
+        ids: set[int] = set()
+        for status in fs.listStatus(jpath):
+            name = status.getPath().getName()
+            if status.isDirectory() and name.startswith("graph_id="):
+                try:
+                    ids.add(int(name.split("=", 1)[1]))
+                except ValueError:
+                    continue
+        return ids
 
     def add_graph(self, graph_id: int, pairs: DataFrame) -> None:
         """O1: ingest a new graph.  Raises if the id exists — the
         analogue of the reference's 'create semaphores with O_CREAT'
         branch being the add-only path (primary_server.c:106-117)."""
-        if graph_id in self._existing_ids():
+        if self._partition_exists(graph_id):
             raise ValueError(f"graph {graph_id} already exists; use modify_graph")
         self._write(graph_id, pairs)
 
     def modify_graph(self, graph_id: int, pairs: DataFrame) -> None:
         """O2: wholesale replace an existing graph (whole-file overwrite
         in the reference, primary_server.c:138-153)."""
-        if graph_id not in self._existing_ids():
+        if not self._partition_exists(graph_id):
             raise ValueError(f"graph {graph_id} does not exist; add it first "
                              "(instructions.txt:18-20 invariant)")
         self._write(graph_id, pairs)
 
     def _write(self, graph_id: int, pairs: DataFrame) -> None:
         edges = edges_from_pairs(pairs, graph_id=graph_id, symmetric=True)
-        (
-            edges.write.mode("overwrite")
-            .partitionBy("graph_id")
-            .parquet(self.path)
-        )
+        # Scoped set/restore: dynamic partition overwrite (only the
+        # mutated graph's partition is replaced) without mutating the
+        # shared session's overwrite semantics for other writers.
+        key = "spark.sql.sources.partitionOverwriteMode"
+        prev = self.spark.conf.get(key, None)
+        self.spark.conf.set(key, "dynamic")
+        try:
+            (
+                edges.write.mode("overwrite")
+                .partitionBy("graph_id")
+                .parquet(self.path)
+            )
+        finally:
+            self.spark.conf.set(key, prev) if prev is not None else self.spark.conf.unset(key)
 
     def edges(self, graph_id: int | None = None) -> DataFrame:
         df = self.spark.read.schema(GRAPH_EDGES_SCHEMA).parquet(self.path)

@@ -37,8 +37,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table (lazy scan; no materialization)."""
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name in _NANOS_TS_COLS:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
+        # Scoped set/restore: the conf is consulted only during schema
+        # inference (verified: execution after unset succeeds), so
+        # restoring it immediately never changes other readers in the
+        # same session.
+        key = "spark.sql.legacy.parquet.nanosAsLong"
+        prev = spark.conf.get(key, None)
+        spark.conf.set(key, "true")
+        try:
+            df = spark.read.parquet(path)
+        finally:
+            spark.conf.set(key, prev) if prev is not None else spark.conf.unset(key)
         for col in _NANOS_TS_COLS[name]:
             if isinstance(df.schema[col].dataType, LongType):
                 df = df.withColumn(col, F.expr(f"timestamp_micros({col} DIV 1000)"))
