@@ -49,17 +49,51 @@ def route_counts(requests: DataFrame) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n_requests"))
     )
 
-def schedule_requests(requests: DataFrame) -> DataFrame:
+def schedule_requests(
+    requests: DataFrame, *, bucket_width: int | None = 8192
+) -> DataFrame:
     """Lowest-seq_no-first service order (O6): rank requests the way the
     kernel's ``msgrcv(-100)`` would drain them.
 
-    A global window sort — fine for a request log; at 100 TB of
-    requests you would rank within time buckets instead (the total
-    order is only meaningful per drain cycle).
+    The global rank is computed WITHOUT a single-partition sort of the
+    whole log: requests are bucketed by seq_no range
+    (``floor(seq_no / bucket_width)`` — order-preserving), ranked
+    inside each bucket with a partitioned (parallel) window, and offset
+    by the running count of lower buckets — a window over the per-bucket
+    counts, one row per bucket, so its sort is O(n_buckets) not O(rows).
+    The offsets join is broadcast.  Same pattern as
+    ``traverse.bfs_level_order``.
+
+    ``bucket_width=None`` keeps the legacy whole-log global window
+    (Exchange SinglePartition) for plan-comparison/debugging.
     """
-    w = Window.orderBy("seq_no")
-    return requests.select(
-        "*", F.row_number().over(w).cast("int").alias("service_order")
+    if bucket_width is None:
+        w = Window.orderBy("seq_no")
+        return requests.select(
+            "*", F.row_number().over(w).cast("int").alias("service_order")
+        )
+    tagged = requests.withColumn(
+        "_bucket", F.floor(F.col("seq_no") / F.lit(int(bucket_width)))
+    )
+    in_bucket = F.row_number().over(Window.partitionBy("_bucket").orderBy("seq_no"))
+    offsets = (
+        tagged.groupBy("_bucket")
+        .agg(F.count("*").alias("_n"))
+        .select(
+            "_bucket",
+            F.sum("_n")
+            .over(Window.orderBy("_bucket").rowsBetween(Window.unboundedPreceding, -1))
+            .alias("_offset"),
+        )
+        .fillna({"_offset": 0})
+    )
+    return (
+        tagged.select("*", in_bucket.alias("_rn"))
+        .join(F.broadcast(offsets), on="_bucket")
+        .select(
+            *requests.columns,
+            (F.col("_offset") + F.col("_rn")).cast("int").alias("service_order"),
+        )
     )
 
 def run_requests(requests: DataFrame, edges: DataFrame, *, assume_tree: bool = True) -> DataFrame:

@@ -82,6 +82,24 @@ def test_schedule_requests_lowest_seq_first(spark):
     assert [r["seq_no"] for r in rows] == [7, 19, 42]
     assert [r["service_order"] for r in rows] == [1, 2, 3]
 
+
+def test_schedule_requests_bucketed_matches_global_no_single_partition_sort(spark):
+    # seq_nos straddling several buckets at width 8: exact global rank
+    # without a whole-log single-partition sort.
+    seqs = [3, 8, 7, 25, 16, 9, 1, 24, 40, 33]
+    reqs = spark.createDataFrame([(s, 4) for s in seqs], "seq_no int, op_no int")
+    bucketed = schedule_requests(reqs, bucket_width=8)
+    legacy = schedule_requests(reqs, bucket_width=None)
+    got = {(r["seq_no"], r["service_order"]) for r in bucketed.collect()}
+    want = {(r["seq_no"], r["service_order"]) for r in legacy.collect()}
+    assert got == want
+    # The request-log window must be partitioned by bucket; the only
+    # allowed SinglePartition exchange is over the per-bucket counts
+    # (offsets side, one row per bucket) and the legacy form's.
+    plan = bucketed._jdf.queryExecution().executedPlan().toString()
+    rows_side = plan.split("BroadcastExchange")[0]
+    assert "SinglePartition" not in rows_side
+
 def test_run_requests_and_reply(spark):
     edges = make_edges(spark, REF_G3, graph_id=3)
     reqs = spark.createDataFrame(
