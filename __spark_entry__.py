@@ -65,6 +65,13 @@ from distributed_graph_database_simulation_with_load_balancing_and_threaded_requ
 from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.textops import (
     corpus_stats,
     doc_features,
+    repetition_features,
+)
+from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.sampling import (
+    rate_threshold,
+    split_thresholds,
+    stratified_sample,
+    train_split,
 )
 from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.multimodal import (
     attach_media,
@@ -157,6 +164,18 @@ _SQL_REQUESTS = """
 # Normalized text (lowercase, non-alnum runs -> single space, trim) —
 # must stay in lockstep with functions/textfns.normalize_text.
 _SQL_NORM = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+
+
+def _sql_split_case() -> str:
+    """The train/val/test CASE over cumulative hex thresholds — built
+    from sampling.split_thresholds() so the oracle states the literal
+    same constants as the Spark predicate."""
+    whens = " ".join(
+        f"WHEN substring(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8) < '{thr}' "
+        f"THEN '{name}'"
+        for name, thr in split_thresholds()
+    )
+    return f"CASE {whens} ELSE 'test' END"
 
 # Whitespace token count with the empty-text guard — lockstep with
 # functions/textfns.token_count.
@@ -602,6 +621,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_quality_pct(spark, sf_dir):
         return quality_percentiles(load_table(spark, sf_dir, "documents"))
 
+    def q_repetition(spark, sf_dir):
+        # Gopher-style repetition quality signals per document.
+        return repetition_features(load_table(spark, sf_dir, "documents"))
+
+    def q_train_split(spark, sf_dir):
+        # Deterministic hash-based 90/5/5 train/val/test assignment.
+        docs = load_table(spark, sf_dir, "documents")
+        return train_split(docs).select("doc_id", "lang", "split")
+
+    def q_stratified_sample(spark, sf_dir):
+        # Per-language Bernoulli downsampling (domain mixing): the
+        # rates below exercise explicit rates, rate 1.0, and the
+        # default rate for strata absent from the table (es/fr).
+        docs = load_table(spark, sf_dir, "documents")
+        return stratified_sample(
+            docs, {"en": 0.25, "de": 1.0, "zh": 0.5}, default_rate=0.1
+        ).select("doc_id", "lang")
+
     def q_request_replies(spark, sf_dir):
         # O12 end-to-end: dispatch a fixed BFS + DFS request pair over
         # the derived tree and format the reference-style reply strings.
@@ -650,6 +687,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sessions": q_sessions,
         "q_no_orders": q_no_orders,
         "q_quality_pct": q_quality_pct,
+        "q_repetition": q_repetition,
+        "q_train_split": q_train_split,
+        "q_stratified_sample": q_stratified_sample,
         "q_request_replies": q_request_replies,
     }
 
@@ -1050,6 +1090,54 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_events,
                    round(SUM(value), 4) AS total_value
             FROM sess GROUP BY user_id, session_no
+        """,
+        "q_repetition": f"""
+            WITH base AS (
+              SELECT doc_id, {_SQL_NORM} AS norm FROM documents
+            ),
+            nonempty AS (SELECT doc_id, norm FROM base WHERE norm <> ''),
+            toks AS (
+              SELECT doc_id,
+                     unnest(string_split(norm, ' ')) AS tok,
+                     generate_subscripts(string_split(norm, ' '), 1) AS pos
+              FROM nonempty
+            ),
+            per_tok AS (
+              SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok
+            ),
+            tok_stats AS (
+              SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+                     1.0 - COUNT(*) * 1.0 / SUM(c) AS dup_frac
+              FROM per_tok GROUP BY doc_id
+            ),
+            bigrams AS (
+              SELECT doc_id, bg FROM (
+                SELECT doc_id,
+                       tok || ' ' || LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS bg
+                FROM toks
+              ) WHERE bg IS NOT NULL
+            ),
+            bg_counts AS (
+              SELECT doc_id, bg, COUNT(*) AS c FROM bigrams GROUP BY doc_id, bg
+            ),
+            bg_stats AS (
+              SELECT doc_id, MAX(c) * 1.0 / SUM(c) AS top_bg FROM bg_counts GROUP BY doc_id
+            )
+            SELECT t.doc_id, t.n_tokens,
+                   round(t.dup_frac, 6) AS dup_token_frac,
+                   round(COALESCE(b.top_bg, 0.0), 6) AS top_bigram_frac
+            FROM tok_stats t LEFT JOIN bg_stats b USING (doc_id)
+        """,
+        "q_train_split": f"""
+            SELECT doc_id, lang, {_sql_split_case()} AS split FROM documents
+        """,
+        "q_stratified_sample": f"""
+            SELECT doc_id, lang FROM documents
+            WHERE substring(md5('sample' || CAST(doc_id AS VARCHAR)), 1, 8) <
+                  CASE lang WHEN 'en' THEN '{rate_threshold(0.25)}'
+                            WHEN 'de' THEN '{rate_threshold(1.0)}'
+                            WHEN 'zh' THEN '{rate_threshold(0.5)}'
+                            ELSE '{rate_threshold(0.1)}' END
         """,
         "q_request_replies": f"""
             WITH b AS ({_SQL_BFS}),

@@ -1,0 +1,125 @@
+"""Deterministic sampling and dataset splitting for training-data
+pipelines: hash-based train/val/test assignment and per-stratum
+(e.g. per-language) Bernoulli sampling with exact, reproducible
+semantics.
+
+Why md5 and not xxhash64: the split decision is ``first 8 hex chars of
+md5(salt || id)`` compared lexicographically against a fixed-width hex
+threshold.  Fixed-width lowercase hex compares lexicographically
+exactly as it compares numerically, so the SAME predicate runs in any
+ANSI SQL engine (the DuckDB oracle uses the literal same strings) and
+the assignment is stable across engines, runs, partitionings, and
+cluster sizes — the property a reproducible training corpus needs.
+xxhash64 is faster but Spark-only.  (Same trade documented for the
+minhash md5 variant, dedup.py.)
+
+Scale: both operators are a single narrow projection + filter over the
+input — no shuffle, no sampling pass, no driver state.  The stratum
+rate table is a broadcast join (dozens of rows).  Every decision is a
+pure function of (salt, id), so adding data never reshuffles prior
+assignments (stable incremental corpus refreshes).
+
+Extension beyond the reference (SURVEY.md §2.2 "north-star"
+operators); no reference analogue — its workload has no sampling.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_HEX_WIDTH = 8
+_SPACE = 1 << (4 * _HEX_WIDTH)  # 2^32 buckets
+
+
+def _hex_threshold(p: float) -> str:
+    """Fixed-width hex threshold t such that P[slice < t] = floor(p*2^32)/2^32."""
+    if not 0.0 <= p <= 1.0:
+        raise ValueError(f"rate must be in [0,1], got {p}")
+    if p >= 1.0:
+        return "g" * _HEX_WIDTH  # sorts above every hex string: keep all
+    return format(math.floor(p * _SPACE), f"0{_HEX_WIDTH}x")
+
+
+def rate_threshold(p: float) -> str:
+    """The hex threshold for rate ``p`` — public so oracle SQL can
+    state the literal same constant the Spark predicate uses."""
+    return _hex_threshold(p)
+
+
+def hash_slice(id_col: Column, *, salt: str = "") -> Column:
+    """The uniform decision variable: first 8 hex chars of
+    md5(salt || id), lexicographically ~ U{0..2^32-1}."""
+    return F.substring(
+        F.md5(F.concat(F.lit(salt), id_col.cast("string"))), 1, _HEX_WIDTH
+    )
+
+
+def train_split(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    fracs: dict[str, float] | None = None,
+    salt: str = "split",
+) -> DataFrame:
+    """Assign every row to a named split by hashed id.
+
+    ``fracs`` maps split name -> fraction (must sum to 1.0); default
+    90/5/5 train/val/test.  Assignment is the CASE over cumulative
+    hex thresholds — one codegen'd projection, zero shuffles, stable
+    under data growth.
+    """
+    fracs = fracs or {"train": 0.90, "val": 0.05, "test": 0.05}
+    if abs(sum(fracs.values()) - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1.0: {fracs}")
+    names = list(fracs)
+    cum = 0.0
+    slice_col = hash_slice(F.col(id_col), salt=salt)
+    expr: Column = F.lit(names[-1])  # remainder bucket
+    # Build CASE from the last boundary backwards so earlier splits win.
+    boundaries = []
+    for name in names[:-1]:
+        cum += fracs[name]
+        boundaries.append((name, _hex_threshold(cum)))
+    for name, thr in reversed(boundaries):
+        expr = F.when(slice_col < thr, F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)
+
+
+def split_thresholds(fracs: dict[str, float] | None = None) -> list[tuple[str, str]]:
+    """(split name, cumulative hex threshold) pairs — exported so the
+    SQL oracle states the literal same constants."""
+    fracs = fracs or {"train": 0.90, "val": 0.05, "test": 0.05}
+    out, cum = [], 0.0
+    for name in list(fracs)[:-1]:
+        cum += fracs[name]
+        out.append((name, _hex_threshold(cum)))
+    return out
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    *,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+    salt: str = "sample",
+) -> DataFrame:
+    """Per-stratum deterministic Bernoulli sample: keep a row iff
+    hash_slice(id) < threshold(rate[stratum]) — the domain-mixing
+    primitive (upsample scarce languages, downsample dominant ones).
+
+    The rate table joins broadcast (strata cardinality is small);
+    strata absent from ``rates`` get ``default_rate``.
+    """
+    spark = df.sparkSession
+    rate_rows = [(k, _hex_threshold(v)) for k, v in rates.items()]
+    rate_df = spark.createDataFrame(rate_rows, f"{strata_col} string, _thr string")
+    joined = df.join(F.broadcast(rate_df), on=strata_col, how="left")
+    thr = F.coalesce(F.col("_thr"), F.lit(_hex_threshold(default_rate)))
+    return (
+        joined.where(hash_slice(F.col(id_col), salt=salt) < thr).drop("_thr")
+    )

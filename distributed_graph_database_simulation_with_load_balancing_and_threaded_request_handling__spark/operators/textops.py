@@ -89,6 +89,63 @@ def doc_features(
         fingerprint(t).alias("fp"),
     )
 
+def repetition_features(
+    documents: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document repetition signals (the Gopher/MassiveText-style
+    quality filters, Rae et al. 2021 §A1.1, adapted to token level for
+    single-line documents): fraction of tokens that are repeats of an
+    earlier token, and the share of all word-bigrams taken by the
+    single most frequent bigram.  High values flag boilerplate,
+    keyword-stuffing, and degenerate generations.
+
+    Returns ``(doc_id, n_tokens, dup_token_frac, top_bigram_frac)``,
+    ratios rounded to 6 places (exact SQL oracle equality).
+
+    Scale: tokens are exploded once and feed two partial-aggregated
+    groupBys keyed by doc_id (+token / +bigram) — shuffle rows are
+    token-sized, never full documents; the bigram window is partitioned
+    per document (parallel).  No Python, no HOF lambdas in the hot path
+    (window-LEAD bigrams, same idiom as dedup.ngram_jaccard_pairs).
+    """
+    from pyspark.sql.window import Window
+
+    from ..functions.textfns import normalize_text
+
+    base = documents.select(
+        F.col(id_col).alias("doc_id"), normalize_text(F.col(text_col)).alias("norm")
+    ).where(F.col("norm") != "")
+    toks = base.select(
+        "doc_id", F.posexplode(F.split(F.col("norm"), " ")).alias("pos", "tok")
+    )
+    per_tok = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    tok_stats = per_tok.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        (1.0 - F.count("*") / F.sum("c")).alias("_dup_frac"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bigrams = (
+        toks.withColumn("nxt", F.lead("tok").over(w))
+        .where(F.col("nxt").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "tok", "nxt").alias("bg"))
+    )
+    bg_stats = (
+        bigrams.groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg((F.max("c") / F.sum("c")).alias("_top_bg_frac"))
+    )
+    return (
+        tok_stats.join(bg_stats, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round("_dup_frac", 6).alias("dup_token_frac"),
+            F.round(F.coalesce("_top_bg_frac", F.lit(0.0)), 6).alias("top_bigram_frac"),
+        )
+    )
+
+
 def corpus_stats(
     documents: DataFrame, *, text_col: str = "text", lang_col: str = "lang"
 ) -> DataFrame:

@@ -237,3 +237,72 @@ def test_dedup_clusters_keep_list(docs):
     assert out[4] == (1, False)
     for singleton in (3, 5, 6):
         assert out[singleton] == (singleton, True)
+
+
+# --- repetition features + deterministic sampling ---
+
+from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.sampling import (  # noqa: E402
+    rate_threshold,
+    stratified_sample,
+    train_split,
+)
+from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.textops import (  # noqa: E402
+    repetition_features,
+)
+
+
+def test_repetition_features_planted(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),           # 1 distinct / 4 tokens
+            (2, "all words here are unique"),     # no repetition
+            (3, "x"),                             # single token: no bigrams
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in repetition_features(docs).collect()}
+    assert rows[1]["n_tokens"] == 4
+    assert rows[1]["dup_token_frac"] == 0.75
+    assert rows[1]["top_bigram_frac"] == 1.0    # "spam spam" is every bigram
+    assert rows[2]["dup_token_frac"] == 0.0
+    assert rows[3]["n_tokens"] == 1
+    assert rows[3]["top_bigram_frac"] == 0.0
+
+
+def test_train_split_deterministic_and_exhaustive(spark):
+    docs = spark.createDataFrame([(i,) for i in range(300)], "doc_id long")
+    out = {(r["doc_id"], r["split"]) for r in train_split(docs).collect()}
+    assert len(out) == 300                      # every row assigned exactly once
+    counts = {}
+    for _, s in out:
+        counts[s] = counts.get(s, 0) + 1
+    assert set(counts) <= {"train", "val", "test"}
+    assert counts["train"] > counts.get("val", 0) + counts.get("test", 0)
+    assert out == {(r["doc_id"], r["split"]) for r in train_split(docs).collect()}
+
+
+def test_train_split_rejects_bad_fracs(spark):
+    docs = spark.createDataFrame([(1,)], "doc_id long")
+    with pytest.raises(ValueError, match="sum to 1.0"):
+        train_split(docs, fracs={"a": 0.5, "b": 0.2})
+
+
+def test_stratified_sample_rate_bounds_and_default(spark):
+    rows = [(i, "keep") for i in range(100)] + [(1000 + i, "drop") for i in range(100)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = stratified_sample(docs, {"keep": 1.0, "drop": 0.0}).collect()
+    assert {r["lang"] for r in out} == {"keep"}
+    assert len(out) == 100
+    # Stratum absent from the rate table -> default_rate.
+    extra = docs.withColumn("lang", F.lit("other"))
+    assert stratified_sample(extra, {"keep": 1.0}, default_rate=0.0).count() == 0
+    assert stratified_sample(extra, {"keep": 0.0}, default_rate=1.0).count() == 200
+
+
+def test_rate_threshold_is_fixed_width_hex():
+    assert rate_threshold(0.25) == "40000000"
+    assert rate_threshold(0.5) == "80000000"
+    assert rate_threshold(0.0) == "00000000"
+    assert rate_threshold(1.0) == "gggggggg"    # sorts above all hex
+    with pytest.raises(ValueError):
+        rate_threshold(1.5)
