@@ -2,6 +2,12 @@
 request server (the ``while(1)`` msgrcv loops at load_balancer.c:47,
 primary_server.c:224, secondary_server.c:363)."""
 
+from .ingest import (
+    DOCUMENT_STREAM_SCHEMA,
+    corpus_stream_stats,
+    dedup_document_stream,
+    read_document_stream,
+)
 from .requests import (
     REQUEST_STREAM_SCHEMA,
     read_request_stream,
@@ -12,7 +18,11 @@ from .requests import (
 )
 
 __all__ = [
+    "DOCUMENT_STREAM_SCHEMA",
     "REQUEST_STREAM_SCHEMA",
+    "corpus_stream_stats",
+    "dedup_document_stream",
+    "read_document_stream",
     "read_request_stream",
     "route_stream",
     "request_load",

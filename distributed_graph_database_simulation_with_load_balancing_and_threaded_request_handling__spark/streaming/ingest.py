@@ -1,0 +1,107 @@
+"""Streaming document ingestion for the training-data pipeline:
+exact dedup ON ARRIVAL and per-language windowed corpus statistics.
+
+This is the streaming twin of the batch extension operators
+(operators/dedup.exact_dedup, operators/textops.corpus_stats): a
+continuously-fed corpus directory is the source, each micro-batch is
+one ingest cycle, and duplicates are dropped incrementally so
+downstream training-data consumers only ever see first occurrences.
+
+Extension beyond the reference (its only long-running loop is the
+request server, load_balancer.c:47); same Structured-Streaming posture
+as streaming/requests.py.
+
+Scale posture: the dedup state store holds one 32-char digest per
+distinct document seen within the watermark horizon — NOT the text —
+and ``dropDuplicatesWithinWatermark`` evicts state older than the
+watermark, so state is bounded by arrival rate x horizon regardless of
+total corpus size.  The windowed rollup's state is keyed
+(window, lang) — dozens of rows.  Both are standard streaming shapes
+that run identically on a 1000-executor cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from ..functions.textfns import token_count
+
+# The documents-table columns (FIXTURES.md) plus the arrival timestamp
+# a stream needs for watermarks/windows.
+DOCUMENT_STREAM_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), True),
+        StructField("text", StringType(), True),
+        StructField("lang", StringType(), True),
+        StructField("source", StringType(), True),
+        StructField("event_time", TimestampType(), True),
+    ]
+)
+
+
+def read_document_stream(
+    spark: SparkSession,
+    path: str,
+    *,
+    fmt: str = "json",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source corpus feed: every file dropped under ``path`` is a
+    batch of crawled/ingested documents.  ``maxFilesPerTrigger`` bounds
+    the ingest-cycle size."""
+    reader = spark.readStream.schema(DOCUMENT_STREAM_SCHEMA).format(fmt)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(path)
+
+
+def dedup_document_stream(
+    documents: DataFrame, *, watermark: str = "1 hour"
+) -> DataFrame:
+    """Incremental exact dedup: emit a document iff its text digest has
+    not been seen within the watermark horizon — the streaming form of
+    ``exact_dedup``'s keep-list (first occurrence wins, here by arrival
+    rather than by min doc_id).
+
+    ``dropDuplicatesWithinWatermark`` (not plain ``dropDuplicates``)
+    keys the state store on the md5 digest and EVICTS entries older
+    than the watermark, so dedup state cannot grow without bound on an
+    infinite stream.  The shuffle key and state key are the digest —
+    text never enters the state store.
+    """
+    return (
+        documents.withColumn("text_hash", F.md5(F.col("text")))
+        .withWatermark("event_time", watermark)
+        .dropDuplicatesWithinWatermark(["text_hash"])
+    )
+
+
+def corpus_stream_stats(
+    documents: DataFrame,
+    *,
+    window_duration: str = "10 seconds",
+    watermark: str = "30 seconds",
+) -> DataFrame:
+    """Per-language corpus rollup over event-time windows with
+    late-data tolerance — the streaming twin of
+    ``textops.corpus_stats``.  Watermark finalizes and drops windows
+    older than the horizon from the state store."""
+    t = F.col("text")
+    return (
+        documents.withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", window_duration).alias("window"),
+                 F.col("lang"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.length(t)).cast("long").alias("total_chars"),
+            F.sum(token_count(t)).cast("long").alias("total_tokens"),
+        )
+    )

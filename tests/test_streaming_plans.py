@@ -167,3 +167,92 @@ def test_run_requests_non_tree_path_agrees_on_tree(spark):
     fast = {r["vertex"] for r in run_requests(reqs, edges).collect()}
     general = {r["vertex"] for r in run_requests(reqs, edges, assume_tree=False).collect()}
     assert fast == general == {1, 3, 5}  # Sample-IO: DFS from 2 -> 1 3 5
+
+
+# --- streaming document ingestion (training-data pipeline twin) ---
+
+from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.streaming import (  # noqa: E402
+    corpus_stream_stats,
+    dedup_document_stream,
+    read_document_stream,
+)
+
+DOCS = [
+    {"doc_id": 1, "text": "alpha beta gamma", "lang": "en", "source": "web",
+     "event_time": "2026-08-13T10:00:01"},
+    {"doc_id": 2, "text": "uno dos tres", "lang": "es", "source": "web",
+     "event_time": "2026-08-13T10:00:02"},
+    # Same text as doc 1, same ingest cycle: in-batch duplicate.
+    {"doc_id": 3, "text": "alpha beta gamma", "lang": "en", "source": "crawl",
+     "event_time": "2026-08-13T10:00:03"},
+    # Same text as doc 1, LATER ingest cycle: cross-batch duplicate —
+    # only state carried between micro-batches can drop it.
+    {"doc_id": 4, "text": "alpha beta gamma", "lang": "en", "source": "crawl",
+     "event_time": "2026-08-13T10:00:11"},
+    {"doc_id": 5, "text": "delta epsilon", "lang": "en", "source": "web",
+     "event_time": "2026-08-13T10:00:12"},
+]
+
+
+@pytest.fixture()
+def corpus_dir(tmp_path):
+    d = tmp_path / "corpus"
+    d.mkdir()
+    b0, b1 = d / "batch0.json", d / "batch1.json"
+    b0.write_text("\n".join(json.dumps(r) for r in DOCS[:3]))
+    b1.write_text("\n".join(json.dumps(r) for r in DOCS[3:]))
+    # The file source orders micro-batches by modification time; make
+    # the order deterministic (batch0 strictly first).
+    now = os.stat(b1).st_mtime
+    os.utime(b0, (now - 60, now - 60))
+    return str(d)
+
+
+def test_dedup_document_stream_drops_cross_batch_duplicates(spark, corpus_dir):
+    stream = dedup_document_stream(
+        read_document_stream(spark, corpus_dir, max_files_per_trigger=1),
+        watermark="1 hour",
+    )
+    assert stream.isStreaming
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("deduped_docs")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    kept = {r["doc_id"] for r in spark.table("deduped_docs").collect()}
+    # Exactly one of the batch-0 in-batch duplicates {1, 3} survives
+    # (which one is unspecified within a micro-batch); doc 4 — the
+    # SAME text arriving in the NEXT micro-batch — must be dropped by
+    # state carried across batches; unique docs 2 and 5 survive.
+    assert len(kept & {1, 3}) == 1
+    assert 4 not in kept
+    assert {2, 5} <= kept
+    assert len(kept) == 3
+
+
+def test_corpus_stream_stats_windows(spark, corpus_dir):
+    stream = corpus_stream_stats(
+        read_document_stream(spark, corpus_dir),
+        window_duration="10 seconds",
+        watermark="30 seconds",
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("corpus_load")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        (r["window"].start.second, r["lang"]): (r["n_docs"], r["total_tokens"])
+        for r in spark.table("corpus_load").collect()
+    }
+    # Window [10:00:00, 10:00:10): docs 1,3 en (3 tokens each), doc 2 es.
+    assert rows[(0, "en")] == (2, 6)
+    assert rows[(0, "es")] == (1, 3)
+    # Window [10:00:10, 10:00:20): docs 4,5 en.
+    assert rows[(10, "en")] == (2, 5)
