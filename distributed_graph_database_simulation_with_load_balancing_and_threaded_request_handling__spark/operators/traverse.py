@@ -57,8 +57,18 @@ def bfs_levels(
     max_levels: int | None = None,
     validate_start: bool = True,
     undirected: bool = True,
+    include_unreached: bool = False,
 ) -> DataFrame:
     """Hop distance from ``start_vertex`` over a symmetric edge list.
+
+    ``include_unreached`` is the strict-compat rendering of the
+    reference's "emit exactly n vertices" contract
+    (secondary_server.c:96-97 assumes connectivity; on a disconnected
+    graph it emits uninitialized memory for unreached vertices): every
+    graph vertex appears in the output, unreached ones with level NULL
+    — a deterministic stand-in for the reference's garbage rows.  The
+    default (False) emits reached vertices only (SURVEY.md §1.1
+    documented deviation).
 
     Returns ``(vertex: long, level: int)`` for every reached vertex.
     Level-synchronous iterative frontier expansion — the Spark-native
@@ -135,6 +145,10 @@ def bfs_levels(
         out = visited_levels[0]
         for v in visited_levels[1:]:
             out = out.unionAll(v)
+        if include_unreached:
+            # Symmetric edge list: the src side alone covers every vertex.
+            all_vertices = e.select(F.col("src").alias("vertex")).distinct()
+            out = all_vertices.join(out, on="vertex", how="left")
         return out
     finally:
         e.unpersist(blocking=False)

@@ -16,8 +16,23 @@ from .tables import load_table
 
 ROOT_VID = 999
 
+# Persisted-graph cache, keyed per Spark application + construction
+# args.  The reference keeps every graph resident in the secondary
+# servers' address space between requests (secondary_server.c:42
+# ``int graphs[10][N][N]``); the Spark rendering is a persisted edge
+# DataFrame shared by every traversal in the session (the GraphX
+# ``graph.cache()`` posture).  Testdata is immutable, so entries never
+# go stale; MEMORY_AND_DISK spills instead of OOMing at scale.
+_EDGE_CACHE: dict[tuple, DataFrame] = {}
+
+
 def derived_tree_edges(
-    spark: SparkSession, sf_dir: str, *, symmetric: bool = True, graph_id: int = 1
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    symmetric: bool = True,
+    graph_id: int = 1,
+    cached: bool = True,
 ) -> DataFrame:
     """Edge list of the derived tree over region/nation/customer.
 
@@ -25,7 +40,15 @@ def derived_tree_edges(
     recursive oracle traverses); both directions when True (what the
     engine stores — the reference stores symmetric adjacency matrices,
     G1.txt/G2.txt/G3.txt are all symmetric).
+
+    ``cached`` (default) persists the constructed edge list once per
+    session and returns the same DataFrame to every caller, so the
+    BFS/DFS/CC query family shares one materialization instead of
+    re-deriving the union-of-three-scans per query.
     """
+    key = (spark.sparkContext.applicationId, sf_dir, symmetric, graph_id)
+    if cached and key in _EDGE_CACHE:
+        return _EDGE_CACHE[key]
     region = load_table(spark, sf_dir, "region")
     nation = load_table(spark, sf_dir, "nation")
     customer = load_table(spark, sf_dir, "customer")
@@ -50,7 +73,11 @@ def derived_tree_edges(
     )
     if symmetric:
         e0 = e0.unionAll(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    return e0.select(F.lit(graph_id).cast("int").alias("graph_id"), "src", "dst")
+    out = e0.select(F.lit(graph_id).cast("int").alias("graph_id"), "src", "dst")
+    if cached:
+        out = out.persist()
+        _EDGE_CACHE[key] = out
+    return out
 
 def edges_from_pairs(pairs: DataFrame, *, graph_id: int = 1, symmetric: bool = True) -> DataFrame:
     """Normalize raw (src,dst) pairs into a canonical undirected edge

@@ -65,6 +65,15 @@ def test_bfs_disconnected_returns_reached_only(spark):
     assert levels_of(bfs_levels(edges, 1, graph_id=1)) == {(1, 0), (2, 1), (3, 2)}
     assert connected_count(edges, 1, graph_id=1).collect()[0]["n_reachable"] == 3
 
+
+def test_bfs_strict_compat_emits_all_n_vertices(spark):
+    # include_unreached renders the reference's "exactly n vertices"
+    # contract (secondary_server.c:96-97) with NULL standing in for
+    # its uninitialized-memory rows.
+    edges = make_edges(spark, [(1, 2), (2, 3), (4, 5)])
+    got = levels_of(bfs_levels(edges, 1, graph_id=1, include_unreached=True))
+    assert got == {(1, 0), (2, 1), (3, 2), (4, None), (5, None)}
+
 def test_dfs_leaves_general_path_disconnected(spark):
     edges = make_edges(spark, [(1, 2), (2, 3), (4, 5)])
     assert leaves_of(dfs_leaves(edges, 1, graph_id=1, assume_tree=False)) == {3}
