@@ -67,6 +67,10 @@ from distributed_graph_database_simulation_with_load_balancing_and_threaded_requ
     doc_features,
     repetition_features,
 )
+from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.temporal import (
+    asof_join,
+    time_rollup,
+)
 from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.sampling import (
     rate_threshold,
     split_thresholds,
@@ -621,6 +625,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_quality_pct(spark, sf_dir):
         return quality_percentiles(load_table(spark, sf_dir, "documents"))
 
+    def q_asof_join(spark, sf_dir):
+        # For every event, the user's most recent order-day spend at or
+        # before the event time (union-merge as-of join; right side
+        # pre-aggregated per (user, day) so the match is unique).
+        events = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+        daily = (
+            load_table(spark, sf_dir, "orders")
+            .groupBy(F.col("o_custkey").alias("user_id"), "o_orderdate")
+            .agg(F.round(F.sum("o_totalprice"), 4).alias("day_spend"))
+        )
+        return asof_join(
+            events,
+            daily,
+            on=["user_id"],
+            left_ts="ts",
+            right_ts="o_orderdate",
+            values=["day_spend"],
+        )
+
+    def q_time_rollup(spark, sf_dir):
+        # Hypertable-style hour+day+total rollup in one pass.
+        return time_rollup(load_table(spark, sf_dir, "events"))
+
+    def q_matrix_io(spark, sf_dir):
+        # O7+O8+O11 end-to-end: serialize the reference G3 star to the
+        # text adjacency-matrix format (primary_server.c:145-151) and
+        # parse it back (secondary_server.c:272-286), 1-index shim both
+        # ways.  The oracle is the literal symmetric edge list.
+        import os
+        import tempfile
+
+        from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.sources.matrix_io import (
+            read_adjacency_text,
+            write_adjacency_text,
+        )
+
+        pairs = [(1, 2), (2, 3), (2, 4), (2, 5)]  # G3 star, center 2
+        rows = [(3, u, v) for u, v in pairs] + [(3, v, u) for u, v in pairs]
+        edges = spark.createDataFrame(rows, "graph_id int, src long, dst long")
+        d = tempfile.mkdtemp(prefix="gdb_matrix_")
+        path = os.path.join(d, "G3.txt")
+        write_adjacency_text(edges, path)
+        return read_adjacency_text(spark, path, graph_id=3)
+
     def q_repetition(spark, sf_dir):
         # Gopher-style repetition quality signals per document.
         return repetition_features(load_table(spark, sf_dir, "documents"))
@@ -687,6 +735,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sessions": q_sessions,
         "q_no_orders": q_no_orders,
         "q_quality_pct": q_quality_pct,
+        "q_asof_join": q_asof_join,
+        "q_time_rollup": q_time_rollup,
+        "q_matrix_io": q_matrix_io,
         "q_repetition": q_repetition,
         "q_train_split": q_train_split,
         "q_stratified_sample": q_stratified_sample,
@@ -1090,6 +1141,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_events,
                    round(SUM(value), 4) AS total_value
             FROM sess GROUP BY user_id, session_no
+        """,
+        "q_asof_join": """
+            WITH daily AS (
+              SELECT o_custkey AS user_id, o_orderdate,
+                     round(SUM(o_totalprice), 4) AS day_spend
+              FROM orders GROUP BY o_custkey, o_orderdate
+            )
+            SELECT e.event_id, e.user_id, e.ts,
+                   d.o_orderdate AS asof_ts, d.day_spend AS asof_day_spend
+            FROM events e ASOF LEFT JOIN daily d
+              ON e.user_id = d.user_id AND e.ts >= d.o_orderdate
+        """,
+        "q_time_rollup": """
+            WITH b AS (
+              SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                     date_trunc('hour', ts) AS hour, value
+              FROM events
+            )
+            SELECT day, hour, CAST(GROUPING(day, hour) AS INTEGER) AS gid,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   round(SUM(value), 4) AS total_value
+            FROM b GROUP BY ROLLUP(day, hour)
+        """,
+        "q_matrix_io": """
+            SELECT CAST(graph_id AS INTEGER) AS graph_id,
+                   CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst
+            FROM (VALUES (3,1,2),(3,2,1),(3,2,3),(3,3,2),
+                         (3,2,4),(3,4,2),(3,2,5),(3,5,2)) AS t(graph_id, src, dst)
         """,
         "q_repetition": f"""
             WITH base AS (

@@ -23,7 +23,9 @@ from .dedup import (
     simhash_dedup,
 )
 from .similarity import cosine_topk, embedding_near_dup, ivf_topk, lsh_topk
-from .textops import corpus_stats, doc_features
+from .textops import corpus_stats, doc_features, repetition_features
+from .sampling import stratified_sample, train_split
+from .temporal import asof_join, time_rollup
 from .multimodal import attach_media, extract_media_meta, frame_sample
 from .relational import (
     brand_revenue,
@@ -60,6 +62,11 @@ __all__ = [
     "embedding_near_dup",
     "corpus_stats",
     "doc_features",
+    "repetition_features",
+    "stratified_sample",
+    "train_split",
+    "asof_join",
+    "time_rollup",
     "attach_media",
     "extract_media_meta",
     "frame_sample",

@@ -1,0 +1,137 @@
+"""Temporal operators Spark lacks as built-ins: as-of join and
+hypertable-style multi-grain time rollup.
+
+Extension beyond the reference (SURVEY.md §2.2 — its only temporal
+notion is request arrival order, load_balancer.c:49); these are the
+standard time-series shapes a training-data/analytics pipeline needs.
+
+Scale posture: the as-of join is the UNION-MERGE rendering (tag both
+sides, one shuffle of |L|+|R| rows keyed on the join key, per-key sort,
+``last(ignorenulls)`` fill) — never a range cross join, never a
+per-row subquery.  Cost is one exchange + one in-partition sort at any
+scale; a pathologically hot key is a window-skew problem (pre-salt the
+key or split by time range — AQE does not split windows).  The rollup
+is a single GROUP BY ROLLUP pass: partial aggregation happens map-side
+for every grain at once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    values: list[str],
+    direction: str = "backward",
+    tolerance_seconds: int | None = None,
+) -> DataFrame:
+    """For every left row, attach ``values`` from the single right row
+    with the greatest ``right_ts`` <= ``left_ts`` (direction
+    "backward"; "forward" = smallest ``right_ts`` >= ``left_ts``) for
+    the same ``on`` key — the pandas ``merge_asof`` contract,
+    distributed.
+
+    ``right`` must be unique per (on, right_ts); pre-aggregate
+    duplicates first or the tie pick is unspecified.  With
+    ``tolerance_seconds``, matches farther than the tolerance are
+    nulled (left row is kept — this is a left join).
+
+    Output: all left columns, then one ``asof_<v>`` per value column
+    and ``asof_ts`` (the matched right timestamp).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction}")
+    rschema = dict(zip(right.schema.names, [f.dataType for f in right.schema.fields]))
+    lschema = dict(zip(left.schema.names, [f.dataType for f in left.schema.fields]))
+    lcols = left.columns
+
+    l_tagged = left.select(
+        *lcols,
+        F.col(left_ts).alias("_t"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(rschema[right_ts]).alias("_rt"),
+        *[F.lit(None).cast(rschema[v]).alias(f"_rv_{v}") for v in values],
+    )
+    r_tagged = right.select(
+        *[F.col(k) for k in on],
+        *[F.lit(None).cast(lschema[c]).alias(c) for c in lcols if c not in on],
+        F.col(right_ts).alias("_t"),
+        F.lit(0).alias("_side"),
+        F.col(right_ts).alias("_rt"),
+        *[F.col(v).alias(f"_rv_{v}") for v in values],
+    ).select(*l_tagged.columns)  # identical column order for the union
+
+    merged = l_tagged.unionByName(r_tagged)
+    # Backward: right rows sort before the left rows they serve
+    # (equal ts inclusive via the _side tiebreak), running last-fill.
+    # Forward is the mirror image (descending scan).
+    if direction == "backward":
+        w = (
+            Window.partitionBy(*on)
+            .orderBy(F.col("_t").asc(), F.col("_side").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+    else:
+        w = (
+            Window.partitionBy(*on)
+            .orderBy(F.col("_t").desc(), F.col("_side").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+    filled = merged.select(
+        "*",
+        F.last("_rt", ignorenulls=True).over(w).alias("_m_ts"),
+        *[
+            F.last(f"_rv_{v}", ignorenulls=True).over(w).alias(f"_m_{v}")
+            for v in values
+        ],
+    ).where(F.col("_side") == 1)
+
+    within = F.lit(True)
+    if tolerance_seconds is not None:
+        gap = F.unix_timestamp("_t") - F.unix_timestamp("_m_ts")
+        if direction == "forward":
+            gap = -gap
+        within = F.col("_m_ts").isNotNull() & (gap <= int(tolerance_seconds))
+    return filled.select(
+        *lcols,
+        F.when(within, F.col("_m_ts")).alias("asof_ts"),
+        *[F.when(within, F.col(f"_m_{v}")).alias(f"asof_{v}") for v in values],
+    )
+
+
+def time_rollup(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Hypertable-style multi-grain rollup in ONE pass: event counts
+    and value sums at hour grain, day grain, and grand total via
+    GROUP BY ROLLUP(day, hour).  ``gid`` labels the grain
+    (0 = hour row, 1 = day row, 3 = grand total, the standard
+    grouping-id bitmask).
+
+    Map-side partial aggregation covers every grain simultaneously —
+    the shuffle carries one partial row per (grain, bucket), not one
+    per event; this is the batch materialization a continuous
+    aggregate would maintain incrementally.
+    """
+    day = F.date_trunc("day", F.col(ts_col)).alias("day")
+    hour = F.date_trunc("hour", F.col(ts_col)).alias("hour")
+    return (
+        events.select(day, hour, F.col(value_col).alias("_v"))
+        .rollup("day", "hour")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("_v"), 4).alias("total_value"),
+        )
+    )

@@ -1,0 +1,112 @@
+"""Tests for the temporal operators: as-of join (both directions,
+tolerance, unmatched keys) and the multi-grain time rollup."""
+
+import datetime
+
+from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.temporal import (
+    asof_join,
+    time_rollup,
+)
+
+
+def _ts(s):
+    return datetime.datetime(2024, 1, 1, 0, 0, s)
+
+
+def _fixtures(spark):
+    left = spark.createDataFrame(
+        [(1, _ts(10)), (1, _ts(25)), (2, _ts(5))], "k int, t timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(8), 100.0), (1, _ts(20), 200.0), (3, _ts(1), 999.0)],
+        "k int, rt timestamp, v double",
+    )
+    return left, right
+
+
+def _collect(df):
+    return {
+        (r["k"], r["t"].second): (
+            r["asof_ts"].second if r["asof_ts"] else None,
+            r["asof_v"],
+        )
+        for r in df.collect()
+    }
+
+
+def test_asof_backward(spark):
+    left, right = _fixtures(spark)
+    out = _collect(
+        asof_join(left, right, on=["k"], left_ts="t", right_ts="rt", values=["v"])
+    )
+    assert out == {
+        (1, 10): (8, 100.0),    # nearest earlier
+        (1, 25): (20, 200.0),
+        (2, 5): (None, None),   # key with no right rows: kept, nulled
+    }
+
+
+def test_asof_backward_inclusive_at_equal_ts(spark):
+    left, right = _fixtures(spark)
+    eq = spark.createDataFrame([(1, _ts(20))], "k int, t timestamp")
+    out = _collect(
+        asof_join(eq, right, on=["k"], left_ts="t", right_ts="rt", values=["v"])
+    )
+    assert out == {(1, 20): (20, 200.0)}  # <= is inclusive
+
+
+def test_asof_forward(spark):
+    left, right = _fixtures(spark)
+    out = _collect(
+        asof_join(
+            left, right, on=["k"], left_ts="t", right_ts="rt", values=["v"],
+            direction="forward",
+        )
+    )
+    assert out == {
+        (1, 10): (20, 200.0),   # nearest later
+        (1, 25): (None, None),  # nothing later
+        (2, 5): (None, None),
+    }
+
+
+def test_asof_tolerance(spark):
+    left, right = _fixtures(spark)
+    out = _collect(
+        asof_join(
+            left, right, on=["k"], left_ts="t", right_ts="rt", values=["v"],
+            tolerance_seconds=3,
+        )
+    )
+    # (1,10) gap 2s -> kept; (1,25) gap 5s -> nulled but row retained.
+    assert out == {
+        (1, 10): (8, 100.0),
+        (1, 25): (None, None),
+        (2, 5): (None, None),
+    }
+
+
+def test_time_rollup_grains(spark):
+    events = spark.createDataFrame(
+        [
+            (datetime.datetime(2024, 1, 1, 10, 30), 1.0),
+            (datetime.datetime(2024, 1, 1, 10, 45), 2.0),
+            (datetime.datetime(2024, 1, 1, 11, 15), 4.0),
+            (datetime.datetime(2024, 1, 2, 9, 0), 8.0),
+        ],
+        "ts timestamp, value double",
+    )
+    rows = {
+        (r["gid"], r["day"], r["hour"]): (r["n_events"], r["total_value"])
+        for r in time_rollup(events).collect()
+    }
+    d1 = datetime.datetime(2024, 1, 1)
+    d2 = datetime.datetime(2024, 1, 2)
+    h = lambda d, hh: datetime.datetime(2024, 1, d, hh)  # noqa: E731
+    assert rows[(0, d1, h(1, 10))] == (2, 3.0)
+    assert rows[(0, d1, h(1, 11))] == (1, 4.0)
+    assert rows[(0, d2, h(2, 9))] == (1, 8.0)
+    assert rows[(1, d1, None)] == (3, 7.0)      # day grain
+    assert rows[(1, d2, None)] == (1, 8.0)
+    assert rows[(3, None, None)] == (4, 15.0)   # grand total
+    assert len(rows) == 6
