@@ -71,6 +71,11 @@ from distributed_graph_database_simulation_with_load_balancing_and_threaded_requ
     asof_join,
     time_rollup,
 )
+from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.sketches import (
+    HLL_ALPHA_M2,
+    HLL_M,
+    hll_distinct,
+)
 from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.sampling import (
     rate_threshold,
     split_thresholds,
@@ -625,6 +630,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_quality_pct(spark, sf_dir):
         return quality_percentiles(load_table(spark, sf_dir, "documents"))
 
+    def q_hll_distinct(spark, sf_dir):
+        # Engine-portable HyperLogLog (md5 registers): approximate
+        # distinct users per event type, value-oracle-checked because
+        # the SQL replica computes the IDENTICAL estimate; exact count
+        # joined alongside for the error contract.
+        events = load_table(spark, sf_dir, "events")
+        exact = events.groupBy("event_type").agg(
+            F.count_distinct("user_id").cast("long").alias("n_exact")
+        )
+        approx = hll_distinct(events, "user_id", group_by=["event_type"])
+        return exact.join(approx, on="event_type")
+
     def q_asof_join(spark, sf_dir):
         # For every event, the user's most recent order-day spend at or
         # before the event time (union-merge as-of join; right side
@@ -735,6 +752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sessions": q_sessions,
         "q_no_orders": q_no_orders,
         "q_quality_pct": q_quality_pct,
+        "q_hll_distinct": q_hll_distinct,
         "q_asof_join": q_asof_join,
         "q_time_rollup": q_time_rollup,
         "q_matrix_io": q_matrix_io,
@@ -1141,6 +1159,48 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_events,
                    round(SUM(value), 4) AS total_value
             FROM sess GROUP BY user_id, session_no
+        """,
+        "q_hll_distinct": f"""
+            WITH h AS (
+              SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS hx FROM events
+            ),
+            parts AS (
+              SELECT event_type, substring(hx, 1, 2) AS bucket,
+                     substring(hx, 3, 15) AS rest,
+                     length(regexp_extract(substring(hx, 3, 15), '^(0*)', 1)) AS z
+              FROM h
+            ),
+            rho AS (
+              SELECT event_type, bucket,
+                     COALESCE(z * 4 + CASE substring(rest, z + 1, 1)
+                        WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+                        WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1
+                        WHEN '7' THEN 1 ELSE 0 END + 1, 61) AS rho
+              FROM parts
+            ),
+            regs AS (
+              SELECT event_type, bucket, MAX(rho) AS reg
+              FROM rho GROUP BY event_type, bucket
+            ),
+            agg AS (
+              SELECT event_type, SUM(power(2.0, -reg)) AS s_used,
+                     COUNT(*) AS n_used
+              FROM regs GROUP BY event_type
+            ),
+            est AS (
+              SELECT event_type,
+                CASE WHEN ({HLL_ALPHA_M2!r} / (s_used + ({HLL_M} - n_used)))
+                          <= 2.5 * {HLL_M} AND ({HLL_M} - n_used) > 0
+                     THEN {HLL_M} * ln(CAST({HLL_M} AS DOUBLE) / ({HLL_M} - n_used))
+                     ELSE {HLL_ALPHA_M2!r} / (s_used + ({HLL_M} - n_used)) END AS e
+              FROM agg
+            ),
+            exact AS (
+              SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+              FROM events GROUP BY event_type
+            )
+            SELECT x.event_type, x.n_exact, round(e.e, 4) AS n_approx
+            FROM exact x JOIN est e USING (event_type)
         """,
         "q_asof_join": """
             WITH daily AS (

@@ -26,6 +26,7 @@ from .similarity import cosine_topk, embedding_near_dup, ivf_topk, lsh_topk
 from .textops import corpus_stats, doc_features, repetition_features
 from .sampling import stratified_sample, train_split
 from .temporal import asof_join, time_rollup
+from .sketches import hll_distinct, hll_registers
 from .multimodal import attach_media, extract_media_meta, frame_sample
 from .relational import (
     brand_revenue,
@@ -67,6 +68,8 @@ __all__ = [
     "train_split",
     "asof_join",
     "time_rollup",
+    "hll_distinct",
+    "hll_registers",
     "attach_media",
     "extract_media_meta",
     "frame_sample",

@@ -1,0 +1,99 @@
+"""Cardinality sketches: a deterministic, engine-portable HyperLogLog.
+
+Why not ``approx_count_distinct``: Spark's native HLL++ and DuckDB's
+``approx_count_distinct`` use different hash functions and bias tables,
+so their estimates can never be compared value-for-value.  This
+operator derives the registers from md5 — available and identical in
+every engine — so the EXACT same estimate is computable in ANSI SQL,
+giving an approximate operator a full value oracle (same posture as
+the md5 minhash/simhash variants, operators/dedup.py).
+
+Flajolet et al. 2007 (HyperLogLog), with the standard linear-counting
+small-range correction.  p=8 -> m=256 registers -> ~6.5% standard
+error; the register layout is the first 2 hex chars of md5(value)
+(bucket key, kept AS TEXT — no hex->int conversion needed) and the
+leading-zero run of the next 15 hex chars (rho).
+
+Scale: one map-side-combined groupBy((group), bucket) max-aggregation —
+the shuffle carries at most m=256 rows per group regardless of input
+size — then a per-group fold of 256 register rows.  This is the
+pre-aggregable sketch shape: per-partition register maxima combine
+associatively, which is what makes HLL mergeable across 1000 executors
+(and across time: persisted register tables union+max to sketch a
+growing corpus without rescanning it).
+
+Extension beyond the reference (SURVEY.md §2.2 "north-star"); no
+reference analogue.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_P = 8
+_M = 1 << _P  # 256 registers
+# alpha_m for m >= 128 (Flajolet et al. 2007, fig. 3)
+_ALPHA = 0.7213 / (1.0 + 1.079 / _M)
+
+# Public constants so the SQL oracle states the literal same numbers.
+HLL_M = _M
+HLL_ALPHA_M2 = _ALPHA * _M * _M
+
+
+def _rho(rest: Column) -> Column:
+    """1-based position of the leftmost 1-bit in the 60-bit value
+    spelled by 15 hex chars: 4 * (leading '0' chars) + the zero-run
+    inside the first nonzero hex digit + 1; 61 when all zero."""
+    z = F.length(F.regexp_extract(rest, "^(0*)", 1))
+    nxt = F.substr(rest, z + 1, F.lit(1))
+    in_digit = (
+        F.when(nxt.isin("8", "9", "a", "b", "c", "d", "e", "f"), 0)
+        .when(nxt.isin("4", "5", "6", "7"), 1)
+        .when(nxt.isin("2", "3"), 2)
+        .when(nxt == "1", 3)
+    )
+    return F.coalesce(z * 4 + in_digit + 1, F.lit(61)).cast("int")
+
+
+def hll_registers(
+    df: DataFrame, value_col: str, *, group_by: list[str] | None = None
+) -> DataFrame:
+    """The mergeable state: per (group, bucket) max rho.  Union two
+    register tables and re-max to merge sketches."""
+    group_by = group_by or []
+    h = F.md5(F.col(value_col).cast("string"))
+    return (
+        df.select(
+            *group_by,
+            F.substring(h, 1, 2).alias("bucket"),
+            _rho(F.substring(h, 3, 15)).alias("rho"),
+        )
+        .groupBy(*group_by, "bucket")
+        .agg(F.max("rho").alias("reg"))
+    )
+
+
+def hll_distinct(
+    df: DataFrame, value_col: str, *, group_by: list[str] | None = None
+) -> DataFrame:
+    """HyperLogLog distinct-count estimate per group (rounded to 4
+    places so the SQL oracle's libm differences vanish).  Columns:
+    group_by..., n_approx."""
+    group_by = group_by or []
+    regs = hll_registers(df, value_col, group_by=group_by)
+    per_group = regs.groupBy(*group_by).agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("reg"))).alias("_s_used"),
+        F.count("*").alias("_n_used"),
+    )
+    # Empty registers contribute 2^0 = 1 each to the harmonic sum.
+    s = F.col("_s_used") + (_M - F.col("_n_used"))
+    v_empty = F.lit(_M) - F.col("_n_used")  # V = empty-register count
+    raw = F.lit(_ALPHA * _M * _M) / s
+    est = F.when(
+        (raw <= 2.5 * _M) & (v_empty > 0),
+        _M * F.log(F.lit(float(_M)) / v_empty),  # linear counting
+    ).otherwise(raw)
+    return per_group.select(
+        *group_by, F.round(est, 4).alias("n_approx")
+    )

@@ -306,3 +306,45 @@ def test_rate_threshold_is_fixed_width_hex():
     assert rate_threshold(1.0) == "gggggggg"    # sorts above all hex
     with pytest.raises(ValueError):
         rate_threshold(1.5)
+
+
+# --- engine-portable HyperLogLog ---
+
+from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.sketches import (  # noqa: E402
+    hll_distinct,
+    hll_registers,
+)
+
+
+def test_hll_estimate_within_error_bound(spark):
+    # m=256 -> ~6.5% standard error; assert within 3 sigma (~20%).
+    n = 10_000
+    df = spark.range(n).select(F.col("id").alias("v"))
+    est = hll_distinct(df, "v").collect()[0]["n_approx"]
+    assert abs(est - n) / n < 0.20
+
+
+def test_hll_small_range_linear_counting(spark):
+    df = spark.range(10).select(F.col("id").alias("v"))
+    est = hll_distinct(df, "v").collect()[0]["n_approx"]
+    assert abs(est - 10) <= 1.5  # linear counting is near-exact here
+
+
+def test_hll_registers_merge(spark):
+    # Sketch mergeability: union two register tables and re-max ==
+    # sketching the union directly (the 1000-executor / incremental
+    # corpus property).
+    a = spark.range(0, 5000).select(F.col("id").alias("v"))
+    b = spark.range(2500, 7500).select(F.col("id").alias("v"))
+    whole = {(r["bucket"], r["reg"]) for r in hll_registers(a.unionAll(b), "v").collect()}
+    merged = {
+        (r["bucket"], r["reg"])
+        for r in (
+            hll_registers(a, "v")
+            .unionAll(hll_registers(b, "v"))
+            .groupBy("bucket")
+            .agg(F.max("reg").alias("reg"))
+            .collect()
+        )
+    }
+    assert merged == whole
