@@ -32,3 +32,67 @@ def test_salted_join_matches_plain_join(spark):
               for r in salted_join(skewed, dim, "k", salts=4).collect()}
     assert salted == plain
     assert len(salted) == 600
+
+
+def test_ivf_partitioned_layout_prunes_and_matches(spark, tmp_path):
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.similarity import (
+        ivf_centroids,
+        ivf_topk,
+        ivf_topk_partitioned,
+        save_ivf_partitioned,
+    )
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.sources.tables import (
+        load_table,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = [float(x) for x in emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    cents = ivf_centroids(emb, n_cells=16)
+    path = str(tmp_path / "ivf")
+    save_ivf_partitioned(emb, path, cents)
+
+    part = ivf_topk_partitioned(spark, path, q, cents, k=10, n_probe=4)
+    flat = ivf_topk(emb, q, k=10, n_cells=16, n_probe=4)
+    assert [tuple(r) for r in part.collect()] == [tuple(r) for r in flat.collect()]
+
+    # The probe predicate must reach the file listing as a partition
+    # filter (metadata pruning), not a post-scan filter.
+    plan = part._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters", 1)[1][:200]
+
+
+def test_train_split_prunes_scan_columns(spark):
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.sampling import (
+        train_split,
+    )
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.sources.tables import (
+        load_table,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    out = train_split(docs).select("doc_id", "lang", "split")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # Zero shuffles (pure projection) and a pruned parquet scan: the
+    # text/source/n_chars columns never leave the reader.
+    assert "Exchange" not in plan
+    read_schema = plan.split("ReadSchema", 1)[1][:200]
+    assert "doc_id" in read_schema and "lang" in read_schema
+    assert "text" not in read_schema
+
+
+def test_asof_join_is_single_shuffle(spark):
+    import datetime
+
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.temporal import (
+        asof_join,
+    )
+
+    ts = datetime.datetime(2024, 1, 1)
+    left = spark.createDataFrame([(1, ts)], "k int, t timestamp")
+    right = spark.createDataFrame([(1, ts, 1.0)], "k int, rt timestamp, v double")
+    out = asof_join(left, right, on=["k"], left_ts="t", right_ts="rt", values=["v"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # Union-merge shape: ONE hash exchange on the join key feeding the
+    # window sort — no range join, no broadcast-nested-loop.
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
