@@ -40,8 +40,13 @@ from distributed_graph_database_simulation_with_load_balancing_and_threaded_requ
 )
 from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.sources.graphs import (
     ROOT_VID,
+    copurchase_edges,
     derived_tree_edges,
     requests_from_orders,
+)
+from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.graphalgs import (
+    pagerank_fixed,
+    triangle_counts,
 )
 from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.sources.tables import load_table
 from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.dedup import (
@@ -150,6 +155,50 @@ _SQL_SYM = f"""
   WITH e0 AS ({_SQL_E0})
   SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0
 """
+
+# Part co-purchase graph (sources/graphs.copurchase_edges replica):
+# canonical src < dst pairs of parts sharing an order, baskets > 12
+# distinct parts dropped before the pair join.
+def _sql_copurchase(where: str = "") -> str:
+    return f"""
+  li AS (SELECT DISTINCT l_orderkey AS ok, CAST(l_partkey AS BIGINT) AS p
+         FROM lineitem {where}),
+  ok_sized AS (SELECT ok FROM li GROUP BY ok HAVING COUNT(*) <= 12),
+  li2 AS (SELECT li.ok, li.p FROM li JOIN ok_sized USING (ok)),
+  ce AS (SELECT DISTINCT a.p AS src, b.p AS dst
+         FROM li2 a JOIN li2 b ON a.ok = b.ok AND a.p < b.p)
+"""
+
+
+def _pagerank_oracle_sql(iters: int = 5, damping_pct: int = 85, scale: int = 10**12) -> str:
+    """Unrolled fixed-point PageRank: one (sums, ranks) CTE pair per
+    iteration, integer floor division (`//`) throughout — reproduces
+    ``graphalgs.pagerank_fixed`` bit-for-bit (integer sums are
+    order-independent, so engine/partitioning cannot perturb it)."""
+    tele_num = (100 - damping_pct) * scale // 100
+    ctes = [
+        f"WITH {_sql_copurchase()}",
+        "sym AS (SELECT src, dst FROM ce UNION ALL SELECT dst, src FROM ce)",
+        "verts AS (SELECT DISTINCT src AS v FROM sym)",
+        "deg AS (SELECT src AS v, COUNT(*) AS d FROM sym GROUP BY src)",
+        "nn AS (SELECT COUNT(*) AS n FROM verts)",
+        f"r0 AS (SELECT v, {scale} // (SELECT n FROM nn) AS r FROM verts)",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"s{k} AS (SELECT e.dst AS v, SUM(p.r // dg.d) AS s FROM sym e "
+            f"JOIN r{k - 1} p ON p.v = e.src JOIN deg dg ON dg.v = e.src GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"r{k} AS (SELECT verts.v, {tele_num} // (SELECT n FROM nn) "
+            f"+ ({damping_pct} * COALESCE(s{k}.s, 0)) // 100 AS r "
+            f"FROM verts LEFT JOIN s{k} ON s{k}.v = verts.v)"
+        )
+    return (
+        ",\n".join(ctes)
+        + f"\nSELECT v AS vertex, CAST(r AS BIGINT) AS rank_scaled, "
+        f"r / {float(scale)} AS rank_val FROM r{iters}"
+    )
 
 _SQL_BFS = f"""
   WITH RECURSIVE e0 AS ({_SQL_E0}),
@@ -704,6 +753,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             docs, {"en": 0.25, "de": 1.0, "zh": 0.5}, default_rate=0.1
         ).select("doc_id", "lang")
 
+    def q_triangles(spark, sf_dir):
+        # Per-vertex triangle counts over the 1995-ship-year part
+        # co-purchase graph (degree-ordered compact-forward with
+        # broadcast adjacency intersection).
+        return triangle_counts(
+            copurchase_edges(spark, sf_dir, ship_range=("1995-01-01", "1996-01-01"))
+        )
+
+    def q_pagerank(spark, sf_dir):
+        # Fixed-point PageRank (integer units of 1e-12) over the
+        # symmetric co-purchase graph — exact cross-engine value
+        # oracle because every step is integer arithmetic.
+        pr = pagerank_fixed(copurchase_edges(spark, sf_dir, symmetric=True), iters=5)
+        return pr.withColumnRenamed("rank", "rank_val")
+
     def q_request_replies(spark, sf_dir):
         # O12 end-to-end: dispatch a fixed BFS + DFS request pair over
         # the derived tree and format the reference-style reply strings.
@@ -759,6 +823,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_repetition": q_repetition,
         "q_train_split": q_train_split,
         "q_stratified_sample": q_stratified_sample,
+        "q_triangles": q_triangles,
+        "q_pagerank": q_pagerank,
         "q_request_replies": q_request_replies,
     }
 
@@ -1290,4 +1356,26 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(CAST(src AS VARCHAR), ' ' ORDER BY src)
             FROM deg WHERE d = 1 AND src <> 999
         """,
+        # Canonical-id triangle enumeration (src<dst edges make every
+        # triangle appear exactly once as a<b<c); the engine's
+        # degree-ordered orientation counts the same set.
+        "q_triangles": f"""
+            WITH {_sql_copurchase(
+                "WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'"
+            )},
+            tri AS (
+              SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+              FROM ce e1
+              JOIN ce e2 ON e2.src = e1.dst
+              JOIN ce e3 ON e3.src = e1.src AND e3.dst = e2.dst
+            ),
+            m AS (
+              SELECT a AS vertex FROM tri
+              UNION ALL SELECT b FROM tri
+              UNION ALL SELECT c FROM tri
+            )
+            SELECT vertex, CAST(COUNT(*) AS BIGINT) AS triangles
+            FROM m GROUP BY vertex
+        """,
+        "q_pagerank": _pagerank_oracle_sql(iters=5),
     }

@@ -1,0 +1,251 @@
+"""Whole-graph analytics beyond per-request traversal: PageRank and
+triangle counting.
+
+Extension beyond the reference's BFS/DFS request surface (SURVEY.md
+§2.2 "graph ops beyond BFS/DFS"): the reference stores whole graphs
+resident in memory (secondary_server.c:42 ``int graphs[10][N][N]``)
+but only ever answers single-start traversals; these operators answer
+the whole-graph questions the same stored graphs support.
+
+Engine-portability posture (mirrors ``sketches.hll_distinct``): the
+PageRank here is FIXED-POINT — ranks are integers in units of
+``1/scale`` and every step is integer arithmetic (floor division,
+integer sums).  Integer sums are exact and order-independent, so the
+result is bit-identical across engines and partitionings, which is
+what gives the query a full value oracle (a float PageRank's sum
+order varies per run/engine, making hash equality meaningless).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .traverse import _edges_only
+
+def canonical_edges(edges: DataFrame, *, graph_id: int | None = None) -> DataFrame:
+    """Undirected edge set as canonical ``src < dst`` pairs (one row
+    per edge regardless of input orientation/duplication)."""
+    e = _edges_only(edges, graph_id)
+    return (
+        e.select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+def _oriented_edges(e: DataFrame) -> DataFrame:
+    """Degree-ordered orientation: each canonical edge re-oriented
+    from the endpoint that is smaller in the total order
+    ``(degree, id)`` to the larger.  Every triangle then has exactly
+    one pivot vertex with two out-edges, and out-degrees are bounded
+    by O(sqrt(m)) — a celebrity vertex's edges all point INTO it, so
+    the hub-blowup of naive id-ordering never happens."""
+    deg = (
+        e.select(F.col("src").alias("v"))
+        .unionAll(e.select(F.col("dst").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("deg"))
+    )
+    ds = deg.select(F.col("v").alias("src"), F.col("deg").alias("sdeg"))
+    dd = deg.select(F.col("v").alias("dst"), F.col("deg").alias("ddeg"))
+    with_deg = e.join(ds, "src").join(dd, "dst")
+    src_first = (F.col("sdeg") < F.col("ddeg")) | (
+        (F.col("sdeg") == F.col("ddeg")) & (F.col("src") < F.col("dst"))
+    )
+    return with_deg.select(
+        F.when(src_first, F.col("src")).otherwise(F.col("dst")).alias("u"),
+        F.when(src_first, F.col("dst")).otherwise(F.col("src")).alias("w"),
+        F.when(src_first, F.col("ddeg")).otherwise(F.col("sdeg")).alias("wdeg"),
+    )
+
+def triangle_counts(
+    edges: DataFrame,
+    *,
+    graph_id: int | None = None,
+    strategy: str = "adjacency",
+) -> DataFrame:
+    """Per-vertex triangle participation counts over an undirected
+    graph.  Returns ``(vertex: long, triangles: long)`` for every
+    vertex in at least one triangle.
+
+    Both strategies use degree-ordered orientation (compact-forward);
+    they differ in how wedges are closed — the same
+    broadcast-vs-shuffle dichotomy Spark applies to joins:
+
+    * ``adjacency`` (default): build each vertex's out-neighbor array
+      (one ``collect_list`` shuffle, output has one row per vertex)
+      and close triangles with a broadcast ``array_intersect`` per
+      edge — for edge u->w, ``adj(u) & adj(w)`` is exactly the set of
+      apexes closing a triangle over it.  The wedge intermediate (sum
+      of outdeg^2, 40M rows on the sf0.1 co-purchase graph vs 1.2M
+      edges) NEVER materializes.  Right choice while the adjacency
+      table fits a broadcast (vertex count x avg degree — dimension
+      -table-sized for product/part-style graphs even when the edge
+      set is huge).
+    * ``wedge``: enumerate out-neighbor pairs per pivot and close with
+      a shuffle join on the (v, w) pair.  O(m^1.5) intermediate, no
+      broadcast requirement — the 100-TB-vertex path (GraphX/
+      GraphFrames shape).
+
+    Counts are identical (each triangle closed exactly once, at its
+    unique oriented v->w edge with v,w the two order-smaller
+    vertices); the SQL oracle enumerates a<b<c id-ordered triangles,
+    which is the same set.
+    """
+    e = canonical_edges(edges, graph_id=graph_id)
+    # Eager localCheckpoint: the oriented edge set feeds THREE
+    # consumers (adjacency build + both join sides); without a
+    # materialization Spark recomputes the canonicalize+orient subtree
+    # once per consumer (persist() would be unpersisted before the
+    # caller's action runs — checkpointing is the handle-free form).
+    oriented = _oriented_edges(e).localCheckpoint(eager=True)
+    if strategy == "adjacency":
+        adj = oriented.groupBy(F.col("u").alias("v")).agg(
+            F.collect_list("w").alias("nbrs")
+        )
+        au = adj.select(F.col("v").alias("u"), F.col("nbrs").alias("nu"))
+        aw = adj.select(F.col("v").alias("w"), F.col("nbrs").alias("nw"))
+        per_edge = (
+            oriented.join(F.broadcast(au), "u", "left")
+            .join(F.broadcast(aw), "w", "left")
+            .select(
+                "u",
+                "w",
+                F.array_intersect(
+                    F.coalesce("nu", F.array().cast("array<long>")),
+                    F.coalesce("nw", F.array().cast("array<long>")),
+                ).alias("common"),
+            )
+            .where(F.size("common") > 0)
+        )
+        members = (
+            per_edge.select(F.col("u").alias("vertex"), F.size("common").alias("c"))
+            .unionAll(per_edge.select(F.col("w").alias("vertex"), F.size("common").alias("c")))
+            .unionAll(
+                per_edge.select(F.explode("common").alias("vertex"), F.lit(1).alias("c"))
+            )
+        )
+        out = members.groupBy("vertex").agg(F.sum("c").cast("long").alias("triangles"))
+    elif strategy == "wedge":
+        o1 = oriented.select("u", F.col("w").alias("v"), F.col("wdeg").alias("vdeg"))
+        o2 = oriented.select("u", "w", "wdeg")
+        # Wedge (u; v, w) with v before w in the (deg, id) order, so
+        # the closing edge — if present — is oriented exactly v -> w.
+        wedges = o1.join(o2, "u").where(
+            (F.col("vdeg") < F.col("wdeg"))
+            | ((F.col("vdeg") == F.col("wdeg")) & (F.col("v") < F.col("w")))
+        )
+        closer = oriented.select(F.col("u").alias("v"), F.col("w"))
+        tris = wedges.join(closer, ["v", "w"]).select("u", "v", "w")
+        members = (
+            tris.select(F.col("u").alias("vertex"))
+            .unionAll(tris.select(F.col("v").alias("vertex")))
+            .unionAll(tris.select(F.col("w").alias("vertex")))
+        )
+        out = members.groupBy("vertex").agg(
+            F.count("*").cast("long").alias("triangles")
+        )
+    else:
+        raise ValueError(f"unknown strategy {strategy!r} (adjacency|wedge)")
+    return out.select(F.col("vertex").cast("long").alias("vertex"), "triangles")
+
+def pagerank_fixed(
+    edges: DataFrame,
+    *,
+    iters: int = 5,
+    damping_pct: int = 85,
+    scale: int = 10**12,
+    graph_id: int | None = None,
+) -> DataFrame:
+    """Fixed-point PageRank over a directed edge list (pass a
+    symmetric list for undirected graphs).  Returns
+    ``(vertex: long, rank_scaled: long, rank: double)`` where
+    ``rank_scaled`` is the rank in units of ``1/scale``.
+
+    Update rule (all integer arithmetic)::
+
+        r0       = scale div n
+        teleport = ((100 - damping_pct) * scale div 100) div n
+        r_{k+1}(v) = teleport
+                   + (damping_pct * sum_{u->v} (r_k(u) div outdeg(u))) div 100
+
+    Floor division loses at most ``outdeg`` units per vertex per
+    round — at scale=1e12 that is a relative error ~1e-9, far below
+    float PageRank's own convergence tolerance, and in exchange the
+    result is EXACTLY reproducible in any engine with integer floor
+    division (the SQL oracle uses DuckDB's ``//``).  Integer sums are
+    order-independent, so partitioning/AQE cannot perturb the answer.
+
+    Dangling vertices (outdeg 0) keep their teleport share but leak
+    their damped mass — acceptable for the symmetric graphs this
+    engine stores (every vertex of a symmetric edge list has
+    outdeg >= 1, so no mass leaks there).
+
+    Scale posture (100 TB): per round, one shuffle keyed on ``dst``
+    with map-side partial integer sums; the rank-to-edge join keys on
+    the vertex.  ``n`` is the single driver-side scalar (one count —
+    the same O(1)-rows-to-driver posture as ``similarity.ivf_centroids``).
+    Lineage grows one join per round; for the default 5 rounds the
+    whole DAG is one action with no checkpoint barrier (BFS-style
+    per-round checkpointing kicks in past ``_CHECKPOINT_EVERY``).
+    """
+    e = _edges_only(edges, graph_id)
+    outdeg = e.groupBy(F.col("src").alias("vertex")).agg(F.count("*").alias("outdeg"))
+    verts = (
+        e.select(F.col("src").alias("vertex"))
+        .unionAll(e.select(F.col("dst").alias("vertex")))
+        .distinct()
+    )
+    # Pre-join degree onto edges once; persisted for the loop lifetime.
+    # Distinct column names (esrc/edst) keep every per-round self-join
+    # reference unambiguous as lineage accumulates.
+    ed = (
+        e.join(outdeg, e["src"] == outdeg["vertex"])
+        .select(e["src"].alias("esrc"), e["dst"].alias("edst"), "outdeg")
+        .persist()
+    )
+    verts = verts.persist()
+    try:
+        n = verts.count()  # one driver scalar
+        if n == 0:
+            return verts.select(
+                F.col("vertex").cast("long"),
+                F.lit(0).cast("long").alias("rank_scaled"),
+                F.lit(0.0).alias("rank"),
+            )
+        init = scale // n
+        teleport = ((100 - damping_pct) * scale // 100) // n
+        ranks = verts.select("vertex", F.lit(init).cast("long").alias("r"))
+        _CHECKPOINT_EVERY = 8
+        for i in range(iters):
+            sums = (
+                ranks.join(ed, ranks["vertex"] == F.col("esrc"))
+                # `div` is true integer floor division (positive args) —
+                # NOT `/`, which is float division and loses exactness
+                # for large operands.
+                .select(F.col("edst").alias("sv"), F.expr("r div outdeg").alias("c"))
+                .groupBy("sv")
+                .agg(F.sum("c").alias("s"))
+            )
+            ranks = (
+                verts.join(sums, verts["vertex"] == F.col("sv"), "left")
+                .select(
+                    verts["vertex"],
+                    F.expr(
+                        f"CAST({teleport} + ({damping_pct} * coalesce(s, 0)) div 100 AS LONG)"
+                    ).alias("r"),
+                )
+            )
+            if (i + 1) % _CHECKPOINT_EVERY == 0 and (i + 1) < iters:
+                ranks = ranks.localCheckpoint(eager=True)
+        return ranks.select(
+            F.col("vertex").cast("long").alias("vertex"),
+            F.col("r").alias("rank_scaled"),
+            (F.col("r") / F.lit(float(scale))).alias("rank"),
+        )
+    finally:
+        ed.unpersist(blocking=False)
+        verts.unpersist(blocking=False)

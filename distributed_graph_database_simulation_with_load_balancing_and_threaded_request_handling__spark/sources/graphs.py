@@ -129,3 +129,68 @@ def requests_from_orders(spark: SparkSession, sf_dir: str, *, limit: int | None 
     if limit is not None:
         df = df.limit(limit)
     return df
+
+
+def copurchase_edges(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    max_basket: int = 12,
+    symmetric: bool = False,
+    ship_range: tuple[str, str] | None = None,
+    cached: bool = True,
+) -> DataFrame:
+    """Part co-occurrence graph from ``lineitem``: one canonical
+    ``src < dst`` edge per distinct pair of parts appearing in the
+    same order.  Unlike the derived tree (``derived_tree_edges``)
+    this graph has cycles and triangles, so it exercises the
+    whole-graph analytics (``graphalgs``) non-trivially.
+
+    ``max_basket`` drops degenerate orders with more than that many
+    distinct parts BEFORE the pair self-join — per-order pair count is
+    quadratic in basket size, so one pathological basket would
+    dominate the shuffle (same degenerate-bucket guard as
+    ``dedup._bucket_pairs``'s ``max_bucket_size``).  TPC-H orders have
+    <= 7 lineitems, so the default cap drops nothing on the testdata;
+    the guard exists for the 100-TB shape of real basket data.
+
+    ``ship_range=(lo, hi)`` restricts to lineitems with
+    ``lo <= l_shipdate < hi`` — expressed as a plain range predicate
+    (not ``year(...)``) so it reaches the parquet scan as a min/max
+    pushdown filter.
+
+    Scale: two shuffles on ``l_orderkey`` (distinct + self-join; the
+    join reuses the distinct's partitioning) + one distinct on the
+    canonical pair.  ``symmetric=True`` adds the reversed projection
+    (shuffle-free union) for consumers that need both orientations
+    (e.g. ``pagerank_fixed``).
+    """
+    key = (spark.sparkContext.applicationId, sf_dir, "copurchase", max_basket, symmetric, ship_range)
+    if cached and key in _EDGE_CACHE:
+        return _EDGE_CACHE[key]
+    li = load_table(spark, sf_dir, "lineitem")
+    if ship_range is not None:
+        lo, hi = ship_range
+        li = li.where((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+    li = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").cast("long").alias("p")
+    ).distinct()
+    sized = li.join(
+        li.groupBy("ok").agg(F.count("*").alias("basket")).where(F.col("basket") <= max_basket),
+        "ok",
+    ).select("ok", "p")
+    a = sized.alias("a")
+    b = sized.alias("b")
+    pairs = (
+        a.join(b, F.col("a.ok") == F.col("b.ok"))
+        .where(F.col("a.p") < F.col("b.p"))
+        .select(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
+        .distinct()
+    )
+    out = pairs
+    if symmetric:
+        out = pairs.unionAll(pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    if cached:
+        out = out.persist()
+        _EDGE_CACHE[key] = out
+    return out

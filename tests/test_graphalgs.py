@@ -1,0 +1,89 @@
+"""Whole-graph analytics: triangle counting + fixed-point PageRank."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.graphalgs import (
+    canonical_edges,
+    pagerank_fixed,
+    triangle_counts,
+)
+
+def _df(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+class TestTriangles:
+    def test_k4_plus_pendant(self, spark):
+        # K4: every vertex is in C(3,2)=3 triangles; pendant vertex in none.
+        edges = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b] + [(1, 5)]
+        for strategy in ("adjacency", "wedge"):
+            got = {
+                r.vertex: r.triangles
+                for r in triangle_counts(_df(spark, edges), strategy=strategy).collect()
+            }
+            assert got == {1: 3, 2: 3, 3: 3, 4: 3}, strategy
+
+    def test_strategies_agree_on_random_graph(self, spark):
+        # Deterministic pseudo-random graph with hubs (xxhash-derived).
+        base = spark.range(600).select(
+            (F.xxhash64("id") % 50).alias("src"), (F.xxhash64("id", F.lit(1)) % 50).alias("dst")
+        )
+        a = {
+            (r.vertex, r.triangles)
+            for r in triangle_counts(base, strategy="adjacency").collect()
+        }
+        w = {
+            (r.vertex, r.triangles)
+            for r in triangle_counts(base, strategy="wedge").collect()
+        }
+        assert a == w and len(a) > 0
+
+    def test_input_orientation_irrelevant(self, spark):
+        # Triangle given as a mix of orientations + duplicate edges.
+        tri = [(1, 2), (2, 1), (3, 2), (1, 3), (3, 1)]
+        got = triangle_counts(_df(spark, tri)).collect()
+        assert {(r.vertex, r.triangles) for r in got} == {(1, 1), (2, 1), (3, 1)}
+
+    def test_unknown_strategy_raises(self, spark):
+        with pytest.raises(ValueError):
+            triangle_counts(_df(spark, [(1, 2)]), strategy="nope")
+
+class TestPageRank:
+    def test_cycle_uniform(self, spark):
+        # Directed 3-cycle: symmetric by rotation -> exactly uniform.
+        pr = pagerank_fixed(_df(spark, [(1, 2), (2, 3), (3, 1)]), iters=5).collect()
+        assert len({r.rank_scaled for r in pr}) == 1
+        assert abs(sum(r.rank for r in pr) - 1.0) < 1e-6
+
+    def test_matches_float_reference(self, spark):
+        edges = [(1, 2), (1, 3), (2, 3), (3, 1), (4, 3), (2, 4)]
+        got = {r.vertex: r.rank for r in pagerank_fixed(_df(spark, edges), iters=20).collect()}
+        verts = sorted({v for e in edges for v in e})
+        out = {v: [d for s, d in edges if s == v] for v in verts}
+        rank = {v: 1.0 / len(verts) for v in verts}
+        for _ in range(20):
+            nxt = {v: 0.15 / len(verts) for v in verts}
+            for s in verts:
+                for d in out[s]:
+                    nxt[d] += 0.85 * rank[s] / len(out[s])
+            rank = nxt
+        for v in verts:
+            assert got[v] == pytest.approx(rank[v], abs=1e-8)
+
+    def test_mass_conserved_on_symmetric_graph(self, spark):
+        # Symmetric edge list -> no dangling vertices -> total mass stays
+        # 1 up to the bounded floor-division loss (< n*(outdeg+2) units).
+        pairs = [(a, b) for a in range(10) for b in range(10) if a != b and (a + b) % 3]
+        pr = pagerank_fixed(_df(spark, pairs), iters=8).agg(F.sum("rank_scaled")).collect()[0][0]
+        assert 10**12 - 10 * 20 <= pr <= 10**12
+
+    def test_star_center_dominates(self, spark):
+        star = [(c, 0) for c in range(1, 8)] + [(0, c) for c in range(1, 8)]
+        got = {r.vertex: r.rank_scaled for r in pagerank_fixed(_df(spark, star), iters=10).collect()}
+        assert got[0] > max(v for k, v in got.items() if k != 0) * 3
+
+def test_canonical_edges_dedup(spark):
+    e = canonical_edges(
+        spark.createDataFrame([(2, 1), (1, 2), (1, 1), (3, 2)], "src long, dst long")
+    ).collect()
+    assert {(r.src, r.dst) for r in e} == {(1, 2), (2, 3)}
