@@ -95,9 +95,11 @@ from distributed_graph_database_simulation_with_load_balancing_and_threaded_requ
     brand_revenue,
     customers_without_orders,
     event_props_filter,
+    event_type_pivot,
     event_windows,
     pricing_summary,
     quality_percentiles,
+    revenue_rollup,
     sessionize_events,
     top_events_per_type,
     user_cohort,
@@ -753,6 +755,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             docs, {"en": 0.25, "de": 1.0, "zh": 0.5}, default_rate=0.1
         ).select("doc_id", "lang")
 
+    def q_rollup_revenue(spark, sf_dir):
+        # ROLLUP subtotals: leaf/flag/grand-total revenue in one pass.
+        return revenue_rollup(load_table(spark, sf_dir, "lineitem"))
+
+    def q_event_pivot(spark, sf_dir):
+        # Long-to-wide per-user activity matrix (explicit pivot values).
+        return event_type_pivot(load_table(spark, sf_dir, "events"))
+
     def q_triangles(spark, sf_dir):
         # Per-vertex triangle counts over the 1995-ship-year part
         # co-purchase graph (degree-ordered compact-forward with
@@ -823,6 +833,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_repetition": q_repetition,
         "q_train_split": q_train_split,
         "q_stratified_sample": q_stratified_sample,
+        "q_rollup_revenue": q_rollup_revenue,
+        "q_event_pivot": q_event_pivot,
         "q_triangles": q_triangles,
         "q_pagerank": q_pagerank,
         "q_request_replies": q_request_replies,
@@ -1378,4 +1390,26 @@ def oracle_sql() -> dict[str, str]:
             FROM m GROUP BY vertex
         """,
         "q_pagerank": _pagerank_oracle_sql(iters=5),
+        "q_rollup_revenue": """
+            SELECT l_returnflag, l_linestatus,
+                   round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                              * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 4) AS revenue,
+                   CAST(COUNT(*) AS BIGINT) AS n_items,
+                   CAST(GROUPING(l_returnflag, l_linestatus) AS INTEGER) AS gid
+            FROM lineitem
+            GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
+        "q_event_pivot": """
+            SELECT user_id,
+                   CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_click,
+                   CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_view,
+                   CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase,
+                   CAST(COUNT(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS n_signup,
+                   CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_error,
+                   COALESCE(round(CAST(SUM(CAST(value AS DECIMAL(18,2)))
+                              FILTER (WHERE event_type = 'purchase') AS DOUBLE), 4), 0.0)
+                       AS purchase_value
+            FROM events
+            GROUP BY user_id
+        """,
     }

@@ -234,3 +234,58 @@ def brand_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
             F.count("*").cast("long").alias("n_items"),
         )
     )
+
+
+def revenue_rollup(lineitem: DataFrame) -> DataFrame:
+    """Hierarchical subtotals in one pass: revenue and item counts per
+    (returnflag, linestatus), per returnflag, and grand total, via
+    ``ROLLUP`` (SURVEY.md §2.2 aggregations — multi-level grouping the
+    reference has no analogue for).
+
+    ``gid`` is the grouping bitmask (0 = leaf row, 1 = per-flag
+    subtotal, 3 = grand total) so consumers — and the value oracle —
+    can distinguish subtotal rows from leaf rows whose keys are NULL.
+
+    Scale: Spark expands the rollup BEFORE the exchange, so map-side
+    partial aggregation covers all three grouping sets in the one
+    shuffle; output cardinality is the sum of the grouping-set
+    cardinalities (tiny here).  Decimal aggregation keeps the sums
+    exact (see ``_DEC``).
+    """
+    price = F.col("l_extendedprice").cast(_DEC)
+    disc = F.col("l_discount").cast(_DEC)
+    return lineitem.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum(price * (1 - disc)).cast("double"), 4).alias("revenue"),
+        F.count("*").cast("long").alias("n_items"),
+        F.grouping_id().cast("int").alias("gid"),
+    )
+
+
+def event_type_pivot(
+    events: DataFrame,
+    types: tuple[str, ...] = ("click", "view", "purchase", "signup", "error"),
+) -> DataFrame:
+    """Long-to-wide: one row per user with a count column per event
+    type (``n_<type>``) and the summed purchase value.
+
+    The pivot values are EXPLICIT — passing them skips the
+    distinct-values discovery job Spark otherwise runs, and makes the
+    output schema static (a 100-TB scan to learn column names is the
+    classic accidental-second-pass); unlisted types are dropped by the
+    pivot, exactly like the SQL conditional-aggregation form the
+    oracle uses.  One shuffle on ``user_id`` with map-side partials.
+    """
+    value = F.col("value").cast(_DEC)
+    wide = (
+        events.groupBy("user_id")
+        .pivot("event_type", list(types))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(value).cast("double"), 4).alias("val"),
+        )
+    )
+    cols = [F.col("user_id")]
+    for t in types:
+        cols.append(F.coalesce(F.col(f"{t}_n"), F.lit(0)).cast("long").alias(f"n_{t}"))
+    cols.append(F.coalesce(F.col("purchase_val"), F.lit(0.0)).alias("purchase_value"))
+    return wide.select(*cols)

@@ -138,3 +138,45 @@ def test_sessionize_events_gap_boundaries(spark):
     assert out[(7, 2)]["n_events"] == 1 and out[(7, 2)]["session_start"] == mins(50)
     assert out[(8, 1)]["n_events"] == 1
     assert len(out) == 3
+
+
+def test_revenue_rollup_subtotals(spark, lineitem):
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.relational import (
+        revenue_rollup,
+    )
+
+    rows = revenue_rollup(lineitem).collect()
+    leaf = [r for r in rows if r["gid"] == 0]
+    flag = {r["l_returnflag"]: r for r in rows if r["gid"] == 1}
+    total = [r for r in rows if r["gid"] == 3]
+    assert len(total) == 1
+    assert total[0]["n_items"] == sum(r["n_items"] for r in leaf)
+    assert total[0]["revenue"] == pytest.approx(sum(r["revenue"] for r in leaf))
+    for f, r in flag.items():
+        assert r["n_items"] == sum(x["n_items"] for x in leaf if x["l_returnflag"] == f)
+
+
+def test_event_type_pivot_counts_and_value(spark):
+    import datetime
+
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.relational import (
+        event_type_pivot,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 7, "click", 1.0, "{}"),
+        (2, t0, 7, "purchase", 25.5, "{}"),
+        (3, t0, 7, "purchase", 4.5, "{}"),
+        (4, t0, 8, "view", 2.0, "{}"),
+        (5, t0, 8, "unknown_type", 9.0, "{}"),  # dropped: not a pivot value
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string,"
+        "value double, props string"
+    )
+    out = {r["user_id"]: r for r in event_type_pivot(events).collect()}
+    assert out[7]["n_click"] == 1 and out[7]["n_purchase"] == 2
+    assert out[7]["purchase_value"] == pytest.approx(30.0)
+    assert out[8]["n_view"] == 1 and out[8]["n_purchase"] == 0
+    assert out[8]["purchase_value"] == 0.0  # no purchases -> 0, not NULL
