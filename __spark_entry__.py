@@ -45,6 +45,8 @@ from distributed_graph_database_simulation_with_load_balancing_and_threaded_requ
     requests_from_orders,
 )
 from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.graphalgs import (
+    common_neighbors,
+    degree_histogram,
     pagerank_fixed,
     triangle_counts,
 )
@@ -778,6 +780,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pr = pagerank_fixed(copurchase_edges(spark, sf_dir, symmetric=True), iters=5)
         return pr.withColumnRenamed("rank", "rank_val")
 
+    def q_degree_hist(spark, sf_dir):
+        # Log2-binned degree distribution of the co-purchase graph
+        # (integer bit-length bucketing — no float log2).
+        return degree_histogram(copurchase_edges(spark, sf_dir))
+
+    def q_common_neighbors(spark, sf_dir):
+        # Link prediction: non-adjacent part pairs sharing >= 2
+        # co-purchase neighbors, with exact Jaccard scores.
+        return common_neighbors(
+            copurchase_edges(spark, sf_dir, ship_range=("1995-01-01", "1996-01-01")),
+            min_common=2,
+        )
+
     def q_request_replies(spark, sf_dir):
         # O12 end-to-end: dispatch a fixed BFS + DFS request pair over
         # the derived tree and format the reference-style reply strings.
@@ -837,6 +852,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_event_pivot": q_event_pivot,
         "q_triangles": q_triangles,
         "q_pagerank": q_pagerank,
+        "q_degree_hist": q_degree_hist,
+        "q_common_neighbors": q_common_neighbors,
         "q_request_replies": q_request_replies,
     }
 
@@ -1390,6 +1407,36 @@ def oracle_sql() -> dict[str, str]:
             FROM m GROUP BY vertex
         """,
         "q_pagerank": _pagerank_oracle_sql(iters=5),
+        "q_degree_hist": f"""
+            WITH {_sql_copurchase()},
+            deg AS (
+              SELECT v, COUNT(*) AS degree FROM (
+                SELECT src AS v FROM ce UNION ALL SELECT dst FROM ce
+              ) GROUP BY v
+            )
+            SELECT CAST(length(format('{{:b}}', degree)) AS INTEGER) AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n_vertices,
+                   CAST(MIN(degree) AS BIGINT) AS min_degree,
+                   CAST(MAX(degree) AS BIGINT) AS max_degree
+            FROM deg GROUP BY 1
+        """,
+        "q_common_neighbors": f"""
+            WITH {_sql_copurchase(
+                "WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'"
+            )},
+            sym AS (SELECT src, dst FROM ce UNION ALL SELECT dst, src FROM ce),
+            deg AS (SELECT src AS v, COUNT(*) AS d FROM sym GROUP BY src),
+            s AS (SELECT sym.src, sym.dst FROM sym JOIN deg ON deg.v = sym.src
+                  WHERE deg.d <= 1000),
+            p AS (SELECT a.dst AS u, b.dst AS v, CAST(COUNT(*) AS BIGINT) AS common
+                  FROM s a JOIN s b ON a.src = b.src AND a.dst < b.dst
+                  GROUP BY a.dst, b.dst HAVING COUNT(*) >= 2),
+            na AS (SELECT p.* FROM p LEFT JOIN ce ON ce.src = p.u AND ce.dst = p.v
+                   WHERE ce.src IS NULL)
+            SELECT na.u, na.v, na.common,
+                   na.common / CAST(du.d + dv.d - na.common AS DOUBLE) AS jaccard
+            FROM na JOIN deg du ON du.v = na.u JOIN deg dv ON dv.v = na.v
+        """,
         "q_rollup_revenue": """
             SELECT l_returnflag, l_linestatus,
                    round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))

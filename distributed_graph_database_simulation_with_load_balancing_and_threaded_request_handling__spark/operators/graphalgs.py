@@ -249,3 +249,100 @@ def pagerank_fixed(
     finally:
         ed.unpersist(blocking=False)
         verts.unpersist(blocking=False)
+
+
+def degree_histogram(edges: DataFrame, *, graph_id: int | None = None) -> DataFrame:
+    """Log2-binned degree distribution:
+    ``(bucket, n_vertices, min_degree, max_degree)`` where ``bucket``
+    is the bit length of the degree (``floor(log2(d)) + 1``) — degree
+    1 -> bucket 1, 2-3 -> 2, 4-7 -> 3, ...
+
+    The bucket is computed as ``length(bin(degree))`` — INTEGER bit
+    arithmetic, not float ``log2`` (libm rounding differs across
+    engines at exact powers of two, which would flip a bucket edge;
+    the string length of the binary rendering is exact everywhere).
+
+    Scale: two shuffles (degree count, bucket agg), both map-side
+    combined; output is O(log max_degree) rows.
+    """
+    e = canonical_edges(edges, graph_id=graph_id)
+    deg = (
+        e.select(F.col("src").alias("v"))
+        .unionAll(e.select(F.col("dst").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("degree"))
+    )
+    return (
+        deg.select(F.length(F.bin("degree")).cast("int").alias("bucket"), "degree")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_vertices"),
+            F.min("degree").cast("long").alias("min_degree"),
+            F.max("degree").cast("long").alias("max_degree"),
+        )
+    )
+
+
+def common_neighbors(
+    edges: DataFrame,
+    *,
+    graph_id: int | None = None,
+    min_common: int = 3,
+    max_center_degree: int = 1000,
+) -> DataFrame:
+    """Link prediction by common-neighbor counting: for every
+    NON-adjacent vertex pair ``u < v`` sharing at least ``min_common``
+    neighbors, emit ``(u, v, common, jaccard)`` where ``jaccard`` is
+    ``common / (deg(u) + deg(v) - common)``.
+
+    Wedge centers with degree above ``max_center_degree`` are dropped
+    BEFORE pair expansion: the wedge set is sum-of-C(deg,2) over
+    centers, so one celebrity vertex would contribute quadratically
+    many pairs while carrying almost no signal (everything is
+    "similar" through a hub) — the standard link-prediction hub guard,
+    and this engine's recurring degenerate-bucket posture
+    (``dedup._bucket_pairs``).  The cap is a no-op on the testdata
+    (max co-purchase degree ~221) but is the 100-TB survival knob.
+
+    Scale: wedge expansion is one self-join keyed on the center; the
+    pair aggregation and the adjacency anti-join shuffle on the (u,v)
+    pair; degrees broadcast-join back on each endpoint.  ``jaccard``
+    divides exact integer counts as doubles (IEEE division is
+    correctly rounded — deterministic across engines).
+    """
+    e = canonical_edges(edges, graph_id=graph_id)
+    sym = e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    deg = sym.groupBy(F.col("src").alias("v")).agg(F.count("*").alias("d"))
+    centers = deg.where(F.col("d") <= max_center_degree).select(
+        F.col("v").alias("center")
+    )
+    s = sym.join(centers, sym["src"] == centers["center"]).select("src", "dst")
+    a = s.select(F.col("src").alias("x"), F.col("dst").alias("u"))
+    b = s.select(F.col("src").alias("x"), F.col("dst").alias("v"))
+    pairs = (
+        a.join(b, "x")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").cast("long").alias("common"))
+        .where(F.col("common") >= min_common)
+    )
+    non_adjacent = pairs.join(
+        e.select(F.col("src").alias("u"), F.col("dst").alias("v")),
+        on=["u", "v"],
+        how="left_anti",
+    )
+    du = deg.select(F.col("v").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("v").alias("v"), F.col("d").alias("dv"))
+    return (
+        non_adjacent.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.col("u").cast("long").alias("u"),
+            F.col("v").cast("long").alias("v"),
+            "common",
+            (
+                F.col("common")
+                / (F.col("du") + F.col("dv") - F.col("common")).cast("double")
+            ).alias("jaccard"),
+        )
+    )

@@ -87,3 +87,38 @@ def test_canonical_edges_dedup(spark):
         spark.createDataFrame([(2, 1), (1, 2), (1, 1), (3, 2)], "src long, dst long")
     ).collect()
     assert {(r.src, r.dst) for r in e} == {(1, 2), (2, 3)}
+
+
+def test_degree_histogram_buckets(spark):
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.graphalgs import (
+        degree_histogram,
+    )
+
+    # Star K(1,5): center degree 5 (bucket 3), leaves degree 1 (bucket 1).
+    star = spark.createDataFrame([(0, c) for c in range(1, 6)], "src long, dst long")
+    got = {r.bucket: r for r in degree_histogram(star).collect()}
+    assert got[1].n_vertices == 5 and got[1].min_degree == got[1].max_degree == 1
+    assert got[3].n_vertices == 1 and got[3].max_degree == 5
+
+def test_common_neighbors_scores(spark):
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.graphalgs import (
+        common_neighbors,
+    )
+
+    # Square 1-2-3-4-1: (1,3) and (2,4) are the non-adjacent diagonals,
+    # each with 2 common neighbors and jaccard 2/(2+2-2)=1.0.
+    sq = spark.createDataFrame([(1, 2), (2, 3), (3, 4), (4, 1)], "src long, dst long")
+    got = {(r.u, r.v): r for r in common_neighbors(sq, min_common=2).collect()}
+    assert set(got) == {(1, 3), (2, 4)}
+    assert got[(1, 3)].common == 2 and got[(1, 3)].jaccard == 1.0
+
+def test_common_neighbors_hub_guard(spark):
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.graphalgs import (
+        common_neighbors,
+    )
+
+    # Hub 0 connects 1..5; with the hub allowed, (i,j) leaf pairs share
+    # neighbor 0; capping center degree below 5 removes those wedges.
+    star = spark.createDataFrame([(0, c) for c in range(1, 6)], "src long, dst long")
+    assert common_neighbors(star, min_common=1).count() == 10
+    assert common_neighbors(star, min_common=1, max_center_degree=4).count() == 0
