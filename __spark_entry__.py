@@ -47,6 +47,7 @@ from distributed_graph_database_simulation_with_load_balancing_and_threaded_requ
 from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.graphalgs import (
     common_neighbors,
     degree_histogram,
+    kcore,
     pagerank_fixed,
     triangle_counts,
 )
@@ -202,6 +203,43 @@ def _pagerank_oracle_sql(iters: int = 5, damping_pct: int = 85, scale: int = 10*
         ",\n".join(ctes)
         + f"\nSELECT v AS vertex, CAST(r AS BIGINT) AS rank_scaled, "
         f"r / {float(scale)} AS rank_val FROM r{iters}"
+    )
+
+
+_KCORE_SHIP_WHERE = (
+    "WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'"
+)
+
+
+def _kcore_oracle_sql(k: int = 2, rounds: int = 16) -> str:
+    """Unrolled k-core peeling (graphalgs.kcore replica).  ``rounds``
+    must be >= the graph's peeling depth (measured <= 7 at every
+    testdata SF for k=2); once the fixpoint is reached every further
+    unrolled round is an exact no-op, so over-unrolling is safe — and
+    the Spark side RAISES if its own loop fails to converge, so the
+    two can never silently disagree about convergence."""
+    # Each round references the previous round TWICE; DuckDB inlines
+    # plain CTEs, which would expand the chain exponentially (2^rounds
+    # scans) — MATERIALIZED forces each round to be computed once.
+    ctes = [
+        f"WITH {_sql_copurchase(_KCORE_SHIP_WHERE)}",
+        "sym AS MATERIALIZED (SELECT src, dst FROM ce UNION ALL SELECT dst, src FROM ce)",
+        "a0 AS MATERIALIZED (SELECT DISTINCT src AS v FROM sym)",
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"a{i} AS MATERIALIZED (SELECT s.src AS v FROM sym s "
+            f"JOIN a{i - 1} x ON x.v = s.src JOIN a{i - 1} y ON y.v = s.dst "
+            f"GROUP BY s.src HAVING COUNT(*) >= {k})"
+        )
+    return (
+        ",\n".join(ctes)
+        + f"""
+        SELECT s.src AS vertex, CAST(COUNT(*) AS BIGINT) AS core_degree
+        FROM sym s
+        JOIN a{rounds} x ON x.v = s.src
+        JOIN a{rounds} y ON y.v = s.dst
+        GROUP BY s.src"""
     )
 
 _SQL_BFS = f"""
@@ -793,6 +831,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             min_common=2,
         )
 
+    def q_kcore(spark, sf_dir):
+        # 2-core of the 1995 co-purchase graph: survivors + in-core
+        # degree via iterative peeling (unique fixpoint).
+        return kcore(
+            copurchase_edges(spark, sf_dir, ship_range=("1995-01-01", "1996-01-01")),
+            k=2,
+        )
+
     def q_request_replies(spark, sf_dir):
         # O12 end-to-end: dispatch a fixed BFS + DFS request pair over
         # the derived tree and format the reference-style reply strings.
@@ -854,6 +900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pagerank": q_pagerank,
         "q_degree_hist": q_degree_hist,
         "q_common_neighbors": q_common_neighbors,
+        "q_kcore": q_kcore,
         "q_request_replies": q_request_replies,
     }
 
@@ -1437,6 +1484,7 @@ def oracle_sql() -> dict[str, str]:
                    na.common / CAST(du.d + dv.d - na.common AS DOUBLE) AS jaccard
             FROM na JOIN deg du ON du.v = na.u JOIN deg dv ON dv.v = na.v
         """,
+        "q_kcore": _kcore_oracle_sql(k=2, rounds=16),
         "q_rollup_revenue": """
             SELECT l_returnflag, l_linestatus,
                    round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))

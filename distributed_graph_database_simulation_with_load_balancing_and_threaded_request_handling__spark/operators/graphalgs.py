@@ -346,3 +346,71 @@ def common_neighbors(
             ).alias("jaccard"),
         )
     )
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    *,
+    graph_id: int | None = None,
+    max_iters: int = 50,
+) -> DataFrame:
+    """The k-core: the maximal subgraph in which every vertex has
+    degree >= k, by iterative peeling (repeatedly drop vertices whose
+    degree within the surviving subgraph is below k until a fixpoint).
+    Returns ``(vertex, core_degree)`` — survivors with their degree
+    inside the core.
+
+    The fixpoint is unique (peeling is confluent), so the result is
+    deterministic regardless of execution order.  Peeling is monotone
+    (the alive set only shrinks), so an unchanged alive COUNT implies
+    an unchanged alive SET — the convergence probe is the same count
+    that materializes the round's checkpoint: ONE Spark action per
+    round (the BFS/CC idiom, traverse.py).  Exhausting ``max_iters``
+    raises instead of returning a non-fixpoint (same contract as
+    ``connected_components``).
+
+    Scale: each round is one join of edges against the alive set on
+    each endpoint + a map-side-combined degree count; rounds needed =
+    peeling depth (single digits on real graphs for small k).  The
+    symmetric edge list is persisted across rounds.
+    """
+    e = canonical_edges(edges, graph_id=graph_id)
+    sym = e.unionAll(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    try:
+        alive = sym.select(F.col("src").alias("v")).distinct().localCheckpoint(eager=False)
+        prev = alive.count()
+        converged = False
+        for _ in range(max_iters):
+            av = alive.select(F.col("v").alias("av"))
+            bv = alive.select(F.col("v").alias("bv"))
+            alive = (
+                sym.join(av, sym["src"] == F.col("av"))
+                .join(bv, sym["dst"] == F.col("bv"))
+                .groupBy(F.col("src").alias("v"))
+                .agg(F.count("*").alias("d"))
+                .where(F.col("d") >= k)
+                .select("v")
+                .localCheckpoint(eager=False)
+            )
+            cur = alive.count()
+            if cur == prev:
+                converged = True
+                break
+            prev = cur
+        if not converged:
+            raise RuntimeError(
+                f"kcore(k={k}) did not converge in {max_iters} peeling rounds"
+            )
+        av = alive.select(F.col("v").alias("av"))
+        bv = alive.select(F.col("v").alias("bv"))
+        return (
+            sym.join(av, sym["src"] == F.col("av"))
+            .join(bv, sym["dst"] == F.col("bv"))
+            .groupBy(F.col("src").cast("long").alias("vertex"))
+            .agg(F.count("*").cast("long").alias("core_degree"))
+        )
+    finally:
+        sym.unpersist(blocking=False)

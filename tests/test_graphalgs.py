@@ -122,3 +122,32 @@ def test_common_neighbors_hub_guard(spark):
     star = spark.createDataFrame([(0, c) for c in range(1, 6)], "src long, dst long")
     assert common_neighbors(star, min_common=1).count() == 10
     assert common_neighbors(star, min_common=1, max_center_degree=4).count() == 0
+
+def test_kcore_peels_tail(spark):
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.graphalgs import (
+        kcore,
+    )
+
+    # Triangle 1-2-3 with a path 3-4-5 hanging off: the 2-core is the
+    # triangle (peeling 5 then 4 takes two rounds), each with degree 2.
+    g = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], "src long, dst long"
+    )
+    got = {r.vertex: r.core_degree for r in kcore(g, 2).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}
+    # k=3: nothing survives (empty DataFrame, converged fixpoint).
+    assert kcore(g, 3).count() == 0
+
+def test_kcore_nonconvergence_raises(spark):
+    import pytest as _pytest
+
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.graphalgs import (
+        kcore,
+    )
+
+    # A 12-vertex path needs ~6 peel rounds for k=2; max_iters=2 must raise.
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "src long, dst long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        kcore(path, 2, max_iters=2)
