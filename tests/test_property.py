@@ -82,3 +82,84 @@ def test_dfs_leaves_fast_and_general_paths_agree(sess, tree):
     general = {r["leaf"] for r in dfs_leaves(edges, start, assume_tree=False).collect()}
     assert fast == expected
     assert general == expected
+
+
+# --- whole-graph analytics (graphalgs) vs pure-python oracles ---
+
+from itertools import combinations
+
+from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.graphalgs import (
+    kcore,
+    triangle_counts,
+)
+
+
+@st.composite
+def random_graph(draw):
+    """Random simple graph on 4..10 vertices: each possible edge kept
+    with probability ~1/2 (drawn as a bitmask) — cyclic, disconnected,
+    and hub-heavy shapes all reachable."""
+    n = draw(st.integers(min_value=4, max_value=10))
+    all_pairs = list(combinations(range(1, n + 1), 2))
+    mask = draw(st.lists(st.booleans(), min_size=len(all_pairs), max_size=len(all_pairs)))
+    pairs = [p for p, keep in zip(all_pairs, mask) if keep]
+    return pairs
+
+
+def python_triangle_counts(pairs):
+    adj = {}
+    for u, v in pairs:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    counts = {}
+    for a, b, c in combinations(sorted(adj), 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            for x in (a, b, c):
+                counts[x] = counts.get(x, 0) + 1
+    return counts
+
+
+def python_kcore(pairs, k):
+    adj = {}
+    for u, v in pairs:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    alive = set(adj)
+    while True:
+        drop = {v for v in alive if len(adj[v] & alive) < k}
+        if not drop:
+            break
+        alive -= drop
+    return {v: len(adj[v] & alive) for v in alive}
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(pairs=random_graph())
+def test_triangle_counts_match_python_oracle(sess, pairs):
+    if not pairs:
+        return
+    df = sess.createDataFrame(pairs, "src long, dst long")
+    for strategy in ("adjacency", "wedge"):
+        got = {
+            r.vertex: r.triangles
+            for r in triangle_counts(df, strategy=strategy).collect()
+        }
+        assert got == python_triangle_counts(pairs), strategy
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(pairs=random_graph(), k=st.integers(min_value=2, max_value=4))
+def test_kcore_matches_python_oracle(sess, pairs, k):
+    if not pairs:
+        return
+    df = sess.createDataFrame(pairs, "src long, dst long")
+    got = {r.vertex: r.core_degree for r in kcore(df, k).collect()}
+    assert got == python_kcore(pairs, k)
