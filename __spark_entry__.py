@@ -84,6 +84,9 @@ from distributed_graph_database_simulation_with_load_balancing_and_threaded_requ
     HLL_M,
     hll_distinct,
 )
+from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.pipeline import (
+    corpus_prep_stats,
+)
 from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.sampling import (
     rate_threshold,
     split_thresholds,
@@ -831,6 +834,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             min_common=2,
         )
 
+    def q_pipeline_stats(spark, sf_dir):
+        # End-to-end corpus prep: exact-dedup keepers -> token/quality
+        # gate -> deterministic split -> per-(split, lang) accounting.
+        return corpus_prep_stats(load_table(spark, sf_dir, "documents"))
+
     def q_kcore(spark, sf_dir):
         # 2-core of the 1995 co-purchase graph: survivors + in-core
         # degree via iterative peeling (unique fixpoint).
@@ -901,6 +909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_degree_hist": q_degree_hist,
         "q_common_neighbors": q_common_neighbors,
         "q_kcore": q_kcore,
+        "q_pipeline_stats": q_pipeline_stats,
         "q_request_replies": q_request_replies,
     }
 
@@ -1485,6 +1494,50 @@ def oracle_sql() -> dict[str, str]:
             FROM na JOIN deg du ON du.v = na.u JOIN deg dv ON dv.v = na.v
         """,
         "q_kcore": _kcore_oracle_sql(k=2, rounds=16),
+        # Composite pipeline: keepers (min doc_id per md5), feature
+        # thresholds on the SAME expressions as q_doc_features, split
+        # thresholds as q_train_split, decimal-summed quality average.
+        "q_pipeline_stats": r"""
+            WITH keepers AS (
+              SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+            ),
+            feat AS (
+              SELECT d.doc_id, d.lang,
+                     CAST(length(text) AS BIGINT) AS n_chars_obs,
+                     CAST(CASE WHEN trim(text) = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens,
+                     CASE WHEN length(text) = 0 THEN 0.0
+                          ELSE length(regexp_replace(text, '[^.,;:!?''"]', '', 'g')) * 1.0 / length(text)
+                     END AS pr,
+                     CASE WHEN trim(text) = '' THEN 0.0
+                          ELSE len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                                   x -> x IN ('the','a','of','and','to','in','is','it'))) * 1.0
+                               / len(regexp_split_to_array(trim(lower(text)), '\s+'))
+                     END AS sr
+              FROM documents d JOIN keepers k ON k.doc_id = d.doc_id
+            ),
+            good AS (
+              SELECT * FROM (
+                SELECT doc_id, lang, n_tokens,
+                       round(greatest(0.0, least(1.0,
+                           least(n_chars_obs / 500.0, 1.0) * 0.5
+                           + least(sr * 5.0, 1.0) * 0.3
+                           + (1.0 - least(pr * 10.0, 1.0)) * 0.2)), 6) AS quality_score
+                FROM feat
+              ) WHERE n_tokens >= 10 AND quality_score >= 0.3
+            ),
+            assigned AS (
+              SELECT lang, n_tokens, quality_score,
+                     CASE WHEN substring(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666' THEN 'train'
+                          WHEN substring(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8) < 'f3333333' THEN 'val'
+                          ELSE 'test' END AS split
+              FROM good
+            )
+            SELECT split, lang,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+                   round(CAST(SUM(CAST(quality_score AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_quality
+            FROM assigned GROUP BY split, lang
+        """,
         "q_rollup_revenue": """
             SELECT l_returnflag, l_linestatus,
                    round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))

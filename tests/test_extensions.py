@@ -348,3 +348,27 @@ def test_hll_registers_merge(spark):
         )
     }
     assert merged == whole
+
+
+def test_corpus_prep_pipeline(spark):
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.pipeline import (
+        corpus_prep,
+        corpus_prep_stats,
+    )
+
+    good_text = ("the quick brown fox jumps over the lazy dog and runs to town " * 8).strip()
+    rows = [
+        (1, "en", good_text),            # keeper (dup group min id)
+        (2, "en", good_text),            # exact dup -> dropped
+        (3, "en", "too short"),          # fails min_tokens
+        (4, "de", good_text + " extra"), # keeper, distinct text
+        (5, "en", "!!! ??? ... !!! ???"),# punctuation soup -> low quality
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    prep = corpus_prep(docs).collect()
+    kept = {r.doc_id for r in prep}
+    assert kept == {1, 4}
+    assert all(r.split in ("train", "val", "test") for r in prep)
+    stats = corpus_prep_stats(docs).collect()
+    assert sum(r.n_docs for r in stats) == 2
+    assert all(0.0 <= r.avg_quality <= 1.0 for r in stats)
