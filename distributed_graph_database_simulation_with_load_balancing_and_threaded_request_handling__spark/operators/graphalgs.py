@@ -383,18 +383,19 @@ def kcore(
         alive = sym.select(F.col("src").alias("v")).distinct().localCheckpoint(eager=False)
         prev = alive.count()
         converged = False
+        scored = alive  # replaced on the first round
         for _ in range(max_iters):
             av = alive.select(F.col("v").alias("av"))
             bv = alive.select(F.col("v").alias("bv"))
-            alive = (
+            scored = (
                 sym.join(av, sym["src"] == F.col("av"))
                 .join(bv, sym["dst"] == F.col("bv"))
                 .groupBy(F.col("src").alias("v"))
                 .agg(F.count("*").alias("d"))
                 .where(F.col("d") >= k)
-                .select("v")
                 .localCheckpoint(eager=False)
             )
+            alive = scored.select("v")
             cur = alive.count()
             if cur == prev:
                 converged = True
@@ -404,13 +405,12 @@ def kcore(
             raise RuntimeError(
                 f"kcore(k={k}) did not converge in {max_iters} peeling rounds"
             )
-        av = alive.select(F.col("v").alias("av"))
-        bv = alive.select(F.col("v").alias("bv"))
-        return (
-            sym.join(av, sym["src"] == F.col("av"))
-            .join(bv, sym["dst"] == F.col("bv"))
-            .groupBy(F.col("src").cast("long").alias("vertex"))
-            .agg(F.count("*").cast("long").alias("core_degree"))
+        # At the fixpoint the final round's degrees were counted against
+        # an alive set equal to the surviving set, so they ARE the
+        # in-core degrees — no extra degree pass needed.
+        return scored.select(
+            F.col("v").cast("long").alias("vertex"),
+            F.col("d").cast("long").alias("core_degree"),
         )
     finally:
         sym.unpersist(blocking=False)
