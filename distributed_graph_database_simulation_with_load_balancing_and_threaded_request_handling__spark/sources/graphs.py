@@ -159,10 +159,16 @@ def copurchase_edges(
     (not ``year(...)``) so it reaches the parquet scan as a min/max
     pushdown filter.
 
-    Scale: two shuffles on ``l_orderkey`` (distinct + self-join; the
-    join reuses the distinct's partitioning) + one distinct on the
-    canonical pair.  ``symmetric=True`` adds the reversed projection
-    (shuffle-free union) for consumers that need both orientations
+    Scale: ONE lineitem scan.  Per-order part sets are gathered with a
+    single ``collect_set`` shuffle (which also dedups (ok, p) — no
+    separate distinct), the basket-size guard is an array-length
+    filter on the aggregated row (no second scan / no join back), and
+    the canonical pairs explode JVM-side from the sorted array (the
+    naive formulation — distinct + basket groupBy + self-join — reads
+    the fact table FOUR times and shuffles it thrice).  The final
+    distinct on the pair is the one remaining shuffle.
+    ``symmetric=True`` adds the reversed projection (shuffle-free
+    union) for consumers that need both orientations
     (e.g. ``pagerank_fixed``).
     """
     key = (spark.sparkContext.applicationId, sf_dir, "copurchase", max_basket, symmetric, ship_range)
@@ -172,19 +178,25 @@ def copurchase_edges(
     if ship_range is not None:
         lo, hi = ship_range
         li = li.where((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
-    li = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").cast("long").alias("p")
-    ).distinct()
-    sized = li.join(
-        li.groupBy("ok").agg(F.count("*").alias("basket")).where(F.col("basket") <= max_basket),
-        "ok",
-    ).select("ok", "p")
-    a = sized.alias("a")
-    b = sized.alias("b")
+    baskets = (
+        li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").cast("long").alias("p"))
+        .groupBy("ok")
+        .agg(F.sort_array(F.collect_set("p")).alias("parts"))
+        .where(F.size("parts") <= max_basket)
+    )
+    # All i<j index pairs of the sorted array: `parts` is a bare column
+    # reference, so the nested-lambda re-evaluation trap (HOF lambdas
+    # are CodegenFallback) costs only an O(1) attribute read per element.
     pairs = (
-        a.join(b, F.col("a.ok") == F.col("b.ok"))
-        .where(F.col("a.p") < F.col("b.p"))
-        .select(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(parts, (x, i) ->"
+                    " transform(slice(parts, i + 2, size(parts)), y -> struct(x AS src, y AS dst))))"
+                )
+            ).alias("e")
+        )
+        .select(F.col("e.src"), F.col("e.dst"))
         .distinct()
     )
     out = pairs
