@@ -22,6 +22,14 @@ from .dedup import (
     ngram_jaccard_pairs,
     simhash_dedup,
 )
+from .graphalgs import (
+    common_neighbors,
+    degree_histogram,
+    kcore,
+    pagerank_fixed,
+    triangle_counts,
+)
+from .pipeline import corpus_prep, corpus_prep_stats
 from .similarity import cosine_topk, embedding_near_dup, ivf_topk, lsh_topk
 from .textops import corpus_stats, doc_features, repetition_features
 from .sampling import stratified_sample, train_split
@@ -78,4 +86,11 @@ __all__ = [
     "event_windows",
     "pricing_summary",
     "top_events_per_type",
+    "pagerank_fixed",
+    "triangle_counts",
+    "degree_histogram",
+    "common_neighbors",
+    "kcore",
+    "corpus_prep",
+    "corpus_prep_stats",
 ]

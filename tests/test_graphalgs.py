@@ -151,3 +151,31 @@ def test_kcore_nonconvergence_raises(spark):
     )
     with _pytest.raises(RuntimeError, match="did not converge"):
         kcore(path, 2, max_iters=2)
+
+def test_copurchase_shipdate_pushdown_and_single_scan(spark):
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.sources.graphs import (
+        copurchase_edges,
+    )
+
+    e = copurchase_edges(
+        spark, "/root/testdata/sf0.001",
+        ship_range=("1995-01-01", "1996-01-01"), cached=False,
+    )
+    plan = e._jdf.queryExecution().executedPlan().toString()
+    # The ship-date range must reach the parquet scan as a data filter...
+    assert "l_shipdate" in plan and ">= 1995-01-01" in plan
+    # ...and the fact table must be scanned exactly once (the naive
+    # distinct + basket-join + self-join formulation scans it 4x).
+    assert plan.count("FileScan parquet") == 1
+
+def test_triangle_adjacency_plan_broadcasts(spark):
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.graphalgs import (
+        triangle_counts,
+    )
+
+    df = spark.createDataFrame([(1, 2), (2, 3), (1, 3)], "src long, dst long")
+    plan = (
+        triangle_counts(df, strategy="adjacency")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
