@@ -41,6 +41,7 @@ from distributed_graph_database_simulation_with_load_balancing_and_threaded_requ
 from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.sources.graphs import (
     ROOT_VID,
     copurchase_edges,
+    copurchase_weighted_edges,
     derived_tree_edges,
     requests_from_orders,
 )
@@ -49,6 +50,7 @@ from distributed_graph_database_simulation_with_load_balancing_and_threaded_requ
     degree_histogram,
     kcore,
     pagerank_fixed,
+    sssp,
     triangle_counts,
 )
 from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.sources.tables import load_table
@@ -212,6 +214,37 @@ def _pagerank_oracle_sql(iters: int = 5, damping_pct: int = 85, scale: int = 10*
 _KCORE_SHIP_WHERE = (
     "WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'"
 )
+
+
+def _sssp_oracle_sql(rounds: int = 24) -> str:
+    """Unrolled Bellman-Ford relaxation (graphalgs.sssp replica) over
+    the weighted 1995 co-purchase graph, source = MIN part id.
+    Convergence measured <= 18 rounds at every testdata SF; extra
+    rounds are exact no-ops (unique fixpoint), and the Spark side
+    raises if IT fails to converge, so the two cannot silently
+    disagree.  MATERIALIZED stops DuckDB's CTE inlining from expanding
+    the round chain exponentially (each round reads the previous one
+    twice)."""
+    ctes = [
+        f"WITH {_sql_copurchase(_KCORE_SHIP_WHERE)}",
+        # Weighted variant: multiplicity -> integer traversal cost.
+        "w_ce AS MATERIALIZED (SELECT a.p AS src, b.p AS dst, COUNT(*) AS cnt "
+        "FROM li2 a JOIN li2 b ON a.ok = b.ok AND a.p < b.p GROUP BY a.p, b.p)",
+        "wsym AS MATERIALIZED (SELECT src, dst, 1 + 100 // cnt AS w FROM w_ce "
+        "UNION ALL SELECT dst, src, 1 + 100 // cnt FROM w_ce)",
+        "d0 AS MATERIALIZED (SELECT (SELECT MIN(src) FROM wsym) AS v, CAST(0 AS BIGINT) AS d)",
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"d{i} AS MATERIALIZED (SELECT v, MIN(d) AS d FROM ("
+            f"SELECT v, d FROM d{i - 1} UNION ALL "
+            f"SELECT e.dst, p.d + e.w FROM d{i - 1} p JOIN wsym e ON e.src = p.v"
+            f") GROUP BY v)"
+        )
+    return (
+        ",\n".join(ctes)
+        + f"\nSELECT v AS vertex, CAST(d AS BIGINT) AS dist FROM d{rounds}"
+    )
 
 
 def _kcore_oracle_sql(k: int = 2, rounds: int = 16) -> str:
@@ -834,6 +867,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             min_common=2,
         )
 
+    def q_sssp(spark, sf_dir):
+        # Weighted shortest paths (integer traversal costs from
+        # co-occurrence counts) from the lowest part id, SPFA
+        # frontier.  (A max-degree "central" source was measured
+        # SLOWER despite fewer supersteps: flooding out of the hub
+        # keeps the frontier graph-sized for every round, while the
+        # peripheral source's frontiers stay small.)
+        wsym = copurchase_weighted_edges(
+            spark, sf_dir, symmetric=True, ship_range=("1995-01-01", "1996-01-01")
+        )
+        src = wsym.agg(F.min("src")).collect()[0][0]
+        # Frontiers are <= a few thousand rows; 8 loop partitions keeps
+        # the 18-round superstep loop off the per-task scheduling floor.
+        return sssp(wsym, int(src), loop_shuffle_partitions=8)
+
     def q_pipeline_stats(spark, sf_dir):
         # End-to-end corpus prep: exact-dedup keepers -> token/quality
         # gate -> deterministic split -> per-(split, lang) accounting.
@@ -909,6 +957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_degree_hist": q_degree_hist,
         "q_common_neighbors": q_common_neighbors,
         "q_kcore": q_kcore,
+        "q_sssp": q_sssp,
         "q_pipeline_stats": q_pipeline_stats,
         "q_request_replies": q_request_replies,
     }
@@ -1494,6 +1543,7 @@ def oracle_sql() -> dict[str, str]:
             FROM na JOIN deg du ON du.v = na.u JOIN deg dv ON dv.v = na.v
         """,
         "q_kcore": _kcore_oracle_sql(k=2, rounds=16),
+        "q_sssp": _sssp_oracle_sql(rounds=24),
         # Composite pipeline: keepers (min doc_id per md5), feature
         # thresholds on the SAME expressions as q_doc_features, split
         # thresholds as q_train_split, decimal-summed quality average.

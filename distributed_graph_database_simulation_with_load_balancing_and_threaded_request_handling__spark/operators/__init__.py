@@ -27,6 +27,7 @@ from .graphalgs import (
     degree_histogram,
     kcore,
     pagerank_fixed,
+    sssp,
     triangle_counts,
 )
 from .pipeline import corpus_prep, corpus_prep_stats
@@ -91,6 +92,7 @@ __all__ = [
     "degree_histogram",
     "common_neighbors",
     "kcore",
+    "sssp",
     "corpus_prep",
     "corpus_prep_stats",
 ]

@@ -414,3 +414,110 @@ def kcore(
         )
     finally:
         sym.unpersist(blocking=False)
+
+
+def sssp(
+    edges_weighted: DataFrame,
+    source: int,
+    *,
+    graph_id: int | None = None,
+    max_iters: int = 100,
+    loop_shuffle_partitions: int | None = None,
+) -> DataFrame:
+    """Single-source shortest paths over a weighted directed edge list
+    ``(src, dst, w)`` with non-negative INTEGER weights (pass a
+    symmetric list for undirected graphs).  Returns
+    ``(vertex, dist)`` for every reached vertex.
+
+    Bellman-Ford relaxation with the SPFA frontier refinement: only
+    vertices whose distance improved in round R can improve a
+    neighbor in round R+1, so each round relaxes FROM the changed set
+    only — the frontier collapses after the first few rounds while
+    the naive form re-relaxes every settled vertex every round.
+    Convergence = empty frontier; the probe is the frontier count that
+    also materializes the round's checkpoints (one Spark action per
+    round, the traverse.py idiom — chaining several relaxations into
+    one un-materialized plan was tried and is SLOWER: the shared
+    dist/frontier subtrees are referenced 3x per extra step, and
+    without a materialization boundary Spark re-executes them
+    combinatorially).  Integer distances make the result engine-exact
+    (the SQL oracle unrolls plain relaxation rounds to the same unique
+    fixpoint).  Raises if the fixpoint isn't reached within
+    ``max_iters`` relaxations (negative weights are out of contract).
+
+    Scale: per relaxation, one join of the frontier against edges
+    keyed on the vertex (frontier-sized, not graph-sized) + one
+    min-aggregation keyed on the destination; edges stay persisted
+    across rounds.  ``loop_shuffle_partitions`` (scoped set/restore,
+    the catalog._write idiom) right-sizes the superstep shuffles:
+    frontier/dist rows are FAR smaller than the session's
+    scan-oriented shuffle width, and an iterative loop pays the
+    per-task scheduling floor ``rounds x partitions`` times — size it
+    to the frontier (a few thousand rows -> single digits), not to
+    the fact tables; leave None to inherit the session setting.
+    """
+    # Distinct column names (esrc/edst) keep the repeated edge joins
+    # inside one un-materialized multi-relax plan unambiguous.
+    e = (
+        _edges_only_weighted(edges_weighted, graph_id)
+        .select(F.col("src").alias("esrc"), F.col("dst").alias("edst"), "w")
+        .persist()
+    )
+    spark = e.sparkSession
+    _parts_key = "spark.sql.shuffle.partitions"
+    _prev_parts = spark.conf.get(_parts_key)
+    if loop_shuffle_partitions is not None:
+        spark.conf.set(_parts_key, str(int(loop_shuffle_partitions)))
+    try:
+        dist = (
+            e.sparkSession.createDataFrame(
+                [(int(source), 0)], "v long, d long"
+            ).localCheckpoint(eager=False)
+        )
+        frontier = dist
+        converged = False
+        for _ in range(max_iters):
+            relaxed = frontier.join(e, F.col("v") == F.col("esrc")).select(
+                F.col("edst").alias("v"), (F.col("d") + F.col("w")).alias("d")
+            )
+            # Checkpoint new_dist FIRST, derive the frontier from the
+            # checkpointed handle: the frontier count then materializes
+            # the min-merge exactly once; a frontier built on the raw
+            # plan would re-execute it when the next round reads dist.
+            new_dist = (
+                dist.unionAll(relaxed)
+                .groupBy("v")
+                .agg(F.min("d").alias("d"))
+                .localCheckpoint(eager=False)
+            )
+            old = dist.select(F.col("v").alias("ov"), F.col("d").alias("od"))
+            frontier = (
+                new_dist.join(old, F.col("v") == F.col("ov"), "left")
+                .where(F.col("od").isNull() | (F.col("d") < F.col("od")))
+                .select("v", "d")
+                .localCheckpoint(eager=False)
+            )
+            dist = new_dist
+            if frontier.count() == 0:
+                converged = True
+                break
+        if not converged:
+            raise RuntimeError(f"sssp did not converge in {max_iters} relaxations")
+        return dist.select(
+            F.col("v").cast("long").alias("vertex"), F.col("d").cast("long").alias("dist")
+        )
+    finally:
+        if loop_shuffle_partitions is not None:
+            spark.conf.set(_parts_key, _prev_parts)
+        e.unpersist(blocking=False)
+
+
+def _edges_only_weighted(edges: DataFrame, graph_id: int | None) -> DataFrame:
+    e = edges
+    if graph_id is not None and "graph_id" in e.columns:
+        e = e.where(F.col("graph_id") == graph_id)
+    return e.select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+        F.col("w").cast("long").alias("w"),
+    )

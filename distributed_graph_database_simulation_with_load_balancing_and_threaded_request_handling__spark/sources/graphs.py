@@ -174,6 +174,25 @@ def copurchase_edges(
     key = (spark.sparkContext.applicationId, sf_dir, "copurchase", max_basket, symmetric, ship_range)
     if cached and key in _EDGE_CACHE:
         return _EDGE_CACHE[key]
+    pairs = _copurchase_pair_rows(spark, sf_dir, max_basket, ship_range).distinct()
+    out = pairs
+    if symmetric:
+        out = pairs.unionAll(pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    if cached:
+        out = out.persist()
+        _EDGE_CACHE[key] = out
+    return out
+
+
+def _copurchase_pair_rows(
+    spark: SparkSession,
+    sf_dir: str,
+    max_basket: int,
+    ship_range: tuple[str, str] | None,
+) -> DataFrame:
+    """One (src, dst) row per order containing the canonical part pair
+    (NOT deduplicated across orders — multiplicity is the
+    co-occurrence count)."""
     li = load_table(spark, sf_dir, "lineitem")
     if ship_range is not None:
         lo, hi = ship_range
@@ -187,7 +206,7 @@ def copurchase_edges(
     # All i<j index pairs of the sorted array: `parts` is a bare column
     # reference, so the nested-lambda re-evaluation trap (HOF lambdas
     # are CodegenFallback) costs only an O(1) attribute read per element.
-    pairs = (
+    return (
         baskets.select(
             F.explode(
                 F.expr(
@@ -197,11 +216,44 @@ def copurchase_edges(
             ).alias("e")
         )
         .select(F.col("e.src"), F.col("e.dst"))
-        .distinct()
     )
-    out = pairs
+
+
+def copurchase_weighted_edges(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    max_basket: int = 12,
+    symmetric: bool = False,
+    ship_range: tuple[str, str] | None = None,
+    cached: bool = True,
+) -> DataFrame:
+    """Weighted co-purchase graph: ``(src, dst, cnt, w)`` per canonical
+    part pair, where ``cnt`` is the number of orders containing both
+    parts and ``w = 1 + 100 div cnt`` is an integer TRAVERSAL COST
+    (strong ties are cheap) for the shortest-path family — integer so
+    the result stays engine-exact (``graphalgs.sssp``).
+
+    Same single-scan basket-explosion plan as ``copurchase_edges``;
+    the dedup-distinct is replaced by a count aggregation (identical
+    shuffle shape, the weight comes for free).
+    """
+    key = (spark.sparkContext.applicationId, sf_dir, "copurchase_w", max_basket, symmetric, ship_range)
+    if cached and key in _EDGE_CACHE:
+        return _EDGE_CACHE[key]
+    weighted = (
+        _copurchase_pair_rows(spark, sf_dir, max_basket, ship_range)
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("cnt"))
+        .select("src", "dst", "cnt", (1 + F.expr("100 div cnt")).cast("long").alias("w"))
+    )
+    out = weighted
     if symmetric:
-        out = pairs.unionAll(pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        out = weighted.unionAll(
+            weighted.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "cnt", "w"
+            )
+        )
     if cached:
         out = out.persist()
         _EDGE_CACHE[key] = out

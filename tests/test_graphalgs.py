@@ -179,3 +179,65 @@ def test_triangle_adjacency_plan_broadcasts(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan
+
+class TestSSSP:
+    def _w(self, spark, rows):
+        return spark.createDataFrame(rows, "src long, dst long, w long")
+
+    def test_weighted_path_beats_hop_path(self, spark):
+        from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.graphalgs import (
+            sssp,
+        )
+
+        # Direct 1->4 costs 10; the 3-hop detour costs 3.
+        rows = [(1, 4, 10), (1, 2, 1), (2, 3, 1), (3, 4, 1)]
+        got = {r.vertex: r.dist for r in sssp(self._w(spark, rows), 1).collect()}
+        assert got == {1: 0, 2: 1, 3: 2, 4: 3}
+
+    def test_unreached_vertices_absent(self, spark):
+        from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.graphalgs import (
+            sssp,
+        )
+
+        rows = [(1, 2, 5), (3, 4, 1)]  # 3,4 unreachable from 1
+        got = {r.vertex: r.dist for r in sssp(self._w(spark, rows), 1).collect()}
+        assert got == {1: 0, 2: 5}
+
+    def test_matches_python_dijkstra_random(self, spark):
+        import heapq
+        from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.graphalgs import (
+            sssp,
+        )
+
+        # Deterministic pseudo-random weighted digraph.
+        rows = [
+            (a, b, 1 + (a * 7 + b * 13) % 9)
+            for a in range(1, 12)
+            for b in range(1, 12)
+            if a != b and (a * 31 + b * 17) % 4 == 0
+        ]
+        got = {r.vertex: r.dist for r in sssp(self._w(spark, rows), 1).collect()}
+        adj = {}
+        for s, d, w in rows:
+            adj.setdefault(s, []).append((d, w))
+        dist = {1: 0}
+        pq = [(0, 1)]
+        while pq:
+            dd, u = heapq.heappop(pq)
+            if dd > dist.get(u, 1 << 60):
+                continue
+            for v, w in adj.get(u, []):
+                nd = dd + w
+                if nd < dist.get(v, 1 << 60):
+                    dist[v] = nd
+                    heapq.heappush(pq, (nd, v))
+        assert got == dist
+
+    def test_loop_partitions_scoped_restore(self, spark):
+        from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.graphalgs import (
+            sssp,
+        )
+
+        before = spark.conf.get("spark.sql.shuffle.partitions")
+        sssp(self._w(spark, [(1, 2, 1)]), 1, loop_shuffle_partitions=4).collect()
+        assert spark.conf.get("spark.sql.shuffle.partitions") == before
