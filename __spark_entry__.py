@@ -555,17 +555,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _db_two_graphs(spark, sf_dir), _g2_replacement_pairs(spark, sf_dir), graph_id=2
         )
 
+    def _loop_parts(spark, build, n=8):
+        # Scoped shuffle width for iterative-loop queries (the
+        # graphalgs.sssp loop_shuffle_partitions rationale): superstep
+        # shuffles carry frontier-sized rows, and the loop pays the
+        # per-task scheduling floor rounds x partitions times, so the
+        # width is sized to the frontier, not to the fact tables.  The
+        # loop's in-operator actions (checkpoint + convergence probe)
+        # run under the narrowed setting; it is restored before the
+        # driver's own action, which only re-reads the checkpoints.
+        key = "spark.sql.shuffle.partitions"
+        prev = spark.conf.get(key)
+        spark.conf.set(key, str(int(n)))
+        try:
+            return build()
+        finally:
+            spark.conf.set(key, prev)
+
     def q_bfs_levels(spark, sf_dir):
         edges = derived_tree_edges(spark, sf_dir, symmetric=True)
-        return bfs_levels(edges, ROOT_VID, graph_id=1)
+        return _loop_parts(spark, lambda: bfs_levels(edges, ROOT_VID, graph_id=1))
 
     def q_bfs_order(spark, sf_dir):
         edges = derived_tree_edges(spark, sf_dir, symmetric=True)
-        return bfs_level_order(edges, ROOT_VID, graph_id=1)
+        return _loop_parts(spark, lambda: bfs_level_order(edges, ROOT_VID, graph_id=1))
 
     def q_dfs_leaves(spark, sf_dir):
         edges = derived_tree_edges(spark, sf_dir, symmetric=True)
-        return dfs_leaves(edges, ROOT_VID, graph_id=1)
+        return _loop_parts(spark, lambda: dfs_leaves(edges, ROOT_VID, graph_id=1))
 
     def q_route_requests(spark, sf_dir):
         return route_counts(requests_from_orders(spark, sf_dir))
@@ -578,7 +595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_connected_count(spark, sf_dir):
         edges = derived_tree_edges(spark, sf_dir, symmetric=True)
-        return connected_count(edges, ROOT_VID, graph_id=1)
+        return _loop_parts(spark, lambda: connected_count(edges, ROOT_VID, graph_id=1))
 
     def q_connected_components(spark, sf_dir):
         # Drop the root so the derived tree decomposes into one
@@ -586,7 +603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         edges = derived_tree_edges(spark, sf_dir, symmetric=True).where(
             (F.col("src") != ROOT_VID) & (F.col("dst") != ROOT_VID)
         )
-        return connected_components(edges, graph_id=1)
+        return _loop_parts(spark, lambda: connected_components(edges, graph_id=1))
 
     # --- training-data extension operators (SURVEY.md §2.3 north-star) ---
 
@@ -890,9 +907,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_kcore(spark, sf_dir):
         # 2-core of the 1995 co-purchase graph: survivors + in-core
         # degree via iterative peeling (unique fixpoint).
-        return kcore(
-            copurchase_edges(spark, sf_dir, ship_range=("1995-01-01", "1996-01-01")),
-            k=2,
+        return _loop_parts(
+            spark,
+            lambda: kcore(
+                copurchase_edges(spark, sf_dir, ship_range=("1995-01-01", "1996-01-01")),
+                k=2,
+            ),
         )
 
     def q_request_replies(spark, sf_dir):
@@ -903,7 +923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             [(1, 4, 1, ROOT_VID), (2, 3, 1, ROOT_VID)],
             "seq_no int, op_no int, graph_id int, start_vertex int",
         )
-        return format_reply(run_requests(reqs, edges))
+        return _loop_parts(spark, lambda: format_reply(run_requests(reqs, edges)))
 
     return {
         "q_add_graph": q_add_graph,
