@@ -904,6 +904,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # gate -> deterministic split -> per-(split, lang) accounting.
         return corpus_prep_stats(load_table(spark, sf_dir, "documents"))
 
+    def q_csv_io(spark, sf_dir):
+        # Distributed CSV sink+scan roundtrip (explicit schema, no
+        # inference pass); the oracle recomputes straight from parquet,
+        # so the hash match IS the losslessness proof.
+        import tempfile
+
+        from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.sources.fileio import (
+            read_csv,
+            write_csv,
+        )
+
+        nation = load_table(spark, sf_dir, "nation").select(
+            "n_nationkey", "n_name", "n_regionkey"
+        )
+        path = tempfile.mkdtemp(prefix="sparkgraft_csv_") + "/nation"
+        write_csv(nation, path)
+        back = read_csv(
+            spark, path, "n_nationkey long, n_name string, n_regionkey long"
+        )
+        return back.groupBy("n_regionkey").agg(
+            F.count("*").cast("long").alias("n_nations"),
+            F.min("n_name").alias("first_name"),
+            F.sum("n_nationkey").cast("long").alias("key_sum"),
+        )
+
+    def q_jsonl_io(spark, sf_dir):
+        # JSON-lines sink+scan roundtrip over the documents corpus
+        # (text with newlines survives via JSON escaping).
+        import tempfile
+
+        from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.sources.fileio import (
+            read_jsonl,
+            write_jsonl,
+        )
+
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+        path = tempfile.mkdtemp(prefix="sparkgraft_jsonl_") + "/docs"
+        write_jsonl(docs, path)
+        back = read_jsonl(spark, path, "doc_id long, lang string, text string")
+        return back.groupBy("lang").agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.length("text")).cast("long").alias("total_chars"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+        )
+
     def q_kcore(spark, sf_dir):
         # 2-core of the 1995 co-purchase graph: survivors + in-core
         # degree via iterative peeling (unique fixpoint).
@@ -979,6 +1024,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kcore": q_kcore,
         "q_sssp": q_sssp,
         "q_pipeline_stats": q_pipeline_stats,
+        "q_csv_io": q_csv_io,
+        "q_jsonl_io": q_jsonl_io,
         "q_request_replies": q_request_replies,
     }
 
@@ -1564,6 +1611,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_kcore": _kcore_oracle_sql(k=2, rounds=16),
         "q_sssp": _sssp_oracle_sql(rounds=24),
+        "q_csv_io": """
+            SELECT n_regionkey, CAST(COUNT(*) AS BIGINT) AS n_nations,
+                   MIN(n_name) AS first_name,
+                   CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
+            FROM nation GROUP BY n_regionkey
+        """,
+        "q_jsonl_io": """
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars,
+                   CAST(SUM(doc_id) AS BIGINT) AS id_sum
+            FROM documents GROUP BY lang
+        """,
         # Composite pipeline: keepers (min doc_id per md5), feature
         # thresholds on the SAME expressions as q_doc_features, split
         # thresholds as q_train_split, decimal-summed quality average.

@@ -159,3 +159,31 @@ def test_bucketed_catalog_degree_agg_skips_shuffle(spark, tmp_path):
         assert agg.count() > 0
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_csv_jsonl_roundtrip_adversarial(spark, tmp_path):
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.sources.fileio import (
+        read_csv,
+        read_jsonl,
+        write_csv,
+        write_jsonl,
+    )
+
+    rows = [
+        (1, "plain", "hello world"),
+        (2, "comma,name", 'quote "inside" text'),
+        (3, "line", "first line\nsecond line\ttabbed"),
+        (4, "unicode", "naïve café — ünïcode ✓"),
+    ]
+    df = spark.createDataFrame(rows, "id long, name string, body string")
+    schema = "id long, name string, body string"
+
+    write_csv(df, str(tmp_path / "c"))
+    got_csv = {r.id: (r.name, r.body) for r in read_csv(spark, str(tmp_path / "c"), schema).collect()}
+    write_jsonl(df, str(tmp_path / "j"))
+    got_json = {r.id: (r.name, r.body) for r in read_jsonl(spark, str(tmp_path / "j"), schema).collect()}
+    want = {i: (n, b) for i, n, b in rows}
+    assert got_json == want
+    # CSV: quoting handles commas/quotes; the multiLine read path (on
+    # by default) makes embedded newlines roundtrip too.
+    assert got_csv == want
