@@ -91,6 +91,7 @@ from distributed_graph_database_simulation_with_load_balancing_and_threaded_requ
 )
 from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.sampling import (
     rate_threshold,
+    sample_quantile_err,
     split_thresholds,
     stratified_sample,
     train_split,
@@ -108,6 +109,7 @@ from distributed_graph_database_simulation_with_load_balancing_and_threaded_requ
     pricing_summary,
     quality_percentiles,
     revenue_rollup,
+    running_customer_spend,
     sessionize_events,
     top_events_per_type,
     user_cohort,
@@ -904,6 +906,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # gate -> deterministic split -> per-(split, lang) accounting.
         return corpus_prep_stats(load_table(spark, sf_dir, "documents"))
 
+    def q_quantile_sample(spark, sf_dir):
+        # Sampling accuracy contract: exact p50/p90/p99 of extended
+        # price vs the same quantiles over a deterministic 10% sample,
+        # with measured absolute error — one scan, value-exact oracle.
+        li = load_table(spark, sf_dir, "lineitem")
+        key = F.concat_ws("-", F.col("l_orderkey"), F.col("l_linenumber"))
+        return sample_quantile_err(li, F.col("l_extendedprice"), key)
+
+    def q_running_spend(spark, sf_dir):
+        # Cumulative spend per customer (explicit ROWS frame, decimal
+        # prefix sums, deterministic tie-break).
+        return running_customer_spend(load_table(spark, sf_dir, "orders"))
+
     def q_csv_io(spark, sf_dir):
         # Distributed CSV sink+scan roundtrip (explicit schema, no
         # inference pass); the oracle recomputes straight from parquet,
@@ -1024,6 +1039,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kcore": q_kcore,
         "q_sssp": q_sssp,
         "q_pipeline_stats": q_pipeline_stats,
+        "q_quantile_sample": q_quantile_sample,
+        "q_running_spend": q_running_spend,
         "q_csv_io": q_csv_io,
         "q_jsonl_io": q_jsonl_io,
         "q_request_replies": q_request_replies,
@@ -1611,6 +1628,33 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_kcore": _kcore_oracle_sql(k=2, rounds=16),
         "q_sssp": _sssp_oracle_sql(rounds=24),
+        "q_quantile_sample": " UNION ALL ".join(
+            f"""
+            SELECT q, exact_v, sample_v,
+                   round(abs(exact_v - sample_v), 4) AS abs_err
+            FROM (
+              SELECT CAST({q} AS DOUBLE) AS q,
+                     round(quantile_cont(x, {q}), 4) AS exact_v,
+                     round(quantile_cont(x, {q}) FILTER (WHERE s), 4) AS sample_v
+              FROM (
+                SELECT CAST(l_extendedprice AS DOUBLE) AS x,
+                       substring(md5('q' || CAST(l_orderkey AS VARCHAR) || '-'
+                                 || CAST(l_linenumber AS VARCHAR)), 1, 8)
+                           < '{rate_threshold(0.1)}' AS s
+                FROM lineitem
+              )
+            )"""
+            for q in (0.5, 0.9, 0.99)
+        ),
+        "q_running_spend": """
+            SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+                   CAST(o_custkey AS BIGINT) AS o_custkey,
+                   round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                       PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS DOUBLE), 4) AS cum_spend
+            FROM orders
+        """,
         "q_csv_io": """
             SELECT n_regionkey, CAST(COUNT(*) AS BIGINT) AS n_nations,
                    MIN(n_name) AS first_name,

@@ -289,3 +289,27 @@ def event_type_pivot(
         cols.append(F.coalesce(F.col(f"{t}_n"), F.lit(0)).cast("long").alias(f"n_{t}"))
     cols.append(F.coalesce(F.col("purchase_val"), F.lit(0.0)).alias("purchase_value"))
     return wide.select(*cols)
+
+
+def running_customer_spend(orders: DataFrame) -> DataFrame:
+    """Cumulative spend per customer in order-date order (explicit
+    ROWS frame, deterministic ``o_orderkey`` tie-break so the running
+    value is well-defined even on same-day orders).
+
+    Scale: one shuffle on ``o_custkey``; the running sum is a single
+    in-partition pass.  Decimal accumulation keeps every prefix sum
+    exact (``_DEC``), so the output is bit-stable under any
+    partitioning.
+    """
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.col("o_custkey").cast("long").alias("o_custkey"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast(_DEC)).over(w).cast("double"), 4
+        ).alias("cum_spend"),
+    )

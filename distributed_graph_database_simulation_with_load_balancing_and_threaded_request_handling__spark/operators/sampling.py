@@ -123,3 +123,58 @@ def stratified_sample(
     return (
         joined.where(hash_slice(F.col(id_col), salt=salt) < thr).drop("_thr")
     )
+
+
+def sample_quantile_err(
+    df: DataFrame,
+    value: Column,
+    sample_key: Column,
+    *,
+    rate: float = 0.1,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    salt: str = "q",
+) -> DataFrame:
+    """Accuracy contract for sampling-based quantile estimation: exact
+    interpolated quantiles of ``value`` over the FULL data vs over a
+    deterministic md5-thresholded sample, with the absolute error —
+    one row per requested quantile ``(q, exact_v, sample_v, abs_err)``.
+
+    The same posture as the LSH/minhash recall queries: an
+    approximation (here, estimate-from-a-sample) shipped WITH a
+    measured error against the in-engine exact ground truth, in one
+    declared query.  The sample membership is the md5-hex-threshold
+    decision (``hash_slice``), so the "sample" is a deterministic,
+    engine-reproducible set — the error numbers are value-exact in the
+    SQL oracle, not a statistical claim.
+
+    Scale: ONE scan — the sample quantile is computed with a
+    conditional value (non-sampled rows contribute NULL, which
+    ``percentile`` ignores), so no second pass and no materialized
+    sample.  Exact percentile gathers the group's values (single
+    global group here); for production monitoring at 100 TB swap in
+    ``approx_percentile`` (t-digest, mergeable map-side) and keep this
+    exact form as its acceptance test at fixture scale.
+    """
+    thr = rate_threshold(rate)
+    qarr = F.array(*[F.lit(float(q)) for q in qs])
+    flagged = df.select(
+        value.cast("double").alias("x"),
+        (hash_slice(sample_key, salt=salt) < thr).alias("s"),
+    )
+    agg = flagged.agg(
+        F.percentile(F.col("x"), qarr).alias("full_q"),
+        F.percentile(F.when(F.col("s"), F.col("x")), qarr).alias("samp_q"),
+    )
+    exploded = agg.select(
+        F.posexplode(F.arrays_zip("full_q", "samp_q")).alias("i", "z")
+    ).select(
+        F.element_at(F.lit(list(map(float, qs))), F.col("i") + 1).alias("q"),
+        F.round(F.col("z.full_q"), 4).alias("exact_v"),
+        F.round(F.col("z.samp_q"), 4).alias("sample_v"),
+    )
+    return exploded.select(
+        "q",
+        "exact_v",
+        "sample_v",
+        F.round(F.abs(F.col("exact_v") - F.col("sample_v")), 4).alias("abs_err"),
+    )

@@ -372,3 +372,47 @@ def test_corpus_prep_pipeline(spark):
     stats = corpus_prep_stats(docs).collect()
     assert sum(r.n_docs for r in stats) == 2
     assert all(0.0 <= r.avg_quality <= 1.0 for r in stats)
+
+
+def test_sample_quantile_err_contract(spark):
+    from pyspark.sql import functions as F
+
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.sampling import (
+        sample_quantile_err,
+    )
+
+    df = spark.range(1, 10001).select(F.col("id").cast("double").alias("v"), "id")
+    out = {r.q: r for r in sample_quantile_err(
+        df, F.col("v"), F.col("id"), rate=0.2, qs=(0.5, 0.9)
+    ).collect()}
+    assert set(out) == {0.5, 0.9}
+    # Exact medians of 1..10000.
+    assert out[0.5].exact_v == 5000.5
+    assert out[0.9].exact_v == 9000.1
+    # A 20% uniform sample's quantiles land near the truth, and the
+    # reported error is exactly |exact - sample|.
+    for r in out.values():
+        assert abs(r.sample_v - r.exact_v) < 300
+        assert r.abs_err == round(abs(r.exact_v - r.sample_v), 4)
+
+
+def test_running_customer_spend_prefix_sums(spark):
+    import datetime
+
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.relational import (
+        running_customer_spend,
+    )
+
+    d = lambda s: datetime.datetime.fromisoformat(s)
+    rows = [
+        (1, 7, "O", 100.0, d("1995-01-01"), "1-URGENT"),
+        (2, 7, "O", 50.0, d("1995-01-01"), "1-URGENT"),   # same day: orderkey breaks tie
+        (3, 7, "O", 25.0, d("1995-02-01"), "1-URGENT"),
+        (4, 8, "O", 10.0, d("1995-01-15"), "1-URGENT"),
+    ]
+    orders = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderstatus string,"
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string"
+    )
+    got = {r.o_orderkey: r.cum_spend for r in running_customer_spend(orders).collect()}
+    assert got == {1: 100.0, 2: 150.0, 3: 175.0, 4: 10.0}
