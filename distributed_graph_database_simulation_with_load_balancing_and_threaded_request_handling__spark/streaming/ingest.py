@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    DoubleType,
     LongType,
     StringType,
     StructField,
@@ -103,5 +104,55 @@ def corpus_stream_stats(
             F.count("*").cast("long").alias("n_docs"),
             F.sum(F.length(t)).cast("long").alias("total_chars"),
             F.sum(token_count(t)).cast("long").alias("total_tokens"),
+        )
+    )
+
+
+EVENT_STREAM_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType(), True),
+        StructField("ts", TimestampType(), True),
+        StructField("user_id", LongType(), True),
+        StructField("event_type", StringType(), True),
+        StructField("value", DoubleType(), True),
+        StructField("props", StringType(), True),
+    ]
+)
+
+
+def read_event_stream(spark: SparkSession, path: str, *, fmt: str = "json") -> DataFrame:
+    """File-source event feed (schema of the batch ``events`` table)."""
+    return spark.readStream.schema(EVENT_STREAM_SCHEMA).format(fmt).load(path)
+
+
+def sessionize_stream(
+    events: DataFrame, *, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming gap-sessionization: ``session_window`` merges events
+    separated by less than ``gap`` into one growing window per user —
+    the streaming twin of ``relational.sessionize_events`` (same
+    grouping semantics; a session's window END is last-event + gap by
+    session_window's definition, where the batch form reports
+    max(ts), so equivalence tests compare on session START).
+
+    Scale posture: session state is keyed (user, open window) in the
+    state store; the watermark closes and EVICTS sessions whose gap
+    horizon has passed, so state is bounded by the number of
+    concurrently-active users, not history.  Output mode must be
+    append (sessions emit once, when finalized by the watermark) or
+    complete in tests.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sw"), F.col("user_id"))
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            "n_events",
+            "total_value",
         )
     )

@@ -256,3 +256,59 @@ def test_corpus_stream_stats_windows(spark, corpus_dir):
     assert rows[(0, "es")] == (1, 3)
     # Window [10:00:10, 10:00:20): docs 4,5 en.
     assert rows[(10, "en")] == (2, 5)
+
+
+def test_sessionize_stream_matches_batch(spark, tmp_path):
+    import datetime
+
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.relational import (
+        sessionize_events,
+    )
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.streaming.ingest import (
+        read_event_stream,
+        sessionize_stream,
+    )
+
+    t0 = datetime.datetime(2026, 1, 1, 0, 0, 0)
+    mins = lambda m: (t0 + datetime.timedelta(minutes=m)).isoformat()
+    events = [
+        {"event_id": 1, "ts": mins(0), "user_id": 7, "event_type": "click", "value": 1.0, "props": "{}"},
+        {"event_id": 2, "ts": mins(10), "user_id": 7, "event_type": "view", "value": 2.0, "props": "{}"},
+        {"event_id": 3, "ts": mins(50), "user_id": 7, "event_type": "click", "value": 3.0, "props": "{}"},
+        {"event_id": 4, "ts": mins(55), "user_id": 8, "event_type": "click", "value": 4.0, "props": "{}"},
+    ]
+    d = tmp_path / "events"
+    d.mkdir()
+    (d / "batch0.json").write_text("\n".join(json.dumps(r) for r in events))
+
+    stream = sessionize_stream(read_event_stream(spark, str(d)), gap="30 minutes")
+    assert stream.isStreaming
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("stream_sessions")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["session_start"]): (r["n_events"], r["total_value"])
+        for r in spark.table("stream_sessions").collect()
+    }
+
+    batch = sessionize_events(
+        spark.createDataFrame(
+            [(r["event_id"], datetime.datetime.fromisoformat(r["ts"]), r["user_id"],
+              r["event_type"], r["value"], r["props"]) for r in events],
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            "value double, props string",
+        ),
+        gap_minutes=30,
+    ).collect()
+    want = {
+        (r["user_id"], r["session_start"]): (r["n_events"], r["total_value"])
+        for r in batch
+    }
+    # session_window's start == first event ts == batch session_start;
+    # n_events/total_value must agree session by session.
+    assert got == want and len(got) == 3
