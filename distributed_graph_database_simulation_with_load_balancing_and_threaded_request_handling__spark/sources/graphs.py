@@ -184,24 +184,35 @@ def copurchase_edges(
     return out
 
 
-def _copurchase_pair_rows(
-    spark: SparkSession,
-    sf_dir: str,
-    max_basket: int,
-    ship_range: tuple[str, str] | None,
+def cooccurrence_pairs(
+    items: DataFrame,
+    group_col: str,
+    item_col: str,
+    *,
+    max_group: int = 12,
 ) -> DataFrame:
-    """One (src, dst) row per order containing the canonical part pair
-    (NOT deduplicated across orders — multiplicity is the
-    co-occurrence count)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    if ship_range is not None:
-        lo, hi = ship_range
-        li = li.where((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+    """General co-occurrence pair generator — the bipartite-projection
+    primitive: one canonical ``src < dst`` row per group containing
+    the item pair (NOT deduplicated across groups — multiplicity is
+    the co-occurrence count).  Works for any (group, item) table:
+    order/part baskets, user/item interactions, document/entity
+    mentions.
+
+    ONE scan of ``items``: per-group item sets are gathered with a
+    single ``collect_set`` shuffle (which also dedups (group, item)),
+    the group-size guard is an array-length filter on the aggregated
+    row, and the pairs explode JVM-side from the sorted array.
+    Per-group pair count is quadratic in group size, so groups over
+    ``max_group`` are dropped BEFORE explosion (degenerate-group
+    guard, the ``dedup._bucket_pairs.max_bucket_size`` posture).
+    """
     baskets = (
-        li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").cast("long").alias("p"))
-        .groupBy("ok")
+        items.select(
+            F.col(group_col).alias("g"), F.col(item_col).cast("long").alias("p")
+        )
+        .groupBy("g")
         .agg(F.sort_array(F.collect_set("p")).alias("parts"))
-        .where(F.size("parts") <= max_basket)
+        .where(F.size("parts") <= max_group)
     )
     # All i<j index pairs of the sorted array: `parts` is a bare column
     # reference, so the nested-lambda re-evaluation trap (HOF lambdas
@@ -217,6 +228,21 @@ def _copurchase_pair_rows(
         )
         .select(F.col("e.src"), F.col("e.dst"))
     )
+
+
+def _copurchase_pair_rows(
+    spark: SparkSession,
+    sf_dir: str,
+    max_basket: int,
+    ship_range: tuple[str, str] | None,
+) -> DataFrame:
+    """Lineitem instance of ``cooccurrence_pairs`` (orders = groups,
+    parts = items), with the optional pushdown-able ship-date window."""
+    li = load_table(spark, sf_dir, "lineitem")
+    if ship_range is not None:
+        lo, hi = ship_range
+        li = li.where((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+    return cooccurrence_pairs(li, "l_orderkey", "l_partkey", max_group=max_basket)
 
 
 def copurchase_weighted_edges(

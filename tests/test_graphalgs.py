@@ -241,3 +241,24 @@ class TestSSSP:
         before = spark.conf.get("spark.sql.shuffle.partitions")
         sssp(self._w(spark, [(1, 2, 1)]), 1, loop_shuffle_partitions=4).collect()
         assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+def test_cooccurrence_pairs_general(spark):
+    from pyspark.sql import functions as F
+
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.sources.graphs import (
+        cooccurrence_pairs,
+    )
+
+    rows = [
+        ("u1", 3), ("u1", 1), ("u1", 2), ("u1", 1),  # dup (u1,1) collapses
+        ("u2", 1), ("u2", 2),
+        ("u3", 9),                                    # singleton: no pairs
+    ] + [("hub", i) for i in range(100)]              # over max_group: dropped
+    df = spark.createDataFrame(rows, "user string, item long")
+    pairs = cooccurrence_pairs(df, "user", "item", max_group=12)
+    got = sorted((r.src, r.dst) for r in pairs.collect())
+    # u1 -> (1,2),(1,3),(2,3); u2 -> (1,2); hub dropped entirely.
+    assert got == [(1, 2), (1, 2), (1, 3), (2, 3)]
+    # Weighted form: multiplicity is the co-occurrence count.
+    w = {(r.src, r.dst): r["count"] for r in pairs.groupBy("src", "dst").count().collect()}
+    assert w[(1, 2)] == 2 and w[(1, 3)] == 1
