@@ -85,6 +85,8 @@ from distributed_graph_database_simulation_with_load_balancing_and_threaded_requ
     HLL_ALPHA_M2,
     HLL_M,
     hll_distinct,
+    hll_estimate,
+    hll_registers,
 )
 from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.pipeline import (
     corpus_prep_stats,
@@ -906,6 +908,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # gate -> deterministic split -> per-(split, lang) accounting.
         return corpus_prep_stats(load_table(spark, sf_dir, "documents"))
 
+    def q_hll_merged(spark, sf_dir):
+        # Sketch MERGEABILITY at the query level: the global distinct
+        # estimate is computed by max-merging the per-event-type
+        # register tables (never re-reading the data) — the
+        # distributed-aggregation property that makes HLL usable as
+        # partial state; the oracle computes registers globally, and
+        # the hash match proves merge == direct.
+        events = load_table(spark, sf_dir, "events")
+        per_type = hll_registers(events, "user_id", group_by=["event_type"])
+        merged = per_type.groupBy("bucket").agg(F.max("reg").alias("reg"))
+        approx = hll_estimate(merged)
+        exact = events.agg(
+            F.count_distinct("user_id").cast("long").alias("n_exact")
+        )
+        return exact.crossJoin(approx)
+
     def q_quantile_sample(spark, sf_dir):
         # Sampling accuracy contract: exact p50/p90/p99 of extended
         # price vs the same quantiles over a deterministic 10% sample,
@@ -1039,6 +1057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kcore": q_kcore,
         "q_sssp": q_sssp,
         "q_pipeline_stats": q_pipeline_stats,
+        "q_hll_merged": q_hll_merged,
         "q_quantile_sample": q_quantile_sample,
         "q_running_spend": q_running_spend,
         "q_csv_io": q_csv_io,
@@ -1628,6 +1647,39 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_kcore": _kcore_oracle_sql(k=2, rounds=16),
         "q_sssp": _sssp_oracle_sql(rounds=24),
+        "q_hll_merged": f"""
+            WITH h AS (
+              SELECT md5(CAST(user_id AS VARCHAR)) AS hx FROM events
+            ),
+            parts AS (
+              SELECT substring(hx, 1, 2) AS bucket,
+                     substring(hx, 3, 15) AS rest,
+                     length(regexp_extract(substring(hx, 3, 15), '^(0*)', 1)) AS z
+              FROM h
+            ),
+            rho AS (
+              SELECT bucket,
+                     COALESCE(z * 4 + CASE substring(rest, z + 1, 1)
+                        WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+                        WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1
+                        WHEN '7' THEN 1 ELSE 0 END + 1, 61) AS rho
+              FROM parts
+            ),
+            regs AS (SELECT bucket, MAX(rho) AS reg FROM rho GROUP BY bucket),
+            agg AS (
+              SELECT SUM(power(2.0, -reg)) AS s_used, COUNT(*) AS n_used FROM regs
+            ),
+            est AS (
+              SELECT CASE WHEN ({HLL_ALPHA_M2} / (s_used + ({HLL_M} - n_used)))
+                          <= 2.5 * {HLL_M} AND ({HLL_M} - n_used) > 0
+                     THEN {HLL_M} * ln(CAST({HLL_M} AS DOUBLE) / ({HLL_M} - n_used))
+                     ELSE {HLL_ALPHA_M2} / (s_used + ({HLL_M} - n_used)) END AS e
+              FROM agg
+            )
+            SELECT (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events) AS n_exact,
+                   round(e, 4) AS n_approx
+            FROM est
+        """,
         "q_quantile_sample": " UNION ALL ".join(
             f"""
             SELECT q, exact_v, sample_v,

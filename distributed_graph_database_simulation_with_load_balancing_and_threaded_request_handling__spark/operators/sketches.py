@@ -74,14 +74,12 @@ def hll_registers(
     )
 
 
-def hll_distinct(
-    df: DataFrame, value_col: str, *, group_by: list[str] | None = None
-) -> DataFrame:
-    """HyperLogLog distinct-count estimate per group (rounded to 4
-    places so the SQL oracle's libm differences vanish).  Columns:
-    group_by..., n_approx."""
+def hll_estimate(regs: DataFrame, *, group_by: list[str] | None = None) -> DataFrame:
+    """Estimate from a register table (``hll_registers`` output or any
+    union/max-merge of such tables — max is associative, so merging
+    per-partition/per-group registers then estimating equals
+    estimating over the whole data).  Columns: group_by..., n_approx."""
     group_by = group_by or []
-    regs = hll_registers(df, value_col, group_by=group_by)
     per_group = regs.groupBy(*group_by).agg(
         F.sum(F.pow(F.lit(2.0), -F.col("reg"))).alias("_s_used"),
         F.count("*").alias("_n_used"),
@@ -96,4 +94,16 @@ def hll_distinct(
     ).otherwise(raw)
     return per_group.select(
         *group_by, F.round(est, 4).alias("n_approx")
+    )
+
+
+def hll_distinct(
+    df: DataFrame, value_col: str, *, group_by: list[str] | None = None
+) -> DataFrame:
+    """HyperLogLog distinct-count estimate per group (rounded to 4
+    places so the SQL oracle's libm differences vanish).  Columns:
+    group_by..., n_approx."""
+    group_by = group_by or []
+    return hll_estimate(
+        hll_registers(df, value_col, group_by=group_by), group_by=group_by
     )
