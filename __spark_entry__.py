@@ -184,23 +184,42 @@ def _sql_copurchase(where: str = "") -> str:
 """
 
 
-def _pagerank_oracle_sql(iters: int = 5, damping_pct: int = 85, scale: int = 10**12) -> str:
+def _pagerank_oracle_sql(
+    iters: int = 5, damping_pct: int = 85, scale: int = 10**12, weighted: bool = False
+) -> str:
     """Unrolled fixed-point PageRank: one (sums, ranks) CTE pair per
     iteration, integer floor division (`//`) throughout — reproduces
     ``graphalgs.pagerank_fixed`` bit-for-bit (integer sums are
-    order-independent, so engine/partitioning cannot perturb it)."""
+    order-independent, so engine/partitioning cannot perturb it).
+    ``weighted`` uses the co-occurrence count as the edge weight and
+    weight-proportional splits."""
     tele_num = (100 - damping_pct) * scale // 100
+    if weighted:
+        edges_ctes = [
+            "w_ce AS MATERIALIZED (SELECT a.p AS src, b.p AS dst, COUNT(*) AS w "
+            "FROM li2 a JOIN li2 b ON a.ok = b.ok AND a.p < b.p GROUP BY a.p, b.p)",
+            "sym AS MATERIALIZED (SELECT src, dst, w FROM w_ce "
+            "UNION ALL SELECT dst, src, w FROM w_ce)",
+        ]
+        contrib = "(p.r * e.w) // dg.d"
+        deg_cte = "deg AS (SELECT src AS v, SUM(w) AS d FROM sym GROUP BY src)"
+    else:
+        edges_ctes = [
+            "sym AS (SELECT src, dst FROM ce UNION ALL SELECT dst, src FROM ce)",
+        ]
+        contrib = "p.r // dg.d"
+        deg_cte = "deg AS (SELECT src AS v, COUNT(*) AS d FROM sym GROUP BY src)"
     ctes = [
         f"WITH {_sql_copurchase()}",
-        "sym AS (SELECT src, dst FROM ce UNION ALL SELECT dst, src FROM ce)",
+        *edges_ctes,
         "verts AS (SELECT DISTINCT src AS v FROM sym)",
-        "deg AS (SELECT src AS v, COUNT(*) AS d FROM sym GROUP BY src)",
+        deg_cte,
         "nn AS (SELECT COUNT(*) AS n FROM verts)",
         f"r0 AS (SELECT v, {scale} // (SELECT n FROM nn) AS r FROM verts)",
     ]
     for k in range(1, iters + 1):
         ctes.append(
-            f"s{k} AS (SELECT e.dst AS v, SUM(p.r // dg.d) AS s FROM sym e "
+            f"s{k} AS (SELECT e.dst AS v, SUM({contrib}) AS s FROM sym e "
             f"JOIN r{k - 1} p ON p.v = e.src JOIN deg dg ON dg.v = e.src GROUP BY e.dst)"
         )
         ctes.append(
@@ -875,6 +894,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pr = pagerank_fixed(copurchase_edges(spark, sf_dir, symmetric=True), iters=5)
         return pr.withColumnRenamed("rank", "rank_val")
 
+    def q_pagerank_weighted(spark, sf_dir):
+        # Weight-proportional PageRank: co-occurrence counts as edge
+        # weights, splits by total out-weight — still all-integer.
+        wsym = copurchase_weighted_edges(spark, sf_dir, symmetric=True).select(
+            "src", "dst", F.col("cnt").alias("w")
+        )
+        pr = pagerank_fixed(wsym, iters=5, weight_col="w")
+        return pr.withColumnRenamed("rank", "rank_val")
+
     def q_degree_hist(spark, sf_dir):
         # Log2-binned degree distribution of the co-purchase graph
         # (integer bit-length bucketing — no float log2).
@@ -1052,6 +1080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_event_pivot": q_event_pivot,
         "q_triangles": q_triangles,
         "q_pagerank": q_pagerank,
+        "q_pagerank_weighted": q_pagerank_weighted,
         "q_degree_hist": q_degree_hist,
         "q_common_neighbors": q_common_neighbors,
         "q_kcore": q_kcore,
@@ -1615,6 +1644,7 @@ def oracle_sql() -> dict[str, str]:
             FROM m GROUP BY vertex
         """,
         "q_pagerank": _pagerank_oracle_sql(iters=5),
+        "q_pagerank_weighted": _pagerank_oracle_sql(iters=5, weighted=True),
         "q_degree_hist": f"""
             WITH {_sql_copurchase()},
             deg AS (

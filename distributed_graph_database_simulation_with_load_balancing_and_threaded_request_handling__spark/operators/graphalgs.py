@@ -159,6 +159,7 @@ def pagerank_fixed(
     damping_pct: int = 85,
     scale: int = 10**12,
     graph_id: int | None = None,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Fixed-point PageRank over a directed edge list (pass a
     symmetric list for undirected graphs).  Returns
@@ -171,6 +172,15 @@ def pagerank_fixed(
         teleport = ((100 - damping_pct) * scale div 100) div n
         r_{k+1}(v) = teleport
                    + (damping_pct * sum_{u->v} (r_k(u) div outdeg(u))) div 100
+
+    With ``weight_col`` (positive INTEGER edge weights), the uniform
+    split becomes weight-proportional::
+
+        r_{k+1}(v) = teleport
+                   + (damping_pct * sum_{u->v} ((r_k(u) * w_uv) div W_out(u))) div 100
+
+    where ``W_out(u)`` is u's total out-weight.  ``r * w`` stays well
+    inside int64 for scale=1e12 and weights up to ~1e6.
 
     Floor division loses at most ``outdeg`` units per vertex per
     round — at scale=1e12 that is a relative error ~1e-9, far below
@@ -192,19 +202,26 @@ def pagerank_fixed(
     whole DAG is one action with no checkpoint barrier (BFS-style
     per-round checkpointing kicks in past ``_CHECKPOINT_EVERY``).
     """
-    e = _edges_only(edges, graph_id)
-    outdeg = e.groupBy(F.col("src").alias("vertex")).agg(F.count("*").alias("outdeg"))
+    if weight_col is None:
+        e = _edges_only(edges, graph_id)
+        e = e.select("src", "dst", F.lit(1).cast("long").alias("w"))
+    else:
+        e = _edges_only_weighted(
+            edges.withColumnRenamed(weight_col, "w") if weight_col != "w" else edges,
+            graph_id,
+        )
+    outdeg = e.groupBy(F.col("src").alias("vertex")).agg(F.sum("w").alias("outdeg"))
     verts = (
         e.select(F.col("src").alias("vertex"))
         .unionAll(e.select(F.col("dst").alias("vertex")))
         .distinct()
     )
-    # Pre-join degree onto edges once; persisted for the loop lifetime.
-    # Distinct column names (esrc/edst) keep every per-round self-join
-    # reference unambiguous as lineage accumulates.
+    # Pre-join total out-weight onto edges once; persisted for the loop
+    # lifetime.  Distinct column names (esrc/edst) keep every per-round
+    # self-join reference unambiguous as lineage accumulates.
     ed = (
         e.join(outdeg, e["src"] == outdeg["vertex"])
-        .select(e["src"].alias("esrc"), e["dst"].alias("edst"), "outdeg")
+        .select(e["src"].alias("esrc"), e["dst"].alias("edst"), "w", "outdeg")
         .persist()
     )
     verts = verts.persist()
@@ -225,8 +242,9 @@ def pagerank_fixed(
                 ranks.join(ed, ranks["vertex"] == F.col("esrc"))
                 # `div` is true integer floor division (positive args) —
                 # NOT `/`, which is float division and loses exactness
-                # for large operands.
-                .select(F.col("edst").alias("sv"), F.expr("r div outdeg").alias("c"))
+                # for large operands.  Unweighted: w == 1 identically,
+                # so (r * w) div outdeg == r div outdeg.
+                .select(F.col("edst").alias("sv"), F.expr("(r * w) div outdeg").alias("c"))
                 .groupBy("sv")
                 .agg(F.sum("c").alias("s"))
             )

@@ -262,3 +262,24 @@ def test_cooccurrence_pairs_general(spark):
     # Weighted form: multiplicity is the co-occurrence count.
     w = {(r.src, r.dst): r["count"] for r in pairs.groupBy("src", "dst").count().collect()}
     assert w[(1, 2)] == 2 and w[(1, 3)] == 1
+
+def test_pagerank_weighted(spark):
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.graphalgs import (
+        pagerank_fixed,
+    )
+
+    # 1 splits to 2 and 3; with weight 9-vs-1 almost all of 1's mass
+    # flows to 2.  2 and 3 return to 1 (keeps the chain irreducible).
+    rows = [(1, 2, 9), (1, 3, 1), (2, 1, 1), (3, 1, 1)]
+    df = spark.createDataFrame(rows, "src long, dst long, w long")
+    got = {r.vertex: r.rank for r in pagerank_fixed(df, iters=20, weight_col="w").collect()}
+    assert got[2] > got[3] * 3
+    # All-equal weights reduce exactly to the unweighted result.
+    eq = spark.createDataFrame([(s, d, 7) for s, d, _ in rows], "src long, dst long, w long")
+    un = spark.createDataFrame([(s, d) for s, d, _ in rows], "src long, dst long")
+    a = {r.vertex: r.rank_scaled for r in pagerank_fixed(eq, iters=6, weight_col="w").collect()}
+    b = {r.vertex: r.rank_scaled for r in pagerank_fixed(un, iters=6).collect()}
+    # Same splits up to floor-division granularity: (r*7) div (7*deg)
+    # vs r div deg differ by at most 1 unit per round.
+    for v in a:
+        assert abs(a[v] - b[v]) <= 6
