@@ -578,7 +578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _db_two_graphs(spark, sf_dir), _g2_replacement_pairs(spark, sf_dir), graph_id=2
         )
 
-    def _loop_parts(spark, build, n=8):
+    def _loop_parts(spark, build, n=8, warm=()):
         # Scoped shuffle width for iterative-loop queries (the
         # graphalgs.sssp loop_shuffle_partitions rationale): superstep
         # shuffles carry frontier-sized rows, and the loop pays the
@@ -587,6 +587,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # loop's in-operator actions (checkpoint + convergence probe)
         # run under the narrowed setting; it is restored before the
         # driver's own action, which only re-reads the checkpoints.
+        # ``warm``: session-cached DataFrames (shared edge sets) are
+        # materialized BEFORE narrowing, so a loop query that happens
+        # to run first doesn't persist the shared cache at loop width
+        # for every later consumer.
+        for df in warm:
+            df.count()
         key = "spark.sql.shuffle.partitions"
         prev = spark.conf.get(key)
         spark.conf.set(key, str(int(n)))
@@ -597,15 +603,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_bfs_levels(spark, sf_dir):
         edges = derived_tree_edges(spark, sf_dir, symmetric=True)
-        return _loop_parts(spark, lambda: bfs_levels(edges, ROOT_VID, graph_id=1))
+        return _loop_parts(spark, lambda: bfs_levels(edges, ROOT_VID, graph_id=1), warm=(edges,))
 
     def q_bfs_order(spark, sf_dir):
         edges = derived_tree_edges(spark, sf_dir, symmetric=True)
-        return _loop_parts(spark, lambda: bfs_level_order(edges, ROOT_VID, graph_id=1))
+        return _loop_parts(spark, lambda: bfs_level_order(edges, ROOT_VID, graph_id=1), warm=(edges,))
 
     def q_dfs_leaves(spark, sf_dir):
         edges = derived_tree_edges(spark, sf_dir, symmetric=True)
-        return _loop_parts(spark, lambda: dfs_leaves(edges, ROOT_VID, graph_id=1))
+        return _loop_parts(spark, lambda: dfs_leaves(edges, ROOT_VID, graph_id=1), warm=(edges,))
 
     def q_route_requests(spark, sf_dir):
         return route_counts(requests_from_orders(spark, sf_dir))
@@ -618,7 +624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_connected_count(spark, sf_dir):
         edges = derived_tree_edges(spark, sf_dir, symmetric=True)
-        return _loop_parts(spark, lambda: connected_count(edges, ROOT_VID, graph_id=1))
+        return _loop_parts(spark, lambda: connected_count(edges, ROOT_VID, graph_id=1), warm=(edges,))
 
     def q_connected_components(spark, sf_dir):
         # Drop the root so the derived tree decomposes into one
@@ -626,7 +632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         edges = derived_tree_edges(spark, sf_dir, symmetric=True).where(
             (F.col("src") != ROOT_VID) & (F.col("dst") != ROOT_VID)
         )
-        return _loop_parts(spark, lambda: connected_components(edges, graph_id=1))
+        return _loop_parts(spark, lambda: connected_components(edges, graph_id=1), warm=(edges,))
 
     # --- training-data extension operators (SURVEY.md §2.3 north-star) ---
 
@@ -897,10 +903,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_pagerank_weighted(spark, sf_dir):
         # Weight-proportional PageRank: co-occurrence counts as edge
         # weights, splits by total out-weight — still all-integer.
-        wsym = copurchase_weighted_edges(spark, sf_dir, symmetric=True).select(
-            "src", "dst", F.col("cnt").alias("w")
-        )
-        pr = pagerank_fixed(wsym, iters=5, weight_col="w")
+        wsym = copurchase_weighted_edges(spark, sf_dir, symmetric=True)
+        pr = pagerank_fixed(wsym, iters=5, weight_col="cnt")
         return pr.withColumnRenamed("rank", "rank_val")
 
     def q_degree_hist(spark, sf_dir):
@@ -927,6 +931,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark, sf_dir, symmetric=True, ship_range=("1995-01-01", "1996-01-01")
         )
         src = wsym.agg(F.min("src")).collect()[0][0]
+        if src is None:  # empty window -> empty result, not a crash
+            return spark.createDataFrame([], "vertex long, dist long")
         # Frontiers are <= a few thousand rows; 8 loop partitions keeps
         # the 18-round superstep loop off the per-task scheduling floor.
         return sssp(wsym, int(src), loop_shuffle_partitions=8)
@@ -1013,13 +1019,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_kcore(spark, sf_dir):
         # 2-core of the 1995 co-purchase graph: survivors + in-core
         # degree via iterative peeling (unique fixpoint).
-        return _loop_parts(
-            spark,
-            lambda: kcore(
-                copurchase_edges(spark, sf_dir, ship_range=("1995-01-01", "1996-01-01")),
-                k=2,
-            ),
-        )
+        edges = copurchase_edges(spark, sf_dir, ship_range=("1995-01-01", "1996-01-01"))
+        return _loop_parts(spark, lambda: kcore(edges, k=2), warm=(edges,))
 
     def q_request_replies(spark, sf_dir):
         # O12 end-to-end: dispatch a fixed BFS + DFS request pair over
@@ -1029,7 +1030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             [(1, 4, 1, ROOT_VID), (2, 3, 1, ROOT_VID)],
             "seq_no int, op_no int, graph_id int, start_vertex int",
         )
-        return _loop_parts(spark, lambda: format_reply(run_requests(reqs, edges)))
+        return _loop_parts(spark, lambda: format_reply(run_requests(reqs, edges)), warm=(edges,))
 
     return {
         "q_add_graph": q_add_graph,

@@ -206,67 +206,65 @@ def pagerank_fixed(
         e = _edges_only(edges, graph_id)
         e = e.select("src", "dst", F.lit(1).cast("long").alias("w"))
     else:
-        e = _edges_only_weighted(
-            edges.withColumnRenamed(weight_col, "w") if weight_col != "w" else edges,
-            graph_id,
-        )
+        e = _edges_only_weighted(edges, graph_id, weight_col=weight_col)
     outdeg = e.groupBy(F.col("src").alias("vertex")).agg(F.sum("w").alias("outdeg"))
     verts = (
         e.select(F.col("src").alias("vertex"))
         .unionAll(e.select(F.col("dst").alias("vertex")))
         .distinct()
     )
-    # Pre-join total out-weight onto edges once; persisted for the loop
-    # lifetime.  Distinct column names (esrc/edst) keep every per-round
-    # self-join reference unambiguous as lineage accumulates.
+    # Materialize the shared subtrees ONCE (eager localCheckpoint, the
+    # triangle_counts idiom): the loop body references ed/verts 2-3
+    # times per round in a single lazy DAG with no in-loop action, so
+    # a persist()-then-unpersist-in-finally would be released before
+    # the caller's action ever ran, re-deriving the edge+outdeg join
+    # per reference.  Distinct column names (esrc/edst) keep every
+    # per-round self-join reference unambiguous as lineage accumulates.
     ed = (
         e.join(outdeg, e["src"] == outdeg["vertex"])
         .select(e["src"].alias("esrc"), e["dst"].alias("edst"), "w", "outdeg")
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    verts = verts.persist()
-    try:
-        n = verts.count()  # one driver scalar
-        if n == 0:
-            return verts.select(
-                F.col("vertex").cast("long"),
-                F.lit(0).cast("long").alias("rank_scaled"),
-                F.lit(0.0).alias("rank"),
-            )
-        init = scale // n
-        teleport = ((100 - damping_pct) * scale // 100) // n
-        ranks = verts.select("vertex", F.lit(init).cast("long").alias("r"))
-        _CHECKPOINT_EVERY = 8
-        for i in range(iters):
-            sums = (
-                ranks.join(ed, ranks["vertex"] == F.col("esrc"))
-                # `div` is true integer floor division (positive args) —
-                # NOT `/`, which is float division and loses exactness
-                # for large operands.  Unweighted: w == 1 identically,
-                # so (r * w) div outdeg == r div outdeg.
-                .select(F.col("edst").alias("sv"), F.expr("(r * w) div outdeg").alias("c"))
-                .groupBy("sv")
-                .agg(F.sum("c").alias("s"))
-            )
-            ranks = (
-                verts.join(sums, verts["vertex"] == F.col("sv"), "left")
-                .select(
-                    verts["vertex"],
-                    F.expr(
-                        f"CAST({teleport} + ({damping_pct} * coalesce(s, 0)) div 100 AS LONG)"
-                    ).alias("r"),
-                )
-            )
-            if (i + 1) % _CHECKPOINT_EVERY == 0 and (i + 1) < iters:
-                ranks = ranks.localCheckpoint(eager=True)
-        return ranks.select(
-            F.col("vertex").cast("long").alias("vertex"),
-            F.col("r").alias("rank_scaled"),
-            (F.col("r") / F.lit(float(scale))).alias("rank"),
+    verts = verts.localCheckpoint(eager=True)
+    n = verts.count()  # one driver scalar (reads the checkpoint)
+    if n == 0:
+        return verts.select(
+            F.col("vertex").cast("long"),
+            F.lit(0).cast("long").alias("rank_scaled"),
+            F.lit(0.0).alias("rank"),
         )
-    finally:
-        ed.unpersist(blocking=False)
-        verts.unpersist(blocking=False)
+    init = scale // n
+    teleport = ((100 - damping_pct) * scale // 100) // n
+    ranks = verts.select("vertex", F.lit(init).cast("long").alias("r"))
+    _CHECKPOINT_EVERY = 8
+    for i in range(iters):
+        sums = (
+            ranks.join(ed, ranks["vertex"] == F.col("esrc"))
+            # `div` is true integer floor division (positive args) —
+            # NOT `/`, which is float division and loses exactness
+            # for large operands.  Unweighted: w == 1 identically,
+            # so (r * w) div outdeg == r div outdeg.
+            .select(F.col("edst").alias("sv"), F.expr("(r * w) div outdeg").alias("c"))
+            .groupBy("sv")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            verts.join(sums, verts["vertex"] == F.col("sv"), "left")
+            .select(
+                verts["vertex"],
+                F.expr(
+                    f"CAST({teleport} + ({damping_pct} * coalesce(s, 0)) div 100 AS LONG)"
+                ).alias("r"),
+            )
+        )
+        if (i + 1) % _CHECKPOINT_EVERY == 0 and (i + 1) < iters:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select(
+        F.col("vertex").cast("long").alias("vertex"),
+        F.col("r").alias("rank_scaled"),
+        (F.col("r") / F.lit(float(scale))).alias("rank"),
+    )
+
 
 
 def degree_histogram(edges: DataFrame, *, graph_id: int | None = None) -> DataFrame:
@@ -530,12 +528,16 @@ def sssp(
         e.unpersist(blocking=False)
 
 
-def _edges_only_weighted(edges: DataFrame, graph_id: int | None) -> DataFrame:
+def _edges_only_weighted(
+    edges: DataFrame, graph_id: int | None, *, weight_col: str = "w"
+) -> DataFrame:
+    # Selecting by source-column NAME (never renaming first) keeps a
+    # caller-side 'w' column from colliding with weight_col != 'w'.
     e = edges
     if graph_id is not None and "graph_id" in e.columns:
         e = e.where(F.col("graph_id") == graph_id)
     return e.select(
         F.col("src").cast("long").alias("src"),
         F.col("dst").cast("long").alias("dst"),
-        F.col("w").cast("long").alias("w"),
+        F.col(weight_col).cast("long").alias("w"),
     )
