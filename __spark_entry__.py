@@ -84,6 +84,8 @@ from distributed_graph_database_simulation_with_load_balancing_and_threaded_requ
 from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.sketches import (
     HLL_ALPHA_M2,
     HLL_M,
+    cms_estimate,
+    cms_table,
     hll_distinct,
     hll_estimate,
     hll_registers,
@@ -942,6 +944,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # gate -> deterministic split -> per-(split, lang) accounting.
         return corpus_prep_stats(load_table(spark, sf_dir, "documents"))
 
+    def q_cms_counts(spark, sf_dir):
+        # Engine-portable count-min sketch: per-type frequency
+        # estimates (min over 4 row-salted md5 cells) joined with the
+        # exact counts — the sketch never under-counts, and the oracle
+        # computes the identical cells, so values hash-match.
+        events = load_table(spark, sf_dir, "events")
+        cms = cms_table(events, "event_type")
+        est = cms_estimate(cms, events.select("event_type"), "event_type")
+        exact = events.groupBy(F.col("event_type").alias("item")).agg(
+            F.count("*").cast("long").alias("n_exact")
+        )
+        return exact.join(est, "item")
+
+    def q_salted_join(spark, sf_dir):
+        # Static skew mitigation under the correctness gate: the salted
+        # (key, salt) join must produce exactly the rows of the plain
+        # inner join the oracle runs — salting redistributes, never
+        # changes the result.
+        from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.partitioning import (
+            salted_join,
+        )
+
+        events = load_table(spark, sf_dir, "events").select("user_id", "value")
+        cust = load_table(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("user_id"), "c_nationkey"
+        )
+        j = salted_join(events, cust, "user_id")
+        return j.groupBy(F.col("c_nationkey").cast("long").alias("nation")).agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 4
+            ).alias("total_value"),
+        )
+
     def q_hll_merged(spark, sf_dir):
         # Sketch MERGEABILITY at the query level: the global distinct
         # estimate is computed by max-merging the per-event-type
@@ -1087,6 +1123,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kcore": q_kcore,
         "q_sssp": q_sssp,
         "q_pipeline_stats": q_pipeline_stats,
+        "q_cms_counts": q_cms_counts,
+        "q_salted_join": q_salted_join,
         "q_hll_merged": q_hll_merged,
         "q_quantile_sample": q_quantile_sample,
         "q_running_spend": q_running_spend,
@@ -1678,6 +1716,37 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_kcore": _kcore_oracle_sql(k=2, rounds=16),
         "q_sssp": _sssp_oracle_sql(rounds=24),
+        "q_cms_counts": """
+            WITH depths AS (SELECT unnest(range(4)) AS i),
+            cells AS (
+              SELECT i, substring(md5(CAST(i AS VARCHAR) || ':' || event_type), 1, 2) AS bucket,
+                     COUNT(*) AS cnt
+              FROM events CROSS JOIN depths GROUP BY 1, 2
+            ),
+            items AS (SELECT DISTINCT event_type AS item FROM events),
+            probes AS (
+              SELECT item, i,
+                     substring(md5(CAST(i AS VARCHAR) || ':' || item), 1, 2) AS bucket
+              FROM items CROSS JOIN depths
+            ),
+            est AS (
+              SELECT item, CAST(MIN(cnt) AS BIGINT) AS n_est
+              FROM probes JOIN cells USING (i, bucket) GROUP BY item
+            ),
+            exact AS (
+              SELECT event_type AS item, CAST(COUNT(*) AS BIGINT) AS n_exact
+              FROM events GROUP BY 1
+            )
+            SELECT exact.item, exact.n_exact, est.n_est
+            FROM exact JOIN est USING (item)
+        """,
+        "q_salted_join": """
+            SELECT CAST(c_nationkey AS BIGINT) AS nation,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 4) AS total_value
+            FROM events e JOIN customer c ON c.c_custkey = e.user_id
+            GROUP BY 1
+        """,
         "q_hll_merged": f"""
             WITH h AS (
               SELECT md5(CAST(user_id AS VARCHAR)) AS hx FROM events

@@ -107,3 +107,59 @@ def hll_distinct(
     return hll_estimate(
         hll_registers(df, value_col, group_by=group_by), group_by=group_by
     )
+
+
+CMS_DEPTH = 4  # independent hash rows; width is the 256 two-hex-char buckets
+
+
+def cms_table(df: DataFrame, value_col: str, *, depth: int = CMS_DEPTH) -> DataFrame:
+    """Count-min sketch of ``value_col`` frequencies: ``depth`` hash
+    rows x 256 buckets, same engine-portability construction as the
+    HLL (row-salted md5, bucket = first two hex chars — no float, no
+    engine-specific hash, so the SQL oracle computes the IDENTICAL
+    sketch).  Returns ``(i, bucket, cnt)``.
+
+    Scale: the explode multiplies rows by ``depth`` BEFORE the
+    aggregation, but the groupBy keys span at most depth x 256 cells,
+    so map-side partial aggregation collapses each partition to <=
+    1024 rows — the shuffle carries the sketch, not the data.  Sketch
+    tables from disjoint data slices merge by summing cell-wise
+    (integer sums: order-independent, exact).
+    """
+    rows = F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("i")
+    return (
+        df.select(rows, F.col(value_col).cast("string").alias("v"))
+        .select(
+            "i",
+            F.substring(
+                F.md5(F.concat(F.col("i").cast("string"), F.lit(":"), F.col("v"))), 1, 2
+            ).alias("bucket"),
+        )
+        .groupBy("i", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_estimate(cms: DataFrame, items: DataFrame, item_col: str) -> DataFrame:
+    """Point-frequency estimates from a ``cms_table``: for each item,
+    the minimum over its ``depth`` row cells — the classic CMS upper
+    bound (never under-counts; over-counts only on all-rows
+    collisions).  Returns ``(item, n_est)``."""
+    depth_rows = F.explode(F.array(*[F.lit(i) for i in range(CMS_DEPTH)])).alias("i")
+    probes = items.select(F.col(item_col).alias("item")).distinct().select(
+        "item",
+        depth_rows,
+    ).select(
+        "item",
+        "i",
+        F.substring(
+            F.md5(F.concat(F.col("i").cast("string"), F.lit(":"), F.col("item").cast("string"))),
+            1,
+            2,
+        ).alias("bucket"),
+    )
+    return (
+        probes.join(cms, ["i", "bucket"])
+        .groupBy("item")
+        .agg(F.min("cnt").cast("long").alias("n_est"))
+    )

@@ -416,3 +416,28 @@ def test_running_customer_spend_prefix_sums(spark):
     )
     got = {r.o_orderkey: r.cum_spend for r in running_customer_spend(orders).collect()}
     assert got == {1: 100.0, 2: 150.0, 3: 175.0, 4: 10.0}
+
+
+def test_cms_upper_bound_and_merge(spark):
+    from pyspark.sql import functions as F
+
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.sketches import (
+        cms_estimate,
+        cms_table,
+    )
+
+    # 1000 skewed items: value k appears k times for k in 1..~44.
+    rows = [(k,) for k in range(1, 45) for _ in range(k)]
+    df = spark.createDataFrame(rows, "v long")
+    cms = cms_table(df, "v")
+    est = {r.item: r.n_est for r in cms_estimate(cms, df.select("v"), "v").collect()}
+    exact = {k: k for k in range(1, 45)}
+    # CMS never under-counts; with 44 items in 4x256 cells, most are exact.
+    assert all(est[i] >= exact[i] for i in est)
+    assert sum(1 for i in est if est[i] == exact[i]) >= 40
+    # Mergeability: sketching two halves and summing cells == sketching all.
+    h1 = cms_table(df.where(F.col("v") <= 20), "v")
+    h2 = cms_table(df.where(F.col("v") > 20), "v")
+    merged = h1.unionAll(h2).groupBy("i", "bucket").agg(F.sum("cnt").alias("cnt"))
+    direct = {(r.i, r.bucket): r.cnt for r in cms.collect()}
+    assert {(r.i, r.bucket): r.cnt for r in merged.collect()} == direct
