@@ -79,6 +79,7 @@ from distributed_graph_database_simulation_with_load_balancing_and_threaded_requ
 )
 from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.temporal import (
     asof_join,
+    time_gapfill,
     time_rollup,
 )
 from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.sketches import (
@@ -944,6 +945,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # gate -> deterministic split -> per-(split, lang) accounting.
         return corpus_prep_stats(load_table(spark, sf_dir, "documents"))
 
+    def q_gapfill(spark, sf_dir):
+        # Dense hourly grid per event type with forward fill — the
+        # gap-filling half of the hypertable surface.
+        return time_gapfill(load_table(spark, sf_dir, "events"))
+
     def q_cms_counts(spark, sf_dir):
         # Engine-portable count-min sketch: per-type frequency
         # estimates (min over 4 row-salted md5 cells) joined with the
@@ -1123,6 +1129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kcore": q_kcore,
         "q_sssp": q_sssp,
         "q_pipeline_stats": q_pipeline_stats,
+        "q_gapfill": q_gapfill,
         "q_cms_counts": q_cms_counts,
         "q_salted_join": q_salted_join,
         "q_hll_merged": q_hll_merged,
@@ -1716,6 +1723,29 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_kcore": _kcore_oracle_sql(k=2, rounds=16),
         "q_sssp": _sssp_oracle_sql(rounds=24),
+        "q_gapfill": """
+            WITH hourly AS (
+              SELECT event_type AS k, date_trunc('hour', ts) AS h,
+                     round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 4) AS v
+              FROM events GROUP BY 1, 2
+            ),
+            bounds AS (SELECT k, MIN(h) AS lo, MAX(h) AS hi FROM hourly GROUP BY k),
+            grid AS (
+              SELECT k, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+              FROM bounds
+            ),
+            joined AS (
+              SELECT g.k, g.h, hourly.v FROM grid g
+              LEFT JOIN hourly ON hourly.k = g.k AND hourly.h = g.h
+            )
+            SELECT k AS event_type, CAST(h AS TIMESTAMP) AS hour,
+                   last_value(v IGNORE NULLS) OVER (
+                     PARTITION BY k ORDER BY h
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS value_filled,
+                   CAST(CASE WHEN v IS NULL THEN 1 ELSE 0 END AS INTEGER) AS filled
+            FROM joined
+        """,
         "q_cms_counts": """
             WITH depths AS (SELECT unnest(range(4)) AS i),
             cells AS (

@@ -35,7 +35,7 @@ from .similarity import cosine_topk, embedding_near_dup, ivf_topk, lsh_topk
 from .textops import corpus_stats, doc_features, repetition_features
 from .sampling import stratified_sample, train_split
 from .temporal import asof_join, time_rollup
-from .sketches import hll_distinct, hll_registers
+from .sketches import cms_estimate, cms_table, hll_distinct, hll_estimate, hll_registers
 from .multimodal import attach_media, extract_media_meta, frame_sample
 from .relational import (
     brand_revenue,
@@ -78,7 +78,10 @@ __all__ = [
     "asof_join",
     "time_rollup",
     "hll_distinct",
+    "hll_estimate",
     "hll_registers",
+    "cms_table",
+    "cms_estimate",
     "attach_media",
     "extract_media_meta",
     "frame_sample",

@@ -135,3 +135,48 @@ def time_rollup(
             F.round(F.sum("_v"), 4).alias("total_value"),
         )
     )
+
+
+def time_gapfill(
+    events: DataFrame,
+    *,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Regularize a sparse series onto a dense hourly grid with
+    forward fill: per key, one row for EVERY hour between that key's
+    first and last event; hours with no events carry the most recent
+    observed hourly total (``filled=1`` marks carried rows).  The
+    gap-filling half of the hypertable surface (``time_rollup`` is
+    the aggregation half): downstream joins/windows get a dense,
+    regular series instead of punching NULL holes.
+
+    Scale: the grid explodes from per-key (min, max) BOUNDS — one
+    aggregated row per key, never from the raw data — so grid size is
+    keys x span-hours regardless of event count; the fill is one
+    in-partition window pass per key (``last(ignorenulls)`` over an
+    unbounded-preceding ROWS frame).  Decimal hour-sums keep the
+    carried values bit-stable.
+    """
+    hour = F.date_trunc("hour", F.col(ts_col))
+    hourly = events.groupBy(
+        F.col(key_col).alias("k"), hour.alias("h")
+    ).agg(F.round(F.sum(F.col(value_col).cast("decimal(18,2)")).cast("double"), 4).alias("v"))
+    bounds = hourly.groupBy("k").agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    grid = bounds.select(
+        "k",
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("h"),
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    joined = grid.join(hourly, ["k", "h"], "left")
+    return joined.select(
+        F.col("k").alias(key_col),
+        F.col("h").alias("hour"),
+        F.last("v", ignorenulls=True).over(w).alias("value_filled"),
+        F.when(F.col("v").isNull(), 1).otherwise(0).cast("int").alias("filled"),
+    )

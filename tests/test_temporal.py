@@ -110,3 +110,30 @@ def test_time_rollup_grains(spark):
     assert rows[(1, d2, None)] == (1, 8.0)
     assert rows[(3, None, None)] == (4, 15.0)   # grand total
     assert len(rows) == 6
+
+
+def test_time_gapfill_forward_fill(spark):
+    import datetime
+
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.temporal import (
+        time_gapfill,
+    )
+
+    t = lambda h, m=0: datetime.datetime(2024, 1, 1, h, m)
+    rows = [
+        (1, t(0, 5), 7, "click", 10.0, "{}"),
+        (2, t(0, 40), 7, "click", 5.0, "{}"),   # same hour: sums to 15
+        (3, t(3, 10), 7, "click", 2.0, "{}"),   # hours 1,2 are gaps
+        (4, t(1, 0), 8, "view", 1.0, "{}"),     # single-hour key: no gaps
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string,"
+        "value double, props string"
+    )
+    out = {(r.event_type, r.hour.hour): r for r in time_gapfill(events).collect()}
+    assert out[("click", 0)].value_filled == 15.0 and out[("click", 0)].filled == 0
+    assert out[("click", 1)].value_filled == 15.0 and out[("click", 1)].filled == 1
+    assert out[("click", 2)].value_filled == 15.0 and out[("click", 2)].filled == 1
+    assert out[("click", 3)].value_filled == 2.0 and out[("click", 3)].filled == 0
+    assert out[("view", 1)].value_filled == 1.0
+    assert len(out) == 5  # click hours 0-3 + view hour 1
