@@ -73,9 +73,11 @@ from distributed_graph_database_simulation_with_load_balancing_and_threaded_requ
     make_hyperplanes,
 )
 from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.textops import (
+    collocations,
     corpus_stats,
     doc_features,
     repetition_features,
+    tfidf_topk,
 )
 from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.temporal import (
     asof_join,
@@ -866,6 +868,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Gopher-style repetition quality signals per document.
         return repetition_features(load_table(spark, sf_dir, "documents"))
 
+    def q_tfidf(spark, sf_dir):
+        # Per-document top-5 characteristic terms (division-exact
+        # raw-inverse-df scoring -> full value oracle).
+        return tfidf_topk(load_table(spark, sf_dir, "documents"), k=5)
+
+    def q_collocations(spark, sf_dir):
+        # Corpus-level PMI-lift collocations (top-20 bigrams).
+        return collocations(load_table(spark, sf_dir, "documents"), k=20, min_count=5)
+
     def q_train_split(spark, sf_dir):
         # Deterministic hash-based 90/5/5 train/val/test assignment.
         docs = load_table(spark, sf_dir, "documents")
@@ -1117,6 +1128,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_time_rollup": q_time_rollup,
         "q_matrix_io": q_matrix_io,
         "q_repetition": q_repetition,
+        "q_tfidf": q_tfidf,
+        "q_collocations": q_collocations,
         "q_train_split": q_train_split,
         "q_stratified_sample": q_stratified_sample,
         "q_rollup_revenue": q_rollup_revenue,
@@ -1644,6 +1657,72 @@ def oracle_sql() -> dict[str, str]:
                    round(t.dup_frac, 6) AS dup_token_frac,
                    round(COALESCE(b.top_bg, 0.0), 6) AS top_bigram_frac
             FROM tok_stats t LEFT JOIN bg_stats b USING (doc_id)
+        """,
+        "q_tfidf": f"""
+            WITH base AS (
+              SELECT doc_id, {_SQL_NORM} AS norm FROM documents
+            ),
+            toks AS (
+              SELECT doc_id, unnest(string_split(norm, ' ')) AS term
+              FROM base WHERE norm <> ''
+            ),
+            tf AS (
+              SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+              FROM toks GROUP BY doc_id, term
+            ),
+            df AS (
+              SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+            ),
+            scored AS (
+              SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                     CAST(tf.tf AS DOUBLE) / df.df AS score
+              FROM tf JOIN df USING (term)
+            ),
+            ranked AS (
+              SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY doc_id ORDER BY score DESC, term ASC
+              ) AS rnk FROM scored
+            )
+            SELECT doc_id, term, tf, df, round(score, 6) AS score,
+                   CAST(rnk AS BIGINT) AS rnk
+            FROM ranked WHERE rnk <= 5
+        """,
+        "q_collocations": f"""
+            WITH base AS (
+              SELECT doc_id, {_SQL_NORM} AS norm FROM documents
+            ),
+            toks AS (
+              SELECT doc_id,
+                     unnest(string_split(norm, ' ')) AS tok,
+                     generate_subscripts(string_split(norm, ' '), 1) AS pos
+              FROM base WHERE norm <> ''
+            ),
+            uni AS (
+              SELECT tok AS w, CAST(COUNT(*) AS BIGINT) AS c_w
+              FROM toks GROUP BY tok
+            ),
+            bigrams AS (
+              SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_pair FROM (
+                SELECT doc_id, tok AS w1,
+                       LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+                FROM toks
+              ) WHERE w2 IS NOT NULL GROUP BY w1, w2
+              HAVING COUNT(*) >= 5
+            ),
+            n_uni AS (SELECT CAST(SUM(c_w) AS DOUBLE) AS n_uni FROM uni),
+            n_bi AS (SELECT CAST(SUM(c_pair) AS DOUBLE) AS n_bi FROM bigrams),
+            scored AS (
+              SELECT b.w1, b.w2, b.c_pair, u1.c_w AS c_w1, u2.c_w AS c_w2,
+                     (CAST(b.c_pair AS DOUBLE) / n_bi.n_bi)
+                     / ((CAST(u1.c_w AS DOUBLE) / n_uni.n_uni)
+                        * (CAST(u2.c_w AS DOUBLE) / n_uni.n_uni)) AS lift
+              FROM bigrams b
+              JOIN uni u1 ON u1.w = b.w1
+              JOIN uni u2 ON u2.w = b.w2
+              CROSS JOIN n_uni CROSS JOIN n_bi
+            )
+            SELECT w1, w2, c_pair, c_w1, c_w2, round(lift, 6) AS lift
+            FROM scored ORDER BY lift DESC, w1 ASC, w2 ASC LIMIT 20
         """,
         "q_train_split": f"""
             SELECT doc_id, lang, {_sql_split_case()} AS split FROM documents

@@ -146,6 +146,141 @@ def repetition_features(
     )
 
 
+def tfidf_topk(
+    documents: DataFrame,
+    *,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document top-k characteristic terms by tf-idf.
+
+    The idf here is the raw inverse document frequency (Sparck Jones'
+    original non-log variant): ``score = tf / df``.  The log-damped
+    ``tf * ln(N/df)`` orders (tf, df) pairs differently in general but
+    requires a transcendental whose last-ulp behavior differs between
+    engines; the division form is a single IEEE-754 division, which
+    every engine rounds identically — so the ranking, not just the
+    rounded score, is value-oracle-checkable.  Swapping in a log idf
+    is a one-line change where cross-engine hash equality isn't needed.
+
+    Returns ``(doc_id, term, tf, df, score, rnk)``, ``rnk <= k``,
+    ranked by (score desc, term asc) — fully deterministic.
+
+    Scale: tokens explode once; tf is a map-side-combined groupBy on
+    (doc, term); df aggregates the tf table (one row per (doc, term),
+    already much smaller than the token stream) keyed by term; the
+    tf⋈df join is keyed on term (AQE handles the stopword-key skew);
+    the top-k window partitions by doc_id — embarrassingly parallel,
+    no global sort anywhere.
+    """
+    from pyspark.sql.window import Window
+
+    from ..functions.textfns import normalize_text
+
+    base = documents.select(
+        F.col(id_col).alias("doc_id"), normalize_text(F.col(text_col)).alias("norm")
+    ).where(F.col("norm") != "")
+    tf = (
+        base.select("doc_id", F.explode(F.split("norm", " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    scored = tf.join(df, "term").withColumn(
+        "score", F.col("tf").cast("double") / F.col("df")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round("score", 6).alias("score"),
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
+
+
+def collocations(
+    documents: DataFrame,
+    *,
+    k: int = 20,
+    min_count: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-level collocation extraction: the top-k word bigrams by
+    PMI lift ``p(xy) / (p(x) * p(y))`` (the exponential of pointwise
+    mutual information — same ranking as PMI since exp is monotone,
+    but computed purely from integer counts and IEEE divisions, so the
+    exact value reproduces in ANSI SQL).  ``min_count`` suppresses the
+    unstable low-frequency tail, the standard PMI practice.
+
+    Returns ``(w1, w2, c_pair, c_w1, c_w2, lift)``, the top-k rows by
+    (lift desc, w1, w2).
+
+    Scale: bigrams come from one posexplode + a per-document window
+    LEAD (no interpreted HOFs); unigram and bigram counts are map-side
+    combined groupBys; the two count joins are keyed on single words;
+    the final top-k is ``orderBy().limit(k)`` =
+    ``TakeOrderedAndProject`` — per-partition partial top-k, no global
+    sort materialization.
+    """
+    from pyspark.sql.window import Window
+
+    from ..functions.textfns import normalize_text
+
+    base = documents.select(
+        F.col(id_col).alias("doc_id"), normalize_text(F.col(text_col)).alias("norm")
+    ).where(F.col("norm") != "")
+    toks = base.select(
+        "doc_id", F.posexplode(F.split("norm", " ")).alias("pos", "tok")
+    )
+    uni = toks.groupBy(F.col("tok").alias("w")).agg(
+        F.count("*").cast("long").alias("c_w")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bigrams = (
+        toks.withColumn("nxt", F.lead("tok").over(w))
+        .where(F.col("nxt").isNotNull())
+        .groupBy(F.col("tok").alias("w1"), F.col("nxt").alias("w2"))
+        .agg(F.count("*").cast("long").alias("c_pair"))
+        .where(F.col("c_pair") >= min_count)
+    )
+    n_uni = uni.agg(F.sum("c_w").cast("double").alias("n_uni"))
+    n_bi = bigrams.agg(F.sum("c_pair").cast("double").alias("n_bi"))
+    scored = (
+        bigrams.join(uni.withColumnRenamed("w", "w1").withColumnRenamed("c_w", "c_w1"), "w1")
+        .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("c_w", "c_w2"), "w2")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi))
+        .withColumn(
+            "lift",
+            (F.col("c_pair").cast("double") / F.col("n_bi"))
+            / (
+                (F.col("c_w1").cast("double") / F.col("n_uni"))
+                * (F.col("c_w2").cast("double") / F.col("n_uni"))
+            ),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("lift"), F.asc("w1"), F.asc("w2"))
+        .limit(k)
+        .select(
+            "w1",
+            "w2",
+            "c_pair",
+            "c_w1",
+            "c_w2",
+            F.round("lift", 6).alias("lift"),
+        )
+    )
+
+
 def corpus_stats(
     documents: DataFrame, *, text_col: str = "text", lang_col: str = "lang"
 ) -> DataFrame:

@@ -441,3 +441,44 @@ def test_cms_upper_bound_and_merge(spark):
     merged = h1.unionAll(h2).groupBy("i", "bucket").agg(F.sum("cnt").alias("cnt"))
     direct = {(r.i, r.bucket): r.cnt for r in cms.collect()}
     assert {(r.i, r.bucket): r.cnt for r in merged.collect()} == direct
+
+
+def test_tfidf_topk_planted(spark):
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.textops import (
+        tfidf_topk,
+    )
+
+    # "zebra" appears only in doc 1 (tf=2, df=1 -> score 2.0) and must
+    # outrank "common" (tf=3 there but df=3 -> score 1.0).
+    docs = spark.createDataFrame(
+        [
+            (1, "zebra zebra common common common"),
+            (2, "common apple"),
+            (3, "common banana"),
+        ],
+        "doc_id long, text string",
+    )
+    top = tfidf_topk(docs, k=1).collect()
+    by_doc = {r.doc_id: r for r in top}
+    assert by_doc[1].term == "zebra" and by_doc[1].score == 2.0
+    assert by_doc[2].term == "apple"  # tf 1 / df 1 = 1.0 beats common 1/3
+    assert by_doc[3].term == "banana"
+
+
+def test_collocations_planted(spark):
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.textops import (
+        collocations,
+    )
+
+    # "hong kong" always co-occurs (5 times); "new day"/"new idea" mix,
+    # so "hong kong" has the strictly higher lift.
+    texts = ["hong kong " * 5 + "x", "new day new idea new day new idea new day x"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = collocations(docs, k=3, min_count=3).collect()
+    assert rows, "expected at least one collocation"
+    top = rows[0]
+    # orderBy().limit preserves sorted output order within collect
+    best = max(rows, key=lambda r: r.lift)
+    assert (best.w1, best.w2) == ("hong", "kong")
