@@ -30,19 +30,6 @@ def band_hashes(signature: Column, bands: int, rows: int) -> Column:
     )
 
 
-def band_keys_str(signature: Column, bands: int, rows: int) -> Column:
-    """``band_hashes`` for *string* signatures (the md5-backed,
-    SQL-reproducible MinHash variant): band j's bucket key is
-    md5 of the band's slice joined with '|'.  Band disjointness comes
-    from the (band, bucket) join key, not the hash itself.  Matches
-    ``md5(array_to_string(sig[a:b], '|'))`` in ANSI/DuckDB SQL.
-    """
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda j: F.md5(F.concat_ws("|", F.slice(signature, j * rows + 1, rows))),
-    )
-
-
 def pack_sign_bits(bit_cols: list[Column]) -> Column:
     """Pack sign columns (1/0 longs, index i = value bit i) into one
     signed 64-bit long with shifts (shifts are exempt from ANSI
