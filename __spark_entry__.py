@@ -911,14 +911,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Fixed-point PageRank (integer units of 1e-12) over the
         # symmetric co-purchase graph — exact cross-engine value
         # oracle because every step is integer arithmetic.
-        pr = pagerank_fixed(copurchase_edges(spark, sf_dir, symmetric=True), iters=5)
+        edges = copurchase_edges(spark, sf_dir, symmetric=True)
+        edges.count()  # warm the shared cache at session width
+        pr = pagerank_fixed(edges, iters=5, loop_shuffle_partitions=8)
         return pr.withColumnRenamed("rank", "rank_val")
 
     def q_pagerank_weighted(spark, sf_dir):
         # Weight-proportional PageRank: co-occurrence counts as edge
         # weights, splits by total out-weight — still all-integer.
         wsym = copurchase_weighted_edges(spark, sf_dir, symmetric=True)
-        pr = pagerank_fixed(wsym, iters=5, weight_col="cnt")
+        wsym.count()  # warm the shared cache at session width
+        pr = pagerank_fixed(wsym, iters=5, weight_col="cnt", loop_shuffle_partitions=8)
         return pr.withColumnRenamed("rank", "rank_val")
 
     def q_degree_hist(spark, sf_dir):

@@ -160,6 +160,7 @@ def pagerank_fixed(
     scale: int = 10**12,
     graph_id: int | None = None,
     weight_col: str | None = None,
+    loop_shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """Fixed-point PageRank over a directed edge list (pass a
     symmetric list for undirected graphs).  Returns
@@ -201,69 +202,94 @@ def pagerank_fixed(
     Lineage grows one join per round; for the default 5 rounds the
     whole DAG is one action with no checkpoint barrier (BFS-style
     per-round checkpointing kicks in past ``_CHECKPOINT_EVERY``).
+
+    ``loop_shuffle_partitions`` (scoped set/restore, the sssp idiom):
+    per-round shuffles carry one row per vertex/edge — far smaller
+    than scan-oriented stages — and the loop pays the per-task floor
+    ``iters x 2 x partitions`` times, so right-size it to the graph
+    (measured at sf0.1: 32 -> 8 halves the warm-cache loop).  Because
+    the loop is otherwise one lazy DAG executed by the CALLER's
+    action, setting this also eagerly materializes the final ranks
+    inside the operator (localCheckpoint) so the narrowed width
+    actually binds; leave None at scan-dominated scale to inherit the
+    session width and full laziness.
     """
-    if weight_col is None:
-        e = _edges_only(edges, graph_id)
-        e = e.select("src", "dst", F.lit(1).cast("long").alias("w"))
-    else:
-        e = _edges_only_weighted(edges, graph_id, weight_col=weight_col)
-    outdeg = e.groupBy(F.col("src").alias("vertex")).agg(F.sum("w").alias("outdeg"))
-    verts = (
-        e.select(F.col("src").alias("vertex"))
-        .unionAll(e.select(F.col("dst").alias("vertex")))
-        .distinct()
-    )
-    # Materialize the shared subtrees ONCE (eager localCheckpoint, the
-    # triangle_counts idiom): the loop body references ed/verts 2-3
-    # times per round in a single lazy DAG with no in-loop action, so
-    # a persist()-then-unpersist-in-finally would be released before
-    # the caller's action ever ran, re-deriving the edge+outdeg join
-    # per reference.  Distinct column names (esrc/edst) keep every
-    # per-round self-join reference unambiguous as lineage accumulates.
-    ed = (
-        e.join(outdeg, e["src"] == outdeg["vertex"])
-        .select(e["src"].alias("esrc"), e["dst"].alias("edst"), "w", "outdeg")
-        .localCheckpoint(eager=True)
-    )
-    verts = verts.localCheckpoint(eager=True)
-    n = verts.count()  # one driver scalar (reads the checkpoint)
-    if n == 0:
-        return verts.select(
-            F.col("vertex").cast("long"),
-            F.lit(0).cast("long").alias("rank_scaled"),
-            F.lit(0.0).alias("rank"),
+    spark = edges.sparkSession
+    _parts_key = "spark.sql.shuffle.partitions"
+    _prev_parts = spark.conf.get(_parts_key)
+    if loop_shuffle_partitions is not None:
+        spark.conf.set(_parts_key, str(int(loop_shuffle_partitions)))
+    try:
+        if weight_col is None:
+            e = _edges_only(edges, graph_id)
+            e = e.select("src", "dst", F.lit(1).cast("long").alias("w"))
+        else:
+            e = _edges_only_weighted(edges, graph_id, weight_col=weight_col)
+        outdeg = e.groupBy(F.col("src").alias("vertex")).agg(F.sum("w").alias("outdeg"))
+        verts = (
+            e.select(F.col("src").alias("vertex"))
+            .unionAll(e.select(F.col("dst").alias("vertex")))
+            .distinct()
         )
-    init = scale // n
-    teleport = ((100 - damping_pct) * scale // 100) // n
-    ranks = verts.select("vertex", F.lit(init).cast("long").alias("r"))
-    _CHECKPOINT_EVERY = 8
-    for i in range(iters):
-        sums = (
-            ranks.join(ed, ranks["vertex"] == F.col("esrc"))
-            # `div` is true integer floor division (positive args) —
-            # NOT `/`, which is float division and loses exactness
-            # for large operands.  Unweighted: w == 1 identically,
-            # so (r * w) div outdeg == r div outdeg.
-            .select(F.col("edst").alias("sv"), F.expr("(r * w) div outdeg").alias("c"))
-            .groupBy("sv")
-            .agg(F.sum("c").alias("s"))
+        # Materialize the shared subtrees ONCE (eager localCheckpoint, the
+        # triangle_counts idiom): the loop body references ed/verts 2-3
+        # times per round in a single lazy DAG with no in-loop action, so
+        # a persist()-then-unpersist-in-finally would be released before
+        # the caller's action ever ran, re-deriving the edge+outdeg join
+        # per reference.  Distinct column names (esrc/edst) keep every
+        # per-round self-join reference unambiguous as lineage accumulates.
+        ed = (
+            e.join(outdeg, e["src"] == outdeg["vertex"])
+            .select(e["src"].alias("esrc"), e["dst"].alias("edst"), "w", "outdeg")
+            .localCheckpoint(eager=True)
         )
-        ranks = (
-            verts.join(sums, verts["vertex"] == F.col("sv"), "left")
-            .select(
-                verts["vertex"],
-                F.expr(
-                    f"CAST({teleport} + ({damping_pct} * coalesce(s, 0)) div 100 AS LONG)"
-                ).alias("r"),
+        verts = verts.localCheckpoint(eager=True)
+        n = verts.count()  # one driver scalar (reads the checkpoint)
+        if n == 0:
+            return verts.select(
+                F.col("vertex").cast("long"),
+                F.lit(0).cast("long").alias("rank_scaled"),
+                F.lit(0.0).alias("rank"),
             )
+        init = scale // n
+        teleport = ((100 - damping_pct) * scale // 100) // n
+        ranks = verts.select("vertex", F.lit(init).cast("long").alias("r"))
+        _CHECKPOINT_EVERY = 8
+        for i in range(iters):
+            sums = (
+                ranks.join(ed, ranks["vertex"] == F.col("esrc"))
+                # `div` is true integer floor division (positive args) —
+                # NOT `/`, which is float division and loses exactness
+                # for large operands.  Unweighted: w == 1 identically,
+                # so (r * w) div outdeg == r div outdeg.
+                .select(F.col("edst").alias("sv"), F.expr("(r * w) div outdeg").alias("c"))
+                .groupBy("sv")
+                .agg(F.sum("c").alias("s"))
+            )
+            ranks = (
+                verts.join(sums, verts["vertex"] == F.col("sv"), "left")
+                .select(
+                    verts["vertex"],
+                    F.expr(
+                        f"CAST({teleport} + ({damping_pct} * coalesce(s, 0)) div 100 AS LONG)"
+                    ).alias("r"),
+                )
+            )
+            if (i + 1) % _CHECKPOINT_EVERY == 0 and (i + 1) < iters:
+                ranks = ranks.localCheckpoint(eager=True)
+        out = ranks.select(
+            F.col("vertex").cast("long").alias("vertex"),
+            F.col("r").alias("rank_scaled"),
+            (F.col("r") / F.lit(float(scale))).alias("rank"),
         )
-        if (i + 1) % _CHECKPOINT_EVERY == 0 and (i + 1) < iters:
-            ranks = ranks.localCheckpoint(eager=True)
-    return ranks.select(
-        F.col("vertex").cast("long").alias("vertex"),
-        F.col("r").alias("rank_scaled"),
-        (F.col("r") / F.lit(float(scale))).alias("rank"),
-    )
+        if loop_shuffle_partitions is not None:
+            # Execute the loop NOW, under the narrowed width; the
+            # caller's action then only reads the checkpoint.
+            out = out.localCheckpoint(eager=True)
+        return out
+    finally:
+        if loop_shuffle_partitions is not None:
+            spark.conf.set(_parts_key, _prev_parts)
 
 
 
