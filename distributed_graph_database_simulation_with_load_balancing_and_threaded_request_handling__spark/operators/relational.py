@@ -130,12 +130,15 @@ def sessionize_events(
         "ts",
         "event_id",
         "value",
-        # Exact microsecond arithmetic (unix_micros) so the boundary
-        # decision is bit-identical to the oracle's epoch_us.
+        # Exact microsecond arithmetic so the boundary decision is
+        # bit-identical to the oracle's epoch_us.  timestamp_diff
+        # (not unix_micros) because it accepts both TIMESTAMP and
+        # TIMESTAMP_NTZ — the testdata parquet stores plain
+        # micros (no zone), which Spark 4 reads as NTZ.
         (
             prev_ts.isNull()
             | (
-                (F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts))
+                F.timestamp_diff("MICROSECOND", prev_ts, F.col("ts"))
                 > gap_minutes * 60 * 1_000_000
             )
         )
