@@ -59,6 +59,7 @@ from distributed_graph_database_simulation_with_load_balancing_and_threaded_requ
     exact_dedup,
     fingerprint_dedup,
     minhash_dedup,
+    decontaminate,
     ngram_jaccard_pairs,
     shingle_jaccard_pairs,
     simhash_allpairs,
@@ -73,6 +74,7 @@ from distributed_graph_database_simulation_with_load_balancing_and_threaded_requ
     make_hyperplanes,
 )
 from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.textops import (
+    chunk_documents,
     collocations,
     corpus_stats,
     doc_features,
@@ -85,8 +87,11 @@ from distributed_graph_database_simulation_with_load_balancing_and_threaded_requ
     time_rollup,
 )
 from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.sketches import (
+    BLOOM_K,
     HLL_ALPHA_M2,
     HLL_M,
+    bloom_bits,
+    bloom_probe,
     cms_estimate,
     cms_table,
     hll_distinct,
@@ -110,6 +115,8 @@ from distributed_graph_database_simulation_with_load_balancing_and_threaded_requ
 from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.relational import (
     brand_revenue,
     customers_without_orders,
+    local_supplier_volume,
+    ship_priority,
     event_props_filter,
     event_type_pivot,
     event_windows,
@@ -1088,6 +1095,79 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return _loop_parts(spark, lambda: format_reply(run_requests(reqs, edges)), warm=(edges,))
 
+def q_bloom_join(spark, sf_dir):
+        # Engine-portable Bloom filter (md5 cells, same portability
+        # posture as the HLL/CMS) used the way a 100-TB pipeline uses
+        # it: bits built from the orders' customer keys broadcast
+        # against a probe side.  The output is the measured membership
+        # contract — Bloom never misses a member (n_maybe >=
+        # n_members) and the false positives are exactly countable
+        # against the real key set; every cell is replayed by the SQL
+        # oracle, so the numbers are value-exact, not a rows-only
+        # check.
+        orders = load_table(spark, sf_dir, "orders")
+        cust = load_table(spark, sf_dir, "customer")
+        bits = bloom_bits(orders, "o_custkey")
+        probe = bloom_probe(bits, cust, "c_custkey")
+        members = (
+            orders.select(F.col("o_custkey").alias("item"))
+            .distinct()
+            .withColumn("member", F.lit(1))
+        )
+        return probe.join(members, "item", "left").agg(
+            F.count("*").cast("long").alias("n_probed"),
+            F.count("member").cast("long").alias("n_members"),
+            F.sum(F.col("maybe").cast("long")).cast("long").alias("n_maybe"),
+            F.sum((F.col("maybe") & F.col("member").isNull()).cast("long"))
+            .cast("long")
+            .alias("n_false_pos"),
+        )
+
+    def q_decontam(spark, sf_dir):
+        # Benchmark decontamination: docs with doc_id % 20 == 0 play
+        # the held-out eval set, the rest are train; any shared token
+        # 5-gram flags contamination (the GPT-3-style n-gram overlap
+        # test, n scaled to the short synthetic docs).  Planted
+        # near-duplicates in the corpus make the hits real.
+        docs = load_table(spark, sf_dir, "documents")
+        ev = docs.where(F.col("doc_id") % 20 == 0)
+        tr = docs.where(F.col("doc_id") % 20 != 0)
+        return decontaminate(tr, ev, ngram_len=5)
+
+    def q_chunks(spark, sf_dir):
+        # Sequence prep: 64-token chunks, stride 48 (16-token overlap);
+        # chunk identity is the md5 of the joined tokens, so the oracle
+        # check is value-exact per chunk without shipping chunk text.
+        docs = load_table(spark, sf_dir, "documents")
+        return chunk_documents(docs, chunk_size=64, stride=48)
+
+    def q_ship_priority(spark, sf_dir):
+        # TPC-H Q3 shape: top-10 undelivered BUILDING-segment orders
+        # by discounted revenue as of 1998-06-01.
+        return ship_priority(
+            load_table(spark, sf_dir, "customer"),
+            load_table(spark, sf_dir, "orders"),
+            load_table(spark, sf_dir, "lineitem"),
+            segment="BUILDING",
+            date="1998-06-01",
+            k=10,
+        )
+
+    def q_local_supplier(spark, sf_dir):
+        # TPC-H Q5 shape: 1997 per-nation revenue where customer and
+        # supplier share an ASIA nation.
+        return local_supplier_volume(
+            load_table(spark, sf_dir, "customer"),
+            load_table(spark, sf_dir, "orders"),
+            load_table(spark, sf_dir, "lineitem"),
+            load_table(spark, sf_dir, "supplier"),
+            load_table(spark, sf_dir, "nation"),
+            load_table(spark, sf_dir, "region"),
+            region_name="ASIA",
+            date_from="1997-01-01",
+            date_to="1998-01-01",
+        )
+
     return {
         "q_add_graph": q_add_graph,
         "q_modify_graph": q_modify_graph,
@@ -1153,6 +1233,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_running_spend": q_running_spend,
         "q_csv_io": q_csv_io,
         "q_jsonl_io": q_jsonl_io,
+        "q_bloom_join": q_bloom_join,
+        "q_decontam": q_decontam,
+        "q_chunks": q_chunks,
+        "q_ship_priority": q_ship_priority,
+        "q_local_supplier": q_local_supplier,
         "q_request_replies": q_request_replies,
     }
 

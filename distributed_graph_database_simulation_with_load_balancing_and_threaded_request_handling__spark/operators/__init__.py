@@ -19,7 +19,9 @@ from .dedup import (
     fingerprint_dedup,
     minhash_candidates,
     minhash_dedup,
+    decontaminate,
     ngram_jaccard_pairs,
+    token_ngrams,
     simhash_dedup,
 )
 from .graphalgs import (
@@ -32,10 +34,18 @@ from .graphalgs import (
 )
 from .pipeline import corpus_prep, corpus_prep_stats
 from .similarity import cosine_topk, embedding_near_dup, ivf_topk, lsh_topk
-from .textops import corpus_stats, doc_features, repetition_features
+from .textops import chunk_documents, corpus_stats, doc_features, repetition_features
 from .sampling import stratified_sample, train_split
 from .temporal import asof_join, time_rollup
-from .sketches import cms_estimate, cms_table, hll_distinct, hll_estimate, hll_registers
+from .sketches import (
+    bloom_bits,
+    bloom_probe,
+    cms_estimate,
+    cms_table,
+    hll_distinct,
+    hll_estimate,
+    hll_registers,
+)
 from .multimodal import attach_media, extract_media_meta, frame_sample
 from .relational import (
     brand_revenue,
@@ -65,6 +75,11 @@ __all__ = [
     "minhash_candidates",
     "minhash_dedup",
     "ngram_jaccard_pairs",
+    "token_ngrams",
+    "decontaminate",
+    "chunk_documents",
+    "bloom_bits",
+    "bloom_probe",
     "simhash_dedup",
     "cosine_topk",
     "lsh_topk",

@@ -443,6 +443,48 @@ def shingle_jaccard_pairs(
     return _jaccard_pairs_from_items(sh, threshold)
 
 
+def token_ngrams(
+    documents: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram_len: int = 3,
+) -> DataFrame:
+    """Distinct token n-grams per document: ``(id, g)`` over normalized
+    whitespace tokens — the shared vocabulary of ``ngram_jaccard_pairs``
+    and ``decontaminate``.
+
+    n-grams via posexplode + window LEADs instead of a higher-order
+    transform: HOFs are interpreted (one slice+concat per position),
+    while the window form stays in vectorized operators — ~4x faster
+    at sf0.1.  concat_ws skips the NULL leads, so a document shorter
+    than ngram_len yields exactly one gram (its whole token run),
+    and a zero-token document yields the empty gram — both matching
+    the SQL oracle's slice semantics."""
+    toks = ensure_parallelism(
+        documents.select(
+            F.col(id_col).alias("id"), tokens(normalize_text(F.col(text_col))).alias("t")
+        )
+    )
+    tok_rows = toks.select(
+        "id", F.size("t").alias("ntok"), F.posexplode_outer("t").alias("pos", "tok")
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    lead_cols = [F.lead("tok", i).over(w) for i in range(1, ngram_len)]
+    return (
+        tok_rows.withColumn("g", F.concat_ws(" ", F.col("tok"), *lead_cols))
+        .where(
+            (F.col("pos") <= F.col("ntok") - ngram_len)
+            | (
+                (F.col("ntok") < ngram_len)
+                & ((F.col("pos") == 0) | F.col("pos").isNull())
+            )
+        )
+        .select("id", "g")
+        .distinct()
+    )
+
+
 def ngram_jaccard_pairs(
     documents: DataFrame,
     *,
@@ -457,36 +499,59 @@ def ngram_jaccard_pairs(
     n-grams (documents sharing zero n-grams never meet), not a blind
     cross join; still quadratic in the worst case, so reserve for
     bounded subsets / verification.  Returns (id_a, id_b, jaccard)."""
-    toks = ensure_parallelism(
-        documents.select(
-            F.col(id_col).alias("id"), tokens(normalize_text(F.col(text_col))).alias("t")
-        )
-    )
-    # n-grams via posexplode + window LEADs instead of a higher-order
-    # transform: HOFs are interpreted (one slice+concat per position),
-    # while the window form stays in vectorized operators — ~4x faster
-    # at sf0.1.  concat_ws skips the NULL leads, so a document shorter
-    # than ngram_len yields exactly one gram (its whole token run),
-    # and a zero-token document yields the empty gram — both matching
-    # the SQL oracle's slice semantics.
-    tok_rows = toks.select(
-        "id", F.size("t").alias("ntok"), F.posexplode_outer("t").alias("pos", "tok")
-    )
-    w = Window.partitionBy("id").orderBy("pos")
-    lead_cols = [F.lead("tok", i).over(w) for i in range(1, ngram_len)]
-    grams = (
-        tok_rows.withColumn("g", F.concat_ws(" ", F.col("tok"), *lead_cols))
-        .where(
-            (F.col("pos") <= F.col("ntok") - ngram_len)
-            | (
-                (F.col("ntok") < ngram_len)
-                & ((F.col("pos") == 0) | F.col("pos").isNull())
-            )
-        )
-        .select("id", "g")
-        .distinct()
+    grams = token_ngrams(
+        documents, text_col=text_col, id_col=id_col, ngram_len=ngram_len
     )
     return _jaccard_pairs_from_items(grams, threshold)
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram_len: int = 8,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    token ``ngram_len``-gram with the evaluation set — the standard
+    n-gram-overlap contamination test used when preparing LLM training
+    corpora against held-out benchmarks (GPT-3 used 13-grams; the
+    default 8 suits the shorter synthetic docs).
+
+    Returns one row per train document:
+    ``(doc_id, n_grams, n_hits, contaminated)`` where ``n_hits`` counts
+    the train doc's distinct n-grams that appear anywhere in the eval
+    set.  Keep rule downstream: drop ``contaminated`` (or threshold on
+    ``n_hits / n_grams``).
+
+    Scale: the eval-side gram set is DISTINCT grams only — benchmarks
+    are tiny next to a 100 TB corpus, so it broadcasts
+    (``broadcast_eval``) and the contamination test is a map-side
+    broadcast join: the corpus-sized gram table never shuffles.  With
+    a huge eval set, flip ``broadcast_eval=False`` for a shuffled
+    hash join on the gram string.  The left join + count aggregation
+    re-collapses to one row per doc with map-side partial aggregation.
+    """
+    g_train = token_ngrams(train, text_col=text_col, id_col=id_col, ngram_len=ngram_len)
+    g_eval = (
+        token_ngrams(eval_docs, text_col=text_col, id_col=id_col, ngram_len=ngram_len)
+        .select("g")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    if broadcast_eval:
+        g_eval = F.broadcast(g_eval)
+    return (
+        g_train.join(g_eval, "g", "left")
+        .groupBy(F.col("id").alias(id_col))
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.count("hit").cast("long").alias("n_hits"),
+            (F.count("hit") > 0).alias("contaminated"),
+        )
+    )
 
 
 def _simhash_df(

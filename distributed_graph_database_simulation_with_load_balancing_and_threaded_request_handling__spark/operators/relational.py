@@ -316,3 +316,118 @@ def running_customer_spend(orders: DataFrame) -> DataFrame:
             F.sum(F.col("o_totalprice").cast(_DEC)).over(w).cast("double"), 4
         ).alias("cum_spend"),
     )
+
+
+def ship_priority(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    *,
+    segment: str = "BUILDING",
+    date: str = "1995-06-01",
+    k: int = 10,
+) -> DataFrame:
+    """TPC-H Q3 shape: top-k undelivered orders by discounted revenue
+    for one market segment — orders placed before ``date`` with items
+    still shipping after it.  Returns
+    ``(o_orderkey, o_orderdate, revenue)``.
+
+    Scale notes: both date predicates and the segment filter reach the
+    parquet scans (PushedFilters) and every table is pruned to the
+    join/aggregate columns before joining.  The filtered customer
+    projection is a key-only dimension (one bigint per qualifying
+    customer), far under the fact side — explicitly broadcast so the
+    orders scan never shuffles for it; the orders⋈lineitem join
+    shuffles on the natural o_orderkey/l_orderkey key, which is also
+    the aggregation key, so the groupBy reuses the join exchange
+    rather than adding one.  Revenue sums in DECIMAL (exact,
+    order-independent); top-k is orderBy().limit(k) =
+    TakeOrderedAndProject (per-partition heap + driver merge, no
+    global sort).  Ties broken by o_orderkey so the k rows are
+    deterministic for the value oracle.
+    """
+    cutoff = F.lit(date).cast("timestamp")
+    c = customer.where(F.col("c_mktsegment") == segment).select("c_custkey")
+    o = orders.where(F.col("o_orderdate") < cutoff).select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    li = lineitem.where(F.col("l_shipdate") > cutoff).select(
+        "l_orderkey",
+        (
+            F.col("l_extendedprice").cast(_DEC)
+            * (1 - F.col("l_discount").cast(_DEC))
+        ).alias("disc_price"),
+    )
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.round(F.sum("disc_price").cast("double"), 4).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(k)
+    )
+
+
+def local_supplier_volume(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    *,
+    region_name: str = "ASIA",
+    date_from: str = "1994-01-01",
+    date_to: str = "1995-01-01",
+) -> DataFrame:
+    """TPC-H Q5 shape: per-nation revenue from orders where the
+    customer and the line's supplier sit in the same nation, limited
+    to one region and one order-date year.  Returns
+    ``(n_name, revenue)`` sorted by revenue descending.
+
+    Scale notes: the six-way join decomposes into one fact-fact
+    shuffle (orders⋈lineitem on the orderkey) plus broadcasts —
+    region⋈nation⋈supplier collapses to a small (s_suppkey,
+    n_nationkey, n_name) dimension that is broadcast against the fact
+    stream, and the customer keyset check rides the same broadcast
+    nation row via c_nationkey = s_nationkey.  customer itself is the
+    one genuinely large dimension: it joins on o_custkey BEFORE the
+    lineitem shuffle so the fact rows it filters never move.  The
+    final groupBy is nation-cardinality — trivially small after
+    map-side combine.
+    """
+    lo = F.lit(date_from).cast("timestamp")
+    hi = F.lit(date_to).cast("timestamp")
+    # region -> nations in region -> suppliers in those nations
+    nat = nation.join(
+        F.broadcast(region.where(F.col("r_name") == region_name)),
+        nation["n_regionkey"] == region["r_regionkey"],
+    ).select("n_nationkey", "n_name")
+    sup = supplier.join(
+        F.broadcast(nat), supplier["s_nationkey"] == nat["n_nationkey"]
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    o = orders.where((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)).select(
+        "o_orderkey", "o_custkey"
+    )
+    oc = o.join(
+        customer.select("c_custkey", "c_nationkey"),
+        o["o_custkey"] == F.col("c_custkey"),
+    ).select("o_orderkey", "c_nationkey")
+    li = lineitem.select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_extendedprice").cast(_DEC)
+            * (1 - F.col("l_discount").cast(_DEC))
+        ).alias("disc_price"),
+    )
+    joined = oc.join(li, oc["o_orderkey"] == li["l_orderkey"]).join(
+        F.broadcast(sup),
+        (F.col("l_suppkey") == sup["s_suppkey"])
+        & (F.col("c_nationkey") == sup["s_nationkey"]),
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(F.round(F.sum("disc_price").cast("double"), 4).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )

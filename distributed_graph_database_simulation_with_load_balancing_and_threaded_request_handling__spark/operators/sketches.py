@@ -140,6 +140,59 @@ def cms_table(df: DataFrame, value_col: str, *, depth: int = CMS_DEPTH) -> DataF
     )
 
 
+BLOOM_K = 4  # hash probes per key
+BLOOM_BITS = 4096  # bit-array size (3 hex chars: 16^3)
+
+
+def _bloom_pos(i: int, v: Column) -> Column:
+    """Bit position for hash row ``i``: the first 3 hex chars of a
+    row-salted md5, parsed base-16 — [0, 4096), identical in any
+    engine (the SQL oracle reconstructs it digit-by-digit)."""
+    h = F.md5(F.concat(F.lit(f"{i}:"), v.cast("string")))
+    return F.conv(F.substring(h, 1, 3), 16, 10).cast("int")
+
+
+def bloom_bits(df: DataFrame, value_col: str) -> DataFrame:
+    """Build side of an engine-portable Bloom filter: the distinct set
+    of bit positions (``pos``) lit by the key set.  Same portability
+    posture as the HLL/CMS above (md5 cells, no engine-specific hash).
+
+    Scale: explode multiplies rows by k=4 before the distinct, but the
+    result is bounded by the 4096-bit array regardless of input size —
+    partial aggregation collapses each map task to <= 4096 rows, and
+    the materialized filter always broadcasts.  Union two bit tables
+    (+ distinct) to merge filters built on disjoint slices."""
+    poss = F.explode(
+        F.array(*[_bloom_pos(i, F.col(value_col)) for i in range(BLOOM_K)])
+    ).alias("pos")
+    return df.select(poss).distinct()
+
+
+def bloom_probe(bits: DataFrame, items: DataFrame, item_col: str) -> DataFrame:
+    """Membership probe: ``(item, maybe)`` — ``maybe`` is true iff all
+    k probe positions are lit (the classic no-false-negative /
+    some-false-positive contract).
+
+    Scale: this is broadcast-Bloom join pruning — ``bits`` (<= 4096
+    rows) broadcasts to every executor and the big probe side is
+    filtered in place with no shuffle; only survivors proceed to an
+    exact join.  The probe explode is narrow (k rows per item,
+    re-collapsed by a map-side-combined groupBy on the item key)."""
+    probes = items.select(F.col(item_col).alias("item")).distinct()
+    probes = probes.select(
+        "item",
+        F.explode(
+            F.array(*[_bloom_pos(i, F.col("item")) for i in range(BLOOM_K)])
+        ).alias("pos"),
+    )
+    lit_bits = F.broadcast(bits.withColumn("hit", F.lit(1)))
+    return (
+        probes.join(lit_bits, "pos", "left")
+        .groupBy("item")
+        .agg((F.count("hit") == BLOOM_K).alias("maybe"))
+    )
+
+
 def cms_estimate(cms: DataFrame, items: DataFrame, item_col: str) -> DataFrame:
     """Point-frequency estimates from a ``cms_table``: for each item,
     the minimum over its ``depth`` row cells — the classic CMS upper

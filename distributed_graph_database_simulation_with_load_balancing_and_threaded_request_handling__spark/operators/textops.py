@@ -14,9 +14,11 @@ from pyspark.sql import functions as F
 from ..functions.textfns import (
     bpe_ish_token_count,
     fingerprint,
+    normalize_text,
     punct_ratio,
     stopword_ratio,
     token_count,
+    tokens,
 )
 
 # Marker words per language, fixed precedence for argmax ties.  A real
@@ -297,4 +299,53 @@ def corpus_stats(
             F.round(F.avg(F.length(t)), 4).alias("avg_chars"),
             F.round(F.avg(token_count(t)), 4).alias("avg_tokens"),
         )
+    )
+
+
+def chunk_documents(
+    documents: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_size: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Split each document's token sequence into fixed-size windows
+    with overlap — sequence preparation for training/embedding
+    pipelines (chunk_size tokens per example, ``chunk_size - stride``
+    tokens of overlap between consecutive chunks).
+
+    Returns ``(doc_id, chunk_no, start_tok, n_tokens, chunk_md5)``
+    where ``chunk_md5`` hashes the space-joined chunk tokens (a
+    value-exact identity for the chunk without carrying its text).
+    Every document yields at least one chunk (possibly empty for empty
+    text); the last chunk may be shorter than ``chunk_size``.
+
+    Scale: entirely narrow — tokenize, compute the chunk count
+    arithmetically, explode a ``sequence`` of chunk indices, and
+    ``slice`` the staged token array.  No shuffle, no window, no
+    Python; row growth is ~n_tokens/stride per document, each row
+    carrying only ids and a hash.
+    """
+    if stride <= 0 or chunk_size <= 0:
+        raise ValueError("chunk_size and stride must be positive")
+    toks = documents.select(
+        F.col(id_col), tokens(normalize_text(F.col(text_col))).alias("t")
+    )
+    n = F.size("t")
+    n_chunks = F.when(n <= chunk_size, F.lit(1)).otherwise(
+        F.ceil((n - chunk_size) / F.lit(float(stride))).cast("int") + 1
+    )
+    staged = toks.select(
+        id_col,
+        "t",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_no"),
+    )
+    chunk = F.slice(F.col("t"), F.col("chunk_no") * stride + 1, chunk_size)
+    return staged.select(
+        id_col,
+        "chunk_no",
+        (F.col("chunk_no") * stride).alias("start_tok"),
+        F.size(chunk).alias("n_tokens"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"),
     )
