@@ -1095,7 +1095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return _loop_parts(spark, lambda: format_reply(run_requests(reqs, edges)), warm=(edges,))
 
-def q_bloom_join(spark, sf_dir):
+    def q_bloom_join(spark, sf_dir):
         # Engine-portable Bloom filter (md5 cells, same portability
         # posture as the HLL/CMS) used the way a 100-TB pipeline uses
         # it: bits built from the orders' customer keys broadcast
