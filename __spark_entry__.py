@@ -2082,4 +2082,121 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY user_id
         """,
+        # Bloom cells are row-salted md5 hex prefixes (sketches.py
+        # _bloom_pos), so the oracle replays the IDENTICAL filter —
+        # positions compared as 4-hex-char strings (base-16 parse is
+        # just a relabeling; equality is what matters).
+        "q_bloom_join": """
+            WITH hashes AS (SELECT unnest(range(4)) AS i),
+            keys AS (SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS v FROM orders),
+            bits AS (
+              SELECT DISTINCT substring(md5(CAST(i AS VARCHAR) || ':' || v), 1, 4) AS pos
+              FROM keys CROSS JOIN hashes
+            ),
+            items AS (SELECT DISTINCT c_custkey AS item FROM customer),
+            probes AS (
+              SELECT item, i,
+                     substring(md5(CAST(i AS VARCHAR) || ':' || CAST(item AS VARCHAR)), 1, 4) AS pos
+              FROM items CROSS JOIN hashes
+            ),
+            probed AS (
+              SELECT item, COUNT(b.pos) = 4 AS maybe
+              FROM probes p LEFT JOIN bits b ON b.pos = p.pos
+              GROUP BY item
+            ),
+            members AS (SELECT DISTINCT o_custkey AS item FROM orders)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_probed,
+                   CAST(COUNT(m.item) AS BIGINT) AS n_members,
+                   CAST(SUM(CASE WHEN maybe THEN 1 ELSE 0 END) AS BIGINT) AS n_maybe,
+                   CAST(SUM(CASE WHEN maybe AND m.item IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_false_pos
+            FROM probed pr LEFT JOIN members m ON m.item = pr.item
+        """,
+        # Same gram construction as q_ngram_jaccard but 5-grams:
+        # a doc shorter than 5 tokens yields one gram (its whole
+        # token run), an empty doc yields the '' gram — kept on the
+        # train side (one output row per doc), dropped on the eval
+        # side (empty docs don't contaminate; dedup.py decontaminate).
+        "q_decontam": f"""
+            WITH toks AS (
+              SELECT doc_id,
+                     CASE WHEN {_SQL_NORM} = '' THEN CAST([] AS VARCHAR[])
+                          ELSE regexp_split_to_array({_SQL_NORM}, '\\s+') END AS t
+              FROM documents
+            ),
+            grams AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                        range(1, greatest(len(t) - 4, 1) + 1),
+                        i -> array_to_string(t[i:i+4], ' '))) AS g
+              FROM toks
+            ),
+            tr AS (SELECT doc_id, unnest(g) AS gram FROM grams WHERE doc_id % 20 != 0),
+            ev AS (
+              SELECT DISTINCT gram FROM (
+                SELECT unnest(g) AS gram FROM grams WHERE doc_id % 20 = 0
+              ) WHERE gram != ''
+            )
+            SELECT tr.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_grams,
+                   CAST(COUNT(ev.gram) AS BIGINT) AS n_hits,
+                   COUNT(ev.gram) > 0 AS contaminated
+            FROM tr LEFT JOIN ev ON ev.gram = tr.gram
+            GROUP BY tr.doc_id
+        """,
+        # Chunk identity is md5 of the space-joined token slice
+        # (textops.py chunk_documents): DuckDB's 1-based inclusive
+        # list slice t[a:b] == Spark's slice(t, a, 64) with
+        # b = a + 63; both clamp at the end of the list.
+        "q_chunks": f"""
+            WITH toks AS (
+              SELECT doc_id,
+                     CASE WHEN {_SQL_NORM} = '' THEN CAST([] AS VARCHAR[])
+                          ELSE regexp_split_to_array({_SQL_NORM}, '\\s+') END AS t
+              FROM documents
+            ),
+            staged AS (
+              SELECT doc_id, t,
+                     CAST(unnest(range(
+                        CASE WHEN len(t) <= 64 THEN 1
+                             ELSE CAST(ceil((len(t) - 64) / 48.0) AS INTEGER) + 1 END
+                     )) AS INTEGER) AS chunk_no
+              FROM toks
+            )
+            SELECT doc_id, chunk_no,
+                   chunk_no * 48 AS start_tok,
+                   CAST(len(t[chunk_no * 48 + 1 : chunk_no * 48 + 64]) AS INTEGER) AS n_tokens,
+                   md5(array_to_string(t[chunk_no * 48 + 1 : chunk_no * 48 + 64], ' ')) AS chunk_md5
+            FROM staged
+        """,
+        "q_ship_priority": """
+            SELECT o_orderkey, o_orderdate,
+                   round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                              * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 4) AS revenue
+            FROM customer
+            JOIN orders ON o_custkey = c_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-06-01'
+              AND l_shipdate > TIMESTAMP '1998-06-01'
+            GROUP BY o_orderkey, o_orderdate
+            ORDER BY revenue DESC, o_orderkey
+            LIMIT 10
+        """,
+        "q_local_supplier": """
+            SELECT n_name,
+                   round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                              * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 4) AS revenue
+            FROM customer
+            JOIN orders ON o_custkey = c_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+            JOIN nation ON n_nationkey = s_nationkey
+            JOIN region ON r_regionkey = n_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+            GROUP BY n_name
+            ORDER BY revenue DESC, n_name
+        """,
     }

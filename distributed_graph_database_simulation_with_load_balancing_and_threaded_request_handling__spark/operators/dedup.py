@@ -535,8 +535,15 @@ def decontaminate(
     re-collapses to one row per doc with map-side partial aggregation.
     """
     g_train = token_ngrams(train, text_col=text_col, id_col=id_col, ngram_len=ngram_len)
+    # token_ngrams emits the empty gram '' for a zero-token document;
+    # dropping it from the EVAL side (only) means empty train and eval
+    # docs never cross-flag each other as "contaminated" — an empty
+    # doc shares no real n-grams with anything.  The train side keeps
+    # its '' row so every train doc still yields exactly one output
+    # row (with n_hits = 0).
     g_eval = (
         token_ngrams(eval_docs, text_col=text_col, id_col=id_col, ngram_len=ngram_len)
+        .where(F.col("g") != "")
         .select("g")
         .distinct()
         .withColumn("hit", F.lit(1))

@@ -141,15 +141,19 @@ def cms_table(df: DataFrame, value_col: str, *, depth: int = CMS_DEPTH) -> DataF
 
 
 BLOOM_K = 4  # hash probes per key
-BLOOM_BITS = 4096  # bit-array size (3 hex chars: 16^3)
+BLOOM_BITS = 65536  # bit-array size (4 hex chars: 16^4)
 
 
 def _bloom_pos(i: int, v: Column) -> Column:
-    """Bit position for hash row ``i``: the first 3 hex chars of a
-    row-salted md5, parsed base-16 — [0, 4096), identical in any
-    engine (the SQL oracle reconstructs it digit-by-digit)."""
+    """Bit position for hash row ``i``: the first 4 hex chars of a
+    row-salted md5, parsed base-16 — [0, 65536), identical in any
+    engine (the SQL oracle reconstructs it digit-by-digit).  65536
+    bits keeps the filter useful (not saturated) up to ~10k distinct
+    keys at k=4 (~4% FPR at 40k lit bits); beyond that, widen the hex
+    slice — each extra hex digit is a 16x larger array at the same
+    portability."""
     h = F.md5(F.concat(F.lit(f"{i}:"), v.cast("string")))
-    return F.conv(F.substring(h, 1, 3), 16, 10).cast("int")
+    return F.conv(F.substring(h, 1, 4), 16, 10).cast("int")
 
 
 def bloom_bits(df: DataFrame, value_col: str) -> DataFrame:
@@ -158,8 +162,8 @@ def bloom_bits(df: DataFrame, value_col: str) -> DataFrame:
     posture as the HLL/CMS above (md5 cells, no engine-specific hash).
 
     Scale: explode multiplies rows by k=4 before the distinct, but the
-    result is bounded by the 4096-bit array regardless of input size —
-    partial aggregation collapses each map task to <= 4096 rows, and
+    result is bounded by the 65536-bit array regardless of input size —
+    partial aggregation collapses each map task to <= 65536 rows, and
     the materialized filter always broadcasts.  Union two bit tables
     (+ distinct) to merge filters built on disjoint slices."""
     poss = F.explode(
@@ -173,7 +177,7 @@ def bloom_probe(bits: DataFrame, items: DataFrame, item_col: str) -> DataFrame:
     k probe positions are lit (the classic no-false-negative /
     some-false-positive contract).
 
-    Scale: this is broadcast-Bloom join pruning — ``bits`` (<= 4096
+    Scale: this is broadcast-Bloom join pruning — ``bits`` (<= 65536
     rows) broadcasts to every executor and the big probe side is
     filtered in place with no shuffle; only survivors proceed to an
     exact join.  The probe explode is narrow (k rows per item,

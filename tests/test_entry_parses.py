@@ -49,14 +49,6 @@ def test_no_query_lacks_an_oracle():
     non-SQL-expressible op is added later, list it here explicitly so the
     exemption is a reviewed decision, not an accident."""
     exempt = set()  # keep empty: 70/70 oracle-checked is the repo's bar
-    # TODO(r3): oracles for these 5 land this round; drop from exempt as added.
-    exempt |= {
-        "q_bloom_join",
-        "q_decontam",
-        "q_chunks",
-        "q_ship_priority",
-        "q_local_supplier",
-    }
     qs = entry.queries()
     os_ = entry.oracle_sql()
     missing = set(qs) - set(os_) - exempt
