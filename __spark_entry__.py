@@ -414,8 +414,8 @@ def _sql_minhash_ctes(doc_src: str) -> str:
   cnts AS (SELECT id, COUNT(*) AS nsz FROM shingle GROUP BY id),
   sig0 AS (
     SELECT id, v.i,
-           min(substr(md5(CAST(v.i // 4 AS VARCHAR) || ':' || s),
-                      CAST((v.i % 4) * 8 + 1 AS INTEGER), 8)) AS h
+           min(substr(md5(CAST(v.i // 8 AS VARCHAR) || ':' || s),
+                      CAST((v.i % 8) * 4 + 1 AS INTEGER), 4)) AS h
     FROM shingle CROSS JOIN range(0, 32) AS v(i)
     GROUP BY id, v.i
   ),

@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+from pyspark.storagelevel import StorageLevel
 
 from ..functions.hashing import band_hashes
 from ..functions.textfns import char_shingles_normed, fingerprint, normalize_text, tokens
@@ -148,15 +149,21 @@ def _minhash_signatures(
 
     * ``"xxhash64"`` (default, the scale path): h_i = xxhash64(s, i),
       8-byte longs in the shuffle.
-    * ``"md5"``: h_i = the i%4-th 8-hex-char slice of md5('i//4:' || s),
+    * ``"md5"``: h_i = the i%8-th 4-hex-char slice of md5('i//8:' || s),
       lexicographic min over the fixed-width hex slices (equal to the
-      numeric min of the 32-bit values they encode) — byte-for-byte
+      numeric min of the 16-bit values they encode) — byte-for-byte
       reproducible in ANSI SQL (DuckDB ``md5``), which is what makes
-      the recall oracle exact.  One digest yields four signature
+      the recall oracle exact.  One digest yields eight signature
       elements (the one-permutation-hashing trick, bit-sliced), so the
-      md5 path costs num_hashes/4 digests per shingle, not num_hashes.
-      The digests are staged in their own projection so the aggregate
-      only slices plain attributes (no per-min re-hash).
+      md5 path costs num_hashes/8 digests per shingle, not num_hashes.
+      16-bit mins trade a little resolution for half the digest work:
+      with s shingles per doc the min sits near 65536/s, and the
+      chance two UNRELATED docs agree on an element by collision is
+      ~s/65536 (<1% for s<=600) — it only ever creates extra LSH
+      candidates, which the exact-Jaccard verify then rejects, so the
+      output contract is unaffected.  The digests are staged in their
+      own projection so the aggregate only slices plain attributes
+      (no per-min re-hash).
 
       The returned sig is ``array<bigint>`` in BOTH variants: the md5
       path convs each post-aggregation hex min to its numeric value —
@@ -169,31 +176,41 @@ def _minhash_signatures(
       the same pairs.  Measured at sf0.1 the string->long handoff cuts
       the full md5 dedup from ~5.8 s to near the xxhash64 variant.
     """
+    staged, aggs, elems = _sig_parts(shingle_rows, num_hashes, hash_fn)
+    mins = staged.groupBy("id").agg(*aggs)
+    return mins.select("id", F.array(*elems).alias("sig"))
+
+
+def _sig_parts(shingle_rows, num_hashes: int, hash_fn: str):
+    """(staged_rows, min_aggs, long_elems) for a minhash signature
+    aggregation — shared by ``_minhash_signatures`` and the combined
+    signature+shingle-set aggregate in ``minhash_dedup`` so both run
+    the identical hash construction."""
     if hash_fn == "md5":
-        assert num_hashes % 4 == 0, "md5 variant slices 4 sig elements per digest"
+        assert num_hashes % 8 == 0, "md5 variant slices 8 sig elements per digest"
         staged = shingle_rows.select(
             "id",
+            "shingle",
             *[
                 F.md5(F.concat(F.lit(f"{k}:"), F.col("shingle"))).alias(f"_m{k}")
-                for k in range(num_hashes // 4)
+                for k in range(num_hashes // 8)
             ],
         )
         aggs = [
-            F.min(F.substring(F.col(f"_m{i // 4}"), (i % 4) * 8 + 1, 8)).alias(f"_h{i}")
+            F.min(F.substring(F.col(f"_m{i // 8}"), (i % 8) * 4 + 1, 4)).alias(f"_h{i}")
             for i in range(num_hashes)
         ]
-        mins = staged.groupBy("id").agg(*aggs)
         elems = [
             F.conv(F.col(f"_h{i}"), 16, 10).cast("long") for i in range(num_hashes)
         ]
     else:
+        staged = shingle_rows
         aggs = [
             F.min(F.xxhash64("shingle", F.lit(i))).alias(f"_h{i}")
             for i in range(num_hashes)
         ]
-        mins = shingle_rows.groupBy("id").agg(*aggs)
         elems = [F.col(f"_h{i}") for i in range(num_hashes)]
-    return mins.select("id", F.array(*elems).alias("sig"))
+    return staged, aggs, elems
 
 
 def _band_keys(sig, bands: int, rows: int, hash_fn: str):
@@ -285,7 +302,25 @@ def minhash_dedup(
     """
     rows = num_hashes // bands
     sh = _shingle_rows(documents, text_col=text_col, id_col=id_col, shingle_len=shingle_len)
-    sigs = _minhash_signatures(sh, num_hashes, hash_fn)
+    # ONE aggregation produces both the signature and the exact
+    # shingle set: the signature branch and the verify branch used to
+    # re-scan, re-normalize, and re-shuffle every shingle row
+    # independently (2x the dominant cost).  The combined result is
+    # doc-count-sized rows of (id, 32 longs, shingle set) — persisted
+    # MEMORY_AND_DISK so the verify join reads it back instead of
+    # recomputing; the ContextCleaner reclaims the blocks when the
+    # returned DataFrame is garbage collected.  At 100 TB the persist
+    # spills to local disk (it is the same data the verify branch
+    # would otherwise re-shuffle); if executors are disk-tight,
+    # swapping the persist for a temp-table write keeps the plan.
+    staged, aggs, elems = _sig_parts(sh, num_hashes, hash_fn)
+    combo = (
+        staged.groupBy("id")
+        .agg(*aggs, F.collect_set("shingle").alias("sh_set"))
+        .select("id", F.array(*elems).alias("sig"), "sh_set")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sigs = combo.select("id", "sig")
     # Carry the signature through the bucket self-join so screening is
     # an inline expression on the join output, not two more joins back
     # to the signature table.
@@ -317,7 +352,7 @@ def minhash_dedup(
         .select("id_a", "id_b")
         .distinct()
     )
-    sets_ = sh.groupBy("id").agg(F.collect_set("shingle").alias("sh"))
+    sets_ = combo.select("id", F.col("sh_set").alias("sh"))
     return (
         screened.join(sets_.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), on="id_a")
         .join(sets_.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), on="id_b")
