@@ -111,6 +111,7 @@ from distributed_graph_database_simulation_with_load_balancing_and_threaded_requ
 from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.multimodal import (
     attach_media,
     extract_media_meta,
+    plant_images,
 )
 from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.relational import (
     brand_revenue,
@@ -780,6 +781,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         media = attach_media(load_table(spark, sf_dir, "documents"))
         return extract_media_meta(media).select("media_id", "media_type", "n_bytes", "sha256")
 
+    def q_image_meta(spark, sf_dir):
+        # REAL byte-level decode: structurally valid PNG/GIF/JPEG
+        # payloads with arithmetically planted dimensions, parsed back
+        # by the stdlib header parser (multimodal.image_dims) inside
+        # the Arrow mapInPandas pipeline.  The oracle predicts every
+        # width/height from doc_id, so a parser that misreads the
+        # actual encoded bytes fails the value check.
+        media = plant_images(load_table(spark, sf_dir, "documents"))
+        return extract_media_meta(media).select(
+            "media_id", "n_bytes", "width", "height"
+        )
+
     # --- relational surface (SURVEY.md §2.2 categories) ---
 
     def q_pricing_summary(spark, sf_dir):
@@ -1197,6 +1210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ivf_recall": q_ivf_recall,
         "q_embedding_near_dup": q_embedding_near_dup,
         "q_media_meta": q_media_meta,
+        "q_image_meta": q_image_meta,
         "q_pricing_summary": q_pricing_summary,
         "q_event_windows": q_event_windows,
         "q_top_events": q_top_events,
@@ -1532,6 +1546,17 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'video' END AS media_type,
                    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                    sha256(text) AS sha256
+            FROM documents
+        """,
+        # plant_images builds one minimal PNG (33 bytes) / GIF (13) /
+        # JPEG (33) per doc with dims planted arithmetically; the
+        # oracle predicts what the byte-level header parser must read
+        # back out of the real encoded structures.
+        "q_image_meta": """
+            SELECT CAST(doc_id AS BIGINT) AS media_id,
+                   CAST(CASE WHEN doc_id % 3 = 1 THEN 13 ELSE 33 END AS BIGINT) AS n_bytes,
+                   CAST(16 + (7 * doc_id) % 240 AS BIGINT) AS width,
+                   CAST(16 + (13 * doc_id) % 240 AS BIGINT) AS height
             FROM documents
         """,
         # Exact-decimal aggregation on both sides makes the sums

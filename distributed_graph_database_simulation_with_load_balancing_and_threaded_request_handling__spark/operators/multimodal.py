@@ -69,10 +69,57 @@ def attach_media(documents: DataFrame, *, text_col: str = "text", id_col: str = 
     )
 
 def decode_image(data: bytes) -> Any:
-    """STUB — image decode (PIL/opencv not available in this
+    """STUB — full pixel decode (PIL/opencv not available in this
     container).  The mapInPandas plumbing around it is real; swap this
-    seam for a real decoder in production."""
+    seam for a real decoder in production.  Header-level metadata
+    (width/height) does NOT need this seam: ``image_dims`` below
+    parses real PNG/GIF/JPEG/BMP bytes with the stdlib only."""
     raise NotImplementedError("image decode requires PIL/opencv; stubbed by design")
+
+
+def image_dims(data: bytes) -> tuple[int, int] | None:
+    """REAL image dimension extraction from actual encoded bytes —
+    stdlib only, header-level (no pixel decode):
+
+    * PNG: 8-byte signature, IHDR width/height big-endian u32 at 16.
+    * GIF: 'GIF87a'/'GIF89a', logical-screen w/h little-endian u16.
+    * JPEG: walk the marker stream to the first SOFn frame header
+      (C0-CF except the DHT/DAC/RST family), height/width big-endian
+      u16 at offset 5 of the segment.
+    * BMP: 'BM', BITMAPINFOHEADER w/h little-endian i32 at 18.
+
+    Returns None for anything unrecognized or truncated — callers fall
+    back to the stub/fake path, so non-image payloads keep flowing."""
+    import struct
+
+    try:
+        if data[:8] == b"\x89PNG\r\n\x1a\n" and data[12:16] == b"IHDR":
+            w, h = struct.unpack(">II", data[16:24])
+            return (int(w), int(h))
+        if data[:6] in (b"GIF87a", b"GIF89a"):
+            w, h = struct.unpack("<HH", data[6:10])
+            return (int(w), int(h))
+        if data[:2] == b"\xff\xd8":  # JPEG SOI
+            pos = 2
+            while pos + 4 <= len(data):
+                if data[pos] != 0xFF:
+                    return None
+                marker = data[pos + 1]
+                if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                    pos += 2  # standalone markers have no length
+                    continue
+                seglen = struct.unpack(">H", data[pos + 2 : pos + 4])[0]
+                if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                    h, w = struct.unpack(">HH", data[pos + 5 : pos + 9])
+                    return (int(w), int(h))
+                pos += 2 + seglen
+            return None
+        if data[:2] == b"BM" and len(data) >= 26:
+            w, h = struct.unpack("<ii", data[18:26])
+            return (int(w), abs(int(h)))  # negative h = top-down DIB
+    except (struct.error, IndexError):
+        return None
+    return None
 
 def decode_audio(data: bytes) -> Any:
     """STUB — audio decode (soundfile/ffmpeg not available)."""
@@ -96,7 +143,12 @@ def extract_media_meta(media: DataFrame) -> DataFrame:
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf["media"]
-            dims = [fake_decode_meta(bytes(b)) for b in payloads]
+            # Real header parse first (PNG/GIF/JPEG/BMP); fake dims
+            # only for payloads that aren't recognizable images, so
+            # the pipeline is exercised end-to-end either way.
+            dims = [
+                image_dims(bytes(b)) or fake_decode_meta(bytes(b)) for b in payloads
+            ]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -109,6 +161,75 @@ def extract_media_meta(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(process, schema=META_SCHEMA)
+
+def _png_bytes(w: int, h: int) -> bytes:
+    """Minimal structurally-valid PNG: signature + IHDR (real CRC)."""
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">II", w, h) + b"\x08\x02\x00\x00\x00"  # 8-bit RGB
+    chunk = b"IHDR" + ihdr
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", len(ihdr))
+        + chunk
+        + struct.pack(">I", zlib.crc32(chunk) & 0xFFFFFFFF)
+    )
+
+
+def _gif_bytes(w: int, h: int) -> bytes:
+    """Minimal GIF89a header: signature + logical screen descriptor."""
+    import struct
+
+    return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00\x00\x00"
+
+
+def _jpeg_bytes(w: int, h: int) -> bytes:
+    """Minimal JPEG: SOI + APP0(JFIF) + SOF0 frame header — enough
+    real marker structure that the dimension parser must actually walk
+    the segment stream (APP0 first) to find SOFn."""
+    import struct
+
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + b"\x00\x01\x00\x01\x00\x00"
+    sof0 = (
+        b"\xff\xc0"
+        + struct.pack(">H", 11)
+        + b"\x08"
+        + struct.pack(">HH", h, w)
+        + b"\x01\x01\x11\x00"
+    )
+    return b"\xff\xd8" + app0 + sof0
+
+
+def plant_images(documents: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """Fixture generator for the real-decode path: one structurally
+    valid encoded image per document — PNG / GIF / JPEG cycling on
+    ``id % 3`` — with dimensions planted arithmetically
+    (w = 16 + 7*id mod 240, h = 16 + 13*id mod 240) so a SQL oracle
+    can predict what the byte-level parser must extract.
+
+    Built in the same Arrow ``mapInPandas`` shape as the consumers:
+    the bytes exist only inside the map stage, never on the driver."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        makers = (_png_bytes, _gif_bytes, _jpeg_bytes)
+        for pdf in batches:
+            ids = pdf[id_col]
+            payloads = [
+                makers[int(i) % 3](16 + (7 * int(i)) % 240, 16 + (13 * int(i)) % 240)
+                for i in ids
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "media_type": ["image"] * len(ids),
+                    "media": payloads,
+                    "source": ["planted"] * len(ids),
+                }
+            )
+
+    return documents.select(id_col).mapInPandas(build, schema=MEDIA_SCHEMA)
+
 
 def frame_sample(media: DataFrame, *, chunk_bytes: int = 4096, max_frames: int = 8) -> DataFrame:
     """'Video frame sampling' over opaque bytes: split each payload

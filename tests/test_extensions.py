@@ -150,6 +150,47 @@ def test_decode_stub_raises():
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG")
 
+
+def test_image_dims_parses_real_headers():
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.multimodal import (
+        _gif_bytes,
+        _jpeg_bytes,
+        _png_bytes,
+        image_dims,
+    )
+
+    assert image_dims(_png_bytes(640, 480)) == (640, 480)
+    assert image_dims(_gif_bytes(13, 7)) == (13, 7)
+    assert image_dims(_jpeg_bytes(1920, 1080)) == (1920, 1080)
+    # BMP (BITMAPINFOHEADER, negative height = top-down)
+    import struct
+
+    bmp = b"BM" + b"\x00" * 16 + struct.pack("<ii", 320, -200)
+    assert image_dims(bmp) == (320, 200)
+    # garbage / truncation falls back to None, never raises
+    assert image_dims(b"") is None
+    assert image_dims(b"not an image at all") is None
+    assert image_dims(_png_bytes(640, 480)[:10]) is None
+    assert image_dims(b"\xff\xd8\xff") is None
+
+
+def test_extract_media_meta_uses_real_dims_for_planted_images(spark):
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.multimodal import (
+        plant_images,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "t", "en", "s") for i in range(9)],
+        "doc_id long, text string, lang string, source string",
+    )
+    meta = {
+        r["media_id"]: r
+        for r in extract_media_meta(plant_images(docs)).collect()
+    }
+    for i in range(9):
+        assert meta[i]["width"] == 16 + (7 * i) % 240
+        assert meta[i]["height"] == 16 + (13 * i) % 240
+
 def test_frame_sample_caps_frames(spark):
     docs = spark.createDataFrame(
         [(2, "x" * 1000, "en", "s")], "doc_id long, text string, lang string, source string"
