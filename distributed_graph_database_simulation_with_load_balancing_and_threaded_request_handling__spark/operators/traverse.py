@@ -32,8 +32,10 @@ neighbor of a level-L vertex can only sit at level L-1, L, or L+1, so
 the anti-join needs only the LAST TWO frontiers — genuinely
 frontier-sized, independent of how many vertices were reached.  With
 ``undirected=False`` (directed inputs) the anti-join's build side is
-the full accumulated visited set, which is the inherent cost of
-level-synchronous BFS on directed graphs.  Edges are scanned and
+the full accumulated visited set — the inherent cost of
+level-synchronous BFS on directed graphs — kept as ONE
+incrementally-checkpointed table (one union + lazy localCheckpoint
+per level), never an O(depth) union tree.  Edges are scanned and
 filtered by the join but never re-shuffled when AQE broadcasts the
 small frontier side.
 """
@@ -139,7 +141,16 @@ def bfs_levels(
             visited_levels.append(new)
             prev_keys = frontier.select("vertex")
             if not undirected:
-                seen_keys = seen_keys.unionAll(new.select("vertex"))
+                # Incrementally-checkpointed running visited set: ONE
+                # union + lazy localCheckpoint per level (materialized
+                # by the next superstep's count action), so the
+                # anti-join build side is always a flat, already-
+                # materialized table — O(1) plan nodes per level
+                # instead of an O(depth) union tree re-evaluated from
+                # its leaves every level.
+                seen_keys = seen_keys.unionAll(
+                    new.select("vertex")
+                ).localCheckpoint(eager=False)
             frontier = new
 
         out = visited_levels[0]
@@ -235,7 +246,11 @@ def bfs_levels_multi(
             visited_levels.append(new)
             prev_keys = frontier.select(*keys)
             if not undirected:
-                seen_keys = seen_keys.unionAll(new.select(*keys))
+                # Same incremental-checkpoint posture as bfs_levels:
+                # O(1) unions per level, flat materialized build side.
+                seen_keys = seen_keys.unionAll(
+                    new.select(*keys)
+                ).localCheckpoint(eager=False)
             frontier = new
         out = visited_levels[0]
         for v in visited_levels[1:]:
@@ -323,6 +338,7 @@ def bfs_level_order(
     start_vertex: int,
     *,
     graph_id: int | None = None,
+    levels: DataFrame | None = None,
 ) -> DataFrame:
     """BFS output contract of the reference (O4+O12): reached vertices
     in level order.  Within-level order is unspecified in the reference;
@@ -335,10 +351,15 @@ def bfs_level_order(
     levels (a window over the per-level counts — one row per level, so
     its single-partition sort is O(depth), not O(vertices)).  A naive
     ``row_number() OVER (ORDER BY level, vertex)`` would pull every row
-    through one partition."""
+    through one partition.
+
+    ``levels``: pass a precomputed ``bfs_levels`` result to rank it
+    without re-running the frontier loop (the BFS family of queries
+    shares one traversal this way)."""
     from pyspark.sql.window import Window
 
-    levels = bfs_levels(edges, start_vertex, graph_id=graph_id)
+    if levels is None:
+        levels = bfs_levels(edges, start_vertex, graph_id=graph_id)
     in_level = F.row_number().over(Window.partitionBy("level").orderBy("vertex"))
     offsets = levels.groupBy("level").agg(F.count("*").alias("_n")).select(
         "level",
@@ -481,10 +502,16 @@ def connected_components(
 
 
 def connected_count(
-    edges: DataFrame, start_vertex: int, *, graph_id: int | None = None
+    edges: DataFrame,
+    start_vertex: int,
+    *,
+    graph_id: int | None = None,
+    levels: DataFrame | None = None,
 ) -> DataFrame:
     """Number of vertices reachable from ``start_vertex`` — the
     connectivity invariant the reference silently assumes (its BFS
-    reports exactly n vertices, secondary_server.c:96-97)."""
-    levels = bfs_levels(edges, start_vertex, graph_id=graph_id)
+    reports exactly n vertices, secondary_server.c:96-97).
+    ``levels``: reuse a precomputed ``bfs_levels`` result."""
+    if levels is None:
+        levels = bfs_levels(edges, start_vertex, graph_id=graph_id)
     return levels.agg(F.count("*").cast("long").alias("n_reachable"))

@@ -82,6 +82,52 @@ class TestPageRank:
         got = {r.vertex: r.rank_scaled for r in pagerank_fixed(_df(spark, star), iters=10).collect()}
         assert got[0] > max(v for k, v in got.items() if k != 0) * 3
 
+class TestSkewedGraphs:
+    """Scale-story evidence: the graph loops must survive maximal key
+    skew — a star graph puts the ENTIRE edge set on one join key (the
+    hub), the worst case for the frontier/label shuffles that AQE skew
+    handling and degree-ordered orientation are claimed to absorb."""
+
+    def _star(self, spark, n_spokes):
+        # hub 0 <-> spokes 1..n, symmetric edge list
+        half = spark.range(1, n_spokes + 1).select(
+            F.lit(0).cast("long").alias("src"), F.col("id").cast("long").alias("dst")
+        )
+        return half.unionAll(
+            half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+
+    def test_triangles_on_10k_star(self, spark):
+        # Degree-ordered orientation gives the hub out-degree ZERO, so
+        # neither strategy materializes the 10k^2 wedge set; a star has
+        # no triangles and both strategies must return empty.
+        edges = self._star(spark, 10_000)
+        for strategy in ("adjacency", "wedge"):
+            assert triangle_counts(edges, strategy=strategy).count() == 0, strategy
+
+    def test_triangles_on_star_with_one_chord(self, spark):
+        # One spoke-spoke chord makes exactly one triangle (0, 1, 2);
+        # the hub's 10k-wide adjacency must not inflate the count.
+        edges = self._star(spark, 10_000).unionAll(
+            spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+        )
+        for strategy in ("adjacency", "wedge"):
+            got = {
+                r.vertex: r.triangles
+                for r in triangle_counts(edges, strategy=strategy).collect()
+            }
+            assert got == {0: 1, 1: 1, 2: 1}, strategy
+
+    def test_connected_components_on_10k_star(self, spark):
+        from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.traverse import (
+            connected_components,
+        )
+
+        labels = connected_components(self._star(spark, 10_000))
+        assert labels.where(F.col("component") != 0).count() == 0
+        assert labels.count() == 10_001
+
+
 def test_canonical_edges_dedup(spark):
     e = canonical_edges(
         spark.createDataFrame([(2, 1), (1, 2), (1, 1), (3, 2)], "src long, dst long")
