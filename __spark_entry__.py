@@ -110,7 +110,9 @@ from distributed_graph_database_simulation_with_load_balancing_and_threaded_requ
 )
 from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.multimodal import (
     attach_media,
+    extract_audio_meta,
     extract_media_meta,
+    plant_audio,
     plant_images,
 )
 from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.relational import (
@@ -818,6 +820,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "media_id", "n_bytes", "width", "height"
         )
 
+    def q_audio_meta(spark, sf_dir):
+        # REAL WAV decode: RIFF/WAVE chunk walk over structurally
+        # valid planted PCM files; the oracle predicts sample rate,
+        # channels, byte size, and integer-ms duration from doc_id.
+        media = plant_audio(load_table(spark, sf_dir, "documents"))
+        return extract_audio_meta(media)
+
     # --- relational surface (SURVEY.md §2.2 categories) ---
 
     def q_pricing_summary(spark, sf_dir):
@@ -1236,6 +1245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embedding_near_dup": q_embedding_near_dup,
         "q_media_meta": q_media_meta,
         "q_image_meta": q_image_meta,
+        "q_audio_meta": q_audio_meta,
         "q_pricing_summary": q_pricing_summary,
         "q_event_windows": q_event_windows,
         "q_top_events": q_top_events,
@@ -1582,6 +1592,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN doc_id % 3 = 1 THEN 13 ELSE 33 END AS BIGINT) AS n_bytes,
                    CAST(16 + (7 * doc_id) % 240 AS BIGINT) AS width,
                    CAST(16 + (13 * doc_id) % 240 AS BIGINT) AS height
+            FROM documents
+        """,
+        # plant_audio builds one 16-bit PCM WAV per doc (44 header
+        # bytes + frames*channels*2); params are arithmetic in doc_id.
+        "q_audio_meta": """
+            SELECT CAST(doc_id AS BIGINT) AS media_id,
+                   CAST(44 + (100 + (37 * doc_id) % 900) * (1 + doc_id % 2) * 2 AS BIGINT)
+                       AS n_bytes,
+                   CAST(8000 + (doc_id % 5) * 4000 AS BIGINT) AS sample_rate,
+                   CAST(1 + doc_id % 2 AS BIGINT) AS n_channels,
+                   CAST((100 + (37 * doc_id) % 900) * 1000
+                        // (8000 + (doc_id % 5) * 4000) AS BIGINT) AS duration_ms
             FROM documents
         """,
         # Exact-decimal aggregation on both sides makes the sums

@@ -162,6 +162,116 @@ def extract_media_meta(media: DataFrame) -> DataFrame:
 
     return media.mapInPandas(process, schema=META_SCHEMA)
 
+def audio_meta(data: bytes) -> tuple[int, int, int] | None:
+    """REAL audio metadata from actual encoded bytes — stdlib-only
+    RIFF/WAVE chunk walk (no soundfile/ffmpeg needed for headers):
+    returns ``(sample_rate, n_channels, duration_ms)`` or None for
+    anything that isn't a parseable WAV.  Walks the chunk stream (fmt
+    may be preceded/followed by LIST/fact/etc.), reads PCM params
+    from ``fmt `` and the payload size from ``data``; duration is
+    ``n_frames * 1000 // sample_rate`` (integer ms)."""
+    import struct
+
+    try:
+        if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+            return None
+        pos = 12
+        rate = channels = block_align = None
+        data_size = None
+        while pos + 8 <= len(data):
+            cid = data[pos : pos + 4]
+            size = struct.unpack("<I", data[pos + 4 : pos + 8])[0]
+            if cid == b"fmt ":
+                channels, rate = struct.unpack("<HI", data[pos + 10 : pos + 16])
+                block_align = struct.unpack("<H", data[pos + 20 : pos + 22])[0]
+            elif cid == b"data":
+                data_size = size
+            pos += 8 + size + (size & 1)  # chunks are word-aligned
+        if not rate or not block_align or data_size is None:
+            return None
+        n_frames = data_size // block_align
+        return (int(rate), int(channels), int(n_frames * 1000 // rate))
+    except (struct.error, IndexError, ZeroDivisionError):
+        return None
+
+
+AUDIO_META_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("n_bytes", LongType(), False),
+        StructField("sample_rate", LongType(), True),
+        StructField("n_channels", LongType(), True),
+        StructField("duration_ms", LongType(), True),
+    ]
+)
+
+
+def extract_audio_meta(media: DataFrame) -> DataFrame:
+    """Arrow-batched audio metadata over the binary column: real WAV
+    header parse (``audio_meta``); unparseable payloads yield NULL
+    metadata rather than dying mid-batch."""
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["media"]
+            metas = [audio_meta(bytes(b)) for b in payloads]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": [len(bytes(b)) for b in payloads],
+                    "sample_rate": [m[0] if m else None for m in metas],
+                    "n_channels": [m[1] if m else None for m in metas],
+                    "duration_ms": [m[2] if m else None for m in metas],
+                }
+            )
+
+    return media.mapInPandas(process, schema=AUDIO_META_SCHEMA)
+
+
+def _wav_bytes(sample_rate: int, n_channels: int, n_frames: int) -> bytes:
+    """Minimal valid 16-bit PCM WAV: RIFF header + fmt + silent data."""
+    import struct
+
+    block_align = n_channels * 2
+    data_size = n_frames * block_align
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_channels, sample_rate, sample_rate * block_align, block_align, 16
+    )
+    body = b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt + b"data" + struct.pack(
+        "<I", data_size
+    ) + b"\x00" * data_size
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def plant_audio(documents: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """Planted-WAV fixture generator (the audio analogue of
+    ``plant_images``): sample rate, channel count, and frame count are
+    arithmetic in the id so a SQL oracle can predict exactly what the
+    byte-level parser must extract."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col]
+            payloads = [
+                _wav_bytes(
+                    8000 + (int(i) % 5) * 4000,
+                    1 + int(i) % 2,
+                    100 + (37 * int(i)) % 900,
+                )
+                for i in ids
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "media_type": ["audio"] * len(ids),
+                    "media": payloads,
+                    "source": ["planted"] * len(ids),
+                }
+            )
+
+    return documents.select(id_col).mapInPandas(build, schema=MEDIA_SCHEMA)
+
+
 def _png_bytes(w: int, h: int) -> bytes:
     """Minimal structurally-valid PNG: signature + IHDR (real CRC)."""
     import struct

@@ -174,6 +174,30 @@ def test_image_dims_parses_real_headers():
     assert image_dims(b"\xff\xd8\xff") is None
 
 
+def test_audio_meta_parses_real_wav():
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.multimodal import (
+        _wav_bytes,
+        audio_meta,
+    )
+
+    assert audio_meta(_wav_bytes(16000, 2, 8000)) == (16000, 2, 500)
+    assert audio_meta(_wav_bytes(44100, 1, 44100)) == (44100, 1, 1000)
+    # integer-ms truncation
+    assert audio_meta(_wav_bytes(8000, 1, 12001)) == (8000, 1, 1500)
+    # chunk walking survives an extra chunk between fmt and data
+    import struct
+
+    wav = _wav_bytes(8000, 1, 100)
+    fmt_end = 12 + 8 + 16
+    extra = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    patched = wav[:fmt_end] + extra + wav[fmt_end:]
+    patched = b"RIFF" + struct.pack("<I", len(patched) - 8) + patched[8:]
+    assert audio_meta(patched) == (8000, 1, 12)
+    assert audio_meta(b"") is None
+    assert audio_meta(b"RIFFxxxxWAVE") is None
+    assert audio_meta(b"not audio") is None
+
+
 def test_extract_media_meta_uses_real_dims_for_planted_images(spark):
     from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.multimodal import (
         plant_images,
