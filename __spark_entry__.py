@@ -112,6 +112,7 @@ from distributed_graph_database_simulation_with_load_balancing_and_threaded_requ
     attach_media,
     extract_audio_meta,
     extract_media_meta,
+    frame_sample,
     plant_audio,
     plant_images,
 )
@@ -838,6 +839,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "media_id", "n_bytes", "width", "height"
         )
 
+    def q_frame_sample(spark, sf_dir):
+        # Video frame-sampling plumbing (multimodal.frame_sample):
+        # fixed-size chunking + every-k-th selection capped at
+        # max_frames, over the opaque video payloads.  Sizes are
+        # byte-arithmetic in the payload length, so the oracle
+        # value-checks frame numbering, stride selection, and the cap
+        # without shipping frame bytes.
+        media = attach_media(load_table(spark, sf_dir, "documents"))
+        frames = frame_sample(media, chunk_bytes=256, max_frames=4)
+        return frames.select(
+            "media_id",
+            "frame_no",
+            F.length("frame").cast("long").alias("n_bytes"),
+        )
+
     def q_audio_meta(spark, sf_dir):
         # REAL WAV decode: RIFF/WAVE chunk walk over structurally
         # valid planted PCM files; the oracle predicts sample rate,
@@ -1264,6 +1280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_media_meta": q_media_meta,
         "q_image_meta": q_image_meta,
         "q_audio_meta": q_audio_meta,
+        "q_frame_sample": q_frame_sample,
         "q_pricing_summary": q_pricing_summary,
         "q_event_windows": q_event_windows,
         "q_top_events": q_top_events,
@@ -1611,6 +1628,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(16 + (7 * doc_id) % 240 AS BIGINT) AS width,
                    CAST(16 + (13 * doc_id) % 240 AS BIGINT) AS height
             FROM documents
+        """,
+        # frame_sample keeps every stride-th 256-byte chunk of the
+        # video payload (utf-8 text bytes), at most 4; frame sizes and
+        # numbering replay as byte arithmetic on octet_length.
+        "q_frame_sample": """
+            WITH v AS (
+              SELECT doc_id, octet_length(encode(text)) AS L
+              FROM documents WHERE doc_id % 3 = 2
+            ),
+            c AS (
+              SELECT doc_id, L, CAST(ceil(L / 256.0) AS BIGINT) AS n_chunks
+              FROM v WHERE L > 0
+            ),
+            s AS (
+              SELECT doc_id, L, n_chunks,
+                     greatest(1, CAST(ceil(n_chunks / 4.0) AS BIGINT)) AS stride
+              FROM c
+            ),
+            f AS (
+              SELECT doc_id, L, stride,
+                     unnest(range(least((n_chunks - 1) // stride + 1, 4))) AS j
+              FROM s
+            )
+            SELECT CAST(doc_id AS BIGINT) AS media_id,
+                   CAST(j AS BIGINT) AS frame_no,
+                   CAST(least(256, L - j * stride * 256) AS BIGINT) AS n_bytes
+            FROM f
         """,
         # plant_audio builds one 16-bit PCM WAV per doc (44 header
         # bytes + frames*channels*2); params are arithmetic in doc_id.
