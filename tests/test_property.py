@@ -163,3 +163,56 @@ def test_kcore_matches_python_oracle(sess, pairs, k):
     df = sess.createDataFrame(pairs, "src long, dst long")
     got = {r.vertex: r.core_degree for r in kcore(df, k).collect()}
     assert got == python_kcore(pairs, k)
+
+
+# --- multimodal byte parsers (pure Python, no Spark session needed) ---
+
+from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.multimodal import (  # noqa: E402
+    _gif_bytes,
+    _jpeg_bytes,
+    _png_bytes,
+    _wav_bytes,
+    audio_meta,
+    image_dims,
+)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=2**31 - 1),
+    h=st.integers(min_value=1, max_value=2**31 - 1),
+)
+def test_png_dims_roundtrip(w, h):
+    assert image_dims(_png_bytes(w, h)) == (w, h)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=65535),
+    h=st.integers(min_value=1, max_value=65535),
+    fmt=st.sampled_from(["gif", "jpeg"]),
+)
+def test_gif_jpeg_dims_roundtrip(w, h, fmt):
+    build = _gif_bytes if fmt == "gif" else _jpeg_bytes
+    assert image_dims(build(w, h)) == (w, h)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    rate=st.integers(min_value=1, max_value=384_000),
+    channels=st.integers(min_value=1, max_value=16),
+    frames=st.integers(min_value=0, max_value=100_000),
+)
+def test_wav_meta_roundtrip(rate, channels, frames):
+    assert audio_meta(_wav_bytes(rate, channels, frames)) == (
+        rate,
+        channels,
+        frames * 1000 // rate,
+    )
+
+
+@settings(max_examples=50, deadline=None)
+@given(data=st.binary(max_size=200))
+def test_parsers_never_raise_on_garbage(data):
+    image_dims(data)  # may return None or a (w, h); must not raise
+    audio_meta(data)
