@@ -161,6 +161,36 @@ def test_bucketed_catalog_degree_agg_skips_shuffle(spark, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {name}")
 
 
+def test_bucketed_catalog_colocated_join_skips_shuffle(spark, tmp_path):
+    # The SCALE.md cluster claim: two reads of a src-bucketed table
+    # joining on src are co-located — the join plan must contain no
+    # Exchange (each bucket joins in place; at most a per-bucket sort).
+    import uuid
+
+    cat = GraphCatalog(spark, str(tmp_path / "gdb"))
+    cat.add_graph(1, spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 40)], "src long, dst long"
+    ))
+    name = f"edges_bucketed_{uuid.uuid4().hex[:8]}"
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    prev = spark.conf.get(key)
+    try:
+        cat.save_bucketed(name, n_buckets=4)
+        # Disable auto-broadcast (scoped) so the fixture-sized table
+        # takes the merge-join path a cluster-scale table would.
+        spark.conf.set(key, "-1")
+        a = spark.table(name).select("src", F.col("dst").alias("dst_a"))
+        b = spark.table(name).select("src", F.col("dst").alias("dst_b"))
+        two_hop = a.join(b, on="src").where(F.col("dst_a") != F.col("dst_b"))
+        plan = two_hop._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "SortMergeJoin" in plan
+        assert two_hop.count() > 0
+    finally:
+        spark.conf.set(key, prev)
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
 def test_csv_jsonl_roundtrip_adversarial(spark, tmp_path):
     from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.sources.fileio import (
         read_csv,
