@@ -1001,7 +1001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle because every step is integer arithmetic.
         edges = copurchase_edges(spark, sf_dir, symmetric=True)
         edges.count()  # warm the shared cache at session width
-        pr = pagerank_fixed(edges, iters=5, loop_shuffle_partitions=8)
+        pr = pagerank_fixed(edges, iters=5, loop_shuffle_partitions=4)
         return pr.withColumnRenamed("rank", "rank_val")
 
     def q_pagerank_weighted(spark, sf_dir):
@@ -1009,7 +1009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # weights, splits by total out-weight — still all-integer.
         wsym = copurchase_weighted_edges(spark, sf_dir, symmetric=True)
         wsym.count()  # warm the shared cache at session width
-        pr = pagerank_fixed(wsym, iters=5, weight_col="cnt", loop_shuffle_partitions=8)
+        pr = pagerank_fixed(wsym, iters=5, weight_col="cnt", loop_shuffle_partitions=4)
         return pr.withColumnRenamed("rank", "rank_val")
 
     def q_degree_hist(spark, sf_dir):
@@ -1038,9 +1038,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         src = wsym.agg(F.min("src")).collect()[0][0]
         if src is None:  # empty window -> empty result, not a crash
             return spark.createDataFrame([], "vertex long, dist long")
-        # Frontiers are <= a few thousand rows; 8 loop partitions keeps
-        # the 18-round superstep loop off the per-task scheduling floor.
-        return sssp(wsym, int(src), loop_shuffle_partitions=8)
+        # Frontiers are <= a few thousand rows; 4 loop partitions keeps
+        # the ~18-round superstep loop off the per-task scheduling
+        # floor (measured at sf0.1: 8 -> 4 saves ~15%; 2 is marginally
+        # faster still but leaves no headroom for wider frontiers).
+        return sssp(wsym, int(src), loop_shuffle_partitions=4)
 
     def q_pipeline_stats(spark, sf_dir):
         # End-to-end corpus prep: exact-dedup keepers -> token/quality
