@@ -96,3 +96,32 @@ def test_asof_join_is_single_shuffle(spark):
     # window sort — no range join, no broadcast-nested-loop.
     assert plan.count("Exchange hashpartitioning") == 1
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_ship_priority_plan_pushdown_broadcast_topk(spark):
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.relational import (
+        ship_priority,
+    )
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.sources.tables import (
+        load_table,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = ship_priority(
+        load_table(spark, sf, "customer"),
+        load_table(spark, sf, "orders"),
+        load_table(spark, sf, "lineitem"),
+        segment="BUILDING",
+        date="1998-06-01",
+        k=10,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # Date/segment predicates reach the parquet readers, the filtered
+    # customer keyset broadcasts, and top-k plans as
+    # TakeOrderedAndProject (per-partition heap), not a global sort.
+    assert "PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)" in plan
+    assert "LessThan(o_orderdate" in plan and "GreaterThan(l_shipdate" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    # lineitem scan is pruned to the join/aggregate columns
+    assert "l_comment" not in plan and "l_quantity" not in plan
