@@ -64,6 +64,7 @@ from distributed_graph_database_simulation_with_load_balancing_and_threaded_requ
     shingle_jaccard_pairs,
     simhash_allpairs,
     simhash_dedup,
+    substring_overlap_pairs,
     winnow_fingerprints,
 )
 from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.similarity import (
@@ -769,6 +770,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_winnow_fp(spark, sf_dir):
         return winnow_fingerprints(load_table(spark, sf_dir, "documents"))
 
+    def q_substring_dup(spark, sf_dir):
+        # Exact-substring dedup seed (Lee et al. 2022): doc pairs
+        # sharing any identical 50-char normalized run, via the md5
+        # digest inverted index — value-exact oracle replays the
+        # same digests.
+        return substring_overlap_pairs(
+            load_table(spark, sf_dir, "documents"), sub_len=50
+        )
+
     def q_sim_topk(spark, sf_dir):
         emb = load_table(spark, sf_dir, "embeddings")
         qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
@@ -1273,6 +1283,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_simhash_recall": q_simhash_recall,
         "q_dedup_clusters": q_dedup_clusters,
         "q_winnow_fp": q_winnow_fp,
+        "q_substring_dup": q_substring_dup,
         "q_sim_topk": q_sim_topk,
         "q_lsh_topk": q_lsh_topk,
         "q_ivf_topk": q_ivf_topk,
@@ -2217,6 +2228,29 @@ def oracle_sql() -> dict[str, str]:
                        AS purchase_value
             FROM events
             GROUP BY user_id
+        """,
+        # Exact-substring-overlap seed: identical digest construction
+        # (md5 over every 50-char window of normalized text), identical
+        # per-gram doc cap, identical distinct-shared-gram count.
+        "q_substring_dup": f"""
+            WITH n AS (SELECT doc_id AS id, {_SQL_NORM} AS t FROM documents),
+            g AS (
+              SELECT DISTINCT id,
+                     substr(md5(substr(t, CAST(p AS INTEGER), 50)), 1, 15) AS h
+              FROM (
+                SELECT id, t, unnest(range(1, len(t) - 49 + 1)) AS p
+                FROM n WHERE len(t) >= 50
+              )
+            ),
+            capped AS (
+              SELECT id, h FROM (
+                SELECT id, h, COUNT(*) OVER (PARTITION BY h) AS ndocs FROM g
+              ) WHERE ndocs <= 1000
+            )
+            SELECT a.id AS id_a, b.id AS id_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_shared
+            FROM g a JOIN capped b ON b.h = a.h AND a.id < b.id
+            GROUP BY a.id, b.id
         """,
         # Bloom cells are row-salted md5 hex prefixes (sketches.py
         # _bloom_pos), so the oracle replays the IDENTICAL filter —

@@ -120,6 +120,89 @@ def winnow_fingerprints(
     )
 
 
+def substring_overlap_pairs(
+    documents: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sub_len: int = 50,
+    stride: int = 1,
+    max_gram_docs: int = 1000,
+) -> DataFrame:
+    """Exact long-substring overlap detection — the seed step of
+    exact-substring training-data dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"):
+    pairs of documents sharing at least one identical ``sub_len``-char
+    run of normalized text, found via a digest inverted index (never
+    a cross join).  Returns ``(id_a, id_b, n_shared)`` with
+    id_a < id_b, where ``n_shared`` counts the distinct shared
+    ``sub_len``-gram digests.
+
+    ``stride`` samples every stride-th starting position on ONE side
+    of the index (the probe side keeps every position), preserving the
+    guarantee for substrings of length >= ``sub_len + stride - 1`` —
+    the standard seed-and-stride trade.  stride=1 is fully exact at
+    ``sub_len``.
+
+    Scale: the shuffle carries (id, 60-bit digest) rows only — the
+    gram digest is the first 15 hex chars of the md5 parsed as a long
+    (same construction as the simhash token hash), so text never
+    leaves the scan projection and every downstream exchange moves 8
+    bytes per gram; row growth is ~len/stride per document.  A 60-bit
+    space makes accidental digest collisions ~n^2/2^61 (immaterial at
+    corpus scale, and a collision only ever ADDS a candidate pair).
+    ``max_gram_docs`` drops degenerate grams (boilerplate shared by
+    more than that many docs) before the self-join can go quadratic,
+    exactly the minhash bucket-cap posture.  md5 rather than xxhash64
+    so the SQL oracle replays the identical index; production swaps
+    the digest for xxhash64.
+    """
+    normed = ensure_parallelism(
+        documents.select(
+            F.col(id_col).alias("id"), normalize_text(F.col(text_col)).alias("norm")
+        )
+    ).where(F.length("norm") >= sub_len)
+    n_pos = F.length("norm") - (sub_len - 1)
+
+    def grams(step: int) -> DataFrame:
+        return normed.select(
+            "id",
+            F.explode(
+                F.transform(
+                    F.sequence(
+                        F.lit(0), F.floor((n_pos - 1) / F.lit(step)).cast("int")
+                    ),
+                    lambda j: F.conv(
+                        F.substring(
+                            F.md5(F.substring(F.col("norm"), j * step + 1, sub_len)),
+                            1,
+                            15,
+                        ),
+                        16,
+                        10,
+                    ).cast("long"),
+                )
+            ).alias("h"),
+        ).distinct()
+
+    seed = grams(stride)
+    probe = seed if stride == 1 else grams(1)
+    sized = probe.withColumn(
+        "ndocs", F.count("*").over(Window.partitionBy("h"))
+    ).where(F.col("ndocs") <= max_gram_docs)
+    a = seed.select(F.col("id").alias("id_a"), "h")
+    b = sized.select(F.col("id").alias("id_b"), "h")
+    # Both join inputs are distinct (id, h) sets, so each shared gram
+    # contributes exactly one row per pair: plain COUNT(*) equals
+    # COUNT(DISTINCT h) without the per-group dedup pass.
+    return (
+        a.join(b, on="h")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
+
+
 def _shingle_rows(
     documents: DataFrame, *, text_col: str, id_col: str, shingle_len: int
 ) -> DataFrame:

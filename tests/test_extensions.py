@@ -547,3 +547,34 @@ def test_collocations_planted(spark):
     # orderBy().limit preserves sorted output order within collect
     best = max(rows, key=lambda r: r.lift)
     assert (best.w1, best.w2) == ("hong", "kong")
+
+
+def test_substring_overlap_pairs_planted(spark):
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.dedup import (
+        substring_overlap_pairs,
+    )
+
+    shared = "the quick brown fox jumps over the lazy dog again and again" * 2
+    docs = spark.createDataFrame(
+        [
+            (1, "intro text first " + shared + " tail one"),
+            (2, "completely different opening " + shared + " other tail"),
+            (3, "no overlap with anything here at all, distinct words only"),
+            (4, "short"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["n_shared"]
+        for r in substring_overlap_pairs(docs, sub_len=50).collect()
+    }
+    assert set(pairs) == {(1, 2)}
+    # every aligned 50-window inside the shared run matches
+    assert pairs[(1, 2)] > 10
+
+    # stride>1 keeps the guarantee for substrings >= sub_len+stride-1
+    strided = {
+        (r["id_a"], r["id_b"])
+        for r in substring_overlap_pairs(docs, sub_len=50, stride=7).collect()
+    }
+    assert (1, 2) in strided and len(strided) == 1
