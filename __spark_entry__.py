@@ -1531,8 +1531,10 @@ def oracle_sql() -> dict[str, str]:
             grams AS (
               SELECT doc_id,
                      list_distinct(list_transform(
-                        range(1, greatest(len(t) - 2, 1) + 1),
-                        i -> array_to_string(t[i:i+2], ' '))) AS g
+                        list_distinct(list_transform(
+                           range(1, greatest(len(t) - 2, 1) + 1),
+                           i -> array_to_string(t[i:i+2], ' '))),
+                        x -> substr(md5(x), 1, 15))) AS g
               FROM toks
             ),
             inv AS (SELECT doc_id, len(g) AS n, unnest(g) AS gram FROM grams),

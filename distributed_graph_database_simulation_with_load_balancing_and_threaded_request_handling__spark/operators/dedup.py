@@ -620,7 +620,17 @@ def ngram_jaccard_pairs(
     grams = token_ngrams(
         documents, text_col=text_col, id_col=id_col, ngram_len=ngram_len
     )
-    return _jaccard_pairs_from_items(grams, threshold)
+    # Digest the gram to a 60-bit long before the self-join (the
+    # substring_overlap_pairs construction): the inverted index then
+    # exchanges 8-byte keys instead of ~20-char gram strings.  A
+    # digest collision merges two grams — probability ~n^2/2^61, and
+    # the SQL oracle replays the identical digests so both engines
+    # would see the same merge.
+    g64 = grams.select(
+        "id",
+        F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("long").alias("h"),
+    ).distinct()
+    return _jaccard_pairs_from_items(g64, threshold)
 
 
 def decontaminate(
