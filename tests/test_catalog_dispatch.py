@@ -217,3 +217,16 @@ def test_csv_jsonl_roundtrip_adversarial(spark, tmp_path):
     # CSV: quoting handles commas/quotes; the multiLine read path (on
     # by default) makes embedded newlines roundtrip too.
     assert got_csv == want
+
+
+def test_catalog_edges_partition_pruned(spark, tmp_path):
+    # Single-graph reads must prune to the graph_id=k partition at
+    # the scan (PartitionFilters), not filter post-scan.
+    cat = GraphCatalog(spark, str(tmp_path / "gdb"))
+    cat.add_graph(1, spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long"))
+    cat.add_graph(2, spark.createDataFrame([(7, 8)], "src long, dst long"))
+    df = cat.edges(graph_id=1)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "graph_id" in plan.split("PartitionFilters", 1)[1][:200]
+    assert df.count() == 4  # symmetric storage: 2 pairs -> 4 rows
