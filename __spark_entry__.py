@@ -84,6 +84,7 @@ from distributed_graph_database_simulation_with_load_balancing_and_threaded_requ
 )
 from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.temporal import (
     asof_join,
+    interval_join,
     time_gapfill,
     time_rollup,
 )
@@ -918,6 +919,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         approx = hll_distinct(events, "user_id", group_by=["event_type"])
         return exact.join(approx, on="event_type")
 
+    def q_attribution(spark, sf_dir):
+        # Range join rendered as a bucketed EQUI join (temporal.
+        # interval_join): clicks attributed to the same user's
+        # purchase within a 2-hour half-open window, counted per
+        # purchase.  A naive BETWEEN predicate would plan as a
+        # nested-loop join; this plans as a hash join on
+        # (user_id, hour-bucket).
+        ev = load_table(spark, sf_dir, "events")
+        purchases = ev.where(F.col("event_type") == "purchase").select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("start"),
+            (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("end"),
+        )
+        clicks = ev.where(F.col("event_type") == "click").select("user_id", "event_id", "ts")
+        joined = interval_join(clicks, purchases, keys=["user_id"])
+        return joined.groupBy("purchase_id").agg(
+            F.count("*").cast("long").alias("n_clicks")
+        )
+
     def q_asof_join(spark, sf_dir):
         # For every event, the user's most recent order-day spend at or
         # before the event time (union-merge as-of join; right side
@@ -1305,6 +1326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quality_pct": q_quality_pct,
         "q_hll_distinct": q_hll_distinct,
         "q_asof_join": q_asof_join,
+        "q_attribution": q_attribution,
         "q_time_rollup": q_time_rollup,
         "q_matrix_io": q_matrix_io,
         "q_repetition": q_repetition,
@@ -1829,6 +1851,18 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT x.event_type, x.n_exact, round(e.e, 4) AS n_approx
             FROM exact x JOIN est e USING (event_type)
+        """,
+        "q_attribution": """
+            SELECT p.event_id AS purchase_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_clicks
+            FROM events p
+            JOIN events c
+              ON c.user_id = p.user_id
+             AND c.event_type = 'click'
+             AND c.ts >= p.ts
+             AND c.ts < p.ts + INTERVAL 2 HOUR
+            WHERE p.event_type = 'purchase'
+            GROUP BY p.event_id
         """,
         "q_asof_join": """
             WITH daily AS (

@@ -107,6 +107,60 @@ def asof_join(
     )
 
 
+def interval_join(
+    left: DataFrame,
+    intervals: DataFrame,
+    *,
+    keys: list[str] | None = None,
+    ts_col: str = "ts",
+    start_col: str = "start",
+    end_col: str = "end",
+    granularity: str = "hour",
+) -> DataFrame:
+    """Distributed range join: each ``left`` row matched to every
+    interval containing its timestamp (half-open ``[start, end)``),
+    optionally co-keyed on ``keys`` — the interval/range join Spark
+    has no built-in operator for.
+
+    Spark plans a naive ``ts BETWEEN start AND end`` predicate as a
+    nested-loop join (quadratic).  This operator makes it an EQUI
+    join: both sides are bucketed to ``granularity`` — the event to
+    its one containing bucket, the interval exploded to every bucket
+    it spans — joined hash-style on (keys..., bucket), then filtered
+    to exact containment.  An event's bucket is unique, so each
+    qualifying (event, interval) pair meets exactly once: no dedup.
+
+    Scale: shuffle is an ordinary hash-partitioned equi join;
+    interval-side row growth is ceil(length/bucket) per interval —
+    pick ``granularity`` near the typical interval length so the
+    factor stays small.  Skewed keys are plain join skew (AQE
+    splits); an interval spanning MANY buckets fans out narrowly
+    before the shuffle, never quadratically.  Intervals with
+    ``end <= start`` are dropped (empty half-open range).
+    """
+    keys = keys or []
+    gran = granularity
+    lb = left.withColumn("_bucket", F.date_trunc(gran, F.col(ts_col)))
+    iv = intervals.where(F.col(end_col) > F.col(start_col))
+    ib = iv.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.date_trunc(gran, F.col(start_col)),
+                F.date_trunc(
+                    gran, F.col(end_col) - F.expr("INTERVAL 1 MICROSECOND")
+                ),
+                F.expr(f"INTERVAL 1 {gran}"),
+            )
+        ),
+    )
+    return (
+        lb.join(ib, on=keys + ["_bucket"])
+        .where((F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col)))
+        .drop("_bucket")
+    )
+
+
 def time_rollup(
     events: DataFrame,
     *,

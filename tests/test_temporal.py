@@ -3,6 +3,8 @@ tolerance, unmatched keys) and the multi-grain time rollup."""
 
 import datetime
 
+from pyspark.sql import functions as F
+
 from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.temporal import (
     asof_join,
     time_rollup,
@@ -137,3 +139,35 @@ def test_time_gapfill_forward_fill(spark):
     assert out[("click", 3)].value_filled == 2.0 and out[("click", 3)].filled == 0
     assert out[("view", 1)].value_filled == 1.0
     assert len(out) == 5  # click hours 0-3 + view hour 1
+
+
+def test_interval_join_containment_and_boundaries(spark):
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.temporal import (
+        interval_join,
+    )
+
+    events = spark.createDataFrame(
+        [
+            (1, "u", "2024-01-01 10:00:00"),  # == start: included
+            (2, "u", "2024-01-01 11:59:59"),  # inside, later bucket
+            (3, "u", "2024-01-01 12:00:00"),  # == end: excluded
+            (4, "u", "2024-01-01 09:59:59"),  # before
+            (5, "v", "2024-01-01 10:30:00"),  # wrong key
+        ],
+        "event_id long, user_id string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    intervals = spark.createDataFrame(
+        [
+            ("u", 100, "2024-01-01 10:00:00", "2024-01-01 12:00:00"),
+            ("u", 101, "2024-01-01 11:00:00", "2024-01-01 11:00:00"),  # empty
+        ],
+        "user_id string, iv_id long, start string, end string",
+    ).withColumn("start", F.col("start").cast("timestamp_ntz")).withColumn(
+        "end", F.col("end").cast("timestamp_ntz")
+    )
+    out = interval_join(events, intervals, keys=["user_id"])
+    got = {(r["event_id"], r["iv_id"]) for r in out.collect()}
+    assert got == {(1, 100), (2, 100)}
+    # equi join on (key, bucket) — never a nested-loop plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan
