@@ -89,6 +89,8 @@ from distributed_graph_database_simulation_with_load_balancing_and_threaded_requ
     time_rollup,
 )
 from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.sketches import (
+    kmv_intersect_estimate,
+    kmv_sketch,
     BLOOM_K,
     HLL_ALPHA_M2,
     HLL_M,
@@ -584,6 +586,18 @@ def _sql_topk_recall(approx_sql: str) -> str:
 """
 
 _RECALL_DOC_SRC = f"(SELECT * FROM documents WHERE doc_id < {_RECALL_DOCS})"
+
+
+def _sql_hx_frac(col: str) -> str:
+    """DuckDB expression for sketches._hx_frac: first 13 hex chars of
+    ``col`` as an exact double fraction of 2^52 (digit-by-digit base-16
+    reconstruction — every term and the sum are exactly representable,
+    so the value is bit-identical to Spark's conv/cast)."""
+    return (
+        f"(list_sum(list_transform(range(1, 14), i -> "
+        f"(strpos('0123456789abcdef', substring({col}, CAST(i AS INTEGER), 1)) - 1)"
+        f" * power(16.0, 13 - i))) / power(2.0, 52))"
+    )
 
 # ---------------------------------------------------------------------------
 # Driver contract
@@ -1119,6 +1133,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).alias("total_value"),
         )
 
+    def q_kmv_overlap(spark, sf_dir):
+        # Set-EXPRESSION estimation, the capability HLL lacks: KMV
+        # theta sketches of click vs purchase distinct-user sets,
+        # union and intersection estimated from 2x256 hashes, with
+        # the exact counts alongside as the accuracy contract.  md5
+        # selection + 52-bit hash fractions make every estimate
+        # byte-replayable in SQL.
+        # k=64 keeps the sketch REGIME engaged at sf0.01's ~150
+        # distinct users (k=256 would hold every value and the
+        # estimator path would never be oracle-exercised).
+        ev = load_table(spark, sf_dir, "events").where(
+            F.col("event_type").isin("click", "purchase")
+        )
+        sk = kmv_sketch(ev, "user_id", group_by=["event_type"], k=64)
+        est = kmv_intersect_estimate(sk, "event_type", "click", "purchase", k=64)
+        clicks = ev.where(F.col("event_type") == "click")
+        purchases = ev.where(F.col("event_type") == "purchase")
+        exact = (
+            ev.agg(F.count_distinct("user_id").cast("long").alias("n_union_exact"))
+            .crossJoin(
+                clicks.select("user_id")
+                .intersect(purchases.select("user_id"))
+                .agg(F.count("*").cast("long").alias("n_inter_exact"))
+            )
+        )
+        return est.crossJoin(exact)
+
     def q_hll_merged(spark, sf_dir):
         # Sketch MERGEABILITY at the query level: the global distinct
         # estimate is computed by max-merging the per-event-type
@@ -1348,6 +1389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cms_counts": q_cms_counts,
         "q_salted_join": q_salted_join,
         "q_hll_merged": q_hll_merged,
+        "q_kmv_overlap": q_kmv_overlap,
         "q_quantile_sample": q_quantile_sample,
         "q_running_spend": q_running_spend,
         "q_csv_io": q_csv_io,
@@ -2126,6 +2168,57 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 4) AS total_value
             FROM events e JOIN customer c ON c.c_custkey = e.user_id
             GROUP BY 1
+        """,
+        # KMV theta-sketch replay: same md5 ranking, same 52-bit hash
+        # fractions (exactly representable doubles — see sketches.py
+        # _hx_frac), same Beyer et al. estimator arithmetic.
+        "q_kmv_overlap": f"""
+            WITH vals AS (
+              SELECT DISTINCT event_type, md5(CAST(user_id AS VARCHAR)) AS hx
+              FROM events WHERE event_type IN ('click', 'purchase')
+            ),
+            sk AS (
+              SELECT event_type, hx FROM (
+                SELECT event_type, hx,
+                       ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hx) AS rk
+                FROM vals
+              ) WHERE rk <= 64
+            ),
+            a AS (SELECT hx FROM sk WHERE event_type = 'click'),
+            b AS (SELECT hx FROM sk WHERE event_type = 'purchase'),
+            u AS (SELECT DISTINCT hx FROM (SELECT hx FROM a UNION ALL SELECT hx FROM b)),
+            kth AS (
+              SELECT {_sql_hx_frac('hx')} AS theta FROM (
+                SELECT hx, ROW_NUMBER() OVER (ORDER BY hx) AS rk FROM u
+              ) WHERE rk = 64
+            ),
+            nu AS (SELECT COUNT(*) AS n_u FROM u),
+            common AS (
+              SELECT COUNT(*) AS n_common_all,
+                     COALESCE(SUM(CASE WHEN (SELECT theta FROM kth) IS NULL
+                                        OR {_sql_hx_frac('a.hx')} < (SELECT theta FROM kth)
+                                       THEN 1 ELSE 0 END), 0) AS n_common
+              FROM a JOIN b USING (hx)
+            ),
+            eu AS (
+              SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_union_exact
+              FROM events WHERE event_type IN ('click', 'purchase')
+            ),
+            ei AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n_inter_exact FROM (
+                SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+                INTERSECT
+                SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+              )
+            )
+            SELECT round(CASE WHEN (SELECT theta FROM kth) IS NOT NULL
+                              THEN 63 / (SELECT theta FROM kth)
+                              ELSE CAST(nu.n_u AS DOUBLE) END, 4) AS est_union,
+                   round(CASE WHEN (SELECT theta FROM kth) IS NOT NULL
+                              THEN common.n_common / 64.0 * (63 / (SELECT theta FROM kth))
+                              ELSE CAST(common.n_common_all AS DOUBLE) END, 4) AS est_inter,
+                   eu.n_union_exact, ei.n_inter_exact
+            FROM nu CROSS JOIN common CROSS JOIN eu CROSS JOIN ei
         """,
         "q_hll_merged": f"""
             WITH h AS (

@@ -220,3 +220,115 @@ def cms_estimate(cms: DataFrame, items: DataFrame, item_col: str) -> DataFrame:
         .groupBy("item")
         .agg(F.min("cnt").cast("long").alias("n_est"))
     )
+
+
+KMV_K = 256  # sketch size: k minimum hash values per group
+
+
+def kmv_sketch(
+    df: DataFrame, value_col: str, *, group_by: list[str], k: int = KMV_K
+) -> DataFrame:
+    """KMV (k-minimum-values) theta sketch per group: the ``k``
+    smallest md5 hashes of the group's DISTINCT values (Beyer et al.
+    2007).  Unlike HLL registers, KMV sketches support SET-EXPRESSION
+    estimates — intersections and differences — via
+    ``kmv_intersect_estimate``; like every sketch here, md5 makes the
+    selection byte-identical in ANSI SQL, so the approximate operator
+    has a full value oracle.
+
+    Mergeability: the union of two groups' sketches, re-trimmed to the
+    k smallest, IS the sketch of the groups' union — sketches from
+    disjoint corpus slices combine without rescanning.
+
+    Scale: the distinct + per-group rank shuffle carries (group,
+    16-byte hash) rows — the same exchange any exact distinct-count
+    pays; output is <= k rows per group.  (A two-phase refinement —
+    per-partition k-smallest before the global rank — cuts the
+    exchange to k rows per partition per group; unnecessary until the
+    distinct value set itself is the bottleneck.)
+    """
+    from pyspark.sql.window import Window
+
+    h = df.select(
+        *group_by, F.md5(F.col(value_col).cast("string")).alias("hx")
+    ).distinct()
+    w = Window.partitionBy(*group_by).orderBy("hx")
+    return (
+        h.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select(*group_by, "hx", "rk")
+    )
+
+
+def _hx_frac(c: Column) -> Column:
+    """Hash as a fraction of the hash space: first 13 hex chars (52
+    bits) parsed base-16 over 2^52.  52 bits < the 53-bit double
+    mantissa, so the value is EXACTLY representable — the SQL oracle's
+    digit-by-digit reconstruction lands on the bit-identical double no
+    matter its summation order."""
+    return F.conv(F.substring(c, 1, 13), 16, 10).cast("double") / F.lit(
+        float(1 << 52)
+    )
+
+
+def kmv_intersect_estimate(
+    sketch: DataFrame,
+    group_col: str,
+    group_a,
+    group_b,
+    *,
+    k: int = KMV_K,
+) -> DataFrame:
+    """Distinct-set union/intersection estimates for two groups from
+    their KMV sketches (Beyer et al. 2007): rank the combined distinct
+    hash set, take theta = the k-th smallest as a fraction of hash
+    space; est_union = (k-1)/theta, and est_inter scales est_union by
+    the fraction of the k combined minima present in BOTH sketches.
+    When the combined set has fewer than k hashes the sketches are
+    exhaustive and the exact counts are returned (theta = 1 regime).
+
+    Returns one row: ``(est_union, est_inter)``, rounded to 4 places.
+    Driver-side data never exceeds 2k rows of 16-byte hashes.
+    """
+    from pyspark.sql.window import Window
+
+    a = sketch.where(F.col(group_col) == group_a).select("hx")
+    b = sketch.where(F.col(group_col) == group_b).select("hx")
+    u = a.unionAll(b).distinct()
+    ranked = u.withColumn("rk", F.row_number().over(Window.orderBy("hx")))
+    kth = ranked.where(F.col("rk") == k).select(
+        _hx_frac(F.col("hx")).alias("theta")
+    )
+    n_union = u.agg(F.count("*").cast("long").alias("n_u"))
+    common = (
+        a.join(b, on="hx")
+        .join(F.broadcast(kth.select(F.col("theta").alias("_t"))), how="left")
+        .agg(
+            F.count("*").cast("long").alias("n_common_all"),
+            F.sum(
+                F.when(
+                    F.col("_t").isNull() | (_hx_frac(F.col("hx")) < F.col("_t")), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_common"),
+        )
+    )
+    return (
+        n_union.crossJoin(common)
+        .join(F.broadcast(kth), how="left")
+        .select(
+            F.round(
+                F.when(F.col("theta").isNotNull(), (k - 1) / F.col("theta"))
+                .otherwise(F.col("n_u").cast("double")),
+                4,
+            ).alias("est_union"),
+            F.round(
+                F.when(
+                    F.col("theta").isNotNull(),
+                    F.col("n_common") / F.lit(float(k)) * ((k - 1) / F.col("theta")),
+                ).otherwise(F.col("n_common_all").cast("double")),
+                4,
+            ).alias("est_inter"),
+        )
+    )

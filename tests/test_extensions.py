@@ -578,3 +578,30 @@ def test_substring_overlap_pairs_planted(spark):
         for r in substring_overlap_pairs(docs, sub_len=50, stride=7).collect()
     }
     assert (1, 2) in strided and len(strided) == 1
+
+
+def test_kmv_sketch_and_intersection(spark):
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.sketches import (
+        kmv_intersect_estimate,
+        kmv_sketch,
+    )
+
+    # groups: a = {0..599}, b = {300..899} -> union 900, inter 300
+    rows = [("a", i) for i in range(600)] + [("b", i) for i in range(300, 900)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    sk = kmv_sketch(df, "v", group_by=["g"], k=128)
+    assert sk.where(F.col("rk") > 128).count() == 0
+    assert sk.groupBy("g").count().agg(F.max("count")).collect()[0][0] == 128
+    est = kmv_intersect_estimate(sk, "g", "a", "b", k=128).collect()[0]
+    assert est["est_union"] == pytest.approx(900, rel=0.25)
+    assert est["est_inter"] == pytest.approx(300, rel=0.35)
+
+    # exhaustive regime: fewer distinct values than k -> exact
+    small = spark.createDataFrame(
+        [("a", i) for i in range(20)] + [("b", i) for i in range(10, 30)],
+        "g string, v long",
+    )
+    sk2 = kmv_sketch(small, "v", group_by=["g"], k=128)
+    est2 = kmv_intersect_estimate(sk2, "g", "a", "b", k=128).collect()[0]
+    assert est2["est_union"] == 30.0
+    assert est2["est_inter"] == 10.0
