@@ -75,10 +75,14 @@ from distributed_graph_database_simulation_with_load_balancing_and_threaded_requ
     make_hyperplanes,
 )
 from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.textops import (
+    PII_EMAIL,
+    PII_IPV4,
+    PII_PHONE,
     chunk_documents,
     collocations,
     corpus_stats,
     doc_features,
+    redact_pii,
     repetition_features,
     tfidf_topk,
 )
@@ -1289,6 +1293,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         tr = docs.where(F.col("doc_id") % 20 != 0)
         return decontaminate(tr, ev, ngram_len=5)
 
+    def q_pii_redact(spark, sf_dir):
+        # Corpus PII scrubbing over deterministically dirtied text
+        # (planted email / IP / phone per doc_id residue classes —
+        # the synthetic docs contain no real PII, so the redaction
+        # must earn its counts): per-doc category counts + the md5 of
+        # the cleaned text, all byte-replayed by the oracle.
+        docs = load_table(spark, sf_dir, "documents")
+        dirty = docs.select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.when(
+                    F.col("doc_id") % 4 == 0,
+                    F.concat(
+                        F.lit(" contact user"),
+                        F.col("doc_id").cast("string"),
+                        F.lit("@example.com"),
+                    ),
+                ).otherwise(F.lit("")),
+                F.when(
+                    F.col("doc_id") % 5 == 0,
+                    F.concat(
+                        F.lit(" from 10.0.0."), (F.col("doc_id") % 256).cast("string")
+                    ),
+                ).otherwise(F.lit("")),
+                F.when(F.col("doc_id") % 3 == 0, F.lit(" call 555-123-4567")).otherwise(
+                    F.lit("")
+                ),
+            ).alias("text"),
+        )
+        return redact_pii(dirty).select(
+            "doc_id", "n_emails", "n_ips", "n_phones",
+            F.md5("clean_text").alias("clean_md5"),
+        )
+
     def q_chunks(spark, sf_dir):
         # Sequence prep: 64-token chunks, stride 48 (16-token overlap);
         # chunk identity is the md5 of the joined tokens, so the oracle
@@ -1397,6 +1436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bloom_join": q_bloom_join,
         "q_decontam": q_decontam,
         "q_chunks": q_chunks,
+        "q_pii_redact": q_pii_redact,
         "q_ship_priority": q_ship_priority,
         "q_local_supplier": q_local_supplier,
         "q_request_replies": q_request_replies,
@@ -2410,6 +2450,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN maybe AND m.item IS NULL THEN 1 ELSE 0 END) AS BIGINT)
                        AS n_false_pos
             FROM probed pr LEFT JOIN members m ON m.item = pr.item
+        """,
+        # Identical regexes (the Java/RE2-common subset), identical
+        # replacement order, identical planted dirt — the md5 of the
+        # cleaned text proves byte-identical redaction.
+        "q_pii_redact": f"""
+            WITH dirty AS (
+              SELECT doc_id,
+                     text
+                     || CASE WHEN doc_id % 4 = 0
+                             THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                             ELSE '' END
+                     || CASE WHEN doc_id % 5 = 0
+                             THEN ' from 10.0.0.' || CAST(doc_id % 256 AS VARCHAR)
+                             ELSE '' END
+                     || CASE WHEN doc_id % 3 = 0 THEN ' call 555-123-4567' ELSE '' END
+                         AS t
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(t, '{PII_EMAIL}')) AS BIGINT) AS n_emails,
+                   CAST(len(regexp_extract_all(t, '{PII_IPV4}')) AS BIGINT) AS n_ips,
+                   CAST(len(regexp_extract_all(t, '{PII_PHONE}')) AS BIGINT) AS n_phones,
+                   md5(regexp_replace(regexp_replace(regexp_replace(
+                       t, '{PII_EMAIL}', '<EMAIL>', 'g'),
+                       '{PII_IPV4}', '<IP>', 'g'),
+                       '{PII_PHONE}', '<PHONE>', 'g')) AS clean_md5
+            FROM dirty
         """,
         # Same gram construction as q_ngram_jaccard but 5-grams:
         # a doc shorter than 5 tokens yields one gram (its whole

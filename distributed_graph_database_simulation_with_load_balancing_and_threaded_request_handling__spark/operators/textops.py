@@ -349,3 +349,48 @@ def chunk_documents(
         F.size(chunk).alias("n_tokens"),
         F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"),
     )
+
+
+# PII patterns kept to the regex subset Java's engine and RE2-style
+# engines (DuckDB) evaluate identically — character classes, bounded
+# quantifiers, \b anchors; no lookaround, no backrefs — so redaction is
+# byte-reproducible in ANSI SQL for the value oracle.
+PII_EMAIL = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PII_PHONE = r"\b[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}\b"
+
+
+def redact_pii(
+    documents: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-prep PII scrubbing: replace emails, IPv4 addresses, and
+    phone numbers with typed placeholders, counting each category —
+    the standard redaction pass a training pipeline runs before text
+    ships to tokenization.
+
+    Redaction order is fixed (email, then ip, then phone) so the
+    output is deterministic; counts are taken on the ORIGINAL text.
+    Returns the input columns plus ``(clean_text, n_emails, n_ips,
+    n_phones)``.
+
+    Scale: pure scan projection — three JVM regexp_replace passes and
+    three regexp_count, zero shuffles, whole-stage-codegen inside the
+    scan stage.  Regex-based scrubbing is a baseline, not an NER
+    system: it catches format-shaped PII only (the usual first pass;
+    model-based detectors slot in as a Pandas-UDF stage downstream).
+    """
+    t = F.col(text_col)
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, PII_EMAIL, "<EMAIL>"), PII_IPV4, "<IP>"
+        ),
+        PII_PHONE,
+        "<PHONE>",
+    )
+    return documents.select(
+        "*",
+        clean.alias("clean_text"),
+        F.regexp_count(t, F.lit(PII_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_count(t, F.lit(PII_IPV4)).cast("long").alias("n_ips"),
+        F.regexp_count(t, F.lit(PII_PHONE)).cast("long").alias("n_phones"),
+    )

@@ -605,3 +605,27 @@ def test_kmv_sketch_and_intersection(spark):
     est2 = kmv_intersect_estimate(sk2, "g", "a", "b", k=128).collect()[0]
     assert est2["est_union"] == 30.0
     assert est2["est_inter"] == 10.0
+
+
+def test_redact_pii(spark):
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.textops import (
+        redact_pii,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail me at jo.doe+x@sub.example.org or call 555-123-4567"),
+            (2, "server at 192.168.001.1 and 10.0.0.7, no mail"),
+            (3, "nothing sensitive here"),
+            (4, "two mails: a@b.co c@d.io and ip 1.2.3.4"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in redact_pii(docs).collect()}
+    assert out[1]["n_emails"] == 1 and out[1]["n_phones"] == 1
+    assert out[1]["clean_text"] == "mail me at <EMAIL> or call <PHONE>"
+    assert out[2]["n_ips"] == 2 and out[2]["n_emails"] == 0
+    assert out[2]["clean_text"] == "server at <IP> and <IP>, no mail"
+    assert out[3]["clean_text"] == "nothing sensitive here"
+    assert out[3]["n_emails"] == out[3]["n_ips"] == out[3]["n_phones"] == 0
+    assert out[4]["n_emails"] == 2 and out[4]["n_ips"] == 1
