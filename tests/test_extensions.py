@@ -629,3 +629,45 @@ def test_redact_pii(spark):
     assert out[3]["clean_text"] == "nothing sensitive here"
     assert out[3]["n_emails"] == out[3]["n_ips"] == out[3]["n_phones"] == 0
     assert out[4]["n_emails"] == 2 and out[4]["n_ips"] == 1
+
+
+def test_minhash_bucket_cap_drops_boilerplate(spark):
+    # 60 identical boilerplate docs would make every band bucket
+    # degenerate; max_bucket_size drops those buckets BEFORE the
+    # self-join, while a small planted near-dup pair in a normal
+    # bucket must survive.
+    boiler = [(i, "standard header boilerplate text repeated verbatim " * 3)
+              for i in range(100, 160)]
+    planted = [
+        (1, "a genuinely unique document about distributed joins and shuffles"),
+        (2, "a genuinely unique document about distributed joins and shuffle"),
+    ]
+    docs = spark.createDataFrame(boiler + planted, "doc_id long, text string")
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_dedup(docs, threshold=0.7, max_bucket_size=10).collect()
+    }
+    assert (1, 2) in pairs
+    assert not any(a >= 100 or b >= 100 for a, b in pairs)
+
+
+def test_decontaminate_empty_docs_do_not_cross_flag(spark):
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.dedup import (
+        decontaminate,
+    )
+
+    train = spark.createDataFrame(
+        [(1, ""), (2, "one two three four five six seven")],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(10, ""), (11, "three four five six seven eight")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in decontaminate(train, ev, ngram_len=5).collect()}
+    # empty train doc: one row, zero hits, NOT contaminated by the
+    # empty eval doc (the '' gram is dropped eval-side)
+    assert out[1]["n_grams"] == 1 and out[1]["n_hits"] == 0
+    assert out[1]["contaminated"] is False
+    # real shared 5-gram still flags
+    assert out[2]["contaminated"] is True
