@@ -156,3 +156,42 @@ def sessionize_stream(
             "total_value",
         )
     )
+
+
+def attribution_stream(
+    events: DataFrame, *, window: str = "2 hours", watermark: str = "3 hours"
+) -> DataFrame:
+    """Stream-stream time-interval join — the streaming twin of
+    ``operators.temporal.interval_join``'s attribution query: each
+    click joins the same user's purchase it follows within ``window``
+    (half-open).  Returns
+    ``(purchase_id, click_id, user_id, p_ts, ts)``.
+
+    Scale posture: BOTH sides carry a watermark and the join condition
+    bounds the time range, so the state store retains each side only
+    for ``watermark`` + ``window`` — the canonical bounded-state
+    stream-stream join (Spark's ad-monetization shape).  Without the
+    range bound the state would grow forever; with it, eviction is
+    automatic and the join runs identically on a cluster.
+    """
+    p = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    c = (
+        events.where(F.col("event_type") == "click")
+        .select("user_id", F.col("event_id").alias("click_id"), "ts")
+        .withWatermark("ts", watermark)
+    )
+    return c.join(
+        p,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("ts") >= F.col("p_ts"))
+        & (F.col("ts") < F.col("p_ts") + F.expr(f"INTERVAL {window}")),
+        "inner",
+    ).select("purchase_id", "click_id", "user_id", "p_ts", "ts")

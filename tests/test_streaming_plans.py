@@ -312,3 +312,66 @@ def test_sessionize_stream_matches_batch(spark, tmp_path):
     # session_window's start == first event ts == batch session_start;
     # n_events/total_value must agree session by session.
     assert got == want and len(got) == 3
+
+
+def test_attribution_stream_matches_batch_interval_join(spark, tmp_path):
+    import datetime
+
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.temporal import (
+        interval_join,
+    )
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.streaming.ingest import (
+        attribution_stream,
+        read_event_stream,
+    )
+
+    t0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+    mins = lambda m: (t0 + datetime.timedelta(minutes=m)).isoformat()
+    rows = [
+        {"event_id": 1, "ts": mins(0), "user_id": 7, "event_type": "purchase", "value": 9.0, "props": "{}"},
+        {"event_id": 2, "ts": mins(30), "user_id": 7, "event_type": "click", "value": 1.0, "props": "{}"},
+        {"event_id": 3, "ts": mins(119), "user_id": 7, "event_type": "click", "value": 1.0, "props": "{}"},
+        {"event_id": 4, "ts": mins(120), "user_id": 7, "event_type": "click", "value": 1.0, "props": "{}"},  # == end: out
+        {"event_id": 5, "ts": mins(30), "user_id": 8, "event_type": "click", "value": 1.0, "props": "{}"},   # other user
+        {"event_id": 6, "ts": mins(600), "user_id": 9, "event_type": "click", "value": 1.0, "props": "{}"},  # watermark mover
+    ]
+    d = tmp_path / "attr_events"
+    d.mkdir()
+    (d / "b0.json").write_text("\n".join(json.dumps(r) for r in rows))
+
+    stream = attribution_stream(read_event_stream(spark, str(d)), window="2 hours")
+    assert stream.isStreaming
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("stream_attr")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["purchase_id"], r["click_id"])
+        for r in spark.table("stream_attr").collect()
+    }
+    assert got == {(1, 2), (1, 3)}
+
+    # batch twin over the same rows via interval_join
+    ev = spark.createDataFrame(
+        [(r["event_id"], datetime.datetime.fromisoformat(r["ts"]), r["user_id"],
+          r["event_type"], r["value"], r["props"]) for r in rows],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        "value double, props string",
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("end"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), "ts"
+    )
+    batch = {
+        (r["purchase_id"], r["click_id"])
+        for r in interval_join(clicks, purchases, keys=["user_id"]).collect()
+    }
+    assert batch == got
