@@ -110,6 +110,7 @@ from distributed_graph_database_simulation_with_load_balancing_and_threaded_requ
     corpus_prep_stats,
 )
 from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.sampling import (
+    group_sample_exact,
     rate_threshold,
     sample_quantile_err,
     split_thresholds,
@@ -1019,6 +1020,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = load_table(spark, sf_dir, "documents")
         return train_split(docs).select("doc_id", "lang", "split")
 
+    def q_group_sample(spark, sf_dir):
+        # Exactly-k-per-language deterministic sample (balanced eval
+        # subset selection): k smallest salted-md5 ranks per group,
+        # exact sizes, engine-reproducible ordering.
+        docs = load_table(spark, sf_dir, "documents")
+        return group_sample_exact(
+            docs, group_by=["lang"], id_col="doc_id", k=20
+        ).select("doc_id", "lang", "sample_rank")
+
     def q_stratified_sample(spark, sf_dir):
         # Per-language Bernoulli downsampling (domain mixing): the
         # rates below exercise explicit rates, rate 1.0, and the
@@ -1218,6 +1228,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.sum("n_nationkey").cast("long").alias("key_sum"),
         )
 
+    def q_orc_io(spark, sf_dir):
+        # ORC sink+scan roundtrip (the Hive-ecosystem columnar
+        # format; pushdown/pruning parity with Parquet).  Oracle
+        # recomputes from parquet — hash match = losslessness.
+        import tempfile
+
+        from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.sources.fileio import (
+            read_orc,
+            write_orc,
+        )
+
+        supplier = load_table(spark, sf_dir, "supplier").select(
+            "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+        )
+        path = tempfile.mkdtemp(prefix="sparkgraft_orc_") + "/supplier"
+        write_orc(supplier, path)
+        back = read_orc(
+            spark, path,
+            "s_suppkey long, s_name string, s_nationkey int, s_acctbal double",
+        )
+        return back.groupBy("s_nationkey").agg(
+            F.count("*").cast("long").alias("n_suppliers"),
+            F.min("s_name").alias("first_name"),
+            F.round(
+                F.sum(F.col("s_acctbal").cast("decimal(18,2)")).cast("double"), 4
+            ).alias("bal_sum"),
+        )
+
     def q_jsonl_io(spark, sf_dir):
         # JSON-lines sink+scan roundtrip over the documents corpus
         # (text with newlines survives via JSON escaping).
@@ -1414,6 +1452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_collocations": q_collocations,
         "q_train_split": q_train_split,
         "q_stratified_sample": q_stratified_sample,
+        "q_group_sample": q_group_sample,
         "q_rollup_revenue": q_rollup_revenue,
         "q_event_pivot": q_event_pivot,
         "q_triangles": q_triangles,
@@ -1432,6 +1471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quantile_sample": q_quantile_sample,
         "q_running_spend": q_running_spend,
         "q_csv_io": q_csv_io,
+        "q_orc_io": q_orc_io,
         "q_jsonl_io": q_jsonl_io,
         "q_bloom_join": q_bloom_join,
         "q_decontam": q_decontam,
@@ -2325,6 +2365,25 @@ def oracle_sql() -> dict[str, str]:
                    MIN(n_name) AS first_name,
                    CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
             FROM nation GROUP BY n_regionkey
+        """,
+        "q_group_sample": """
+            SELECT doc_id, lang, CAST(rk AS INTEGER) AS sample_rank
+            FROM (
+              SELECT doc_id, lang,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5('gsample' || CAST(doc_id AS VARCHAR)) ASC,
+                                doc_id ASC
+                     ) AS rk
+              FROM documents
+            ) WHERE rk <= 20
+        """,
+        "q_orc_io": """
+            SELECT CAST(s_nationkey AS INTEGER) AS s_nationkey,
+                   CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+                   MIN(s_name) AS first_name,
+                   round(CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE), 4) AS bal_sum
+            FROM supplier GROUP BY s_nationkey
         """,
         "q_jsonl_io": """
             SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,

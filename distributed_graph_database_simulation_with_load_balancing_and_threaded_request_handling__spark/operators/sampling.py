@@ -29,6 +29,7 @@ import math
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 _HEX_WIDTH = 8
 _SPACE = 1 << (4 * _HEX_WIDTH)  # 2^32 buckets
@@ -177,4 +178,35 @@ def sample_quantile_err(
         "exact_v",
         "sample_v",
         F.round(F.abs(F.col("exact_v") - F.col("sample_v")), 4).alias("abs_err"),
+    )
+
+
+def group_sample_exact(
+    df: DataFrame,
+    *,
+    group_by: list[str],
+    id_col: str,
+    k: int,
+    salt: str = "gsample",
+) -> DataFrame:
+    """Exactly-k-per-group deterministic sample: rank each group's rows
+    by the salted md5 of the id and keep the k smallest — the
+    "balanced eval subset" selection a training pipeline runs per
+    language/domain.  Unlike rate-based Bernoulli sampling
+    (``stratified_sample``), the output size per group is EXACT
+    (min(k, group size)), and unlike ``ORDER BY rand()`` it is
+    deterministic across runs, engines, and partitionings.
+
+    Returns the input rows plus ``sample_rank`` (1-based within
+    group).  Scale: one hash projection + one per-group window rank —
+    a single shuffle keyed on the group; no global sort.  A skewed
+    group is window skew: pre-filter with an approximate hash
+    threshold (rate ~ k/|group|) to shrink the ranked set when groups
+    are huge.
+    """
+    h = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    w = Window.partitionBy(*group_by).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= k)
     )

@@ -56,3 +56,17 @@ def write_jsonl(df: DataFrame, path: str) -> None:
 
 def read_jsonl(spark: SparkSession, path: str, schema: StructType | str) -> DataFrame:
     return spark.read.schema(schema).option("mode", "FAILFAST").json(path)
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    """Distributed ORC sink — the other columnar interchange format
+    (Hive ecosystems standardize on ORC where the lakehouse default is
+    Parquet).  Same committer-atomic one-file-per-partition shape."""
+    df.write.mode("overwrite").orc(path)
+
+
+def read_orc(spark: SparkSession, path: str, schema: StructType | str) -> DataFrame:
+    """Explicit-schema ORC scan: like every reader here, no inference
+    pass; ORC is columnar + footer-indexed, so predicate pushdown and
+    column pruning reach the reader exactly as with Parquet."""
+    return spark.read.schema(schema).orc(path)
