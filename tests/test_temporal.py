@@ -171,3 +171,36 @@ def test_interval_join_containment_and_boundaries(spark):
     # equi join on (key, bucket) — never a nested-loop plan
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan
+
+
+def test_interval_join_multibucket_spans_and_day_granularity(spark):
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.temporal import (
+        interval_join,
+    )
+
+    events = spark.createDataFrame(
+        [(i, f"2024-01-{d:02d} 06:00:00") for i, d in enumerate(range(1, 11), 1)],
+        "event_id long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    # one interval spanning 5 days, one spanning 1 second on day 8
+    intervals = spark.createDataFrame(
+        [
+            (100, "2024-01-02 00:00:00", "2024-01-07 00:00:00"),
+            (101, "2024-01-08 05:59:59", "2024-01-08 06:00:00"),
+        ],
+        "iv_id long, start string, end string",
+    ).withColumn("start", F.col("start").cast("timestamp_ntz")).withColumn(
+        "end", F.col("end").cast("timestamp_ntz")
+    )
+    got = {
+        (r["event_id"], r["iv_id"])
+        for r in interval_join(events, intervals, granularity="day").collect()
+    }
+    # interval 100 covers days 2..6 inclusive (end 07 00:00 exclusive)
+    assert got == {(2, 100), (3, 100), (4, 100), (5, 100), (6, 100)}
+    # hour granularity agrees (buckets don't change semantics)
+    got_h = {
+        (r["event_id"], r["iv_id"])
+        for r in interval_join(events, intervals, granularity="hour").collect()
+    }
+    assert got_h == got
