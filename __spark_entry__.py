@@ -123,7 +123,9 @@ from distributed_graph_database_simulation_with_load_balancing_and_threaded_requ
     extract_media_meta,
     frame_sample,
     plant_audio,
+    plant_bitmaps,
     plant_images,
+    resize_bitmaps,
 )
 from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.relational import (
     brand_revenue,
@@ -884,6 +886,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.length("frame").cast("long").alias("n_bytes"),
         )
 
+    def q_resize(spark, sf_dir):
+        # REAL image resize (nearest-neighbor numpy gather over Arrow
+        # batches) on raw grayscale bitmaps with arithmetic pixels:
+        # the checksum of every 16x16 output replays exactly in SQL
+        # because pixel(i,j) = (31i + 17j + id) % 256 by construction.
+        bitmaps = plant_bitmaps(load_table(spark, sf_dir, "documents"))
+        return resize_bitmaps(bitmaps, out_w=16, out_h=16)
+
     def q_audio_meta(spark, sf_dir):
         # REAL WAV decode: RIFF/WAVE chunk walk over structurally
         # valid planted PCM files; the oracle predicts sample rate,
@@ -1433,6 +1443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_image_meta": q_image_meta,
         "q_audio_meta": q_audio_meta,
         "q_frame_sample": q_frame_sample,
+        "q_resize": q_resize,
         "q_pricing_summary": q_pricing_summary,
         "q_event_windows": q_event_windows,
         "q_top_events": q_top_events,
@@ -1814,6 +1825,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(j AS BIGINT) AS frame_no,
                    CAST(least(256, L - j * stride * 256) AS BIGINT) AS n_bytes
             FROM f
+        """,
+        # Nearest-neighbor resize replay: source W/H and every pixel
+        # are arithmetic in doc_id, so the 16x16 output checksum is a
+        # 256-term sum over the sampled source coordinates
+        # (out[r,c] = src[r*H // 16, c*W // 16]).
+        "q_resize": """
+            WITH grid AS (
+              SELECT r.r, c.c FROM range(0, 16) r(r) CROSS JOIN range(0, 16) c(c)
+            ),
+            px AS (
+              SELECT d.doc_id,
+                     (31 * ((g.r * (8 + d.doc_id % 7)) // 16)
+                      + 17 * ((g.c * (8 + d.doc_id % 9)) // 16)
+                      + d.doc_id) % 256 AS v
+              FROM documents d CROSS JOIN grid g
+            )
+            SELECT CAST(doc_id AS BIGINT) AS media_id,
+                   CAST(16 AS BIGINT) AS out_w,
+                   CAST(16 AS BIGINT) AS out_h,
+                   CAST(SUM(v) AS BIGINT) AS checksum
+            FROM px GROUP BY doc_id
         """,
         # plant_audio builds one 16-bit PCM WAV per doc (44 header
         # bytes + frames*channels*2); params are arithmetic in doc_id.

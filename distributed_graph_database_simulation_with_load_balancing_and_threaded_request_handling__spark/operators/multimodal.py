@@ -368,3 +368,92 @@ def frame_sample(media: DataFrame, *, chunk_bytes: int = 4096, max_frames: int =
             yield pd.DataFrame({"media_id": ids, "frame_no": nos, "frame": frames})
 
     return media.where(F.col("media_type") == "video").mapInPandas(process, schema=frame_schema)
+
+
+RAW_BITMAP_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("width", LongType(), False),
+        StructField("height", LongType(), False),
+        StructField("pixels", BinaryType(), False),  # row-major grayscale
+    ]
+)
+
+
+def plant_bitmaps(documents: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """Raw grayscale bitmap fixtures with arithmetic pixels:
+    W = 8 + id%9, H = 8 + id%7, pixel(i, j) = (31*i + 17*j + id) % 256
+    — every byte predictable from the id, so resize output is
+    value-checkable without ever materializing pixels in SQL."""
+    import numpy as np
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, pxs = [], [], [], []
+            for i in pdf[id_col]:
+                i = int(i)
+                w, h = 8 + i % 9, 8 + i % 7
+                rows = np.arange(h, dtype=np.int64)[:, None] * 31
+                cols = np.arange(w, dtype=np.int64)[None, :] * 17
+                arr = ((rows + cols + i) % 256).astype(np.uint8)
+                ids.append(i)
+                ws.append(w)
+                hs.append(h)
+                pxs.append(arr.tobytes())
+            yield pd.DataFrame(
+                {"media_id": ids, "width": ws, "height": hs, "pixels": pxs}
+            )
+
+    return documents.select(id_col).mapInPandas(build, schema=RAW_BITMAP_SCHEMA)
+
+
+def resize_bitmaps(
+    bitmaps: DataFrame, *, out_w: int, out_h: int
+) -> DataFrame:
+    """REAL image resize (nearest-neighbor) over raw grayscale
+    bitmaps — the resize stage of a multimodal pipeline with the codec
+    removed, not stubbed: vectorized numpy index-sampling per Arrow
+    batch (``out[r, c] = src[r*H // out_h, c*W // out_w]``).  Returns
+    ``(media_id, out_w, out_h, checksum)`` where checksum is the sum
+    of all output pixels (exactly replayable arithmetic for the
+    oracle; swap the tail of the map function to emit the resized
+    bytes instead when a downstream stage wants the pixels).
+
+    Scale: pixels ride Arrow record batches; per-image work is two
+    integer index vectors + one fancy-index gather — O(out pixels),
+    vectorized, no Python loop over pixels."""
+    import numpy as np
+
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("out_w", LongType(), False),
+            StructField("out_h", LongType(), False),
+            StructField("checksum", LongType(), False),
+        ]
+    )
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, sums = [], []
+            for mid, w, h, raw in zip(
+                pdf["media_id"], pdf["width"], pdf["height"], pdf["pixels"]
+            ):
+                src = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(
+                    int(h), int(w)
+                )
+                rr = (np.arange(out_h, dtype=np.int64) * int(h)) // out_h
+                cc = (np.arange(out_w, dtype=np.int64) * int(w)) // out_w
+                out = src[np.ix_(rr, cc)]
+                ids.append(int(mid))
+                sums.append(int(out.sum(dtype=np.int64)))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "out_w": [out_w] * len(ids),
+                    "out_h": [out_h] * len(ids),
+                    "checksum": sums,
+                }
+            )
+
+    return bitmaps.mapInPandas(process, schema=out_schema)

@@ -671,3 +671,28 @@ def test_decontaminate_empty_docs_do_not_cross_flag(spark):
     assert out[1]["contaminated"] is False
     # real shared 5-gram still flags
     assert out[2]["contaminated"] is True
+
+
+def test_resize_bitmaps_nearest_neighbor(spark):
+    import numpy as np
+
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.multimodal import (
+        plant_bitmaps,
+        resize_bitmaps,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    out = {
+        r["media_id"]: r
+        for r in resize_bitmaps(plant_bitmaps(docs), out_w=4, out_h=4).collect()
+    }
+    for i in range(6):
+        w, h = 8 + i % 9, 8 + i % 7
+        src = (
+            np.arange(h)[:, None] * 31 + np.arange(w)[None, :] * 17 + i
+        ) % 256
+        rr = (np.arange(4) * h) // 4
+        cc = (np.arange(4) * w) // 4
+        want = int(src[np.ix_(rr, cc)].sum())
+        assert out[i]["checksum"] == want
+        assert (out[i]["out_w"], out[i]["out_h"]) == (4, 4)
