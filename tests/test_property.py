@@ -216,3 +216,54 @@ def test_wav_meta_roundtrip(rate, channels, frames):
 def test_parsers_never_raise_on_garbage(data):
     image_dims(data)  # may return None or a (w, h); must not raise
     audio_meta(data)
+
+
+# --- interval join vs brute force ---
+
+@st.composite
+def events_and_intervals(draw):
+    n_ev = draw(st.integers(min_value=1, max_value=15))
+    n_iv = draw(st.integers(min_value=1, max_value=6))
+    evs = [
+        (i, draw(st.integers(min_value=0, max_value=72)) * 600)  # 10-min grid, 12h span
+        for i in range(n_ev)
+    ]
+    ivs = []
+    for j in range(n_iv):
+        s = draw(st.integers(min_value=0, max_value=72)) * 600
+        length = draw(st.integers(min_value=0, max_value=18)) * 600
+        ivs.append((100 + j, s, s + length))
+    return evs, ivs
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=events_and_intervals())
+def test_interval_join_matches_brute_force(sess, data):
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.temporal import (
+        interval_join,
+    )
+
+    evs, ivs = data
+    t0 = datetime.datetime(2026, 3, 1)
+    sec = lambda s: t0 + datetime.timedelta(seconds=s)
+    events = sess.createDataFrame(
+        [(i, sec(s)) for i, s in evs], "event_id long, ts timestamp_ntz"
+    )
+    intervals = sess.createDataFrame(
+        [(j, sec(a), sec(b)) for j, a, b in ivs],
+        "iv_id long, start timestamp_ntz, end timestamp_ntz",
+    )
+    got = {
+        (r["event_id"], r["iv_id"])
+        for r in interval_join(events, intervals, granularity="hour").collect()
+    }
+    want = {(i, j) for i, s in evs for j, a, b in ivs if a <= s < b}
+    assert got == want
