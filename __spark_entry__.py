@@ -1410,7 +1410,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             date_to="1998-01-01",
         )
 
+    # Registry ORDER matters: the driver's oracle gate checks only the
+    # FIRST 50 entries, so the 30 queries that had never received an
+    # official CORRECTNESS row through round 3 (graph analytics,
+    # sketches, sampling/splits, relational/IO tail) lead, followed by
+    # this round's new queries; the long-green round-3 suite
+    # (CORRECTNESS_r03: 50/50 pass) fills the tail.
     return {
+        # -- never driver-checked through r03 (30) --
+        "q_triangles": q_triangles,
+        "q_pagerank": q_pagerank,
+        "q_pagerank_weighted": q_pagerank_weighted,
+        "q_degree_hist": q_degree_hist,
+        "q_common_neighbors": q_common_neighbors,
+        "q_kcore": q_kcore,
+        "q_sssp": q_sssp,
+        "q_train_split": q_train_split,
+        "q_stratified_sample": q_stratified_sample,
+        "q_group_sample": q_group_sample,
+        "q_rollup_revenue": q_rollup_revenue,
+        "q_event_pivot": q_event_pivot,
+        "q_pipeline_stats": q_pipeline_stats,
+        "q_gapfill": q_gapfill,
+        "q_cms_counts": q_cms_counts,
+        "q_salted_join": q_salted_join,
+        "q_hll_merged": q_hll_merged,
+        "q_kmv_overlap": q_kmv_overlap,
+        "q_quantile_sample": q_quantile_sample,
+        "q_running_spend": q_running_spend,
+        "q_csv_io": q_csv_io,
+        "q_orc_io": q_orc_io,
+        "q_jsonl_io": q_jsonl_io,
+        "q_bloom_join": q_bloom_join,
+        "q_decontam": q_decontam,
+        "q_chunks": q_chunks,
+        "q_pii_redact": q_pii_redact,
+        "q_ship_priority": q_ship_priority,
+        "q_local_supplier": q_local_supplier,
+        "q_request_replies": q_request_replies,
+        # -- reference parity + round-3-green suite --
         "q_add_graph": q_add_graph,
         "q_modify_graph": q_modify_graph,
         "q_bfs_levels": q_bfs_levels,
@@ -1461,36 +1499,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_repetition": q_repetition,
         "q_tfidf": q_tfidf,
         "q_collocations": q_collocations,
-        "q_train_split": q_train_split,
-        "q_stratified_sample": q_stratified_sample,
-        "q_group_sample": q_group_sample,
-        "q_rollup_revenue": q_rollup_revenue,
-        "q_event_pivot": q_event_pivot,
-        "q_triangles": q_triangles,
-        "q_pagerank": q_pagerank,
-        "q_pagerank_weighted": q_pagerank_weighted,
-        "q_degree_hist": q_degree_hist,
-        "q_common_neighbors": q_common_neighbors,
-        "q_kcore": q_kcore,
-        "q_sssp": q_sssp,
-        "q_pipeline_stats": q_pipeline_stats,
-        "q_gapfill": q_gapfill,
-        "q_cms_counts": q_cms_counts,
-        "q_salted_join": q_salted_join,
-        "q_hll_merged": q_hll_merged,
-        "q_kmv_overlap": q_kmv_overlap,
-        "q_quantile_sample": q_quantile_sample,
-        "q_running_spend": q_running_spend,
-        "q_csv_io": q_csv_io,
-        "q_orc_io": q_orc_io,
-        "q_jsonl_io": q_jsonl_io,
-        "q_bloom_join": q_bloom_join,
-        "q_decontam": q_decontam,
-        "q_chunks": q_chunks,
-        "q_pii_redact": q_pii_redact,
-        "q_ship_priority": q_ship_priority,
-        "q_local_supplier": q_local_supplier,
-        "q_request_replies": q_request_replies,
     }
 
 def oracle_sql() -> dict[str, str]:

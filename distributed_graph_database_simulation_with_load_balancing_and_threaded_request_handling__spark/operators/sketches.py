@@ -305,10 +305,17 @@ def kmv_intersect_estimate(
         .join(F.broadcast(kth.select(F.col("theta").alias("_t"))), how="left")
         .agg(
             F.count("*").cast("long").alias("n_common_all"),
-            F.sum(
-                F.when(
-                    F.col("_t").isNull() | (_hx_frac(F.col("hx")) < F.col("_t")), 1
-                ).otherwise(0)
+            # coalesce: SUM over the empty a⋈b aggregation is NULL, and a
+            # NULL n_common would poison est_inter in the theta regime for
+            # disjoint sets — the oracle COALESCEs the same sum to 0.
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("_t").isNull() | (_hx_frac(F.col("hx")) < F.col("_t")),
+                        1,
+                    ).otherwise(0)
+                ),
+                F.lit(0),
             )
             .cast("long")
             .alias("n_common"),

@@ -44,6 +44,33 @@ def test_every_oracle_has_a_query():
         assert isinstance(sql, str) and sql.strip(), name
 
 
+def test_registry_order_covers_the_driver_window():
+    """The driver's oracle gate only checks the FIRST 50 registry
+    entries.  Every declared query must therefore appear either in an
+    official CORRECTNESS_r*.json record (already driver-verified) or in
+    the current first-50 window (will be verified this round) — so no
+    query can sit outside the official record forever."""
+    import glob
+    import json
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    officially_checked = set()
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        with open(path) as fh:
+            rec = json.load(fh)
+        officially_checked |= {
+            name
+            for name, row in rec.items()
+            if isinstance(row, dict) and row.get("hash_match")
+        }
+    window = list(entry.queries())[:50]
+    uncovered = set(entry.queries()) - officially_checked - set(window)
+    assert not uncovered, (
+        f"queries outside both the official CORRECTNESS record and the "
+        f"driver's first-50 window: {sorted(uncovered)}"
+    )
+
+
 def test_no_query_lacks_an_oracle():
     """Every declared query should have a value oracle.  If a genuinely
     non-SQL-expressible op is added later, list it here explicitly so the

@@ -606,6 +606,28 @@ def test_kmv_sketch_and_intersection(spark):
     assert est2["est_union"] == 30.0
     assert est2["est_inter"] == 10.0
 
+    # disjoint sets in the theta regime: the a⋈b join is EMPTY, so the
+    # conditional SUM aggregates zero rows — est_inter must be 0.0, not
+    # NULL (matches the oracle's COALESCE(SUM(...), 0))
+    disj = spark.createDataFrame(
+        [("a", i) for i in range(400)] + [("b", i) for i in range(1000, 1400)],
+        "g string, v long",
+    )
+    sk3 = kmv_sketch(disj, "v", group_by=["g"], k=128)
+    est3 = kmv_intersect_estimate(sk3, "g", "a", "b", k=128).collect()[0]
+    assert est3["est_inter"] == 0.0
+    assert est3["est_union"] == pytest.approx(800, rel=0.3)
+
+    # disjoint sets in the exhaustive regime (fewer than k combined)
+    disj_small = spark.createDataFrame(
+        [("a", i) for i in range(15)] + [("b", i) for i in range(100, 115)],
+        "g string, v long",
+    )
+    sk4 = kmv_sketch(disj_small, "v", group_by=["g"], k=128)
+    est4 = kmv_intersect_estimate(sk4, "g", "a", "b", k=128).collect()[0]
+    assert est4["est_union"] == 30.0
+    assert est4["est_inter"] == 0.0
+
 
 def test_redact_pii(spark):
     from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.textops import (
