@@ -43,6 +43,7 @@ from distributed_graph_database_simulation_with_load_balancing_and_threaded_requ
     copurchase_edges,
     copurchase_weighted_edges,
     derived_tree_edges,
+    evict_edge_cache,
     requests_from_orders,
 )
 from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.graphalgs import (
@@ -50,6 +51,7 @@ from distributed_graph_database_simulation_with_load_balancing_and_threaded_requ
     degree_histogram,
     kcore,
     pagerank_fixed,
+    pagerank_prepare,
     sssp,
     triangle_counts,
 )
@@ -396,6 +398,27 @@ _TREE_LEVELS_CACHE: dict = {}
 # (identical parameters; one LSH pipeline instead of two).
 _RECALL_PAIRS_CACHE: dict = {}
 
+# (applicationId, sf_dir) -> pagerank_prepare result over the weighted
+# symmetric co-purchase graph; ONE edge⋈outdeg build serves both
+# q_pagerank (uniform rule via outdeg_unit) and q_pagerank_weighted.
+_PAGERANK_GRAPH_CACHE: dict = {}
+
+
+def _evict_other_sf(sf_dir: str) -> None:
+    """Session caches are keyed ``(applicationId, sf_dir[, ...])`` and
+    the harness sweeps one sf_dir at a time — when a different sf_dir
+    is requested, drop every entry for the previous one (unpersisting
+    where the cached object supports it; localCheckpoint blocks are
+    reclaimed by the ContextCleaner once unreferenced).  Keeps a
+    long-lived session from accumulating persisted blocks across
+    sf_dir sweeps (round-3 ADVICE)."""
+    for cache in (_TREE_LEVELS_CACHE, _RECALL_PAIRS_CACHE, _PAGERANK_GRAPH_CACHE):
+        for key in [k for k in cache if k[1] != sf_dir]:
+            obj = cache.pop(key)
+            if hasattr(obj, "unpersist"):
+                obj.unpersist()
+    evict_edge_cache(except_sf_dir=sf_dir)
+
 def _sql_planes_values() -> str:
     """The hyperplane constants of similarity.make_hyperplanes (seeded
     LCG, so identical on both engines) as a VALUES list (t, p, h)."""
@@ -656,6 +679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # localCheckpointed levels, so later consumers re-read
         # checkpoint blocks instead of re-running supersteps — the
         # same session-scoped posture as derived_tree_edges' cache.
+        _evict_other_sf(sf_dir)
         key = (spark.sparkContext.applicationId, sf_dir)
         if key not in _TREE_LEVELS_CACHE:
             edges = derived_tree_edges(spark, sf_dir, symmetric=True)
@@ -738,6 +762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def _recall_minhash_pairs(spark, sf_dir):
         # One LSH pipeline per (session, sf_dir) for the recall-prefix
         # pair set q_minhash_recall and q_dedup_clusters both consume.
+        _evict_other_sf(sf_dir)
         key = (spark.sparkContext.applicationId, sf_dir)
         if key not in _RECALL_PAIRS_CACHE:
             docs = load_table(spark, sf_dir, "documents").where(
@@ -1064,21 +1089,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             copurchase_edges(spark, sf_dir, ship_range=("1995-01-01", "1996-01-01"))
         )
 
+    def _pagerank_graph(spark, sf_dir):
+        # ONE edge⋈outdeg build per (session, sf_dir): the weighted
+        # symmetric co-purchase graph has the same edge set as the
+        # unweighted one (a pair exists iff cnt >= 1), and
+        # pagerank_prepare computes both degree flavors in a single
+        # groupBy — so q_pagerank and q_pagerank_weighted share this
+        # prepared graph instead of each rebuilding it.
+        _evict_other_sf(sf_dir)
+        key = (spark.sparkContext.applicationId, sf_dir)
+        if key not in _PAGERANK_GRAPH_CACHE:
+            wsym = copurchase_weighted_edges(spark, sf_dir, symmetric=True)
+            _PAGERANK_GRAPH_CACHE[key] = pagerank_prepare(wsym, weight_col="cnt")
+        return _PAGERANK_GRAPH_CACHE[key]
+
     def q_pagerank(spark, sf_dir):
         # Fixed-point PageRank (integer units of 1e-12) over the
         # symmetric co-purchase graph — exact cross-engine value
-        # oracle because every step is integer arithmetic.
-        edges = copurchase_edges(spark, sf_dir, symmetric=True)
-        edges.count()  # warm the shared cache at session width
-        pr = pagerank_fixed(edges, iters=5, loop_shuffle_partitions=4)
+        # oracle because every step is integer arithmetic.  weight_col
+        # None selects the uniform rule (r div outdeg_unit) over the
+        # shared weight-prepared graph.
+        g = _pagerank_graph(spark, sf_dir)
+        pr = pagerank_fixed(prepared=g, iters=5, loop_shuffle_partitions=4)
         return pr.withColumnRenamed("rank", "rank_val")
 
     def q_pagerank_weighted(spark, sf_dir):
         # Weight-proportional PageRank: co-occurrence counts as edge
         # weights, splits by total out-weight — still all-integer.
-        wsym = copurchase_weighted_edges(spark, sf_dir, symmetric=True)
-        wsym.count()  # warm the shared cache at session width
-        pr = pagerank_fixed(wsym, iters=5, weight_col="cnt", loop_shuffle_partitions=4)
+        g = _pagerank_graph(spark, sf_dir)
+        pr = pagerank_fixed(
+            prepared=g, iters=5, weight_col="cnt", loop_shuffle_partitions=4
+        )
         return pr.withColumnRenamed("rank", "rank_val")
 
     def q_degree_hist(spark, sf_dir):

@@ -152,8 +152,78 @@ def triangle_counts(
         raise ValueError(f"unknown strategy {strategy!r} (adjacency|wedge)")
     return out.select(F.col("vertex").cast("long").alias("vertex"), "triangles")
 
-def pagerank_fixed(
+class PageRankGraph:
+    """Materialized inputs shared by ``pagerank_fixed`` runs over the
+    same graph: the edge⋈outdeg subtree (eagerly localCheckpointed),
+    the vertex set, and the vertex count.
+
+    ONE ``groupBy`` computes both the weighted out-degree
+    (``outdeg = SUM(w)``) and the unit out-degree
+    (``outdeg_unit = COUNT(*)``), so a single prepare serves BOTH the
+    uniform-split and the weight-proportional update rules — two
+    PageRank variants over one graph pay for one build instead of two
+    (the round-3 bench showed the build re-run per query was ~40% of
+    each PageRank query's cost)."""
+
+    __slots__ = ("ed", "verts", "n")
+
+    def __init__(self, ed: DataFrame, verts: DataFrame, n: int):
+        self.ed = ed
+        self.verts = verts
+        self.n = n
+
+
+def pagerank_prepare(
     edges: DataFrame,
+    *,
+    graph_id: int | None = None,
+    weight_col: str | None = None,
+) -> PageRankGraph:
+    """Build the shared ``PageRankGraph`` for ``pagerank_fixed``.
+
+    ``ed`` columns: ``(esrc, edst, w, outdeg, outdeg_unit)``.  With
+    ``weight_col=None`` the graph is unweighted (``w = 1`` and
+    ``outdeg == outdeg_unit``); with a weight column, both degree
+    flavors are available and the same prepared graph can run the
+    weighted AND the unweighted update rules.
+
+    The eager ``localCheckpoint`` is deliberate (the triangle_counts
+    idiom): the rank loop references ``ed`` once per round inside a
+    single lazy DAG with no in-loop action, so a persist()-then-
+    unpersist would be released before the caller's action ran.
+    """
+    if weight_col is None:
+        e = _edges_only(edges, graph_id)
+        e = e.select("src", "dst", F.lit(1).cast("long").alias("w"))
+    else:
+        e = _edges_only_weighted(edges, graph_id, weight_col=weight_col)
+    outdeg = e.groupBy(F.col("src").alias("vertex")).agg(
+        F.sum("w").alias("outdeg"),
+        F.count("*").cast("long").alias("outdeg_unit"),
+    )
+    verts = (
+        e.select(F.col("src").alias("vertex"))
+        .unionAll(e.select(F.col("dst").alias("vertex")))
+        .distinct()
+    )
+    ed = (
+        e.join(outdeg, e["src"] == outdeg["vertex"])
+        .select(
+            e["src"].alias("esrc"),
+            e["dst"].alias("edst"),
+            "w",
+            "outdeg",
+            "outdeg_unit",
+        )
+        .localCheckpoint(eager=True)
+    )
+    verts = verts.localCheckpoint(eager=True)
+    n = verts.count()  # one driver scalar (reads the checkpoint)
+    return PageRankGraph(ed, verts, n)
+
+
+def pagerank_fixed(
+    edges: DataFrame | None = None,
     *,
     iters: int = 5,
     damping_pct: int = 85,
@@ -161,6 +231,7 @@ def pagerank_fixed(
     graph_id: int | None = None,
     weight_col: str | None = None,
     loop_shuffle_partitions: int | None = None,
+    prepared: PageRankGraph | None = None,
 ) -> DataFrame:
     """Fixed-point PageRank over a directed edge list (pass a
     symmetric list for undirected graphs).  Returns
@@ -213,38 +284,27 @@ def pagerank_fixed(
     inside the operator (localCheckpoint) so the narrowed width
     actually binds; leave None at scan-dominated scale to inherit the
     session width and full laziness.
+
+    ``prepared`` (a ``pagerank_prepare`` result) skips the build
+    entirely — pass the same prepared graph to a weighted and an
+    unweighted run to share one edge⋈outdeg materialization.  With
+    ``prepared``, ``weight_col`` only SELECTS the update rule (any
+    non-None value means weight-proportional using the prepared
+    ``w``/``outdeg``; None means uniform using ``outdeg_unit``).
     """
-    spark = edges.sparkSession
+    if prepared is None:
+        if edges is None:
+            raise ValueError("pass either edges or prepared")
+        prepared = pagerank_prepare(edges, graph_id=graph_id, weight_col=weight_col)
+        spark = edges.sparkSession
+    else:
+        spark = prepared.verts.sparkSession
     _parts_key = "spark.sql.shuffle.partitions"
     _prev_parts = spark.conf.get(_parts_key)
     if loop_shuffle_partitions is not None:
         spark.conf.set(_parts_key, str(int(loop_shuffle_partitions)))
     try:
-        if weight_col is None:
-            e = _edges_only(edges, graph_id)
-            e = e.select("src", "dst", F.lit(1).cast("long").alias("w"))
-        else:
-            e = _edges_only_weighted(edges, graph_id, weight_col=weight_col)
-        outdeg = e.groupBy(F.col("src").alias("vertex")).agg(F.sum("w").alias("outdeg"))
-        verts = (
-            e.select(F.col("src").alias("vertex"))
-            .unionAll(e.select(F.col("dst").alias("vertex")))
-            .distinct()
-        )
-        # Materialize the shared subtrees ONCE (eager localCheckpoint, the
-        # triangle_counts idiom): the loop body references ed/verts 2-3
-        # times per round in a single lazy DAG with no in-loop action, so
-        # a persist()-then-unpersist-in-finally would be released before
-        # the caller's action ever ran, re-deriving the edge+outdeg join
-        # per reference.  Distinct column names (esrc/edst) keep every
-        # per-round self-join reference unambiguous as lineage accumulates.
-        ed = (
-            e.join(outdeg, e["src"] == outdeg["vertex"])
-            .select(e["src"].alias("esrc"), e["dst"].alias("edst"), "w", "outdeg")
-            .localCheckpoint(eager=True)
-        )
-        verts = verts.localCheckpoint(eager=True)
-        n = verts.count()  # one driver scalar (reads the checkpoint)
+        ed, verts, n = prepared.ed, prepared.verts, prepared.n
         if n == 0:
             return verts.select(
                 F.col("vertex").cast("long"),
@@ -254,15 +314,20 @@ def pagerank_fixed(
         init = scale // n
         teleport = ((100 - damping_pct) * scale // 100) // n
         ranks = verts.select("vertex", F.lit(init).cast("long").alias("r"))
+        # `div` is true integer floor division (positive args) — NOT
+        # `/`, which is float division and loses exactness for large
+        # operands.  The uniform rule divides by outdeg_unit so a
+        # weight-prepared graph can still run unweighted PageRank; for
+        # an unweighted prepare w == 1 and outdeg == outdeg_unit, so
+        # the two expressions are identical.
+        contrib = (
+            "(r * w) div outdeg" if weight_col is not None else "r div outdeg_unit"
+        )
         _CHECKPOINT_EVERY = 8
         for i in range(iters):
             sums = (
                 ranks.join(ed, ranks["vertex"] == F.col("esrc"))
-                # `div` is true integer floor division (positive args) —
-                # NOT `/`, which is float division and loses exactness
-                # for large operands.  Unweighted: w == 1 identically,
-                # so (r * w) div outdeg == r div outdeg.
-                .select(F.col("edst").alias("sv"), F.expr("(r * w) div outdeg").alias("c"))
+                .select(F.col("edst").alias("sv"), F.expr(contrib).alias("c"))
                 .groupBy("sv")
                 .agg(F.sum("c").alias("s"))
             )
@@ -520,26 +585,34 @@ def sssp(
         converged = False
         for _ in range(max_iters):
             relaxed = frontier.join(e, F.col("v") == F.col("esrc")).select(
-                F.col("edst").alias("v"), (F.col("d") + F.col("w")).alias("d")
+                F.col("edst").alias("v"),
+                (F.col("d") + F.col("w")).alias("d"),
+                F.lit(False).alias("settled"),
             )
-            # Checkpoint new_dist FIRST, derive the frontier from the
-            # checkpointed handle: the frontier count then materializes
-            # the min-merge exactly once; a frontier built on the raw
-            # plan would re-execute it when the next round reads dist.
-            new_dist = (
-                dist.unionAll(relaxed)
+            # ONE tagged min-merge detects improvement in the same
+            # aggregation: old rows carry settled=true, so
+            # od = MIN(d | settled) is the previous distance (NULL for
+            # newly reached vertices) and the frontier is simply the
+            # rows where the merged min beat it — the per-round
+            # |V|-sized new-vs-old left join this replaces was ~1/3 of
+            # each superstep's cost.  Checkpoint the merged table and
+            # derive dist/frontier as narrow projections of the
+            # checkpointed handle: the frontier count materializes the
+            # merge exactly once and later rounds re-read its blocks.
+            merged = (
+                dist.select("v", "d", F.lit(True).alias("settled"))
+                .unionAll(relaxed)
                 .groupBy("v")
-                .agg(F.min("d").alias("d"))
+                .agg(
+                    F.min("d").alias("d"),
+                    F.min(F.when(F.col("settled"), F.col("d"))).alias("od"),
+                )
                 .localCheckpoint(eager=False)
             )
-            old = dist.select(F.col("v").alias("ov"), F.col("d").alias("od"))
-            frontier = (
-                new_dist.join(old, F.col("v") == F.col("ov"), "left")
-                .where(F.col("od").isNull() | (F.col("d") < F.col("od")))
-                .select("v", "d")
-                .localCheckpoint(eager=False)
-            )
-            dist = new_dist
+            frontier = merged.where(
+                F.col("od").isNull() | (F.col("d") < F.col("od"))
+            ).select("v", "d")
+            dist = merged.select("v", "d")
             if frontier.count() == 0:
                 converged = True
                 break

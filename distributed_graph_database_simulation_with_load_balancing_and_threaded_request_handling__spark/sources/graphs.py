@@ -26,6 +26,17 @@ ROOT_VID = 999
 _EDGE_CACHE: dict[tuple, DataFrame] = {}
 
 
+def evict_edge_cache(except_sf_dir: str | None = None) -> None:
+    """Unpersist and drop every cached edge table whose sf_dir differs
+    from ``except_sf_dir`` (all of them when None).  Cache keys are
+    ``(applicationId, sf_dir, kind, ...)`` — sf_dir is index 1.  The
+    driver harness sweeps one sf_dir at a time, so a long-lived
+    session switching sf_dirs releases the previous scale's persisted
+    blocks instead of accumulating them."""
+    for key in [k for k in _EDGE_CACHE if except_sf_dir is None or k[1] != except_sf_dir]:
+        _EDGE_CACHE.pop(key).unpersist()
+
+
 def derived_tree_edges(
     spark: SparkSession,
     sf_dir: str,
