@@ -1243,11 +1243,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_quantile_sample(spark, sf_dir):
         # Sampling accuracy contract: exact p50/p90/p99 of extended
-        # price vs the same quantiles over a deterministic 10% sample,
-        # with measured absolute error — one scan, value-exact oracle.
-        li = load_table(spark, sf_dir, "lineitem")
+        # price PER SHIP MONTH vs the same quantiles over a
+        # deterministic 10% sample, with measured absolute error — one
+        # scan, value-exact oracle.  The ~84 month strata keep the
+        # exact percentile parallel across groups (no single-global-
+        # group gather in the plan), and each stratum's gather is
+        # bounded by a month of data, not the whole table.
+        li = load_table(spark, sf_dir, "lineitem").withColumn(
+            "ship_month", F.date_format("l_shipdate", "yyyy-MM")
+        )
         key = F.concat_ws("-", F.col("l_orderkey"), F.col("l_linenumber"))
-        return sample_quantile_err(li, F.col("l_extendedprice"), key)
+        return sample_quantile_err(
+            li, F.col("l_extendedprice"), key, group_by=["ship_month"]
+        )
 
     def q_running_spend(spark, sf_dir):
         # Cumulative spend per customer (explicit ROWS frame, decimal
@@ -2416,19 +2424,21 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_quantile_sample": " UNION ALL ".join(
             f"""
-            SELECT q, exact_v, sample_v,
+            SELECT ship_month, q, exact_v, sample_v,
                    round(abs(exact_v - sample_v), 4) AS abs_err
             FROM (
-              SELECT CAST({q} AS DOUBLE) AS q,
+              SELECT ship_month, CAST({q} AS DOUBLE) AS q,
                      round(quantile_cont(x, {q}), 4) AS exact_v,
                      round(quantile_cont(x, {q}) FILTER (WHERE s), 4) AS sample_v
               FROM (
-                SELECT CAST(l_extendedprice AS DOUBLE) AS x,
+                SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+                       CAST(l_extendedprice AS DOUBLE) AS x,
                        substring(md5('q' || CAST(l_orderkey AS VARCHAR) || '-'
                                  || CAST(l_linenumber AS VARCHAR)), 1, 8)
                            < '{rate_threshold(0.1)}' AS s
                 FROM lineitem
               )
+              GROUP BY ship_month
             )"""
             for q in (0.5, 0.9, 0.99)
         ),

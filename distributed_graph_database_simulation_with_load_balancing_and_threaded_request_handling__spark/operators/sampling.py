@@ -131,6 +131,7 @@ def sample_quantile_err(
     value: Column,
     sample_key: Column,
     *,
+    group_by: list[str] | None = None,
     rate: float = 0.1,
     qs: tuple[float, ...] = (0.5, 0.9, 0.99),
     salt: str = "q",
@@ -138,7 +139,8 @@ def sample_quantile_err(
     """Accuracy contract for sampling-based quantile estimation: exact
     interpolated quantiles of ``value`` over the FULL data vs over a
     deterministic md5-thresholded sample, with the absolute error —
-    one row per requested quantile ``(q, exact_v, sample_v, abs_err)``.
+    one row per stratum and requested quantile
+    ``(*group_by, q, exact_v, sample_v, abs_err)``.
 
     The same posture as the LSH/minhash recall queries: an
     approximation (here, estimate-from-a-sample) shipped WITH a
@@ -151,29 +153,38 @@ def sample_quantile_err(
     Scale: ONE scan — the sample quantile is computed with a
     conditional value (non-sampled rows contribute NULL, which
     ``percentile`` ignores), so no second pass and no materialized
-    sample.  Exact percentile gathers the group's values (single
-    global group here); for production monitoring at 100 TB swap in
-    ``approx_percentile`` (t-digest, mergeable map-side) and keep this
-    exact form as its acceptance test at fixture scale.
+    sample.  Exact percentile gathers each STRATUM's values to one
+    task, so with ``group_by`` the work parallelizes across strata and
+    no single-global-group aggregate appears in the plan (pass
+    ``group_by=None`` only for bounded inputs); for per-stratum data
+    still too large to gather, swap in ``approx_percentile`` (t-digest,
+    mergeable map-side) and keep this exact form as its acceptance
+    test at fixture scale.
     """
     thr = rate_threshold(rate)
     qarr = F.array(*[F.lit(float(q)) for q in qs])
+    gcols = list(group_by or [])
     flagged = df.select(
+        *gcols,
         value.cast("double").alias("x"),
         (hash_slice(sample_key, salt=salt) < thr).alias("s"),
     )
-    agg = flagged.agg(
+    grouped = flagged.groupBy(*gcols) if gcols else flagged
+    agg = grouped.agg(
         F.percentile(F.col("x"), qarr).alias("full_q"),
         F.percentile(F.when(F.col("s"), F.col("x")), qarr).alias("samp_q"),
     )
     exploded = agg.select(
-        F.posexplode(F.arrays_zip("full_q", "samp_q")).alias("i", "z")
+        *gcols,
+        F.posexplode(F.arrays_zip("full_q", "samp_q")).alias("i", "z"),
     ).select(
+        *gcols,
         F.element_at(F.lit(list(map(float, qs))), F.col("i") + 1).alias("q"),
         F.round(F.col("z.full_q"), 4).alias("exact_v"),
         F.round(F.col("z.samp_q"), 4).alias("sample_v"),
     )
     return exploded.select(
+        *gcols,
         "q",
         "exact_v",
         "sample_v",

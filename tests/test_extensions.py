@@ -460,6 +460,18 @@ def test_sample_quantile_err_contract(spark):
         assert abs(r.sample_v - r.exact_v) < 300
         assert r.abs_err == round(abs(r.exact_v - r.sample_v), 4)
 
+    # Per-stratum path: each group's exact quantile is the group-local
+    # value (not the global one), and the plan carries a keyed
+    # aggregate — no single-global-group percentile gather.
+    strat = df.withColumn("g", F.when(F.col("id") <= 5000, "lo").otherwise("hi"))
+    grouped = sample_quantile_err(
+        strat, F.col("v"), F.col("id"), group_by=["g"], rate=0.2, qs=(0.5,)
+    )
+    rows = {r.g: r for r in grouped.collect()}
+    assert rows["lo"].exact_v == 2500.5
+    assert rows["hi"].exact_v == 7500.5
+    assert "percentile" in grouped._jdf.queryExecution().executedPlan().toString().lower()
+
 
 def test_running_customer_spend_prefix_sums(spark):
     import datetime
