@@ -121,7 +121,11 @@ from distributed_graph_database_simulation_with_load_balancing_and_threaded_requ
 )
 from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.multimodal import (
     attach_media,
+    audio_pcm_features,
     extract_audio_meta,
+    plant_audio_signal,
+    plant_encoded_pngs,
+    png_decode_stats,
     extract_media_meta,
     frame_sample,
     plant_audio,
@@ -926,6 +930,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         media = plant_audio(load_table(spark, sf_dir, "documents"))
         return extract_audio_meta(media)
 
+    def q_png_decode(spark, sf_dir):
+        # REAL end-to-end image pipeline from ENCODED bytes: fully
+        # valid zlib-compressed grayscale PNGs (per-row filters cycle
+        # through None/Sub/Up/Average/Paeth) are inflated + unfiltered
+        # by the stdlib decoder, then resized by the nearest-neighbor
+        # kernel — all in one Arrow map stage.  Pixels are arithmetic
+        # in doc_id, so the oracle replays both the decoded-pixel sum
+        # and the resized checksum; a decoder that mishandles ANY
+        # filter type fails the value check.
+        media = plant_encoded_pngs(load_table(spark, sf_dir, "documents"))
+        return png_decode_stats(media, out_w=8, out_h=8)
+
+    def q_audio_features(spark, sf_dir):
+        # REAL signal features from DECODED audio: planted WAVs carry
+        # arithmetic int16 PCM (sample k = ((37k + 11*id) % 4001) -
+        # 2000), wav_pcm_decode reads them back, and peak/Σ|s|/Σs²
+        # are exact integers the oracle replays — the audio twin of
+        # q_png_decode.
+        media = plant_audio_signal(load_table(spark, sf_dir, "documents"))
+        return audio_pcm_features(media)
+
     # --- relational surface (SURVEY.md §2.2 categories) ---
 
     def q_pricing_summary(spark, sf_dir):
@@ -1497,6 +1522,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ship_priority": q_ship_priority,
         "q_local_supplier": q_local_supplier,
         "q_request_replies": q_request_replies,
+        # -- new this round (inside the 50-entry driver window) --
+        "q_png_decode": q_png_decode,
+        "q_audio_features": q_audio_features,
         # -- reference parity + round-3-green suite --
         "q_add_graph": q_add_graph,
         "q_modify_graph": q_modify_graph,
@@ -1903,6 +1931,61 @@ def oracle_sql() -> dict[str, str]:
                    CAST(16 AS BIGINT) AS out_h,
                    CAST(SUM(v) AS BIGINT) AS checksum
             FROM px GROUP BY doc_id
+        """,
+        # plant_encoded_pngs compresses the plant_bitmaps arithmetic
+        # pixels (W = 8 + id%9, H = 8 + id%7, p(i,j) = (31i+17j+id)%256)
+        # through the real PNG encoder; the decoded-pixel sum and the
+        # 8x8 nearest-neighbor resize checksum replay exactly.
+        "q_png_decode": """
+            WITH grid AS (
+              SELECT r.r, c.c FROM range(0, 16) r(r) CROSS JOIN range(0, 16) c(c)
+            ),
+            dims AS (
+              SELECT CAST(doc_id AS BIGINT) AS media_id,
+                     CAST(8 + doc_id % 9 AS BIGINT) AS w,
+                     CAST(8 + doc_id % 7 AS BIGINT) AS h
+              FROM documents
+            ),
+            pix AS (
+              SELECT media_id,
+                     CAST(SUM((31 * g.r + 17 * g.c + media_id) % 256) AS BIGINT)
+                         AS pix_sum
+              FROM dims JOIN grid g ON g.r < h AND g.c < w
+              GROUP BY media_id
+            ),
+            rs AS (
+              SELECT media_id,
+                     CAST(SUM((31 * ((g.r * h) // 8) + 17 * ((g.c * w) // 8)
+                               + media_id) % 256) AS BIGINT) AS resized_sum
+              FROM dims JOIN grid g ON g.r < 8 AND g.c < 8
+              GROUP BY media_id
+            )
+            SELECT d.media_id, d.w AS width, d.h AS height,
+                   p.pix_sum, r.resized_sum
+            FROM dims d JOIN pix p USING (media_id) JOIN rs r USING (media_id)
+        """,
+        # plant_audio_signal writes sample k = ((37k + 11*id) % 4001)
+        # - 2000 over n = frames*channels interleaved int16 slots;
+        # peak/sum_abs/sum_sq replay exactly from that arithmetic.
+        "q_audio_features": """
+            WITH ks AS (SELECT range AS k FROM range(0, 1998)),
+            d AS (
+              SELECT CAST(doc_id AS BIGINT) AS media_id,
+                     CAST((100 + (37 * doc_id) % 900) * (1 + doc_id % 2) AS BIGINT)
+                         AS n
+              FROM documents
+            ),
+            s AS (
+              SELECT media_id, n,
+                     ((37 * k + 11 * media_id) % 4001) - 2000 AS v
+              FROM d JOIN ks ON k < n
+            )
+            SELECT media_id,
+                   n AS n_samples,
+                   CAST(MAX(ABS(v)) AS BIGINT) AS peak,
+                   CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs,
+                   CAST(SUM(v * v) AS BIGINT) AS sum_sq
+            FROM s GROUP BY media_id, n
         """,
         # plant_audio builds one 16-bit PCM WAV per doc (44 header
         # bytes + frames*channels*2); params are arithmetic in doc_id.

@@ -228,19 +228,59 @@ def extract_audio_meta(media: DataFrame) -> DataFrame:
     return media.mapInPandas(process, schema=AUDIO_META_SCHEMA)
 
 
-def _wav_bytes(sample_rate: int, n_channels: int, n_frames: int) -> bytes:
-    """Minimal valid 16-bit PCM WAV: RIFF header + fmt + silent data."""
+def _wav_bytes(
+    sample_rate: int, n_channels: int, n_frames: int, samples: bytes | None = None
+) -> bytes:
+    """Minimal valid 16-bit PCM WAV: RIFF header + fmt + data
+    (``samples`` as little-endian int16 payload; silent when None)."""
     import struct
 
     block_align = n_channels * 2
     data_size = n_frames * block_align
+    payload = b"\x00" * data_size if samples is None else samples
+    assert len(payload) == data_size
     fmt = struct.pack(
         "<HHIIHH", 1, n_channels, sample_rate, sample_rate * block_align, block_align, 16
     )
     body = b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt + b"data" + struct.pack(
         "<I", data_size
-    ) + b"\x00" * data_size
+    ) + payload
     return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def wav_pcm_decode(data: bytes):
+    """REAL stdlib WAV sample decode (the audio twin of
+    ``png_gray_decode``): RIFF chunk walk to ``fmt `` + ``data``,
+    16-bit integer PCM asserted, samples returned as an int16 numpy
+    array (interleaved channels).  Closes the audio-decode seam for
+    the PCM format the fixtures plant; ``decode_audio`` remains the
+    documented stub for compressed codecs (mp3/aac/opus)."""
+    import struct
+
+    import numpy as np
+
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a WAV")
+    pos = 12
+    audio_format = bits = None
+    payload = None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        size = struct.unpack("<I", data[pos + 4 : pos + 8])[0]
+        if cid == b"fmt ":
+            audio_format = struct.unpack("<H", data[pos + 8 : pos + 10])[0]
+            bits = struct.unpack("<H", data[pos + 22 : pos + 24])[0]
+        elif cid == b"data":
+            payload = data[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)
+    if payload is None or audio_format is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    if (audio_format, bits) != (1, 16):
+        raise ValueError(
+            f"unsupported WAV shape: format={audio_format} bits={bits} "
+            f"(stdlib decoder covers 16-bit integer PCM)"
+        )
+    return np.frombuffer(payload, dtype="<i2")
 
 
 def plant_audio(documents: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
@@ -270,6 +310,84 @@ def plant_audio(documents: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
             )
 
     return documents.select(id_col).mapInPandas(build, schema=MEDIA_SCHEMA)
+
+
+def plant_audio_signal(documents: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """Planted WAVs with ARITHMETIC PCM samples (the signal analogue of
+    ``plant_encoded_pngs``): same rate/channel/frame params as
+    ``plant_audio``, but sample k (interleaved) is
+    ``((37*k + 11*id) % 4001) - 2000`` — every int16 predictable from
+    the id, so signal features computed from the DECODED samples are
+    value-checkable in SQL."""
+    import numpy as np
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for i in pdf[id_col]:
+                i = int(i)
+                rate = 8000 + (i % 5) * 4000
+                channels = 1 + i % 2
+                frames = 100 + (37 * i) % 900
+                k = np.arange(frames * channels, dtype=np.int64)
+                samples = (((37 * k + 11 * i) % 4001) - 2000).astype("<i2")
+                ids.append(i)
+                payloads.append(_wav_bytes(rate, channels, frames, samples.tobytes()))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "media_type": ["audio"] * len(ids),
+                    "media": payloads,
+                    "source": ["planted"] * len(ids),
+                }
+            )
+
+    return documents.select(id_col).mapInPandas(build, schema=MEDIA_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("n_samples", LongType(), False),
+        StructField("peak", LongType(), False),
+        StructField("sum_abs", LongType(), False),
+        StructField("sum_sq", LongType(), False),
+    ]
+)
+
+
+def audio_pcm_features(media: DataFrame) -> DataFrame:
+    """REAL signal features from DECODED PCM samples, one Arrow map
+    stage: ``wav_pcm_decode`` then vectorized numpy reductions —
+    ``peak = max(|s|)``, ``sum_abs = Σ|s|``, ``sum_sq = Σs²`` (the
+    integer core of RMS/loudness gating: rms = sqrt(sum_sq /
+    n_samples), kept as exact integers so the oracle replays them
+    bit-for-bit).  Audio bytes never leave the stage — the output is
+    five integers per file."""
+    import numpy as np
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ns, peaks, sabs, ssq = [], [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["media"]):
+                s = wav_pcm_decode(bytes(payload)).astype(np.int64)
+                a = np.abs(s)
+                ids.append(int(mid))
+                ns.append(int(s.size))
+                peaks.append(int(a.max(initial=0)))
+                sabs.append(int(a.sum(dtype=np.int64)))
+                ssq.append(int((s * s).sum(dtype=np.int64)))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "n_samples": ns,
+                    "peak": peaks,
+                    "sum_abs": sabs,
+                    "sum_sq": ssq,
+                }
+            )
+
+    return media.mapInPandas(process, schema=AUDIO_FEATURES_SCHEMA)
 
 
 def _png_bytes(w: int, h: int) -> bytes:
@@ -339,6 +457,255 @@ def plant_images(documents: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
             )
 
     return documents.select(id_col).mapInPandas(build, schema=MEDIA_SCHEMA)
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (RFC 2083 §6.6): the neighbor (left, up,
+    up-left) closest to the linear estimate a + b - c."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def png_gray_encode(pixels, *, filter_seed: int = 0) -> bytes:
+    """COMPLETE 8-bit grayscale PNG encoder (stdlib struct/zlib +
+    numpy): signature, IHDR, one zlib IDAT of filtered scanlines, IEND.
+    Row r uses filter type ``(filter_seed + r) % 5`` so every planted
+    image exercises all five filters (None/Sub/Up/Average/Paeth) and a
+    decoder cannot pass by special-casing filter 0."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    arr = np.asarray(pixels, dtype=np.uint8)
+    h, w = arr.shape
+    raw = bytearray()
+    prior = np.zeros(w, dtype=np.int64)
+    for r in range(h):
+        row = arr[r].astype(np.int64)
+        ftype = (filter_seed + r) % 5
+        if ftype == 0:
+            out = row
+        elif ftype == 1:  # Sub
+            left = np.concatenate(([0], row[:-1]))
+            out = (row - left) % 256
+        elif ftype == 2:  # Up
+            out = (row - prior) % 256
+        elif ftype == 3:  # Average
+            left = np.concatenate(([0], row[:-1]))
+            out = (row - (left + prior) // 2) % 256
+        else:  # Paeth
+            out = np.empty(w, dtype=np.int64)
+            for j in range(w):
+                a = int(row[j - 1]) if j else 0
+                c = int(prior[j - 1]) if j else 0
+                out[j] = (int(row[j]) - _paeth(a, int(prior[j]), c)) % 256
+        raw.append(ftype)
+        raw.extend(out.astype(np.uint8).tobytes())
+        prior = row
+    ihdr = struct.pack(">II", w, h) + b"\x08\x00\x00\x00\x00"  # 8-bit grayscale
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def png_gray_decode(data: bytes):
+    """REAL stdlib PNG pixel decode for 8-bit grayscale (color type 0,
+    no interlace): chunk walk -> concatenated-IDAT zlib inflate ->
+    per-row unfilter for ALL five filter types -> (h, w) uint8 array.
+    This closes the image-decode seam for the format the fixtures
+    plant; ``decode_image`` remains the documented stub for formats
+    that genuinely need a codec library (JPEG entropy decode etc.).
+
+    Unfiltering is inherently sequential across a scanline for Sub/
+    Average/Paeth (each byte depends on the reconstructed left
+    neighbor); Sub reduces to a vectorized cumulative sum for the
+    1-byte-per-pixel case, Up is fully vectorized, and the two loops
+    that remain run per SCANLINE inside an Arrow-batched worker — the
+    parallel unit at scale is the image, not the pixel."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    pos = 8
+    w = h = None
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        if tag == b"IHDR":
+            w, h = struct.unpack(">II", body[:8])
+            bit_depth, color_type, _, _, interlace = struct.unpack(">BBBBB", body[8:13])
+            if (bit_depth, color_type, interlace) != (8, 0, 0):
+                raise ValueError(
+                    f"unsupported PNG shape: depth={bit_depth} color={color_type} "
+                    f"interlace={interlace} (stdlib decoder covers 8-bit grayscale)"
+                )
+        elif tag == b"IDAT":
+            idat.extend(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != h * (w + 1):
+        raise ValueError("PNG scanline payload length mismatch")
+    out = np.empty((h, w), dtype=np.int64)
+    prior = np.zeros(w, dtype=np.int64)
+    for r in range(h):
+        line = raw[r * (w + 1) : (r + 1) * (w + 1)]
+        ftype = line[0]
+        filt = np.frombuffer(line[1:], dtype=np.uint8).astype(np.int64)
+        if ftype == 0:
+            row = filt
+        elif ftype == 1:  # Sub: recon[j] = sum(filt[0..j]) mod 256
+            row = np.cumsum(filt) % 256
+        elif ftype == 2:  # Up
+            row = (filt + prior) % 256
+        elif ftype == 3:  # Average
+            row = np.empty(w, dtype=np.int64)
+            left = 0
+            for j in range(w):
+                left = (filt[j] + (left + prior[j]) // 2) % 256
+                row[j] = left
+        elif ftype == 4:  # Paeth
+            row = np.empty(w, dtype=np.int64)
+            for j in range(w):
+                a = int(row[j - 1]) if j else 0
+                c = int(prior[j - 1]) if j else 0
+                row[j] = (filt[j] + _paeth(a, int(prior[j]), c)) % 256
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[r] = row
+        prior = row
+    return out.astype(np.uint8)
+
+
+def plant_encoded_pngs(documents: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """Fully-encoded PNG fixtures: the SAME arithmetic pixels as
+    ``plant_bitmaps`` (W = 8 + id%9, H = 8 + id%7,
+    pixel(i, j) = (31*i + 17*j + id) % 256) but compressed through the
+    real encoder with per-row filters cycling on ``(id + r) % 5`` —
+    so decoding them exercises inflate + every unfilter path, and the
+    decoded result is value-predictable by the same SQL arithmetic
+    that checks the raw-bitmap queries."""
+    import numpy as np
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for i in pdf[id_col]:
+                i = int(i)
+                w, h = 8 + i % 9, 8 + i % 7
+                rows = np.arange(h, dtype=np.int64)[:, None] * 31
+                cols = np.arange(w, dtype=np.int64)[None, :] * 17
+                arr = ((rows + cols + i) % 256).astype(np.uint8)
+                ids.append(i)
+                payloads.append(png_gray_encode(arr, filter_seed=i))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "media_type": ["image"] * len(ids),
+                    "media": payloads,
+                    "source": ["planted"] * len(ids),
+                }
+            )
+
+    return documents.select(id_col).mapInPandas(build, schema=MEDIA_SCHEMA)
+
+
+def decode_png_bitmaps(media: DataFrame) -> DataFrame:
+    """Encoded PNG column -> raw bitmap rows (``RAW_BITMAP_SCHEMA``),
+    composable with ``resize_bitmaps``: the decode stage of the
+    multimodal pipeline, REAL end-to-end for 8-bit grayscale."""
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, pxs = [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["media"]):
+                arr = png_gray_decode(bytes(payload))
+                h, w = arr.shape
+                ids.append(int(mid))
+                ws.append(w)
+                hs.append(h)
+                pxs.append(arr.tobytes())
+            yield pd.DataFrame(
+                {"media_id": ids, "width": ws, "height": hs, "pixels": pxs}
+            )
+
+    return media.mapInPandas(process, schema=RAW_BITMAP_SCHEMA)
+
+
+PNG_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("width", LongType(), False),
+        StructField("height", LongType(), False),
+        StructField("pix_sum", LongType(), False),
+        StructField("resized_sum", LongType(), False),
+    ]
+)
+
+
+def png_decode_stats(media: DataFrame, *, out_w: int, out_h: int) -> DataFrame:
+    """Decode encoded PNGs and run the nearest-neighbor resize kernel
+    in ONE map stage: per image, inflate + unfilter (png_gray_decode),
+    then the same two-index-vector gather as ``resize_bitmaps``.
+    Emits ``(media_id, width, height, pix_sum, resized_sum)`` — narrow
+    replayable integers, so decoded pixels never leave the stage (the
+    100 TB shape: media bytes live only inside the scan-side map)."""
+    import numpy as np
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, psums, rsums = [], [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["media"]):
+                src = png_gray_decode(bytes(payload))
+                h, w = src.shape
+                rr = (np.arange(out_h, dtype=np.int64) * h) // out_h
+                cc = (np.arange(out_w, dtype=np.int64) * w) // out_w
+                resized = src[np.ix_(rr, cc)]
+                ids.append(int(mid))
+                ws.append(w)
+                hs.append(h)
+                psums.append(int(src.sum(dtype=np.int64)))
+                rsums.append(int(resized.sum(dtype=np.int64)))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "width": ws,
+                    "height": hs,
+                    "pix_sum": psums,
+                    "resized_sum": rsums,
+                }
+            )
+
+    return media.mapInPandas(process, schema=PNG_STATS_SCHEMA)
 
 
 def frame_sample(media: DataFrame, *, chunk_bytes: int = 4096, max_frames: int = 8) -> DataFrame:

@@ -730,3 +730,94 @@ def test_resize_bitmaps_nearest_neighbor(spark):
         want = int(src[np.ix_(rr, cc)].sum())
         assert out[i]["checksum"] == want
         assert (out[i]["out_w"], out[i]["out_h"]) == (4, 4)
+
+
+def test_png_codec_roundtrip_all_filters():
+    """Every (filter type, shape) combination reconstructs exactly;
+    the encoder's per-row filter cycle guarantees a decoder that
+    mishandles any of Sub/Up/Average/Paeth cannot pass."""
+    import numpy as np
+
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.multimodal import (
+        image_dims,
+        png_gray_decode,
+        png_gray_encode,
+    )
+
+    rng = np.random.RandomState(11)
+    for seed in range(5):  # each seed starts the filter cycle elsewhere
+        arr = rng.randint(0, 256, size=(9, 13)).astype(np.uint8)
+        enc = png_gray_encode(arr, filter_seed=seed)
+        assert (png_gray_decode(enc) == arr).all()
+        assert image_dims(enc) == (13, 9)
+    # 1-pixel edge case and a wide single row
+    for shape in ((1, 1), (1, 37), (37, 1)):
+        arr = rng.randint(0, 256, size=shape).astype(np.uint8)
+        assert (png_gray_decode(png_gray_encode(arr)) == arr).all()
+
+
+def test_png_decode_composes_with_resize(spark):
+    """decode_png_bitmaps(plant_encoded_pngs(...)) feeds the SAME
+    resize kernel as the raw-bitmap path and lands on identical
+    checksums — the encoded-bytes pipeline end-to-end."""
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.multimodal import (
+        decode_png_bitmaps,
+        plant_bitmaps,
+        plant_encoded_pngs,
+        png_decode_stats,
+        resize_bitmaps,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    raw = {
+        r["media_id"]: r["checksum"]
+        for r in resize_bitmaps(plant_bitmaps(docs), out_w=4, out_h=4).collect()
+    }
+    via_png = {
+        r["media_id"]: r["checksum"]
+        for r in resize_bitmaps(
+            decode_png_bitmaps(plant_encoded_pngs(docs)), out_w=4, out_h=4
+        ).collect()
+    }
+    assert raw == via_png
+    # single-stage stats agree with the two-stage composition
+    stats = {
+        r["media_id"]: r
+        for r in png_decode_stats(
+            plant_encoded_pngs(docs), out_w=4, out_h=4
+        ).collect()
+    }
+    for i, r in stats.items():
+        assert r["resized_sum"] == raw[i]
+        assert (r["width"], r["height"]) == (8 + i % 9, 8 + i % 7)
+
+
+def test_wav_pcm_decode_and_features(spark):
+    import numpy as np
+
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.multimodal import (
+        _wav_bytes,
+        audio_pcm_features,
+        plant_audio_signal,
+        wav_pcm_decode,
+    )
+
+    # direct decode: known samples come back bit-exact
+    samples = np.array([-2000, -1, 0, 1, 1999, 42], dtype="<i2")
+    wav = _wav_bytes(8000, 2, 3, samples.tobytes())
+    assert (wav_pcm_decode(wav) == samples).all()
+
+    # distributed features match the planting arithmetic
+    docs = spark.createDataFrame([(i,) for i in range(5)], "doc_id long")
+    got = {
+        r["media_id"]: r
+        for r in audio_pcm_features(plant_audio_signal(docs)).collect()
+    }
+    for i in range(5):
+        n = (100 + (37 * i) % 900) * (1 + i % 2)
+        s = ((37 * np.arange(n, dtype=np.int64) + 11 * i) % 4001) - 2000
+        r = got[i]
+        assert r["n_samples"] == n
+        assert r["peak"] == int(np.abs(s).max())
+        assert r["sum_abs"] == int(np.abs(s).sum())
+        assert r["sum_sq"] == int((s * s).sum())
