@@ -1,0 +1,133 @@
+"""Explain-plan regression tests: SCALE.md's claims about the
+physical plans of the headline declared queries, pinned in pytest so a
+refactor that silently loses a pushdown, a broadcast, a top-k
+pushdown, or partition pruning fails CI instead of only showing up as
+a bench regression.
+
+The assertions read the pre-execution physical plan string (the same
+surface `.explain()` prints; under AQE this is the initial plan, which
+is where scan pushdown and join-strategy choices are recorded).
+"""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entry
+
+SF_DIR = "/root/testdata/sf0.001"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason="driver testdata not present"
+)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pricing_summary_pushes_filter_and_prunes_columns(spark):
+    df = entry.queries()["q_pricing_summary"](spark, SF_DIR)
+    plan = _plan(df)
+    # The ship-date predicate must reach the parquet scan…
+    assert "PushedFilters" in plan
+    pushed = plan.split("PushedFilters", 1)[1][:300]
+    assert "l_shipdate" in pushed
+    # …and the scan must not read columns the query never touches.
+    assert "ReadSchema" in plan
+    read_schema = plan.split("ReadSchema", 1)[1][:400]
+    assert "l_partkey" not in read_schema
+    assert "l_orderkey" not in read_schema
+
+
+def test_brand_revenue_broadcasts_the_dim_side(spark):
+    df = entry.queries()["q_brand_revenue"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # dim join must not degrade
+
+
+def test_sim_topk_uses_take_ordered(spark):
+    # Top-k must be TakeOrderedAndProject (per-partition heaps, k rows
+    # to the driver), never a global sort followed by a limit.
+    df = entry.queries()["q_sim_topk"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "GlobalLimit" not in plan
+
+
+def test_ivf_partitioned_probe_prunes_partitions(spark, tmp_path):
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.similarity import (
+        ivf_topk_partitioned,
+        save_ivf_partitioned,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7), float(i % 5), float(i % 3), 1.0]) for i in range(200)],
+        "vec_id long, embedding array<double>",
+    )
+    centroids = [
+        [6.0, 4.0, 2.0, 1.0],
+        [0.0, 0.0, 0.0, 1.0],
+        [3.0, 2.0, 1.0, 1.0],
+        [6.0, 0.0, 2.0, 1.0],
+    ]
+    path = str(tmp_path / "ivf")
+    save_ivf_partitioned(emb, path, centroids)
+    probed = ivf_topk_partitioned(
+        spark, path, [5.9, 4.1, 2.0, 1.0], centroids, 5, n_probe=2
+    )
+    plan = _plan(probed)
+    # The probe predicate must be a PARTITION filter (metadata prune at
+    # file listing), not a post-scan row filter.
+    assert "PartitionFilters" in plan
+    part = plan.split("PartitionFilters", 1)[1][:200]
+    assert "cell" in part
+    assert probed.count() == 5
+
+
+def test_catalog_bfs_level_join_no_exchange_on_bucketed_edges(spark, tmp_path):
+    """SCALE.md's bucketed-edge-table claim, demonstrated: with the
+    graph saved ``bucketBy(n, src)`` (bucket keys must equal the join
+    keys — adding graph_id to the bucketing would break src-only join
+    alignment), a BFS-style frontier⋈edges level join repartitions
+    only the (small) frontier — the edge side is read pre-partitioned,
+    with NO Exchange above its scan."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.catalog import (
+        GraphCatalog,
+    )
+
+    cat = GraphCatalog(spark, str(tmp_path / "gdb"))
+    cat.add_graph(
+        1, spark.createDataFrame([(i, i + 1) for i in range(1, 60)], "src long, dst long")
+    )
+    name = f"edges_bfs_bucketed_{uuid.uuid4().hex[:8]}"
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    prev = spark.conf.get(key)
+    try:
+        cat.save_bucketed(name, n_buckets=4)
+        # Scoped: force the shuffle-join path a cluster-scale edge
+        # table would take (broadcast would hide the exchange question).
+        spark.conf.set(key, "-1")
+        edges = spark.table(name).where(F.col("graph_id") == 1)
+        frontier = spark.createDataFrame([(1, 0)], "v long, level int")
+        level_join = (
+            frontier.hint("shuffle_hash")
+            .join(edges, frontier["v"] == edges["src"])
+            .select(edges["dst"].alias("v"), (frontier["level"] + 1).alias("level"))
+        )
+        plan = _plan(level_join)
+        # Exactly ONE exchange: the frontier side.  The edge scan is
+        # bucketed on (graph_id, src), so its side must have none.
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert level_join.count() == 1
+    finally:
+        spark.conf.set(key, prev)
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
