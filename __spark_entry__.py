@@ -108,6 +108,10 @@ from distributed_graph_database_simulation_with_load_balancing_and_threaded_requ
     hll_estimate,
     hll_registers,
 )
+from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.clustering import (
+    cluster_label_profile,
+    kmeans_fixed,
+)
 from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.pipeline import (
     corpus_prep_stats,
 )
@@ -407,6 +411,10 @@ _RECALL_PAIRS_CACHE: dict = {}
 # q_pagerank (uniform rule via outdeg_unit) and q_pagerank_weighted.
 _PAGERANK_GRAPH_CACHE: dict = {}
 
+# (applicationId, sf_dir) -> persisted k-means assignment, shared by
+# q_kmeans and q_cluster_labels (one Lloyd loop instead of two).
+_KMEANS_CACHE: dict = {}
+
 
 def _evict_other_sf(sf_dir: str) -> None:
     """Session caches are keyed ``(applicationId, sf_dir[, ...])`` and
@@ -416,7 +424,12 @@ def _evict_other_sf(sf_dir: str) -> None:
     reclaimed by the ContextCleaner once unreferenced).  Keeps a
     long-lived session from accumulating persisted blocks across
     sf_dir sweeps (round-3 ADVICE)."""
-    for cache in (_TREE_LEVELS_CACHE, _RECALL_PAIRS_CACHE, _PAGERANK_GRAPH_CACHE):
+    for cache in (
+        _TREE_LEVELS_CACHE,
+        _RECALL_PAIRS_CACHE,
+        _PAGERANK_GRAPH_CACHE,
+        _KMEANS_CACHE,
+    ):
         for key in [k for k in cache if k[1] != sf_dir]:
             obj = cache.pop(key)
             if hasattr(obj, "unpersist"):
@@ -571,6 +584,66 @@ def _sql_lsh_topk() -> str:
     )
     SELECT vec_id, sim, rank FROM ranked WHERE rank <= 10
 """
+
+def _sql_kmeans_ctes(*, k: int = 8, iters: int = 3, dim: int = 64) -> str:
+    """WITH-body replicating clustering.kmeans_fixed exactly: quantize
+    to int64 (floor((x+1)*1e6) — IEEE ops, identical in numpy), assign
+    by integer squared distance (ties -> lowest cid), update by
+    per-dim floor division (positive quanta, so // == Spark's div),
+    empty clusters keep their centroid.  Produces ``final(vec_id,
+    cluster, dist)``.  The fixture's vec_ids are dense from 0, so
+    'k smallest ids' is ``vec_id < k``."""
+    parts = [
+        f"dims AS (SELECT range AS i FROM range(0, {dim}))",
+        """v AS MATERIALIZED (
+      SELECT CAST(vec_id AS BIGINT) AS vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(floor((x + 1.0) * 1000000) AS BIGINT)) AS xq
+      FROM embeddings
+    )""",
+        f"c0 AS MATERIALIZED (SELECT vec_id AS cid, xq AS c FROM v WHERE vec_id < {k})",
+    ]
+    for r in range(1, iters + 1):
+        parts.append(f"""a{r} AS MATERIALIZED (
+      SELECT vec_id, cid,
+             row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+      FROM (
+        SELECT v.vec_id, c.cid,
+               SUM((v.xq[d.i + 1] - c.c[d.i + 1])
+                   * (v.xq[d.i + 1] - c.c[d.i + 1])) AS dist
+        FROM v CROSS JOIN c{r - 1} c CROSS JOIN dims d
+        GROUP BY v.vec_id, c.cid
+      )
+    )""")
+        parts.append(f"""cs{r} AS MATERIALIZED (
+      SELECT a.cid, d.i, CAST(SUM(v.xq[d.i + 1]) // COUNT(*) AS BIGINT) AS s
+      FROM (SELECT vec_id, cid FROM a{r} WHERE rn = 1) a
+      JOIN v USING (vec_id) CROSS JOIN dims d
+      GROUP BY a.cid, d.i
+    )""")
+        parts.append(f"""c{r} AS MATERIALIZED (
+      SELECT cid, list(s ORDER BY i) AS c FROM cs{r} GROUP BY cid
+      UNION ALL
+      SELECT cid, c FROM c{r - 1}
+      WHERE cid NOT IN (SELECT DISTINCT cid FROM cs{r})
+    )""")
+    parts.append(f"""final AS (
+      SELECT vec_id, CAST(cid AS INTEGER) AS cluster, CAST(dist AS BIGINT) AS dist
+      FROM (
+        SELECT vec_id, cid, dist,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        FROM (
+          SELECT v.vec_id, c.cid,
+                 SUM((v.xq[d.i + 1] - c.c[d.i + 1])
+                     * (v.xq[d.i + 1] - c.c[d.i + 1])) AS dist
+          FROM v CROSS JOIN c{iters} c CROSS JOIN dims d
+          GROUP BY v.vec_id, c.cid
+        )
+      )
+      WHERE rn = 1
+    )""")
+    return ",\n    ".join(parts)
+
 
 def _sql_ivf_topk() -> str:
     """Full replication of similarity.ivf_topk(k=10, 16 cells, 4
@@ -950,6 +1023,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # q_png_decode.
         media = plant_audio_signal(load_table(spark, sf_dir, "documents"))
         return audio_pcm_features(media)
+
+    def _kmeans_assignment(spark, sf_dir):
+        # One Lloyd loop per (session, sf_dir): the assignment is
+        # shared by q_kmeans and q_cluster_labels.
+        _evict_other_sf(sf_dir)
+        key = (spark.sparkContext.applicationId, sf_dir)
+        if key not in _KMEANS_CACHE:
+            emb = load_table(spark, sf_dir, "embeddings")
+            _KMEANS_CACHE[key] = kmeans_fixed(
+                emb, k=8, iters=3, loop_shuffle_partitions=4
+            ).persist()
+        return _KMEANS_CACHE[key]
+
+    def q_kmeans(spark, sf_dir):
+        # Engine-exact k-means (SemDeDup-style semantic clustering):
+        # integer-quantized Lloyd's, 3 rounds, k=8 — assignment +
+        # exact int64 squared distance under the final centroids.
+        # Every step is order-independent integer arithmetic, so the
+        # DuckDB oracle unrolls the identical rounds and hash-matches.
+        return _kmeans_assignment(spark, sf_dir)
+
+    def q_cluster_labels(spark, sf_dir):
+        # Cluster-vs-label contingency (purity read): the k-means
+        # assignment joined back to the labeled embeddings.
+        emb = load_table(spark, sf_dir, "embeddings")
+        return cluster_label_profile(_kmeans_assignment(spark, sf_dir), emb)
 
     # --- relational surface (SURVEY.md §2.2 categories) ---
 
@@ -1525,6 +1624,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new this round (inside the 50-entry driver window) --
         "q_png_decode": q_png_decode,
         "q_audio_features": q_audio_features,
+        "q_kmeans": q_kmeans,
+        "q_cluster_labels": q_cluster_labels,
         # -- reference parity + round-3-green suite --
         "q_add_graph": q_add_graph,
         "q_modify_graph": q_modify_graph,
@@ -1963,6 +2064,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.media_id, d.w AS width, d.h AS height,
                    p.pix_sum, r.resized_sum
             FROM dims d JOIN pix p USING (media_id) JOIN rs r USING (media_id)
+        """,
+        # clustering.kmeans_fixed replica: integer-quantized Lloyd's,
+        # unrolled rounds, value-exact (see _sql_kmeans_ctes).
+        "q_kmeans": f"""
+            WITH {_sql_kmeans_ctes()}
+            SELECT vec_id, cluster, dist FROM final
+        """,
+        "q_cluster_labels": f"""
+            WITH {_sql_kmeans_ctes()}
+            SELECT f.cluster, CAST(e.label AS BIGINT) AS label,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM final f JOIN embeddings e ON f.vec_id = e.vec_id
+            GROUP BY f.cluster, e.label
         """,
         # plant_audio_signal writes sample k = ((37k + 11*id) % 4001)
         # - 2000 over n = frames*channels interleaved int16 slots;

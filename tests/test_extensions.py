@@ -821,3 +821,43 @@ def test_wav_pcm_decode_and_features(spark):
         assert r["peak"] == int(np.abs(s).max())
         assert r["sum_abs"] == int(np.abs(s).sum())
         assert r["sum_sq"] == int((s * s).sum())
+
+
+def test_kmeans_fixed_matches_numpy_lloyd(spark):
+    """Distributed integer k-means == a single-process numpy replica
+    of the same deterministic contract (init on k smallest ids, int64
+    distances, floor-div updates, empty clusters keep centroids)."""
+    import numpy as np
+
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.clustering import (
+        KMEANS_OFFSET,
+        KMEANS_SCALE,
+        kmeans_fixed,
+    )
+
+    rng = np.random.RandomState(3)
+    n, dim, k, iters = 120, 6, 4, 3
+    X = (rng.rand(n, dim) - 0.5).astype(np.float64)
+    df = spark.createDataFrame(
+        [(i, X[i].tolist()) for i in range(n)], "vec_id long, embedding array<double>"
+    ).repartition(5)  # exercise multi-batch partial sums
+
+    got = {
+        r["vec_id"]: (r["cluster"], r["dist"])
+        for r in kmeans_fixed(df, k=k, iters=iters).collect()
+    }
+
+    Xq = np.floor((X + KMEANS_OFFSET) * KMEANS_SCALE).astype(np.int64)
+    C = Xq[:k].copy()
+    for _ in range(iters):
+        d = ((Xq[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        a = d.argmin(axis=1)
+        for j in range(k):
+            sel = Xq[a == j]
+            if len(sel):
+                C[j] = sel.sum(axis=0) // len(sel)
+    d = ((Xq[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    a = d.argmin(axis=1)
+    want = {i: (int(a[i]), int(d[i, a[i]])) for i in range(n)}
+    assert got == want
+    assert len({c for c, _ in got.values()}) > 1  # really clustered
