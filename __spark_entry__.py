@@ -111,6 +111,7 @@ from distributed_graph_database_simulation_with_load_balancing_and_threaded_requ
 from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.clustering import (
     cluster_label_profile,
     kmeans_fixed,
+    semantic_dedup_pairs,
 )
 from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.pipeline import (
     corpus_prep_stats,
@@ -1050,6 +1051,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb = load_table(spark, sf_dir, "embeddings")
         return cluster_label_profile(_kmeans_assignment(spark, sf_dir), emb)
 
+    def q_semantic_dedup(spark, sf_dir):
+        # SemDeDup: exact cosine near-dup pairs WITHIN k-means
+        # clusters only — the cluster assignment is the blocking
+        # structure, so the quadratic term is bounded by the largest
+        # cluster.  Complements q_embedding_near_dup (LSH blocking).
+        # The fixture embeddings are near-orthogonal (max within-
+        # cluster cosine ~0.51), so the threshold exercises the top
+        # ~0.1% tail rather than returning the trivial empty set.
+        emb = load_table(spark, sf_dir, "embeddings")
+        return semantic_dedup_pairs(
+            emb, _kmeans_assignment(spark, sf_dir), threshold=0.4
+        )
+
     # --- relational surface (SURVEY.md §2.2 categories) ---
 
     def q_pricing_summary(spark, sf_dir):
@@ -1626,6 +1640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_audio_features": q_audio_features,
         "q_kmeans": q_kmeans,
         "q_cluster_labels": q_cluster_labels,
+        "q_semantic_dedup": q_semantic_dedup,
         # -- reference parity + round-3-green suite --
         "q_add_graph": q_add_graph,
         "q_modify_graph": q_modify_graph,
@@ -2077,6 +2092,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n
             FROM final f JOIN embeddings e ON f.vec_id = e.vec_id
             GROUP BY f.cluster, e.label
+        """,
+        "q_semantic_dedup": f"""
+            WITH {_sql_kmeans_ctes()},
+            m AS (
+              SELECT f.cluster, CAST(e.vec_id AS BIGINT) AS id,
+                     CAST(e.embedding AS DOUBLE[]) AS vec
+              FROM final f JOIN embeddings e ON f.vec_id = e.vec_id
+            )
+            SELECT a.cluster, a.id AS id_a, b.id AS id_b,
+                   round(list_cosine_similarity(a.vec, b.vec), 4) AS sim
+            FROM m a JOIN m b ON a.cluster = b.cluster AND a.id < b.id
+            WHERE round(list_cosine_similarity(a.vec, b.vec), 4) >= 0.4
         """,
         # plant_audio_signal writes sample k = ((37k + 11*id) % 4001)
         # - 2000 over n = frames*channels interleaved int16 slots;

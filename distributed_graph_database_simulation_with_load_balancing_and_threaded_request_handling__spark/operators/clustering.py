@@ -168,6 +168,64 @@ def _lloyd_rounds(src: DataFrame, cents, k: int, dim: int, iters: int):
     return cents
 
 
+def semantic_dedup_pairs(
+    embeddings: DataFrame,
+    assignments: DataFrame,
+    *,
+    threshold: float = 0.95,
+    round_digits: int = 4,
+    max_cluster_size: int = 100_000,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs: exact cosine is
+    computed only WITHIN a k-means cluster (``assignments`` from
+    ``kmeans_fixed``), never across — the cluster structure is the
+    blocking step, so the quadratic term is bounded by the largest
+    cluster, not the corpus (Abbas et al. 2023 recipe: cluster with
+    k-means, then prune near-identical members per cluster).
+
+    Returns ``(cluster, id_a, id_b, sim)`` with ``id_a < id_b`` and
+    ``sim >= threshold`` (rounded, so the value oracle hash-matches).
+
+    Scale posture: complements ``similarity.embedding_near_dup``
+    (sign-LSH blocking) — k-means blocking gives deterministic,
+    semantically-coherent blocks whose size the pipeline controls by
+    raising k; clusters beyond ``max_cluster_size`` are dropped before
+    the self-join (the standing degenerate-bucket guard), and the
+    self-join shuffles ``(cluster, id, vec)`` rows hash-partitioned on
+    the cluster key."""
+    from pyspark.sql.window import Window
+
+    from ..functions.vectors import as_double_vec, cosine_sim
+
+    m = (
+        embeddings.select(
+            F.col(id_col).alias("id"), as_double_vec(F.col(vec_col)).alias("vec")
+        )
+        .join(
+            assignments.select(F.col("vec_id").alias("id"), "cluster"), on="id"
+        )
+        .withColumn("csz", F.count("*").over(Window.partitionBy("cluster")))
+        .where(F.col("csz") <= max_cluster_size)
+    )
+    a = m.select("cluster", F.col("id").alias("id_a"), F.col("vec").alias("vec_a"))
+    b = m.select("cluster", F.col("id").alias("id_b"), F.col("vec").alias("vec_b"))
+    return (
+        a.join(b, on="cluster")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "cluster",
+            "id_a",
+            "id_b",
+            F.round(
+                cosine_sim(F.col("vec_a"), F.col("vec_b")), round_digits
+            ).alias("sim"),
+        )
+        .where(F.col("sim") >= threshold)
+    )
+
+
 def cluster_label_profile(
     assignments: DataFrame, labeled: DataFrame, *, id_col: str = "vec_id"
 ) -> DataFrame:

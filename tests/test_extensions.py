@@ -861,3 +861,33 @@ def test_kmeans_fixed_matches_numpy_lloyd(spark):
     want = {i: (int(a[i]), int(d[i, a[i]])) for i in range(n)}
     assert got == want
     assert len({c for c, _ in got.values()}) > 1  # really clustered
+
+
+def test_semantic_dedup_blocks_by_cluster(spark):
+    """Pairs only form WITHIN a cluster; cosine values are exact; the
+    planted duplicate pair is found when clustered together."""
+    import numpy as np
+
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.clustering import (
+        kmeans_fixed,
+        semantic_dedup_pairs,
+    )
+
+    rng = np.random.RandomState(5)
+    # two tight blobs far apart + one exact duplicate inside blob A
+    blob_a = rng.rand(10, 4) * 0.05 + 0.4
+    blob_b = rng.rand(10, 4) * 0.05 - 0.45
+    X = np.vstack([blob_a, blob_b, blob_a[:1]])  # id 20 duplicates id 0
+    df = spark.createDataFrame(
+        [(i, X[i].tolist()) for i in range(len(X))],
+        "vec_id long, embedding array<double>",
+    )
+    assign = kmeans_fixed(df, k=2, iters=3)
+    a = {r["vec_id"]: r["cluster"] for r in assign.collect()}
+    assert a[0] == a[20]  # the duplicate clusters with its source
+    pairs = semantic_dedup_pairs(df, assign, threshold=0.9999).collect()
+    got = {(r["id_a"], r["id_b"]): r for r in pairs}
+    assert (0, 20) in got
+    assert got[(0, 20)]["sim"] == 1.0
+    # every reported pair is within one cluster
+    assert all(a[p[0]] == a[p[1]] == r["cluster"] for p, r in got.items())
