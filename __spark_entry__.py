@@ -140,8 +140,10 @@ from distributed_graph_database_simulation_with_load_balancing_and_threaded_requ
 )
 from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.relational import (
     brand_revenue,
+    customer_order_distribution,
     customers_without_orders,
     local_supplier_volume,
+    nation_trade_volume,
     ship_priority,
     event_props_filter,
     event_type_pivot,
@@ -1292,6 +1294,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # faster still but leaves no headroom for wider frontiers).
         return sssp(wsym, int(src), loop_shuffle_partitions=4)
 
+    def q_cust_order_dist(spark, sf_dir):
+        # TPC-H Q13 shape: per-customer order-count distribution with
+        # zero-order customers preserved by the left join; orders are
+        # pre-aggregated so the join never carries raw fact rows.
+        return customer_order_distribution(
+            load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "orders")
+        )
+
+    def q_nation_volume(spark, sf_dir):
+        # TPC-H Q7 shape: cross-nation shipped revenue by year between
+        # NATION_1 and NATION_2 (both directions), broadcast dims
+        # filtered before broadcasting, one fact-fact shuffle.
+        return nation_trade_volume(
+            load_table(spark, sf_dir, "customer"),
+            load_table(spark, sf_dir, "orders"),
+            load_table(spark, sf_dir, "lineitem"),
+            load_table(spark, sf_dir, "supplier"),
+            load_table(spark, sf_dir, "nation"),
+        )
+
     def q_pipeline_stats(spark, sf_dir):
         # End-to-end corpus prep: exact-dedup keepers -> token/quality
         # gate -> deterministic split -> per-(split, lang) accounting.
@@ -1641,6 +1663,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kmeans": q_kmeans,
         "q_cluster_labels": q_cluster_labels,
         "q_semantic_dedup": q_semantic_dedup,
+        "q_cust_order_dist": q_cust_order_dist,
+        "q_nation_volume": q_nation_volume,
         # -- reference parity + round-3-green suite --
         "q_add_graph": q_add_graph,
         "q_modify_graph": q_modify_graph,
@@ -2922,6 +2946,42 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY o_orderkey, o_orderdate
             ORDER BY revenue DESC, o_orderkey
             LIMIT 10
+        """,
+        "q_cust_order_dist": """
+            SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+            FROM (
+              SELECT c.c_custkey,
+                     CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+              FROM customer c
+              LEFT OUTER JOIN (
+                SELECT o_custkey, o_orderkey FROM orders
+                WHERE o_orderpriority <> '1-URGENT'
+              ) o ON c.c_custkey = o.o_custkey
+              GROUP BY c.c_custkey
+            )
+            GROUP BY c_count
+            ORDER BY custdist DESC, c_count DESC
+        """,
+        "q_nation_volume": """
+            SELECT sn.n_name AS supp_nation,
+                   cn.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                   round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                              * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 4)
+                       AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation sn ON sn.n_nationkey = s_nationkey
+            JOIN nation cn ON cn.n_nationkey = c_nationkey
+            WHERE sn.n_name IN ('NATION_1', 'NATION_2')
+              AND cn.n_name IN ('NATION_1', 'NATION_2')
+              AND sn.n_name <> cn.n_name
+              AND l_shipdate >= TIMESTAMP '1995-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+            GROUP BY sn.n_name, cn.n_name, year(l_shipdate)
+            ORDER BY supp_nation, cust_nation, l_year
         """,
         "q_local_supplier": """
             SELECT n_name,

@@ -431,3 +431,92 @@ def local_supplier_volume(
         .agg(F.round(F.sum("disc_price").cast("double"), 4).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("n_name"))
     )
+
+
+def customer_order_distribution(
+    customer: DataFrame, orders: DataFrame, *, exclude_priority: str = "1-URGENT"
+) -> DataFrame:
+    """TPC-H Q13 shape: the distribution of per-customer order counts
+    (including the zero-order customers an inner join would lose) —
+    ``(c_count, custdist)`` sorted by custdist then count descending.
+
+    Scale notes: orders are aggregated to ``(custkey, count)`` BEFORE
+    the join — the left join then carries one narrow row per customer
+    and one per ordering customer, never raw order rows; both sides
+    shuffle once on the customer key with map-side combine.  The
+    outer distribution aggregation is ~max-orders-per-customer rows.
+    """
+    per_cust = (
+        orders.where(F.col("o_orderpriority") != exclude_priority)
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        customer.select("c_custkey")
+        .join(per_cust, customer["c_custkey"] == per_cust["o_custkey"], "left")
+        .select(F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").cast("long").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+def nation_trade_volume(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    *,
+    nation_a: str = "NATION_1",
+    nation_b: str = "NATION_2",
+    date_from: str = "1995-01-01",
+    date_to: str = "1997-01-01",
+) -> DataFrame:
+    """TPC-H Q7 shape: shipped revenue between two nations — lines
+    whose supplier sits in one nation and whose ordering customer sits
+    in the other (both directions), grouped by
+    ``(supp_nation, cust_nation, l_year)``.
+
+    Scale notes: one fact-fact shuffle (lineitem⋈orders on the
+    orderkey); nation⋈supplier collapses to a broadcast
+    ``(s_suppkey, supp_nation)`` dimension filtered to the two nations
+    BEFORE broadcasting (so the broadcast is two nations' suppliers,
+    not all); customer joins on the custkey before the fact shuffle.
+    The cross-direction predicate is applied post-broadcast where both
+    nation names are in hand.  The ship-date window is a plain range
+    predicate that reaches the parquet scan.
+    """
+    lo = F.lit(date_from).cast("timestamp")
+    hi = F.lit(date_to).cast("timestamp")
+    two = nation.where(F.col("n_name").isin(nation_a, nation_b)).select(
+        "n_nationkey", "n_name"
+    )
+    sup = supplier.join(
+        F.broadcast(two), supplier["s_nationkey"] == two["n_nationkey"]
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    cust = customer.join(
+        F.broadcast(two), customer["c_nationkey"] == two["n_nationkey"]
+    ).select("c_custkey", F.col("n_name").alias("cust_nation"))
+    o = orders.select("o_orderkey", "o_custkey").join(
+        cust, F.col("o_custkey") == cust["c_custkey"]
+    ).select("o_orderkey", "cust_nation")
+    li = lineitem.where((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)).select(
+        "l_orderkey",
+        "l_suppkey",
+        F.year("l_shipdate").cast("long").alias("l_year"),
+        (
+            F.col("l_extendedprice").cast(_DEC)
+            * (1 - F.col("l_discount").cast(_DEC))
+        ).alias("disc_price"),
+    )
+    joined = (
+        li.join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return (
+        joined.groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.round(F.sum("disc_price").cast("double"), 4).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )

@@ -131,3 +131,28 @@ def test_catalog_bfs_level_join_no_exchange_on_bucketed_edges(spark, tmp_path):
     finally:
         spark.conf.set(key, prev)
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_nation_volume_broadcasts_dims_one_fact_shuffle(spark):
+    df = entry.queries()["q_nation_volume"](spark, SF_DIR)
+    plan = _plan(df)
+    # nation-filtered supplier/customer dims ride broadcasts; the only
+    # sort-merge-eligible join is the lineitem-orders fact-fact one.
+    assert "BroadcastHashJoin" in plan
+    # ship-date window reaches the lineitem scan
+    assert "PushedFilters" in plan
+    assert "l_shipdate" in plan.split("PushedFilters", 1)[1][:400]
+
+
+def test_cust_order_dist_preaggregates_orders(spark):
+    df = entry.queries()["q_cust_order_dist"](spark, SF_DIR)
+    plan = _plan(df)
+    # The aggregation must sit BELOW the join (orders pre-aggregated
+    # to (custkey, n) before joining customers): >= 3 HashAggregates
+    # (partial + final pre-agg, plus the distribution agg) and a join
+    # present.  The JOIN STRATEGY is size-dependent — at fixture scale
+    # the (custkey, n) side is tiny and AQE broadcasts it, which is
+    # exactly what pre-aggregation buys; at cluster scale it becomes a
+    # shuffle join on narrow rows.  Either is acceptable here.
+    assert plan.count("HashAggregate") >= 3
+    assert "Join" in plan
