@@ -84,6 +84,7 @@ from distributed_graph_database_simulation_with_load_balancing_and_threaded_requ
     collocations,
     corpus_stats,
     doc_features,
+    rare_bigram_rate,
     redact_pii,
     repetition_features,
     tfidf_topk,
@@ -1294,6 +1295,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # faster still but leaves no headroom for wider frontiers).
         return sssp(wsym, int(src), loop_shuffle_partitions=4)
 
+    def q_rare_bigrams(spark, sf_dir):
+        # Frequency-based quality filter: per-doc fraction of corpus-
+        # rare bigrams (count <= 2) — the integer-exact stand-in for
+        # perplexity filtering (no LM, no float summation).
+        return rare_bigram_rate(load_table(spark, sf_dir, "documents"))
+
     def q_cust_order_dist(spark, sf_dir):
         # TPC-H Q13 shape: per-customer order-count distribution with
         # zero-order customers preserved by the left join; orders are
@@ -1665,6 +1672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_semantic_dedup": q_semantic_dedup,
         "q_cust_order_dist": q_cust_order_dist,
         "q_nation_volume": q_nation_volume,
+        "q_rare_bigrams": q_rare_bigrams,
         # -- reference parity + round-3-green suite --
         "q_add_graph": q_add_graph,
         "q_modify_graph": q_modify_graph,
@@ -2946,6 +2954,36 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY o_orderkey, o_orderdate
             ORDER BY revenue DESC, o_orderkey
             LIMIT 10
+        """,
+        "q_rare_bigrams": f"""
+            WITH base AS (
+              SELECT doc_id, {_SQL_NORM} AS norm FROM documents
+            ),
+            toks AS (
+              SELECT doc_id,
+                     unnest(string_split(norm, ' ')) AS tok,
+                     generate_subscripts(string_split(norm, ' '), 1) AS pos
+              FROM base WHERE norm <> ''
+            ),
+            doc_bi AS (
+              SELECT doc_id, w1, w2 FROM (
+                SELECT doc_id, tok AS w1,
+                       LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+                FROM toks
+              ) WHERE w2 IS NOT NULL
+            ),
+            corpus AS (
+              SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_pair
+              FROM doc_bi GROUP BY w1, w2
+            )
+            SELECT d.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                   CAST(SUM(CASE WHEN c.c_pair <= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_rare,
+                   round(CAST(SUM(CASE WHEN c.c_pair <= 2 THEN 1 ELSE 0 END)
+                              AS DOUBLE) / COUNT(*), 4) AS rare_pct
+            FROM doc_bi d JOIN corpus c ON d.w1 = c.w1 AND d.w2 = c.w2
+            GROUP BY d.doc_id
         """,
         "q_cust_order_dist": """
             SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist

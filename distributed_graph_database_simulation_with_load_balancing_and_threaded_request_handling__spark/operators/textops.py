@@ -394,3 +394,62 @@ def redact_pii(
         F.regexp_count(t, F.lit(PII_IPV4)).cast("long").alias("n_ips"),
         F.regexp_count(t, F.lit(PII_PHONE)).cast("long").alias("n_phones"),
     )
+
+
+def rare_bigram_rate(
+    documents: DataFrame,
+    *,
+    rare_max: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Frequency-based quality signal: per document, the fraction of
+    its word bigrams that are RARE in the corpus (corpus count <=
+    ``rare_max``) — high rates flag gibberish, OCR noise, and boiler-
+    plate-free junk the way perplexity filtering does, but from pure
+    integer counts (no language model, no floats beyond the final
+    rounded ratio), so the value oracle is exact.
+
+    Returns ``(doc_id, n_bigrams, n_rare, rare_pct)`` for every
+    document with at least one bigram.
+
+    Scale: the corpus bigram table is one map-side-combined groupBy of
+    the posexplode+LEAD bigram stream (the ``collocations`` plan); the
+    count join back to per-doc bigrams is keyed on the bigram pair —
+    at 100 TB swap the join key for a 64-bit digest of (w1, w2) so the
+    shuffle carries 8-byte keys (the ``substring_overlap_pairs``
+    posture); the per-doc aggregation is map-side combined.
+    """
+    from pyspark.sql.window import Window
+
+    from ..functions.textfns import normalize_text
+
+    base = documents.select(
+        F.col(id_col).alias("doc_id"), normalize_text(F.col(text_col)).alias("norm")
+    ).where(F.col("norm") != "")
+    toks = base.select(
+        "doc_id", F.posexplode(F.split("norm", " ")).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    doc_bi = (
+        toks.withColumn("nxt", F.lead("tok").over(w))
+        .where(F.col("nxt").isNotNull())
+        .select("doc_id", F.col("tok").alias("w1"), F.col("nxt").alias("w2"))
+    )
+    corpus = doc_bi.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("c_pair"))
+    return (
+        doc_bi.join(corpus, on=["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum(F.when(F.col("c_pair") <= rare_max, 1).otherwise(0))
+            .cast("long")
+            .alias("n_rare"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "n_rare",
+            F.round(F.col("n_rare") / F.col("n_bigrams"), 4).alias("rare_pct"),
+        )
+    )
