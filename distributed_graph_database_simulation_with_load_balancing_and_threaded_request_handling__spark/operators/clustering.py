@@ -192,12 +192,18 @@ def semantic_dedup_pairs(
     (sign-LSH blocking) — k-means blocking gives deterministic,
     semantically-coherent blocks whose size the pipeline controls by
     raising k; clusters beyond ``max_cluster_size`` are dropped before
-    the self-join (the standing degenerate-bucket guard), and the
-    self-join shuffles ``(cluster, id, vec)`` rows hash-partitioned on
-    the cluster key."""
+    pairing (the standing degenerate-bucket guard).  ONE shuffle of
+    ``(cluster, id, vec)`` keyed on the cluster, then each cluster's
+    all-pairs cosine is a single dense float64 matmul (``X @ X.T``)
+    inside an Arrow ``applyInPandas`` group — vectorized BLAS, never a
+    row-at-a-time pair join (the zip_with/aggregate HOF formulation
+    was measured ~4x slower at sf0.1: interpreted per-element lambdas
+    over |cluster|²·dim terms)."""
+    import numpy as np
+
     from pyspark.sql.window import Window
 
-    from ..functions.vectors import as_double_vec, cosine_sim
+    from ..functions.vectors import as_double_vec
 
     m = (
         embeddings.select(
@@ -208,21 +214,35 @@ def semantic_dedup_pairs(
         )
         .withColumn("csz", F.count("*").over(Window.partitionBy("cluster")))
         .where(F.col("csz") <= max_cluster_size)
+        .select("cluster", "id", "vec")
     )
-    a = m.select("cluster", F.col("id").alias("id_a"), F.col("vec").alias("vec_a"))
-    b = m.select("cluster", F.col("id").alias("id_b"), F.col("vec").alias("vec_b"))
-    return (
-        a.join(b, on="cluster")
-        .where(F.col("id_a") < F.col("id_b"))
-        .select(
-            "cluster",
-            "id_a",
-            "id_b",
-            F.round(
-                cosine_sim(F.col("vec_a"), F.col("vec_b")), round_digits
-            ).alias("sim"),
+
+    def pairs_in_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(
+                {"cluster": [], "id_a": [], "id_b": [], "sim": []}
+            ).astype({"cluster": "int32", "id_a": "int64", "id_b": "int64", "sim": "float64"})
+        order = np.argsort(pdf["id"].to_numpy())  # id_a < id_b for free
+        ids = pdf["id"].to_numpy()[order]
+        X = np.stack(pdf["vec"].to_numpy()[order]).astype(np.float64)
+        G = X @ X.T  # gram matrix: dots and squared norms in one BLAS call
+        nrm = np.sqrt(np.diag(G))
+        nrm = np.where(nrm == 0.0, 1.0, nrm)  # zero vectors -> sim 0, not NaN
+        iu, ju = np.triu_indices(n, 1)
+        sims = np.round(G[iu, ju] / (nrm[iu] * nrm[ju]), round_digits)
+        keep = sims >= threshold
+        return pd.DataFrame(
+            {
+                "cluster": np.full(keep.sum(), int(pdf["cluster"].iloc[0]), dtype="int32"),
+                "id_a": ids[iu[keep]],
+                "id_b": ids[ju[keep]],
+                "sim": sims[keep],
+            }
         )
-        .where(F.col("sim") >= threshold)
+
+    return m.groupBy("cluster").applyInPandas(
+        pairs_in_cluster, schema="cluster int, id_a long, id_b long, sim double"
     )
 
 

@@ -69,11 +69,14 @@ def attach_media(documents: DataFrame, *, text_col: str = "text", id_col: str = 
     )
 
 def decode_image(data: bytes) -> Any:
-    """STUB — full pixel decode (PIL/opencv not available in this
-    container).  The mapInPandas plumbing around it is real; swap this
-    seam for a real decoder in production.  Header-level metadata
-    (width/height) does NOT need this seam: ``image_dims`` below
-    parses real PNG/GIF/JPEG/BMP bytes with the stdlib only."""
+    """STUB — generic pixel decode for codec-library formats (JPEG
+    entropy decode, palette PNG, webp…; PIL/opencv not available in
+    this container).  The mapInPandas plumbing around it is real; swap
+    this seam for a real decoder in production.  Two sub-cases need NO
+    seam: header metadata (``image_dims`` parses real PNG/GIF/JPEG/BMP
+    bytes, stdlib only) and 8-bit grayscale PNG pixels
+    (``png_gray_decode`` is a complete stdlib inflate+unfilter
+    decoder, value-oracle-checked end-to-end by ``q_png_decode``)."""
     raise NotImplementedError("image decode requires PIL/opencv; stubbed by design")
 
 
