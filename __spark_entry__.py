@@ -145,6 +145,7 @@ from distributed_graph_database_simulation_with_load_balancing_and_threaded_requ
     customers_without_orders,
     local_supplier_volume,
     nation_trade_volume,
+    returned_item_revenue,
     ship_priority,
     event_props_filter,
     event_type_pivot,
@@ -1295,6 +1296,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # faster still but leaves no headroom for wider frontiers).
         return sssp(wsym, int(src), loop_shuffle_partitions=4)
 
+    def q_returned_revenue(spark, sf_dir):
+        # TPC-H Q10 shape: top-20 customers by returned-item revenue
+        # in one quarter; per-customer aggregation BELOW the customer
+        # join, broadcast nation, TakeOrderedAndProject top-k.
+        return returned_item_revenue(
+            load_table(spark, sf_dir, "customer"),
+            load_table(spark, sf_dir, "orders"),
+            load_table(spark, sf_dir, "lineitem"),
+            load_table(spark, sf_dir, "nation"),
+        )
+
     def q_rare_bigrams(spark, sf_dir):
         # Frequency-based quality filter: per-doc fraction of corpus-
         # rare bigrams (count <= 2) — the integer-exact stand-in for
@@ -1673,6 +1685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cust_order_dist": q_cust_order_dist,
         "q_nation_volume": q_nation_volume,
         "q_rare_bigrams": q_rare_bigrams,
+        "q_returned_revenue": q_returned_revenue,
         # -- reference parity + round-3-green suite --
         "q_add_graph": q_add_graph,
         "q_modify_graph": q_modify_graph,
@@ -2954,6 +2967,26 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY o_orderkey, o_orderdate
             ORDER BY revenue DESC, o_orderkey
             LIMIT 10
+        """,
+        "q_returned_revenue": """
+            SELECT c_custkey, c_name, n_name, revenue FROM (
+              SELECT c.c_custkey, c.c_name, n.n_name, pc.revenue
+              FROM (
+                SELECT o_custkey,
+                       round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                                  * (1 - CAST(l_discount AS DECIMAL(18,2))))
+                             AS DOUBLE), 4) AS revenue
+                FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+                WHERE l_returnflag = 'R'
+                  AND o_orderdate >= TIMESTAMP '1995-07-01'
+                  AND o_orderdate < TIMESTAMP '1995-10-01'
+                GROUP BY o_custkey
+              ) pc
+              JOIN customer c ON c.c_custkey = pc.o_custkey
+              JOIN nation n ON n.n_nationkey = c.c_nationkey
+            )
+            ORDER BY revenue DESC, c_custkey
+            LIMIT 20
         """,
         "q_rare_bigrams": f"""
             WITH base AS (

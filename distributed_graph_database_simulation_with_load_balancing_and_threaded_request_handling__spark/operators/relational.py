@@ -520,3 +520,55 @@ def nation_trade_volume(
         .agg(F.round(F.sum("disc_price").cast("double"), 4).alias("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
+
+
+def returned_item_revenue(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    nation: DataFrame,
+    *,
+    date_from: str = "1995-07-01",
+    date_to: str = "1995-10-01",
+    k: int = 20,
+) -> DataFrame:
+    """TPC-H Q10 shape: the top-k customers by revenue lost to
+    returned items (``l_returnflag = 'R'``) in one order-date quarter
+    — ``(c_custkey, c_name, n_name, revenue)`` by revenue descending,
+    custkey as the deterministic tie-break.
+
+    Scale notes: the return-flag and date predicates are plain scan
+    pushdowns on their fact tables; orders⋈lineitem is the one
+    fact-fact shuffle; customer joins on the custkey AFTER the
+    per-customer revenue is aggregated (the Q13 posture: the join
+    carries (custkey, revenue) rows, not fact rows), with the
+    nation name riding a broadcast; the top-k is
+    ``orderBy().limit(k)`` = TakeOrderedAndProject.
+    """
+    lo = F.lit(date_from).cast("timestamp")
+    hi = F.lit(date_to).cast("timestamp")
+    o = orders.where((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)).select(
+        "o_orderkey", "o_custkey"
+    )
+    li = lineitem.where(F.col("l_returnflag") == "R").select(
+        "l_orderkey",
+        (
+            F.col("l_extendedprice").cast(_DEC)
+            * (1 - F.col("l_discount").cast(_DEC))
+        ).alias("disc_price"),
+    )
+    per_cust = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_custkey")
+        .agg(F.round(F.sum("disc_price").cast("double"), 4).alias("revenue"))
+    )
+    cust = customer.join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        customer["c_nationkey"] == nation["n_nationkey"],
+    ).select("c_custkey", "c_name", "n_name")
+    return (
+        per_cust.join(cust, per_cust["o_custkey"] == cust["c_custkey"])
+        .select("c_custkey", "c_name", "n_name", "revenue")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(k)
+    )

@@ -156,3 +156,12 @@ def test_cust_order_dist_preaggregates_orders(spark):
     # shuffle join on narrow rows.  Either is acceptable here.
     assert plan.count("HashAggregate") >= 3
     assert "Join" in plan
+
+
+def test_returned_revenue_topk_and_pushdown(spark):
+    df = entry.queries()["q_returned_revenue"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan  # top-k, not global sort
+    # return-flag predicate reaches the lineitem scan
+    assert "PushedFilters" in plan
+    assert "l_returnflag" in plan
