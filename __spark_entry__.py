@@ -131,7 +131,9 @@ from distributed_graph_database_simulation_with_load_balancing_and_threaded_requ
     extract_audio_meta,
     plant_audio_signal,
     plant_encoded_pngs,
+    plant_encoded_rgb_pngs,
     png_decode_stats,
+    rgb_decode_stats,
     extract_media_meta,
     frame_sample,
     plant_audio,
@@ -1020,6 +1022,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         media = plant_encoded_pngs(load_table(spark, sf_dir, "documents"))
         return png_decode_stats(media, out_w=8, out_h=8)
 
+    def q_rgb_decode(spark, sf_dir):
+        # Truecolor twin of q_png_decode: bpp=3 unfilter over encoded
+        # RGB PNGs; per-channel pixel sums replay from the planting
+        # arithmetic (31i + 17j + 7c + id) % 256.
+        media = plant_encoded_rgb_pngs(load_table(spark, sf_dir, "documents"))
+        return rgb_decode_stats(media)
+
     def q_audio_features(spark, sf_dir):
         # REAL signal features from DECODED audio: planted WAVs carry
         # arithmetic int16 PCM (sample k = ((37k + 11*id) % 4001) -
@@ -1686,6 +1695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_nation_volume": q_nation_volume,
         "q_rare_bigrams": q_rare_bigrams,
         "q_returned_revenue": q_returned_revenue,
+        "q_rgb_decode": q_rgb_decode,
         # -- reference parity + round-3-green suite --
         "q_add_graph": q_add_graph,
         "q_modify_graph": q_modify_graph,
@@ -2149,6 +2159,32 @@ def oracle_sql() -> dict[str, str]:
                    round(list_cosine_similarity(a.vec, b.vec), 4) AS sim
             FROM m a JOIN m b ON a.cluster = b.cluster AND a.id < b.id
             WHERE round(list_cosine_similarity(a.vec, b.vec), 4) >= 0.4
+        """,
+        # plant_encoded_rgb_pngs: pixel(i,j,c) = (31i+17j+7c+id)%256,
+        # W = 8+id%9, H = 8+id%7; per-channel sums replay exactly.
+        "q_rgb_decode": """
+            WITH grid AS (
+              SELECT r.r, c.c, ch.ch
+              FROM range(0, 16) r(r)
+              CROSS JOIN range(0, 16) c(c)
+              CROSS JOIN range(0, 3) ch(ch)
+            ),
+            dims AS (
+              SELECT CAST(doc_id AS BIGINT) AS media_id,
+                     CAST(8 + doc_id % 9 AS BIGINT) AS w,
+                     CAST(8 + doc_id % 7 AS BIGINT) AS h
+              FROM documents
+            )
+            SELECT media_id, w AS width, h AS height,
+                   CAST(SUM(CASE WHEN ch = 0 THEN v END) AS BIGINT) AS sum_r,
+                   CAST(SUM(CASE WHEN ch = 1 THEN v END) AS BIGINT) AS sum_g,
+                   CAST(SUM(CASE WHEN ch = 2 THEN v END) AS BIGINT) AS sum_b
+            FROM (
+              SELECT d.media_id, d.w, d.h, g.ch,
+                     (31 * g.r + 17 * g.c + 7 * g.ch + d.media_id) % 256 AS v
+              FROM dims d JOIN grid g ON g.r < d.h AND g.c < d.w
+            )
+            GROUP BY media_id, w, h
         """,
         # plant_audio_signal writes sample k = ((37k + 11*id) % 4001)
         # - 2000 over n = frames*channels interleaved int16 slots;

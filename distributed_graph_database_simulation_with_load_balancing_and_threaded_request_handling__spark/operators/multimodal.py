@@ -532,19 +532,67 @@ def png_gray_encode(pixels, *, filter_seed: int = 0) -> bytes:
     )
 
 
-def png_gray_decode(data: bytes):
-    """REAL stdlib PNG pixel decode for 8-bit grayscale (color type 0,
-    no interlace): chunk walk -> concatenated-IDAT zlib inflate ->
-    per-row unfilter for ALL five filter types -> (h, w) uint8 array.
-    This closes the image-decode seam for the format the fixtures
-    plant; ``decode_image`` remains the documented stub for formats
-    that genuinely need a codec library (JPEG entropy decode etc.).
+def png_rgb_encode(pixels, *, filter_seed: int = 0) -> bytes:
+    """COMPLETE 8-bit truecolor (RGB, color type 2) PNG encoder — the
+    3-bytes-per-pixel sibling of ``png_gray_encode``, same per-row
+    filter cycle so a decoder must handle every filter at bpp=3."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    arr = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = arr.shape
+    stride = w * 3
+    flat = arr.reshape(h, stride).astype(np.int64)
+    raw = bytearray()
+    prior = np.zeros(stride, dtype=np.int64)
+    for r in range(h):
+        row = flat[r]
+        ftype = (filter_seed + r) % 5
+        if ftype == 0:
+            out = row
+        elif ftype == 1:  # Sub (left neighbor is 3 bytes back)
+            left = np.concatenate((np.zeros(3, dtype=np.int64), row[:-3]))
+            out = (row - left) % 256
+        elif ftype == 2:  # Up
+            out = (row - prior) % 256
+        elif ftype == 3:  # Average
+            left = np.concatenate((np.zeros(3, dtype=np.int64), row[:-3]))
+            out = (row - (left + prior) // 2) % 256
+        else:  # Paeth
+            out = np.empty(stride, dtype=np.int64)
+            for j in range(stride):
+                a = int(row[j - 3]) if j >= 3 else 0
+                c = int(prior[j - 3]) if j >= 3 else 0
+                out[j] = (int(row[j]) - _paeth(a, int(prior[j]), c)) % 256
+        raw.append(ftype)
+        raw.extend(out.astype(np.uint8).tobytes())
+        prior = row
+    ihdr = struct.pack(">II", w, h) + b"\x08\x02\x00\x00\x00"  # 8-bit RGB
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def png_decode(data: bytes):
+    """REAL stdlib PNG pixel decode for 8-bit grayscale (color type 0)
+    and 8-bit truecolor RGB (color type 2), no interlace: chunk walk
+    -> concatenated-IDAT zlib inflate -> per-row unfilter for ALL five
+    filter types with the correct bytes-per-pixel offset -> uint8
+    array of shape (h, w) for grayscale or (h, w, 3) for RGB.  This
+    closes the image-decode seam for the formats the fixtures plant;
+    ``decode_image`` remains the documented stub for formats that
+    genuinely need a codec library (JPEG entropy decode etc.).
 
     Unfiltering is inherently sequential across a scanline for Sub/
-    Average/Paeth (each byte depends on the reconstructed left
-    neighbor); Sub reduces to a vectorized cumulative sum for the
-    1-byte-per-pixel case, Up is fully vectorized, and the two loops
-    that remain run per SCANLINE inside an Arrow-batched worker — the
+    Average/Paeth (each byte depends on the reconstructed neighbor
+    ``bpp`` bytes left); Sub reduces to a vectorized per-byte-lane
+    cumulative sum, Up is fully vectorized, and the two loops that
+    remain run per SCANLINE inside an Arrow-batched worker — the
     parallel unit at scale is the image, not the pixel."""
     import struct
     import zlib
@@ -554,7 +602,7 @@ def png_gray_decode(data: bytes):
     if data[:8] != b"\x89PNG\r\n\x1a\n":
         raise ValueError("not a PNG")
     pos = 8
-    w = h = None
+    w = h = color_type = None
     idat = bytearray()
     while pos + 8 <= len(data):
         (length,) = struct.unpack(">I", data[pos : pos + 4])
@@ -563,10 +611,10 @@ def png_gray_decode(data: bytes):
         if tag == b"IHDR":
             w, h = struct.unpack(">II", body[:8])
             bit_depth, color_type, _, _, interlace = struct.unpack(">BBBBB", body[8:13])
-            if (bit_depth, color_type, interlace) != (8, 0, 0):
+            if bit_depth != 8 or color_type not in (0, 2) or interlace != 0:
                 raise ValueError(
                     f"unsupported PNG shape: depth={bit_depth} color={color_type} "
-                    f"interlace={interlace} (stdlib decoder covers 8-bit grayscale)"
+                    f"interlace={interlace} (stdlib decoder covers 8-bit gray/RGB)"
                 )
         elif tag == b"IDAT":
             idat.extend(body)
@@ -575,38 +623,52 @@ def png_gray_decode(data: bytes):
         pos += 12 + length
     if w is None:
         raise ValueError("PNG missing IHDR")
+    bpp = 3 if color_type == 2 else 1
+    stride = w * bpp
     raw = zlib.decompress(bytes(idat))
-    if len(raw) != h * (w + 1):
+    if len(raw) != h * (stride + 1):
         raise ValueError("PNG scanline payload length mismatch")
-    out = np.empty((h, w), dtype=np.int64)
-    prior = np.zeros(w, dtype=np.int64)
+    out = np.empty((h, stride), dtype=np.int64)
+    prior = np.zeros(stride, dtype=np.int64)
     for r in range(h):
-        line = raw[r * (w + 1) : (r + 1) * (w + 1)]
+        line = raw[r * (stride + 1) : (r + 1) * (stride + 1)]
         ftype = line[0]
         filt = np.frombuffer(line[1:], dtype=np.uint8).astype(np.int64)
         if ftype == 0:
             row = filt
-        elif ftype == 1:  # Sub: recon[j] = sum(filt[0..j]) mod 256
-            row = np.cumsum(filt) % 256
+        elif ftype == 1:  # Sub: cumulative sum within each byte lane
+            row = filt.copy()
+            for lane in range(bpp):
+                row[lane::bpp] = np.cumsum(filt[lane::bpp]) % 256
         elif ftype == 2:  # Up
             row = (filt + prior) % 256
         elif ftype == 3:  # Average
-            row = np.empty(w, dtype=np.int64)
-            left = 0
-            for j in range(w):
-                left = (filt[j] + (left + prior[j]) // 2) % 256
-                row[j] = left
+            row = np.empty(stride, dtype=np.int64)
+            for j in range(stride):
+                a = int(row[j - bpp]) if j >= bpp else 0
+                row[j] = (filt[j] + (a + prior[j]) // 2) % 256
         elif ftype == 4:  # Paeth
-            row = np.empty(w, dtype=np.int64)
-            for j in range(w):
-                a = int(row[j - 1]) if j else 0
-                c = int(prior[j - 1]) if j else 0
+            row = np.empty(stride, dtype=np.int64)
+            for j in range(stride):
+                a = int(row[j - bpp]) if j >= bpp else 0
+                c = int(prior[j - bpp]) if j >= bpp else 0
                 row[j] = (filt[j] + _paeth(a, int(prior[j]), c)) % 256
         else:
             raise ValueError(f"bad PNG filter type {ftype}")
         out[r] = row
         prior = row
-    return out.astype(np.uint8)
+    arr = out.astype(np.uint8)
+    return arr.reshape(h, w, 3) if bpp == 3 else arr
+
+
+def png_gray_decode(data: bytes):
+    """Grayscale-asserting wrapper over ``png_decode`` (the original
+    round-4 seam-closer; kept as the narrow contract the grayscale
+    fixtures and ``decode_png_bitmaps`` rely on)."""
+    arr = png_decode(data)
+    if arr.ndim != 2:
+        raise ValueError("expected 8-bit grayscale PNG")
+    return arr
 
 
 def plant_encoded_pngs(documents: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
@@ -640,6 +702,81 @@ def plant_encoded_pngs(documents: DataFrame, *, id_col: str = "doc_id") -> DataF
             )
 
     return documents.select(id_col).mapInPandas(build, schema=MEDIA_SCHEMA)
+
+
+def plant_encoded_rgb_pngs(documents: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """Fully-encoded truecolor PNG fixtures: W = 8 + id%9,
+    H = 8 + id%7, pixel(i, j, c) = (31*i + 17*j + 7*c + id) % 256,
+    per-row filters cycling on ``(id + r) % 5`` at bpp=3 — the RGB
+    twin of ``plant_encoded_pngs``."""
+    import numpy as np
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for i in pdf[id_col]:
+                i = int(i)
+                w, h = 8 + i % 9, 8 + i % 7
+                rows = np.arange(h, dtype=np.int64)[:, None, None] * 31
+                cols = np.arange(w, dtype=np.int64)[None, :, None] * 17
+                chans = np.arange(3, dtype=np.int64)[None, None, :] * 7
+                arr = ((rows + cols + chans + i) % 256).astype(np.uint8)
+                ids.append(i)
+                payloads.append(png_rgb_encode(arr, filter_seed=i))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "media_type": ["image"] * len(ids),
+                    "media": payloads,
+                    "source": ["planted"] * len(ids),
+                }
+            )
+
+    return documents.select(id_col).mapInPandas(build, schema=MEDIA_SCHEMA)
+
+
+RGB_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("width", LongType(), False),
+        StructField("height", LongType(), False),
+        StructField("sum_r", LongType(), False),
+        StructField("sum_g", LongType(), False),
+        StructField("sum_b", LongType(), False),
+    ]
+)
+
+
+def rgb_decode_stats(media: DataFrame) -> DataFrame:
+    """Decode truecolor PNGs and emit per-channel pixel sums in one
+    Arrow map stage — replayable integers proving the bpp=3 unfilter
+    reconstructed every byte of every channel."""
+    import numpy as np
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, rs, gs, bs = [], [], [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["media"]):
+                arr = png_decode(bytes(payload)).astype(np.int64)
+                h, w, _ = arr.shape
+                ids.append(int(mid))
+                ws.append(w)
+                hs.append(h)
+                rs.append(int(arr[:, :, 0].sum()))
+                gs.append(int(arr[:, :, 1].sum()))
+                bs.append(int(arr[:, :, 2].sum()))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "width": ws,
+                    "height": hs,
+                    "sum_r": rs,
+                    "sum_g": gs,
+                    "sum_b": bs,
+                }
+            )
+
+    return media.mapInPandas(process, schema=RGB_STATS_SCHEMA)
 
 
 def decode_png_bitmaps(media: DataFrame) -> DataFrame:

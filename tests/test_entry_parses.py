@@ -26,7 +26,7 @@ def test_module_parses_and_exposes_api():
 def test_queries_registry_consistent():
     qs = entry.queries()
     assert isinstance(qs, dict)
-    assert len(qs) >= 89  # round-4 floor; grows as queries are added
+    assert len(qs) >= 90  # round-4 floor; grows as queries are added
     # unique names, all callable
     assert len(qs) == len(set(qs))
     for name, fn in qs.items():

@@ -891,3 +891,41 @@ def test_semantic_dedup_blocks_by_cluster(spark):
     assert got[(0, 20)]["sim"] == 1.0
     # every reported pair is within one cluster
     assert all(a[p[0]] == a[p[1]] == r["cluster"] for p, r in got.items())
+
+
+def test_png_rgb_codec_roundtrip_and_stats(spark):
+    import numpy as np
+
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.multimodal import (
+        image_dims,
+        plant_encoded_rgb_pngs,
+        png_decode,
+        png_rgb_encode,
+        rgb_decode_stats,
+    )
+
+    rng = np.random.RandomState(17)
+    for seed in range(5):
+        arr = rng.randint(0, 256, size=(7, 11, 3)).astype(np.uint8)
+        enc = png_rgb_encode(arr, filter_seed=seed)
+        assert (png_decode(enc) == arr).all()
+        assert image_dims(enc) == (11, 7)
+
+    docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    got = {
+        r["media_id"]: r
+        for r in rgb_decode_stats(plant_encoded_rgb_pngs(docs)).collect()
+    }
+    for i in range(6):
+        w, h = 8 + i % 9, 8 + i % 7
+        rows = np.arange(h)[:, None, None] * 31
+        cols = np.arange(w)[None, :, None] * 17
+        chans = np.arange(3)[None, None, :] * 7
+        arr = (rows + cols + chans + i) % 256
+        r = got[i]
+        assert (r["width"], r["height"]) == (w, h)
+        assert (r["sum_r"], r["sum_g"], r["sum_b"]) == (
+            int(arr[:, :, 0].sum()),
+            int(arr[:, :, 1].sum()),
+            int(arr[:, :, 2].sum()),
+        )
