@@ -145,10 +145,15 @@ from distributed_graph_database_simulation_with_load_balancing_and_threaded_requ
     brand_revenue,
     customer_order_distribution,
     customers_without_orders,
+    disjunctive_part_revenue,
+    large_quantity_orders,
     local_supplier_volume,
     nation_trade_volume,
+    order_priority_check,
+    promo_revenue_share,
     returned_item_revenue,
     ship_priority,
+    shipmode_priority_stats,
     event_props_filter,
     event_type_pivot,
     event_windows,
@@ -1316,6 +1321,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(spark, sf_dir, "nation"),
         )
 
+    def q_order_priority(spark, sf_dir):
+        # TPC-H Q4 shape: EXISTS rewritten as a LEFT SEMI join — the
+        # lineitem side contributes only a deduplicated orderkey bag.
+        return order_priority_check(
+            load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+        )
+
+    def q_shipmode_stats(spark, sf_dir):
+        # TPC-H Q12 shape: conditional aggregation (SUM of CASE) folds
+        # high/low priority counts into one pass over the joined rows.
+        return shipmode_priority_stats(
+            load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+        )
+
+    def q_promo_revenue(spark, sf_dir):
+        # TPC-H Q14 shape: promo revenue share — broadcast (partkey,
+        # is_promo) dim, numerator+denominator from ONE conditional agg.
+        return promo_revenue_share(
+            load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+        )
+
+    def q_big_orders(spark, sf_dir):
+        # TPC-H Q18 shape: HAVING-aggregation-first — lineitem
+        # collapses to (orderkey, qty) before any join; top-k via
+        # TakeOrderedAndProject.
+        return large_quantity_orders(
+            load_table(spark, sf_dir, "customer"),
+            load_table(spark, sf_dir, "orders"),
+            load_table(spark, sf_dir, "lineitem"),
+        )
+
+    def q_disjunctive_rev(spark, sf_dir):
+        # TPC-H Q19 shape: OR-of-ANDs split into a pre-broadcast part
+        # filter + residual joined predicate; zero shuffles end to end.
+        return disjunctive_part_revenue(
+            load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+        )
+
     def q_rare_bigrams(spark, sf_dir):
         # Frequency-based quality filter: per-doc fraction of corpus-
         # rare bigrams (count <= 2) — the integer-exact stand-in for
@@ -1696,6 +1739,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rare_bigrams": q_rare_bigrams,
         "q_returned_revenue": q_returned_revenue,
         "q_rgb_decode": q_rgb_decode,
+        "q_order_priority": q_order_priority,
+        "q_shipmode_stats": q_shipmode_stats,
+        "q_promo_revenue": q_promo_revenue,
+        "q_big_orders": q_big_orders,
+        "q_disjunctive_rev": q_disjunctive_rev,
         # -- reference parity + round-3-green suite --
         "q_add_graph": q_add_graph,
         "q_modify_graph": q_modify_graph,
@@ -3023,6 +3071,75 @@ def oracle_sql() -> dict[str, str]:
             )
             ORDER BY revenue DESC, c_custkey
             LIMIT 20
+        """,
+        "q_order_priority": """
+            SELECT o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS order_count
+            FROM orders o
+            WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+              AND o_orderdate < TIMESTAMP '1995-04-01'
+              AND EXISTS (
+                SELECT 1 FROM lineitem l
+                WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+              )
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
+        """,
+        "q_shipmode_stats": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+                   CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                            THEN 0 ELSE 1 END) AS BIGINT) AS low_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "q_promo_revenue": """
+            SELECT round(CAST(promo_dec AS DOUBLE), 4) AS promo_revenue,
+                   round(CAST(total_dec AS DOUBLE), 4) AS total_revenue,
+                   round(CAST(100.0 * promo_dec / total_dec AS DOUBLE), 4)
+                       AS promo_pct
+            FROM (
+              SELECT SUM(CASE WHEN p_type = 'PROMO'
+                         THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                              * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                         ELSE CAST(0 AS DECIMAL(18,2)) END) AS promo_dec,
+                     SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total_dec
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE l_shipdate >= TIMESTAMP '1995-09-01'
+                AND l_shipdate < TIMESTAMP '1995-10-01'
+            )
+        """,
+        "q_big_orders": """
+            SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+                   round(CAST(qty_dec AS DOUBLE), 4) AS total_qty
+            FROM (
+              SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty_dec
+              FROM lineitem GROUP BY l_orderkey
+              HAVING SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                     > CAST(220.0 AS DECIMAL(18,2))
+            ) big
+            JOIN orders ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            ORDER BY total_qty DESC, o_orderkey
+            LIMIT 20
+        """,
+        "q_disjunctive_rev": """
+            SELECT round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 4)
+                       AS revenue,
+                   CAST(COUNT(*) AS BIGINT) AS n_lines
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 1 AND 20)
+               OR (p_brand = 'Brand#23' AND p_size BETWEEN 10 AND 30
+                   AND l_quantity BETWEEN 10 AND 30)
+               OR (p_brand = 'Brand#34' AND p_size BETWEEN 25 AND 50
+                   AND l_quantity BETWEEN 20 AND 45)
         """,
         "q_rare_bigrams": f"""
             WITH base AS (

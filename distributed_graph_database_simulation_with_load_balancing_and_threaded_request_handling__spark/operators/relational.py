@@ -572,3 +572,205 @@ def returned_item_revenue(
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(k)
     )
+
+
+def order_priority_check(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    *,
+    date_from: str = "1995-01-01",
+    date_to: str = "1995-04-01",
+) -> DataFrame:
+    """TPC-H Q4 shape: per-priority count of orders in one quarter
+    that have at least one returned line (``EXISTS`` rewritten as a
+    LEFT SEMI join; the reference schema's commit/receipt-date lateness
+    predicate maps to the return flag here).  Returns
+    ``(o_orderpriority, order_count)`` ordered by priority.
+
+    Scale notes: the semi join is the whole point — the lineitem side
+    is reduced to a bag of qualifying orderkeys (one bigint column,
+    duplicates eliminated by the semi-join semantics, never a row
+    multiplier), and the return-flag + date predicates are plain scan
+    pushdowns.  Both sides shuffle once on the orderkey; the
+    aggregation output is 5 rows.
+    """
+    lo = F.lit(date_from).cast("timestamp")
+    hi = F.lit(date_to).cast("timestamp")
+    o = orders.where((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)).select(
+        "o_orderkey", "o_orderpriority"
+    )
+    flagged = lineitem.where(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        o.join(flagged, o["o_orderkey"] == flagged["l_orderkey"], "leftsemi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").cast("long").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def shipmode_priority_stats(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    *,
+    year_from: str = "1996-01-01",
+    year_to: str = "1997-01-01",
+) -> DataFrame:
+    """TPC-H Q12 shape: per-lineitem-class counts of high- vs
+    low-priority orders shipped in one year (the reference schema's
+    ship-mode column maps to ``(l_returnflag, l_linestatus)`` here).
+    Returns ``(l_returnflag, l_linestatus, high_count, low_count)``.
+
+    Scale notes: conditional aggregation (SUM of CASE) folds the two
+    output measures into ONE pass over the joined rows — no
+    self-join, no pivot shuffle.  The ship-date window is a scan
+    pushdown on the fact side; orders contributes only
+    (orderkey, priority) and joins on the natural key.
+    """
+    lo = F.lit(year_from).cast("timestamp")
+    hi = F.lit(year_to).cast("timestamp")
+    li = lineitem.where((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)).select(
+        "l_orderkey", "l_returnflag", "l_linestatus"
+    )
+    o = orders.select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long").alias("low_count"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def promo_revenue_share(
+    lineitem: DataFrame,
+    part: DataFrame,
+    *,
+    promo_type: str = "PROMO",
+    date_from: str = "1995-09-01",
+    date_to: str = "1995-10-01",
+) -> DataFrame:
+    """TPC-H Q14 shape: the percentage of one month's discounted
+    revenue that came from promotional parts — a single-row
+    ``(promo_revenue, total_revenue, promo_pct)`` scalar.
+
+    Scale notes: part is reduced to ``(p_partkey, is_promo)`` — one
+    bigint + one boolean per part — and broadcast, so the fact scan
+    never shuffles; both the numerator and denominator come out of ONE
+    conditional aggregation over a single pass (no second scan, no
+    self-join).  The month predicate is a scan pushdown.
+    """
+    lo = F.lit(date_from).cast("timestamp")
+    hi = F.lit(date_to).cast("timestamp")
+    li = lineitem.where((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)).select(
+        "l_partkey",
+        (
+            F.col("l_extendedprice").cast(_DEC)
+            * (1 - F.col("l_discount").cast(_DEC))
+        ).alias("disc_price"),
+    )
+    p = part.select(
+        "p_partkey", (F.col("p_type") == promo_type).alias("is_promo")
+    )
+    agg = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .agg(
+            F.sum(F.when(F.col("is_promo"), F.col("disc_price")).otherwise(
+                F.lit(0).cast(_DEC))).alias("promo_dec"),
+            F.sum("disc_price").alias("total_dec"),
+        )
+    )
+    return agg.select(
+        F.round(F.col("promo_dec").cast("double"), 4).alias("promo_revenue"),
+        F.round(F.col("total_dec").cast("double"), 4).alias("total_revenue"),
+        F.round(
+            (F.lit(100.0) * F.col("promo_dec") / F.col("total_dec")).cast("double"), 4
+        ).alias("promo_pct"),
+    )
+
+
+def large_quantity_orders(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    *,
+    qty_threshold: float = 220.0,
+    k: int = 20,
+) -> DataFrame:
+    """TPC-H Q18 shape: the top-k largest orders by total line
+    quantity above a threshold, with their customer — ``(c_custkey,
+    c_name, o_orderkey, o_orderdate, total_qty)`` by quantity
+    descending, orderkey tie-break.
+
+    Scale notes: the HAVING aggregation runs FIRST — lineitem
+    collapses to ``(orderkey, total_qty)`` with map-side combine and
+    the threshold then cuts that to a tiny key set, so the orders and
+    customer joins carry only qualifying keys (broadcast-eligible
+    under AQE: the post-filter side is a few thousand rows at any
+    scale where the threshold is selective).  Top-k is
+    TakeOrderedAndProject.
+    """
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(_DEC)).alias("qty_dec"))
+        .where(F.col("qty_dec") > F.lit(qty_threshold).cast(_DEC))
+        .select(
+            "l_orderkey", F.round(F.col("qty_dec").cast("double"), 4).alias("total_qty")
+        )
+    )
+    o = orders.select("o_orderkey", "o_custkey", "o_orderdate")
+    c = customer.select("c_custkey", "c_name")
+    return (
+        big.join(o, big["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .select("c_custkey", "c_name", "o_orderkey", "o_orderdate", "total_qty")
+        .orderBy(F.col("total_qty").desc(), F.col("o_orderkey"))
+        .limit(k)
+    )
+
+
+def disjunctive_part_revenue(
+    lineitem: DataFrame,
+    part: DataFrame,
+    *,
+    brand_a: str = "Brand#11",
+    brand_b: str = "Brand#23",
+    brand_c: str = "Brand#34",
+) -> DataFrame:
+    """TPC-H Q19 shape: discounted revenue over an OR-of-ANDs
+    predicate — three (brand, size-range, quantity-range) disjuncts
+    that each touch both the part and lineitem side.  Returns a
+    single-row ``(revenue, n_lines)``.
+
+    Scale notes: the disjunction splits into a part-side filter
+    (brand IN (...) AND the per-brand size window — evaluated before
+    the broadcast, so the broadcast table is only matching parts) and
+    a residual joined predicate for the per-brand quantity windows.
+    The joined filter runs inside the broadcast-hash-join stage —
+    zero shuffles end to end (the final agg is a single scalar).
+    """
+    cond_part = (
+        ((F.col("p_brand") == brand_a) & F.col("p_size").between(1, 15))
+        | ((F.col("p_brand") == brand_b) & F.col("p_size").between(10, 30))
+        | ((F.col("p_brand") == brand_c) & F.col("p_size").between(25, 50))
+    )
+    p = part.where(cond_part).select("p_partkey", "p_brand")
+    li = lineitem.select(
+        "l_partkey",
+        "l_quantity",
+        (
+            F.col("l_extendedprice").cast(_DEC)
+            * (1 - F.col("l_discount").cast(_DEC))
+        ).alias("disc_price"),
+    )
+    joined = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"]).where(
+        ((F.col("p_brand") == brand_a) & F.col("l_quantity").between(1, 20))
+        | ((F.col("p_brand") == brand_b) & F.col("l_quantity").between(10, 30))
+        | ((F.col("p_brand") == brand_c) & F.col("l_quantity").between(20, 45))
+    )
+    return joined.agg(
+        F.round(F.sum("disc_price").cast("double"), 4).alias("revenue"),
+        F.count("*").cast("long").alias("n_lines"),
+    )
