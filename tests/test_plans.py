@@ -165,3 +165,40 @@ def test_returned_revenue_topk_and_pushdown(spark):
     # return-flag predicate reaches the lineitem scan
     assert "PushedFilters" in plan
     assert "l_returnflag" in plan
+
+
+def test_order_priority_semi_join_with_pushed_flag(spark):
+    # Q4 shape: EXISTS must compile to a semi join (never a row-
+    # multiplying inner join + distinct), with the return-flag and
+    # date predicates pushed to their scans.
+    df = entry.queries()["q_order_priority"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "LeftSemi" in plan
+    assert "EqualTo(l_returnflag,R)" in plan
+    assert "o_orderdate" in plan.split("PushedFilters", 1)[1][:400]
+
+
+def test_disjunctive_rev_pushes_or_predicate_both_sides(spark):
+    # Q19 shape: the OR-of-ANDs must split — part-side disjuncts
+    # evaluated before the broadcast, and the lineitem scan still
+    # receives the quantity disjunction as a pushed Or(...) filter.
+    df = entry.queries()["q_disjunctive_rev"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # PushedFilters follow the Location(...lineitem.parquet) marker on
+    # the lineitem FileScan line.
+    li_scan = plan.split("lineitem.parquet", 1)[1].split("ReadSchema", 1)[0]
+    assert "Or(" in li_scan and "l_quantity" in li_scan
+
+
+def test_big_orders_aggregates_before_joins_with_topk(spark):
+    # Q18 shape: the HAVING aggregation must sit BELOW both joins
+    # (lineitem collapses to (orderkey, qty) first) and the top-k must
+    # be TakeOrderedAndProject.
+    df = entry.queries()["q_big_orders"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+    agg_pos = plan.index("HashAggregate")
+    join_pos = plan.index("Join")
+    assert join_pos < agg_pos  # joins appear above the agg in the tree
