@@ -71,6 +71,8 @@ from distributed_graph_database_simulation_with_load_balancing_and_threaded_requ
 )
 from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.similarity import (
     cosine_topk,
+    cosine_topk_filtered,
+    cosine_topk_per_group,
     embedding_near_dup,
     ivf_topk,
     lsh_topk,
@@ -920,6 +922,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
         return cosine_topk(emb, qvec, 10)
 
+    def q_filtered_topk(spark, sf_dir):
+        # Filtered vector search (retrieval with a metadata filter):
+        # pre-filter strategy — the label predicate reaches the scan,
+        # scoring runs only on survivors, exact by construction.
+        emb = load_table(spark, sf_dir, "embeddings")
+        qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+        return cosine_topk_filtered(
+            emb, qvec, 10, predicate=F.col("label").isin(1, 3)
+        )
+
+    def q_group_topk(spark, sf_dir):
+        # Diversified retrieval: top-3 nearest per label group; the
+        # rank<=k filter compiles to WindowGroupLimit so the window
+        # shuffle carries O(groups*k) rows.
+        emb = load_table(spark, sf_dir, "embeddings")
+        qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+        return cosine_topk_per_group(emb, qvec, 3)
+
     def q_lsh_topk(spark, sf_dir):
         # Deterministic once seeded -> full value oracle (the SQL
         # replays the same hyperplane signatures and bucket match).
@@ -1744,6 +1764,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_promo_revenue": q_promo_revenue,
         "q_big_orders": q_big_orders,
         "q_disjunctive_rev": q_disjunctive_rev,
+        "q_filtered_topk": q_filtered_topk,
+        "q_group_topk": q_group_topk,
         # -- reference parity + round-3-green suite --
         "q_add_graph": q_add_graph,
         "q_modify_graph": q_modify_graph,
@@ -3071,6 +3093,39 @@ def oracle_sql() -> dict[str, str]:
             )
             ORDER BY revenue DESC, c_custkey
             LIMIT 20
+        """,
+        "q_filtered_topk": """
+            WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+                       FROM embeddings WHERE vec_id = 0),
+            sims AS (
+              SELECT e.vec_id,
+                     round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 4) AS sim
+              FROM embeddings e CROSS JOIN q
+              WHERE e.label IN (1, 3)
+            ),
+            ranked AS (
+              SELECT vec_id, sim,
+                     CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id) AS INTEGER) AS rank
+              FROM sims
+            )
+            SELECT vec_id, sim, rank FROM ranked WHERE rank <= 10
+        """,
+        "q_group_topk": """
+            WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+                       FROM embeddings WHERE vec_id = 0),
+            sims AS (
+              SELECT e.label AS "group", e.vec_id,
+                     round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 4) AS sim
+              FROM embeddings e CROSS JOIN q
+            ),
+            ranked AS (
+              SELECT "group", vec_id, sim,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY "group"
+                          ORDER BY sim DESC, vec_id) AS INTEGER) AS rank
+              FROM sims
+            )
+            SELECT "group", vec_id, sim, rank FROM ranked
+            WHERE rank <= 3 ORDER BY "group", rank
         """,
         "q_order_priority": """
             SELECT o_orderpriority,

@@ -377,3 +377,77 @@ def embedding_near_dup(
         )
         .where(F.col("sim") >= threshold)
     )
+
+
+def cosine_topk_filtered(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    *,
+    predicate: Column,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Filtered vector search: exact top-k by cosine among only the
+    rows satisfying ``predicate`` (the retrieval-with-metadata-filter
+    composition every RAG/labeling pipeline needs).
+
+    This is the PRE-filter strategy: the predicate prunes rows before
+    any scoring, so selective filters reach the parquet scan
+    (PushedFilters — on a label/date/source column this is a rowgroup
+    skip at 100 TB) and the similarity expression only runs on
+    survivors.  The alternative POST-filter (score, then filter the
+    top-k) under-fills k whenever the filter is selective; pre-filter
+    is exact by construction.  Composes with the IVF/LSH candidate
+    restriction for the approximate path (filter the candidate set the
+    same way).
+    """
+    return cosine_topk(
+        embeddings.where(predicate), query_vec, k, vec_col=vec_col, id_col=id_col
+    )
+
+
+def cosine_topk_per_group(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 3,
+    *,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Top-k nearest to the query WITHIN EACH GROUP — ``(group, vec_id,
+    sim, rank)`` — the diversified-retrieval shape (k per category /
+    source / shard rather than a single global heap).
+
+    Scale notes: one pass scores every row (JVM expression, no Python),
+    then a group-partitioned row_number window keeps rank <= k.  Spark's
+    InferWindowGroupLimit rewrites that filter into a per-partition
+    top-k heap BEFORE the window shuffle (WindowGroupLimit in the
+    plan), so each group contributes at most k rows to the exchange —
+    the shuffle carries O(groups * k), not O(rows).
+    """
+    from pyspark.sql.window import Window
+
+    q = _vec_lit(query_vec)
+    q_norm = math.sqrt(sum(float(x) * float(x) for x in query_vec))
+    v = as_double_vec(F.col(vec_col))
+    sim = (
+        F.lit(0.0)
+        if q_norm == 0.0
+        else F.when(l2_norm(v) == 0, F.lit(0.0)).otherwise(
+            dot(v, q) / (l2_norm(v) * F.lit(q_norm))
+        )
+    )
+    scored = embeddings.select(
+        F.col(group_col).alias("group"),
+        F.col(id_col).alias("vec_id"),
+        F.round(sim, round_digits).alias("sim"),
+    )
+    w = Window.partitionBy("group").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .orderBy("group", "rank")
+    )

@@ -202,3 +202,21 @@ def test_big_orders_aggregates_before_joins_with_topk(spark):
     agg_pos = plan.index("HashAggregate")
     join_pos = plan.index("Join")
     assert join_pos < agg_pos  # joins appear above the agg in the tree
+
+
+def test_filtered_topk_pushes_label_predicate(spark):
+    # Filtered vector search must use the PRE-filter strategy: the
+    # label predicate reaches the parquet scan, scoring runs on
+    # survivors only.
+    df = entry.queries()["q_filtered_topk"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "In(label, [1,3])" in plan
+
+
+def test_group_topk_uses_window_group_limit(spark):
+    # The per-group rank<=k filter must compile to WindowGroupLimit
+    # (per-partition top-k heaps BEFORE the window shuffle), so the
+    # exchange carries O(groups*k) rows, not O(rows).
+    df = entry.queries()["q_group_topk"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "WindowGroupLimit" in plan
