@@ -358,6 +358,85 @@ def pagerank_fixed(
 
 
 
+def pagerank_fixed_both(
+    prepared: PageRankGraph,
+    *,
+    iters: int = 5,
+    damping_pct: int = 85,
+    scale: int = 10**12,
+    loop_shuffle_partitions: int | None = None,
+) -> DataFrame:
+    """BOTH PageRank update rules (uniform split and
+    weight-proportional split) in ONE superstep loop — returns
+    ``(vertex, rank_scaled_u, rank_u, rank_scaled_w, rank_w)``.
+
+    The two variants walk the same graph with the same schedule; the
+    only difference is the per-edge contribution expression.  Running
+    them as two loops pays the per-round join/shuffle floor twice for
+    no reason: here each round's rank⋈edge join and dst-keyed
+    aggregation carry TWO integer measures instead of one (a second
+    long per row — marginal bytes, zero extra stages), so two declared
+    queries cost one loop.  Arithmetic is identical to two separate
+    ``pagerank_fixed`` runs (integer ops never interact across
+    columns), so both oracles hold unchanged.
+    """
+    spark = prepared.verts.sparkSession
+    _parts_key = "spark.sql.shuffle.partitions"
+    _prev_parts = spark.conf.get(_parts_key)
+    if loop_shuffle_partitions is not None:
+        spark.conf.set(_parts_key, str(int(loop_shuffle_partitions)))
+    try:
+        ed, verts, n = prepared.ed, prepared.verts, prepared.n
+        if n == 0:
+            return verts.select(
+                F.col("vertex").cast("long"),
+                F.lit(0).cast("long").alias("rank_scaled_u"),
+                F.lit(0.0).alias("rank_u"),
+                F.lit(0).cast("long").alias("rank_scaled_w"),
+                F.lit(0.0).alias("rank_w"),
+            )
+        init = scale // n
+        teleport = ((100 - damping_pct) * scale // 100) // n
+        ranks = verts.select(
+            "vertex",
+            F.lit(init).cast("long").alias("ru"),
+            F.lit(init).cast("long").alias("rw"),
+        )
+        upd = f"CAST({teleport} + ({damping_pct} * coalesce({{s}}, 0)) div 100 AS LONG)"
+        _CHECKPOINT_EVERY = 8
+        for i in range(iters):
+            sums = (
+                ranks.join(ed, ranks["vertex"] == F.col("esrc"))
+                .select(
+                    F.col("edst").alias("sv"),
+                    F.expr("ru div outdeg_unit").alias("cu"),
+                    F.expr("(rw * w) div outdeg").alias("cw"),
+                )
+                .groupBy("sv")
+                .agg(F.sum("cu").alias("su"), F.sum("cw").alias("sw"))
+            )
+            ranks = verts.join(sums, verts["vertex"] == F.col("sv"), "left").select(
+                verts["vertex"],
+                F.expr(upd.format(s="su")).alias("ru"),
+                F.expr(upd.format(s="sw")).alias("rw"),
+            )
+            if (i + 1) % _CHECKPOINT_EVERY == 0 and (i + 1) < iters:
+                ranks = ranks.localCheckpoint(eager=True)
+        out = ranks.select(
+            F.col("vertex").cast("long").alias("vertex"),
+            F.col("ru").alias("rank_scaled_u"),
+            (F.col("ru") / F.lit(float(scale))).alias("rank_u"),
+            F.col("rw").alias("rank_scaled_w"),
+            (F.col("rw") / F.lit(float(scale))).alias("rank_w"),
+        )
+        if loop_shuffle_partitions is not None:
+            out = out.localCheckpoint(eager=True)
+        return out
+    finally:
+        if loop_shuffle_partitions is not None:
+            spark.conf.set(_parts_key, _prev_parts)
+
+
 def degree_histogram(edges: DataFrame, *, graph_id: int | None = None) -> DataFrame:
     """Log2-binned degree distribution:
     ``(bucket, n_vertices, min_degree, max_degree)`` where ``bucket``

@@ -329,3 +329,28 @@ def test_pagerank_weighted(spark):
     # vs r div deg differ by at most 1 unit per round.
     for v in a:
         assert abs(a[v] - b[v]) <= 6
+
+
+def test_pagerank_fixed_both_matches_single_runs(spark):
+    # The fused two-rule loop must be value-identical to running
+    # pagerank_fixed twice (integer ops never interact across the two
+    # measure columns).
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.graphalgs import (
+        pagerank_fixed,
+        pagerank_fixed_both,
+        pagerank_prepare,
+    )
+
+    rows = [(1, 2, 9), (1, 3, 1), (2, 1, 1), (3, 1, 1), (3, 2, 4)]
+    df = spark.createDataFrame(rows, "src long, dst long, w long")
+    g = pagerank_prepare(df, weight_col="w")
+    both = {r.vertex: r for r in pagerank_fixed_both(g, iters=7).collect()}
+    uni = {r.vertex: r.rank_scaled for r in pagerank_fixed(prepared=g, iters=7).collect()}
+    wei = {
+        r.vertex: r.rank_scaled
+        for r in pagerank_fixed(prepared=g, iters=7, weight_col="w").collect()
+    }
+    assert set(both) == set(uni) == set(wei)
+    for v, r in both.items():
+        assert r.rank_scaled_u == uni[v]
+        assert r.rank_scaled_w == wei[v]
