@@ -182,17 +182,23 @@ def copurchase_edges(
     union) for consumers that need both orientations
     (e.g. ``pagerank_fixed``).
     """
-    key = (spark.sparkContext.applicationId, sf_dir, "copurchase", max_basket, symmetric, ship_range)
-    if cached and key in _EDGE_CACHE:
-        return _EDGE_CACHE[key]
-    pairs = _copurchase_pair_rows(spark, sf_dir, max_basket, ship_range).distinct()
-    out = pairs
-    if symmetric:
-        out = pairs.unionAll(pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    if cached:
-        out = out.persist()
-        _EDGE_CACHE[key] = out
-    return out
+    # Derived from the weighted build: the canonical pair set is
+    # exactly the weighted aggregation's key set (groupBy keys ==
+    # distinct), so the unweighted graph is a free projection over the
+    # ONE persisted base per (sf_dir, window) — the analytics suite
+    # (triangles/k-core/common-neighbors over the windowed graph,
+    # degree-hist over the full one) shares that base with the
+    # sssp/PageRank weighted consumers instead of re-scanning lineitem
+    # and re-shuffling the pair explosion per query family.
+    w = copurchase_weighted_edges(
+        spark,
+        sf_dir,
+        max_basket=max_basket,
+        symmetric=symmetric,
+        ship_range=ship_range,
+        cached=cached,
+    )
+    return w.select("src", "dst")
 
 
 def cooccurrence_pairs(
@@ -275,23 +281,32 @@ def copurchase_weighted_edges(
     the dedup-distinct is replaced by a count aggregation (identical
     shuffle shape, the weight comes for free).
     """
-    key = (spark.sparkContext.applicationId, sf_dir, "copurchase_w", max_basket, symmetric, ship_range)
-    if cached and key in _EDGE_CACHE:
-        return _EDGE_CACHE[key]
-    weighted = (
-        _copurchase_pair_rows(spark, sf_dir, max_basket, ship_range)
-        .groupBy("src", "dst")
-        .agg(F.count("*").alias("cnt"))
-        .select("src", "dst", "cnt", (1 + F.expr("100 div cnt")).cast("long").alias("w"))
+    # The persisted unit is the CANONICAL (src < dst) weighted base —
+    # one per (sf_dir, window, max_basket); the symmetric orientation
+    # is a shuffle-free union-of-projections over those same blocks,
+    # so symmetric and asymmetric consumers (and, via
+    # ``copurchase_edges``, unweighted ones) all share one build.
+    base_key = (
+        spark.sparkContext.applicationId, sf_dir, "copurchase_w", max_basket, ship_range,
     )
-    out = weighted
-    if symmetric:
-        out = weighted.unionAll(
-            weighted.select(
-                F.col("dst").alias("src"), F.col("src").alias("dst"), "cnt", "w"
+    if cached and base_key in _EDGE_CACHE:
+        weighted = _EDGE_CACHE[base_key]
+    else:
+        weighted = (
+            _copurchase_pair_rows(spark, sf_dir, max_basket, ship_range)
+            .groupBy("src", "dst")
+            .agg(F.count("*").alias("cnt"))
+            .select(
+                "src", "dst", "cnt", (1 + F.expr("100 div cnt")).cast("long").alias("w")
             )
         )
-    if cached:
-        out = out.persist()
-        _EDGE_CACHE[key] = out
-    return out
+        if cached:
+            weighted = weighted.persist()
+            _EDGE_CACHE[base_key] = weighted
+    if not symmetric:
+        return weighted
+    return weighted.unionAll(
+        weighted.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "cnt", "w"
+        )
+    )
