@@ -220,3 +220,20 @@ def test_group_topk_uses_window_group_limit(spark):
     df = entry.queries()["q_group_topk"](spark, SF_DIR)
     plan = _plan(df)
     assert "WindowGroupLimit" in plan
+
+
+def test_no_query_plan_has_cartesian_or_row_udf(spark):
+    """Engine-wide plan lint over EVERY declared query: no
+    CartesianProduct (each crossJoin in the codebase is a broadcast of
+    a 1-row aggregate, which compiles to BroadcastNestedLoopJoin — a
+    genuine cartesian would mean an unkeyed join slipped in) and no
+    BatchEvalPython (a row-at-a-time Python UDF in a hot path; all
+    Python boundaries must be Arrow-batched: ArrowEvalPython /
+    mapInPandas / FlatMapGroupsInPandas)."""
+    offenders = {}
+    for name, fn in entry.queries().items():
+        plan = _plan(fn(spark, SF_DIR))
+        hits = [m for m in ("CartesianProduct", "BatchEvalPython") if m in plan]
+        if hits:
+            offenders[name] = hits
+    assert not offenders, f"plan lint failures: {offenders}"
