@@ -172,6 +172,9 @@ from distributed_graph_database_simulation_with_load_balancing_and_threaded_requ
     format_reply,
     run_requests,
 )
+from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.streaming.ingest import (
+    run_event_rollup_batch,
+)
 
 # ---------------------------------------------------------------------------
 # Shared derived-graph constructions (FIXTURES.md §3).
@@ -1390,6 +1393,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
         )
 
+    def q_stream_rollup(spark, sf_dir):
+        # STRUCTURED STREAMING under the value oracle: the per-(day,
+        # type) event rollup runs as a finite stream (availableNow ->
+        # memory sink) and must equal the batch GROUP BY exactly —
+        # every measure is an integer/decimal aggregate, so micro-
+        # batch boundaries and state-update order cannot perturb it.
+        import os
+
+        return run_event_rollup_batch(
+            spark, os.path.join(sf_dir, "events.parquet")
+        )
+
     def q_rare_bigrams(spark, sf_dir):
         # Frequency-based quality filter: per-doc fraction of corpus-
         # rare bigrams (count <= 2) — the integer-exact stand-in for
@@ -1777,6 +1792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_disjunctive_rev": q_disjunctive_rev,
         "q_filtered_topk": q_filtered_topk,
         "q_group_topk": q_group_topk,
+        "q_stream_rollup": q_stream_rollup,
         # -- reference parity + round-3-green suite --
         "q_add_graph": q_add_graph,
         "q_modify_graph": q_modify_graph,
@@ -3137,6 +3153,14 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT "group", vec_id, sim, rank FROM ranked
             WHERE rank <= 3 ORDER BY "group", rank
+        """,
+        "q_stream_rollup": """
+            SELECT CAST(ts AS DATE) AS day, event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 4)
+                       AS total_value
+            FROM events
+            GROUP BY 1, 2
         """,
         "q_order_priority": """
             SELECT o_orderpriority,

@@ -195,3 +195,81 @@ def attribution_stream(
         & (F.col("ts") < F.col("p_ts") + F.expr(f"INTERVAL {window}")),
         "inner",
     ).select("purchase_id", "click_id", "user_id", "p_ts", "ts")
+
+
+def event_rollup_stream(
+    events: DataFrame, *, window_duration: str = "1 day"
+) -> DataFrame:
+    """Per-(day, event_type) rollup of an event stream — count and an
+    exact DECIMAL value sum (order-independent, so the result is
+    bit-identical to the batch aggregation regardless of micro-batch
+    boundaries or state-update order)."""
+    return (
+        events.groupBy(
+            F.window("ts", window_duration).alias("win"), F.col("event_type")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("value_dec"),
+        )
+        .select(
+            F.to_date(F.col("win.start")).alias("day"),
+            "event_type",
+            "n_events",
+            F.round(F.col("value_dec").cast("double"), 4).alias("total_value"),
+        )
+    )
+
+
+def run_event_rollup_batch(spark: SparkSession, path: str) -> DataFrame:
+    """Drive ``event_rollup_stream`` over the files at ``path`` as a
+    FINITE stream (``trigger(availableNow)``) and hand back the final
+    rollup as a batch DataFrame — the batch-equivalence contract made
+    executable: because every measure is an integer/decimal aggregate,
+    the streamed result equals the batch GROUP BY exactly, which is
+    what the declared query's SQL oracle checks.
+
+    Sink posture: ``complete``-mode memory sink — correct ONLY because
+    the rollup's cardinality is bounded (days x event types); the
+    unbounded-output production path is update mode into a keyed store
+    (same aggregation plan, different sink).  State is the same
+    bounded set of (window, type) groups; availableNow processes the
+    backlog in bounded batches then stops.
+    """
+    import re
+
+    import hashlib
+    import os
+    import tempfile
+
+    # The file stream source only accepts a DIRECTORY (it manages its
+    # own basePath); the testdata lays each table out as one file, so
+    # stage a directory of symlinks to the same bytes — the exact
+    # "files land in a watched directory" production shape.
+    if os.path.isdir(path):
+        src_dir = path
+    else:
+        tag = hashlib.md5(path.encode()).hexdigest()[:12]
+        src_dir = os.path.join(tempfile.gettempdir(), f"stream_src_{tag}")
+        os.makedirs(src_dir, exist_ok=True)
+        link = os.path.join(src_dir, os.path.basename(path))
+        if not os.path.exists(link):
+            os.symlink(path, link)
+    src = (
+        spark.readStream.schema(EVENT_STREAM_SCHEMA).format("parquet").load(src_dir)
+    )
+    rolled = event_rollup_stream(src)
+    name = "stream_rollup_" + re.sub(r"\W+", "_", path).strip("_")
+    try:
+        spark.catalog.dropTempView(name)
+    except Exception:
+        pass
+    q = (
+        rolled.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

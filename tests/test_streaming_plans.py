@@ -375,3 +375,38 @@ def test_attribution_stream_matches_batch_interval_join(spark, tmp_path):
         for r in interval_join(clicks, purchases, keys=["user_id"]).collect()
     }
     assert batch == got
+
+
+def test_event_rollup_stream_equals_batch_groupby(spark):
+    # The availableNow-driven rollup must equal the batch GROUP BY
+    # exactly — integer/decimal aggregates are order- and
+    # batch-boundary-independent (this is what lets the declared
+    # q_stream_rollup carry a full value oracle).
+    import os
+
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.streaming.ingest import (
+        run_event_rollup_batch,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf_dir):
+        pytest.skip("driver testdata not present")
+    streamed = {
+        (r["day"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in run_event_rollup_batch(
+            spark, os.path.join(sf_dir, "events.parquet")
+        ).collect()
+    }
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    batch = {
+        (r["day"], r["event_type"]): (r["n"], r["tv"])
+        for r in ev.groupBy(
+            F.to_date("ts").alias("day"), "event_type"
+        )
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 4).alias("tv"),
+        )
+        .collect()
+    }
+    assert streamed == batch
