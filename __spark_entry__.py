@@ -1616,7 +1616,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 2-core of the 1995 co-purchase graph: survivors + in-core
         # degree via iterative peeling (unique fixpoint).
         edges = copurchase_edges(spark, sf_dir, ship_range=("1995-01-01", "1996-01-01"))
-        return _loop_parts(spark, lambda: kcore(edges, k=2), warm=(edges,))
+        # Width 4, the sssp rationale: alive-set rows are tiny and the
+        # peel loop pays the per-task floor rounds x partitions times
+        # (measured at sf0.1: 8 -> 4 saves ~15%).
+        return _loop_parts(spark, lambda: kcore(edges, k=2), n=4, warm=(edges,))
 
     def q_request_replies(spark, sf_dir):
         # O12 end-to-end: dispatch a fixed BFS + DFS request pair over

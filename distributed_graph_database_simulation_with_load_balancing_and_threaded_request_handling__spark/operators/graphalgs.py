@@ -540,6 +540,7 @@ def kcore(
     *,
     graph_id: int | None = None,
     max_iters: int = 50,
+    loop_shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """The k-core: the maximal subgraph in which every vertex has
     degree >= k, by iterative peeling (repeatedly drop vertices whose
@@ -560,11 +561,20 @@ def kcore(
     each endpoint + a map-side-combined degree count; rounds needed =
     peeling depth (single digits on real graphs for small k).  The
     symmetric edge list is persisted across rounds.
+    ``loop_shuffle_partitions`` (scoped set/restore, the sssp idiom)
+    right-sizes the per-round shuffles to the alive-set cardinality —
+    every round runs an action (the convergence count), so the
+    narrowed width binds round by round.
     """
     e = canonical_edges(edges, graph_id=graph_id)
     sym = e.unionAll(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).persist()
+    spark = sym.sparkSession
+    _parts_key = "spark.sql.shuffle.partitions"
+    _prev_parts = spark.conf.get(_parts_key)
+    if loop_shuffle_partitions is not None:
+        spark.conf.set(_parts_key, str(int(loop_shuffle_partitions)))
     try:
         alive = sym.select(F.col("src").alias("v")).distinct().localCheckpoint(eager=False)
         prev = alive.count()
@@ -599,6 +609,8 @@ def kcore(
             F.col("d").cast("long").alias("core_degree"),
         )
     finally:
+        if loop_shuffle_partitions is not None:
+            spark.conf.set(_parts_key, _prev_parts)
         sym.unpersist(blocking=False)
 
 
