@@ -1621,7 +1621,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Width 4, the sssp rationale: alive-set rows are tiny and the
         # peel loop pays the per-task floor rounds x partitions times
         # (measured at sf0.1: 8 -> 4 saves ~15%).
-        return _loop_parts(spark, lambda: kcore(edges, k=2), n=4, warm=(edges,))
+        return _loop_parts(
+            spark, lambda: kcore(edges, k=2, probe_every=2), n=4, warm=(edges,)
+        )
 
     def q_request_replies(spark, sf_dir):
         # O12 end-to-end: dispatch a fixed BFS + DFS request pair over

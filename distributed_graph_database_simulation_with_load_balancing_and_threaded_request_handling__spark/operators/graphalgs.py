@@ -541,6 +541,7 @@ def kcore(
     graph_id: int | None = None,
     max_iters: int = 50,
     loop_shuffle_partitions: int | None = None,
+    probe_every: int = 1,
 ) -> DataFrame:
     """The k-core: the maximal subgraph in which every vertex has
     degree >= k, by iterative peeling (repeatedly drop vertices whose
@@ -580,18 +581,24 @@ def kcore(
         prev = alive.count()
         converged = False
         scored = alive  # replaced on the first round
-        for _ in range(max_iters):
-            av = alive.select(F.col("v").alias("av"))
-            bv = alive.select(F.col("v").alias("bv"))
-            scored = (
-                sym.join(av, sym["src"] == F.col("av"))
-                .join(bv, sym["dst"] == F.col("bv"))
-                .groupBy(F.col("src").alias("v"))
-                .agg(F.count("*").alias("d"))
-                .where(F.col("d") >= k)
-                .localCheckpoint(eager=False)
-            )
-            alive = scored.select("v")
+        # Peeling a fixpoint is a no-op (degrees unchanged, nothing
+        # drops), so — exactly like sssp's probe_every — chaining
+        # rounds between count probes reaches the same unique fixpoint
+        # while paying the probe action once per chain; each round
+        # still ends in its own lazy localCheckpoint.
+        for _ in range(0, max_iters, max(1, int(probe_every))):
+            for _chain in range(max(1, int(probe_every))):
+                av = alive.select(F.col("v").alias("av"))
+                bv = alive.select(F.col("v").alias("bv"))
+                scored = (
+                    sym.join(av, sym["src"] == F.col("av"))
+                    .join(bv, sym["dst"] == F.col("bv"))
+                    .groupBy(F.col("src").alias("v"))
+                    .agg(F.count("*").alias("d"))
+                    .where(F.col("d") >= k)
+                    .localCheckpoint(eager=False)
+                )
+                alive = scored.select("v")
             cur = alive.count()
             if cur == prev:
                 converged = True
