@@ -173,6 +173,7 @@ from distributed_graph_database_simulation_with_load_balancing_and_threaded_requ
     run_requests,
 )
 from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.streaming.ingest import (
+    run_corpus_stats_batch,
     run_event_rollup_batch,
 )
 
@@ -1407,6 +1408,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark, os.path.join(sf_dir, "events.parquet")
         )
 
+    def q_stream_corpus(spark, sf_dir):
+        # Streaming twin of the per-language corpus rollup: stateful
+        # aggregation (state = one row per language) driven to
+        # completion; integer measures == batch GROUP BY exactly.
+        import os
+
+        return run_corpus_stats_batch(
+            spark, os.path.join(sf_dir, "documents.parquet")
+        )
+
     def q_rare_bigrams(spark, sf_dir):
         # Frequency-based quality filter: per-doc fraction of corpus-
         # rare bigrams (count <= 2) — the integer-exact stand-in for
@@ -1800,6 +1811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_filtered_topk": q_filtered_topk,
         "q_group_topk": q_group_topk,
         "q_stream_rollup": q_stream_rollup,
+        "q_stream_corpus": q_stream_corpus,
         # -- reference parity + round-3-green suite --
         "q_add_graph": q_add_graph,
         "q_modify_graph": q_modify_graph,
@@ -3160,6 +3172,13 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT "group", vec_id, sim, rank FROM ranked
             WHERE rank <= 3 ORDER BY "group", rank
+        """,
+        "q_stream_corpus": f"""
+            SELECT lang,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+                   CAST(SUM({_SQL_NTOK}) AS BIGINT) AS total_tokens
+            FROM documents GROUP BY lang
         """,
         "q_stream_rollup": """
             SELECT CAST(ts AS DATE) AS day, event_type,

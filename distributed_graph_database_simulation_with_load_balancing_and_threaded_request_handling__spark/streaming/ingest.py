@@ -236,36 +236,50 @@ def run_event_rollup_batch(spark: SparkSession, path: str) -> DataFrame:
     bounded set of (window, type) groups; availableNow processes the
     backlog in bounded batches then stops.
     """
-    import re
+    src = (
+        spark.readStream.schema(EVENT_STREAM_SCHEMA)
+        .format("parquet")
+        .load(_stream_source_dir(path))
+    )
+    return _drive_complete_to_table(
+        spark, event_rollup_stream(src), "stream_rollup", path
+    )
 
+
+def _stream_source_dir(path: str) -> str:
+    """The file stream source only accepts a DIRECTORY (it manages its
+    own basePath); the testdata lays each table out as one file, so
+    stage a directory of symlinks to the same bytes — the exact
+    "files land in a watched directory" production shape."""
     import hashlib
     import os
     import tempfile
 
-    # The file stream source only accepts a DIRECTORY (it manages its
-    # own basePath); the testdata lays each table out as one file, so
-    # stage a directory of symlinks to the same bytes — the exact
-    # "files land in a watched directory" production shape.
     if os.path.isdir(path):
-        src_dir = path
-    else:
-        tag = hashlib.md5(path.encode()).hexdigest()[:12]
-        src_dir = os.path.join(tempfile.gettempdir(), f"stream_src_{tag}")
-        os.makedirs(src_dir, exist_ok=True)
-        link = os.path.join(src_dir, os.path.basename(path))
-        if not os.path.exists(link):
-            os.symlink(path, link)
-    src = (
-        spark.readStream.schema(EVENT_STREAM_SCHEMA).format("parquet").load(src_dir)
-    )
-    rolled = event_rollup_stream(src)
-    name = "stream_rollup_" + re.sub(r"\W+", "_", path).strip("_")
+        return path
+    tag = hashlib.md5(path.encode()).hexdigest()[:12]
+    src_dir = os.path.join(tempfile.gettempdir(), f"stream_src_{tag}")
+    os.makedirs(src_dir, exist_ok=True)
+    link = os.path.join(src_dir, os.path.basename(path))
+    if not os.path.exists(link):
+        os.symlink(path, link)
+    return src_dir
+
+
+def _drive_complete_to_table(
+    spark: SparkSession, df: DataFrame, prefix: str, path: str
+) -> DataFrame:
+    """Run a streaming aggregation to completion (availableNow) into a
+    complete-mode memory sink and return the final table."""
+    import re
+
+    name = f"{prefix}_" + re.sub(r"\W+", "_", path).strip("_")
     try:
         spark.catalog.dropTempView(name)
     except Exception:
         pass
     q = (
-        rolled.writeStream.format("memory")
+        df.writeStream.format("memory")
         .queryName(name)
         .outputMode("complete")
         .trigger(availableNow=True)
@@ -273,3 +287,46 @@ def run_event_rollup_batch(spark: SparkSession, path: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+# The documents-table columns exactly as the driver's parquet lays
+# them out (TESTDATA.md) — the streaming twin of the batch corpus
+# reads the same files.
+DOCUMENT_TABLE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), True),
+        StructField("text", StringType(), True),
+        StructField("lang", StringType(), True),
+        StructField("source", StringType(), True),
+        StructField("n_chars", LongType(), True),
+    ]
+)
+
+
+def corpus_stats_stream(documents: DataFrame) -> DataFrame:
+    """Per-language corpus rollup of a document stream — the streaming
+    twin of ``textops.corpus_stats``'s core measures.  Every measure
+    is an integer aggregate, so the complete-mode result equals the
+    batch GROUP BY exactly regardless of micro-batch boundaries."""
+    t = F.col("text")
+    return documents.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.length(t)).cast("long").alias("total_chars"),
+        F.sum(token_count(t)).cast("long").alias("total_tokens"),
+    )
+
+
+def run_corpus_stats_batch(spark: SparkSession, path: str) -> DataFrame:
+    """Drive ``corpus_stats_stream`` over the document files at
+    ``path`` as a finite stream and return the final per-language
+    rollup — same batch-equivalence contract as
+    ``run_event_rollup_batch`` (stateful streaming aggregation whose
+    state is one row per language)."""
+    src = (
+        spark.readStream.schema(DOCUMENT_TABLE_SCHEMA)
+        .format("parquet")
+        .load(_stream_source_dir(path))
+    )
+    return _drive_complete_to_table(
+        spark, corpus_stats_stream(src), "stream_corpus", path
+    )
