@@ -267,3 +267,76 @@ def test_interval_join_matches_brute_force(sess, data):
     }
     want = {(i, j) for i, s in evs for j, a, b in ivs if a <= s < b}
     assert got == want
+
+
+# --- probe-chaining invariance (sssp / kcore probe_every) ---
+
+from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.graphalgs import (  # noqa: E402
+    sssp,
+)
+
+
+def python_sssp(weighted_pairs, source):
+    import heapq
+
+    adj = {}
+    for u, v, w in weighted_pairs:
+        adj.setdefault(u, []).append((v, w))
+        adj.setdefault(v, []).append((u, w))
+    dist = {source: 0}
+    heap = [(0, source)]
+    while heap:
+        d, u = heapq.heappop(heap)
+        if d > dist.get(u, float("inf")):
+            continue
+        for v, w in adj.get(u, ()):
+            nd = d + w
+            if nd < dist.get(v, float("inf")):
+                dist[v] = nd
+                heapq.heappush(heap, (nd, v))
+    return dist
+
+
+@st.composite
+def random_weighted_graph(draw):
+    pairs = draw(random_graph())
+    ws = draw(
+        st.lists(
+            st.integers(min_value=1, max_value=9),
+            min_size=len(pairs),
+            max_size=len(pairs),
+        )
+    )
+    return [(u, v, w) for (u, v), w in zip(pairs, ws)]
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(wp=random_weighted_graph(), pe=st.integers(min_value=1, max_value=4))
+def test_sssp_probe_chaining_matches_dijkstra(sess, wp, pe):
+    # Any probe_every must reach the same unique fixpoint (relaxing a
+    # converged frontier is a no-op), and that fixpoint is Dijkstra's.
+    if not wp:
+        return
+    sym = [(u, v, w) for u, v, w in wp] + [(v, u, w) for u, v, w in wp]
+    df = sess.createDataFrame(sym, "src long, dst long, w long")
+    source = min(u for u, _, _ in sym)
+    got = {r.vertex: r.dist for r in sssp(df, source, probe_every=pe).collect()}
+    assert got == python_sssp(wp, source)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(pairs=random_graph(), pe=st.integers(min_value=1, max_value=3))
+def test_kcore_probe_chaining_matches_python_oracle(sess, pairs, pe):
+    if not pairs:
+        return
+    df = sess.createDataFrame(pairs, "src long, dst long")
+    got = {r.vertex: r.core_degree for r in kcore(df, 2, probe_every=pe).collect()}
+    assert got == python_kcore(pairs, 2)
