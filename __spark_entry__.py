@@ -1975,14 +1975,11 @@ def oracle_sql() -> dict[str, str]:
                      CAST(length(text) AS BIGINT) AS n_chars_obs,
                      {_SQL_NTOK} AS n_tokens,
                      CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_subtokens,
-                     CASE WHEN length(text) = 0 THEN 0.0
-                          ELSE length(regexp_replace(text, '[^.,;:!?''"]', '', 'g')) * 1.0 / length(text)
-                     END AS pr,
-                     CASE WHEN trim(text) = '' THEN 0.0
+                     CAST(length(regexp_replace(text, '[^.,;:!?''"]', '', 'g')) AS BIGINT) AS np,
+                     CAST(CASE WHEN trim(text) = '' THEN 0
                           ELSE len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
-                                   x -> x IN ('the','a','of','and','to','in','is','it'))) * 1.0
-                               / len(regexp_split_to_array(trim(lower(text)), '\\s+'))
-                     END AS sr,
+                                   x -> x IN ('the','a','of','and','to','in','is','it')))
+                     END AS BIGINT) AS ns,
                      ' ' || lower(text) || ' ' AS padded,
                      md5({_SQL_NORM}) AS fp
               FROM documents
@@ -2004,12 +2001,19 @@ def oracle_sql() -> dict[str, str]:
               FROM feat
             )
             SELECT doc_id, n_chars_obs, n_tokens, n_subtokens,
-                   round(pr, 6) AS punct_ratio,
-                   round(sr, 6) AS stopword_ratio,
-                   round(greatest(0.0, least(1.0,
-                       least(n_chars_obs / 500.0, 1.0) * 0.5
-                       + least(sr * 5.0, 1.0) * 0.3
-                       + (1.0 - least(pr * 10.0, 1.0)) * 0.2)), 6) AS quality_score,
+                   (CASE WHEN n_chars_obs = 0 THEN 0
+                         ELSE (np * 1000000) // n_chars_obs END) / 1000000.0
+                       AS punct_ratio,
+                   (CASE WHEN n_tokens = 0 THEN 0
+                         ELSE (ns * 1000000) // n_tokens END) / 1000000.0
+                       AS stopword_ratio,
+                   least(1000000,
+                       least(n_chars_obs, 500) * 1000
+                       + (CASE WHEN n_tokens = 0 THEN 0
+                          ELSE least((ns * 5000000) // n_tokens, 1000000) END) * 3 // 10
+                       + (1000000 - CASE WHEN n_chars_obs = 0 THEN 0
+                          ELSE least((np * 10000000) // n_chars_obs, 1000000) END) * 2 // 10
+                   ) / 1000000.0 AS quality_score,
                    CASE WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
                         WHEN s_de > 0 AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_en THEN 'de'
                         WHEN s_es > 0 AND s_es >= s_fr AND s_es >= s_en AND s_es >= s_de THEN 'es'
@@ -2914,28 +2918,28 @@ def oracle_sql() -> dict[str, str]:
               SELECT d.doc_id, d.lang,
                      CAST(length(text) AS BIGINT) AS n_chars_obs,
                      CAST(CASE WHEN trim(text) = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens,
-                     CASE WHEN length(text) = 0 THEN 0.0
-                          ELSE length(regexp_replace(text, '[^.,;:!?''"]', '', 'g')) * 1.0 / length(text)
-                     END AS pr,
-                     CASE WHEN trim(text) = '' THEN 0.0
+                     CAST(length(regexp_replace(text, '[^.,;:!?''"]', '', 'g')) AS BIGINT) AS np,
+                     CAST(CASE WHEN trim(text) = '' THEN 0
                           ELSE len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
-                                   x -> x IN ('the','a','of','and','to','in','is','it'))) * 1.0
-                               / len(regexp_split_to_array(trim(lower(text)), '\s+'))
-                     END AS sr
+                                   x -> x IN ('the','a','of','and','to','in','is','it')))
+                     END AS BIGINT) AS ns
               FROM documents d JOIN keepers k ON k.doc_id = d.doc_id
             ),
             good AS (
               SELECT * FROM (
                 SELECT doc_id, lang, n_tokens,
-                       round(greatest(0.0, least(1.0,
-                           least(n_chars_obs / 500.0, 1.0) * 0.5
-                           + least(sr * 5.0, 1.0) * 0.3
-                           + (1.0 - least(pr * 10.0, 1.0)) * 0.2)), 6) AS quality_score
+                       least(1000000,
+                           least(n_chars_obs, 500) * 1000
+                           + (CASE WHEN n_tokens = 0 THEN 0
+                              ELSE least((ns * 5000000) // n_tokens, 1000000) END) * 3 // 10
+                           + (1000000 - CASE WHEN n_chars_obs = 0 THEN 0
+                              ELSE least((np * 10000000) // n_chars_obs, 1000000) END) * 2 // 10
+                       ) AS quality_ppm
                 FROM feat
-              ) WHERE n_tokens >= 10 AND quality_score >= 0.3
+              ) WHERE n_tokens >= 10 AND quality_ppm >= 300000
             ),
             assigned AS (
-              SELECT lang, n_tokens, quality_score,
+              SELECT lang, n_tokens, quality_ppm,
                      CASE WHEN substring(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666' THEN 'train'
                           WHEN substring(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8) < 'f3333333' THEN 'val'
                           ELSE 'test' END AS split
@@ -2944,7 +2948,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT split, lang,
                    CAST(COUNT(*) AS BIGINT) AS n_docs,
                    CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
-                   round(CAST(SUM(CAST(quality_score AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_quality
+                   (SUM(quality_ppm) // COUNT(*)) / 1000000.0 AS avg_quality
             FROM assigned GROUP BY split, lang
         """,
         "q_rollup_revenue": """

@@ -65,16 +65,27 @@ def fingerprint(c: Column) -> Column:
     key (Broder-style 'shingleprint' degenerate case)."""
     return F.md5(normalize_text(c))
 
+def punct_count(c: Column) -> Column:
+    """Punctuation character count (long) — the integer numerator of
+    ``punct_ratio``, for fixed-point consumers."""
+    return F.length(F.regexp_replace(c, r"[^.,;:!?'\"]", "")).cast("long")
+
+def stopword_count(c: Column) -> Column:
+    """Stopword token count (long) — the integer numerator of
+    ``stopword_ratio``, for fixed-point consumers."""
+    t = tokens(F.lower(c))
+    return F.size(F.filter(t, lambda x: x.isin(*STOPWORDS))).cast("long")
+
 def punct_ratio(c: Column) -> Column:
     """Punctuation chars / total chars (0.0 for empty text)."""
     n = F.length(c)
-    p = F.length(F.regexp_replace(c, r"[^.,;:!?'\"]", ""))
-    return F.when(n == 0, F.lit(0.0)).otherwise(p.cast("double") / n.cast("double"))
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        punct_count(c).cast("double") / n.cast("double")
+    )
 
 def stopword_ratio(c: Column) -> Column:
     """Stopword tokens / total tokens (0.0 for empty text)."""
     t = tokens(F.lower(c))
-    sw = F.size(F.filter(t, lambda x: x.isin(*STOPWORDS)))
     return F.when(F.size(t) == 0, F.lit(0.0)).otherwise(
-        sw.cast("double") / F.size(t).cast("double")
+        stopword_count(c).cast("double") / F.size(t).cast("double")
     )

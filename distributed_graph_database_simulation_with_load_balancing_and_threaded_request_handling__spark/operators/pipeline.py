@@ -44,13 +44,27 @@ def corpus_prep(
 
 def corpus_prep_stats(documents: DataFrame, **kwargs) -> DataFrame:
     """Corpus accounting per (split, lang): document count, total
-    whitespace tokens, mean quality.  Decimal-summed quality keeps the
-    average bit-stable under any partitioning (see relational._DEC).
+    whitespace tokens, mean quality.  Quality scores are exact
+    multiples of 1e-6 (doc_features' fixed-point contract), so the
+    mean is computed entirely in integer ppm — sum of longs, floor
+    division by the count — making it order-independent AND free of
+    the round-to-6-near-a-half engine divergence a decimal-summed
+    double average can hit.
     """
     prep = corpus_prep(documents, **kwargs)
-    q = F.col("quality_score").cast("decimal(18,6)")
-    return prep.groupBy("split", "lang").agg(
-        F.count("*").cast("long").alias("n_docs"),
-        F.sum("n_tokens").cast("long").alias("total_tokens"),
-        F.round(F.sum(q).cast("double") / F.count("*"), 6).alias("avg_quality"),
+    qppm = F.round(F.col("quality_score") * 1000000.0).cast("long")
+    return (
+        prep.groupBy("split", "lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.sum(qppm).alias("_qsum"),
+        )
+        .select(
+            "split",
+            "lang",
+            "n_docs",
+            "total_tokens",
+            (F.expr("_qsum div n_docs") / F.lit(1000000.0)).alias("avg_quality"),
+        )
     )

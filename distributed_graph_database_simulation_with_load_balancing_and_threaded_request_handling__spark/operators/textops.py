@@ -15,7 +15,9 @@ from ..functions.textfns import (
     bpe_ish_token_count,
     fingerprint,
     normalize_text,
+    punct_count,
     punct_ratio,
+    stopword_count,
     stopword_ratio,
     token_count,
     tokens,
@@ -61,34 +63,55 @@ def doc_features(
     length term (saturating at 500 chars) + stopword presence -
     punctuation excess.  The exact formula matters less than it being
     deterministic, monotone in the obvious directions, and cheap.
+
+    All three emitted ratios are FIXED-POINT: computed as integer
+    parts-per-million with floor division over the exact integer
+    counts, then divided by 1e6 at the display boundary.  Floating
+    blends rounded to N digits sit one ULP from a decimal half for
+    some inputs (measured at sf0.1: a doc with sr = 7/64 put the
+    quality blend exactly on 0.7250625, where Spark's and DuckDB's
+    round-to-6 disagree); integer ppm makes every value engine-exact
+    by construction — the pagerank/sketches idiom applied to ratios.
     """
     t = F.col(text_col)
-    n_chars = F.length(t).cast("long")
-    n_tok = token_count(t)
-    pr = punct_ratio(t)
-    sr = stopword_ratio(t)
-    quality = F.round(
-        F.greatest(
-            F.lit(0.0),
-            F.least(
-                F.lit(1.0),
-                F.least(n_chars.cast("double") / 500.0, F.lit(1.0)) * 0.5
-                + F.least(sr * 5.0, F.lit(1.0)) * 0.3
-                + (1.0 - F.least(pr * 10.0, F.lit(1.0))) * 0.2,
-            ),
-        ),
-        6,
-    )
-    return documents.select(
+    counts = documents.select(
         F.col(id_col),
-        n_chars.alias("n_chars_obs"),
-        n_tok.alias("n_tokens"),
+        F.length(t).cast("long").alias("n_chars_obs"),
+        token_count(t).alias("n_tokens"),
         bpe_ish_token_count(t).alias("n_subtokens"),
-        F.round(pr, 6).alias("punct_ratio"),
-        F.round(sr, 6).alias("stopword_ratio"),
-        quality.alias("quality_score"),
+        punct_count(t).alias("_np"),
+        stopword_count(t).alias("_ns"),
         lang_guess(t).alias("lang_guess"),
         fingerprint(t).alias("fp"),
+    )
+    pr_ppm = (
+        "CASE WHEN n_chars_obs = 0 THEN 0 "
+        "ELSE (_np * 1000000) div n_chars_obs END"
+    )
+    sr_ppm = (
+        "CASE WHEN n_tokens = 0 THEN 0 ELSE (_ns * 1000000) div n_tokens END"
+    )
+    # Blend terms in ppm: 0.5*min(chars/500,1) + 0.3*min(5*sr,1)
+    # + 0.2*(1 - min(10*pr,1)), every step integer.
+    quality_ppm = (
+        "least(1000000, "
+        " least(n_chars_obs, 500) * 1000"
+        " + (CASE WHEN n_tokens = 0 THEN 0"
+        "    ELSE least((_ns * 5000000) div n_tokens, 1000000) END) * 3 div 10"
+        " + (1000000 - CASE WHEN n_chars_obs = 0 THEN 0"
+        "    ELSE least((_np * 10000000) div n_chars_obs, 1000000) END) * 2 div 10"
+        ")"
+    )
+    return counts.select(
+        F.col(id_col),
+        "n_chars_obs",
+        "n_tokens",
+        "n_subtokens",
+        (F.expr(pr_ppm) / F.lit(1000000.0)).alias("punct_ratio"),
+        (F.expr(sr_ppm) / F.lit(1000000.0)).alias("stopword_ratio"),
+        (F.expr(quality_ppm) / F.lit(1000000.0)).alias("quality_score"),
+        "lang_guess",
+        "fp",
     )
 
 def repetition_features(
