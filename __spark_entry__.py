@@ -87,6 +87,7 @@ from distributed_graph_database_simulation_with_load_balancing_and_threaded_requ
     collocations,
     corpus_stats,
     doc_features,
+    pack_sequences,
     rare_bigram_rate,
     redact_pii,
     repetition_features,
@@ -1408,6 +1409,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark, os.path.join(sf_dir, "events.parquet")
         )
 
+    def q_pack_sequences(spark, sf_dir):
+        # Training-sequence packing (concat-then-chunk): per-language
+        # token tape cut into 256-token packs, all integer arithmetic,
+        # one lang-partitioned window shuffle.
+        return pack_sequences(load_table(spark, sf_dir, "documents"), budget=256)
+
     def q_stream_corpus(spark, sf_dir):
         # Streaming twin of the per-language corpus rollup: stateful
         # aggregation (state = one row per language) driven to
@@ -1812,6 +1819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_group_topk": q_group_topk,
         "q_stream_rollup": q_stream_rollup,
         "q_stream_corpus": q_stream_corpus,
+        "q_pack_sequences": q_pack_sequences,
         # -- reference parity + round-3-green suite --
         "q_add_graph": q_add_graph,
         "q_modify_graph": q_modify_graph,
@@ -3176,6 +3184,22 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT "group", vec_id, sim, rank FROM ranked
             WHERE rank <= 3 ORDER BY "group", rank
+        """,
+        "q_pack_sequences": f"""
+            WITH t AS (
+              SELECT lang AS stream, doc_id, {_SQL_NTOK} AS n_tokens
+              FROM documents
+            ),
+            tape AS (
+              SELECT stream, doc_id, n_tokens,
+                     CAST(SUM(n_tokens) OVER (PARTITION BY stream ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS start_tok
+              FROM t
+            )
+            SELECT stream, doc_id, n_tokens, start_tok,
+                   start_tok // 256 AS pack_id,
+                   start_tok % 256 AS pack_offset
+            FROM tape
         """,
         "q_stream_corpus": f"""
             SELECT lang,

@@ -476,3 +476,58 @@ def rare_bigram_rate(
             F.round(F.col("n_rare") / F.col("n_bigrams"), 4).alias("rare_pct"),
         )
     )
+
+
+def pack_sequences(
+    documents: DataFrame,
+    *,
+    budget: int = 256,
+    stream_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Training-sequence packing, concat-then-chunk regime: within
+    each packing stream, documents are laid end to end in ``id``
+    order and cut into fixed ``budget``-token packs (documents may
+    span pack boundaries — the GPT-style pretraining packing, the
+    complement of ``chunk_documents``'s per-document windows).
+    Returns ``(stream, doc_id, n_tokens, start_tok, pack_id,
+    pack_offset)`` where ``start_tok`` is the document's position in
+    the stream's token tape, ``pack_id = start_tok div budget`` and
+    ``pack_offset = start_tok % budget``.
+
+    All integer arithmetic over a running token sum — deterministic
+    and engine-exact.
+
+    Scale: ONE window shuffle partitioned on the stream column; each
+    stream's running sum is a sequential scan of its own partition
+    (packing is inherently sequential per stream — parallelism comes
+    from the number of streams: shard by (source, date, lang) in
+    production).  For a single giant stream, the bucketed two-pass
+    rank pattern (``dispatch.schedule_requests``: per-bucket window +
+    broadcast per-bucket offsets) applies verbatim to the running
+    token sum.
+    """
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy(stream_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    n_tok = token_count(F.col(text_col))
+    tape = documents.select(
+        F.col(stream_col).alias("stream"),
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        (F.sum(n_tok).over(w) - n_tok).alias("start_tok"),
+    )
+    b = F.lit(int(budget)).cast("long")
+    return tape.select(
+        "stream",
+        id_col,
+        "n_tokens",
+        F.col("start_tok").cast("long").alias("start_tok"),
+        F.expr(f"start_tok div {int(budget)}").cast("long").alias("pack_id"),
+        (F.col("start_tok") % b).cast("long").alias("pack_offset"),
+    )
