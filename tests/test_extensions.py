@@ -929,3 +929,38 @@ def test_png_rgb_codec_roundtrip_and_stats(spark):
             int(arr[:, :, 1].sum()),
             int(arr[:, :, 2].sum()),
         )
+
+
+def test_pack_sequences_invariants(spark):
+    # Contiguity within each stream: doc k's start_tok equals the
+    # previous doc's start_tok + n_tokens (id order); pack_id/offset
+    # derive from start_tok by exact integer division.
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.textops import (
+        pack_sequences,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c", "en"),
+            (2, "d e", "en"),
+            (3, "f g h i j", "en"),
+            (4, "x y z", "de"),
+            (5, "", "de"),
+            (6, "w", "de"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    rows = {
+        (r["stream"], r["doc_id"]): r
+        for r in pack_sequences(docs, budget=4).collect()
+    }
+    assert rows[("en", 1)]["start_tok"] == 0
+    assert rows[("en", 2)]["start_tok"] == 3
+    assert rows[("en", 3)]["start_tok"] == 5
+    assert rows[("de", 4)]["start_tok"] == 0
+    assert rows[("de", 5)]["start_tok"] == 3  # empty doc: 0 tokens
+    assert rows[("de", 6)]["start_tok"] == 3
+    for r in rows.values():
+        assert r["pack_id"] == r["start_tok"] // 4
+        assert r["pack_offset"] == r["start_tok"] % 4
+        assert 0 <= r["pack_offset"] < 4
