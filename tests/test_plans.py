@@ -237,3 +237,31 @@ def test_no_query_plan_has_cartesian_or_row_udf(spark):
         if hits:
             offenders[name] = hits
     assert not offenders, f"plan lint failures: {offenders}"
+
+
+def test_exact_dedup_on_digest_bucketed_table_no_exchange(spark, tmp_path):
+    """SCALE.md's dedup layout claim, demonstrated: with the corpus
+    saved ``bucketBy(n, text_hash)`` (digest precomputed at ingest),
+    the exact-dedup groupBy consumes the table's bucketing — ZERO
+    exchanges in the aggregation plan.  At 100 TB this turns every
+    digest-keyed dedup pass over a stable corpus into a scan-only job."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i % 7}") for i in range(100)], "doc_id long, text string"
+    ).withColumn("text_hash", F.md5("text"))
+    name = f"docs_digest_bucketed_{uuid.uuid4().hex[:8]}"
+    try:
+        docs.write.bucketBy(4, "text_hash").saveAsTable(name)
+        agg = (
+            spark.table(name)
+            .groupBy("text_hash")
+            .agg(F.count("*").alias("n_dups"), F.min("doc_id").alias("keep_id"))
+        )
+        plan = _plan(agg)
+        assert "Exchange" not in plan
+        assert agg.count() == 7
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
