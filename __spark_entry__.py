@@ -1636,12 +1636,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 2-core of the 1995 co-purchase graph: survivors + in-core
         # degree via iterative peeling (unique fixpoint).
         edges = copurchase_edges(spark, sf_dir, ship_range=("1995-01-01", "1996-01-01"))
-        # Width 4, the sssp rationale: alive-set rows are tiny and the
-        # peel loop pays the per-task floor rounds x partitions times
-        # (measured at sf0.1: 8 -> 4 saves ~15%).
-        return _loop_parts(
-            spark, lambda: kcore(edges, k=2, probe_every=2), n=4, warm=(edges,)
-        )
+        # Materialize the shared edge cache at session width BEFORE the
+        # loop narrows (the _loop_parts warm rationale), then let the
+        # operator's own scoped conf drive the peel loop: width 4 (the
+        # sssp rationale — alive-set rows are tiny and the loop pays
+        # the per-task floor rounds x partitions times; 8 -> 4 saves
+        # ~15% at sf0.1) with the probe amortized over 2 chained peels.
+        edges.count()
+        return kcore(edges, k=2, loop_shuffle_partitions=4, probe_every=2)
 
     def q_request_replies(spark, sf_dir):
         # O12 end-to-end: dispatch a fixed BFS + DFS request pair over

@@ -296,65 +296,23 @@ def pagerank_fixed(
         if edges is None:
             raise ValueError("pass either edges or prepared")
         prepared = pagerank_prepare(edges, graph_id=graph_id, weight_col=weight_col)
-        spark = edges.sparkSession
-    else:
-        spark = prepared.verts.sparkSession
-    _parts_key = "spark.sql.shuffle.partitions"
-    _prev_parts = spark.conf.get(_parts_key)
-    if loop_shuffle_partitions is not None:
-        spark.conf.set(_parts_key, str(int(loop_shuffle_partitions)))
-    try:
-        ed, verts, n = prepared.ed, prepared.verts, prepared.n
-        if n == 0:
-            return verts.select(
-                F.col("vertex").cast("long"),
-                F.lit(0).cast("long").alias("rank_scaled"),
-                F.lit(0.0).alias("rank"),
-            )
-        init = scale // n
-        teleport = ((100 - damping_pct) * scale // 100) // n
-        ranks = verts.select("vertex", F.lit(init).cast("long").alias("r"))
-        # `div` is true integer floor division (positive args) — NOT
-        # `/`, which is float division and loses exactness for large
-        # operands.  The uniform rule divides by outdeg_unit so a
-        # weight-prepared graph can still run unweighted PageRank; for
-        # an unweighted prepare w == 1 and outdeg == outdeg_unit, so
-        # the two expressions are identical.
-        contrib = (
-            "(r * w) div outdeg" if weight_col is not None else "r div outdeg_unit"
-        )
-        _CHECKPOINT_EVERY = 8
-        for i in range(iters):
-            sums = (
-                ranks.join(ed, ranks["vertex"] == F.col("esrc"))
-                .select(F.col("edst").alias("sv"), F.expr(contrib).alias("c"))
-                .groupBy("sv")
-                .agg(F.sum("c").alias("s"))
-            )
-            ranks = (
-                verts.join(sums, verts["vertex"] == F.col("sv"), "left")
-                .select(
-                    verts["vertex"],
-                    F.expr(
-                        f"CAST({teleport} + ({damping_pct} * coalesce(s, 0)) div 100 AS LONG)"
-                    ).alias("r"),
-                )
-            )
-            if (i + 1) % _CHECKPOINT_EVERY == 0 and (i + 1) < iters:
-                ranks = ranks.localCheckpoint(eager=True)
-        out = ranks.select(
-            F.col("vertex").cast("long").alias("vertex"),
-            F.col("r").alias("rank_scaled"),
-            (F.col("r") / F.lit(float(scale))).alias("rank"),
-        )
-        if loop_shuffle_partitions is not None:
-            # Execute the loop NOW, under the narrowed width; the
-            # caller's action then only reads the checkpoint.
-            out = out.localCheckpoint(eager=True)
-        return out
-    finally:
-        if loop_shuffle_partitions is not None:
-            spark.conf.set(_parts_key, _prev_parts)
+    # ONE loop implementation: delegate to the fused two-rule loop
+    # (for an unweighted prepare w == 1 and outdeg == outdeg_unit, so
+    # both measures are identical anyway; the second long per row is
+    # marginal) and project the requested rule's columns.
+    both = pagerank_fixed_both(
+        prepared,
+        iters=iters,
+        damping_pct=damping_pct,
+        scale=scale,
+        loop_shuffle_partitions=loop_shuffle_partitions,
+    )
+    suffix = "w" if weight_col is not None else "u"
+    return both.select(
+        "vertex",
+        F.col(f"rank_scaled_{suffix}").alias("rank_scaled"),
+        F.col(f"rank_{suffix}").alias("rank"),
+    )
 
 
 
@@ -563,9 +521,9 @@ def kcore(
     peeling depth (single digits on real graphs for small k).  The
     symmetric edge list is persisted across rounds.
     ``loop_shuffle_partitions`` (scoped set/restore, the sssp idiom)
-    right-sizes the per-round shuffles to the alive-set cardinality —
-    every round runs an action (the convergence count), so the
-    narrowed width binds round by round.
+    right-sizes the per-round shuffles to the alive-set cardinality;
+    the probe action (run once per ``probe_every`` chained rounds)
+    executes the chain under the narrowed setting.
     """
     e = canonical_edges(edges, graph_id=graph_id)
     sym = e.unionAll(
@@ -585,25 +543,29 @@ def kcore(
         # drops), so — exactly like sssp's probe_every — chaining
         # rounds between count probes reaches the same unique fixpoint
         # while paying the probe action once per chain; each round
-        # still ends in its own lazy localCheckpoint.
-        for _ in range(0, max_iters, max(1, int(probe_every))):
-            for _chain in range(max(1, int(probe_every))):
-                av = alive.select(F.col("v").alias("av"))
-                bv = alive.select(F.col("v").alias("bv"))
-                scored = (
-                    sym.join(av, sym["src"] == F.col("av"))
-                    .join(bv, sym["dst"] == F.col("bv"))
-                    .groupBy(F.col("src").alias("v"))
-                    .agg(F.count("*").alias("d"))
-                    .where(F.col("d") >= k)
-                    .localCheckpoint(eager=False)
-                )
-                alive = scored.select("v")
-            cur = alive.count()
-            if cur == prev:
-                converged = True
-                break
-            prev = cur
+        # still ends in its own lazy localCheckpoint.  The flat round
+        # counter probes on chain boundaries AND on the final round,
+        # so exactly max_iters peels run before the non-convergence
+        # raise.
+        probe = max(1, int(probe_every))
+        for i in range(max_iters):
+            av = alive.select(F.col("v").alias("av"))
+            bv = alive.select(F.col("v").alias("bv"))
+            scored = (
+                sym.join(av, sym["src"] == F.col("av"))
+                .join(bv, sym["dst"] == F.col("bv"))
+                .groupBy(F.col("src").alias("v"))
+                .agg(F.count("*").alias("d"))
+                .where(F.col("d") >= k)
+                .localCheckpoint(eager=False)
+            )
+            alive = scored.select("v")
+            if (i + 1) % probe == 0 or i == max_iters - 1:
+                cur = alive.count()
+                if cur == prev:
+                    converged = True
+                    break
+                prev = cur
         if not converged:
             raise RuntimeError(
                 f"kcore(k={k}) did not converge in {max_iters} peeling rounds"
@@ -692,40 +654,43 @@ def sssp(
         # already-converged frontier is a no-op (empty relaxed set, min
         # merge leaves dist unchanged), so ANY chaining factor returns
         # the same fixpoint — at most probe_every - 1 empty rounds of
-        # plan overhead after convergence.
-        for _ in range(0, max_iters, max(1, int(probe_every))):
-            for _chain in range(max(1, int(probe_every))):
-                relaxed = frontier.join(e, F.col("v") == F.col("esrc")).select(
-                    F.col("edst").alias("v"),
-                    (F.col("d") + F.col("w")).alias("d"),
-                    F.lit(False).alias("settled"),
+        # plan overhead after convergence.  The flat round counter
+        # probes on chain boundaries AND on the final round, so
+        # exactly max_iters relaxations run before the non-convergence
+        # raise.
+        probe = max(1, int(probe_every))
+        for i in range(max_iters):
+            relaxed = frontier.join(e, F.col("v") == F.col("esrc")).select(
+                F.col("edst").alias("v"),
+                (F.col("d") + F.col("w")).alias("d"),
+                F.lit(False).alias("settled"),
+            )
+            # ONE tagged min-merge detects improvement in the same
+            # aggregation: old rows carry settled=true, so
+            # od = MIN(d | settled) is the previous distance (NULL for
+            # newly reached vertices) and the frontier is simply the
+            # rows where the merged min beat it — the per-round
+            # |V|-sized new-vs-old left join this replaces was ~1/3 of
+            # each superstep's cost.  Checkpoint the merged table and
+            # derive dist/frontier as narrow projections of the
+            # checkpointed handle: the probe count materializes each
+            # chained merge exactly once and later rounds re-read its
+            # blocks.
+            merged = (
+                dist.select("v", "d", F.lit(True).alias("settled"))
+                .unionAll(relaxed)
+                .groupBy("v")
+                .agg(
+                    F.min("d").alias("d"),
+                    F.min(F.when(F.col("settled"), F.col("d"))).alias("od"),
                 )
-                # ONE tagged min-merge detects improvement in the same
-                # aggregation: old rows carry settled=true, so
-                # od = MIN(d | settled) is the previous distance (NULL
-                # for newly reached vertices) and the frontier is
-                # simply the rows where the merged min beat it — the
-                # per-round |V|-sized new-vs-old left join this
-                # replaces was ~1/3 of each superstep's cost.
-                # Checkpoint the merged table and derive dist/frontier
-                # as narrow projections of the checkpointed handle:
-                # the probe count materializes each merge exactly once
-                # and later rounds re-read its blocks.
-                merged = (
-                    dist.select("v", "d", F.lit(True).alias("settled"))
-                    .unionAll(relaxed)
-                    .groupBy("v")
-                    .agg(
-                        F.min("d").alias("d"),
-                        F.min(F.when(F.col("settled"), F.col("d"))).alias("od"),
-                    )
-                    .localCheckpoint(eager=False)
-                )
-                frontier = merged.where(
-                    F.col("od").isNull() | (F.col("d") < F.col("od"))
-                ).select("v", "d")
-                dist = merged.select("v", "d")
-            if frontier.count() == 0:
+                .localCheckpoint(eager=False)
+            )
+            frontier = merged.where(
+                F.col("od").isNull() | (F.col("d") < F.col("od"))
+            ).select("v", "d")
+            dist = merged.select("v", "d")
+            if ((i + 1) % probe == 0 or i == max_iters - 1) and frontier.count() == 0:
                 converged = True
                 break
         if not converged:

@@ -26,6 +26,26 @@ from ..partitioning import ensure_parallelism
 def _vec_lit(vec: list[float]) -> Column:
     return F.array(*[F.lit(float(x)) for x in vec]).cast("array<double>")
 
+def _cosine_to_query(query_vec: list[float], vec_col: str) -> Column:
+    """Cosine similarity of ``vec_col`` to one constant query vector,
+    shared by every to-a-query scorer (global, filtered, per-group) so
+    the zero-vector guards and rounding semantics — which the SQL
+    oracles replicate — live in exactly one place.
+
+    The (constant) query norm is precomputed driver-side: Catalyst
+    does not constant-fold ``aggregate()`` over array literals, so
+    leaving it symbolic re-evaluates the query-norm reduction per row.
+    """
+    q = _vec_lit(query_vec)
+    q_norm = math.sqrt(sum(float(x) * float(x) for x in query_vec))
+    v = as_double_vec(F.col(vec_col))
+    if q_norm == 0.0:
+        return F.lit(0.0)
+    return F.when(l2_norm(v) == 0, F.lit(0.0)).otherwise(
+        dot(v, q) / (l2_norm(v) * F.lit(q_norm))
+    )
+
+
 def cosine_topk(
     embeddings: DataFrame,
     query_vec: list[float],
@@ -41,19 +61,7 @@ def cosine_topk(
     digits) and ranking breaks ties by id so results are deterministic
     across engines and partitionings.
     """
-    # Precompute the (constant) query norm driver-side: Catalyst does
-    # not constant-fold aggregate() over array literals, so leaving it
-    # symbolic re-evaluates the query-norm reduction per row.
-    q = _vec_lit(query_vec)
-    q_norm = math.sqrt(sum(float(x) * float(x) for x in query_vec))
-    v = as_double_vec(F.col(vec_col))
-    sim = (
-        F.lit(0.0)
-        if q_norm == 0.0
-        else F.when(l2_norm(v) == 0, F.lit(0.0)).otherwise(
-            dot(v, q) / (l2_norm(v) * F.lit(q_norm))
-        )
-    )
+    sim = _cosine_to_query(query_vec, vec_col)
     sims = embeddings.select(
         F.col(id_col).alias("vec_id"),
         F.round(sim, round_digits).alias("sim"),
@@ -430,16 +438,7 @@ def cosine_topk_per_group(
     """
     from pyspark.sql.window import Window
 
-    q = _vec_lit(query_vec)
-    q_norm = math.sqrt(sum(float(x) * float(x) for x in query_vec))
-    v = as_double_vec(F.col(vec_col))
-    sim = (
-        F.lit(0.0)
-        if q_norm == 0.0
-        else F.when(l2_norm(v) == 0, F.lit(0.0)).otherwise(
-            dot(v, q) / (l2_norm(v) * F.lit(q_norm))
-        )
-    )
+    sim = _cosine_to_query(query_vec, vec_col)
     scored = embeddings.select(
         F.col(group_col).alias("group"),
         F.col(id_col).alias("vec_id"),

@@ -16,9 +16,7 @@ from ..functions.textfns import (
     fingerprint,
     normalize_text,
     punct_count,
-    punct_ratio,
     stopword_count,
-    stopword_ratio,
     token_count,
     tokens,
 )
@@ -508,6 +506,8 @@ def pack_sequences(
     broadcast per-bucket offsets) applies verbatim to the running
     token sum.
     """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
     from pyspark.sql.window import Window
 
     w = (

@@ -255,14 +255,18 @@ def _stream_source_dir(path: str) -> str:
     import os
     import tempfile
 
+    path = os.path.abspath(path)  # a relative target would dangle from /tmp
     if os.path.isdir(path):
         return path
     tag = hashlib.md5(path.encode()).hexdigest()[:12]
     src_dir = os.path.join(tempfile.gettempdir(), f"stream_src_{tag}")
     os.makedirs(src_dir, exist_ok=True)
     link = os.path.join(src_dir, os.path.basename(path))
-    if not os.path.exists(link):
-        os.symlink(path, link)
+    if not os.path.lexists(link):  # lexists: a dangling link still EEXISTs
+        try:
+            os.symlink(path, link)
+        except FileExistsError:  # concurrent caller staged it first
+            pass
     return src_dir
 
 

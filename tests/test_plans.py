@@ -230,9 +230,28 @@ def test_no_query_plan_has_cartesian_or_row_udf(spark):
     BatchEvalPython (a row-at-a-time Python UDF in a hot path; all
     Python boundaries must be Arrow-batched: ArrowEvalPython /
     mapInPandas / FlatMapGroupsInPandas)."""
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.streaming.ingest import (
+        corpus_stats_stream,
+        event_rollup_stream,
+    )
+
     offenders = {}
+    # The two streaming queries return the memory-sink RESULT table
+    # (a LocalTableScan — linting it would be vacuous and would run a
+    # full availableNow job just to read a trivial plan), so their
+    # aggregation plans are linted via the same transformation applied
+    # to a batch read instead.
+    streaming_twins = {
+        "q_stream_rollup": lambda: event_rollup_stream(
+            spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+        ),
+        "q_stream_corpus": lambda: corpus_stats_stream(
+            spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+        ),
+    }
     for name, fn in entry.queries().items():
-        plan = _plan(fn(spark, SF_DIR))
+        df = streaming_twins[name]() if name in streaming_twins else fn(spark, SF_DIR)
+        plan = _plan(df)
         hits = [m for m in ("CartesianProduct", "BatchEvalPython") if m in plan]
         if hits:
             offenders[name] = hits
