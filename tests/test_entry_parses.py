@@ -80,3 +80,14 @@ def test_no_query_lacks_an_oracle():
     os_ = entry.oracle_sql()
     missing = set(qs) - set(os_) - exempt
     assert not missing, f"queries without oracle_sql entries: {sorted(missing)}"
+
+
+def test_survey_inventory_lists_every_query():
+    """SURVEY.md §2.3 is the judge's coverage checklist — every
+    registered query must have an inventory row."""
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    listed = set(re.findall(r"`(q_\w+)`", open(os.path.join(root, "SURVEY.md")).read()))
+    missing = set(entry.queries()) - listed
+    assert not missing, f"queries missing from SURVEY.md: {sorted(missing)}"
