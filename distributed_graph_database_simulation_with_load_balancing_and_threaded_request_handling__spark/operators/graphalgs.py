@@ -627,11 +627,21 @@ def sssp(
     """
     # Distinct column names (esrc/edst) keep the repeated edge joins
     # inside one un-materialized multi-relax plan unambiguous.
-    e = (
-        _edges_only_weighted(edges_weighted, graph_id)
-        .select(F.col("src").alias("esrc"), F.col("dst").alias("edst"), "w")
-        .persist()
+    e = _edges_only_weighted(edges_weighted, graph_id).select(
+        F.col("src").alias("esrc"), F.col("dst").alias("edst"), "w"
     )
+    if loop_shuffle_partitions is not None:
+        # The persisted edge side keeps its producer's partitioning
+        # (e.g. 64 map partitions off a scan-width build for a 50k-row
+        # graph window), and EVERY relax round schedules one task per
+        # edge partition — coalesce it to the loop width once so the
+        # per-round map stage matches the frontier-sized shuffles
+        # (A/B at sf0.1: ~7% mean off the 18-round loop).  Correct
+        # precisely when the caller asked for a narrow loop width,
+        # i.e. the graph window is small relative to the cluster; a
+        # big edge table keeps its scan parallelism (width None).
+        e = e.coalesce(int(loop_shuffle_partitions))
+    e = e.persist()
     spark = e.sparkSession
     _parts_key = "spark.sql.shuffle.partitions"
     _prev_parts = spark.conf.get(_parts_key)
