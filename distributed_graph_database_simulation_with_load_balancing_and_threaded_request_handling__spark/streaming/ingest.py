@@ -30,6 +30,7 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampNTZType,
     TimestampType,
 )
 
@@ -112,6 +113,27 @@ EVENT_STREAM_SCHEMA = StructType(
     [
         StructField("event_id", LongType(), True),
         StructField("ts", TimestampType(), True),
+        StructField("user_id", LongType(), True),
+        StructField("event_type", StringType(), True),
+        StructField("value", DoubleType(), True),
+        StructField("props", StringType(), True),
+    ]
+)
+
+
+# The events table exactly as the testdata parquet lays it out: the
+# file stores plain micros with no zone (isAdjustedToUTC=false), which
+# the BATCH reader surfaces as TIMESTAMP_NTZ (relational.py's
+# timestamp_diff rationale).  The parquet STREAM source must declare
+# the same — reading those micros through an LTZ TimestampType would
+# reinterpret them in the session timezone and shift every
+# window/to_date boundary off the (timezone-free) oracle on any
+# non-UTC host.  The LTZ EVENT_STREAM_SCHEMA above stays for JSON
+# feeds, where the wire format carries zoned instants.
+EVENT_TABLE_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType(), True),
+        StructField("ts", TimestampNTZType(), True),
         StructField("user_id", LongType(), True),
         StructField("event_type", StringType(), True),
         StructField("value", DoubleType(), True),
@@ -237,7 +259,7 @@ def run_event_rollup_batch(spark: SparkSession, path: str) -> DataFrame:
     backlog in bounded batches then stops.
     """
     src = (
-        spark.readStream.schema(EVENT_STREAM_SCHEMA)
+        spark.readStream.schema(EVENT_TABLE_SCHEMA)
         .format("parquet")
         .load(_stream_source_dir(path))
     )
@@ -246,27 +268,29 @@ def run_event_rollup_batch(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+# path -> staged dir, per process: mkdtemp gives a mode-0700 dir owned
+# by THIS process, so a shared /tmp can never pre-seed the stream
+# source with foreign files (or deny us the dir) the way a predictable
+# world-shared name could.
+_STAGED_SOURCE_DIRS: dict[str, str] = {}
+
+
 def _stream_source_dir(path: str) -> str:
     """The file stream source only accepts a DIRECTORY (it manages its
     own basePath); the testdata lays each table out as one file, so
     stage a directory of symlinks to the same bytes — the exact
     "files land in a watched directory" production shape."""
-    import hashlib
     import os
     import tempfile
 
     path = os.path.abspath(path)  # a relative target would dangle from /tmp
     if os.path.isdir(path):
         return path
-    tag = hashlib.md5(path.encode()).hexdigest()[:12]
-    src_dir = os.path.join(tempfile.gettempdir(), f"stream_src_{tag}")
-    os.makedirs(src_dir, exist_ok=True)
-    link = os.path.join(src_dir, os.path.basename(path))
-    if not os.path.lexists(link):  # lexists: a dangling link still EEXISTs
-        try:
-            os.symlink(path, link)
-        except FileExistsError:  # concurrent caller staged it first
-            pass
+    src_dir = _STAGED_SOURCE_DIRS.get(path)
+    if src_dir is None or not os.path.isdir(src_dir):
+        src_dir = tempfile.mkdtemp(prefix="stream_src_")
+        os.symlink(path, os.path.join(src_dir, os.path.basename(path)))
+        _STAGED_SOURCE_DIRS[path] = src_dir
     return src_dir
 
 

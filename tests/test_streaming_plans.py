@@ -410,3 +410,40 @@ def test_event_rollup_stream_equals_batch_groupby(spark):
         .collect()
     }
     assert streamed == batch
+
+
+def test_event_rollup_stream_timezone_independent(spark):
+    # The testdata parquet stores zone-free micros (batch reads them as
+    # TIMESTAMP_NTZ); the stream source must declare the same NTZ
+    # schema, or the day labels shift with the session timezone and
+    # diverge from the timezone-free SQL oracle on non-UTC hosts.
+    import os
+
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.streaming.ingest import (
+        run_event_rollup_batch,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf_dir):
+        pytest.skip("driver testdata not present")
+    path = os.path.join(sf_dir, "events.parquet")
+    ev = spark.read.parquet(path)
+    batch = {
+        (r["day"], r["event_type"]): r["n"]
+        for r in ev.groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(F.count("*").cast("long").alias("n"))
+        .collect()
+    }
+    key = "spark.sql.session.timeZone"
+    prev = spark.conf.get(key)
+    try:
+        # A UTC+14 zone maximizes the day-boundary shift an LTZ
+        # misread would produce.
+        spark.conf.set(key, "Pacific/Kiritimati")
+        streamed = {
+            (r["day"], r["event_type"]): r["n_events"]
+            for r in run_event_rollup_batch(spark, path).collect()
+        }
+    finally:
+        spark.conf.set(key, prev)
+    assert streamed == batch
