@@ -134,6 +134,8 @@ from distributed_graph_database_simulation_with_load_balancing_and_threaded_requ
     audio_pcm_features,
     extract_audio_meta,
     plant_audio_signal,
+    plant_encoded_adam7_pngs,
+    plant_encoded_palette_pngs,
     plant_encoded_pngs,
     plant_encoded_rgb_pngs,
     png_decode_stats,
@@ -176,6 +178,9 @@ from distributed_graph_database_simulation_with_load_balancing_and_threaded_requ
 from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.streaming.ingest import (
     run_corpus_stats_batch,
     run_event_rollup_batch,
+)
+from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.streaming.requests import (
+    serve_requests_available_now,
 )
 
 # ---------------------------------------------------------------------------
@@ -367,6 +372,82 @@ _SQL_BFS = f"""
   )
   SELECT vertex, level FROM bfs
 """
+
+def _stream_requests_oracle_sql(rounds: int = 8) -> str:
+    """Oracle for the STREAMED request lifecycle (q_stream_requests):
+    the accumulated replies must equal a batch dispatch of the same
+    request set, so the oracle is the batch semantics — an unrolled
+    multi-source min-distance BFS (one d-chain for all op-4 requests
+    at once; the tree's eccentricity from any nation vertex is 5, so
+    8 rounds over-converge and extra rounds are exact no-ops on the
+    min fixpoint) plus the degree-1 leaf rule for op-3 requests
+    (dfs_leaves_multi semantics: leaves exclude the start).
+    MATERIALIZED for the same CTE-inlining reason as the sssp/kcore
+    oracles."""
+    ctes = [
+        f"WITH sym AS MATERIALIZED ({_SQL_SYM})",
+        "reqs AS (SELECT CAST(n_nationkey + 1 AS INTEGER) AS seq_no, "
+        "CASE WHEN n_nationkey % 2 = 0 THEN 4 ELSE 3 END AS op_no, "
+        "CAST(100 + n_nationkey AS BIGINT) AS start FROM nation)",
+        "d0 AS MATERIALIZED (SELECT seq_no, start AS v, CAST(0 AS INTEGER) AS d "
+        "FROM reqs WHERE op_no = 4)",
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"d{i} AS MATERIALIZED (SELECT seq_no, v, MIN(d) AS d FROM ("
+            f"SELECT seq_no, v, d FROM d{i - 1} UNION ALL "
+            f"SELECT p.seq_no, e.dst, p.d + 1 FROM d{i - 1} p JOIN sym e ON e.src = p.v"
+            f") GROUP BY seq_no, v)"
+        )
+    ctes.append(
+        "deg AS (SELECT src AS v, COUNT(DISTINCT dst) AS dg FROM sym GROUP BY src)"
+    )
+    return (
+        ",\n".join(ctes)
+        + f"""
+        SELECT seq_no, string_agg(CAST(v AS VARCHAR), ' ' ORDER BY d, v) AS reply
+        FROM d{rounds} GROUP BY seq_no
+        UNION ALL
+        SELECT r.seq_no, string_agg(CAST(deg.v AS VARCHAR), ' ' ORDER BY deg.v)
+        FROM reqs r JOIN deg ON deg.dg = 1 AND deg.v <> r.start
+        WHERE r.op_no = 3 GROUP BY r.seq_no"""
+    )
+
+
+# Decoded-PNG stats oracle, shared verbatim by q_png_decode
+# (sequential fixtures) and q_png_adam7 (interlaced fixtures): both
+# plant pixel(i, j) = (31i + 17j + id) % 256 at W = 8 + id%9,
+# H = 8 + id%7, and the decode contract is that the byte layout
+# (filters, interlacing) is erased.
+_SQL_PNG_STATS = """
+    WITH grid AS (
+      SELECT r.r, c.c FROM range(0, 16) r(r) CROSS JOIN range(0, 16) c(c)
+    ),
+    dims AS (
+      SELECT CAST(doc_id AS BIGINT) AS media_id,
+             CAST(8 + doc_id % 9 AS BIGINT) AS w,
+             CAST(8 + doc_id % 7 AS BIGINT) AS h
+      FROM documents
+    ),
+    pix AS (
+      SELECT media_id,
+             CAST(SUM((31 * g.r + 17 * g.c + media_id) % 256) AS BIGINT)
+                 AS pix_sum
+      FROM dims JOIN grid g ON g.r < h AND g.c < w
+      GROUP BY media_id
+    ),
+    rs AS (
+      SELECT media_id,
+             CAST(SUM((31 * ((g.r * h) // 8) + 17 * ((g.c * w) // 8)
+                       + media_id) % 256) AS BIGINT) AS resized_sum
+      FROM dims JOIN grid g ON g.r < 8 AND g.c < 8
+      GROUP BY media_id
+    )
+    SELECT d.media_id, d.w AS width, d.h AS height,
+           p.pix_sum, r.resized_sum
+    FROM dims d JOIN pix p USING (media_id) JOIN rs r USING (media_id)
+"""
+
 
 _SQL_REQUESTS = """
   SELECT CAST(o_orderkey AS INTEGER) AS seq_no,
@@ -1061,6 +1142,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         media = plant_encoded_rgb_pngs(load_table(spark, sf_dir, "documents"))
         return rgb_decode_stats(media)
 
+    def q_png_adam7(spark, sf_dir):
+        # Adam7-INTERLACED grayscale PNGs carrying the same arithmetic
+        # pixels as q_png_decode's sequential fixtures: the decoder
+        # must walk all seven de-interlace passes (each independently
+        # filtered) to reproduce the pixel/resize sums — the oracle is
+        # q_png_decode's verbatim, which is the point: interlacing is
+        # an encoding detail the decode must erase.
+        media = plant_encoded_adam7_pngs(load_table(spark, sf_dir, "documents"))
+        return png_decode_stats(media, out_w=8, out_h=8)
+
+    def q_png_palette(spark, sf_dir):
+        # Palette-indexed (color type 3) PNGs: index grid
+        # (31i + 17j + id) % 256 through a 256-entry per-image PLTE
+        # palette[k] = ((11k + id) % 256, (13k + 2id) % 256,
+        # (17k + 3id) % 256); the decoded per-channel sums replay in
+        # SQL by composing the two congruences.
+        media = plant_encoded_palette_pngs(load_table(spark, sf_dir, "documents"))
+        return rgb_decode_stats(media)
+
     def q_audio_features(spark, sf_dir):
         # REAL signal features from DECODED audio: planted WAVs carry
         # arithmetic int16 PCM (sample k = ((37k + 11*id) % 4001) -
@@ -1655,6 +1755,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return _loop_parts(spark, lambda: format_reply(run_requests(reqs, edges)), warm=(edges,))
 
+    def q_stream_requests(spark, sf_dir):
+        # The reference's LONG-RUNNING lifecycle (while(1) server
+        # loops, load_balancer.c:47, secondary_server.c:363) under the
+        # value oracle: 25 read requests (one per nation vertex, BFS
+        # for even keys / DFS-leaves for odd) are staged as queue
+        # files, drained in 2 scheduled micro-batch cycles through the
+        # streaming server (schedule -> dispatch -> reply rows), and
+        # the ACCUMULATED replies must equal a one-shot batch dispatch
+        # — which is exactly what the SQL oracle computes.
+        edges = derived_tree_edges(spark, sf_dir, symmetric=True)
+        nation = load_table(spark, sf_dir, "nation")
+        reqs = nation.select(
+            (F.col("n_nationkey") + 1).cast("int").alias("seq_no"),
+            F.when(F.col("n_nationkey") % 2 == 0, 4)
+            .otherwise(3)
+            .cast("int")
+            .alias("op_no"),
+            F.lit("G1.txt").alias("graph_name"),
+            (F.col("n_nationkey") + 100).cast("int").alias("start_vertex"),
+        )
+        # Loop width 4 (the kcore rationale): each drain cycle's BFS
+        # shuffles carry frontier-sized rows and pay the per-task
+        # floor supersteps x partitions times, twice (one loop per
+        # cycle) — the narrowest width wins.
+        return _loop_parts(
+            spark,
+            lambda: format_reply(
+                serve_requests_available_now(spark, reqs, edges, n_cycles=2)
+            ),
+            n=4,
+            warm=(edges,),
+        )
+
     def q_bloom_join(spark, sf_dir):
         # Engine-portable Bloom filter (md5 cells, same portability
         # posture as the HLL/CMS) used the way a 100-TB pipeline uses
@@ -1764,65 +1897,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     # Registry ORDER matters: the driver's oracle gate checks only the
-    # FIRST 50 entries, so the 30 queries that had never received an
-    # official CORRECTNESS row through round 3 (graph analytics,
-    # sketches, sampling/splits, relational/IO tail) lead, followed by
-    # this round's new queries; the long-green round-3 suite
-    # (CORRECTNESS_r03: 50/50 pass) fills the tail.
+    # FIRST 50 entries per round, so the window ROTATES — this round's
+    # new queries lead, followed by the suite whose most recent
+    # official CORRECTNESS rows are oldest (the round-3 block; the
+    # round-4-checked block fills the tail).  The rotation policy is
+    # machine-enforced by test_entry_parses.py::
+    # test_registry_order_covers_the_driver_window: any query absent
+    # from the two most recent CORRECTNESS records must sit inside the
+    # current window.
     return {
-        # -- never driver-checked through r03 (30) --
-        "q_triangles": q_triangles,
-        "q_pagerank": q_pagerank,
-        "q_pagerank_weighted": q_pagerank_weighted,
-        "q_degree_hist": q_degree_hist,
-        "q_common_neighbors": q_common_neighbors,
-        "q_kcore": q_kcore,
-        "q_sssp": q_sssp,
-        "q_train_split": q_train_split,
-        "q_stratified_sample": q_stratified_sample,
-        "q_group_sample": q_group_sample,
-        "q_rollup_revenue": q_rollup_revenue,
-        "q_event_pivot": q_event_pivot,
-        "q_pipeline_stats": q_pipeline_stats,
-        "q_gapfill": q_gapfill,
-        "q_cms_counts": q_cms_counts,
-        "q_salted_join": q_salted_join,
-        "q_hll_merged": q_hll_merged,
-        "q_kmv_overlap": q_kmv_overlap,
-        "q_quantile_sample": q_quantile_sample,
-        "q_running_spend": q_running_spend,
-        "q_csv_io": q_csv_io,
-        "q_orc_io": q_orc_io,
-        "q_jsonl_io": q_jsonl_io,
-        "q_bloom_join": q_bloom_join,
-        "q_decontam": q_decontam,
-        "q_chunks": q_chunks,
-        "q_pii_redact": q_pii_redact,
-        "q_ship_priority": q_ship_priority,
-        "q_local_supplier": q_local_supplier,
-        "q_request_replies": q_request_replies,
         # -- new this round (inside the 50-entry driver window) --
-        "q_png_decode": q_png_decode,
-        "q_audio_features": q_audio_features,
-        "q_kmeans": q_kmeans,
-        "q_cluster_labels": q_cluster_labels,
-        "q_semantic_dedup": q_semantic_dedup,
-        "q_cust_order_dist": q_cust_order_dist,
-        "q_nation_volume": q_nation_volume,
-        "q_rare_bigrams": q_rare_bigrams,
-        "q_returned_revenue": q_returned_revenue,
-        "q_rgb_decode": q_rgb_decode,
-        "q_order_priority": q_order_priority,
-        "q_shipmode_stats": q_shipmode_stats,
-        "q_promo_revenue": q_promo_revenue,
-        "q_big_orders": q_big_orders,
-        "q_disjunctive_rev": q_disjunctive_rev,
-        "q_filtered_topk": q_filtered_topk,
-        "q_group_topk": q_group_topk,
-        "q_stream_rollup": q_stream_rollup,
-        "q_stream_corpus": q_stream_corpus,
-        "q_pack_sequences": q_pack_sequences,
-        # -- reference parity + round-3-green suite --
+        "q_stream_requests": q_stream_requests,
+        "q_png_adam7": q_png_adam7,
+        "q_png_palette": q_png_palette,
+        # -- round-3-green suite, due for re-verification --
         "q_add_graph": q_add_graph,
         "q_modify_graph": q_modify_graph,
         "q_bfs_levels": q_bfs_levels,
@@ -1870,9 +1958,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_attribution": q_attribution,
         "q_time_rollup": q_time_rollup,
         "q_matrix_io": q_matrix_io,
+        # -- r3-green overflow (window is full; these lead round 6) --
         "q_repetition": q_repetition,
         "q_tfidf": q_tfidf,
         "q_collocations": q_collocations,
+        # -- round-4-checked block (freshest official rows) --
+        "q_triangles": q_triangles,
+        "q_pagerank": q_pagerank,
+        "q_pagerank_weighted": q_pagerank_weighted,
+        "q_degree_hist": q_degree_hist,
+        "q_common_neighbors": q_common_neighbors,
+        "q_kcore": q_kcore,
+        "q_sssp": q_sssp,
+        "q_train_split": q_train_split,
+        "q_stratified_sample": q_stratified_sample,
+        "q_group_sample": q_group_sample,
+        "q_rollup_revenue": q_rollup_revenue,
+        "q_event_pivot": q_event_pivot,
+        "q_pipeline_stats": q_pipeline_stats,
+        "q_gapfill": q_gapfill,
+        "q_cms_counts": q_cms_counts,
+        "q_salted_join": q_salted_join,
+        "q_hll_merged": q_hll_merged,
+        "q_kmv_overlap": q_kmv_overlap,
+        "q_quantile_sample": q_quantile_sample,
+        "q_running_spend": q_running_spend,
+        "q_csv_io": q_csv_io,
+        "q_orc_io": q_orc_io,
+        "q_jsonl_io": q_jsonl_io,
+        "q_bloom_join": q_bloom_join,
+        "q_decontam": q_decontam,
+        "q_chunks": q_chunks,
+        "q_pii_redact": q_pii_redact,
+        "q_ship_priority": q_ship_priority,
+        "q_local_supplier": q_local_supplier,
+        "q_request_replies": q_request_replies,
+        "q_png_decode": q_png_decode,
+        "q_audio_features": q_audio_features,
+        "q_kmeans": q_kmeans,
+        "q_cluster_labels": q_cluster_labels,
+        "q_semantic_dedup": q_semantic_dedup,
+        "q_cust_order_dist": q_cust_order_dist,
+        "q_nation_volume": q_nation_volume,
+        "q_rare_bigrams": q_rare_bigrams,
+        "q_returned_revenue": q_returned_revenue,
+        "q_rgb_decode": q_rgb_decode,
+        "q_order_priority": q_order_priority,
+        "q_shipmode_stats": q_shipmode_stats,
+        "q_promo_revenue": q_promo_revenue,
+        "q_big_orders": q_big_orders,
+        "q_disjunctive_rev": q_disjunctive_rev,
+        "q_filtered_topk": q_filtered_topk,
+        "q_group_topk": q_group_topk,
+        "q_stream_rollup": q_stream_rollup,
+        "q_stream_corpus": q_stream_corpus,
+        "q_pack_sequences": q_pack_sequences,
     }
 
 def oracle_sql() -> dict[str, str]:
@@ -2237,7 +2377,11 @@ def oracle_sql() -> dict[str, str]:
         # pixels (W = 8 + id%9, H = 8 + id%7, p(i,j) = (31i+17j+id)%256)
         # through the real PNG encoder; the decoded-pixel sum and the
         # 8x8 nearest-neighbor resize checksum replay exactly.
-        "q_png_decode": """
+        "q_png_decode": _SQL_PNG_STATS,
+        # Interlacing is an encoding detail the decode must erase:
+        # same pixel contract, same oracle, different byte layout.
+        "q_png_adam7": _SQL_PNG_STATS,
+        "q_png_palette": """
             WITH grid AS (
               SELECT r.r, c.c FROM range(0, 16) r(r) CROSS JOIN range(0, 16) c(c)
             ),
@@ -2247,23 +2391,16 @@ def oracle_sql() -> dict[str, str]:
                      CAST(8 + doc_id % 7 AS BIGINT) AS h
               FROM documents
             ),
-            pix AS (
-              SELECT media_id,
-                     CAST(SUM((31 * g.r + 17 * g.c + media_id) % 256) AS BIGINT)
-                         AS pix_sum
+            px AS (
+              SELECT media_id, w, h,
+                     (31 * g.r + 17 * g.c + media_id) % 256 AS idx
               FROM dims JOIN grid g ON g.r < h AND g.c < w
-              GROUP BY media_id
-            ),
-            rs AS (
-              SELECT media_id,
-                     CAST(SUM((31 * ((g.r * h) // 8) + 17 * ((g.c * w) // 8)
-                               + media_id) % 256) AS BIGINT) AS resized_sum
-              FROM dims JOIN grid g ON g.r < 8 AND g.c < 8
-              GROUP BY media_id
             )
-            SELECT d.media_id, d.w AS width, d.h AS height,
-                   p.pix_sum, r.resized_sum
-            FROM dims d JOIN pix p USING (media_id) JOIN rs r USING (media_id)
+            SELECT media_id, MIN(w) AS width, MIN(h) AS height,
+                   CAST(SUM((11 * idx + media_id) % 256) AS BIGINT) AS sum_r,
+                   CAST(SUM((13 * idx + 2 * media_id) % 256) AS BIGINT) AS sum_g,
+                   CAST(SUM((17 * idx + 3 * media_id) % 256) AS BIGINT) AS sum_b
+            FROM px GROUP BY media_id
         """,
         # clustering.kmeans_fixed replica: integer-quantized Lloyd's,
         # unrolled rounds, value-exact (see _sql_kmeans_ctes).
@@ -3210,6 +3347,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM({_SQL_NTOK}) AS BIGINT) AS total_tokens
             FROM documents GROUP BY lang
         """,
+        "q_stream_requests": _stream_requests_oracle_sql(),
         "q_stream_rollup": """
             SELECT CAST(ts AS DATE) AS day, event_type,
                    CAST(COUNT(*) AS BIGINT) AS n_events,

@@ -70,13 +70,16 @@ def attach_media(documents: DataFrame, *, text_col: str = "text", id_col: str = 
 
 def decode_image(data: bytes) -> Any:
     """STUB — generic pixel decode for codec-library formats (JPEG
-    entropy decode, palette PNG, webp…; PIL/opencv not available in
-    this container).  The mapInPandas plumbing around it is real; swap
-    this seam for a real decoder in production.  Two sub-cases need NO
-    seam: header metadata (``image_dims`` parses real PNG/GIF/JPEG/BMP
-    bytes, stdlib only) and 8-bit grayscale PNG pixels
-    (``png_gray_decode`` is a complete stdlib inflate+unfilter
-    decoder, value-oracle-checked end-to-end by ``q_png_decode``)."""
+    entropy decode, webp…; PIL/opencv not available in this
+    container).  The mapInPandas plumbing around it is real; swap
+    this seam for a real decoder in production.  The PNG family needs
+    NO seam: header metadata (``image_dims`` parses real
+    PNG/GIF/JPEG/BMP bytes, stdlib only) and 8-bit
+    grayscale/truecolor/palette pixels, sequential or
+    Adam7-interlaced (``png_decode`` is a complete stdlib
+    inflate+unfilter+de-interlace+PLTE decoder, value-oracle-checked
+    end-to-end by q_png_decode/q_rgb_decode/q_png_palette/
+    q_png_adam7)."""
     raise NotImplementedError("image decode requires PIL/opencv; stubbed by design")
 
 
@@ -578,59 +581,127 @@ def png_rgb_encode(pixels, *, filter_seed: int = 0) -> bytes:
     )
 
 
-def png_decode(data: bytes):
-    """REAL stdlib PNG pixel decode for 8-bit grayscale (color type 0)
-    and 8-bit truecolor RGB (color type 2), no interlace: chunk walk
-    -> concatenated-IDAT zlib inflate -> per-row unfilter for ALL five
-    filter types with the correct bytes-per-pixel offset -> uint8
-    array of shape (h, w) for grayscale or (h, w, 3) for RGB.  This
-    closes the image-decode seam for the formats the fixtures plant;
-    ``decode_image`` remains the documented stub for formats that
-    genuinely need a codec library (JPEG entropy decode etc.).
+def _filter_scanlines(flat, bpp: int, filter_seed: int) -> bytearray:
+    """Apply the per-row PNG filter cycle ``(filter_seed + r) % 5`` to
+    a (rows, stride) uint8 matrix — the shared forward-filter core of
+    the gray/RGB encoders, reused by the Adam7 and palette encoders
+    (each Adam7 pass filters independently, so callers invoke this
+    once per pass with its own sub-image)."""
+    import numpy as np
 
-    Unfiltering is inherently sequential across a scanline for Sub/
-    Average/Paeth (each byte depends on the reconstructed neighbor
-    ``bpp`` bytes left); Sub reduces to a vectorized per-byte-lane
-    cumulative sum, Up is fully vectorized, and the two loops that
-    remain run per SCANLINE inside an Arrow-batched worker — the
-    parallel unit at scale is the image, not the pixel."""
+    mat = np.asarray(flat, dtype=np.uint8).astype(np.int64)
+    n_rows, stride = mat.shape
+    raw = bytearray()
+    prior = np.zeros(stride, dtype=np.int64)
+    for r in range(n_rows):
+        row = mat[r]
+        ftype = (filter_seed + r) % 5
+        if ftype == 0:
+            out = row
+        elif ftype == 1:  # Sub
+            left = np.concatenate((np.zeros(bpp, dtype=np.int64), row[:-bpp]))
+            out = (row - left) % 256
+        elif ftype == 2:  # Up
+            out = (row - prior) % 256
+        elif ftype == 3:  # Average
+            left = np.concatenate((np.zeros(bpp, dtype=np.int64), row[:-bpp]))
+            out = (row - (left + prior) // 2) % 256
+        else:  # Paeth
+            out = np.empty(stride, dtype=np.int64)
+            for j in range(stride):
+                a = int(row[j - bpp]) if j >= bpp else 0
+                c = int(prior[j - bpp]) if j >= bpp else 0
+                out[j] = (int(row[j]) - _paeth(a, int(prior[j]), c)) % 256
+        raw.append(ftype)
+        raw.extend(out.astype(np.uint8).tobytes())
+        prior = row
+    return raw
+
+
+def png_gray_encode_adam7(pixels, *, filter_seed: int = 0) -> bytes:
+    """8-bit grayscale PNG encoder with Adam7 interlacing (IHDR
+    interlace=1): the seven RFC 2083 §8.2 passes, each sub-image
+    filtered independently with the same per-row filter cycle as the
+    sequential encoders — so a decoder must de-interlace AND unfilter
+    every path to reproduce the arithmetic pixels."""
     import struct
     import zlib
 
     import numpy as np
 
-    if data[:8] != b"\x89PNG\r\n\x1a\n":
-        raise ValueError("not a PNG")
-    pos = 8
-    w = h = color_type = None
-    idat = bytearray()
-    while pos + 8 <= len(data):
-        (length,) = struct.unpack(">I", data[pos : pos + 4])
-        tag = data[pos + 4 : pos + 8]
-        body = data[pos + 8 : pos + 8 + length]
-        if tag == b"IHDR":
-            w, h = struct.unpack(">II", body[:8])
-            bit_depth, color_type, _, _, interlace = struct.unpack(">BBBBB", body[8:13])
-            if bit_depth != 8 or color_type not in (0, 2) or interlace != 0:
-                raise ValueError(
-                    f"unsupported PNG shape: depth={bit_depth} color={color_type} "
-                    f"interlace={interlace} (stdlib decoder covers 8-bit gray/RGB)"
-                )
-        elif tag == b"IDAT":
-            idat.extend(body)
-        elif tag == b"IEND":
-            break
-        pos += 12 + length
-    if w is None:
-        raise ValueError("PNG missing IHDR")
-    bpp = 3 if color_type == 2 else 1
-    stride = w * bpp
-    raw = zlib.decompress(bytes(idat))
-    if len(raw) != h * (stride + 1):
+    arr = np.asarray(pixels, dtype=np.uint8)
+    h, w = arr.shape
+    raw = bytearray()
+    for x0, y0, dx, dy in _ADAM7:
+        sub = arr[y0::dy, x0::dx]
+        if sub.shape[0] == 0 or sub.shape[1] == 0:
+            continue
+        raw.extend(_filter_scanlines(sub, 1, filter_seed))
+    ihdr = struct.pack(">II", w, h) + b"\x08\x00\x00\x00\x01"  # interlace=1
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def png_palette_encode(indices, palette, *, filter_seed: int = 0) -> bytes:
+    """8-bit palette-indexed PNG encoder (color type 3): a PLTE chunk
+    of up to 256 RGB entries plus filtered index scanlines at bpp=1 —
+    the indexed-color sibling of ``png_gray_encode``."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    idx = np.asarray(indices, dtype=np.uint8)
+    pal = np.asarray(palette, dtype=np.uint8)
+    h, w = idx.shape
+    raw = _filter_scanlines(idx, 1, filter_seed)
+    ihdr = struct.pack(">II", w, h) + b"\x08\x03\x00\x00\x00"  # color type 3
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", pal.tobytes())
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+# Adam7 interlace passes (x0, y0, dx, dy) — RFC 2083 §8.2: each pass
+# is the sub-image of pixels at (x0 + i*dx, y0 + j*dy), filtered as an
+# independent image (prior scanline resets per pass; empty passes
+# contribute no bytes).
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _unfilter_scanlines(raw: bytes, n_rows: int, stride: int, bpp: int):
+    """Reverse the per-scanline PNG filters over one filtered segment
+    (a whole sequential image, or one Adam7 pass): ``n_rows`` lines of
+    ``1 + stride`` bytes -> (n_rows, stride) int64 pixel bytes.
+
+    Sub/Average/Paeth are inherently sequential across a scanline
+    (each byte depends on the reconstructed neighbor ``bpp`` bytes
+    left); Sub reduces to a vectorized per-byte-lane cumulative sum,
+    Up is fully vectorized, and the remaining loops run per SCANLINE
+    inside an Arrow-batched worker — the parallel unit at scale is
+    the image, not the pixel."""
+    import numpy as np
+
+    if len(raw) != n_rows * (stride + 1):
         raise ValueError("PNG scanline payload length mismatch")
-    out = np.empty((h, stride), dtype=np.int64)
+    out = np.empty((n_rows, stride), dtype=np.int64)
     prior = np.zeros(stride, dtype=np.int64)
-    for r in range(h):
+    for r in range(n_rows):
         line = raw[r * (stride + 1) : (r + 1) * (stride + 1)]
         ftype = line[0]
         filt = np.frombuffer(line[1:], dtype=np.uint8).astype(np.int64)
@@ -657,8 +728,86 @@ def png_decode(data: bytes):
             raise ValueError(f"bad PNG filter type {ftype}")
         out[r] = row
         prior = row
-    arr = out.astype(np.uint8)
-    return arr.reshape(h, w, 3) if bpp == 3 else arr
+    return out
+
+
+def png_decode(data: bytes):
+    """REAL stdlib PNG pixel decode for 8-bit grayscale (color type
+    0), truecolor RGB (color type 2), and palette-indexed (color type
+    3, PLTE lookup), sequential OR Adam7-interlaced: chunk walk ->
+    concatenated-IDAT zlib inflate -> per-segment unfilter for ALL
+    five filter types with the correct bytes-per-pixel offset (one
+    segment for interlace 0; the seven RFC 2083 §8.2 passes, each an
+    independently-filtered sub-image scattered back by its stride, for
+    interlace 1) -> uint8 array of shape (h, w) for grayscale or
+    (h, w, 3) for RGB/palette.  This closes the image-decode seam for
+    every PNG shape the fixtures plant; ``decode_image`` remains the
+    documented stub for formats that genuinely need a codec library
+    (JPEG entropy decode etc.)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    pos = 8
+    w = h = color_type = interlace = None
+    palette = None
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        if tag == b"IHDR":
+            w, h = struct.unpack(">II", body[:8])
+            bit_depth, color_type, _, _, interlace = struct.unpack(">BBBBB", body[8:13])
+            if bit_depth != 8 or color_type not in (0, 2, 3) or interlace not in (0, 1):
+                raise ValueError(
+                    f"unsupported PNG shape: depth={bit_depth} color={color_type} "
+                    f"interlace={interlace} (stdlib decoder covers 8-bit "
+                    f"gray/RGB/palette, sequential or Adam7)"
+                )
+        elif tag == b"PLTE":
+            if length % 3:
+                raise ValueError("PLTE length not a multiple of 3")
+            palette = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat.extend(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    if color_type == 3 and palette is None:
+        raise ValueError("palette PNG missing PLTE")
+    bpp = 3 if color_type == 2 else 1
+    raw = zlib.decompress(bytes(idat))
+    if interlace == 0:
+        flat = _unfilter_scanlines(raw, h, w * bpp, bpp)
+    else:
+        flat = np.zeros((h, w * bpp), dtype=np.int64)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            sh = len(range(y0, h, dy))
+            sw = len(range(x0, w, dx))
+            if sh == 0 or sw == 0:
+                continue
+            seg_len = sh * (sw * bpp + 1)
+            sub = _unfilter_scanlines(raw[off : off + seg_len], sh, sw * bpp, bpp)
+            off += seg_len
+            flat.reshape(h, w, bpp)[y0::dy, x0::dx, :] = sub.reshape(sh, sw, bpp)
+        if off != len(raw):
+            raise ValueError("PNG interlaced payload length mismatch")
+    arr = flat.astype(np.uint8)
+    if color_type == 2:
+        return arr.reshape(h, w, 3)
+    if color_type == 3:
+        idx = arr.reshape(h, w)
+        if int(idx.max(initial=0)) >= len(palette):
+            raise ValueError("palette index out of range")
+        return palette[idx]
+    return arr.reshape(h, w)
 
 
 def png_gray_decode(data: bytes):
@@ -723,6 +872,78 @@ def plant_encoded_rgb_pngs(documents: DataFrame, *, id_col: str = "doc_id") -> D
                 arr = ((rows + cols + chans + i) % 256).astype(np.uint8)
                 ids.append(i)
                 payloads.append(png_rgb_encode(arr, filter_seed=i))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "media_type": ["image"] * len(ids),
+                    "media": payloads,
+                    "source": ["planted"] * len(ids),
+                }
+            )
+
+    return documents.select(id_col).mapInPandas(build, schema=MEDIA_SCHEMA)
+
+
+def plant_encoded_adam7_pngs(documents: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """Adam7-INTERLACED grayscale PNG fixtures with the SAME arithmetic
+    pixels as ``plant_encoded_pngs`` (W = 8 + id%9, H = 8 + id%7,
+    pixel(i, j) = (31*i + 17*j + id) % 256) — so the de-interlaced
+    decode must reproduce exactly the sequential fixtures' pixel sums,
+    and the q_png_decode SQL oracle applies verbatim."""
+    import numpy as np
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for i in pdf[id_col]:
+                i = int(i)
+                w, h = 8 + i % 9, 8 + i % 7
+                rows = np.arange(h, dtype=np.int64)[:, None] * 31
+                cols = np.arange(w, dtype=np.int64)[None, :] * 17
+                arr = ((rows + cols + i) % 256).astype(np.uint8)
+                ids.append(i)
+                payloads.append(png_gray_encode_adam7(arr, filter_seed=i))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "media_type": ["image"] * len(ids),
+                    "media": payloads,
+                    "source": ["planted"] * len(ids),
+                }
+            )
+
+    return documents.select(id_col).mapInPandas(build, schema=MEDIA_SCHEMA)
+
+
+def plant_encoded_palette_pngs(documents: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """Palette-indexed PNG fixtures: index(i, j) = (31*i + 17*j + id)
+    % 256 (the familiar arithmetic grid) through a full 256-entry
+    per-image palette palette[k] = ((11*k + id) % 256,
+    (13*k + 2*id) % 256, (17*k + 3*id) % 256) — so the decoded RGB
+    channel sums are integer-replayable by composing the two
+    congruences in SQL."""
+    import numpy as np
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for i in pdf[id_col]:
+                i = int(i)
+                w, h = 8 + i % 9, 8 + i % 7
+                rows = np.arange(h, dtype=np.int64)[:, None] * 31
+                cols = np.arange(w, dtype=np.int64)[None, :] * 17
+                idx = ((rows + cols + i) % 256).astype(np.uint8)
+                k = np.arange(256, dtype=np.int64)
+                pal = np.stack(
+                    [
+                        (11 * k + i) % 256,
+                        (13 * k + 2 * i) % 256,
+                        (17 * k + 3 * i) % 256,
+                    ],
+                    axis=1,
+                ).astype(np.uint8)
+                ids.append(i)
+                payloads.append(png_palette_encode(idx, pal, filter_seed=i))
             yield pd.DataFrame(
                 {
                     "media_id": ids,

@@ -15,6 +15,7 @@ from .requests import (
     route_stream,
     run_request_stream,
     running_route_totals,
+    serve_requests_available_now,
 )
 
 __all__ = [
@@ -28,4 +29,5 @@ __all__ = [
     "request_load",
     "run_request_stream",
     "running_route_totals",
+    "serve_requests_available_now",
 ]

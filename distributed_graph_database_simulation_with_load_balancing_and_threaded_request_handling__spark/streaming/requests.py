@@ -103,6 +103,63 @@ def run_request_stream(
     return writer.start()
 
 
+def serve_requests_available_now(
+    spark: SparkSession,
+    requests: DataFrame,
+    edges: DataFrame,
+    *,
+    n_cycles: int = 2,
+) -> DataFrame:
+    """Run the FULL server lifecycle as a finite stream and hand back
+    the accumulated dispatch results as a batch DataFrame: stage
+    ``requests`` as ``n_cycles`` queue files, drain them one file per
+    micro-batch through ``run_request_stream`` (schedule ->
+    route/dispatch -> reply rows, the load_balancer.c:47 /
+    secondary_server.c:363 loop), and read back everything the server
+    replied.
+
+    Because each request is dispatched exactly once — in the cycle it
+    arrives — and the dispatch itself is the same set-oriented
+    ``run_requests`` plan the batch layer uses, the union of all
+    cycles' results equals the one-shot batch dispatch row-for-row
+    regardless of how the queue was split into cycles.  That is the
+    equivalence the declared ``q_stream_requests`` puts under the
+    value oracle.
+
+    Scale posture: a cycle's work is one multi-source BFS + one degree
+    aggregation for ALL its requests (request-count-independent), and
+    the accumulated sink is an append-only parquet directory — the
+    same "replies land in a results table" shape a long-running
+    cluster deployment would use.
+    """
+    import os
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="req_serve_")
+    in_dir, out_dir = os.path.join(base, "queue"), os.path.join(base, "replies")
+    ts = F.lit(None).cast("timestamp")
+    staged = requests
+    if "event_time" not in staged.columns:
+        staged = staged.withColumn("event_time", ts)
+    # One queue file per drain cycle (round-robin split; any split
+    # yields the same accumulated result — that's the point).
+    staged.repartition(n_cycles).write.parquet(in_dir)
+
+    def sink(results: DataFrame, batch_id: int) -> None:
+        results.write.mode("append").parquet(out_dir)
+
+    q = run_request_stream(
+        read_request_stream(
+            spark, in_dir, fmt="parquet", max_files_per_trigger=1
+        ),
+        edges,
+        sink,
+        checkpoint_dir=os.path.join(base, "ckpt"),
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)
+
+
 def running_route_totals(requests: DataFrame) -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState``: a
     running request counter per server across micro-batches — the

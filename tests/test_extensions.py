@@ -756,6 +756,33 @@ def test_png_codec_roundtrip_all_filters():
         assert (png_gray_decode(png_gray_encode(arr)) == arr).all()
 
 
+def test_png_adam7_and_palette_roundtrip():
+    """Adam7 interlacing (incl. empty passes at tiny shapes) and PLTE
+    palette lookup reconstruct exactly for every filter-cycle start;
+    the sequential and interlaced encodings of the same pixels decode
+    identically."""
+    import numpy as np
+
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.multimodal import (
+        png_decode,
+        png_gray_encode,
+        png_gray_encode_adam7,
+        png_palette_encode,
+    )
+
+    rng = np.random.RandomState(13)
+    for trial in range(12):
+        h, w = rng.randint(1, 20), rng.randint(1, 20)
+        seed = rng.randint(0, 5)
+        arr = rng.randint(0, 256, size=(h, w)).astype(np.uint8)
+        seq = png_decode(png_gray_encode(arr, filter_seed=seed))
+        inter = png_decode(png_gray_encode_adam7(arr, filter_seed=seed))
+        assert (seq == arr).all() and (inter == arr).all()
+        pal = rng.randint(0, 256, size=(256, 3)).astype(np.uint8)
+        got = png_decode(png_palette_encode(arr, pal, filter_seed=seed))
+        assert (got == pal[arr]).all()
+
+
 def test_png_decode_composes_with_resize(spark):
     """decode_png_bitmaps(plant_encoded_pngs(...)) feeds the SAME
     resize kernel as the raw-bitmap path and lands on identical

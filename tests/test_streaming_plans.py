@@ -118,6 +118,40 @@ def test_run_request_stream_matches_batch_dispatch(spark, request_dir, tmp_path)
     assert (2, 5, 3) in got
 
 
+def test_serve_requests_available_now_equals_batch(spark):
+    # The full streamed lifecycle (queue files -> scheduled drain
+    # cycles -> dispatch -> accumulated replies) must equal the
+    # one-shot batch dispatch row-for-row, for any cycle split — the
+    # contract the declared q_stream_requests puts under the oracle.
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.dispatch import (
+        format_reply,
+    )
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.streaming import (
+        serve_requests_available_now,
+    )
+
+    edges = make_edges(spark, SIO_G1)
+    reqs = spark.createDataFrame(
+        [(1, 3, "G1.txt", 1), (2, 4, "G1.txt", 1), (3, 4, "G1.txt", 2),
+         (4, 3, "G1.txt", 2), (5, 4, "G1.txt", 5)],
+        "seq_no int, op_no int, graph_name string, start_vertex int",
+    )
+    for n_cycles in (1, 3):
+        served = serve_requests_available_now(spark, reqs, edges, n_cycles=n_cycles)
+        got = {
+            (r["seq_no"], r["vertex"], r["level"]) for r in served.collect()
+        }
+        want = {
+            (r["seq_no"], r["vertex"], r["level"])
+            for r in run_requests(reqs, edges).collect()
+        }
+        assert got == want
+    replies = {r["seq_no"]: r["reply"] for r in format_reply(served).collect()}
+    # Sample-IO G1 golden outputs: DFS(1) -> 3 5; BFS(1) level order.
+    assert replies[1] == "3 5"
+    assert replies[2] == "1 2 3 4 5"
+
+
 def test_running_route_totals_stateful(spark, request_dir):
     stream = running_route_totals(read_request_stream(spark, request_dir))
     collected = []
