@@ -47,8 +47,10 @@ from distributed_graph_database_simulation_with_load_balancing_and_threaded_requ
     requests_from_orders,
 )
 from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.graphalgs import (
+    clustering_coefficient,
     common_neighbors,
     degree_histogram,
+    resource_allocation,
     kcore,
     pagerank_fixed,
     pagerank_fixed_both,
@@ -1427,6 +1429,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             min_common=2,
         )
 
+    def q_clustering_coeff(spark, sf_dir):
+        # Local clustering coefficient over the 1995 co-purchase
+        # graph: triangle_counts composed with the degree aggregation
+        # (shares the session-cached edge base with the triangles /
+        # common-neighbors family); coeff is one IEEE division of
+        # exact integers, so the oracle is value-exact.
+        return clustering_coefficient(
+            copurchase_edges(spark, sf_dir, ship_range=("1995-01-01", "1996-01-01"))
+        )
+
+    def q_link_pred(spark, sf_dir):
+        # Resource-allocation link prediction (degree-penalized
+        # common neighbors, integer-exact via scale-div-degree
+        # weights) over the same pair set as q_common_neighbors.
+        return resource_allocation(
+            copurchase_edges(spark, sf_dir, ship_range=("1995-01-01", "1996-01-01")),
+            min_common=2,
+        )
+
     def q_sssp(spark, sf_dir):
         # Weighted shortest paths (integer traversal costs from
         # co-occurrence counts) from the lowest part id, SPFA
@@ -1910,6 +1931,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_requests": q_stream_requests,
         "q_png_adam7": q_png_adam7,
         "q_png_palette": q_png_palette,
+        "q_clustering_coeff": q_clustering_coeff,
+        "q_link_pred": q_link_pred,
         # -- round-3-green suite, due for re-verification --
         "q_add_graph": q_add_graph,
         "q_modify_graph": q_modify_graph,
@@ -2853,6 +2876,50 @@ def oracle_sql() -> dict[str, str]:
             SELECT na.u, na.v, na.common,
                    na.common / CAST(du.d + dv.d - na.common AS DOUBLE) AS jaccard
             FROM na JOIN deg du ON du.v = na.u JOIN deg dv ON dv.v = na.v
+        """,
+        "q_clustering_coeff": f"""
+            WITH {_sql_copurchase(
+                "WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'"
+            )},
+            tri AS (
+              SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+              FROM ce e1
+              JOIN ce e2 ON e2.src = e1.dst
+              JOIN ce e3 ON e3.src = e1.src AND e3.dst = e2.dst
+            ),
+            m AS (
+              SELECT a AS vertex FROM tri
+              UNION ALL SELECT b FROM tri
+              UNION ALL SELECT c FROM tri
+            ),
+            tcount AS (SELECT vertex, COUNT(*) AS triangles FROM m GROUP BY vertex),
+            sym AS (SELECT src, dst FROM ce UNION ALL SELECT dst, src FROM ce),
+            deg AS (SELECT src AS v, COUNT(*) AS d FROM sym GROUP BY src)
+            SELECT deg.v AS vertex, CAST(deg.d AS BIGINT) AS degree,
+                   CAST(COALESCE(t.triangles, 0) AS BIGINT) AS triangles,
+                   CAST(2 * COALESCE(t.triangles, 0) AS DOUBLE)
+                       / CAST(deg.d * (deg.d - 1) AS DOUBLE) AS coeff
+            FROM deg LEFT JOIN tcount t ON t.vertex = deg.v
+            WHERE deg.d >= 2
+        """,
+        "q_link_pred": f"""
+            WITH {_sql_copurchase(
+                "WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'"
+            )},
+            sym AS (SELECT src, dst FROM ce UNION ALL SELECT dst, src FROM ce),
+            deg AS (SELECT src AS v, COUNT(*) AS d FROM sym GROUP BY src),
+            s AS (SELECT sym.src, sym.dst, 1000000000 // deg.d AS wt
+                  FROM sym JOIN deg ON deg.v = sym.src
+                  WHERE deg.d <= 1000),
+            p AS (SELECT a.dst AS u, b.dst AS v,
+                         CAST(COUNT(*) AS BIGINT) AS common,
+                         CAST(SUM(a.wt) AS BIGINT) AS ra_scaled
+                  FROM s a JOIN s b ON a.src = b.src AND a.dst < b.dst
+                  GROUP BY a.dst, b.dst HAVING COUNT(*) >= 2)
+            SELECT p.u, p.v, p.common, p.ra_scaled,
+                   CAST(p.ra_scaled AS DOUBLE) / 1000000000.0 AS ra
+            FROM p LEFT JOIN ce ON ce.src = p.u AND ce.dst = p.v
+            WHERE ce.src IS NULL
         """,
         "q_kcore": _kcore_oracle_sql(k=2, rounds=16),
         "q_sssp": _sssp_oracle_sql(rounds=24),

@@ -727,3 +727,108 @@ def _edges_only_weighted(
         F.col("dst").cast("long").alias("dst"),
         F.col(weight_col).cast("long").alias("w"),
     )
+
+
+def clustering_coefficient(
+    edges: DataFrame,
+    *,
+    graph_id: int | None = None,
+    strategy: str = "adjacency",
+) -> DataFrame:
+    """Local clustering coefficient per vertex:
+    ``coeff = 2 * triangles(v) / (deg(v) * (deg(v) - 1))`` for every
+    vertex with degree >= 2 (the closed-wedge fraction; undefined
+    below 2 neighbors).  Returns
+    ``(vertex, degree, triangles, coeff)``.
+
+    A composition, not a new algorithm: ``triangle_counts`` (its
+    broadcast-vs-wedge strategy dichotomy applies unchanged) left-
+    joined onto the one-shuffle degree aggregation — vertices in no
+    triangle coalesce to 0.  ``coeff`` is one IEEE division of exact
+    integers (correctly rounded, engine-portable), so the value
+    oracle is exact.  Extension beyond the reference (its only graph
+    reads are BFS/DFS, secondary_server.c:182-329) in the
+    GraphX/GraphFrames tradition.
+    """
+    e = canonical_edges(edges, graph_id=graph_id)
+    tri = triangle_counts(e, strategy=strategy)
+    deg = (
+        e.select(F.col("src").alias("vertex"))
+        .unionAll(e.select(F.col("dst").alias("vertex")))
+        .groupBy("vertex")
+        .agg(F.count("*").cast("long").alias("degree"))
+    )
+    return (
+        deg.where(F.col("degree") >= 2)
+        .join(tri, "vertex", "left")
+        .select(
+            F.col("vertex").cast("long").alias("vertex"),
+            "degree",
+            F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles"),
+            (
+                (2 * F.coalesce("triangles", F.lit(0))).cast("double")
+                / (F.col("degree") * (F.col("degree") - 1)).cast("double")
+            ).alias("coeff"),
+        )
+    )
+
+
+def resource_allocation(
+    edges: DataFrame,
+    *,
+    graph_id: int | None = None,
+    min_common: int = 3,
+    max_center_degree: int = 1000,
+    scale: int = 10**9,
+) -> DataFrame:
+    """Resource-allocation link prediction (Zhou-Lü-Zhang): for every
+    non-adjacent pair ``u < v``, ``RA = sum over common neighbors x of
+    1/deg(x)`` — the degree-penalized refinement of common-neighbor
+    counting (a shared hub says less than a shared rare neighbor).
+    Returns ``(u, v, common, ra_scaled, ra)`` for pairs with at least
+    ``min_common`` common neighbors.
+
+    The per-center weight is computed as exact INTEGER division
+    ``scale div deg(x)`` and summed as a long (``ra_scaled``), so the
+    result is order-independent and byte-replayable by any engine —
+    the same portability posture as the integer PageRank.  (This is
+    why RA rather than Adamic-Adar here: 1/ln(deg) has no exact
+    integer form, and a float sum's rounding depends on partitioning.)
+    ``ra`` is the one final IEEE division by ``scale``.
+
+    Scale posture is ``common_neighbors``' verbatim: hub centers
+    dropped before the quadratic wedge expansion, pair aggregation
+    shuffles on (u, v), adjacency removed by anti-join.
+    """
+    e = canonical_edges(edges, graph_id=graph_id)
+    sym = e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    deg = sym.groupBy(F.col("src").alias("v")).agg(F.count("*").alias("d"))
+    centers = deg.where(F.col("d") <= max_center_degree).select(
+        F.col("v").alias("center"),
+        F.expr(f"{int(scale)} div d").alias("wt"),
+    )
+    s = sym.join(centers, sym["src"] == centers["center"]).select("src", "dst", "wt")
+    a = s.select(F.col("src").alias("x"), F.col("dst").alias("u"), "wt")
+    b = s.select(F.col("src").alias("x"), F.col("dst").alias("v"))
+    pairs = (
+        a.join(b, "x")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(
+            F.count("*").cast("long").alias("common"),
+            F.sum("wt").cast("long").alias("ra_scaled"),
+        )
+        .where(F.col("common") >= min_common)
+    )
+    non_adjacent = pairs.join(
+        e.select(F.col("src").alias("u"), F.col("dst").alias("v")),
+        on=["u", "v"],
+        how="left_anti",
+    )
+    return non_adjacent.select(
+        F.col("u").cast("long").alias("u"),
+        F.col("v").cast("long").alias("v"),
+        "common",
+        "ra_scaled",
+        (F.col("ra_scaled").cast("double") / float(scale)).alias("ra"),
+    )

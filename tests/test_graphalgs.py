@@ -169,6 +169,43 @@ def test_common_neighbors_hub_guard(spark):
     assert common_neighbors(star, min_common=1).count() == 10
     assert common_neighbors(star, min_common=1, max_center_degree=4).count() == 0
 
+def test_clustering_coefficient_values(spark):
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.graphalgs import (
+        clustering_coefficient,
+    )
+
+    # Triangle 1-2-3 plus pendant 3-4: vertices 1,2 have coeff 1.0
+    # (deg 2, one closed wedge); vertex 3 has deg 3 and one of three
+    # wedges closed -> 1/3; vertex 4 (deg 1) is excluded.
+    g = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "src long, dst long"
+    )
+    got = {r.vertex: r for r in clustering_coefficient(g).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1].coeff == 1.0 and got[1].triangles == 1 and got[1].degree == 2
+    assert got[3].degree == 3 and got[3].triangles == 1
+    assert abs(got[3].coeff - 1 / 3) < 1e-15
+
+
+def test_resource_allocation_scores(spark):
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.graphalgs import (
+        resource_allocation,
+    )
+
+    # Square 1-2-3-4-1: diagonals share 2 neighbors, each of degree 2,
+    # so ra_scaled = 2 * (10^9 div 2) exactly.
+    sq = spark.createDataFrame([(1, 2), (2, 3), (3, 4), (4, 1)], "src long, dst long")
+    got = {(r.u, r.v): r for r in resource_allocation(sq, min_common=2).collect()}
+    assert set(got) == {(1, 3), (2, 4)}
+    assert got[(1, 3)].common == 2
+    assert got[(1, 3)].ra_scaled == 10**9
+    assert got[(1, 3)].ra == 1.0
+    # hub guard: same knob as common_neighbors
+    star = spark.createDataFrame([(0, c) for c in range(1, 6)], "src long, dst long")
+    assert resource_allocation(star, min_common=1).count() == 10
+    assert resource_allocation(star, min_common=1, max_center_degree=4).count() == 0
+
+
 def test_kcore_peels_tail(spark):
     from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.graphalgs import (
         kcore,
