@@ -99,3 +99,53 @@ def test_survey_inventory_lists_every_query():
     listed = set(re.findall(r"`(q_\w+)`", open(os.path.join(root, "SURVEY.md")).read()))
     missing = set(entry.queries()) - listed
     assert not missing, f"queries missing from SURVEY.md: {sorted(missing)}"
+
+
+def test_evict_other_sf_releases_previous_sweep(spark_entry_session=None):
+    """Session caches are keyed (applicationId, sf_dir); switching
+    sf_dir must drop AND unpersist the previous scale's entries
+    (round-3 ADVICE made this load-bearing for long driver sessions).
+    Sweep sf0.001 then sf0.01 and assert no sf0.001 cache entry — and
+    no persisted RDD accumulation — survives the switch."""
+    import pytest
+    from pyspark.sql import SparkSession
+
+    sf_a, sf_b = "/root/testdata/sf0.001", "/root/testdata/sf0.01"
+    if not (os.path.isdir(sf_a) and os.path.isdir(sf_b)):
+        pytest.skip("driver testdata not present")
+
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.sources import (
+        graphs,
+    )
+
+    spark = (
+        SparkSession.builder.master("local[4]")
+        .appName("evict-test")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    qs = entry.queries()
+    qs["q_bfs_levels"](spark, sf_a).count()
+    assert any(k[1] == sf_a for k in entry._TREE_LEVELS_CACHE)
+    edges_a = next(v for k, v in graphs._EDGE_CACHE.items() if k[1] == sf_a)
+    assert edges_a.storageLevel.useMemory  # persisted while current
+
+    qs["q_bfs_levels"](spark, sf_b).count()
+    all_caches = (
+        entry._TREE_LEVELS_CACHE,
+        entry._RECALL_PAIRS_CACHE,
+        entry._PAGERANK_GRAPH_CACHE,
+        entry._KMEANS_CACHE,
+        graphs._EDGE_CACHE,
+    )
+    stale = [k for cache in all_caches for k in cache if k[1] == sf_a]
+    assert not stale, f"sf0.001 cache entries survived the sf switch: {stale}"
+    # The previous scale's persisted edge table must be UNPERSISTED
+    # (storage level NONE), not merely dropped from the dict — that is
+    # what actually releases executor memory.  (The BFS loop's
+    # localCheckpoint blocks are released asynchronously by the
+    # ContextCleaner once the popped references die; persisted tables
+    # are the synchronous, assertable part.)
+    assert not edges_a.storageLevel.useMemory
+    assert not edges_a.storageLevel.useDisk

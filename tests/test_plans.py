@@ -284,3 +284,74 @@ def test_exact_dedup_on_digest_bucketed_table_no_exchange(spark, tmp_path):
         assert agg.count() == 7
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_sssp_relax_join_no_exchange_on_bucketed_edges(spark, tmp_path):
+    """SCALE.md's bucketed-loop claim for the SSSP relaxation
+    (graphalgs.sssp): with the weighted edge table saved
+    ``bucketBy(n, src)``, the per-round frontier⋈edges relax join
+    repartitions only the frontier — the edge side reads
+    pre-partitioned with NO Exchange above its scan, so every
+    superstep of the loop skips the graph-sized shuffle."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    name = f"edges_sssp_bucketed_{uuid.uuid4().hex[:8]}"
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    prev = spark.conf.get(key)
+    try:
+        spark.createDataFrame(
+            [(i, i + 1, 1 + i % 3) for i in range(1, 80)], "src long, dst long, w long"
+        ).write.bucketBy(4, "src").sortBy("src").saveAsTable(name)
+        spark.conf.set(key, "-1")
+        edges = spark.table(name)
+        frontier = spark.createDataFrame([(1, 0)], "v long, d long")
+        relax = (
+            frontier.hint("shuffle_hash")
+            .join(edges, frontier["v"] == edges["src"])
+            .select(edges["dst"].alias("v"), (frontier["d"] + edges["w"]).alias("d"))
+        )
+        plan = _plan(relax)
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert relax.count() == 1
+    finally:
+        spark.conf.set(key, prev)
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_cc_label_join_no_exchange_on_bucketed_edges(spark, tmp_path):
+    """The same proof for connected_components' hash-min round
+    (traverse.connected_components): labels⋈edges keyed on the vertex
+    consumes the table bucketing (1 exchange: labels side), and the
+    full round INCLUDING the min-aggregation on dst plans exactly 2
+    exchanges — labels repartition + the unavoidable dst-keyed agg —
+    never a third for the edge scan."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    name = f"edges_cc_bucketed_{uuid.uuid4().hex[:8]}"
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    prev = spark.conf.get(key)
+    try:
+        spark.createDataFrame(
+            [(i, i + 1) for i in range(1, 80)], "src long, dst long"
+        ).write.bucketBy(4, "src").sortBy("src").saveAsTable(name)
+        spark.conf.set(key, "-1")
+        e = spark.table(name)
+        labels = spark.createDataFrame(
+            [(i, i) for i in range(1, 10)], "vertex long, component long"
+        )
+        nbr_min = (
+            labels.hint("shuffle_hash")
+            .join(e, labels["vertex"] == e["src"])
+            .groupBy(e["dst"].alias("vertex"))
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        plan = _plan(nbr_min)
+        assert plan.count("Exchange hashpartitioning") == 2
+        assert nbr_min.count() == 9
+    finally:
+        spark.conf.set(key, prev)
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
