@@ -89,6 +89,9 @@ def triangle_counts(
       a shuffle join on the (v, w) pair.  O(m^1.5) intermediate, no
       broadcast requirement — the 100-TB-vertex path (GraphX/
       GraphFrames shape).
+    * ``auto``: measure the oriented edge count against the session's
+      broadcast threshold and pick — adjacency while the broadcast
+      fits, graceful degradation to wedge when the graph outgrows it.
 
     Counts are identical (each triangle closed exactly once, at its
     unique oriented v->w edge with v,w the two order-smaller
@@ -102,6 +105,22 @@ def triangle_counts(
     # once per consumer (persist() would be unpersisted before the
     # caller's action runs — checkpointing is the handle-free form).
     oriented = _oriented_edges(e).localCheckpoint(eager=True)
+    if strategy == "auto":
+        # Graceful degradation: the adjacency strategy broadcasts one
+        # row per vertex whose arrays hold ALL oriented edges, so its
+        # broadcast payload grows with m, not n — estimate it as
+        # ~16 bytes per oriented edge (long + array overhead) against
+        # the session's broadcast threshold and fall back to the
+        # shuffle-join wedge path when it doesn't fit (or when
+        # broadcasting is disabled).  The count is free: ``oriented``
+        # was just eagerly checkpointed.
+        spark = edges.sparkSession
+        try:
+            thr = int(spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+        except ValueError:  # e.g. '64MB' spelled with units
+            thr = 64 * 1024 * 1024
+        m = oriented.count()
+        strategy = "adjacency" if 0 < 16 * m <= thr else "wedge"
     if strategy == "adjacency":
         adj = oriented.groupBy(F.col("u").alias("v")).agg(
             F.collect_list("w").alias("nbrs")
@@ -149,7 +168,7 @@ def triangle_counts(
             F.count("*").cast("long").alias("triangles")
         )
     else:
-        raise ValueError(f"unknown strategy {strategy!r} (adjacency|wedge)")
+        raise ValueError(f"unknown strategy {strategy!r} (adjacency|wedge|auto)")
     return out.select(F.col("vertex").cast("long").alias("vertex"), "triangles")
 
 class PageRankGraph:

@@ -146,7 +146,7 @@ def copurchase_edges(
     spark: SparkSession,
     sf_dir: str,
     *,
-    max_basket: int = 12,
+    max_basket: int | None = 12,
     symmetric: bool = False,
     ship_range: tuple[str, str] | None = None,
     cached: bool = True,
@@ -206,7 +206,7 @@ def cooccurrence_pairs(
     group_col: str,
     item_col: str,
     *,
-    max_group: int = 12,
+    max_group: int | None = 12,
 ) -> DataFrame:
     """General co-occurrence pair generator — the bipartite-projection
     primitive: one canonical ``src < dst`` row per group containing
@@ -229,8 +229,9 @@ def cooccurrence_pairs(
         )
         .groupBy("g")
         .agg(F.sort_array(F.collect_set("p")).alias("parts"))
-        .where(F.size("parts") <= max_group)
     )
+    if max_group is not None:  # None = uncapped (skew-stress harness)
+        baskets = baskets.where(F.size("parts") <= max_group)
     # All i<j index pairs of the sorted array: `parts` is a bare column
     # reference, so the nested-lambda re-evaluation trap (HOF lambdas
     # are CodegenFallback) costs only an O(1) attribute read per element.
@@ -250,7 +251,7 @@ def cooccurrence_pairs(
 def _copurchase_pair_rows(
     spark: SparkSession,
     sf_dir: str,
-    max_basket: int,
+    max_basket: int | None,
     ship_range: tuple[str, str] | None,
 ) -> DataFrame:
     """Lineitem instance of ``cooccurrence_pairs`` (orders = groups,
@@ -266,7 +267,7 @@ def copurchase_weighted_edges(
     spark: SparkSession,
     sf_dir: str,
     *,
-    max_basket: int = 12,
+    max_basket: int | None = 12,
     symmetric: bool = False,
     ship_range: tuple[str, str] | None = None,
     cached: bool = True,

@@ -169,6 +169,41 @@ def test_common_neighbors_hub_guard(spark):
     assert common_neighbors(star, min_common=1).count() == 10
     assert common_neighbors(star, min_common=1, max_center_degree=4).count() == 0
 
+def test_triangle_auto_strategy_degrades_to_wedge(spark):
+    """Graceful degradation: with the broadcast threshold squeezed
+    below the adjacency payload, strategy='auto' must take the wedge
+    path on a hub-clique graph — and produce exactly the adjacency
+    strategy's counts (each triangle closed once either way)."""
+    import itertools
+
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.graphalgs import (
+        triangle_counts,
+    )
+
+    # 20-clique (a planted promotional-bundle hub) plus a sparse tail.
+    clique = list(itertools.combinations(range(20), 2))
+    tail = [(19 + i, 20 + i) for i in range(1, 30)]
+    g = spark.createDataFrame(clique + tail, "src long, dst long")
+    adjacency = {
+        (r.vertex, r.triangles) for r in triangle_counts(g, strategy="adjacency").collect()
+    }
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    prev = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "1024")  # 190 oriented edges * 16 > 1 KiB
+        auto_df = triangle_counts(g, strategy="auto")
+        # The wedge path closes with a join, never the adjacency
+        # path's array_intersect — prove auto actually degraded.
+        plan = auto_df._jdf.queryExecution().executedPlan().toString()
+        assert "array_intersect" not in plan
+        auto = {(r.vertex, r.triangles) for r in auto_df.collect()}
+    finally:
+        spark.conf.set(key, prev)
+    assert auto == adjacency
+    # every clique member sits on C(19,2) triangles
+    assert (0, 171) in auto and len(auto) == 20
+
+
 def test_clustering_coefficient_values(spark):
     from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.graphalgs import (
         clustering_coefficient,
