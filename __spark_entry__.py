@@ -178,6 +178,7 @@ from distributed_graph_database_simulation_with_load_balancing_and_threaded_requ
     run_requests,
 )
 from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.streaming.ingest import (
+    run_attribution_batch,
     run_corpus_stats_batch,
     run_event_rollup_batch,
 )
@@ -1526,8 +1527,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch boundaries and state-update order cannot perturb it.
         import os
 
-        return run_event_rollup_batch(
-            spark, os.path.join(sf_dir, "events.parquet")
+        # Narrow drive width: state stores per shuffle partition pay
+        # an open/commit floor that dominates bounded-cardinality
+        # aggregations (the q_stream_attrib rationale).
+        return _loop_parts(
+            spark,
+            lambda: run_event_rollup_batch(
+                spark, os.path.join(sf_dir, "events.parquet")
+            ),
+            n=4,
         )
 
     def q_pack_sequences(spark, sf_dir):
@@ -1542,8 +1550,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # completion; integer measures == batch GROUP BY exactly.
         import os
 
-        return run_corpus_stats_batch(
-            spark, os.path.join(sf_dir, "documents.parquet")
+        return _loop_parts(
+            spark,
+            lambda: run_corpus_stats_batch(
+                spark, os.path.join(sf_dir, "documents.parquet")
+            ),
+            n=4,
+        )
+
+    def q_stream_attrib(spark, sf_dir):
+        # STREAM-STREAM interval join under the value oracle: clicks
+        # joined to the same user's purchase within 2 hours, driven as
+        # a finite stream — the match SET equals the batch interval
+        # join exactly (inner joins emit the predicate's matches;
+        # micro-batching can't change the set within the watermark
+        # horizon), which is what the SQL oracle computes.
+        import os
+
+        # Narrow width for the drive: each shuffle partition carries a
+        # state store for BOTH join sides, and the per-store
+        # open/commit floor dominates at this volume — the same
+        # partitions-sized-to-the-data rationale as _loop_parts.
+        return _loop_parts(
+            spark,
+            lambda: run_attribution_batch(
+                spark, os.path.join(sf_dir, "events.parquet")
+            ),
+            n=4,
         )
 
     def q_rare_bigrams(spark, sf_dir):
@@ -1933,6 +1966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_png_palette": q_png_palette,
         "q_clustering_coeff": q_clustering_coeff,
         "q_link_pred": q_link_pred,
+        "q_stream_attrib": q_stream_attrib,
         # -- round-3-green suite, due for re-verification --
         "q_add_graph": q_add_graph,
         "q_modify_graph": q_modify_graph,
@@ -3415,6 +3449,18 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY lang
         """,
         "q_stream_requests": _stream_requests_oracle_sql(),
+        "q_stream_attrib": """
+            SELECT p.event_id AS purchase_id,
+                   c.event_id AS click_id,
+                   c.user_id
+            FROM events p
+            JOIN events c
+              ON c.user_id = p.user_id
+             AND c.event_type = 'click'
+             AND c.ts >= p.ts
+             AND c.ts < p.ts + INTERVAL 2 HOUR
+            WHERE p.event_type = 'purchase'
+        """,
         "q_stream_rollup": """
             SELECT CAST(ts AS DATE) AS day, event_type,
                    CAST(COUNT(*) AS BIGINT) AS n_events,

@@ -268,6 +268,54 @@ def run_event_rollup_batch(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def run_attribution_batch(spark: SparkSession, path: str) -> DataFrame:
+    """Drive the STREAM-STREAM interval join (``attribution_stream``)
+    over the event files at ``path`` as a finite stream and return the
+    matched (purchase_id, click_id, user_id) set — deterministic
+    because an inner stream-stream join's output is exactly the
+    predicate's match set, which micro-batching cannot change while
+    every match arrives within the watermark horizon (here: one
+    availableNow batch).
+
+    Timezone posture: watermarks require the LTZ TimestampType (Spark
+    rejects TIMESTAMP_NTZ event time), but the parquet files store
+    zone-free micros — so the session timezone is pinned to UTC for
+    the DURATION of the drive, making the LTZ read bit-identical to
+    the naive micros and the join arithmetic equal to the
+    timezone-free SQL oracle on any host.  Only id columns are
+    emitted, so nothing timezone-dependent leaves the query."""
+    tz_key = "spark.sql.session.timeZone"
+    prev_tz = spark.conf.get(tz_key)
+    spark.conf.set(tz_key, "UTC")
+    try:
+        src = (
+            spark.readStream.schema(EVENT_STREAM_SCHEMA)
+            .format("parquet")
+            .load(_stream_source_dir(path))
+        )
+        joined = attribution_stream(src).select(
+            "purchase_id", "click_id", "user_id"
+        )
+        import re
+
+        name = "stream_attrib_" + re.sub(r"\W+", "_", path).strip("_")
+        try:
+            spark.catalog.dropTempView(name)
+        except Exception:
+            pass
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.table(name)
+    finally:
+        spark.conf.set(tz_key, prev_tz)
+
+
 # path -> staged dir, per process: mkdtemp gives a mode-0700 dir owned
 # by THIS process, so a shared /tmp can never pre-seed the stream
 # source with foreign files (or deny us the dir) the way a predictable

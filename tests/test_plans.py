@@ -230,17 +230,57 @@ def test_no_query_plan_has_cartesian_or_row_udf(spark):
     BatchEvalPython (a row-at-a-time Python UDF in a hot path; all
     Python boundaries must be Arrow-batched: ArrowEvalPython /
     mapInPandas / FlatMapGroupsInPandas)."""
+    from pyspark.sql import functions as F
+
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.dispatch import (
+        format_reply,
+        run_requests,
+    )
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.temporal import (
+        interval_join,
+    )
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.sources.graphs import (
+        derived_tree_edges,
+    )
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.sources.tables import (
+        load_table,
+    )
     from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.streaming.ingest import (
         corpus_stats_stream,
         event_rollup_stream,
     )
 
+    def _attrib_twin():
+        ev = load_table(spark, SF_DIR, "events")
+        purchases = ev.where(F.col("event_type") == "purchase").select(
+            "user_id", F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("start"),
+            (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("end"),
+        )
+        clicks = ev.where(F.col("event_type") == "click").select(
+            "user_id", F.col("event_id").alias("click_id"), "ts"
+        )
+        return interval_join(clicks, purchases, keys=["user_id"])
+
+    def _requests_twin():
+        edges = derived_tree_edges(spark, SF_DIR, symmetric=True)
+        nation = load_table(spark, SF_DIR, "nation")
+        reqs = nation.select(
+            (F.col("n_nationkey") + 1).cast("int").alias("seq_no"),
+            F.when(F.col("n_nationkey") % 2 == 0, 4).otherwise(3)
+            .cast("int").alias("op_no"),
+            F.lit("G1.txt").alias("graph_name"),
+            (F.col("n_nationkey") + 100).cast("int").alias("start_vertex"),
+        )
+        return format_reply(run_requests(reqs, edges))
+
     offenders = {}
-    # The two streaming queries return the memory-sink RESULT table
-    # (a LocalTableScan — linting it would be vacuous and would run a
-    # full availableNow job just to read a trivial plan), so their
-    # aggregation plans are linted via the same transformation applied
-    # to a batch read instead.
+    # The eagerly-driven streaming queries return the memory-sink (or
+    # accumulated-parquet) RESULT table — linting that would be
+    # vacuous and would run a full availableNow job just to read a
+    # trivial plan — so each is linted via its batch twin: the same
+    # transformation applied to a batch read (which is also the
+    # equivalence every one of them is oracle-checked against).
     streaming_twins = {
         "q_stream_rollup": lambda: event_rollup_stream(
             spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
@@ -248,6 +288,8 @@ def test_no_query_plan_has_cartesian_or_row_udf(spark):
         "q_stream_corpus": lambda: corpus_stats_stream(
             spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
         ),
+        "q_stream_attrib": _attrib_twin,
+        "q_stream_requests": _requests_twin,
     }
     for name, fn in entry.queries().items():
         df = streaming_twins[name]() if name in streaming_twins else fn(spark, SF_DIR)
