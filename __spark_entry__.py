@@ -1786,6 +1786,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.sum("doc_id").cast("long").alias("id_sum"),
         )
 
+    def q_bucketed_table(spark, sf_dir):
+        # Bucketed-table sink+scan roundtrip — the ingest layout
+        # SCALE.md prescribes for digest-keyed dedup, under the
+        # official gate: the corpus is published bucketBy(8,
+        # text_hash) with the digest precomputed at ingest, read back
+        # through the catalog, and exact-deduped.  The aggregation
+        # consumes the table's bucketing, so the recurring dedup pass
+        # is SCAN-ONLY — zero exchanges (the plan shape pinned by
+        # test_plans.py::test_exact_dedup_on_digest_bucketed_table_
+        # no_exchange); only the one-time publish shuffles.  The
+        # oracle recomputes from the original parquet, so the hash
+        # match is the layout's losslessness proof (the CSV/ORC/JSONL
+        # roundtrip contract, extended to the bucketed metastore
+        # sink).
+        import tempfile
+        import uuid
+
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", F.md5("text").alias("text_hash")
+        )
+        name = f"docs_bucketed_{uuid.uuid4().hex[:8]}"
+        path = tempfile.mkdtemp(prefix="sparkgraft_bucket_") + "/docs"
+        (
+            docs.write.option("path", path)
+            .bucketBy(8, "text_hash")
+            .sortBy("text_hash")
+            .format("parquet")
+            .saveAsTable(name)
+        )
+        return (
+            spark.table(name)
+            .groupBy("text_hash")
+            .agg(
+                F.count("*").cast("long").alias("n_dups"),
+                F.min("doc_id").cast("long").alias("keep_id"),
+            )
+        )
+
     def q_kcore(spark, sf_dir):
         # 2-core of the 1995 co-purchase graph: survivors + in-core
         # degree via iterative peeling (unique fixpoint).
@@ -1967,6 +2005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_clustering_coeff": q_clustering_coeff,
         "q_link_pred": q_link_pred,
         "q_stream_attrib": q_stream_attrib,
+        "q_bucketed_table": q_bucketed_table,
         # -- round-3-green suite, due for re-verification --
         "q_add_graph": q_add_graph,
         "q_modify_graph": q_modify_graph,
@@ -3449,6 +3488,12 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY lang
         """,
         "q_stream_requests": _stream_requests_oracle_sql(),
+        "q_bucketed_table": """
+            SELECT md5(text) AS text_hash,
+                   CAST(COUNT(*) AS BIGINT) AS n_dups,
+                   CAST(MIN(doc_id) AS BIGINT) AS keep_id
+            FROM documents GROUP BY 1
+        """,
         "q_stream_attrib": """
             SELECT p.event_id AS purchase_id,
                    c.event_id AS click_id,

@@ -397,3 +397,14 @@ def test_cc_label_join_no_exchange_on_bucketed_edges(spark, tmp_path):
     finally:
         spark.conf.set(key, prev)
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_declared_bucketed_table_query_plans_zero_exchanges(spark):
+    """The DECLARED q_bucketed_table query (not just the synthetic
+    layout demo above): its dedup aggregation must consume the
+    published table's text_hash bucketing — zero exchanges anywhere in
+    the plan."""
+    df = entry.queries()["q_bucketed_table"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "Exchange hashpartitioning" not in plan
+    assert df.count() > 0
