@@ -783,6 +783,34 @@ def test_png_adam7_and_palette_roundtrip():
         assert (got == pal[arr]).all()
 
 
+def test_png_decode_rejects_malformed_bytes():
+    """A corrupt media column must fail loudly with a clean ValueError
+    (caller-catchable per image), never a numpy shape blow-up deep in
+    the unfilter."""
+    import numpy as np
+    import pytest
+
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.multimodal import (
+        png_decode,
+        png_gray_encode,
+        png_palette_encode,
+    )
+
+    arr = np.arange(48, dtype=np.uint8).reshape(6, 8)
+    good = png_gray_encode(arr)
+    with pytest.raises(ValueError):
+        png_decode(b"not a png at all")
+    with pytest.raises(ValueError):
+        png_decode(good[:8])  # signature only, no IHDR
+    # truncated scanline payload (strip IEND + part of IDAT)
+    with pytest.raises(Exception):
+        png_decode(good[: len(good) // 2])
+    # palette index out of range: 2-entry palette, indices up to 47
+    bad_pal = png_palette_encode(arr, np.zeros((2, 3), dtype=np.uint8))
+    with pytest.raises(ValueError):
+        png_decode(bad_pal)
+
+
 def test_png_decode_composes_with_resize(spark):
     """decode_png_bitmaps(plant_encoded_pngs(...)) feeds the SAME
     resize kernel as the raw-bitmap path and lands on identical
