@@ -48,9 +48,8 @@ from distributed_graph_database_simulation_with_load_balancing_and_threaded_requ
 )
 from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.graphalgs import (
     clustering_coefficient,
-    common_neighbors,
     degree_histogram,
-    resource_allocation,
+    link_prediction_scores,
     kcore,
     pagerank_fixed,
     pagerank_fixed_both,
@@ -520,6 +519,16 @@ _PAGERANK_GRAPH_CACHE: dict = {}
 # q_kmeans and q_cluster_labels (one Lloyd loop instead of two).
 _KMEANS_CACHE: dict = {}
 
+# (applicationId, sf_dir) -> localCheckpointed triangle_counts over
+# the 1995 co-purchase graph, shared by q_triangles and
+# q_clustering_coeff (one orientation + closure instead of two).
+_TRIANGLES_CACHE: dict = {}
+
+# (applicationId, sf_dir) -> localCheckpointed link_prediction_scores
+# over the 1995 co-purchase graph, shared by q_common_neighbors and
+# q_link_pred (one wedge expansion instead of two).
+_LINKPRED_CACHE: dict = {}
+
 
 def _evict_other_sf(sf_dir: str) -> None:
     """Session caches are keyed ``(applicationId, sf_dir[, ...])`` and
@@ -534,6 +543,8 @@ def _evict_other_sf(sf_dir: str) -> None:
         _RECALL_PAIRS_CACHE,
         _PAGERANK_GRAPH_CACHE,
         _KMEANS_CACHE,
+        _TRIANGLES_CACHE,
+        _LINKPRED_CACHE,
     ):
         for key in [k for k in cache if k[1] != sf_dir]:
             obj = cache.pop(key)
@@ -1367,13 +1378,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Long-to-wide per-user activity matrix (explicit pivot values).
         return event_type_pivot(load_table(spark, sf_dir, "events"))
 
+    def _tri_1995(spark, sf_dir):
+        # ONE triangle enumeration per (session, sf_dir), shared by
+        # q_triangles and q_clustering_coeff (the _tree_levels /
+        # pagerank_fixed_both posture): the orientation + closure runs
+        # once and later consumers re-read checkpoint blocks.
+        _evict_other_sf(sf_dir)
+        key = (spark.sparkContext.applicationId, sf_dir)
+        if key not in _TRIANGLES_CACHE:
+            edges = copurchase_edges(
+                spark, sf_dir, ship_range=("1995-01-01", "1996-01-01")
+            )
+            _TRIANGLES_CACHE[key] = triangle_counts(edges).localCheckpoint(
+                eager=True
+            )
+        return _TRIANGLES_CACHE[key]
+
     def q_triangles(spark, sf_dir):
         # Per-vertex triangle counts over the 1995-ship-year part
         # co-purchase graph (degree-ordered compact-forward with
         # broadcast adjacency intersection).
-        return triangle_counts(
-            copurchase_edges(spark, sf_dir, ship_range=("1995-01-01", "1996-01-01"))
-        )
+        return _tri_1995(spark, sf_dir)
 
     def _pagerank_both(spark, sf_dir):
         # ONE build + ONE superstep loop per (session, sf_dir): the
@@ -1422,13 +1447,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (integer bit-length bucketing — no float log2).
         return degree_histogram(copurchase_edges(spark, sf_dir))
 
+    def _linkpred_1995(spark, sf_dir):
+        # ONE wedge expansion per (session, sf_dir): the superset
+        # score frame (common, jaccard, ra_scaled, ra) is checkpointed
+        # and q_common_neighbors / q_link_pred project from it — the
+        # _tri_1995 posture for the quadratic link-prediction stage.
+        _evict_other_sf(sf_dir)
+        key = (spark.sparkContext.applicationId, sf_dir)
+        if key not in _LINKPRED_CACHE:
+            edges = copurchase_edges(
+                spark, sf_dir, ship_range=("1995-01-01", "1996-01-01")
+            )
+            _LINKPRED_CACHE[key] = link_prediction_scores(
+                edges, min_common=2
+            ).localCheckpoint(eager=True)
+        return _LINKPRED_CACHE[key]
+
     def q_common_neighbors(spark, sf_dir):
         # Link prediction: non-adjacent part pairs sharing >= 2
         # co-purchase neighbors, with exact Jaccard scores.
-        return common_neighbors(
-            copurchase_edges(spark, sf_dir, ship_range=("1995-01-01", "1996-01-01")),
-            min_common=2,
-        )
+        return _linkpred_1995(spark, sf_dir).select("u", "v", "common", "jaccard")
 
     def q_clustering_coeff(spark, sf_dir):
         # Local clustering coefficient over the 1995 co-purchase
@@ -1437,16 +1475,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # common-neighbors family); coeff is one IEEE division of
         # exact integers, so the oracle is value-exact.
         return clustering_coefficient(
-            copurchase_edges(spark, sf_dir, ship_range=("1995-01-01", "1996-01-01"))
+            copurchase_edges(spark, sf_dir, ship_range=("1995-01-01", "1996-01-01")),
+            triangles=_tri_1995(spark, sf_dir),
         )
 
     def q_link_pred(spark, sf_dir):
         # Resource-allocation link prediction (degree-penalized
         # common neighbors, integer-exact via scale-div-degree
-        # weights) over the same pair set as q_common_neighbors.
-        return resource_allocation(
-            copurchase_edges(spark, sf_dir, ship_range=("1995-01-01", "1996-01-01")),
-            min_common=2,
+        # weights) over the same pair set as q_common_neighbors —
+        # both project from the one cached wedge expansion.
+        return _linkpred_1995(spark, sf_dir).select(
+            "u", "v", "common", "ra_scaled", "ra"
         )
 
     def q_sssp(spark, sf_dir):

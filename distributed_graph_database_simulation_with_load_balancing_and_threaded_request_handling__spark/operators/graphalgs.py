@@ -472,21 +472,59 @@ def common_neighbors(
     pair; degrees broadcast-join back on each endpoint.  ``jaccard``
     divides exact integer counts as doubles (IEEE division is
     correctly rounded — deterministic across engines).
+
+    A projection of ``link_prediction_scores`` — one wedge expansion
+    serves every score family.
+    """
+    return link_prediction_scores(
+        edges,
+        graph_id=graph_id,
+        min_common=min_common,
+        max_center_degree=max_center_degree,
+    ).select("u", "v", "common", "jaccard")
+
+
+def link_prediction_scores(
+    edges: DataFrame,
+    *,
+    graph_id: int | None = None,
+    min_common: int = 3,
+    max_center_degree: int = 1000,
+    scale: int = 10**9,
+) -> DataFrame:
+    """All link-prediction scores from ONE wedge expansion: for every
+    non-adjacent pair ``u < v`` with at least ``min_common`` common
+    neighbors, ``(u, v, common, jaccard, ra_scaled, ra)`` —
+    common-neighbor count, Jaccard over neighborhoods, and the
+    resource-allocation index (exact integer ``scale div deg(x)``
+    summed over common neighbors; see ``resource_allocation`` for why
+    RA's integer form is the portable one).  ``common_neighbors`` and
+    ``resource_allocation`` are projections of this frame, so a
+    consumer wanting several score families pays for the quadratic
+    wedge stage once.
+
+    Scale posture: hub centers dropped before pair expansion
+    (``max_center_degree``), pair aggregation and adjacency anti-join
+    shuffle on (u, v), endpoint degrees join back per side.
     """
     e = canonical_edges(edges, graph_id=graph_id)
     sym = e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     deg = sym.groupBy(F.col("src").alias("v")).agg(F.count("*").alias("d"))
     centers = deg.where(F.col("d") <= max_center_degree).select(
-        F.col("v").alias("center")
+        F.col("v").alias("center"),
+        F.expr(f"{int(scale)} div d").alias("wt"),
     )
-    s = sym.join(centers, sym["src"] == centers["center"]).select("src", "dst")
-    a = s.select(F.col("src").alias("x"), F.col("dst").alias("u"))
+    s = sym.join(centers, sym["src"] == centers["center"]).select("src", "dst", "wt")
+    a = s.select(F.col("src").alias("x"), F.col("dst").alias("u"), "wt")
     b = s.select(F.col("src").alias("x"), F.col("dst").alias("v"))
     pairs = (
         a.join(b, "x")
         .where(F.col("u") < F.col("v"))
         .groupBy("u", "v")
-        .agg(F.count("*").cast("long").alias("common"))
+        .agg(
+            F.count("*").cast("long").alias("common"),
+            F.sum("wt").cast("long").alias("ra_scaled"),
+        )
         .where(F.col("common") >= min_common)
     )
     non_adjacent = pairs.join(
@@ -507,6 +545,8 @@ def common_neighbors(
                 F.col("common")
                 / (F.col("du") + F.col("dv") - F.col("common")).cast("double")
             ).alias("jaccard"),
+            "ra_scaled",
+            (F.col("ra_scaled").cast("double") / float(scale)).alias("ra"),
         )
     )
 
@@ -753,6 +793,7 @@ def clustering_coefficient(
     *,
     graph_id: int | None = None,
     strategy: str = "adjacency",
+    triangles: DataFrame | None = None,
 ) -> DataFrame:
     """Local clustering coefficient per vertex:
     ``coeff = 2 * triangles(v) / (deg(v) * (deg(v) - 1))`` for every
@@ -768,9 +809,14 @@ def clustering_coefficient(
     oracle is exact.  Extension beyond the reference (its only graph
     reads are BFS/DFS, secondary_server.c:182-329) in the
     GraphX/GraphFrames tradition.
+
+    ``triangles``: pass a precomputed ``triangle_counts`` result over
+    the SAME graph to share one enumeration across consumers (the
+    session-cache pattern — a triangles query and this one otherwise
+    each pay the full orientation + closure).
     """
     e = canonical_edges(edges, graph_id=graph_id)
-    tri = triangle_counts(e, strategy=strategy)
+    tri = triangles if triangles is not None else triangle_counts(e, strategy=strategy)
     deg = (
         e.select(F.col("src").alias("vertex"))
         .unionAll(e.select(F.col("dst").alias("vertex")))
@@ -817,37 +863,14 @@ def resource_allocation(
 
     Scale posture is ``common_neighbors``' verbatim: hub centers
     dropped before the quadratic wedge expansion, pair aggregation
-    shuffles on (u, v), adjacency removed by anti-join.
+    shuffles on (u, v), adjacency removed by anti-join.  A projection
+    of ``link_prediction_scores`` — one wedge expansion serves every
+    score family.
     """
-    e = canonical_edges(edges, graph_id=graph_id)
-    sym = e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    deg = sym.groupBy(F.col("src").alias("v")).agg(F.count("*").alias("d"))
-    centers = deg.where(F.col("d") <= max_center_degree).select(
-        F.col("v").alias("center"),
-        F.expr(f"{int(scale)} div d").alias("wt"),
-    )
-    s = sym.join(centers, sym["src"] == centers["center"]).select("src", "dst", "wt")
-    a = s.select(F.col("src").alias("x"), F.col("dst").alias("u"), "wt")
-    b = s.select(F.col("src").alias("x"), F.col("dst").alias("v"))
-    pairs = (
-        a.join(b, "x")
-        .where(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(
-            F.count("*").cast("long").alias("common"),
-            F.sum("wt").cast("long").alias("ra_scaled"),
-        )
-        .where(F.col("common") >= min_common)
-    )
-    non_adjacent = pairs.join(
-        e.select(F.col("src").alias("u"), F.col("dst").alias("v")),
-        on=["u", "v"],
-        how="left_anti",
-    )
-    return non_adjacent.select(
-        F.col("u").cast("long").alias("u"),
-        F.col("v").cast("long").alias("v"),
-        "common",
-        "ra_scaled",
-        (F.col("ra_scaled").cast("double") / float(scale)).alias("ra"),
-    )
+    return link_prediction_scores(
+        edges,
+        graph_id=graph_id,
+        min_common=min_common,
+        max_center_degree=max_center_degree,
+        scale=scale,
+    ).select("u", "v", "common", "ra_scaled", "ra")
