@@ -180,6 +180,7 @@ from distributed_graph_database_simulation_with_load_balancing_and_threaded_requ
     run_attribution_batch,
     run_corpus_stats_batch,
     run_event_rollup_batch,
+    run_sessions_batch,
 )
 from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.streaming.requests import (
     serve_requests_available_now,
@@ -1618,6 +1619,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             n=4,
         )
 
+    def q_stream_sessions(spark, sf_dir):
+        # SESSION WINDOWS under the value oracle: per-user gap
+        # sessionization as a stateful streaming aggregation driven to
+        # completion — sessions are the connected components of the
+        # <gap adjacency, so the completed result is split-invariant;
+        # integer counts + exact decimal sums make it value-exact
+        # against the SQL gap rule (boundary at diff >= gap,
+        # session_window's own semantics).  Session starts emitted as
+        # epoch micros (timezone-free).
+        import os
+
+        return _loop_parts(
+            spark,
+            lambda: run_sessions_batch(
+                spark, os.path.join(sf_dir, "events.parquet")
+            ),
+            n=4,
+        )
+
     def q_rare_bigrams(spark, sf_dir):
         # Frequency-based quality filter: per-doc fraction of corpus-
         # rare bigrams (count <= 2) — the integer-exact stand-in for
@@ -2045,6 +2065,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_link_pred": q_link_pred,
         "q_stream_attrib": q_stream_attrib,
         "q_bucketed_table": q_bucketed_table,
+        "q_stream_sessions": q_stream_sessions,
         # -- round-3-green suite, due for re-verification --
         "q_add_graph": q_add_graph,
         "q_modify_graph": q_modify_graph,
@@ -3532,6 +3553,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_dups,
                    CAST(MIN(doc_id) AS BIGINT) AS keep_id
             FROM documents GROUP BY 1
+        """,
+        "q_stream_sessions": """
+            WITH flagged AS (
+              SELECT user_id, ts, event_id, value,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                             >= 30 * 60 * 1000000
+                          THEN 1 ELSE 0 END AS b
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            sess AS (
+              SELECT user_id, ts, value,
+                     SUM(b) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS sno
+              FROM flagged
+            )
+            SELECT user_id,
+                   CAST(MIN(epoch_us(ts)) AS BIGINT) AS session_start_us,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 4)
+                       AS total_value
+            FROM sess GROUP BY user_id, sno
         """,
         "q_stream_attrib": """
             SELECT p.event_id AS purchase_id,

@@ -169,7 +169,12 @@ def sessionize_stream(
         .groupBy(F.session_window("ts", gap).alias("sw"), F.col("user_id"))
         .agg(
             F.count("*").cast("long").alias("n_events"),
-            F.round(F.sum("value"), 4).alias("total_value"),
+            # Exact DECIMAL sum -> order-independent: the rounded
+            # total is bit-identical whatever the micro-batch split or
+            # state-merge order (the event_rollup_stream posture).
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 4
+            ).alias("total_value"),
         )
         .select(
             "user_id",
@@ -266,6 +271,63 @@ def run_event_rollup_batch(spark: SparkSession, path: str) -> DataFrame:
     return _drive_complete_to_table(
         spark, event_rollup_stream(src), "stream_rollup", path
     )
+
+
+def run_sessions_batch(
+    spark: SparkSession, path: str, *, gap: str = "30 minutes"
+) -> DataFrame:
+    """Drive ``sessionize_stream``'s session-window aggregation over
+    the event files at ``path`` as a finite stream (complete-mode
+    memory sink) and return the final sessions as
+    ``(user_id, session_start_us, n_events, total_value)``.
+
+    Determinism contract: given ALL the data, session_window merging
+    is order-independent (sessions are the connected components of
+    the <gap adjacency on each user's timeline), counts are integers
+    and the value sum is an exact DECIMAL — so the completed result
+    equals a batch gap-sessionization whose boundary rule is
+    session_window's (new session iff ts - prev_ts >= gap; note the
+    >=: a gap of exactly ``gap`` CLOSES the window, where the batch
+    ``sessionize_events`` uses >).  The oracle states the >= rule.
+
+    Timezone posture: the q_stream_attrib trick — watermark/windows
+    need the LTZ TimestampType, so the session timezone is pinned UTC
+    for the drive and the session start is emitted as epoch
+    MICROSECONDS (a long), keeping everything the driver reads
+    timezone-free."""
+    tz_key = "spark.sql.session.timeZone"
+    prev_tz = spark.conf.get(tz_key)
+    spark.conf.set(tz_key, "UTC")
+    try:
+        src = (
+            spark.readStream.schema(EVENT_STREAM_SCHEMA)
+            .format("parquet")
+            .load(_stream_source_dir(path))
+        )
+        sessions = sessionize_stream(src, gap=gap).select(
+            "user_id",
+            F.unix_micros("session_start").alias("session_start_us"),
+            "n_events",
+            "total_value",
+        )
+        import re
+
+        name = "stream_sessions_" + re.sub(r"\W+", "_", path).strip("_")
+        try:
+            spark.catalog.dropTempView(name)
+        except Exception:
+            pass
+        q = (
+            sessions.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.table(name)
+    finally:
+        spark.conf.set(tz_key, prev_tz)
 
 
 def run_attribution_batch(spark: SparkSession, path: str) -> DataFrame:

@@ -290,6 +290,13 @@ def test_no_query_plan_has_cartesian_or_row_udf(spark):
         ),
         "q_stream_attrib": _attrib_twin,
         "q_stream_requests": _requests_twin,
+        "q_stream_sessions": lambda: __import__(
+            "distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.streaming.ingest",
+            fromlist=["sessionize_stream"],
+        ).sessionize_stream(
+            spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        ),
     }
     for name, fn in entry.queries().items():
         df = streaming_twins[name]() if name in streaming_twins else fn(spark, SF_DIR)
