@@ -2109,12 +2109,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sessions": q_sessions,
         "q_no_orders": q_no_orders,
         "q_quality_pct": q_quality_pct,
+        # -- the 50-entry window cuts off here (8 new + 42 of the r3
+        # suite); the r3-green remainder below is due to lead the
+        # round-6 window (machine-enforced by the rotation test) --
         "q_hll_distinct": q_hll_distinct,
         "q_asof_join": q_asof_join,
         "q_attribution": q_attribution,
         "q_time_rollup": q_time_rollup,
         "q_matrix_io": q_matrix_io,
-        # -- r3-green overflow (window is full; these lead round 6) --
         "q_repetition": q_repetition,
         "q_tfidf": q_tfidf,
         "q_collocations": q_collocations,
