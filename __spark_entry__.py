@@ -1390,9 +1390,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             edges = copurchase_edges(
                 spark, sf_dir, ship_range=("1995-01-01", "1996-01-01")
             )
-            _TRIANGLES_CACHE[key] = triangle_counts(edges).localCheckpoint(
-                eager=True
-            )
+            # strategy="auto": the production default — broadcast
+            # adjacency while it fits the session threshold, graceful
+            # degradation to the wedge shuffle join beyond it (both
+            # count the same set; the testdata sits on the adjacency
+            # side, the 100-TB graph on the wedge side).
+            _TRIANGLES_CACHE[key] = triangle_counts(
+                edges, strategy="auto"
+            ).localCheckpoint(eager=True)
         return _TRIANGLES_CACHE[key]
 
     def q_triangles(spark, sf_dir):
