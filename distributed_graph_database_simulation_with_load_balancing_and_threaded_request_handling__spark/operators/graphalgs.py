@@ -61,6 +61,21 @@ def _oriented_edges(e: DataFrame) -> DataFrame:
         F.when(src_first, F.col("ddeg")).otherwise(F.col("sdeg")).alias("wdeg"),
     )
 
+def _parse_byte_conf(value: str) -> int:
+    """Spark byte-size conf string -> bytes: plain ints pass through,
+    unit suffixes (b/k/kb/m/mb/g/gb, case-insensitive — Spark's own
+    accepted spellings) are expanded.  Raises on anything else rather
+    than guessing a default — a wrong threshold silently re-enables
+    the broadcast the caller's 'auto' logic exists to avoid."""
+    s = value.strip().lower()
+    units = {"b": 1, "k": 1 << 10, "kb": 1 << 10, "m": 1 << 20,
+             "mb": 1 << 20, "g": 1 << 30, "gb": 1 << 30}
+    for suffix in sorted(units, key=len, reverse=True):
+        if s.endswith(suffix) and s[: -len(suffix)].lstrip("-").isdigit():
+            return int(s[: -len(suffix)]) * units[suffix]
+    return int(s)
+
+
 def triangle_counts(
     edges: DataFrame,
     *,
@@ -115,10 +130,9 @@ def triangle_counts(
         # broadcasting is disabled).  The count is free: ``oriented``
         # was just eagerly checkpointed.
         spark = edges.sparkSession
-        try:
-            thr = int(spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
-        except ValueError:  # e.g. '64MB' spelled with units
-            thr = 64 * 1024 * 1024
+        thr = _parse_byte_conf(
+            spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        )
         m = oriented.count()
         strategy = "adjacency" if 0 < 16 * m <= thr else "wedge"
     if strategy == "adjacency":

@@ -502,30 +502,7 @@ def png_gray_encode(pixels, *, filter_seed: int = 0) -> bytes:
 
     arr = np.asarray(pixels, dtype=np.uint8)
     h, w = arr.shape
-    raw = bytearray()
-    prior = np.zeros(w, dtype=np.int64)
-    for r in range(h):
-        row = arr[r].astype(np.int64)
-        ftype = (filter_seed + r) % 5
-        if ftype == 0:
-            out = row
-        elif ftype == 1:  # Sub
-            left = np.concatenate(([0], row[:-1]))
-            out = (row - left) % 256
-        elif ftype == 2:  # Up
-            out = (row - prior) % 256
-        elif ftype == 3:  # Average
-            left = np.concatenate(([0], row[:-1]))
-            out = (row - (left + prior) // 2) % 256
-        else:  # Paeth
-            out = np.empty(w, dtype=np.int64)
-            for j in range(w):
-                a = int(row[j - 1]) if j else 0
-                c = int(prior[j - 1]) if j else 0
-                out[j] = (int(row[j]) - _paeth(a, int(prior[j]), c)) % 256
-        raw.append(ftype)
-        raw.extend(out.astype(np.uint8).tobytes())
-        prior = row
+    raw = _filter_scanlines(arr, 1, filter_seed)
     ihdr = struct.pack(">II", w, h) + b"\x08\x00\x00\x00\x00"  # 8-bit grayscale
     return (
         b"\x89PNG\r\n\x1a\n"
@@ -546,32 +523,7 @@ def png_rgb_encode(pixels, *, filter_seed: int = 0) -> bytes:
 
     arr = np.asarray(pixels, dtype=np.uint8)
     h, w, _ = arr.shape
-    stride = w * 3
-    flat = arr.reshape(h, stride).astype(np.int64)
-    raw = bytearray()
-    prior = np.zeros(stride, dtype=np.int64)
-    for r in range(h):
-        row = flat[r]
-        ftype = (filter_seed + r) % 5
-        if ftype == 0:
-            out = row
-        elif ftype == 1:  # Sub (left neighbor is 3 bytes back)
-            left = np.concatenate((np.zeros(3, dtype=np.int64), row[:-3]))
-            out = (row - left) % 256
-        elif ftype == 2:  # Up
-            out = (row - prior) % 256
-        elif ftype == 3:  # Average
-            left = np.concatenate((np.zeros(3, dtype=np.int64), row[:-3]))
-            out = (row - (left + prior) // 2) % 256
-        else:  # Paeth
-            out = np.empty(stride, dtype=np.int64)
-            for j in range(stride):
-                a = int(row[j - 3]) if j >= 3 else 0
-                c = int(prior[j - 3]) if j >= 3 else 0
-                out[j] = (int(row[j]) - _paeth(a, int(prior[j]), c)) % 256
-        raw.append(ftype)
-        raw.extend(out.astype(np.uint8).tobytes())
-        prior = row
+    raw = _filter_scanlines(arr.reshape(h, w * 3), 3, filter_seed)
     ihdr = struct.pack(">II", w, h) + b"\x08\x02\x00\x00\x00"  # 8-bit RGB
     return (
         b"\x89PNG\r\n\x1a\n"

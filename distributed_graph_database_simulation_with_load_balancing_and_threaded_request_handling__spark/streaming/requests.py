@@ -148,15 +148,24 @@ def serve_requests_available_now(
     def sink(results: DataFrame, batch_id: int) -> None:
         results.write.mode("append").parquet(out_dir)
 
+    ckpt_dir = os.path.join(base, "ckpt")
     q = run_request_stream(
         read_request_stream(
             spark, in_dir, fmt="parquet", max_files_per_trigger=1
         ),
         edges,
         sink,
-        checkpoint_dir=os.path.join(base, "ckpt"),
+        checkpoint_dir=ckpt_dir,
     )
     q.awaitTermination()
+    # The stream is done: the staged queue files and the checkpoint
+    # state are dead weight — remove them so repeated drives don't
+    # accumulate working trees in /tmp.  The replies directory must
+    # STAY: the returned DataFrame reads it lazily.
+    import shutil
+
+    for dead in (in_dir, ckpt_dir):
+        shutil.rmtree(dead, ignore_errors=True)
     return spark.read.parquet(out_dir)
 
 

@@ -101,12 +101,17 @@ def test_survey_inventory_lists_every_query():
     assert not missing, f"queries missing from SURVEY.md: {sorted(missing)}"
 
 
-def test_evict_other_sf_releases_previous_sweep(spark_entry_session=None):
+def test_evict_other_sf_releases_previous_sweep():
     """Session caches are keyed (applicationId, sf_dir); switching
     sf_dir must drop AND unpersist the previous scale's entries
     (round-3 ADVICE made this load-bearing for long driver sessions).
     Sweep sf0.001 then sf0.01 and assert no sf0.001 cache entry — and
-    no persisted RDD accumulation — survives the switch."""
+    no lingering persisted edge table — survives the switch.
+
+    Runs against the process's active session (getOrCreate — in a
+    full-suite run this IS the shared conftest session, which mirrors
+    the long-lived driver session the eviction exists for; the caches
+    it sweeps are keyed by this applicationId either way)."""
     import pytest
     from pyspark.sql import SparkSession
 
@@ -118,13 +123,7 @@ def test_evict_other_sf_releases_previous_sweep(spark_entry_session=None):
         graphs,
     )
 
-    spark = (
-        SparkSession.builder.master("local[4]")
-        .appName("evict-test")
-        .config("spark.sql.shuffle.partitions", "4")
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
-    )
+    spark = SparkSession.builder.master("local[4]").getOrCreate()
     qs = entry.queries()
     qs["q_bfs_levels"](spark, sf_a).count()
     assert any(k[1] == sf_a for k in entry._TREE_LEVELS_CACHE)
