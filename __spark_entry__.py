@@ -1501,6 +1501,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "u", "v", "common", "ra_scaled", "ra"
         )
 
+    def q_communities(spark, sf_dir):
+        # Strong-tie communities: the products repeatedly bought
+        # together (co-purchase multiplicity >= 2) clustered by
+        # hash-min connected components — the classic market-basket
+        # community detection, and the deterministic counterpart of
+        # label propagation (ties make LPA order-dependent; CC over
+        # the thresholded graph is its unique-fixpoint core).  The
+        # threshold keeps the community graph sparse at ANY scale
+        # (3.4k edges at sf0.01, 3.6k at sf0.1 from 115k/1.2M raw
+        # pairs) — multiplicity-thresholding IS the scale knob.
+        w = copurchase_weighted_edges(spark, sf_dir)
+        strong = w.where(F.col("cnt") >= 2).select("src", "dst")
+        sym = strong.unionAll(
+            strong.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        return _loop_parts(
+            spark, lambda: connected_components(sym), n=4, warm=(w,)
+        )
+
     def q_sssp(spark, sf_dir):
         # Weighted shortest paths (integer traversal costs from
         # co-occurrence counts) from the lowest part id, SPFA
@@ -2083,6 +2102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_attrib": q_stream_attrib,
         "q_bucketed_table": q_bucketed_table,
         "q_stream_sessions": q_stream_sessions,
+        "q_communities": q_communities,
         # -- round-3-green suite, due for re-verification --
         "q_add_graph": q_add_graph,
         "q_modify_graph": q_modify_graph,
@@ -3028,6 +3048,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT na.u, na.v, na.common,
                    na.common / CAST(du.d + dv.d - na.common AS DOUBLE) AS jaccard
             FROM na JOIN deg du ON du.v = na.u JOIN deg dv ON dv.v = na.v
+        """,
+        "q_communities": f"""
+            WITH RECURSIVE {_sql_copurchase()},
+            w_ce AS MATERIALIZED (
+              SELECT a.p AS src, b.p AS dst, COUNT(*) AS cnt
+              FROM li2 a JOIN li2 b ON a.ok = b.ok AND a.p < b.p
+              GROUP BY 1, 2
+            ),
+            strong AS (SELECT src, dst FROM w_ce WHERE cnt >= 2),
+            sym AS (
+              SELECT src, dst FROM strong
+              UNION ALL SELECT dst, src FROM strong
+            ),
+            reach(v, r) AS (
+              SELECT DISTINCT src, src FROM sym
+              UNION
+              SELECT s.dst, reach.r FROM reach JOIN sym s ON s.src = reach.v
+            )
+            SELECT v AS vertex, CAST(MIN(r) AS BIGINT) AS component
+            FROM reach GROUP BY v
         """,
         "q_clustering_coeff": f"""
             WITH {_sql_copurchase(
