@@ -1511,6 +1511,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # threshold keeps the community graph sparse at ANY scale
         # (3.4k edges at sf0.01, 3.6k at sf0.1 from 115k/1.2M raw
         # pairs) — multiplicity-thresholding IS the scale knob.
+        # Plain hash-min, not pointer_jumping: measured same-boot at
+        # sf0.1, doubling is 3.9 s vs 3.5 s here — the strong graph's
+        # diameter is only 8, so the extra labels-to-labels join per
+        # round costs more than the rounds it saves.  The O(log d)
+        # variant exists (connected_components(pointer_jumping=True),
+        # pinned by a path-40 test) for the long-chain regime where
+        # O(d) rounds would dominate.
         w = copurchase_weighted_edges(spark, sf_dir)
         strong = w.where(F.col("cnt") >= 2).select("src", "dst")
         sym = strong.unionAll(

@@ -432,7 +432,11 @@ def dfs_leaves(
     )
 
 def connected_components(
-    edges: DataFrame, *, graph_id: int | None = None, max_iters: int = 50
+    edges: DataFrame,
+    *,
+    graph_id: int | None = None,
+    max_iters: int = 50,
+    pointer_jumping: bool = False,
 ) -> DataFrame:
     """Connected components by hash-min label propagation (the
     canonical Pregel algorithm; GraphX `connectedComponents` computes
@@ -446,16 +450,26 @@ def connected_components(
     silently makes (secondary_server.c:96-97), checked instead of
     assumed.
 
+    ``pointer_jumping`` adds the path-doubling term: each round also
+    adopts ``L(L(v))`` (the label of the vertex its label points at),
+    via one extra labels-to-labels join per round — label-chain depth
+    halves per round, so convergence drops from O(diameter) rounds to
+    O(log diameter).  Same unique fixpoint (min id per component; the
+    extra term only ever propagates an existing smaller label), so
+    any SQL oracle for the plain form holds verbatim.  Worth the
+    ~1.7x per-round cost exactly when the diameter is non-trivial —
+    the 100-TB long-chain regime; leave False for shallow graphs.
+
     Scale: each round is one (labels ⋈ edges) shuffle keyed on the
-    vertex + a min-aggregation — both partial-aggregated; rounds ≈
-    graph diameter (hash-min), labels are localCheckpointed so lineage
-    stays flat.  Convergence is a ``_changed`` flag summed in the SAME
-    action that materializes the round's checkpoint — one Spark job per
-    round, no separate old-vs-new join probe.  Exhausting ``max_iters`` without
+    vertex + a min-aggregation — both partial-aggregated (+ the
+    doubling join when enabled); rounds ≈ diameter (or its log),
+    labels are localCheckpointed so lineage stays flat.  Convergence
+    is a ``_changed`` flag summed in the SAME action that materializes
+    the round's checkpoint — one Spark job per round, no separate
+    old-vs-new join probe.  Exhausting ``max_iters`` without
     convergence raises rather than silently returning wrong labels
-    (hash-min needs ~diameter rounds; a path graph longer than
-    ``max_iters`` would otherwise get incorrect components with no
-    signal).
+    (a path graph longer than ``max_iters`` would otherwise get
+    incorrect components with no signal).
     """
     e = _edges_only(edges, graph_id).persist()
     converged = False
@@ -472,20 +486,31 @@ def connected_components(
                 .groupBy(e["dst"].alias("vertex"))
                 .agg(F.min("component").alias("nbr_component"))
             )
-            new_labels = (
-                labels.join(nbr_min, on="vertex", how="left")
-                .select(
-                    "vertex",
-                    F.least(
-                        "component", F.coalesce("nbr_component", "component")
-                    ).alias("component"),
-                    (
-                        F.coalesce("nbr_component", "component")
-                        < F.col("component")
-                    ).cast("int").alias("_changed"),
-                )
-                .localCheckpoint(eager=False)
+            cand = labels.join(nbr_min, on="vertex", how="left").select(
+                "vertex",
+                "component",
+                F.coalesce("nbr_component", "component").alias("_nc"),
             )
+            if pointer_jumping:
+                # L(L(v)): every label IS a vertex id present in
+                # labels, so the lookup join is total; coalesce is
+                # belt only.
+                anc = labels.select(
+                    F.col("vertex").alias("_av"),
+                    F.col("component").alias("_ac"),
+                )
+                cand = cand.join(
+                    anc, cand["component"] == anc["_av"], "left"
+                ).select(
+                    "vertex",
+                    "component",
+                    F.least("_nc", F.coalesce("_ac", "component")).alias("_nc"),
+                )
+            new_labels = cand.select(
+                "vertex",
+                F.least("component", "_nc").alias("component"),
+                (F.col("_nc") < F.col("component")).cast("int").alias("_changed"),
+            ).localCheckpoint(eager=False)
             n_changed = new_labels.agg(F.sum("_changed")).collect()[0][0] or 0
             labels = new_labels.drop("_changed")
             if n_changed == 0:

@@ -169,3 +169,31 @@ def test_connected_components_forest(spark):
 
     got = {r["vertex"]: r["component"] for r in connected_components(e, graph_id=1).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 13: 10}
+
+
+def test_connected_components_pointer_jumping_logarithmic(spark):
+    """Path doubling must (a) compute the identical fixpoint and (b)
+    converge in O(log diameter) rounds: a 40-vertex path has diameter
+    39, far past max_iters=12 for plain hash-min, but pointer jumping
+    finishes inside it (chain depth halves per round)."""
+    import pytest
+
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.traverse import (
+        connected_components,
+    )
+
+    path = [(i, i + 1) for i in range(1, 40)] + [(100, 101), (101, 102), (100, 102)]
+    e = make_edges(spark, path, graph_id=1)
+    plain = {
+        (r.vertex, r.component) for r in connected_components(e, graph_id=1).collect()
+    }
+    pj = {
+        (r.vertex, r.component)
+        for r in connected_components(
+            e, graph_id=1, pointer_jumping=True, max_iters=12
+        ).collect()
+    }
+    assert pj == plain
+    # plain hash-min genuinely cannot make 12 rounds on this diameter
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(e, graph_id=1, max_iters=12)
