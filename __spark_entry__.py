@@ -2152,10 +2152,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_user_cohort": q_user_cohort,
         "q_sessions": q_sessions,
         "q_no_orders": q_no_orders,
+        # -- the 50-entry driver window cuts off somewhere in this
+        # stretch (50 minus the new-this-round block above); every
+        # r3-green entry that falls past it is due to lead the
+        # round-6 window, machine-enforced by the rotation test --
         "q_quality_pct": q_quality_pct,
-        # -- the 50-entry window cuts off here (8 new + 42 of the r3
-        # suite); the r3-green remainder below is due to lead the
-        # round-6 window (machine-enforced by the rotation test) --
         "q_hll_distinct": q_hll_distinct,
         "q_asof_join": q_asof_join,
         "q_attribution": q_attribution,
