@@ -153,7 +153,9 @@ from distributed_graph_database_simulation_with_load_balancing_and_threaded_requ
     customer_order_distribution,
     customers_without_orders,
     disjunctive_part_revenue,
+    forecast_revenue,
     large_quantity_orders,
+    small_quantity_revenue,
     local_supplier_volume,
     nation_trade_volume,
     order_priority_check,
@@ -1590,6 +1592,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(spark, sf_dir, "lineitem"),
         )
 
+    def q_forecast_rev(spark, sf_dir):
+        # TPC-H Q6 shape: four pushed predicates, zero joins, one
+        # decimal-exact map-side-combined aggregate — the pure
+        # pruned-scan query.
+        return forecast_revenue(load_table(spark, sf_dir, "lineitem"))
+
+    def q_small_qty_rev(spark, sf_dir):
+        # TPC-H Q17 shape: correlated scalar subquery decorrelated
+        # into a per-part pre-aggregation, avg gate cross-multiplied
+        # to exact decimals (no division in the predicate).
+        return small_quantity_revenue(
+            load_table(spark, sf_dir, "lineitem"),
+            load_table(spark, sf_dir, "part"),
+        )
+
     def q_disjunctive_rev(spark, sf_dir):
         # TPC-H Q19 shape: OR-of-ANDs split into a pre-broadcast part
         # filter + residual joined predicate; zero shuffles end to end.
@@ -2110,6 +2127,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bucketed_table": q_bucketed_table,
         "q_stream_sessions": q_stream_sessions,
         "q_communities": q_communities,
+        "q_forecast_rev": q_forecast_rev,
+        "q_small_qty_rev": q_small_qty_rev,
         # -- round-3-green suite, due for re-verification --
         "q_add_graph": q_add_graph,
         "q_modify_graph": q_modify_graph,
@@ -3056,6 +3075,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT na.u, na.v, na.common,
                    na.common / CAST(du.d + dv.d - na.common AS DOUBLE) AS jaccard
             FROM na JOIN deg du ON du.v = na.u JOIN deg dv ON dv.v = na.v
+        """,
+        "q_forecast_rev": """
+            SELECT round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                                  * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE),
+                         4) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+              AND l_shipdate < TIMESTAMP '1996-01-01'
+              AND CAST(l_discount AS DECIMAL(18,2))
+                  BETWEEN CAST('0.05' AS DECIMAL(18,2))
+                      AND CAST('0.07' AS DECIMAL(18,2))
+              AND l_quantity < 24
+        """,
+        "q_small_qty_rev": """
+            WITH p AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#23'),
+            li AS (
+              SELECT l_partkey,
+                     CAST(l_quantity AS DECIMAL(18,2)) AS q,
+                     CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+              FROM lineitem JOIN p ON l_partkey = p_partkey
+            ),
+            pp AS (
+              SELECT l_partkey, SUM(q) AS sq, COUNT(*) AS cnt
+              FROM li GROUP BY 1
+            )
+            SELECT round(CAST(SUM(price) AS DOUBLE) / 7.0, 4) AS avg_yearly
+            FROM li JOIN pp USING (l_partkey)
+            WHERE q * 5 * cnt < sq
         """,
         "q_communities": f"""
             WITH RECURSIVE {_sql_copurchase()},

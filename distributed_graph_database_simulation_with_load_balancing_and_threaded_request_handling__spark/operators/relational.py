@@ -774,3 +774,71 @@ def disjunctive_part_revenue(
         F.round(F.sum("disc_price").cast("double"), 4).alias("revenue"),
         F.count("*").cast("long").alias("n_lines"),
     )
+
+
+def forecast_revenue(
+    lineitem: DataFrame,
+    *,
+    date_from: str = "1995-01-01",
+    date_to: str = "1996-01-01",
+    discount_lo: str = "0.05",
+    discount_hi: str = "0.07",
+    max_qty: int = 24,
+) -> DataFrame:
+    """TPC-H Q6 shape: forecast revenue change — one decimal-exact
+    aggregate over a four-predicate lineitem scan, NO joins.  The
+    point of the shape is the plan: every predicate (ship-date range,
+    discount band, quantity cap) reaches the parquet scan as a pushed
+    filter, so at 100 TB this is a pure min/max-pruned columnar scan
+    plus a map-side-combined one-row aggregation.
+    """
+    price = F.col("l_extendedprice").cast(_DEC)
+    disc = F.col("l_discount").cast(_DEC)
+    li = lineitem.where(
+        (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+        & (disc >= F.lit(discount_lo).cast(_DEC))
+        & (disc <= F.lit(discount_hi).cast(_DEC))
+        & (F.col("l_quantity") < max_qty)
+    )
+    return li.agg(
+        F.round(F.sum(price * disc).cast("double"), 4).alias("revenue")
+    )
+
+
+def small_quantity_revenue(
+    lineitem: DataFrame, part: DataFrame, *, brand: str = "Brand#23"
+) -> DataFrame:
+    """TPC-H Q17 shape: average yearly revenue lost if small-quantity
+    orders of a brand's parts were dropped — the correlated scalar
+    subquery ``l_quantity < 0.2 * avg(l_quantity per part)`` rewritten
+    as a per-part pre-aggregation joined back (Catalyst's decorrelated
+    form, stated explicitly).  The comparison is CROSS-MULTIPLIED to
+    decimal-exact arithmetic (``qty * 5 * cnt < sum_qty``, 0.2 = 1/5)
+    so no division — and no engine-dependent rounding — enters the
+    predicate; the one division (by 7 years) happens after the double
+    cast of the exact decimal sum.
+
+    Scale: the brand filter broadcasts (~1/25 of parts), the
+    per-part aggregation rides the SAME brand-filtered join output,
+    and both sides of the final join are brand-sized, never
+    lineitem-sized.
+    """
+    p = part.where(F.col("p_brand") == brand).select("p_partkey")
+    li = (
+        lineitem.join(F.broadcast(p), lineitem["l_partkey"] == p["p_partkey"])
+        .select(
+            "l_partkey",
+            F.col("l_quantity").cast(_DEC).alias("q"),
+            F.col("l_extendedprice").cast(_DEC).alias("price"),
+        )
+    )
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum("q").alias("sq"), F.count("*").alias("cnt")
+    )
+    small = li.join(per_part, "l_partkey").where(
+        F.col("q") * 5 * F.col("cnt") < F.col("sq")
+    )
+    return small.agg(
+        F.round(F.sum("price").cast("double") / 7.0, 4).alias("avg_yearly")
+    )

@@ -415,3 +415,16 @@ def test_declared_bucketed_table_query_plans_zero_exchanges(spark):
     plan = _plan(df)
     assert "Exchange hashpartitioning" not in plan
     assert df.count() > 0
+
+
+def test_forecast_rev_all_predicates_pushed_no_join(spark):
+    """Q6's entire value is the plan: no joins anywhere, and the
+    ship-date/discount/quantity predicates all reach the lineitem
+    scan as pushed filters over a 3-column ReadSchema."""
+    df = entry.queries()["q_forecast_rev"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "Join" not in plan
+    pushed = plan.split("PushedFilters", 1)[1][:400]
+    assert "l_shipdate" in pushed and "l_quantity" in pushed
+    read_schema = plan.split("ReadSchema", 1)[1][:300]
+    assert "l_orderkey" not in read_schema and "l_partkey" not in read_schema
