@@ -1,0 +1,155 @@
+"""Physical-plan audit over every declared query: one row per query
+with the plan facts the engine's scale posture is judged on — join
+strategies, exchange count, whether scan pushdown engaged, and any
+anti-pattern markers (CartesianProduct / row-at-a-time Python UDF).
+
+Run:  python scripts/audit_plans.py [sf_dir] > PLANS.md
+
+The four eagerly-driven streaming queries are audited via their batch
+twins (the same policy as the plan-lint test: the returned memory-sink
+table's plan is a vacuous LocalTableScan).
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entry  # noqa: E402
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def audit(name: str, plan: str) -> dict:
+    return {
+        "query": name,
+        "exchanges": plan.count("Exchange hashpartitioning"),
+        "bhj": plan.count("BroadcastHashJoin"),
+        "smj": plan.count("SortMergeJoin"),
+        "shj": plan.count("ShuffledHashJoin"),
+        "topk": "TakeOrderedAndProject" in plan,
+        "pushed": "PushedFilters: [" in plan
+        and "PushedFilters: []" not in plan.replace(" ", ""),
+        "arrow": ("MapInPandas" in plan)
+        or ("ArrowEvalPython" in plan)
+        or ("FlatMapGroupsInPandas" in plan),
+        "BAD_cartesian": "CartesianProduct" in plan,
+        "BAD_row_udf": "BatchEvalPython" in plan,
+    }
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("plan-audit")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Batch twins for the eagerly-driven streaming queries (same
+    # policy and same constructions as test_plans.py's lint).
+    from pyspark.sql import functions as F
+
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.dispatch import (
+        format_reply,
+        run_requests,
+    )
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.temporal import (
+        interval_join,
+    )
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.sources.graphs import (
+        derived_tree_edges,
+    )
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.sources.tables import (
+        load_table,
+    )
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.streaming.ingest import (
+        corpus_stats_stream,
+        event_rollup_stream,
+        sessionize_stream,
+    )
+
+    def attrib_twin():
+        ev = load_table(spark, sf_dir, "events")
+        purchases = ev.where(F.col("event_type") == "purchase").select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("start"),
+            (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("end"),
+        )
+        clicks = ev.where(F.col("event_type") == "click").select(
+            "user_id", F.col("event_id").alias("click_id"), "ts"
+        )
+        return interval_join(clicks, purchases, keys=["user_id"])
+
+    def requests_twin():
+        edges = derived_tree_edges(spark, sf_dir, symmetric=True)
+        nation = load_table(spark, sf_dir, "nation")
+        reqs = nation.select(
+            (F.col("n_nationkey") + 1).cast("int").alias("seq_no"),
+            F.when(F.col("n_nationkey") % 2 == 0, 4)
+            .otherwise(3)
+            .cast("int")
+            .alias("op_no"),
+            F.lit("G1.txt").alias("graph_name"),
+            (F.col("n_nationkey") + 100).cast("int").alias("start_vertex"),
+        )
+        return format_reply(run_requests(reqs, edges))
+
+    twins = {
+        "q_stream_rollup": lambda: event_rollup_stream(
+            spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        ),
+        "q_stream_corpus": lambda: corpus_stats_stream(
+            spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        ),
+        "q_stream_sessions": lambda: sessionize_stream(
+            spark.read.parquet(os.path.join(sf_dir, "events.parquet")).withColumn(
+                "ts", F.col("ts").cast("timestamp")
+            )
+        ),
+        "q_stream_attrib": attrib_twin,
+        "q_stream_requests": requests_twin,
+    }
+
+    rows = []
+    for name, fn in entry.queries().items():
+        try:
+            df = twins[name]() if name in twins else fn(spark, sf_dir)
+            rows.append(audit(name, plan_of(df)))
+        except Exception as ex:  # noqa: BLE001 — audit must cover all
+            rows.append({"query": name, "error": str(ex)[:120]})
+
+    print(f"# PLANS — physical-plan audit at {sf_dir}\n")
+    print("Generated by scripts/audit_plans.py; streaming queries are")
+    print("audited via their batch twins (test_plans.py lint policy).\n")
+    print("| query | exchanges | BHJ | SMJ | SHJ | top-k | pushdown | arrow | anti-patterns |")
+    print("|---|---|---|---|---|---|---|---|---|")
+    for r in rows:
+        if "error" in r:
+            print(f"| {r['query']} | ERROR: {r['error']} | | | | | | | |")
+            continue
+        bad = ", ".join(
+            k[4:] for k in ("BAD_cartesian", "BAD_row_udf") if r[k]
+        ) or "—"
+        print(
+            f"| {r['query']} | {r['exchanges']} | {r['bhj']} | {r['smj']} "
+            f"| {r['shj']} | {'y' if r['topk'] else ''} "
+            f"| {'y' if r['pushed'] else ''} | {'y' if r['arrow'] else ''} "
+            f"| {bad} |"
+        )
+    n_bad = sum(1 for r in rows if r.get("BAD_cartesian") or r.get("BAD_row_udf"))
+    n_err = sum(1 for r in rows if "error" in r)
+    print(f"\n{len(rows)} queries audited; {n_bad} anti-pattern hits; {n_err} errors.")
+
+
+if __name__ == "__main__":
+    main()
