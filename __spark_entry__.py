@@ -65,6 +65,7 @@ from distributed_graph_database_simulation_with_load_balancing_and_threaded_requ
     minhash_dedup,
     decontaminate,
     ngram_jaccard_pairs,
+    prefix_jaccard_join,
     shingle_jaccard_pairs,
     simhash_allpairs,
     simhash_dedup,
@@ -1592,6 +1593,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(spark, sf_dir, "lineitem"),
         )
 
+    def q_prefix_join(spark, sf_dir):
+        # EXACT set-similarity self-join by prefix filtering (PPJoin
+        # family) at token-Jaccard >= 0.8: frequency-ordered prefixes
+        # make the candidate index buckets each doc's rarest tokens,
+        # never all-pairs; threshold test cross-multiplied to longs.
+        # Bounded to the _RECALL_DOCS id prefix — the SYNTHETIC corpus
+        # is template-generated and pathologically self-similar (24%
+        # of ALL pairs pass 0.8 at sf0.1 -> the OUTPUT itself is
+        # quadratic, 3M pairs; measured 115 s), which no exact join
+        # can avoid; on real corpora where high similarity is sparse,
+        # the prefix filter is the full-corpus exact path.  Same
+        # bounded-verification posture as q_ngram_jaccard.
+        docs = load_table(spark, sf_dir, "documents").where(
+            F.col("doc_id") < _RECALL_DOCS
+        )
+        return prefix_jaccard_join(docs)
+
     def q_forecast_rev(spark, sf_dir):
         # TPC-H Q6 shape: four pushed predicates, zero joins, one
         # decimal-exact map-side-combined aggregate — the pure
@@ -2129,6 +2147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_communities": q_communities,
         "q_forecast_rev": q_forecast_rev,
         "q_small_qty_rev": q_small_qty_rev,
+        "q_prefix_join": q_prefix_join,
         # -- round-3-green suite, due for re-verification --
         "q_add_graph": q_add_graph,
         "q_modify_graph": q_modify_graph,
@@ -3075,6 +3094,45 @@ def oracle_sql() -> dict[str, str]:
             SELECT na.u, na.v, na.common,
                    na.common / CAST(du.d + dv.d - na.common AS DOUBLE) AS jaccard
             FROM na JOIN deg du ON du.v = na.u JOIN deg dv ON dv.v = na.v
+        """,
+        "q_prefix_join": f"""
+            WITH nd AS (SELECT doc_id AS id, {_SQL_NORM} AS t FROM documents
+                        WHERE doc_id < {_RECALL_DOCS}),
+            tok AS (
+              SELECT DISTINCT id, tk FROM (
+                SELECT id, unnest(regexp_split_to_array(t, '\\s+')) AS tk
+                FROM nd WHERE t <> ''
+              ) WHERE tk <> ''
+            ),
+            freq AS (SELECT tk, COUNT(*) AS f FROM tok GROUP BY tk),
+            sizes AS (SELECT id, COUNT(*) AS n FROM tok GROUP BY id),
+            ranked AS (
+              SELECT tok.id, tok.tk,
+                     row_number() OVER (PARTITION BY tok.id ORDER BY f, tok.tk)
+                         AS rn
+              FROM tok JOIN freq USING (tk)
+            ),
+            pre AS (
+              SELECT r.id, r.tk FROM ranked r JOIN sizes s USING (id)
+              WHERE r.rn <= s.n - ((4 * s.n + 4) // 5) + 1
+            ),
+            cand AS (
+              SELECT DISTINCT a.id AS id_a, b.id AS id_b
+              FROM pre a JOIN pre b ON a.tk = b.tk AND a.id < b.id
+            ),
+            i AS (
+              SELECT c.id_a, c.id_b, COUNT(*) AS inter
+              FROM cand c
+              JOIN tok x ON x.id = c.id_a
+              JOIN tok y ON y.id = c.id_b AND y.tk = x.tk
+              GROUP BY 1, 2
+            )
+            SELECT i.id_a, i.id_b, CAST(i.inter AS BIGINT) AS inter,
+                   CAST(s1.n AS BIGINT) AS n_a, CAST(s2.n AS BIGINT) AS n_b,
+                   CAST(i.inter AS DOUBLE) / (s1.n + s2.n - i.inter) AS jaccard
+            FROM i JOIN sizes s1 ON s1.id = i.id_a
+                   JOIN sizes s2 ON s2.id = i.id_b
+            WHERE 5 * i.inter >= 4 * (s1.n + s2.n - i.inter)
         """,
         "q_forecast_rev": """
             SELECT round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))

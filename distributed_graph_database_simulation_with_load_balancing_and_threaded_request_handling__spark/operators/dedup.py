@@ -818,3 +818,101 @@ def simhash_allpairs(
         )
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def prefix_jaccard_join(
+    documents: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+) -> DataFrame:
+    """EXACT set-similarity self-join by prefix filtering (the
+    PPJoin/AllPairs family — the exact counterpart of the MinHash-LSH
+    path: no false negatives, no false positives, and still never
+    all-pairs): emit every document pair whose DISTINCT-TOKEN Jaccard
+    is >= ``threshold_num / threshold_den``.
+
+    The pruning theorem: order every token by ascending global
+    frequency (ties by token text — one total order shared by all
+    documents) and keep each document's first
+    ``p = n - ceil(t * n) + 1`` tokens as its PREFIX; two sets with
+    Jaccard >= t must share at least one prefix token, so the
+    candidate set is the prefix inverted-index join — and prefixes
+    are by construction each document's RAREST tokens, so the index
+    buckets are small (the frequency ordering IS the skew guard).
+    Candidates are then verified with an exact intersection count.
+
+    All arithmetic is integer-exact: the prefix length uses integer
+    ceil, and the threshold test cross-multiplies
+    (``den * inter >= num * union``), so the only float is the final
+    reported jaccard (one IEEE division of exact longs).
+
+    Returns ``(id_a, id_b, inter, n_a, n_b, jaccard)`` with
+    ``id_a < id_b``.
+
+    Scale: one token explode + one frequency aggregation + a
+    per-document window rank; the candidate join carries prefix
+    tokens only; verification joins the token table against the
+    (small) candidate set — each shuffle is keyed and bucketed,
+    nothing quadratic in the corpus.
+    """
+    t_num, t_den = int(threshold_num), int(threshold_den)
+    toks = (
+        documents.select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.array_distinct(tokens(normalize_text(F.col(text_col))))
+            ).alias("tk"),
+        )
+        .where(F.col("tk") != "")
+    )
+    freq = toks.groupBy("tk").agg(F.count("*").alias("f"))
+    sizes = toks.groupBy("id").agg(F.count("*").alias("n"))
+    ranked = toks.join(freq, "tk").select(
+        "id",
+        "tk",
+        F.row_number()
+        .over(Window.partitionBy("id").orderBy("f", "tk"))
+        .alias("rn"),
+    )
+    prefix_len = F.expr(f"n - (({t_num} * n + {t_den} - 1) div {t_den}) + 1")
+    pre = ranked.join(sizes, "id").where(F.col("rn") <= prefix_len)
+    p1 = pre.select(F.col("tk"), F.col("id").alias("id_a"))
+    p2 = pre.select(F.col("tk"), F.col("id").alias("id_b"))
+    cand = (
+        p1.join(p2, "tk")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    a = toks.select(F.col("id").alias("id_a"), "tk")
+    b = toks.select(F.col("id").alias("id_b"), "tk")
+    inter = (
+        cand.join(a, "id_a")
+        .join(b, ["id_b", "tk"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("long").alias("inter"))
+    )
+    na = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .where(
+            t_den * F.col("inter")
+            >= t_num * (F.col("n_a") + F.col("n_b") - F.col("inter"))
+        )
+        .select(
+            F.col("id_a").cast("long").alias("id_a"),
+            F.col("id_b").cast("long").alias("id_b"),
+            "inter",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            (
+                F.col("inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("inter")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
