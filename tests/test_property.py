@@ -340,3 +340,59 @@ def test_kcore_probe_chaining_matches_python_oracle(sess, pairs, pe):
     df = sess.createDataFrame(pairs, "src long, dst long")
     got = {r.vertex: r.core_degree for r in kcore(df, 2, probe_every=pe).collect()}
     assert got == python_kcore(pairs, 2)
+
+
+# --- exact prefix-filtered similarity join vs brute force ---
+
+from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.dedup import (  # noqa: E402
+    prefix_jaccard_join,
+)
+
+
+def _brute_jaccard_pairs(docs, t_num, t_den):
+    """All-pairs token-Jaccard >= t over normalized text, in python."""
+    import itertools
+    import re
+
+    sets = {}
+    for i, text in docs:
+        toks = set(re.sub(r"[^a-z0-9]+", " ", text.lower()).split())
+        toks.discard("")
+        if toks:
+            sets[i] = toks
+    out = set()
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        union = len(sets[a] | sets[b])
+        if t_den * inter >= t_num * union:
+            out.add((a, b, inter, len(sets[a]), len(sets[b])))
+    return out
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.text(alphabet="ab cd", min_size=0, max_size=24),
+        min_size=2,
+        max_size=12,
+    ),
+    t=st.sampled_from([(1, 2), (4, 5), (9, 10)]),
+)
+def test_prefix_join_exact_vs_brute_force(sess, docs, t):
+    """The prefix filter must be EXACT: same pair set as all-pairs
+    comparison, at several thresholds, over adversarially tiny token
+    vocabularies (maximal prefix collisions)."""
+    t_num, t_den = t
+    rows = [(i, text) for i, text in enumerate(docs)]
+    df = sess.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b, r.inter, r.n_a, r.n_b)
+        for r in prefix_jaccard_join(
+            df, threshold_num=t_num, threshold_den=t_den
+        ).collect()
+    }
+    assert got == _brute_jaccard_pairs(rows, t_num, t_den)
