@@ -54,6 +54,7 @@ from distributed_graph_database_simulation_with_load_balancing_and_threaded_requ
     pagerank_fixed,
     pagerank_fixed_both,
     pagerank_prepare,
+    personalized_pagerank_fixed,
     sssp,
     triangle_counts,
 )
@@ -305,6 +306,45 @@ def _pagerank_oracle_sql(
 _KCORE_SHIP_WHERE = (
     "WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'"
 )
+
+
+def _ppr_oracle_sql(
+    iters: int = 5, damping_pct: int = 85, scale: int = 10**12, k: int = 8
+) -> str:
+    """Unrolled personalized PageRank over the 1995-window co-purchase
+    graph, sources = the ``k`` smallest vertex ids: the
+    ``graphalgs.personalized_pagerank_fixed`` update rule replayed
+    bit-for-bit (teleport and initial mass confined to the source
+    set, integer floor division throughout)."""
+    tele_num = (100 - damping_pct) * scale // 100
+    ctes = [
+        f"WITH {_sql_copurchase(_KCORE_SHIP_WHERE)}",
+        "sym AS (SELECT src, dst FROM ce UNION ALL SELECT dst, src FROM ce)",
+        "verts AS (SELECT DISTINCT src AS v FROM sym)",
+        "deg AS (SELECT src AS v, COUNT(*) AS d FROM sym GROUP BY src)",
+        f"srcs AS (SELECT v FROM verts ORDER BY v LIMIT {k})",
+        f"r0 AS (SELECT verts.v, CASE WHEN srcs.v IS NOT NULL "
+        f"THEN {scale} // {k} ELSE 0 END AS r "
+        f"FROM verts LEFT JOIN srcs ON srcs.v = verts.v)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"s{i} AS (SELECT e.dst AS v, SUM(p.r // dg.d) AS s FROM sym e "
+            f"JOIN r{i - 1} p ON p.v = e.src JOIN deg dg ON dg.v = e.src "
+            f"GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"r{i} AS (SELECT verts.v, "
+            f"CASE WHEN srcs.v IS NOT NULL THEN {tele_num} // {k} ELSE 0 END "
+            f"+ ({damping_pct} * COALESCE(s{i}.s, 0)) // 100 AS r "
+            f"FROM verts LEFT JOIN srcs ON srcs.v = verts.v "
+            f"LEFT JOIN s{i} ON s{i}.v = verts.v)"
+        )
+    return (
+        ",\n".join(ctes)
+        + f"\nSELECT v AS vertex, CAST(r AS BIGINT) AS rank_scaled, "
+        f"r / {float(scale)} AS rank FROM r{iters}"
+    )
 
 
 def _sssp_oracle_sql(rounds: int = 24) -> str:
@@ -1504,6 +1544,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "u", "v", "common", "ra_scaled", "ra"
         )
 
+    def q_ppr(spark, sf_dir):
+        # Personalized PageRank (random walk with restart) from the 8
+        # smallest part ids of the 1995 co-purchase graph — the
+        # "related products" relatedness query; integer fixed-point
+        # loop, teleport confined to the source set, value-exact
+        # against the unrolled SQL rounds.
+        edges = copurchase_edges(
+            spark, sf_dir, symmetric=True, ship_range=("1995-01-01", "1996-01-01")
+        )
+        sources = (
+            edges.select(F.col("src").alias("v")).distinct().orderBy("v").limit(8)
+        )
+        return personalized_pagerank_fixed(
+            edges, sources, loop_shuffle_partitions=8
+        )
+
     def q_communities(spark, sf_dir):
         # Strong-tie communities: the products repeatedly bought
         # together (co-purchase multiplicity >= 2) clustered by
@@ -2148,6 +2204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_forecast_rev": q_forecast_rev,
         "q_small_qty_rev": q_small_qty_rev,
         "q_prefix_join": q_prefix_join,
+        "q_ppr": q_ppr,
         # -- round-3-green suite, due for re-verification --
         "q_add_graph": q_add_graph,
         "q_modify_graph": q_modify_graph,
@@ -3063,6 +3120,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT vertex, CAST(COUNT(*) AS BIGINT) AS triangles
             FROM m GROUP BY vertex
         """,
+        "q_ppr": _ppr_oracle_sql(iters=5),
         "q_pagerank": _pagerank_oracle_sql(iters=5),
         "q_pagerank_weighted": _pagerank_oracle_sql(iters=5, weighted=True),
         "q_degree_hist": f"""

@@ -888,3 +888,104 @@ def resource_allocation(
         max_center_degree=max_center_degree,
         scale=scale,
     ).select("u", "v", "common", "ra_scaled", "ra")
+
+
+def personalized_pagerank_fixed(
+    edges: DataFrame | None = None,
+    sources: DataFrame | None = None,
+    *,
+    iters: int = 5,
+    damping_pct: int = 85,
+    scale: int = 10**12,
+    graph_id: int | None = None,
+    loop_shuffle_partitions: int | None = None,
+    prepared: PageRankGraph | None = None,
+) -> DataFrame:
+    """Personalized PageRank (random walk with restart): identical
+    integer fixed-point loop to ``pagerank_fixed`` except the teleport
+    mass returns ONLY to the ``sources`` set — the recommendation /
+    relatedness query ("what is close to THESE vertices"), vs global
+    PageRank's "what is central".
+
+    Update rule (all integer arithmetic, |S| = source count)::
+
+        r0(v)       = scale div |S|                    if v in S else 0
+        teleport(v) = ((100-d)*scale div 100) div |S|  if v in S else 0
+        r_{k+1}(v)  = teleport(v)
+                      + (d * sum over in-edges(u,v) of r_k(u) div outdeg(u)) div 100
+
+    Returns ``(vertex, rank_scaled, rank)`` for every graph vertex
+    (mass decays with distance from the sources; unreachable vertices
+    hold 0).  Integer ops are order-independent, so the result is
+    engine-exact and the SQL oracle unrolls the same rounds.
+
+    Scale posture is ``pagerank_fixed``'s verbatim; the source tag is
+    one broadcast join materialized once before the loop.
+    """
+    if prepared is None:
+        if edges is None:
+            raise ValueError("pass either edges or prepared")
+        prepared = pagerank_prepare(edges, graph_id=graph_id)
+    if sources is None:
+        raise ValueError("sources is required")
+    spark = prepared.verts.sparkSession
+    _parts_key = "spark.sql.shuffle.partitions"
+    _prev_parts = spark.conf.get(_parts_key)
+    if loop_shuffle_partitions is not None:
+        spark.conf.set(_parts_key, str(int(loop_shuffle_partitions)))
+    try:
+        ed, verts = prepared.ed, prepared.verts
+        srcs = sources.select(F.col(sources.columns[0]).cast("long").alias("sv0")).distinct()
+        k = srcs.count()  # O(1)-rows-to-driver scalar, like prepared.n
+        if k == 0:
+            raise ValueError("personalized_pagerank_fixed: empty source set")
+        tagged = (
+            verts.join(
+                F.broadcast(srcs.withColumn("_is", F.lit(1))),
+                verts["vertex"] == F.col("sv0"),
+                "left",
+            )
+            .select("vertex", F.coalesce("_is", F.lit(0)).alias("is_src"))
+            .localCheckpoint(eager=True)
+        )
+        init = scale // k
+        tele = ((100 - damping_pct) * scale // 100) // k
+        ranks = tagged.select(
+            "vertex",
+            "is_src",
+            F.when(F.col("is_src") == 1, F.lit(init)).otherwise(F.lit(0))
+            .cast("long")
+            .alias("r"),
+        )
+        _CHECKPOINT_EVERY = 8
+        for i in range(iters):
+            sums = (
+                ranks.join(ed, ranks["vertex"] == F.col("esrc"))
+                .select(
+                    F.col("edst").alias("sv"),
+                    F.expr("r div outdeg_unit").alias("c"),
+                )
+                .groupBy("sv")
+                .agg(F.sum("c").alias("s"))
+            )
+            ranks = tagged.join(sums, tagged["vertex"] == F.col("sv"), "left").select(
+                tagged["vertex"],
+                tagged["is_src"],
+                F.expr(
+                    f"CAST(CASE WHEN is_src = 1 THEN {tele} ELSE 0 END "
+                    f"+ ({damping_pct} * coalesce(s, 0)) div 100 AS LONG)"
+                ).alias("r"),
+            )
+            if (i + 1) % _CHECKPOINT_EVERY == 0 and (i + 1) < iters:
+                ranks = ranks.localCheckpoint(eager=True)
+        out = ranks.select(
+            F.col("vertex").cast("long").alias("vertex"),
+            F.col("r").alias("rank_scaled"),
+            (F.col("r") / F.lit(float(scale))).alias("rank"),
+        )
+        if loop_shuffle_partitions is not None:
+            out = out.localCheckpoint(eager=True)
+        return out
+    finally:
+        if loop_shuffle_partitions is not None:
+            spark.conf.set(_parts_key, _prev_parts)
