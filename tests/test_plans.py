@@ -428,3 +428,14 @@ def test_forecast_rev_all_predicates_pushed_no_join(spark):
     assert "l_shipdate" in pushed and "l_quantity" in pushed
     read_schema = plan.split("ReadSchema", 1)[1][:300]
     assert "l_orderkey" not in read_schema and "l_partkey" not in read_schema
+
+
+def test_small_qty_rev_broadcasts_brand_and_preaggregates(spark):
+    """Q17 shape: the brand dim must broadcast, and the decorrelated
+    per-part average must sit BELOW the final join (>= 2 aggregates:
+    the per-part pre-agg pair plus the final sum)."""
+    df = entry.queries()["q_small_qty_rev"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("HashAggregate") >= 3
+    assert df.count() == 1
