@@ -97,6 +97,7 @@ from distributed_graph_database_simulation_with_load_balancing_and_threaded_requ
     tfidf_topk,
 )
 from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.temporal import (
+    activity_profile_similarity,
     asof_join,
     interval_join,
     time_gapfill,
@@ -1544,6 +1545,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "u", "v", "common", "ra_scaled", "ra"
         )
 
+    def q_series_sim(spark, sf_dir):
+        # Time-series similarity search (profile form): 24-bin
+        # hour-of-day activity profiles in integer cents, top-20
+        # entities by exact dot product against user 1's profile —
+        # linear one-vs-all (no pairwise expansion), ties on user id.
+        return activity_profile_similarity(
+            load_table(spark, sf_dir, "events"), ref_user=1, k=20
+        )
+
     def q_ppr(spark, sf_dir):
         # Personalized PageRank (random walk with restart) from the 8
         # smallest part ids of the 1995 co-purchase graph — the
@@ -2205,6 +2215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_small_qty_rev": q_small_qty_rev,
         "q_prefix_join": q_prefix_join,
         "q_ppr": q_ppr,
+        "q_series_sim": q_series_sim,
         # -- round-3-green suite, due for re-verification --
         "q_add_graph": q_add_graph,
         "q_modify_graph": q_modify_graph,
@@ -3121,6 +3132,21 @@ def oracle_sql() -> dict[str, str]:
             FROM m GROUP BY vertex
         """,
         "q_ppr": _ppr_oracle_sql(iters=5),
+        "q_series_sim": """
+            WITH prof AS (
+              SELECT user_id AS u, EXTRACT(hour FROM ts) AS h,
+                     CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+                         AS v
+              FROM events GROUP BY 1, 2
+            ),
+            ref AS (SELECT h, v AS rv FROM prof WHERE u = 1),
+            scored AS (
+              SELECT p.u, CAST(SUM(p.v * ref.rv) AS BIGINT) AS dot
+              FROM prof p JOIN ref USING (h) WHERE p.u <> 1 GROUP BY p.u
+            )
+            SELECT CAST(u AS BIGINT) AS user_id, dot
+            FROM scored ORDER BY dot DESC, u LIMIT 20
+        """,
         "q_pagerank": _pagerank_oracle_sql(iters=5),
         "q_pagerank_weighted": _pagerank_oracle_sql(iters=5, weighted=True),
         "q_degree_hist": f"""

@@ -234,3 +234,50 @@ def time_gapfill(
         F.last("v", ignorenulls=True).over(w).alias("value_filled"),
         F.when(F.col("v").isNull(), 1).otherwise(0).cast("int").alias("filled"),
     )
+
+
+def activity_profile_similarity(
+    events: DataFrame,
+    ref_user: int,
+    *,
+    k: int = 20,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+) -> DataFrame:
+    """Time-series similarity search in profile form (the streaming
+    time-series-similarity literature's fixed-dimension reduction):
+    each entity's activity series is collapsed to a 24-bin
+    hour-of-day profile (exact DECIMAL sums scaled to integer cents),
+    and entities are ranked by the integer dot product of their
+    profile against a REFERENCE entity's — "who behaves like user
+    X".  Returns the top-``k`` ``(user_id, dot)``.
+
+    Every quantity is integer-exact (decimal sums -> cents -> long
+    products), and the ordering ties break on user id, so the top-k
+    set is engine-exact — the same determinism posture as the
+    fixed-point PageRank.
+
+    Scale: one groupBy builds all profiles (24 rows/entity), the
+    24-row reference profile broadcasts, and scoring is a linear
+    map-side join + per-entity sum — NO pairwise expansion (the
+    all-pairs variant needs the LSH/IVF blocking of similarity.py;
+    this is the exact one-vs-all path, linear in entities at any
+    scale).
+    """
+    cents = (F.sum(F.col(val_col).cast("decimal(18,2)")) * 100).cast("long")
+    prof = events.groupBy(
+        F.col(user_col).alias("u"), F.hour(ts_col).alias("h")
+    ).agg(cents.alias("v"))
+    ref = prof.where(F.col("u") == int(ref_user)).select(
+        "h", F.col("v").alias("rv")
+    )
+    return (
+        prof.join(F.broadcast(ref), "h")
+        .where(F.col("u") != int(ref_user))
+        .groupBy("u")
+        .agg(F.sum(F.col("v") * F.col("rv")).cast("long").alias("dot"))
+        .orderBy(F.desc("dot"), "u")
+        .limit(k)
+        .select(F.col("u").cast("long").alias("user_id"), "dot")
+    )
