@@ -2027,6 +2027,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def q_schema_merge(spark, sf_dir):
+        # SCHEMA EVOLUTION roundtrip: a v1 writer lays down 2-column
+        # files, a later v2 writer appends a third column to the same
+        # directory, and a mergeSchema read reconciles them — v1 rows
+        # surface NULL for the new column (the lakehouse
+        # add-a-column-without-rewrite contract).  The oracle
+        # recomputes from the source with an explicit NULL projection,
+        # so the hash match proves the merge is lossless and typed.
+        import tempfile
+
+        nation = load_table(spark, sf_dir, "nation")
+        path = tempfile.mkdtemp(prefix="sparkgraft_evolve_") + "/t"
+        v1 = nation.where(F.col("n_nationkey") % 2 == 0).select(
+            F.col("n_nationkey").cast("long").alias("n_nationkey"), "n_name"
+        )
+        v2 = nation.where(F.col("n_nationkey") % 2 == 1).select(
+            F.col("n_nationkey").cast("long").alias("n_nationkey"),
+            "n_name",
+            F.col("n_regionkey").cast("long").alias("n_regionkey"),
+        )
+        v1.write.parquet(path)
+        v2.write.mode("append").parquet(path)
+        back = spark.read.option("mergeSchema", "true").parquet(path)
+        return back.groupBy(
+            F.coalesce("n_regionkey", F.lit(-1)).cast("long").alias("region")
+        ).agg(
+            F.count("*").cast("long").alias("n_nations"),
+            F.sum("n_nationkey").cast("long").alias("key_sum"),
+            F.min("n_name").alias("first_name"),
+        )
+
     def q_kcore(spark, sf_dir):
         # 2-core of the 1995 co-purchase graph: survivors + in-core
         # degree via iterative peeling (unique fixpoint).
@@ -2216,6 +2247,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_prefix_join": q_prefix_join,
         "q_ppr": q_ppr,
         "q_series_sim": q_series_sim,
+        "q_schema_merge": q_schema_merge,
         # -- round-3-green suite, due for re-verification --
         "q_add_graph": q_add_graph,
         "q_modify_graph": q_modify_graph,
@@ -3132,6 +3164,22 @@ def oracle_sql() -> dict[str, str]:
             FROM m GROUP BY vertex
         """,
         "q_ppr": _ppr_oracle_sql(iters=5),
+        "q_schema_merge": """
+            WITH v AS (
+              SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+                     CAST(NULL AS BIGINT) AS n_regionkey
+              FROM nation WHERE n_nationkey % 2 = 0
+              UNION ALL
+              SELECT CAST(n_nationkey AS BIGINT), n_name,
+                     CAST(n_regionkey AS BIGINT)
+              FROM nation WHERE n_nationkey % 2 = 1
+            )
+            SELECT CAST(COALESCE(n_regionkey, -1) AS BIGINT) AS region,
+                   CAST(COUNT(*) AS BIGINT) AS n_nations,
+                   CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
+                   MIN(n_name) AS first_name
+            FROM v GROUP BY 1
+        """,
         "q_series_sim": """
             WITH prof AS (
               SELECT user_id AS u, EXTRACT(hour FROM ts) AS h,
