@@ -426,3 +426,21 @@ def test_pagerank_fixed_both_matches_single_runs(spark):
     for v, r in both.items():
         assert r.rank_scaled_u == uni[v]
         assert r.rank_scaled_w == wei[v]
+
+
+def test_parse_byte_conf_units():
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.graphalgs import (
+        _parse_byte_conf,
+    )
+
+    assert _parse_byte_conf("10485760b") == 10 * 1024 * 1024
+    assert _parse_byte_conf("10m") == 10 * 1024 * 1024
+    assert _parse_byte_conf("64MB") == 64 * 1024 * 1024
+    assert _parse_byte_conf("2g") == 2 << 30
+    assert _parse_byte_conf("3K") == 3072
+    assert _parse_byte_conf("-1") == -1
+    assert _parse_byte_conf("1024") == 1024
+    import pytest
+
+    with pytest.raises(ValueError):
+        _parse_byte_conf("ten megabytes")

@@ -180,3 +180,44 @@ def test_event_type_pivot_counts_and_value(spark):
     assert out[7]["purchase_value"] == pytest.approx(30.0)
     assert out[8]["n_view"] == 1 and out[8]["n_purchase"] == 0
     assert out[8]["purchase_value"] == 0.0  # no purchases -> 0, not NULL
+
+
+def test_forecast_revenue_fixture(spark):
+    # Three rows: only the middle one passes all four predicates.
+    import datetime
+
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.relational import (
+        forecast_revenue,
+    )
+
+    d = datetime.datetime
+    rows = [
+        (d(1995, 6, 1), 100.0, 0.06, 10.0),   # in: 100*0.06 = 6.00
+        (d(1995, 6, 1), 100.0, 0.08, 10.0),   # discount out of band
+        (d(1996, 6, 1), 100.0, 0.06, 10.0),   # date out of range
+        (d(1995, 6, 1), 100.0, 0.06, 30.0),   # quantity too large
+    ]
+    li = spark.createDataFrame(
+        rows, "l_shipdate timestamp, l_extendedprice double, l_discount double, l_quantity double"
+    )
+    got = forecast_revenue(li).collect()[0]
+    assert got.revenue == 6.0
+
+
+def test_small_quantity_revenue_fixture(spark):
+    # One brand part with quantities [1, 10, 10, 10, 10]: avg = 8.2,
+    # 0.2*avg = 1.64 -> only the qty-1 row is "small"; its price / 7.
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.relational import (
+        small_quantity_revenue,
+    )
+
+    part = spark.createDataFrame(
+        [(1, "Brand#23"), (2, "Brand#11")], "p_partkey long, p_brand string"
+    )
+    li = spark.createDataFrame(
+        [(1, q, 70.0) for q in (1.0, 10.0, 10.0, 10.0, 10.0)]
+        + [(2, 1.0, 999.0)],  # other brand: ignored
+        "l_partkey long, l_quantity double, l_extendedprice double",
+    )
+    got = small_quantity_revenue(li, part).collect()[0]
+    assert got.avg_yearly == 10.0  # 70 / 7
