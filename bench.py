@@ -1,8 +1,18 @@
 """Benchmark harness: run the declared query set at
 ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
-``local[$SPARK_GRAFT_CPUS]`` and print ONE JSON line:
-``{"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}``.
+``local[$SPARK_GRAFT_CPUS]``.
+
+Output contract (driver-parseable — rounds 4 and 5 produced
+``"parsed": null`` official records because the single full JSON line
+exceeded the driver's 2000-char stdout tail):
+
+* stdout line 1: the FULL record ``{"metric", "value", "unit",
+  "queries": {name: sec}, "sf"}`` (for humans and history; ~2.5 KB
+  at 115 queries, may be truncated by tail captures).
+* stdout line 2 (LAST line, < 1 KB, always intact in a tail):
+  compact summary ``{"metric", "value", "unit", "sf", "n_queries",
+  "sec_per_query", "slowest": {top-10 map}, "full": "BENCH_FULL.json"}``.
+* ``BENCH_FULL.json`` at the repo root: the full record, pretty-printed.
 
 Each query is fully materialized (count of collected rows) so the
 timing covers the whole plan, not just planning.
@@ -65,14 +75,31 @@ def main() -> None:
         print(f"# {name}: {n} rows in {timings[name]}s {runs}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+    full = {
+        "metric": "declared_query_set_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"), "w") as fh:
+        json.dump(full, fh, indent=1)
+    print(json.dumps(full))
+    # The LAST stdout line is the driver's record: keep it well under
+    # the 2000-char tail so it parses (slowest-10 map only; the full
+    # per-query map is on line 1 and in BENCH_FULL.json).
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
     print(
         json.dumps(
             {
                 "metric": "declared_query_set_total_wall",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
                 "sf": sf,
+                "n_queries": len(timings),
+                "sec_per_query": round(total / max(len(timings), 1), 3),
+                "slowest": slowest,
+                "full": "BENCH_FULL.json",
             }
         )
     )

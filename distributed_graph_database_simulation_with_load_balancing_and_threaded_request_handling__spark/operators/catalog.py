@@ -138,6 +138,56 @@ def add_graph(pairs: DataFrame, *, graph_id: int) -> DataFrame:
     catalog would persist."""
     return edges_from_pairs(pairs, graph_id=graph_id, symmetric=True)
 
+def merge_edges(
+    current: DataFrame,
+    *,
+    graph_id: int,
+    insert_pairs: DataFrame | None = None,
+    delete_pairs: DataFrame | None = None,
+) -> DataFrame:
+    """Edge-level incremental mutation — the lakehouse-grade refinement
+    of O2's whole-partition overwrite (the reference rewrites the whole
+    graph file for any change, primary_server.c:121-135): apply an
+    undirected delete-delta, then upsert the normalized symmetric
+    insert-delta.  Deletes run FIRST, so a pair present in both deltas
+    ends PRESENT.
+
+    Semantics: deltas are undirected raw pairs; a delete removes BOTH
+    stored orientations of the canonical pair; an upsert is set-union
+    (edges are pure keys, so inserting an existing edge is a no-op).
+    Self-loops in either delta are ignored, matching
+    ``edges_from_pairs``' ingest normalization.
+
+    Scale posture: the delete delta is broadcast (deltas are small by
+    definition — a big delta is a modify_graph); the upsert dedup
+    shuffles only the TARGET graph's rows on the edge key, and other
+    graph_id partitions stream through untouched — in the physical
+    catalog this composes with dynamic partition overwrite of exactly
+    one partition, never a full-table rewrite.
+    """
+    rest = current.where(F.col("graph_id") != graph_id)
+    tgt = current.where(F.col("graph_id") == graph_id)
+    if delete_pairs is not None:
+        dk = (
+            delete_pairs.where(F.col("src") != F.col("dst"))
+            .select(
+                F.least("src", "dst").cast("long").alias("_lo"),
+                F.greatest("src", "dst").cast("long").alias("_hi"),
+            )
+            .distinct()
+        )
+        tgt = tgt.join(
+            F.broadcast(dk),
+            (F.least(F.col("src"), F.col("dst")) == F.col("_lo"))
+            & (F.greatest(F.col("src"), F.col("dst")) == F.col("_hi")),
+            "left_anti",
+        )
+    if insert_pairs is not None:
+        ins = edges_from_pairs(insert_pairs, graph_id=graph_id, symmetric=True)
+        tgt = tgt.unionByName(ins).distinct()
+    return rest.unionByName(tgt)
+
+
 def modify_graph(current: DataFrame, replacement_pairs: DataFrame, *, graph_id: int) -> DataFrame:
     """Pure form of O2: the database edge list after wholesale replacing
     one graph's partition — anti-join out the old partition, union in

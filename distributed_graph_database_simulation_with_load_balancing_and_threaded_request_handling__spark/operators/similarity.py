@@ -314,6 +314,134 @@ def ivf_topk_partitioned(
     )
 
 
+def pq_codebooks(
+    embeddings: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 4,
+    n_codes: int = 16,
+) -> list[list[list[float]]]:
+    """Deterministic product-quantization codebooks: the ``n_codes``
+    vectors with smallest md5(id-as-string) (the exact seeded sample
+    ``ivf_centroids`` uses), each sliced into ``m`` contiguous
+    subvectors; codebook j is the j-th slice of every sampled vector.
+
+    Sampled-codewords rather than per-subspace k-means for the same
+    reason as ``ivf_centroids``: the quantize/encode/ADC shape being
+    exercised is identical, and the selection is replayable in ANSI
+    SQL for the value oracle (swap in per-subspace ``pyspark.ml``
+    KMeans for production recall).  Driver work is ``n_codes`` rows —
+    never the data path.  Returns shape (m, n_codes, dim//m)."""
+    rows = (
+        embeddings.select(
+            F.col(id_col).alias("id"), as_double_vec(F.col(vec_col)).alias("v")
+        )
+        .orderBy(F.md5(F.col("id").cast("string")), F.col("id"))
+        .limit(n_codes)
+        .collect()
+    )
+    vecs = [[float(x) for x in r["v"]] for r in rows]
+    dim = len(vecs[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible into {m} subspaces")
+    sub = dim // m
+    return [[v[j * sub : (j + 1) * sub] for v in vecs] for j in range(m)]
+
+
+def _pq_codes_arrow(books: list[list[list[float]]]):
+    """PQ encoder as an Arrow Pandas UDF: per subspace j, the 1-based
+    index of the codeword minimizing ||v_j - c||^2 (ties -> lowest
+    code, matching a sequential argmin) — all m subspaces of the whole
+    batch in one einsum.  UDF: array<float> -> array<int>.
+
+    This is the bytes-per-vector index write path: at 100 TB the
+    stored column is m small ints (m bytes with n_codes<=256) instead
+    of dim floats — a ~dim*4/m compression of the index."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    b = np.asarray(books, dtype=np.float64)  # (m, n_codes, sub)
+    n_sub, _, sub = b.shape
+    b_sq = (b * b).sum(axis=2)  # (m, n_codes)
+
+    @pandas_udf("array<int>")
+    def codes(vecs: pd.Series) -> pd.Series:
+        v = np.asarray(vecs.tolist(), dtype=np.float64).reshape(-1, n_sub, sub)
+        # argmin_c |c|^2 - 2 v_j.c  ==  argmin_c ||v_j - c||^2
+        scores = b_sq[None, :, :] - 2.0 * np.einsum("bjs,jcs->bjc", v, b)
+        return pd.Series(list((scores.argmin(axis=2) + 1).astype("int32")))
+
+    return codes
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 4,
+    n_codes: int = 16,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Product-quantized approximate top-k by asymmetric distance
+    computation (ADC, Jégou et al. 2011): vectors are encoded as m
+    small codes; the query stays full-precision and is scored against
+    each vector's RECONSTRUCTION via per-subspace lookup tables
+    computed once driver-side — dot(q_j, c) and |c|^2 per codeword.
+    approx_cos = sum_j LUT_dot[j][code_j] / (|q| * sqrt(sum_j
+    LUT_nsq[j][code_j])) — the reconstruction norm is exact because
+    subspaces are disjoint.
+
+    Scale posture: scoring reads ONLY the m-byte code column (the
+    element_at chain over broadcast-literal LUTs is pure JVM codegen —
+    no vector column scan, no UDF in the scoring path; the one Pandas
+    UDF is the encode, which at 100 TB is a one-time index build).
+    Top-k is TakeOrderedAndProject as in ``cosine_topk``.  Returns
+    ``(vec_id, sim, rank)``; composes with IVF cells for
+    partition-pruned probing (``save_ivf_partitioned``)."""
+    books = pq_codebooks(
+        embeddings, vec_col=vec_col, id_col=id_col, m=m, n_codes=n_codes
+    )
+    sub = len(query_vec) // m
+    q_norm = math.sqrt(sum(float(x) * float(x) for x in query_vec))
+    dot_lut, nsq_lut = [], []
+    for j in range(m):
+        qj = [float(x) for x in query_vec[j * sub : (j + 1) * sub]]
+        dot_lut.append([sum(a * b for a, b in zip(qj, c)) for c in books[j]])
+        nsq_lut.append([sum(a * a for a in c) for c in books[j]])
+
+    codes = _pq_codes_arrow(books)(F.col(vec_col))
+    df = embeddings.select(F.col(id_col).alias("vec_id"), codes.alias("_codes"))
+    adot = None
+    ansq = None
+    # Left-associated chains so the float add order is pinned (the SQL
+    # oracle writes the same explicit (((t1+t2)+t3)+t4) parenthesization).
+    for j in range(m):
+        dj = F.element_at(
+            F.array(*[F.lit(float(x)) for x in dot_lut[j]]), F.col("_codes")[j]
+        )
+        nj = F.element_at(
+            F.array(*[F.lit(float(x)) for x in nsq_lut[j]]), F.col("_codes")[j]
+        )
+        adot = dj if adot is None else adot + dj
+        ansq = nj if ansq is None else ansq + nj
+    if q_norm == 0.0:
+        sim = F.lit(0.0)
+    else:
+        sim = F.when(ansq == 0, F.lit(0.0)).otherwise(
+            adot / (F.sqrt(ansq) * F.lit(q_norm))
+        )
+    sims = df.select("vec_id", F.round(sim, round_digits).alias("sim"))
+    from pyspark.sql.window import Window
+
+    top = sims.orderBy(F.col("sim").desc(), F.col("vec_id")).limit(k)
+    w = Window.orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
 def embedding_near_dup(
     embeddings: DataFrame,
     *,

@@ -454,6 +454,51 @@ def corpus_stats_stream(documents: DataFrame) -> DataFrame:
     )
 
 
+def run_dedup_batch(spark: SparkSession, path: str) -> DataFrame:
+    """Drive ``dedup_document_stream`` over the document files at
+    ``path`` as a finite stream (append sink, availableNow) and return
+    the surviving digest set as ``(text_hash)`` — exactly one row per
+    distinct document text.
+
+    Determinism contract (why only the digest column leaves the
+    query): WHICH duplicate row wins inside a micro-batch is
+    scheduler-order-dependent, exactly like the reference's
+    shuffle-order-dependent replies (O12) — but the surviving KEY SET
+    is invariant: it equals batch ``exact_dedup``'s keeper digests,
+    which is what the SQL oracle (``SELECT DISTINCT md5(text)``)
+    value-checks.  The parquet table carries no arrival timestamp, so
+    event_time is pinned to one constant instant: every row is inside
+    the watermark horizon and the drain is replay-stable (the
+    arrival-staggered/late-data behavior is exercised separately in
+    the streaming pytest suite).  Reference analogue: add-then-read
+    idempotence under the RW-lock protocol (primary_server.c:138-153).
+    """
+    src = (
+        spark.readStream.schema(DOCUMENT_TABLE_SCHEMA)
+        .format("parquet")
+        .load(_stream_source_dir(path))
+    ).withColumn(
+        "event_time", F.lit("2024-01-01 00:00:00").cast("timestamp")
+    )
+    kept = dedup_document_stream(src).select("text_hash")
+    import re
+
+    name = "stream_dedup_" + re.sub(r"\W+", "_", path).strip("_")
+    try:
+        spark.catalog.dropTempView(name)
+    except Exception:
+        pass
+    q = (
+        kept.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def run_corpus_stats_batch(spark: SparkSession, path: str) -> DataFrame:
     """Drive ``corpus_stats_stream`` over the document files at
     ``path`` as a finite stream and return the final per-language
