@@ -327,9 +327,14 @@ def _ppr_oracle_sql(
         "verts AS (SELECT DISTINCT src AS v FROM sym)",
         "deg AS (SELECT src AS v, COUNT(*) AS d FROM sym GROUP BY src)",
         f"srcs AS (SELECT v FROM verts ORDER BY v LIMIT {k})",
+        # Divisor derived from the source CTE, not the Python literal:
+        # on a graph with fewer than k vertices LIMIT returns them
+        # all, and personalized_pagerank_fixed divides by the COUNTED
+        # set — the oracle must too (round-5 ADVICE).
+        "sc AS (SELECT COUNT(*) AS n FROM srcs)",
         f"r0 AS (SELECT verts.v, CASE WHEN srcs.v IS NOT NULL "
-        f"THEN {scale} // {k} ELSE 0 END AS r "
-        f"FROM verts LEFT JOIN srcs ON srcs.v = verts.v)",
+        f"THEN {scale} // sc.n ELSE 0 END AS r "
+        f"FROM verts LEFT JOIN srcs ON srcs.v = verts.v CROSS JOIN sc)",
     ]
     for i in range(1, iters + 1):
         ctes.append(
@@ -339,10 +344,10 @@ def _ppr_oracle_sql(
         )
         ctes.append(
             f"r{i} AS (SELECT verts.v, "
-            f"CASE WHEN srcs.v IS NOT NULL THEN {tele_num} // {k} ELSE 0 END "
+            f"CASE WHEN srcs.v IS NOT NULL THEN {tele_num} // sc.n ELSE 0 END "
             f"+ ({damping_pct} * COALESCE(s{i}.s, 0)) // 100 AS r "
             f"FROM verts LEFT JOIN srcs ON srcs.v = verts.v "
-            f"LEFT JOIN s{i} ON s{i}.v = verts.v)"
+            f"LEFT JOIN s{i} ON s{i}.v = verts.v CROSS JOIN sc)"
         )
     return (
         ",\n".join(ctes)
@@ -603,9 +608,45 @@ def _evict_other_sf(sf_dir: str) -> None:
     ):
         for key in [k for k in cache if k[1] != sf_dir]:
             obj = cache.pop(key)
-            if hasattr(obj, "unpersist"):
+            if cache is _BUCKETED_TABLE_CACHE:
+                # (name, base_dir) entry: DROP the metastore table and
+                # remove its mkdtemp parquet dir — a long-lived driver
+                # alternating sf_dirs otherwise accumulates stale
+                # external tables and /tmp data forever (round-5
+                # ADVICE; previously the entry was popped as a bare
+                # string and the table/dir leaked).
+                _drop_bucketed_table(obj)
+            elif hasattr(obj, "unpersist"):
                 obj.unpersist()
     evict_edge_cache(except_sf_dir=sf_dir)
+
+
+def _drop_bucketed_table(entry: tuple) -> None:
+    import shutil
+
+    name, base_dir = entry
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        try:
+            active.sql(f"DROP TABLE IF EXISTS {name}")
+        except Exception:
+            pass  # session shutting down: the rmtree still reclaims disk
+    shutil.rmtree(base_dir, ignore_errors=True)
+
+
+def _reap_bucketed_tables_at_exit() -> None:
+    """Session-end reaper for whatever bucketed entries were never
+    evicted by an sf switch (the DROP is best-effort — at interpreter
+    exit the JVM may already be gone; the disk reclaim is the part
+    that must not leak)."""
+    for entry in list(_BUCKETED_TABLE_CACHE.values()):
+        _drop_bucketed_table(entry)
+    _BUCKETED_TABLE_CACHE.clear()
+
+
+import atexit as _atexit
+
+_atexit.register(_reap_bucketed_tables_at_exit)
 
 def _sql_planes_values() -> str:
     """The hyperplane constants of similarity.make_hyperplanes (seeded
@@ -2073,21 +2114,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         _evict_other_sf(sf_dir)
         key = (spark.sparkContext.applicationId, sf_dir)
-        name = _BUCKETED_TABLE_CACHE.get(key)
-        if name is None:
+        entry = _BUCKETED_TABLE_CACHE.get(key)
+        if entry is None:
             docs = load_table(spark, sf_dir, "documents").select(
                 "doc_id", F.md5("text").alias("text_hash")
             )
             name = f"docs_bucketed_{uuid.uuid4().hex[:8]}"
-            path = tempfile.mkdtemp(prefix="sparkgraft_bucket_") + "/docs"
+            base_dir = tempfile.mkdtemp(prefix="sparkgraft_bucket_")
             (
-                docs.write.option("path", path)
+                docs.write.option("path", base_dir + "/docs")
                 .bucketBy(8, "text_hash")
                 .sortBy("text_hash")
                 .format("parquet")
                 .saveAsTable(name)
             )
-            _BUCKETED_TABLE_CACHE[key] = name
+            # (name, base_dir): eviction needs both to DROP the table
+            # and reclaim the tmp dir (round-5 ADVICE).
+            entry = (name, base_dir)
+            _BUCKETED_TABLE_CACHE[key] = entry
+        name = entry[0]
         return (
             spark.table(name)
             .groupBy("text_hash")

@@ -63,13 +63,15 @@ def _oriented_edges(e: DataFrame) -> DataFrame:
 
 def _parse_byte_conf(value: str) -> int:
     """Spark byte-size conf string -> bytes: plain ints pass through,
-    unit suffixes (b/k/kb/m/mb/g/gb, case-insensitive — Spark's own
-    accepted spellings) are expanded.  Raises on anything else rather
-    than guessing a default — a wrong threshold silently re-enables
-    the broadcast the caller's 'auto' logic exists to avoid."""
+    unit suffixes (b/k/kb/m/mb/g/gb/t/tb/p/pb, case-insensitive —
+    Spark's own accepted spellings, JavaUtils.byteStringAs) are
+    expanded.  Raises on anything else rather than guessing a default
+    — a wrong threshold silently re-enables the broadcast the
+    caller's 'auto' logic exists to avoid."""
     s = value.strip().lower()
     units = {"b": 1, "k": 1 << 10, "kb": 1 << 10, "m": 1 << 20,
-             "mb": 1 << 20, "g": 1 << 30, "gb": 1 << 30}
+             "mb": 1 << 20, "g": 1 << 30, "gb": 1 << 30,
+             "t": 1 << 40, "tb": 1 << 40, "p": 1 << 50, "pb": 1 << 50}
     for suffix in sorted(units, key=len, reverse=True):
         if s.endswith(suffix) and s[: -len(suffix)].lstrip("-").isdigit():
             return int(s[: -len(suffix)]) * units[suffix]

@@ -28,6 +28,11 @@ from pyspark.sql.types import StructField, StructType, TimestampType
 from ..operators.dispatch import route_expr, run_requests, schedule_requests
 from ..sources.schema import REQUESTS_SCHEMA
 
+# Base dirs of completed serve_requests_available_now drives, reaped
+# at the START of the next drive (the returned DataFrame reads its
+# replies parquet lazily, so cleanup must wait until supersession).
+_SERVE_BASE_DIRS: list[str] = []
+
 # The request message plus an arrival timestamp (the msgsnd instant —
 # the queue gives the reference this ordering implicitly; a stream
 # needs it explicit for watermarks/windows).
@@ -133,9 +138,21 @@ def serve_requests_available_now(
     cluster deployment would use.
     """
     import os
+    import shutil
     import tempfile
 
+    # Reap the PREVIOUS drives' reply dirs first: each returned
+    # DataFrame reads its parquet lazily, so a base dir can only be
+    # reclaimed once a NEWER drive supersedes it — without this,
+    # repeated bench/gate invocations accumulate reply directories for
+    # the life of the host (round-5 ADVICE; the _STAGED_SOURCE_DIRS
+    # pattern).  Callers holding a result across a later call re-read
+    # a vanished path — the same one-live-result contract the
+    # session-scoped caches already impose.
+    while _SERVE_BASE_DIRS:
+        shutil.rmtree(_SERVE_BASE_DIRS.pop(), ignore_errors=True)
     base = tempfile.mkdtemp(prefix="req_serve_")
+    _SERVE_BASE_DIRS.append(base)
     in_dir, out_dir = os.path.join(base, "queue"), os.path.join(base, "replies")
     ts = F.lit(None).cast("timestamp")
     staged = requests

@@ -30,8 +30,13 @@ def audit(name: str, plan: str) -> dict:
         "smj": plan.count("SortMergeJoin"),
         "shj": plan.count("ShuffledHashJoin"),
         "topk": "TakeOrderedAndProject" in plan,
-        "pushed": "PushedFilters: [" in plan
-        and "PushedFilters: []" not in plan.replace(" ", ""),
+        # Compare stripped-to-stripped (round-5 ADVICE: the spaced
+        # "PushedFilters: []" literal could never match the stripped
+        # plan, so the empty-list guard was vacuously true): pushdown
+        # is reported engaged iff a PushedFilters list is present and
+        # NO scan's list is empty.
+        "pushed": "PushedFilters:[" in plan.replace(" ", "")
+        and "PushedFilters:[]" not in plan.replace(" ", ""),
         "arrow": ("MapInPandas" in plan)
         or ("ArrowEvalPython" in plan)
         or ("FlatMapGroupsInPandas" in plan),
