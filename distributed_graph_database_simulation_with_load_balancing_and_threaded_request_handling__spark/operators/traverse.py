@@ -339,6 +339,7 @@ def bfs_level_order(
     *,
     graph_id: int | None = None,
     levels: DataFrame | None = None,
+    n_blocks: int = 32,
 ) -> DataFrame:
     """BFS output contract of the reference (O4+O12): reached vertices
     in level order.  Within-level order is unspecified in the reference;
@@ -346,12 +347,29 @@ def bfs_level_order(
     1-based rank as ``pos`` (the reference's position in the space-joined
     reply string, secondary_server.c:311-329).
 
-    The global rank is computed scalably: rank within each level (a
-    parallel partitioned window) plus the running count of shallower
-    levels (a window over the per-level counts — one row per level, so
-    its single-partition sort is O(depth), not O(vertices)).  A naive
-    ``row_number() OVER (ORDER BY level, vertex)`` would pull every row
-    through one partition.
+    The global rank is a THREE-term two-pass decomposition, every
+    window of which is bounded (round-5 verdict: a per-level
+    ``row_number`` window puts each BFS level in ONE partition, and on
+    a real graph a single level can hold most of the vertices):
+
+    1. local rank within (level, block) — block = an order-preserving
+       value-range bucket of the vertex id (``(vertex - min) //
+       width``, ``n_blocks`` buckets), so each window group carries
+       ~|level|/n_blocks rows, not |level|;
+    2. block offset within the level — a window over the per-(level,
+       block) COUNTS: at most depth x n_blocks metadata rows;
+    3. level offset — the running count of shallower levels, one row
+       per level.
+
+    Value-range blocking rather than ``repartitionByRange`` because it
+    is deterministic with NO sampling pass: range-partitioner
+    boundaries are estimated from a sample, and the block column here
+    feeds two plan branches (the local ranks and the counts) that must
+    agree bit-for-bit even if the exchange is recomputed.  The id
+    bounds cost one O(1)-row action on the (session-cached) levels.
+    Trade-off: heavily CLUSTERED vertex ids would unbalance blocks
+    (bounded by |level| either way, never worse than the old plan);
+    the ingest's dense ids make blocks near-uniform.
 
     ``levels``: pass a precomputed ``bfs_levels`` result to rank it
     without re-running the frontier loop (the BFS family of queries
@@ -360,22 +378,58 @@ def bfs_level_order(
 
     if levels is None:
         levels = bfs_levels(edges, start_vertex, graph_id=graph_id)
-    in_level = F.row_number().over(Window.partitionBy("level").orderBy("vertex"))
-    offsets = levels.groupBy("level").agg(F.count("*").alias("_n")).select(
+    bounds = levels.agg(
+        F.min("vertex").alias("lo"), F.max("vertex").alias("hi")
+    ).first()
+    vmin = bounds["lo"] if bounds["lo"] is not None else 0
+    vmax = bounds["hi"] if bounds["hi"] is not None else 0
+    width = max(1, (vmax - vmin + n_blocks) // n_blocks)
+    blocked = levels.select(
+        "vertex",
         "level",
-        (
-            F.sum("_n").over(
+        # Integral DIV (not float /): exact for 64-bit ids at any scale.
+        F.expr(f"(vertex - {int(vmin)}L) DIV {int(width)}L").alias("_blk"),
+    )
+    local = blocked.select(
+        "vertex",
+        "level",
+        "_blk",
+        F.row_number()
+        .over(Window.partitionBy("level", "_blk").orderBy("vertex"))
+        .alias("_rn"),
+    )
+    counts = blocked.groupBy("level", "_blk").agg(F.count("*").alias("_n"))
+    block_off = counts.select(
+        "level",
+        "_blk",
+        F.sum("_n")
+        .over(
+            Window.partitionBy("level")
+            .orderBy("_blk")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        .alias("_boff"),
+    ).fillna({"_boff": 0})
+    level_off = (
+        counts.groupBy("level")
+        .agg(F.sum("_n").alias("_n"))
+        .select(
+            "level",
+            F.sum("_n")
+            .over(
                 Window.orderBy("level").rowsBetween(Window.unboundedPreceding, -1)
             )
-        ).alias("_offset"),
-    ).fillna({"_offset": 0})
+            .alias("_offset"),
+        )
+        .fillna({"_offset": 0})
+    )
     return (
-        levels.select("vertex", "level", in_level.alias("_rn"))
-        .join(offsets, on="level")
+        local.join(block_off, on=["level", "_blk"])
+        .join(level_off, on="level")
         .select(
             "vertex",
             "level",
-            (F.col("_offset") + F.col("_rn")).cast("int").alias("pos"),
+            (F.col("_offset") + F.col("_boff") + F.col("_rn")).cast("int").alias("pos"),
         )
     )
 
