@@ -24,7 +24,12 @@ from pyspark.sql import DataFrame, SparkSession
 from .schema import GRAPH_EDGES_SCHEMA
 
 def read_adjacency_text(
-    spark: SparkSession, path: str, *, graph_id: int = 1, one_indexed: bool = True
+    spark: SparkSession,
+    path: str,
+    *,
+    graph_id: int = 1,
+    one_indexed: bool = True,
+    cell_rule: str = "nonzero",
 ) -> DataFrame:
     """Parse a reference-format graph file into a (graph_id, src, dst)
     edge-list DataFrame (both matrix directions preserved).
@@ -32,7 +37,19 @@ def read_adjacency_text(
     Row/column indices are 0-based in the file; user-facing vertex ids
     are 1-indexed (the reference increments on output,
     secondary_server.c:318), so the default shifts by +1.
+
+    ``cell_rule`` makes the reference's cell-interpretation divergence
+    explicit and selectable: its BFS follows ANY nonzero cell
+    (``g[node][i] > 0``, secondary_server.c:83) while its DFS follows
+    only ``== 1`` cells (secondary_server.c:162) — behaviors that
+    coincide on every shipped 0/1 matrix but diverge on a multi-valued
+    cell.  The engine standardizes on ``"nonzero"`` (the BFS rule);
+    pass ``"eq1"`` to reproduce the reference DFS's reading of a
+    weighted matrix.  The divergence fixture is pinned in
+    tests/test_matrix_io.py.
     """
+    if cell_rule not in ("nonzero", "eq1"):
+        raise ValueError(f"cell_rule must be 'nonzero' or 'eq1', got {cell_rule!r}")
     with open(path) as f:
         tokens = f.read().split()
     n = int(tokens[0])
@@ -40,11 +57,12 @@ def read_adjacency_text(
     if len(cells) < n * n:
         raise ValueError(f"{path}: expected {n * n} matrix cells, found {len(cells)}")
     shift = 1 if one_indexed else 0
+    keep = (lambda v: v != 0) if cell_rule == "nonzero" else (lambda v: v == 1)
     rows = [
         (graph_id, r + shift, c + shift)
         for r in range(n)
         for c in range(n)
-        if int(cells[r * n + c]) != 0
+        if keep(int(cells[r * n + c]))
     ]
     return spark.createDataFrame(rows, schema=GRAPH_EDGES_SCHEMA)
 

@@ -230,3 +230,65 @@ def test_catalog_edges_partition_pruned(spark, tmp_path):
     assert "PartitionFilters" in plan
     assert "graph_id" in plan.split("PartitionFilters", 1)[1][:200]
     assert df.count() == 4  # symmetric storage: 2 pairs -> 4 rows
+
+
+def test_weighted_matrix_cell_rule_divergence(spark, tmp_path):
+    """Round-5 verdict #8: the reference's BFS follows ANY nonzero
+    cell (g[node][i] > 0, secondary_server.c:83) while its DFS follows
+    only ==1 cells (secondary_server.c:162).  All shipped data is 0/1
+    so the behaviors coincide there; this fixture plants a cell value
+    of 2 and pins BOTH readings — and the engine's documented
+    standardization on the BFS (nonzero) rule."""
+    # 3 vertices: 1-2 weight 1, 2-3 weight 2.
+    path = str(tmp_path / "weighted.txt")
+    with open(path, "w") as f:
+        f.write("3\n0 1 0\n1 0 2\n0 2 0\n")
+    bfs_view = read_adjacency_text(spark, path)  # default: nonzero
+    dfs_view = read_adjacency_text(spark, path, cell_rule="eq1")
+    assert edge_set(bfs_view) == {(1, 1, 2), (1, 2, 1), (1, 2, 3), (1, 3, 2)}
+    # The reference DFS would not see the weight-2 edge at all.
+    assert edge_set(dfs_view) == {(1, 1, 2), (1, 2, 1)}
+    # Traversal consequence of the divergence, made concrete: under
+    # the engine's standard (nonzero) reading vertex 3 is reachable
+    # and is the BFS frontier's depth-2 member; under the reference
+    # DFS's ==1 reading the graph ends at vertex 2, so the leaf set
+    # from root 1 is {2}, not {3}.
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.traverse import (
+        bfs_levels,
+        dfs_leaves,
+    )
+
+    lv = {(r["vertex"], r["level"]) for r in bfs_levels(bfs_view, 1, graph_id=1).collect()}
+    assert (3, 2) in lv
+    leaves_nonzero = {r["leaf"] for r in dfs_leaves(bfs_view, 1, graph_id=1).collect()}
+    leaves_eq1 = {r["leaf"] for r in dfs_leaves(dfs_view, 1, graph_id=1).collect()}
+    assert leaves_nonzero == {3}
+    assert leaves_eq1 == {2}
+
+
+def test_merge_edges_delta_semantics(spark):
+    """Edge-level incremental mutation (round-5 verdict #6): deletes
+    first (both stored orientations via the canonical pair key), then
+    upsert-as-set-union; a pair in both deltas ends PRESENT;
+    already-present inserts are no-ops; other graphs untouched."""
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.catalog import (
+        merge_edges,
+    )
+
+    g1 = add_graph(pairs_df(spark, [(1, 2), (2, 3), (3, 4)]), graph_id=1)
+    g2 = add_graph(pairs_df(spark, [(7, 8)]), graph_id=2)
+    current = g1.unionByName(g2)
+    # delete 2-3 (given reversed: 3-2) and 3-4; insert 3-4 back (both
+    # deltas -> present), 4-5 (new), 1-2 (already present -> no-op).
+    out = merge_edges(
+        current,
+        graph_id=1,
+        delete_pairs=pairs_df(spark, [(3, 2), (3, 4)]),
+        insert_pairs=pairs_df(spark, [(3, 4), (4, 5), (1, 2)]),
+    )
+    assert edge_set(out) == {
+        (1, 1, 2), (1, 2, 1),
+        (1, 3, 4), (1, 4, 3),
+        (1, 4, 5), (1, 5, 4),
+        (2, 7, 8), (2, 8, 7),
+    }
