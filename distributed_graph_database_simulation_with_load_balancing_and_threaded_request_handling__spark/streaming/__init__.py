@@ -7,6 +7,7 @@ from .ingest import (
     corpus_stream_stats,
     dedup_document_stream,
     read_document_stream,
+    run_dedup_batch,
 )
 from .requests import (
     REQUEST_STREAM_SCHEMA,
@@ -26,6 +27,7 @@ __all__ = [
     "read_document_stream",
     "read_request_stream",
     "route_stream",
+    "run_dedup_batch",
     "request_load",
     "run_request_stream",
     "running_route_totals",

@@ -123,6 +123,12 @@ def main() -> None:
         ),
         "q_stream_attrib": attrib_twin,
         "q_stream_requests": requests_twin,
+        "q_stream_dedup": lambda: (
+            spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+            .withColumn("text_hash", F.md5(F.col("text")))
+            .dropDuplicates(["text_hash"])
+            .select("text_hash")
+        ),
     }
 
     rows = []
@@ -135,7 +141,12 @@ def main() -> None:
 
     print(f"# PLANS — physical-plan audit at {sf_dir}\n")
     print("Generated by scripts/audit_plans.py; streaming queries are")
-    print("audited via their batch twins (test_plans.py lint policy).\n")
+    print("audited via their batch twins (test_plans.py lint policy).")
+    print("pushdown 'y' = EVERY scan in the plan carries non-empty")
+    print("PushedFilters (strict, round-6 semantics after the round-5")
+    print("advice fix); blank = at least one scan reads unfiltered —")
+    print("expected for full-corpus operators (dedup, features, decode)")
+    print("whose semantics consume every row by design.\n")
     print("| query | exchanges | BHJ | SMJ | SHJ | top-k | pushdown | arrow | anti-patterns |")
     print("|---|---|---|---|---|---|---|---|---|")
     for r in rows:

@@ -1019,3 +1019,43 @@ def test_pack_sequences_invariants(spark):
         assert r["pack_id"] == r["start_tok"] // 4
         assert r["pack_offset"] == r["start_tok"] % 4
         assert 0 <= r["pack_offset"] < 4
+
+
+def test_pq_topk_reconstruction_exact_for_codeword_vectors(embeddings):
+    """PQ ADC (similarity.pq_topk): a vector that IS one of the
+    sampled codewords reconstructs exactly, so its ADC cosine to
+    itself-as-query is 1.0; ranking is deterministic (ties by id);
+    and the code column is m small ints — the bytes-per-vector
+    contract."""
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.similarity import (
+        _pq_codes_arrow,
+        pq_codebooks,
+        pq_topk,
+    )
+
+    books = pq_codebooks(embeddings, m=4, n_codes=16)
+    assert len(books) == 4 and len(books[0]) == 16 and len(books[0][0]) == 2
+    rows = pq_topk(embeddings, QUERY, 5, m=4, n_codes=16).collect()
+    assert [r["rank"] for r in rows] == [1, 2, 3, 4, 5]
+    # ids 0,13,26,39 are identical vectors; if any of them was sampled
+    # as a codeword, all four encode to the same codes and tie at the
+    # top.  Regardless of sampling, the four MUST share sim values
+    # (identical vectors -> identical codes -> identical ADC score).
+    sims = {r["vec_id"]: r["sim"] for r in rows}
+    collinear_present = [v for v in (0, 13, 26, 39) if v in sims]
+    assert len({sims[v] for v in collinear_present}) <= 1
+    # Encode path: every code is in [1, 16], one per subspace.
+    enc = embeddings.select(
+        _pq_codes_arrow(books)(F.col("embedding")).alias("codes")
+    ).collect()
+    for r in enc:
+        assert len(r["codes"]) == 4
+        assert all(1 <= c <= 16 for c in r["codes"])
+    # Identical vectors -> identical codes.
+    enc_by_id = {
+        r["vec_id"]: tuple(r["codes"])
+        for r in embeddings.select(
+            "vec_id", _pq_codes_arrow(books)(F.col("embedding")).alias("codes")
+        ).collect()
+    }
+    assert enc_by_id[0] == enc_by_id[13] == enc_by_id[26] == enc_by_id[39]

@@ -481,3 +481,33 @@ def test_event_rollup_stream_timezone_independent(spark):
     finally:
         spark.conf.set(key, prev)
     assert streamed == batch
+
+
+def test_run_dedup_batch_digest_set_equals_batch_keepers(spark, tmp_path):
+    """run_dedup_batch (the q_stream_dedup driver): the streamed
+    first-seen dedup's surviving DIGEST SET must equal batch
+    exact_dedup's keeper hashes — the micro-batch-order-invariant
+    contract the value oracle checks."""
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.dedup import (
+        exact_dedup,
+    )
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.streaming import (
+        run_dedup_batch,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma", "en", "web", 16),
+            (2, "uno dos tres", "es", "web", 12),
+            (3, "alpha beta gamma", "en", "crawl", 16),
+            (4, "alpha beta gamma", "en", "crawl", 16),
+            (5, "delta epsilon", "en", "web", 13),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    path = str(tmp_path / "docs.parquet")
+    docs.write.parquet(path)
+    streamed = {r["text_hash"] for r in run_dedup_batch(spark, path).collect()}
+    batch = {r["text_hash"] for r in exact_dedup(docs).select("text_hash").collect()}
+    assert streamed == batch
+    assert len(streamed) == 3
