@@ -159,10 +159,14 @@ from distributed_graph_database_simulation_with_load_balancing_and_threaded_requ
     customers_without_orders,
     disjunctive_part_revenue,
     forecast_revenue,
+    idle_customers,
     large_quantity_orders,
     small_quantity_revenue,
     local_supplier_volume,
+    nation_market_share,
     nation_trade_volume,
+    top_supplier,
+    waiting_suppliers,
     order_priority_check,
     promo_revenue_share,
     returned_item_revenue,
@@ -2389,6 +2393,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
         return pq_topk(emb, qvec, 10)
 
+    def q_market_share(spark, sf_dir):
+        # TPC-H Q8 shape: one nation's yearly share of a region's
+        # ECONOMY-part revenue — numerator and denominator from ONE
+        # conditional aggregation; the only fact-fact shuffle is
+        # orders⋈lineitem.
+        return nation_market_share(
+            load_table(spark, sf_dir, "customer"),
+            load_table(spark, sf_dir, "orders"),
+            load_table(spark, sf_dir, "lineitem"),
+            load_table(spark, sf_dir, "supplier"),
+            load_table(spark, sf_dir, "nation"),
+            load_table(spark, sf_dir, "region"),
+            load_table(spark, sf_dir, "part"),
+        )
+
+    def q_top_supplier(spark, sf_dir):
+        # TPC-H Q15 shape: quarterly revenue view + broadcast scalar
+        # max filter, tie membership decided on the EXACT decimal sum.
+        return top_supplier(
+            load_table(spark, sf_dir, "lineitem"),
+            load_table(spark, sf_dir, "supplier"),
+        )
+
+    def q_waiting_suppliers(spark, sf_dir):
+        # TPC-H Q21 shape (ship-late adaptation): the EXISTS/NOT
+        # EXISTS double correlation decorrelated into one per-order
+        # supplier/late-supplier count joined back as integer
+        # predicates.
+        return waiting_suppliers(
+            load_table(spark, sf_dir, "supplier"),
+            load_table(spark, sf_dir, "lineitem"),
+            load_table(spark, sf_dir, "orders"),
+            load_table(spark, sf_dir, "nation"),
+        )
+
+    def q_idle_customers(spark, sf_dir):
+        # TPC-H Q22 shape (nation-key adaptation): cross-multiplied
+        # above-average balance predicate + left-anti join against the
+        # distinct order custkeys.
+        return idle_customers(
+            load_table(spark, sf_dir, "customer"),
+            load_table(spark, sf_dir, "orders"),
+        )
+
     def q_pq_recall(spark, sf_dir):
         # Measured PQ quality: overlap of the ADC top-10 with the
         # exact cosine top-10 (the q_ivf_recall pattern).
@@ -2420,6 +2468,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_edge_merge": q_edge_merge,
         "q_pq_topk": q_pq_topk,
         "q_pq_recall": q_pq_recall,
+        "q_market_share": q_market_share,
+        "q_top_supplier": q_top_supplier,
+        "q_waiting_suppliers": q_waiting_suppliers,
+        "q_idle_customers": q_idle_customers,
         # -- official rows aged to r3: lead the round-6 window --
         "q_top_events": q_top_events,
         "q_event_props": q_event_props,
@@ -2815,6 +2867,105 @@ def oracle_sql() -> dict[str, str]:
         "q_ivf_topk": _sql_ivf_topk(),
         "q_pq_topk": _sql_pq_topk(),
         "q_pq_recall": _sql_topk_recall(_sql_pq_topk()),
+        "q_market_share": """
+            WITH nat_r AS (
+              SELECT n_nationkey FROM nation
+              JOIN region ON n_regionkey = r_regionkey
+              WHERE r_name = 'EUROPE'
+            ),
+            o AS (
+              SELECT o_orderkey, CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year
+              FROM orders
+              WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+                AND o_orderdate < TIMESTAMP '1998-01-01'
+                AND o_custkey IN (
+                  SELECT c_custkey FROM customer
+                  WHERE c_nationkey IN (SELECT n_nationkey FROM nat_r))
+            ),
+            li AS (
+              SELECT l_orderkey, l_suppkey,
+                     CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (1 - CAST(l_discount AS DECIMAL(18,2))) AS dp
+              FROM lineitem
+              WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'ECONOMY')
+            ),
+            sup AS (
+              SELECT s_suppkey, n_name FROM supplier
+              JOIN nation ON s_nationkey = n_nationkey
+            ),
+            j AS (
+              SELECT o.o_year, li.dp, sup.n_name
+              FROM o JOIN li ON o.o_orderkey = li.l_orderkey
+              JOIN sup ON li.l_suppkey = sup.s_suppkey
+            )
+            SELECT o_year,
+                   round(CAST(SUM(CASE WHEN n_name = 'NATION_7' THEN dp
+                                       ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                         / CAST(SUM(dp) AS DOUBLE), 6) AS mkt_share
+            FROM j GROUP BY o_year
+        """,
+        "q_top_supplier": """
+            WITH rev AS (
+              SELECT l_suppkey,
+                     SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS rev_dec
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate < TIMESTAMP '1996-04-01'
+              GROUP BY l_suppkey
+            )
+            SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
+                   round(CAST(rev_dec AS DOUBLE), 4) AS total_revenue
+            FROM rev JOIN supplier ON l_suppkey = s_suppkey
+            WHERE rev_dec = (SELECT MAX(rev_dec) FROM rev)
+        """,
+        "q_waiting_suppliers": """
+            WITH lo AS (
+              SELECT l_orderkey, l_suppkey,
+                     l_shipdate > o_orderdate + INTERVAL 60 DAY AS is_late
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              WHERE o_orderstatus = 'F'
+            ),
+            per_order AS (
+              SELECT l_orderkey,
+                     COUNT(DISTINCT l_suppkey) AS n_supps,
+                     COUNT(DISTINCT CASE WHEN is_late THEN l_suppkey END) AS n_late_supps
+              FROM lo GROUP BY l_orderkey
+            ),
+            blamed AS (
+              SELECT DISTINCT lo.l_orderkey, lo.l_suppkey
+              FROM lo JOIN per_order USING (l_orderkey)
+              WHERE lo.is_late AND per_order.n_supps > 1
+                AND per_order.n_late_supps = 1
+            )
+            SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+            FROM blamed
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_name = 'NATION_3'
+            GROUP BY s_name
+        """,
+        "q_idle_customers": """
+            WITH cs AS (
+              SELECT c_custkey, c_nationkey,
+                     CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+              FROM customer
+              WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+            ),
+            pos AS (
+              SELECT SUM(bal) AS sum_bal, COUNT(*) AS n_pos
+              FROM cs WHERE bal > 0
+            )
+            SELECT CAST(c_nationkey AS INTEGER) AS cntry,
+                   CAST(COUNT(*) AS BIGINT) AS numcust,
+                   round(CAST(SUM(bal) AS DOUBLE), 4) AS totacctbal
+            FROM cs CROSS JOIN pos
+            WHERE bal * n_pos > sum_bal
+              AND c_custkey NOT IN (
+                SELECT DISTINCT o_custkey FROM orders
+                WHERE o_orderdate >= TIMESTAMP '2000-01-01')
+            GROUP BY c_nationkey
+        """,
         "q_stream_dedup": """
             SELECT DISTINCT md5(text) AS text_hash FROM documents
         """,

@@ -842,3 +842,249 @@ def small_quantity_revenue(
     return small.agg(
         F.round(F.sum("price").cast("double") / 7.0, 4).alias("avg_yearly")
     )
+
+
+def nation_market_share(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    part: DataFrame,
+    *,
+    target_nation: str = "NATION_7",
+    region_name: str = "EUROPE",
+    part_type: str = "ECONOMY",
+    date_from: str = "1996-01-01",
+    date_to: str = "1998-01-01",
+) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of a region's revenue for a
+    part type, per order year — ``(o_year, mkt_share)``.
+
+    Scale notes: part (type filter), supplier⋈nation (supplier
+    nation name), and region⋈nation⋈customer's nation keyset are all
+    dimension-sized broadcasts; the only fact-fact shuffle is
+    orders⋈lineitem on the orderkey.  Customer joins on o_custkey
+    BEFORE that shuffle so disqualified orders never move.  Both the
+    numerator (target-nation revenue) and denominator come out of ONE
+    conditional aggregation per year — no second pass, no self-join.
+    Share = exact decimal sums, divided once as doubles, rounded.
+    """
+    lo = F.lit(date_from).cast("timestamp")
+    hi = F.lit(date_to).cast("timestamp")
+    nat_in_region = nation.join(
+        F.broadcast(region.where(F.col("r_name") == region_name)),
+        nation["n_regionkey"] == region["r_regionkey"],
+    ).select("n_nationkey")
+    cust = customer.join(
+        F.broadcast(nat_in_region),
+        customer["c_nationkey"] == nat_in_region["n_nationkey"],
+    ).select("c_custkey")
+    o = orders.where(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    ).select("o_orderkey", "o_custkey", F.year("o_orderdate").alias("o_year"))
+    oc = o.join(cust, o["o_custkey"] == cust["c_custkey"]).select(
+        "o_orderkey", "o_year"
+    )
+    sup = supplier.join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        supplier["s_nationkey"] == F.col("n_nationkey"),
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    p = part.where(F.col("p_type") == part_type).select("p_partkey")
+    li = lineitem.join(
+        F.broadcast(p), lineitem["l_partkey"] == p["p_partkey"]
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_extendedprice").cast(_DEC)
+            * (1 - F.col("l_discount").cast(_DEC))
+        ).alias("disc_price"),
+    )
+    joined = (
+        oc.join(li, oc["o_orderkey"] == li["l_orderkey"])
+        .join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
+    )
+    agg = joined.groupBy("o_year").agg(
+        F.sum(
+            F.when(F.col("supp_nation") == target_nation, F.col("disc_price"))
+            .otherwise(F.lit(0).cast(_DEC))
+        ).alias("nation_dec"),
+        F.sum("disc_price").alias("total_dec"),
+    )
+    # Double-cast BEFORE dividing: decimal/decimal division widens the
+    # scale differently per engine; double/double is one IEEE op both
+    # engines round identically.
+    return agg.select(
+        F.col("o_year").cast("int").alias("o_year"),
+        F.round(
+            F.col("nation_dec").cast("double") / F.col("total_dec").cast("double"),
+            6,
+        ).alias("mkt_share"),
+    )
+
+
+def top_supplier(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    *,
+    date_from: str = "1996-01-01",
+    date_to: str = "1996-04-01",
+) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) whose quarterly discounted
+    revenue equals the maximum — the revenue "view" materialized as a
+    per-supplier aggregation, its scalar max broadcast back as a
+    filter.  Returns ``(s_suppkey, s_name, total_revenue)``.
+
+    Scale notes: one shuffle builds the per-supplier revenue
+    (supplier-cardinality output); the max is a one-row aggregate of
+    THAT, cross-broadcast into the equality filter — the fact table
+    is scanned once, the predicate on the quarter is a pushdown, and
+    equality on the EXACT decimal sum (not the rounded double) keeps
+    tie membership engine-portable.
+    """
+    lo = F.lit(date_from).cast("timestamp")
+    hi = F.lit(date_to).cast("timestamp")
+    rev = (
+        lineitem.where((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast(_DEC)
+                * (1 - F.col("l_discount").cast(_DEC))
+            ).alias("rev_dec")
+        )
+    )
+    mx = rev.agg(F.max("rev_dec").alias("max_dec"))
+    top = rev.join(F.broadcast(mx), rev["rev_dec"] == mx["max_dec"]).select(
+        "l_suppkey", "rev_dec"
+    )
+    return (
+        top.join(
+            supplier.select("s_suppkey", "s_name"),
+            top["l_suppkey"] == F.col("s_suppkey"),
+        )
+        .select(
+            F.col("s_suppkey").cast("long").alias("s_suppkey"),
+            "s_name",
+            F.round(F.col("rev_dec").cast("double"), 4).alias("total_revenue"),
+        )
+    )
+
+
+def waiting_suppliers(
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    orders: DataFrame,
+    nation: DataFrame,
+    *,
+    nation_name: str = "NATION_3",
+    late_days: int = 60,
+) -> DataFrame:
+    """TPC-H Q21 shape (adapted: the testdata lineitem carries no
+    commit/receipt dates, so "late" is ``l_shipdate > o_orderdate +
+    late_days``): suppliers in one nation who were the ONLY late
+    supplier on a multi-supplier finished order.  Returns
+    ``(s_name, numwait)``.
+
+    The double correlation — EXISTS another supplier's line, NOT
+    EXISTS another supplier's LATE line — is rendered as its
+    decorrelated join form: a per-order aggregate counting distinct
+    suppliers and distinct LATE suppliers, joined once.  That turns
+    two correlated subqueries into ONE extra aggregation over the
+    already-shuffled fact (orderkey-keyed, the same key as the main
+    join — no additional shuffle pattern), and the semi/anti logic
+    into integer predicates ``n_supps > 1 AND n_late_supps = 1``.
+
+    Scale notes: orders('F') joins the fact on the orderkey before
+    anything else; nation and the supplier dim broadcast; everything
+    downstream of the fact shuffle is per-order/per-supplier sized.
+    """
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        f"INTERVAL {int(late_days)} DAYS"
+    )
+    of = orders.where(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = lineitem.select("l_orderkey", "l_suppkey", "l_shipdate")
+    lo = li.join(of, li["l_orderkey"] == of["o_orderkey"]).select(
+        "l_orderkey", "l_suppkey", late.alias("is_late")
+    )
+    per_order = lo.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supps"),
+        F.count_distinct(
+            F.when(F.col("is_late"), F.col("l_suppkey"))
+        ).alias("n_late_supps"),
+    )
+    nat = nation.where(F.col("n_name") == nation_name).select("n_nationkey")
+    sup = supplier.join(
+        F.broadcast(nat), supplier["s_nationkey"] == nat["n_nationkey"]
+    ).select("s_suppkey", "s_name")
+    blamed = (
+        lo.where(F.col("is_late"))
+        .join(
+            per_order.where(
+                (F.col("n_supps") > 1) & (F.col("n_late_supps") == 1)
+            ),
+            "l_orderkey",
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+        .join(F.broadcast(sup), F.col("l_suppkey") == sup["s_suppkey"])
+    )
+    return blamed.groupBy("s_name").agg(
+        F.count("*").cast("long").alias("numwait")
+    )
+
+
+def idle_customers(
+    customer: DataFrame,
+    orders: DataFrame,
+    *,
+    nation_keys: tuple = (1, 3, 5, 7, 9, 11, 13),
+    since: str = "2000-01-01",
+) -> DataFrame:
+    """TPC-H Q22 shape (adapted: the testdata customer carries no
+    phone, so the country-code substring becomes a nation-key set,
+    and — because every testdata customer has ordered at least once —
+    "never ordered" becomes Q22's stated business question, "no order
+    in the recent window": no order since ``since``): per nation key,
+    the count and account-balance total of LAPSED customers with
+    above-average positive balances.  Returns
+    ``(cntry, numcust, totacctbal)``.
+
+    Scale notes: the positive-balance total is a one-row aggregate
+    broadcast into a CROSS-MULTIPLIED above-average predicate (bal *
+    n > sum — decimal-exact, no division); the lapsed test is a LEFT
+    ANTI join against the DISTINCT recent-order custkeys (date
+    predicate pushed to the orders scan, anti side custkey-sized);
+    the final rollup is nation-cardinality.  Balance sums are exact
+    decimals, rounded once at the edge.
+    """
+    cs = customer.where(
+        F.col("c_nationkey").isin(*[int(k) for k in nation_keys])
+    ).select(
+        "c_custkey", "c_nationkey", F.col("c_acctbal").cast(_DEC).alias("bal")
+    )
+    # Cross-multiplied above-average predicate (bal * n > sum), so the
+    # comparison is decimal-exact and engine-portable — no division
+    # enters the predicate (the small_quantity_revenue rule).
+    pos = cs.where(F.col("bal") > 0).agg(
+        F.sum("bal").alias("sum_bal"), F.count("*").alias("n_pos")
+    )
+    rich = cs.join(
+        F.broadcast(pos), cs["bal"] * F.col("n_pos") > F.col("sum_bal")
+    )
+    recent = (
+        orders.where(F.col("o_orderdate") >= F.lit(since).cast("timestamp"))
+        .select("o_custkey")
+        .distinct()
+    )
+    never_ordered = rich.join(
+        recent, rich["c_custkey"] == F.col("o_custkey"), "left_anti"
+    )
+    return never_ordered.groupBy("c_nationkey").agg(
+        F.count("*").cast("long").alias("numcust"),
+        F.round(F.sum("bal").cast("double"), 4).alias("totacctbal"),
+    ).select(F.col("c_nationkey").cast("int").alias("cntry"), "numcust", "totacctbal")
