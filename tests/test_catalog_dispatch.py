@@ -292,3 +292,43 @@ def test_merge_edges_delta_semantics(spark):
         (1, 4, 5), (1, 5, 4),
         (2, 7, 8), (2, 8, 7),
     }
+
+
+def test_client_repl_replays_reference_inp(spark, tmp_path):
+    """The interactive-client analogue (scripts/client_repl.py) must
+    replay the reference's shipped inp.txt session end-to-end
+    (client (1).c:59-155 token protocol): two adds, one duplicate-add
+    error, one modify, then DFS and BFS whose replies match the
+    Sample IO goldens (1-indexed, secondary_server.c:318)."""
+    import importlib.util
+    import os as _os
+
+    ref_inp = "/root/reference/inp.txt"
+    if not _os.path.exists(ref_inp):
+        import pytest as _pytest
+
+        _pytest.skip("reference inp.txt not present")
+    spec = importlib.util.spec_from_file_location(
+        "client_repl",
+        _os.path.join(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+                      "scripts", "client_repl.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    tokens = open(ref_inp).read().split()
+    out = mod.run_session(spark, tokens, str(tmp_path / "gdb"))
+    assert out[0] == "1: added G1.txt (n=5)"
+    assert out[1] == "2: added G2.txt (n=2)"
+    assert out[2] == "3: added G3.txt (n=5)"
+    assert out[3] == "4: modified G2.txt (n=3)"
+    # Request 5: DFS on G3 from wire index 3 (= vertex 4): star center
+    # 2 rooted at 4 -> leaves 1 3 5.  Request 6: BFS on G3 from wire
+    # index 0 (= vertex 1): 1; 2; 3 4 5 in level order.
+    assert out[4] == "5: 1 3 5"
+    assert out[5] == "6: 1 2 3 4 5"
+    # Duplicate add is an operational error, like the reference's
+    # O_CREAT-exclusive semaphore branch (primary_server.c:106-117).
+    again = mod.run_session(spark, ["9", "1", "G1.txt", "2", "0", "1", "1", "0"],
+                            str(tmp_path / "gdb"))
+    assert again[0].startswith("9: error:")
