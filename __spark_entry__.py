@@ -79,6 +79,7 @@ from distributed_graph_database_simulation_with_load_balancing_and_threaded_requ
     cosine_topk_filtered,
     cosine_topk_per_group,
     embedding_near_dup,
+    ivf_pq_topk,
     ivf_topk,
     lsh_topk,
     make_hyperplanes,
@@ -897,6 +898,16 @@ def _sql_ivf_topk() -> str:
     SELECT vec_id, sim, rank FROM ranked WHERE rank <= 10
 """
 
+def _sql_add_chain(prefix: str, m: int) -> str:
+    """Left-associated SQL add chain '(((x1 + x2) + x3) + ...)' —
+    the exact parenthesization of a Spark Column '+' loop, so the
+    float-add order is pinned identically on both engines."""
+    expr = f"{prefix}1"
+    for j in range(2, m + 1):
+        expr = f"({expr} + {prefix}{j})"
+    return expr
+
+
 def _sql_pq_topk(m: int = 4, n_codes: int = 16, sub: int = 16, k: int = 10) -> str:
     """Full replication of similarity.pq_topk(k=10, m=4 subspaces,
     16 codewords): md5-ordered codeword sample (the ivf_centroids
@@ -904,8 +915,8 @@ def _sql_pq_topk(m: int = 4, n_codes: int = 16, sub: int = 16, k: int = 10) -> s
     ||v_j - c||^2 (ties -> lowest code), ADC score from the dot/norm
     LUTs with the SAME left-associated float-add order as the Spark
     expression chain."""
-    d_chain = "(((p.d1 + p.d2) + p.d3) + p.d4)"
-    n_chain = "(((p.n1 + p.n2) + p.n3) + p.n4)"
+    d_chain = _sql_add_chain("p.d", m)
+    n_chain = _sql_add_chain("p.n", m)
     d_cases = ", ".join(
         f"MAX(CASE WHEN j = {j} THEN d END) AS d{j}" for j in range(1, m + 1)
     )
@@ -954,6 +965,117 @@ def _sql_pq_topk(m: int = 4, n_codes: int = 16, sub: int = 16, k: int = 10) -> s
                   ELSE round({d_chain} / (sqrt({n_chain}) * qn.qnorm), 4)
              END AS sim
       FROM piv p CROSS JOIN qn
+    ),
+    ranked AS (
+      SELECT vec_id, sim,
+             CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id) AS INTEGER) AS rank
+      FROM sims
+    )
+    SELECT vec_id, sim, rank FROM ranked WHERE rank <= {k}
+"""
+
+
+def _sql_ivfpq_topk(
+    m: int = 4, n_codes: int = 16, sub: int = 16, n_cells: int = 16,
+    n_probe: int = 4, k: int = 10,
+) -> str:
+    """Full replication of similarity.ivf_pq_topk (residual IVF-PQ):
+    md5-ordered centroids AND codeword sample, per-sample residual
+    against its nearest cell, per-subspace residual encode (ties ->
+    lowest code), probe the 4 nearest cells, ADC cosine with the SAME
+    pinned float-add order as the Spark expression chains."""
+    d_cases = ", ".join(
+        f"MAX(CASE WHEN j = {j} THEN d END) AS d{j}" for j in range(1, m + 1)
+    )
+    n_cases = ", ".join(
+        f"MAX(CASE WHEN j = {j} THEN nsq END) AS n{j}" for j in range(1, m + 1)
+    )
+    c_cases = ", ".join(
+        f"MAX(CASE WHEN j = {j} THEN cd END) AS c{j}" for j in range(1, m + 1)
+    )
+    d_chain = _sql_add_chain("p.d", m)
+    n_chain = _sql_add_chain("p.n", m)
+    c_chain = _sql_add_chain("p.c", m)
+    nsq = f"((pc.bb + 2 * {c_chain}) + {n_chain})"
+    adot = f"(pc.a + {d_chain})"
+    return f"""
+    WITH vecs AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings),
+    cents AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) AS cell, dv AS c
+      FROM vecs ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT {n_cells}
+    ),
+    q AS (SELECT dv AS qv FROM vecs WHERE id = 0),
+    qn AS (SELECT sqrt(list_dot_product(qv, qv)) AS qnorm FROM q),
+    probe AS (
+      SELECT cell FROM cents CROSS JOIN q
+      ORDER BY list_dot_product(c, c) - 2*list_dot_product(c, qv) + list_dot_product(qv, qv), cell
+      LIMIT {n_probe}
+    ),
+    assign AS (
+      SELECT id, cell FROM (
+        SELECT v.id, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY v.id
+                 ORDER BY list_dot_product(c.c, c.c) - 2*list_dot_product(v.dv, c.c), c.cell) AS rn
+        FROM vecs v CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    samp AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) AS code, id, dv
+      FROM vecs ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT {n_codes}
+    ),
+    js AS (SELECT unnest(range(1, {m} + 1)) AS j),
+    books AS (
+      SELECT j.j, s.code,
+             list_transform(range(1, {sub} + 1),
+                            i -> s.dv[(j.j - 1) * {sub} + i] - c.c[(j.j - 1) * {sub} + i]) AS b
+      FROM samp s JOIN assign a ON a.id = s.id JOIN cents c ON c.cell = a.cell
+      CROSS JOIN js j
+    ),
+    rsub AS (
+      SELECT v.id, a.cell, j.j,
+             list_transform(range(1, {sub} + 1),
+                            i -> v.dv[(j.j - 1) * {sub} + i] - c.c[(j.j - 1) * {sub} + i]) AS rj
+      FROM vecs v JOIN assign a ON a.id = v.id JOIN cents c ON c.cell = a.cell
+      CROSS JOIN js j
+      WHERE a.cell IN (SELECT cell FROM probe)
+    ),
+    enc AS (
+      SELECT id, cell, j, code FROM (
+        SELECT r.id, r.cell, r.j, b.code,
+               ROW_NUMBER() OVER (PARTITION BY r.id, r.j
+                 ORDER BY list_dot_product(b.b, b.b) - 2*list_dot_product(r.rj, b.b), b.code) AS rn
+        FROM rsub r JOIN books b USING (j)
+      ) WHERE rn = 1
+    ),
+    dq AS (
+      SELECT b.j, b.code,
+             list_dot_product(list_slice(q.qv, (b.j - 1) * {sub} + 1, b.j * {sub}), b.b) AS d,
+             list_dot_product(b.b, b.b) AS nsq
+      FROM books b CROSS JOIN q
+    ),
+    dc AS (
+      SELECT c.cell, b.j, b.code,
+             list_dot_product(list_slice(c.c, (b.j - 1) * {sub} + 1, b.j * {sub}), b.b) AS cd
+      FROM cents c CROSS JOIN books b
+      WHERE c.cell IN (SELECT cell FROM probe)
+    ),
+    percell AS (
+      SELECT c.cell, list_dot_product(q.qv, c.c) AS a, list_dot_product(c.c, c.c) AS bb
+      FROM cents c CROSS JOIN q WHERE c.cell IN (SELECT cell FROM probe)
+    ),
+    terms AS (
+      SELECT e.id, e.cell, e.j, dq.d, dq.nsq, dc.cd
+      FROM enc e
+      JOIN dq ON dq.j = e.j AND dq.code = e.code
+      JOIN dc ON dc.cell = e.cell AND dc.j = e.j AND dc.code = e.code
+    ),
+    piv AS (SELECT id, cell, {d_cases}, {n_cases}, {c_cases} FROM terms GROUP BY id, cell),
+    sims AS (
+      SELECT p.id AS vec_id,
+             CASE WHEN qn.qnorm = 0 OR {nsq} <= 0 THEN 0.0
+                  ELSE round({adot} / (sqrt({nsq}) * qn.qnorm), 4)
+             END AS sim
+      FROM piv p JOIN percell pc ON pc.cell = p.cell CROSS JOIN qn
     ),
     ranked AS (
       SELECT vec_id, sim,
@@ -2385,13 +2507,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def q_pq_topk(spark, sf_dir):
-        # Product-quantized ANN (round-5 verdict #7): 4 subspaces x 16
-        # sampled codewords, ADC scoring off the m-byte codes alone —
-        # value-exact because the oracle replays codebook selection,
-        # encoding argmin, and the pinned float-add order.
+        # Product-quantized ANN (round-5 verdict #7): 16 subspaces x
+        # 128 sampled codewords (16 small ints per vector = 16 bytes
+        # at code width 1 vs 256 bytes of floats; recall 0.8 measured
+        # by q_pq_recall — the sweep over (m, n_codes) is in
+        # BASELINE.md), ADC scoring off the codes alone — value-exact
+        # because the oracle replays codebook selection, encoding
+        # argmin, and the pinned float-add order.
         emb = load_table(spark, sf_dir, "embeddings")
         qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
-        return pq_topk(emb, qvec, 10)
+        return pq_topk(emb, qvec, 10, m=16, n_codes=128)
+
+    def q_ivfpq_topk(spark, sf_dir):
+        # Residual IVF-PQ (the complete 100 TB ANN read path): probe 4
+        # of 16 cells, score only probed rows' (1+m)-int codes by ADC
+        # against centroid+residual-codeword reconstructions — all
+        # LUT-literal JVM scoring, value-exact via the replayed
+        # codebooks/encode/float-add order.
+        emb = load_table(spark, sf_dir, "embeddings")
+        qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+        return ivf_pq_topk(emb, qvec, 10, n_codes=128)
+
+    def q_ivfpq_recall(spark, sf_dir):
+        # Measured IVF-PQ quality vs exact cosine (the q_ivf_recall
+        # pattern) — quantization error AND probe misses both count.
+        emb = load_table(spark, sf_dir, "embeddings")
+        qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+        exact = cosine_topk(emb, qvec, 10).select("vec_id")
+        approx = ivf_pq_topk(emb, qvec, 10, n_codes=128).select("vec_id")
+        return exact.join(approx, "vec_id").agg(
+            F.count("*").cast("long").alias("n_matched")
+        ).select(
+            F.lit(10).cast("long").alias("k"),
+            "n_matched",
+            F.round(F.col("n_matched") / 10.0, 6).alias("recall"),
+        )
 
     def q_market_share(spark, sf_dir):
         # TPC-H Q8 shape: one nation's yearly share of a region's
@@ -2443,7 +2593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb = load_table(spark, sf_dir, "embeddings")
         qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
         exact = cosine_topk(emb, qvec, 10).select("vec_id")
-        approx = pq_topk(emb, qvec, 10).select("vec_id")
+        approx = pq_topk(emb, qvec, 10, m=16, n_codes=128).select("vec_id")
         return exact.join(approx, "vec_id").agg(
             F.count("*").cast("long").alias("n_matched")
         ).select(
@@ -2472,6 +2622,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_top_supplier": q_top_supplier,
         "q_waiting_suppliers": q_waiting_suppliers,
         "q_idle_customers": q_idle_customers,
+        "q_ivfpq_topk": q_ivfpq_topk,
+        "q_ivfpq_recall": q_ivfpq_recall,
         # -- official rows aged to r3: lead the round-6 window --
         "q_top_events": q_top_events,
         "q_event_props": q_event_props,
@@ -2865,8 +3017,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_lsh_topk": _sql_lsh_topk(),
         "q_ivf_topk": _sql_ivf_topk(),
-        "q_pq_topk": _sql_pq_topk(),
-        "q_pq_recall": _sql_topk_recall(_sql_pq_topk()),
+        "q_pq_topk": _sql_pq_topk(m=16, sub=4, n_codes=128),
+        "q_pq_recall": _sql_topk_recall(_sql_pq_topk(m=16, sub=4, n_codes=128)),
+        "q_ivfpq_topk": _sql_ivfpq_topk(n_codes=128),
+        "q_ivfpq_recall": _sql_topk_recall(_sql_ivfpq_topk(n_codes=128)),
         "q_market_share": """
             WITH nat_r AS (
               SELECT n_nationkey FROM nation

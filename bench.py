@@ -74,35 +74,44 @@ def main() -> None:
         timings[name] = min(runs)
         print(f"# {name}: {n} rows in {timings[name]}s {runs}", file=sys.stderr)
 
-    total = round(sum(timings.values()), 3)
-    full = {
-        "metric": "declared_query_set_total_wall",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "sf": sf,
-    }
+    full_line, compact_line = summary_lines(timings, sf)
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"), "w") as fh:
-        json.dump(full, fh, indent=1)
-    print(json.dumps(full))
-    # The LAST stdout line is the driver's record: keep it well under
-    # the 2000-char tail so it parses (slowest-10 map only; the full
-    # per-query map is on line 1 and in BENCH_FULL.json).
-    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
-    print(
-        json.dumps(
-            {
-                "metric": "declared_query_set_total_wall",
-                "value": total,
-                "unit": "sec",
-                "sf": sf,
-                "n_queries": len(timings),
-                "sec_per_query": round(total / max(len(timings), 1), 3),
-                "slowest": slowest,
-                "full": "BENCH_FULL.json",
-            }
-        )
+        fh.write(full_line + "\n")
+    print(full_line)
+    print(compact_line)
+
+
+def summary_lines(timings: dict[str, float], sf: float) -> tuple[str, str]:
+    """(full_record_json, compact_record_json).  The COMPACT line is
+    printed LAST so a bounded stdout-tail capture always holds one
+    complete, parseable record — its size is bounded (slowest-10 map
+    only) regardless of how many queries the registry grows to; the
+    full per-query map goes on the first line and to BENCH_FULL.json.
+    Pinned by tests/test_entry_parses.py::test_bench_compact_line_fits_tail."""
+    total = round(sum(timings.values()), 3)
+    full = json.dumps(
+        {
+            "metric": "declared_query_set_total_wall",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+        }
     )
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
+    compact = json.dumps(
+        {
+            "metric": "declared_query_set_total_wall",
+            "value": total,
+            "unit": "sec",
+            "sf": sf,
+            "n_queries": len(timings),
+            "sec_per_query": round(total / max(len(timings), 1), 3),
+            "slowest": slowest,
+            "full": "BENCH_FULL.json",
+        }
+    )
+    return full, compact
 
 if __name__ == "__main__":
     main()

@@ -442,6 +442,205 @@ def pq_topk(
     return top.withColumn("rank", F.row_number().over(w).cast("int"))
 
 
+def residual_pq_codebooks(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 4,
+    n_codes: int = 16,
+) -> list[list[list[float]]]:
+    """RESIDUAL product-quantization codebooks (IVF-PQ, Jégou et al.
+    2011): the same md5-ordered ``n_codes`` sample as
+    ``pq_codebooks``, but each sampled vector is first reduced to its
+    residual against its nearest IVF centroid (``v - c(v)``) before
+    slicing into ``m`` subspace codebooks — residuals concentrate
+    around 0, so a shared codebook quantizes them with less error
+    than raw vectors.  Ties in the centroid argmin break to the
+    lowest cell (the ``ivf_topk`` rule), and every arithmetic step
+    (subtract, slice) is exact IEEE double, so the SQL oracle can
+    replay the books bit-for-bit."""
+    rows = (
+        embeddings.select(
+            F.col(id_col).alias("id"), as_double_vec(F.col(vec_col)).alias("v")
+        )
+        .orderBy(F.md5(F.col("id").cast("string")), F.col("id"))
+        .limit(n_codes)
+        .collect()
+    )
+    vecs = [[float(x) for x in r["v"]] for r in rows]
+    dim = len(vecs[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible into {m} subspaces")
+    sub = dim // m
+
+    def nearest_cell(v: list[float]) -> int:
+        best, best_d = 0, None
+        for j, c in enumerate(centroids):
+            d = sum(cc * cc for cc in c) - 2.0 * sum(a * b for a, b in zip(v, c))
+            if best_d is None or d < best_d:
+                best, best_d = j, d
+        return best
+
+    residuals = []
+    for v in vecs:
+        c = centroids[nearest_cell(v)]
+        residuals.append([a - b for a, b in zip(v, c)])
+    return [[r[j * sub : (j + 1) * sub] for r in residuals] for j in range(m)]
+
+
+def _ivf_pq_codes_arrow(centroids: list[list[float]], books: list[list[list[float]]]):
+    """IVF-PQ encoder as ONE Arrow Pandas UDF: per row, the 1-based
+    nearest-centroid cell, then the per-subspace residual codes
+    (argmin ||(v - cent)_j - b||^2, ties -> lowest code).  Returns
+    array<int> of length 1 + m: [cell, code_1..code_m].  Whole batch
+    in two matmuls — this is the one-time index-build pass; at 100 TB
+    the stored row is 1 + m small ints."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    c = np.asarray(centroids, dtype=np.float64)  # (cells, dim)
+    c_sq = (c * c).sum(axis=1)
+    b = np.asarray(books, dtype=np.float64)  # (m, n_codes, sub)
+    n_sub, _, sub = b.shape
+    b_sq = (b * b).sum(axis=2)  # (m, n_codes)
+
+    @pandas_udf("array<int>")
+    def codes(vecs: pd.Series) -> pd.Series:
+        v = np.asarray(vecs.tolist(), dtype=np.float64)  # (batch, dim)
+        cells = (c_sq[None, :] - 2.0 * (v @ c.T)).argmin(axis=1)  # (batch,)
+        resid = (v - c[cells]).reshape(len(v), n_sub, sub)
+        scores = b_sq[None, :, :] - 2.0 * np.einsum("bjs,jcs->bjc", resid, b)
+        code = (scores.argmin(axis=2) + 1).astype("int32")  # (batch, m)
+        out = np.concatenate(
+            [(cells + 1).astype("int32")[:, None], code], axis=1
+        )
+        return pd.Series(list(out))
+
+    return codes
+
+
+def ivf_pq_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = 16,
+    n_probe: int = 4,
+    m: int = 4,
+    n_codes: int = 16,
+    round_digits: int = 4,
+) -> DataFrame:
+    """IVF-PQ approximate top-k: coarse-quantize into IVF cells, probe
+    the ``n_probe`` cells nearest the query, and score ONLY the
+    probed rows' (1+m)-int codes by asymmetric distance against the
+    reconstruction ``cent(cell) + residual_codeword`` — the full
+    100 TB ANN read path: partition-prunable cell filter x
+    bytes-per-vector codes x LUT-only scoring.
+
+    cos(q, v_hat) decomposes exactly over the disjoint subspaces:
+    dot = q.cent + sum_j dot(q_j, r_jc); |v_hat|^2 = |cent|^2 +
+    2 sum_j cent_j.r_jc + sum_j |r_jc|^2 — every term a driver-side
+    LUT literal (per probed cell where cell-dependent), so the scored
+    plan is pure JVM codegen over the code column with pinned
+    left-associated float-add order, replayable in the SQL oracle.
+    """
+    cents = ivf_centroids(
+        embeddings, vec_col=vec_col, id_col=id_col, n_cells=n_cells
+    )
+    books = residual_pq_codebooks(
+        embeddings, cents, vec_col=vec_col, id_col=id_col, m=m, n_codes=n_codes
+    )
+    sub = len(query_vec) // m
+    q = [float(x) for x in query_vec]
+    q_norm = math.sqrt(sum(x * x for x in q))
+
+    def sqdist(c: list[float]) -> float:
+        return sum((x - y) * (x - y) for x, y in zip(c, q))
+
+    probe = sorted(range(len(cents)), key=lambda j: (sqdist(cents[j]), j))[:n_probe]
+    probe_cells = [j + 1 for j in probe]
+
+    # Global (cell-independent) LUTs: dot(q_j, r_jc) and |r_jc|^2.
+    dq = [
+        [sum(a * b for a, b in zip(q[j * sub : (j + 1) * sub], c)) for c in books[j]]
+        for j in range(m)
+    ]
+    nn = [[sum(a * a for a in c) for c in books[j]] for j in range(m)]
+    # Per-probed-cell scalars and LUTs: q.cent, |cent|^2, cent_j.r_jc.
+    cellA = {pc: sum(a * b for a, b in zip(q, cents[pc - 1])) for pc in probe_cells}
+    cellB = {pc: sum(a * a for a in cents[pc - 1]) for pc in probe_cells}
+    cellC = {
+        pc: [
+            [
+                sum(
+                    a * b
+                    for a, b in zip(
+                        cents[pc - 1][j * sub : (j + 1) * sub], books[j][ci]
+                    )
+                )
+                for ci in range(n_codes)
+            ]
+            for j in range(m)
+        ]
+        for pc in probe_cells
+    }
+
+    codes = _ivf_pq_codes_arrow(cents, books)(F.col(vec_col))
+    df = embeddings.select(
+        F.col(id_col).alias("vec_id"), codes.alias("_codes")
+    ).select(
+        "vec_id",
+        F.col("_codes")[0].alias("cell"),
+        *[F.col("_codes")[j + 1].alias(f"_c{j}") for j in range(m)],
+    )
+    cand = df.where(F.col("cell").isin(probe_cells))
+
+    def _lit_arr(vals):
+        return F.array(*[F.lit(float(x)) for x in vals])
+
+    def _cell_case(mapping):
+        expr = None
+        for pc in probe_cells:
+            branch = mapping(pc)
+            expr = (
+                F.when(F.col("cell") == pc, branch)
+                if expr is None
+                else expr.when(F.col("cell") == pc, branch)
+            )
+        return expr
+
+    d_chain = None
+    n_chain = None
+    c_chain = None
+    for j in range(m):
+        dj = F.element_at(_lit_arr(dq[j]), F.col(f"_c{j}"))
+        nj = F.element_at(_lit_arr(nn[j]), F.col(f"_c{j}"))
+        cj = _cell_case(lambda pc, j=j: F.element_at(_lit_arr(cellC[pc][j]), F.col(f"_c{j}")))
+        d_chain = dj if d_chain is None else d_chain + dj
+        n_chain = nj if n_chain is None else n_chain + nj
+        c_chain = cj if c_chain is None else c_chain + cj
+    a_term = _cell_case(lambda pc: F.lit(float(cellA[pc])))
+    b_term = _cell_case(lambda pc: F.lit(float(cellB[pc])))
+    adot = a_term + d_chain
+    nsq = (b_term + F.lit(2.0) * c_chain) + n_chain
+    if q_norm == 0.0:
+        sim = F.lit(0.0)
+    else:
+        sim = F.when(nsq <= 0, F.lit(0.0)).otherwise(
+            adot / (F.sqrt(nsq) * F.lit(q_norm))
+        )
+    sims = cand.select("vec_id", F.round(sim, round_digits).alias("sim"))
+    from pyspark.sql.window import Window
+
+    top = sims.orderBy(F.col("sim").desc(), F.col("vec_id")).limit(k)
+    w = Window.orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
 def embedding_near_dup(
     embeddings: DataFrame,
     *,

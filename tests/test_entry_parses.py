@@ -148,3 +148,22 @@ def test_evict_other_sf_releases_previous_sweep():
     # are the synchronous, assertable part.)
     assert not edges_a.storageLevel.useMemory
     assert not edges_a.storageLevel.useDisk
+
+
+def test_bench_compact_line_fits_tail():
+    """The driver records only a 2000-char stdout tail; rounds 4 and 5
+    shipped unparseable official bench records because the single JSON
+    line outgrew it.  bench.py's LAST line must stay complete inside
+    that tail for any registry size — pin it at 3x today's count."""
+    import json
+
+    import bench
+
+    fake = {f"q_padded_name_{i:04d}": round(0.123 + i / 1000, 3) for i in range(400)}
+    full, compact = bench.summary_lines(fake, 0.1)
+    assert len(compact) < 1800, len(compact)
+    rec = json.loads(compact)
+    assert rec["n_queries"] == 400
+    assert rec["value"] == round(sum(fake.values()), 3)
+    assert len(rec["slowest"]) == 10
+    json.loads(full)  # line 1 stays valid JSON too
