@@ -589,9 +589,14 @@ def ivf_pq_topk(
         for pc in probe_cells
     }
 
-    codes = _ivf_pq_codes_arrow(cents, books)(F.col(vec_col))
+    # asNondeterministic: the UDF IS deterministic, but without the
+    # marker Catalyst pushes the probe-cell filter below the code
+    # projection and extracts a SECOND ArrowEvalPython for it — the
+    # encode would run twice per row.  The marker pins one evaluation
+    # (plan shape asserted in test_plans.py).
+    codes_udf = _ivf_pq_codes_arrow(cents, books).asNondeterministic()
     df = embeddings.select(
-        F.col(id_col).alias("vec_id"), codes.alias("_codes")
+        F.col(id_col).alias("vec_id"), codes_udf(F.col(vec_col)).alias("_codes")
     ).select(
         "vec_id",
         F.col("_codes")[0].alias("cell"),

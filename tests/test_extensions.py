@@ -1059,3 +1059,34 @@ def test_pq_topk_reconstruction_exact_for_codeword_vectors(embeddings):
         ).collect()
     }
     assert enc_by_id[0] == enc_by_id[13] == enc_by_id[26] == enc_by_id[39]
+
+
+def test_ivf_pq_codes_and_topk_consistency(embeddings):
+    """Residual IVF-PQ: identical vectors get identical [cell, codes]
+    rows (cell from the shared coarse quantizer, codes from the shared
+    residual books), the declared (1+m)-int shape holds, and the
+    ADC top-k ranks deterministically with collinear ids tied."""
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.similarity import (
+        _ivf_pq_codes_arrow,
+        ivf_centroids,
+        ivf_pq_topk,
+        residual_pq_codebooks,
+    )
+
+    cents = ivf_centroids(embeddings, n_cells=8)
+    books = residual_pq_codebooks(embeddings, cents, m=4, n_codes=16)
+    assert len(books) == 4 and len(books[0]) == 16 and len(books[0][0]) == 2
+    enc = {
+        r["vec_id"]: tuple(r["codes"])
+        for r in embeddings.select(
+            "vec_id",
+            _ivf_pq_codes_arrow(cents, books)(F.col("embedding")).alias("codes"),
+        ).collect()
+    }
+    assert all(len(v) == 5 for v in enc.values())
+    assert enc[0] == enc[13] == enc[26] == enc[39]
+    rows = ivf_pq_topk(embeddings, QUERY, 5, n_cells=8, n_probe=3, m=4, n_codes=16).collect()
+    assert [r["rank"] for r in rows] == [1, 2, 3, 4, 5]
+    sims = {r["vec_id"]: r["sim"] for r in rows}
+    present = [v for v in (0, 13, 26, 39) if v in sims]
+    assert len({sims[v] for v in present}) <= 1

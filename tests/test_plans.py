@@ -477,3 +477,21 @@ def test_bfs_order_rank_windows_are_all_bounded(spark):
     )
     assert [p for (_, p) in rows] == list(range(1, len(rows) + 1))
     assert len(rows) == 503
+
+
+def test_pq_scoring_is_code_only_jvm_with_topk(spark):
+    """PQ ADC contract: ONE Arrow batch pass (the encode UDF) and a
+    TakeOrderedAndProject top-k; the scoring itself is LUT-literal
+    JVM codegen — no row-at-a-time Python, no cartesian, no second
+    Python pass, no global sort."""
+    # Exactly ONE ArrowEvalPython each: without the asNondeterministic
+    # marker on the IVF-PQ encode UDF, Catalyst pushes the probe-cell
+    # filter below the code projection and extracts a second
+    # evaluation — the encode would run twice per row.
+    for name in ("q_pq_topk", "q_ivfpq_topk"):
+        df = entry.queries()[name](spark, SF_DIR)
+        plan = _plan(df)
+        assert plan.count("ArrowEvalPython") == 1, name
+        assert "BatchEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "TakeOrderedAndProject" in plan, name
