@@ -166,6 +166,7 @@ from distributed_graph_database_simulation_with_load_balancing_and_threaded_requ
     local_supplier_volume,
     nation_market_share,
     nation_trade_volume,
+    order_gap_stats,
     top_supplier,
     waiting_suppliers,
     order_priority_check,
@@ -192,6 +193,7 @@ from distributed_graph_database_simulation_with_load_balancing_and_threaded_requ
     run_attribution_batch,
     run_corpus_stats_batch,
     run_dedup_batch,
+    run_edge_ingest_batch,
     run_event_rollup_batch,
     run_sessions_batch,
 )
@@ -2543,6 +2545,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round(F.col("n_matched") / 10.0, 6).alias("recall"),
         )
 
+    def q_stream_edges(spark, sf_dir):
+        # The SEVENTH streaming shape under the value oracle:
+        # streaming graph ingest — raw tree pairs staged as arrival
+        # batches, canonicalized in-flight with watermarked
+        # first-seen dedup on the canonical pair, symmetrized after
+        # the drive; result == batch add_graph (O1) row-for-row for
+        # any batch split.
+        return _loop_parts(
+            spark,
+            lambda: run_edge_ingest_batch(
+                spark, _raw_tree_pairs(spark, sf_dir), graph_id=1
+            ),
+            n=4,
+        )
+
+    def q_order_gaps(spark, sf_dir):
+        # Purchase-cadence windows (LAG): per-customer day gaps
+        # between consecutive orders, all-integer aggregates; one
+        # custkey shuffle serves both the window and the groupBy.
+        return order_gap_stats(load_table(spark, sf_dir, "orders"))
+
     def q_market_share(spark, sf_dir):
         # TPC-H Q8 shape: one nation's yearly share of a region's
         # ECONOMY-part revenue — numerator and denominator from ONE
@@ -2624,6 +2647,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_idle_customers": q_idle_customers,
         "q_ivfpq_topk": q_ivfpq_topk,
         "q_ivfpq_recall": q_ivfpq_recall,
+        "q_stream_edges": q_stream_edges,
+        "q_order_gaps": q_order_gaps,
         # -- official rows aged to r3: lead the round-6 window --
         "q_top_events": q_top_events,
         "q_event_props": q_event_props,
@@ -2747,7 +2772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    oracles = {
         "q_add_graph": f"""
             WITH e0 AS ({_SQL_E0}),
             canon AS (
@@ -4607,4 +4632,23 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY n_name
             ORDER BY revenue DESC, n_name
         """,
+        "q_order_gaps": """
+            WITH g AS (
+              SELECT o_custkey,
+                     date_diff('day',
+                               lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                 ORDER BY o_orderdate, o_orderkey),
+                               o_orderdate) AS gap
+              FROM orders
+            )
+            SELECT CAST(o_custkey AS BIGINT) AS custkey,
+                   CAST(COUNT(*) AS BIGINT) AS n_gaps,
+                   CAST(SUM(gap) AS BIGINT) AS total_gap_days,
+                   CAST(MAX(gap) AS BIGINT) AS max_gap_days
+            FROM g WHERE gap IS NOT NULL GROUP BY o_custkey
+        """,
     }
+    # The streamed graph ingest must equal batch add_graph (O1)
+    # row-for-row — same oracle by construction.
+    oracles["q_stream_edges"] = oracles["q_add_graph"]
+    return oracles

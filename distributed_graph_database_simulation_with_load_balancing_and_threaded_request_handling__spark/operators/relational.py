@@ -1088,3 +1088,37 @@ def idle_customers(
         F.count("*").cast("long").alias("numcust"),
         F.round(F.sum("bal").cast("double"), 4).alias("totacctbal"),
     ).select(F.col("c_nationkey").cast("int").alias("cntry"), "numcust", "totacctbal")
+
+
+def order_gap_stats(orders: DataFrame) -> DataFrame:
+    """Per-customer purchase cadence via LAG: the day gaps between a
+    customer's consecutive orders (ordered by date, orderkey-tied),
+    aggregated to ``(custkey, n_gaps, total_gap_days, max_gap_days)``
+    for customers with at least two orders.  All-integer measures, so
+    the value oracle is exact.
+
+    The cadence profile is the classic churn/recency feature a
+    training-data pipeline derives from event logs.  Scale: ONE
+    shuffle on the customer key serves both the lag window and the
+    aggregation (same partitioning, no second exchange); day diffs
+    are computed inside the window projection, JVM-side.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = orders.select(
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+        ).alias("gap"),
+    ).where(F.col("gap").isNotNull())
+    return gaps.groupBy("o_custkey").agg(
+        F.count("*").cast("long").alias("n_gaps"),
+        F.sum("gap").cast("long").alias("total_gap_days"),
+        F.max("gap").cast("long").alias("max_gap_days"),
+    ).select(
+        F.col("o_custkey").cast("long").alias("custkey"),
+        "n_gaps",
+        "total_gap_days",
+        "max_gap_days",
+    )

@@ -4,10 +4,12 @@ primary_server.c:224, secondary_server.c:363)."""
 
 from .ingest import (
     DOCUMENT_STREAM_SCHEMA,
+    canonical_edge_stream,
     corpus_stream_stats,
     dedup_document_stream,
     read_document_stream,
     run_dedup_batch,
+    run_edge_ingest_batch,
 )
 from .requests import (
     REQUEST_STREAM_SCHEMA,
@@ -22,12 +24,14 @@ from .requests import (
 __all__ = [
     "DOCUMENT_STREAM_SCHEMA",
     "REQUEST_STREAM_SCHEMA",
+    "canonical_edge_stream",
     "corpus_stream_stats",
     "dedup_document_stream",
     "read_document_stream",
     "read_request_stream",
     "route_stream",
     "run_dedup_batch",
+    "run_edge_ingest_batch",
     "request_load",
     "run_request_stream",
     "running_route_totals",

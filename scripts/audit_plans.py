@@ -129,6 +129,13 @@ def main() -> None:
             .dropDuplicates(["text_hash"])
             .select("text_hash")
         ),
+        "q_stream_edges": lambda: __import__(
+            "distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.catalog",
+            fromlist=["add_graph"],
+        ).add_graph(
+            derived_tree_edges(spark, sf_dir, symmetric=False).select("src", "dst"),
+            graph_id=1,
+        ),
     }
 
     rows = []

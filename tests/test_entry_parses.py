@@ -150,6 +150,30 @@ def test_evict_other_sf_releases_previous_sweep():
     assert not edges_a.storageLevel.useDisk
 
 
+def test_evict_other_sf_drops_bucketed_table_and_dir():
+    """Round-5 advice: bucketed-table cache entries must be fully
+    reclaimed on sf switch — DROP TABLE (metastore) AND rmtree (the
+    mkdtemp parquet dir), not just popped from the dict."""
+    import pytest
+    from pyspark.sql import SparkSession
+
+    sf_a, sf_b = "/root/testdata/sf0.001", "/root/testdata/sf0.01"
+    if not (os.path.isdir(sf_a) and os.path.isdir(sf_b)):
+        pytest.skip("driver testdata not present")
+
+    spark = SparkSession.builder.master("local[4]").getOrCreate()
+    entry.queries()["q_bucketed_table"](spark, sf_a).count()
+    key_a = next(k for k in entry._BUCKETED_TABLE_CACHE if k[1] == sf_a)
+    name_a, dir_a = entry._BUCKETED_TABLE_CACHE[key_a]
+    assert spark.catalog.tableExists(name_a)
+    assert os.path.isdir(dir_a)
+
+    entry.queries()["q_bucketed_table"](spark, sf_b).count()
+    assert not any(k[1] == sf_a for k in entry._BUCKETED_TABLE_CACHE)
+    assert not spark.catalog.tableExists(name_a)
+    assert not os.path.isdir(dir_a)
+
+
 def test_bench_compact_line_fits_tail():
     """The driver records only a 2000-char stdout tail; rounds 4 and 5
     shipped unparseable official bench records because the single JSON

@@ -438,6 +438,12 @@ def test_parse_byte_conf_units():
     assert _parse_byte_conf("64MB") == 64 * 1024 * 1024
     assert _parse_byte_conf("2g") == 2 << 30
     assert _parse_byte_conf("3K") == 3072
+    # t/tb and p/pb are valid Spark byte-conf spellings too — a '1t'
+    # threshold must not break triangle auto-strategy (round-5 advice).
+    assert _parse_byte_conf("1t") == 1 << 40
+    assert _parse_byte_conf("2TB") == 2 << 40
+    assert _parse_byte_conf("1p") == 1 << 50
+    assert _parse_byte_conf("1pb") == 1 << 50
     assert _parse_byte_conf("-1") == -1
     assert _parse_byte_conf("1024") == 1024
     import pytest
