@@ -160,6 +160,7 @@ from distributed_graph_database_simulation_with_load_balancing_and_threaded_requ
     customers_without_orders,
     disjunctive_part_revenue,
     forecast_revenue,
+    funnel_stages,
     idle_customers,
     large_quantity_orders,
     small_quantity_revenue,
@@ -2560,6 +2561,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             n=4,
         )
 
+    def q_funnel(spark, sf_dir):
+        # Ordered funnel (sequence-pattern analytics): users advancing
+        # signup -> view -> click -> purchase, each stage strictly
+        # after the previous stage's first qualifying event; stage
+        # tables broadcast against the pushed-predicate event scans.
+        return funnel_stages(load_table(spark, sf_dir, "events"))
+
     def q_order_gaps(spark, sf_dir):
         # Purchase-cadence windows (LAG): per-customer day gaps
         # between consecutive orders, all-integer aggregates; one
@@ -2649,6 +2657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ivfpq_recall": q_ivfpq_recall,
         "q_stream_edges": q_stream_edges,
         "q_order_gaps": q_order_gaps,
+        "q_funnel": q_funnel,
         # -- official rows aged to r3: lead the round-6 window --
         "q_top_events": q_top_events,
         "q_event_props": q_event_props,
@@ -4646,6 +4655,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(gap) AS BIGINT) AS total_gap_days,
                    CAST(MAX(gap) AS BIGINT) AS max_gap_days
             FROM g WHERE gap IS NOT NULL GROUP BY o_custkey
+        """,
+        "q_funnel": """
+            WITH s1 AS (
+              SELECT user_id, MIN(ts) AS t FROM events
+              WHERE event_type = 'signup' GROUP BY user_id
+            ),
+            s2 AS (
+              SELECT e.user_id, MIN(e.ts) AS t FROM events e
+              JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+              WHERE e.event_type = 'view' GROUP BY e.user_id
+            ),
+            s3 AS (
+              SELECT e.user_id, MIN(e.ts) AS t FROM events e
+              JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+              WHERE e.event_type = 'click' GROUP BY e.user_id
+            ),
+            s4 AS (
+              SELECT e.user_id, MIN(e.ts) AS t FROM events e
+              JOIN s3 ON e.user_id = s3.user_id AND e.ts > s3.t
+              WHERE e.event_type = 'purchase' GROUP BY e.user_id
+            )
+            SELECT CAST(1 AS INTEGER) AS stage_no, 'signup' AS stage,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM s1) AS n_users
+            UNION ALL
+            SELECT CAST(2 AS INTEGER), 'view',
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM s2)
+            UNION ALL
+            SELECT CAST(3 AS INTEGER), 'click',
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM s3)
+            UNION ALL
+            SELECT CAST(4 AS INTEGER), 'purchase',
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM s4)
         """,
     }
     # The streamed graph ingest must equal batch add_graph (O1)

@@ -1122,3 +1122,45 @@ def order_gap_stats(orders: DataFrame) -> DataFrame:
         "total_gap_days",
         "max_gap_days",
     )
+
+
+def funnel_stages(
+    events: DataFrame,
+    *,
+    stages: tuple = ("signup", "view", "click", "purchase"),
+) -> DataFrame:
+    """Ordered funnel conversion: a user reaches stage i iff they have
+    a stage-i event STRICTLY AFTER their stage-(i-1) entry time, where
+    the entry time is the FIRST qualifying event (min ts) — the
+    classic product-analytics sequence query.  Returns one row per
+    stage: ``(stage_no, stage, n_users)``, exact integer counts.
+
+    Scale notes: each stage is a user-keyed min-aggregation joined to
+    the (shrinking) previous stage's entry table — the stage table is
+    user-cardinality, dimension-sized next to the event fact, and is
+    broadcast; the event scan carries a pushed event_type predicate
+    per stage.  The per-stage count rows are one-row aggregates
+    unioned together (k rows total).  No window over the raw fact, no
+    per-user sort.
+    """
+    out = None
+    cur = None
+    for i, s in enumerate(stages):
+        ev = events.where(F.col("event_type") == s).select("user_id", "ts")
+        if cur is None:
+            cur = ev.groupBy("user_id").agg(F.min("ts").alias("t"))
+        else:
+            prev = cur.select("user_id", F.col("t").alias("prev_t"))
+            cur = (
+                ev.join(F.broadcast(prev), "user_id")
+                .where(F.col("ts") > F.col("prev_t"))
+                .groupBy("user_id")
+                .agg(F.min("ts").alias("t"))
+            )
+        row = cur.agg(F.count("*").cast("long").alias("n_users")).select(
+            F.lit(i + 1).cast("int").alias("stage_no"),
+            F.lit(s).alias("stage"),
+            "n_users",
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
