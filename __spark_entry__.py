@@ -168,6 +168,7 @@ from distributed_graph_database_simulation_with_load_balancing_and_threaded_requ
     nation_market_share,
     nation_trade_volume,
     order_gap_stats,
+    retention_cohorts,
     top_supplier,
     waiting_suppliers,
     order_priority_check,
@@ -2574,6 +2575,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # custkey shuffle serves both the window and the groupBy.
         return order_gap_stats(load_table(spark, sf_dir, "orders"))
 
+    def q_retention(spark, sf_dir):
+        # Weekly retention triangle: first-signup cohorts x active
+        # week offsets (integral DIV), broadcast signup dim,
+        # distinct over bare ids + small ints.
+        return retention_cohorts(load_table(spark, sf_dir, "events"))
+
+    def q_vector_stats(spark, sf_dir):
+        # Higher-order array functions as a declared surface: per-row
+        # dim / L2 norm / positive-component count / max-abs via
+        # size, aggregate, filter, transform + array_max — all JVM
+        # expressions over the embedding column, no UDF.
+        emb = load_table(spark, sf_dir, "embeddings")
+        v = F.col("embedding").cast("array<double>")
+        return emb.select(
+            "vec_id",
+            F.size(v).cast("int").alias("dim"),
+            F.round(
+                F.sqrt(
+                    F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
+                ),
+                4,
+            ).alias("l2_norm"),
+            F.size(F.filter(v, lambda x: x > 0)).cast("long").alias("n_pos"),
+            F.round(
+                F.array_max(F.transform(v, lambda x: F.abs(x))), 4
+            ).alias("max_abs"),
+        )
+
     def q_market_share(spark, sf_dir):
         # TPC-H Q8 shape: one nation's yearly share of a region's
         # ECONOMY-part revenue — numerator and denominator from ONE
@@ -2658,6 +2687,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_edges": q_stream_edges,
         "q_order_gaps": q_order_gaps,
         "q_funnel": q_funnel,
+        "q_retention": q_retention,
+        "q_vector_stats": q_vector_stats,
         # -- official rows aged to r3: lead the round-6 window --
         "q_top_events": q_top_events,
         "q_event_props": q_event_props,
@@ -4689,6 +4720,29 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT CAST(COUNT(*) AS BIGINT) FROM s4)
         """,
     }
+    oracles["q_retention"] = """
+        WITH signup AS (
+          SELECT user_id, MIN(ts) AS t0 FROM events
+          WHERE event_type = 'signup' GROUP BY user_id
+        ),
+        cells AS (
+          SELECT DISTINCT CAST(date_trunc('week', s.t0) AS DATE) AS cohort_week,
+                 CAST(date_diff('day', s.t0, e.ts) // 7 AS INTEGER) AS week_offset,
+                 e.user_id
+          FROM events e JOIN signup s ON e.user_id = s.user_id
+          WHERE e.ts >= s.t0
+        )
+        SELECT cohort_week, week_offset, CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM cells GROUP BY cohort_week, week_offset
+    """
+    oracles["q_vector_stats"] = """
+        SELECT vec_id,
+               CAST(len(dv) AS INTEGER) AS dim,
+               round(sqrt(list_dot_product(dv, dv)), 4) AS l2_norm,
+               CAST(len(list_filter(dv, x -> x > 0)) AS BIGINT) AS n_pos,
+               round(list_max(list_transform(dv, x -> abs(x))), 4) AS max_abs
+        FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings)
+    """
     # The streamed graph ingest must equal batch add_graph (O1)
     # row-for-row — same oracle by construction.
     oracles["q_stream_edges"] = oracles["q_add_graph"]

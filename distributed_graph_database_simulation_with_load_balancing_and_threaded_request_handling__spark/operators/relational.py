@@ -1164,3 +1164,34 @@ def funnel_stages(
         )
         out = row if out is None else out.unionAll(row)
     return out
+
+
+def retention_cohorts(events: DataFrame, *, signup_type: str = "signup") -> DataFrame:
+    """Weekly retention cohort matrix: users grouped by the ISO week
+    of their FIRST signup event, counted as retained in week-offset
+    ``(activity_date - signup_date) DIV 7`` for every week in which
+    they have any event at or after signup.  Returns
+    ``(cohort_week, week_offset, n_users)`` — the classic
+    product-analytics retention triangle, all-integer counts.
+
+    Scale notes: the signup table is user-cardinality and broadcast
+    against the event fact; the distinct on (cohort, offset, user)
+    carries bare ids + small ints; integral DIV (not float division)
+    keeps the offset engine-exact.
+    """
+    signup = (
+        events.where(F.col("event_type") == signup_type)
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    act = events.select("user_id", "ts").join(
+        F.broadcast(signup), "user_id"
+    ).where(F.col("ts") >= F.col("t0"))
+    cells = act.select(
+        F.to_date(F.date_trunc("week", F.col("t0"))).alias("cohort_week"),
+        F.expr("CAST(datediff(ts, t0) DIV 7 AS INT)").alias("week_offset"),
+        "user_id",
+    ).distinct()
+    return cells.groupBy("cohort_week", "week_offset").agg(
+        F.count("*").cast("long").alias("n_users")
+    )
