@@ -174,9 +174,18 @@ def sample_quantile_err(
         F.percentile(F.col("x"), qarr).alias("full_q"),
         F.percentile(F.when(F.col("s"), F.col("x")), qarr).alias("samp_q"),
     )
+    # A stratum where NO row cleared the sample threshold yields a NULL
+    # samp_q (percentile over all-NULL input), and arrays_zip(x, NULL)
+    # is NULL — posexplode would then DROP the whole stratum instead of
+    # reporting "no sample estimate".  Coalesce to an array of NULL
+    # doubles so such strata surface as (exact_v, NULL, NULL) rows,
+    # matching the SQL oracle's quantile_cont(...) FILTER semantics.
+    null_arr = F.array(*[F.lit(None).cast("double") for _ in qs])
     exploded = agg.select(
         *gcols,
-        F.posexplode(F.arrays_zip("full_q", "samp_q")).alias("i", "z"),
+        F.posexplode(
+            F.arrays_zip("full_q", F.coalesce("samp_q", null_arr).alias("samp_q"))
+        ).alias("i", "z"),
     ).select(
         *gcols,
         F.element_at(F.lit(list(map(float, qs))), F.col("i") + 1).alias("q"),

@@ -472,6 +472,26 @@ def test_sample_quantile_err_contract(spark):
     assert rows["hi"].exact_v == 7500.5
     assert "percentile" in grouped._jdf.queryExecution().executedPlan().toString().lower()
 
+    # Regression (round-6 sf0.001 sweep): a stratum where NO row clears
+    # the sample threshold must still surface, as (exact_v, NULL, NULL)
+    # — arrays_zip(full_q, NULL) is NULL and posexplode(NULL) silently
+    # DROPPED the stratum before the coalesce-to-null-array fix.
+    tiny = spark.createDataFrame(
+        [("empty", 1.0, 1), ("empty", 2.0, 2), ("full", 3.0, 3)],
+        "g string, v double, id long",
+    )
+    # rate=0.0: nothing samples, so EVERY stratum exercises the path.
+    none_sampled = {
+        r.g: r
+        for r in sample_quantile_err(
+            tiny, F.col("v"), F.col("id"), group_by=["g"], rate=0.0, qs=(0.5,)
+        ).collect()
+    }
+    assert set(none_sampled) == {"empty", "full"}
+    assert none_sampled["empty"].exact_v == 1.5
+    assert none_sampled["empty"].sample_v is None
+    assert none_sampled["empty"].abs_err is None
+
 
 def test_running_customer_spend_prefix_sums(spark):
     import datetime
