@@ -162,7 +162,12 @@ from distributed_graph_database_simulation_with_load_balancing_and_threaded_requ
     forecast_revenue,
     funnel_stages,
     idle_customers,
+    important_parts,
     large_quantity_orders,
+    min_cost_supplier,
+    product_profit,
+    promo_suppliers,
+    supplier_part_counts,
     small_quantity_revenue,
     local_supplier_volume,
     nation_market_share,
@@ -2647,6 +2652,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(spark, sf_dir, "orders"),
         )
 
+    def q_min_cost_supp(spark, sf_dir):
+        # TPC-H Q2 shape: correlated min-cost subquery decorrelated
+        # into a per-part min joined back on exact decimal equality;
+        # the supply relation is derived from lineitem (no partsupp in
+        # the testdata — cost = cheapest observed line price).
+        return min_cost_supplier(
+            load_table(spark, sf_dir, "part"),
+            load_table(spark, sf_dir, "supplier"),
+            load_table(spark, sf_dir, "nation"),
+            load_table(spark, sf_dir, "region"),
+            load_table(spark, sf_dir, "lineitem"),
+        )
+
+    def q_product_profit(spark, sf_dir):
+        # TPC-H Q9 shape: product-line profit by supplier nation x
+        # order year; supply cost stand-in is the part's retail price.
+        return product_profit(
+            load_table(spark, sf_dir, "lineitem"),
+            load_table(spark, sf_dir, "orders"),
+            load_table(spark, sf_dir, "part"),
+            load_table(spark, sf_dir, "supplier"),
+            load_table(spark, sf_dir, "nation"),
+        )
+
+    def q_important_parts(spark, sf_dir):
+        # TPC-H Q11 shape: per-part share of one region's supply value
+        # vs a broadcast global scalar (2x the average share),
+        # integer-cents cross-multiplied.
+        return important_parts(
+            load_table(spark, sf_dir, "lineitem"),
+            load_table(spark, sf_dir, "supplier"),
+            load_table(spark, sf_dir, "nation"),
+            load_table(spark, sf_dir, "region"),
+        )
+
+    def q_part_supp_counts(spark, sf_dir):
+        # TPC-H Q16 shape: distinct-supplier counts per surviving
+        # (brand, type, size) bucket, complaint suppliers anti-joined.
+        return supplier_part_counts(
+            load_table(spark, sf_dir, "lineitem"),
+            load_table(spark, sf_dir, "part"),
+            load_table(spark, sf_dir, "supplier"),
+        )
+
+    def q_promo_suppliers(spark, sf_dir):
+        # TPC-H Q20 shape: nested EXISTS chain decorrelated into one
+        # conditional aggregation + broadcast semi join.
+        return promo_suppliers(
+            load_table(spark, sf_dir, "lineitem"),
+            load_table(spark, sf_dir, "part"),
+            load_table(spark, sf_dir, "supplier"),
+            load_table(spark, sf_dir, "nation"),
+            load_table(spark, sf_dir, "region"),
+        )
+
     def q_pq_recall(spark, sf_dir):
         # Measured PQ quality: overlap of the ADC top-10 with the
         # exact cosine top-10 (the q_ivf_recall pattern).
@@ -2674,6 +2734,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # must sit inside the current window.
     return {
         # -- new this round (round 6; inside the 50-entry window) --
+        "q_min_cost_supp": q_min_cost_supp,
+        "q_product_profit": q_product_profit,
+        "q_important_parts": q_important_parts,
+        "q_part_supp_counts": q_part_supp_counts,
+        "q_promo_suppliers": q_promo_suppliers,
         "q_stream_dedup": q_stream_dedup,
         "q_edge_merge": q_edge_merge,
         "q_pq_topk": q_pq_topk,
@@ -3086,6 +3151,117 @@ def oracle_sql() -> dict[str, str]:
         "q_pq_recall": _sql_topk_recall(_sql_pq_topk(m=16, sub=4, n_codes=128)),
         "q_ivfpq_topk": _sql_ivfpq_topk(n_codes=128),
         "q_ivfpq_recall": _sql_topk_recall(_sql_ivfpq_topk(n_codes=128)),
+        "q_min_cost_supp": """
+            WITH supply AS (
+              SELECT l_partkey, l_suppkey,
+                     MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS cost_dec
+              FROM lineitem GROUP BY l_partkey, l_suppkey
+            ),
+            sup AS (
+              SELECT s_suppkey, s_name, s_acctbal, n_name
+              FROM supplier
+              JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+              WHERE r_name = 'EUROPE'
+            ),
+            cand AS (
+              SELECT sup.s_acctbal, sup.s_name, sup.n_name,
+                     part.p_partkey, part.p_brand, supply.cost_dec
+              FROM supply
+              JOIN part ON l_partkey = p_partkey
+              JOIN sup ON l_suppkey = s_suppkey
+              WHERE p_size BETWEEN 10 AND 20
+            )
+            SELECT round(CAST(CAST(s_acctbal AS DECIMAL(18,2)) AS DOUBLE), 2)
+                       AS s_acctbal,
+                   s_name, n_name, CAST(p_partkey AS BIGINT) AS p_partkey,
+                   p_brand, round(CAST(cost_dec AS DOUBLE), 2) AS supply_cost
+            FROM cand c
+            WHERE cost_dec = (SELECT MIN(cost_dec) FROM cand c2
+                              WHERE c2.p_partkey = c.p_partkey)
+        """,
+        "q_product_profit": """
+            WITH p AS (
+              SELECT p_partkey, CAST(p_retailprice AS DECIMAL(18,2)) AS retail_dec
+              FROM part WHERE p_name LIKE '%blue%'
+            ),
+            li AS (
+              SELECT l_orderkey, l_suppkey,
+                     CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                     - CAST(l_quantity AS DECIMAL(18,2)) * retail_dec AS amount
+              FROM lineitem JOIN p ON l_partkey = p_partkey
+            ),
+            sup AS (
+              SELECT s_suppkey, n_name FROM supplier
+              JOIN nation ON s_nationkey = n_nationkey
+            )
+            SELECT n_name AS nation,
+                   CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+                   round(CAST(SUM(amount) AS DOUBLE), 4) AS sum_profit
+            FROM li
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN sup ON l_suppkey = s_suppkey
+            GROUP BY n_name, o_year
+        """,
+        "q_important_parts": """
+            WITH sup AS (
+              SELECT s_suppkey FROM supplier
+              JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+              WHERE r_name = 'ASIA'
+            ),
+            pvalue AS (
+              SELECT l_partkey,
+                     CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100
+                          AS BIGINT) AS value_cents
+              FROM lineitem JOIN sup ON l_suppkey = s_suppkey
+              GROUP BY l_partkey
+            )
+            SELECT CAST(l_partkey AS BIGINT) AS p_partkey,
+                   round(value_cents / 100.0, 2) AS value
+            FROM pvalue
+            WHERE value_cents * (SELECT COUNT(*) FROM pvalue) >
+                  (SELECT SUM(value_cents) FROM pvalue) * 2
+        """,
+        "q_part_supp_counts": """
+            WITH pairs AS (
+              SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+            ),
+            ok_pairs AS (
+              SELECT * FROM pairs
+              WHERE l_suppkey NOT IN
+                    (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7')
+            )
+            SELECT p_brand, p_type, CAST(p_size AS INTEGER) AS p_size,
+                   CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+            FROM ok_pairs JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#13' AND p_type <> 'PROMO'
+              AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+            GROUP BY p_brand, p_type, p_size
+        """,
+        "q_promo_suppliers": """
+            WITH p AS (
+              SELECT p_partkey FROM part WHERE p_name LIKE 'blue%'
+            ),
+            sums AS (
+              SELECT l_suppkey,
+                     SUM(CASE WHEN l_shipdate >= TIMESTAMP '1995-01-01'
+                               AND l_shipdate < TIMESTAMP '1996-01-01'
+                          THEN CAST(l_quantity AS DECIMAL(18,2))
+                          ELSE CAST(0 AS DECIMAL(18,2)) END) AS qty_window,
+                     SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty_all
+              FROM lineitem JOIN p ON l_partkey = p_partkey
+              GROUP BY l_suppkey, l_partkey
+            )
+            SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name, n_name
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND s_suppkey IN (SELECT l_suppkey FROM sums
+                                WHERE 2 * qty_window > qty_all)
+        """,
         "q_market_share": """
             WITH nat_r AS (
               SELECT n_nationkey FROM nation

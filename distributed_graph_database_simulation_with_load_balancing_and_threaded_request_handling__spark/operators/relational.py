@@ -1195,3 +1195,317 @@ def retention_cohorts(events: DataFrame, *, signup_type: str = "signup") -> Data
     return cells.groupBy("cohort_week", "week_offset").agg(
         F.count("*").cast("long").alias("n_users")
     )
+
+
+# ---------------------------------------------------------------------------
+# The last five TPC-H shapes (Q2, Q9, Q11, Q16, Q20).  The driver's
+# testdata has no partsupp table, so all five derive the supply
+# relation from lineitem: a (partkey, suppkey) pair "supplies" iff a
+# line ships it, and its supply COST is the cheapest line price ever
+# observed for the pair (an exact decimal MIN — deterministic and
+# engine-portable, unlike any averaged unit price, which would need a
+# division).  Same adaptation posture as waiting_suppliers (Q21,
+# no commit/receipt dates) and idle_customers (Q22, no phone).
+# ---------------------------------------------------------------------------
+
+
+def derived_supply(lineitem: DataFrame) -> DataFrame:
+    """The partsupp stand-in: per observed ``(l_partkey, l_suppkey)``
+    pair, the minimum line price as exact ``cost_dec``.
+
+    Scale: ONE shuffle on the composite (partkey, suppkey) key with a
+    map-side partial MIN, output bounded by |part|x|supplier| — the
+    same cardinality partsupp itself would have.
+    """
+    return lineitem.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice").cast(_DEC)).alias("cost_dec")
+    )
+
+
+def min_cost_supplier(
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    lineitem: DataFrame,
+    *,
+    region_name: str = "EUROPE",
+    size_lo: int = 10,
+    size_hi: int = 20,
+) -> DataFrame:
+    """TPC-H Q2 shape: for each mid-size part, the region supplier(s)
+    offering the MINIMUM derived supply cost — the correlated
+    min-subquery decorrelated into a per-part aggregate joined back on
+    exact decimal equality (ties all kept, as in Q2).  Returns
+    ``(s_acctbal, s_name, n_name, p_partkey, p_brand, supply_cost)``.
+
+    Scale notes: the only fact-sized work is derived_supply's one
+    composite-key shuffle; part (size filter), the supplier⋈nation⋈
+    region chain, and the per-part min (part-cardinality) are all
+    broadcast.  The min join-back compares the EXACT decimal, never a
+    rounded double, so tie membership is engine-portable.
+    """
+    sup = (
+        supplier.join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region.where(F.col("r_name") == region_name)),
+                    nation["n_regionkey"] == region["r_regionkey"],
+                ).select("n_nationkey", "n_name")
+            ),
+            supplier["s_nationkey"] == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    p = part.where(
+        (F.col("p_size") >= size_lo) & (F.col("p_size") <= size_hi)
+    ).select("p_partkey", "p_brand")
+    cand = (
+        derived_supply(lineitem)
+        .join(F.broadcast(p), F.col("l_partkey") == p["p_partkey"])
+        .join(F.broadcast(sup), F.col("l_suppkey") == sup["s_suppkey"])
+    )
+    min_cost = cand.groupBy(F.col("p_partkey").alias("mc_partkey")).agg(
+        F.min("cost_dec").alias("min_cost_dec")
+    )
+    return (
+        cand.join(
+            F.broadcast(min_cost),
+            (cand["p_partkey"] == F.col("mc_partkey"))
+            & (cand["cost_dec"] == F.col("min_cost_dec")),
+        )
+        .select(
+            F.round(F.col("s_acctbal").cast(_DEC).cast("double"), 2).alias(
+                "s_acctbal"
+            ),
+            "s_name",
+            "n_name",
+            F.col("p_partkey").cast("long").alias("p_partkey"),
+            "p_brand",
+            F.round(F.col("cost_dec").cast("double"), 2).alias("supply_cost"),
+        )
+    )
+
+
+def product_profit(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    *,
+    name_token: str = "blue",
+) -> DataFrame:
+    """TPC-H Q9 shape: profit on a product line by supplier nation and
+    order year — ``(nation, o_year, sum_profit)``.  The testdata's
+    supply-cost stand-in is the part's retail price: profit per line =
+    ``extendedprice*(1-discount) - quantity*p_retailprice`` (may be
+    negative — discounts below list price), all exact decimals.
+
+    Scale notes: the part filter (name token) broadcasts with the
+    retail price attached so the per-line amount is computed BELOW the
+    orders join; supplier⋈nation broadcasts; the only fact-fact
+    shuffle is lineitem⋈orders on the orderkey.  One aggregation on
+    the (nation, year) pair — nation x years output.
+    """
+    p = part.where(F.col("p_name").contains(name_token)).select(
+        "p_partkey", F.col("p_retailprice").cast(_DEC).alias("retail_dec")
+    )
+    li = lineitem.join(
+        F.broadcast(p), lineitem["l_partkey"] == p["p_partkey"]
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_extendedprice").cast(_DEC)
+            * (1 - F.col("l_discount").cast(_DEC))
+            - F.col("l_quantity").cast(_DEC) * F.col("retail_dec")
+        ).alias("amount_dec"),
+    )
+    o = orders.select("o_orderkey", F.year("o_orderdate").alias("o_year"))
+    sup = supplier.join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        supplier["s_nationkey"] == F.col("n_nationkey"),
+    ).select("s_suppkey", F.col("n_name").alias("nation"))
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
+        .groupBy("nation", "o_year")
+        .agg(F.sum("amount_dec").alias("profit_dec"))
+        .select(
+            "nation",
+            F.col("o_year").cast("int").alias("o_year"),
+            F.round(F.col("profit_dec").cast("double"), 4).alias("sum_profit"),
+        )
+    )
+
+
+def important_parts(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    *,
+    region_name: str = "ASIA",
+    mult: int = 2,
+) -> DataFrame:
+    """TPC-H Q11 shape: the parts whose share of one region's total
+    derived supply value exceeds ``mult`` times the average part's
+    share — the correlated HAVING-over-global-scalar decorrelated
+    into a one-row broadcast.  Returns ``(p_partkey, value)``.
+    (Q11's literal ``0.0001/SF`` cutoff is scale-dependent by
+    construction; the multiple-of-average form keeps the identical
+    plan shape while selecting a stable head at every SF.)
+
+    Scale notes: supplier⋈nation⋈region broadcasts into the lineitem
+    scan; one partkey-keyed aggregation builds the per-part value;
+    the global (total, n_parts) pair is a one-row aggregate
+    cross-broadcast into the share predicate.  The predicate is
+    integer-exact: values become BIGINT cents (scale-2 decimals times
+    100 cast losslessly), cross-multiplied — ``value * n_parts >
+    mult * total`` — so no division and no decimal-widening rules
+    enter the comparison (the idle_customers rule).
+    """
+    nat = nation.join(
+        F.broadcast(region.where(F.col("r_name") == region_name)),
+        nation["n_regionkey"] == region["r_regionkey"],
+    ).select("n_nationkey")
+    sup = supplier.join(
+        F.broadcast(nat), supplier["s_nationkey"] == nat["n_nationkey"]
+    ).select("s_suppkey")
+    li = lineitem.join(
+        F.broadcast(sup), lineitem["l_suppkey"] == sup["s_suppkey"]
+    )
+    value = li.groupBy("l_partkey").agg(
+        (F.sum(F.col("l_extendedprice").cast(_DEC)) * 100)
+        .cast("long")
+        .alias("value_cents")
+    )
+    total = value.agg(
+        F.sum("value_cents").alias("total_cents"),
+        F.count("*").alias("n_parts"),
+    )
+    return (
+        value.join(
+            F.broadcast(total),
+            F.col("value_cents") * F.col("n_parts")
+            > F.col("total_cents") * mult,
+        )
+        .select(
+            F.col("l_partkey").cast("long").alias("p_partkey"),
+            F.round(F.col("value_cents") / 100.0, 2).alias("value"),
+        )
+    )
+
+
+def supplier_part_counts(
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    *,
+    excl_brand: str = "Brand#13",
+    excl_type: str = "PROMO",
+    sizes: tuple = (1, 4, 9, 16, 25, 36, 49),
+) -> DataFrame:
+    """TPC-H Q16 shape: how many distinct suppliers can supply each
+    surviving (brand, type, size) bucket, excluding "complaint"
+    suppliers — ``(p_brand, p_type, p_size, supplier_cnt)``.  The
+    testdata supplier has no comment column, so the complaint proxy is
+    a deterministic name pattern (``s_name`` ending in '7').
+
+    Scale notes: the supply pairs are the DISTINCT projection of two
+    fact columns (one composite-key shuffle, partsupp-cardinality
+    output); the excluded-supplier set and the filtered part dim are
+    broadcast (anti and inner respectively); the final count-distinct
+    aggregates the pair table on the bucket key.
+    """
+    pairs = lineitem.select("l_partkey", "l_suppkey").distinct()
+    bad = supplier.where(F.col("s_name").endswith("7")).select("s_suppkey")
+    p = part.where(
+        (F.col("p_brand") != excl_brand)
+        & (F.col("p_type") != excl_type)
+        & F.col("p_size").isin(*[int(s) for s in sizes])
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    return (
+        pairs.join(
+            F.broadcast(bad),
+            pairs["l_suppkey"] == bad["s_suppkey"],
+            "left_anti",
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == p["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .select(
+            "p_brand",
+            "p_type",
+            F.col("p_size").cast("int").alias("p_size"),
+            F.col("supplier_cnt").cast("long").alias("supplier_cnt"),
+        )
+    )
+
+
+def promo_suppliers(
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    *,
+    name_prefix: str = "blue",
+    region_name: str = "ASIA",
+    date_from: str = "1995-01-01",
+    date_to: str = "1996-01-01",
+) -> DataFrame:
+    """TPC-H Q20 shape: region suppliers who shipped MORE THAN HALF of
+    their all-time volume of a promoted part line during the campaign
+    year — the nested EXISTS chain (supplier -> partsupp -> part +
+    correlated lineitem sum) decorrelated into one conditional
+    aggregation and a semi join.  Returns ``(s_suppkey, s_name,
+    n_name)``.  (The classic availqty > 0.5*shipped test becomes
+    campaign-share > 0.5 of the pair's total shipped quantity — the
+    same correlated-half comparison the testdata can express without
+    an availqty column.)
+
+    Scale notes: the promoted-part filter broadcasts into the fact
+    scan; ONE pass over the surviving lines computes both the
+    campaign-window and all-time quantity sums per (supplier, part)
+    pair (conditional aggregation — no second scan, no self-join);
+    the half test is decimal-exact cross-multiplication (2*q95 >
+    qall); qualifying suppkeys collapse to a DISTINCT set that joins
+    the region supplier dim as a broadcast LEFT SEMI.
+    """
+    lo = F.lit(date_from).cast("timestamp")
+    hi = F.lit(date_to).cast("timestamp")
+    p = part.where(F.col("p_name").startswith(name_prefix)).select("p_partkey")
+    q = F.col("l_quantity").cast(_DEC)
+    sums = (
+        lineitem.join(F.broadcast(p), lineitem["l_partkey"] == p["p_partkey"])
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi), q
+                ).otherwise(F.lit(0).cast(_DEC))
+            ).alias("qty_window"),
+            F.sum(q).alias("qty_all"),
+        )
+    )
+    qual = (
+        sums.where(2 * F.col("qty_window") > F.col("qty_all"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    sup = supplier.join(
+        F.broadcast(
+            nation.join(
+                F.broadcast(region.where(F.col("r_name") == region_name)),
+                nation["n_regionkey"] == region["r_regionkey"],
+            ).select("n_nationkey", "n_name")
+        ),
+        supplier["s_nationkey"] == F.col("n_nationkey"),
+    ).select("s_suppkey", "s_name", "n_name")
+    return sup.join(
+        F.broadcast(qual),
+        sup["s_suppkey"] == qual["l_suppkey"],
+        "left_semi",
+    ).select(F.col("s_suppkey").cast("long").alias("s_suppkey"), "s_name", "n_name")
