@@ -75,7 +75,9 @@ from distributed_graph_database_simulation_with_load_balancing_and_threaded_requ
     winnow_fingerprints,
 )
 from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.similarity import (
+    cosine_range_search,
     cosine_topk,
+    cosine_topk_batch,
     cosine_topk_filtered,
     cosine_topk_per_group,
     embedding_near_dup,
@@ -89,6 +91,7 @@ from distributed_graph_database_simulation_with_load_balancing_and_threaded_requ
     PII_EMAIL,
     PII_IPV4,
     PII_PHONE,
+    bm25_topk,
     chunk_documents,
     collocations,
     corpus_stats,
@@ -2707,6 +2710,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(spark, sf_dir, "region"),
         )
 
+    def q_ann_batch(spark, sf_dir):
+        # Batched exact ANN: top-5 neighbors for a 5-query batch in
+        # ONE corpus scan (broadcast queries, WindowGroupLimit per-
+        # query top-k) — the serving-path retrieval shape.
+        return cosine_topk_batch(load_table(spark, sf_dir, "embeddings"))
+
+    def q_range_search(spark, sf_dir):
+        # Radius similarity search: everything within cosine 0.25 of
+        # any query in the batch — pure predicate, no window state.
+        return cosine_range_search(load_table(spark, sf_dir, "embeddings"))
+
+    def q_bm25(spark, sf_dir):
+        # BM25 retrieval with fraction-cleared integer weights and a
+        # fixed-order score sum (engine-portable doubles).
+        return bm25_topk(load_table(spark, sf_dir, "documents"))
+
     def q_pq_recall(spark, sf_dir):
         # Measured PQ quality: overlap of the ADC top-10 with the
         # exact cosine top-10 (the q_ivf_recall pattern).
@@ -2734,6 +2753,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # must sit inside the current window.
     return {
         # -- new this round (round 6; inside the 50-entry window) --
+        "q_ann_batch": q_ann_batch,
+        "q_range_search": q_range_search,
+        "q_bm25": q_bm25,
         "q_min_cost_supp": q_min_cost_supp,
         "q_product_profit": q_product_profit,
         "q_important_parts": q_important_parts,
@@ -3151,6 +3173,96 @@ def oracle_sql() -> dict[str, str]:
         "q_pq_recall": _sql_topk_recall(_sql_pq_topk(m=16, sub=4, n_codes=128)),
         "q_ivfpq_topk": _sql_ivfpq_topk(n_codes=128),
         "q_ivfpq_recall": _sql_topk_recall(_sql_ivfpq_topk(n_codes=128)),
+        "q_ann_batch": """
+            WITH q AS (
+              SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+              FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)
+            ),
+            sims AS (
+              SELECT CAST(query_id AS BIGINT) AS query_id, e.vec_id,
+                     round(list_cosine_similarity(
+                         CAST(e.embedding AS DOUBLE[]), qv), 4) AS sim
+              FROM embeddings e CROSS JOIN q WHERE e.vec_id <> query_id
+            ),
+            ranked AS (
+              SELECT query_id, vec_id, sim,
+                     CAST(ROW_NUMBER() OVER (
+                       PARTITION BY query_id ORDER BY sim DESC, vec_id
+                     ) AS INTEGER) AS rank
+              FROM sims
+            )
+            SELECT query_id, vec_id, sim, rank FROM ranked WHERE rank <= 5
+        """,
+        "q_range_search": """
+            WITH q AS (
+              SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+              FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)
+            )
+            SELECT CAST(query_id AS BIGINT) AS query_id, e.vec_id,
+                   round(list_cosine_similarity(
+                       CAST(e.embedding AS DOUBLE[]), qv), 4) AS sim
+            FROM embeddings e CROSS JOIN q
+            WHERE e.vec_id <> query_id
+              AND round(list_cosine_similarity(
+                      CAST(e.embedding AS DOUBLE[]), qv), 4) >= 0.25
+        """,
+        "q_bm25": """
+            WITH base AS (
+              SELECT doc_id,
+                     trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))
+                         AS norm
+              FROM documents
+            ),
+            toks AS (
+              SELECT doc_id, unnest(string_split(norm, ' ')) AS term
+              FROM base WHERE norm <> ''
+            ),
+            per_doc AS (
+              SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl,
+                     CAST(SUM(CASE WHEN term = 'vector' THEN 1 ELSE 0 END)
+                          AS BIGINT) AS tf_0,
+                     CAST(SUM(CASE WHEN term = 'join' THEN 1 ELSE 0 END)
+                          AS BIGINT) AS tf_1,
+                     CAST(SUM(CASE WHEN term = 'stream' THEN 1 ELSE 0 END)
+                          AS BIGINT) AS tf_2
+              FROM toks GROUP BY doc_id
+            ),
+            stats AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     CAST(SUM(dl) AS BIGINT) AS n_toks,
+                     CAST(SUM(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_0,
+                     CAST(SUM(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_1,
+                     CAST(SUM(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_2
+              FROM per_doc
+            ),
+            scored AS (
+              SELECT doc_id, round(
+                  ((2*n_docs - 2*df_0 + 1) / (2*df_0 + 1))
+                  * (CASE WHEN tf_0 > 0
+                     THEN (44*tf_0*n_toks)
+                          / (20*tf_0*n_toks + 6*n_toks + 18*dl*n_docs)
+                     ELSE 0.0 END)
+                + ((2*n_docs - 2*df_1 + 1) / (2*df_1 + 1))
+                  * (CASE WHEN tf_1 > 0
+                     THEN (44*tf_1*n_toks)
+                          / (20*tf_1*n_toks + 6*n_toks + 18*dl*n_docs)
+                     ELSE 0.0 END)
+                + ((2*n_docs - 2*df_2 + 1) / (2*df_2 + 1))
+                  * (CASE WHEN tf_2 > 0
+                     THEN (44*tf_2*n_toks)
+                          / (20*tf_2*n_toks + 6*n_toks + 18*dl*n_docs)
+                     ELSE 0.0 END), 6) AS score
+              FROM per_doc CROSS JOIN stats
+            ),
+            top AS (
+              SELECT doc_id, score FROM scored WHERE score > 0
+              ORDER BY score DESC, doc_id LIMIT 15
+            )
+            SELECT doc_id, score,
+                   CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+                        AS INTEGER) AS rank
+            FROM top
+        """,
         "q_min_cost_supp": """
             WITH supply AS (
               SELECT l_partkey, l_suppkey,

@@ -782,3 +782,94 @@ def cosine_topk_per_group(
         .where(F.col("rank") <= k)
         .orderBy("group", "rank")
     )
+
+
+def cosine_topk_batch(
+    embeddings: DataFrame,
+    query_ids: tuple = (0, 1, 2, 3, 4),
+    k: int = 5,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Batched exact ANN: top-k neighbors for EVERY query in one scan
+    — ``(query_id, vec_id, sim, rank)``.  The serving-path shape for
+    "embed a request batch, retrieve for all of them at once" instead
+    of one scan per query.
+
+    Scale notes: the query set (batch-sized, not corpus-sized) is
+    collected into a broadcast and nested-loop-joined against the
+    corpus — ONE pass over the embeddings computes batch x corpus
+    similarities; the per-query top-k is a rank-filtered window that
+    compiles to WindowGroupLimit, so each partition keeps only k rows
+    per query before the (queries x k)-sized exchange.  Self-matches
+    are excluded (a query always retrieves itself at sim 1.0).
+    """
+    from pyspark.sql.window import Window
+
+    q = embeddings.where(F.col(id_col).isin(*[int(i) for i in query_ids])).select(
+        F.col(id_col).alias("query_id"),
+        as_double_vec(F.col(vec_col)).alias("qvec"),
+    )
+    sims = (
+        embeddings.select(
+            F.col(id_col).alias("vec_id"), as_double_vec(F.col(vec_col)).alias("v")
+        )
+        .crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            F.col("query_id").cast("long").alias("query_id"),
+            "vec_id",
+            F.round(cosine_sim(F.col("v"), F.col("qvec")), round_digits).alias(
+                "sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+    )
+
+
+def cosine_range_search(
+    embeddings: DataFrame,
+    query_ids: tuple = (0, 1, 2, 3, 4),
+    threshold: float = 0.25,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Radius (range) similarity search: every corpus vector within a
+    cosine THRESHOLD of any query in the batch — ``(query_id, vec_id,
+    sim)``.  The dedup/recall twin of top-k retrieval: "give me
+    everything at least this similar", unbounded result cardinality.
+
+    Scale notes: same one-scan broadcast shape as cosine_topk_batch,
+    but the filter is a predicate (no window, no rank state) — the
+    output is exactly the rows that clear the threshold, streamed out
+    of the scan with no exchange at all.  The threshold compares the
+    ROUNDED similarity so the predicate is the same literal decision
+    the SQL oracle makes.
+    """
+    q = embeddings.where(F.col(id_col).isin(*[int(i) for i in query_ids])).select(
+        F.col(id_col).alias("query_id"),
+        as_double_vec(F.col(vec_col)).alias("qvec"),
+    )
+    return (
+        embeddings.select(
+            F.col(id_col).alias("vec_id"), as_double_vec(F.col(vec_col)).alias("v")
+        )
+        .crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            F.col("query_id").cast("long").alias("query_id"),
+            "vec_id",
+            F.round(cosine_sim(F.col("v"), F.col("qvec")), round_digits).alias(
+                "sim"
+            ),
+        )
+        .where(F.col("sim") >= float(threshold))
+    )

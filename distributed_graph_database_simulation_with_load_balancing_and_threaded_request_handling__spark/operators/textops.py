@@ -531,3 +531,88 @@ def pack_sequences(
         F.expr(f"start_tok div {int(budget)}").cast("long").alias("pack_id"),
         (F.col("start_tok") % b).cast("long").alias("pack_offset"),
     )
+
+
+def bm25_topk(
+    documents: DataFrame,
+    query_terms: tuple = ("vector", "join", "stream"),
+    k: int = 15,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 document retrieval for one term query, engine-portable —
+    ``(doc_id, score, rank)``, top-k by (score desc, doc_id).
+
+    The classic BM25 constants k1=1.2, b=0.75 are used, but the whole
+    per-term weight is algebraically cleared of fractions first:
+
+        tf_part = tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+                = 44*tf*T / (20*tf*T + 6*T + 18*dl*N)     [avgdl = T/N]
+
+    with tf, dl (doc length), T (corpus tokens), N (docs) all BIGINT —
+    so each term's weight is ONE IEEE division of exact integers, and
+    the idf factor is the raw rational (2N - 2df + 1)/(2df + 1) (the
+    log is monotone; dropping it keeps the value reproducible in ANSI
+    SQL without trusting two libms to round ln identically).  The
+    query's term scores are then summed in FIXED left-to-right order
+    as an explicit expression — never a float SUM over an unordered
+    group — so the double result is bit-identical across engines,
+    partitionings, and runs.
+
+    Scale notes: one token explode + one (doc, term)-combined groupBy
+    produce per-doc length and per-query-term tf via CONDITIONAL
+    aggregation (no per-term scan, no pivot discovery); the corpus
+    stats (N, T, df per term) are a one-row aggregate OF THAT table,
+    cross-broadcast back; top-k is orderBy().limit(k) =
+    TakeOrderedAndProject.  Query terms are a compile-time constant
+    (the serving path scores one query at a time), so the score is
+    pure whole-stage-codegen arithmetic.
+    """
+    from ..functions.textfns import normalize_text
+
+    terms = [str(t) for t in query_terms]
+    base = documents.select(
+        F.col(id_col).alias("doc_id"),
+        normalize_text(F.col(text_col)).alias("norm"),
+    ).where(F.col("norm") != "")
+    toks = base.select("doc_id", F.explode(F.split("norm", " ")).alias("term"))
+    per_doc = toks.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("dl"),
+        *[
+            F.sum(F.when(F.col("term") == t, 1).otherwise(0))
+            .cast("long")
+            .alias(f"tf_{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    stats = per_doc.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("n_toks"),
+        *[
+            F.sum(F.when(F.col(f"tf_{i}") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias(f"df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+    joined = per_doc.crossJoin(F.broadcast(stats))
+    score = None
+    for i in range(len(terms)):
+        tf, df = F.col(f"tf_{i}"), F.col(f"df_{i}")
+        n, t_tot, dl = F.col("n_docs"), F.col("n_toks"), F.col("dl")
+        idf = (2 * n - 2 * df + 1) / (2 * df + 1)
+        tf_part = F.when(
+            tf > 0,
+            (44 * tf * t_tot) / (20 * tf * t_tot + 6 * t_tot + 18 * dl * n),
+        ).otherwise(F.lit(0.0))
+        s_i = idf * tf_part
+        score = s_i if score is None else score + s_i
+    scored = joined.select(
+        "doc_id", F.round(score, 6).alias("score")
+    ).where(F.col("score") > 0)
+    top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))
