@@ -2710,6 +2710,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(spark, sf_dir, "region"),
         )
 
+    def q_diameter(spark, sf_dir):
+        # Sampled eccentricities / diameter lower bound over the
+        # derived tree: all 3 sources ride ONE multi-source BFS.
+        from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.graphalgs import (
+            eccentricities,
+        )
+
+        edges = derived_tree_edges(spark, sf_dir, symmetric=True, graph_id=1)
+        sources = spark.createDataFrame(
+            [(1, 999), (1, 0), (1, 100)], "graph_id int, start long"
+        )
+        return _loop_parts(
+            spark, lambda: eccentricities(edges, sources), warm=(edges,)
+        )
+
+    def q_zorder(spark, sf_dir):
+        # Z-order clustering readout: per target file (a run of 4096
+        # consecutive Morton cells over (custkey%256, day%256)), row
+        # count and BOTH dimensions' min/max spans — the 2-D pruning
+        # contract OPTIMIZE ZORDER exists for.
+        from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.layout import (
+            zorder_layout,
+        )
+
+        return zorder_layout(load_table(spark, sf_dir, "orders"))
+
+    def q_compaction(spark, sf_dir):
+        # Small-file compaction plan: per-source running-sum bin
+        # packing to 16 KiB targets (the planning half of OPTIMIZE).
+        from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.layout import (
+            compaction_plan,
+        )
+
+        return compaction_plan(load_table(spark, sf_dir, "documents"))
+
     def q_ann_batch(spark, sf_dir):
         # Batched exact ANN: top-5 neighbors for a 5-query batch in
         # ONE corpus scan (broadcast queries, WindowGroupLimit per-
@@ -2753,6 +2788,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # must sit inside the current window.
     return {
         # -- new this round (round 6; inside the 50-entry window) --
+        "q_diameter": q_diameter,
+        "q_zorder": q_zorder,
+        "q_compaction": q_compaction,
         "q_ann_batch": q_ann_batch,
         "q_range_search": q_range_search,
         "q_bm25": q_bm25,
@@ -2899,6 +2937,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 def oracle_sql() -> dict[str, str]:
+    # Morton interleave as pure integer arithmetic (mirrors
+    # layout.z_value bit for bit): bit i of x -> position 2i, of y ->
+    # 2i+1, over 8 bits per dimension.
+    _Z_EXPR = " + ".join(
+        f"((cx // {1 << i}) % 2) * {1 << (2 * i)}"
+        f" + ((cy // {1 << i}) % 2) * {2 * (1 << (2 * i))}"
+        for i in range(8)
+    )
     oracles = {
         "q_add_graph": f"""
             WITH e0 AS ({_SQL_E0}),
@@ -3173,6 +3219,59 @@ def oracle_sql() -> dict[str, str]:
         "q_pq_recall": _sql_topk_recall(_sql_pq_topk(m=16, sub=4, n_codes=128)),
         "q_ivfpq_topk": _sql_ivfpq_topk(n_codes=128),
         "q_ivfpq_recall": _sql_topk_recall(_sql_ivfpq_topk(n_codes=128)),
+        "q_diameter": f"""
+            WITH RECURSIVE e0 AS ({_SQL_E0}),
+            sym AS (
+              SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0
+            ),
+            bfs(start, vertex, level) AS (
+              SELECT v, v, CAST(0 AS INTEGER)
+              FROM (SELECT CAST(999 AS BIGINT) AS v
+                    UNION ALL SELECT CAST(0 AS BIGINT)
+                    UNION ALL SELECT CAST(100 AS BIGINT)) s
+              UNION
+              SELECT bfs.start, sym.dst, CAST(bfs.level + 1 AS INTEGER)
+              FROM bfs JOIN sym ON sym.src = bfs.vertex
+              WHERE bfs.level < 8
+            ),
+            lv AS (
+              SELECT start, vertex, MIN(level) AS level
+              FROM bfs GROUP BY start, vertex
+            )
+            SELECT start, CAST(MAX(level) AS INTEGER) AS ecc,
+                   CAST(COUNT(*) AS BIGINT) AS n_reached
+            FROM lv GROUP BY start
+        """,
+        "q_zorder": f"""
+            WITH cells AS (
+              SELECT CAST(o_custkey % 256 AS BIGINT) AS cx,
+                     CAST((CAST(o_orderdate AS DATE) - DATE '1992-01-01') % 256
+                          AS BIGINT) AS cy
+              FROM orders
+            ),
+            z AS (
+              SELECT cx, cy, CAST(({_Z_EXPR}) // 4096 AS BIGINT) AS file_id
+              FROM cells
+            )
+            SELECT file_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   MIN(cx) AS min_cust, MAX(cx) AS max_cust,
+                   MIN(cy) AS min_day, MAX(cy) AS max_day
+            FROM z GROUP BY file_id
+        """,
+        "q_compaction": """
+            WITH binned AS (
+              SELECT source,
+                     CAST((SUM(n_chars) OVER (
+                         PARTITION BY source ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) - n_chars) // 16384 AS BIGINT) AS bin_id,
+                     CAST(n_chars AS BIGINT) AS sz
+              FROM documents
+            )
+            SELECT source, bin_id, CAST(COUNT(*) AS BIGINT) AS n_files,
+                   CAST(SUM(sz) AS BIGINT) AS total_bytes
+            FROM binned GROUP BY source, bin_id
+        """,
         "q_ann_batch": """
             WITH q AS (
               SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv

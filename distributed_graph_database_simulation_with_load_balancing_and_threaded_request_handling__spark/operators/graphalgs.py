@@ -1019,3 +1019,30 @@ def personalized_pagerank_fixed(
     finally:
         if loop_shuffle_partitions is not None:
             spark.conf.set(_parts_key, _prev_parts)
+
+
+def eccentricities(
+    edges: DataFrame, sources: DataFrame, *, graph_id: int | None = None
+) -> DataFrame:
+    """Sampled eccentricities / diameter lower bound: for each source
+    vertex, the farthest hop distance and reach count — ``(start, ecc,
+    n_reached)``.  k-source BFS sampling is the standard diameter
+    estimator at scale (exact diameter is all-pairs; iFUB and friends
+    all start from exactly this per-source eccentricity primitive).
+
+    Scale notes: ALL sources ride ONE multi-source BFS
+    (``bfs_levels_multi`` — one frontier carries every traversal, one
+    Spark action per superstep), so the cost is max-ecc supersteps,
+    not sources x supersteps; the final rollup is a k-row aggregate.
+    """
+    from .traverse import bfs_levels_multi
+
+    src = sources
+    if "graph_id" not in src.columns:
+        gid = 1 if graph_id is None else int(graph_id)
+        src = src.select(F.lit(gid).alias("graph_id"), F.col("start"))
+    lv = bfs_levels_multi(edges, src)
+    return lv.groupBy("start").agg(
+        F.max("level").cast("int").alias("ecc"),
+        F.count("*").cast("long").alias("n_reached"),
+    )
