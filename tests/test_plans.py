@@ -495,3 +495,69 @@ def test_pq_scoring_is_code_only_jvm_with_topk(spark):
         assert "BatchEvalPython" not in plan, name
         assert "CartesianProduct" not in plan, name
         assert "TakeOrderedAndProject" in plan, name
+
+
+def test_ann_batch_one_scan_window_group_limit(spark):
+    # Batched retrieval contract: the per-query top-k must compile to
+    # WindowGroupLimit (partial per-partition top-k per query), the
+    # query set must ride a broadcast — and the corpus must be
+    # scanned ONCE, never once per query.
+    df = entry.queries()["q_ann_batch"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert plan.count("embeddings.parquet") <= 2  # corpus scan + query-set scan
+
+
+def test_range_search_is_pure_predicate_no_exchange(spark):
+    # Radius search is a scan-side filter: no aggregation, no window,
+    # no shuffle — the only non-scan operator is the broadcast of the
+    # tiny query batch.
+    df = entry.queries()["q_range_search"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "Exchange hashpartitioning" not in plan
+    assert "Window" not in plan
+
+
+def test_bm25_single_token_pass_topk(spark):
+    # All term tfs must come from ONE conditional aggregation over the
+    # exploded tokens (no per-term scan), the corpus-stats branch must
+    # REUSE the per-doc exchange (so the corpus is physically scanned
+    # once, not once per consumer), and the top-k must be
+    # TakeOrderedAndProject.
+    df = entry.queries()["q_bm25"](spark, SF_DIR)
+    df.collect()  # ReuseExchange is visible in the final adaptive plan
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "ReusedExchange" in plan
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python
+
+
+def test_zorder_value_is_codegen_arithmetic(spark):
+    # The Morton interleave must stay in whole-stage codegen (pure
+    # integer arithmetic, no Python, no expensive fallback), and the
+    # rollup must be a single hash aggregate pair around one exchange.
+    df = entry.queries()["q_zorder"](spark, SF_DIR)
+    df.collect()  # codegen stars are visible in the final adaptive plan
+    plan = _plan(df)
+    # "*(n)" prefixes mark whole-stage-codegen spans in the plan string;
+    # the scan-side project computing the interleave must carry one.
+    assert "*(1) HashAggregate" in plan or "*(1) Project" in plan
+    assert "BatchEvalPython" not in plan
+    # The executed-plan string prints Final AND Initial plans; count
+    # exchanges in the final section only.
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning") == 1
+
+
+def test_compaction_window_is_partitioned_by_source(spark):
+    # The running-sum window must be keyed on the source directory —
+    # a global (empty-key) window would serialize the whole table
+    # through one task at scale.
+    df = entry.queries()["q_compaction"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "Window" in plan
+    import re
+
+    w = re.search(r"Window \[.*?windowspecdefinition\((.*?)\)", plan)
+    assert w is not None and "source" in w.group(1)
