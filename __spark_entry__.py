@@ -2710,6 +2710,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(spark, sf_dir, "region"),
         )
 
+    def q_hdr_quantile(spark, sf_dir):
+        # Mergeable HDR-histogram quantiles per ship month WITH the
+        # measured error vs the exact percentile — the committed
+        # 100 TB replacement for per-stratum exact-percentile gathers
+        # (pure-integer bucket function, value-exact under the oracle).
+        from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.sketches import (
+            hdr_quantile_err,
+        )
+
+        li = load_table(spark, sf_dir, "lineitem").withColumn(
+            "ship_month", F.date_format("l_shipdate", "yyyy-MM")
+        )
+        return hdr_quantile_err(
+            li, F.col("l_extendedprice"), group_by=["ship_month"]
+        )
+
     def q_diameter(spark, sf_dir):
         # Sampled eccentricities / diameter lower bound over the
         # derived tree: all 3 sources ride ONE multi-source BFS.
@@ -2788,6 +2804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # must sit inside the current window.
     return {
         # -- new this round (round 6; inside the 50-entry window) --
+        "q_hdr_quantile": q_hdr_quantile,
         "q_diameter": q_diameter,
         "q_zorder": q_zorder,
         "q_compaction": q_compaction,
@@ -3219,6 +3236,65 @@ def oracle_sql() -> dict[str, str]:
         "q_pq_recall": _sql_topk_recall(_sql_pq_topk(m=16, sub=4, n_codes=128)),
         "q_ivfpq_topk": _sql_ivfpq_topk(n_codes=128),
         "q_ivfpq_recall": _sql_topk_recall(_sql_ivfpq_topk(n_codes=128)),
+        "q_hdr_quantile": """
+            WITH base AS (
+              SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+                     CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                          AS BIGINT) AS c,
+                     CAST(l_extendedprice AS DOUBLE) AS x
+              FROM lineitem
+            ),
+            b2 AS (
+              SELECT ship_month,
+                     (c // CAST(power(2, greatest(
+                          length(format('{:b}', c)) - 1 - 4, 0)) AS BIGINT))
+                     * CAST(power(2, greatest(
+                          length(format('{:b}', c)) - 1 - 4, 0)) AS BIGINT)
+                         AS bucket
+              FROM base
+            ),
+            hist AS (
+              SELECT ship_month, bucket, COUNT(*) AS cnt
+              FROM b2 GROUP BY ship_month, bucket
+            ),
+            cum AS (
+              SELECT ship_month, bucket,
+                     SUM(cnt) OVER (PARTITION BY ship_month
+                                    ORDER BY bucket) AS cum,
+                     SUM(cnt) OVER (PARTITION BY ship_month) AS n
+              FROM hist
+            ),
+            est AS (
+              SELECT ship_month,
+                     MIN(CASE WHEN cum >= 0.5 * n THEN bucket END) AS est_0,
+                     MIN(CASE WHEN cum >= 0.9 * n THEN bucket END) AS est_1,
+                     MIN(CASE WHEN cum >= 0.99 * n THEN bucket END) AS est_2
+              FROM cum GROUP BY ship_month
+            ),
+            ex AS (
+              SELECT ship_month,
+                     quantile_cont(x, 0.5) AS x0,
+                     quantile_cont(x, 0.9) AS x1,
+                     quantile_cont(x, 0.99) AS x2
+              FROM base GROUP BY ship_month
+            ),
+            unrolled AS (
+              SELECT est.ship_month, CAST(0.5 AS DOUBLE) AS q,
+                     round(est_0 / 100.0, 4) AS est_v, round(x0, 4) AS exact_v
+              FROM est JOIN ex USING (ship_month)
+              UNION ALL
+              SELECT est.ship_month, CAST(0.9 AS DOUBLE),
+                     round(est_1 / 100.0, 4), round(x1, 4)
+              FROM est JOIN ex USING (ship_month)
+              UNION ALL
+              SELECT est.ship_month, CAST(0.99 AS DOUBLE),
+                     round(est_2 / 100.0, 4), round(x2, 4)
+              FROM est JOIN ex USING (ship_month)
+            )
+            SELECT ship_month, q, est_v, exact_v,
+                   round((exact_v - est_v) / exact_v, 4) AS rel_err
+            FROM unrolled
+        """,
         "q_diameter": f"""
             WITH RECURSIVE e0 AS ({_SQL_E0}),
             sym AS (
