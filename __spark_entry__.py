@@ -203,6 +203,7 @@ from distributed_graph_database_simulation_with_load_balancing_and_threaded_requ
     run_attribution_batch,
     run_corpus_stats_batch,
     run_dedup_batch,
+    run_hdr_hist_batch,
     run_edge_ingest_batch,
     run_event_rollup_batch,
     run_sessions_batch,
@@ -2710,6 +2711,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(spark, sf_dir, "region"),
         )
 
+    def q_stream_hdr(spark, sf_dir):
+        # The eighth streaming shape: the HDR histogram driven as a
+        # complete-mode stateful aggregation (state = bounded bins per
+        # month), quantiles read off the FINAL table — mergeable-
+        # sketch integer counts make the result micro-batch-invariant
+        # and equal to q_hdr_quantile's estimates exactly.
+        import os
+
+        return _loop_parts(
+            spark,
+            lambda: run_hdr_hist_batch(
+                spark, os.path.join(sf_dir, "lineitem.parquet")
+            ),
+            n=4,
+        )
+
     def q_hdr_quantile(spark, sf_dir):
         # Mergeable HDR-histogram quantiles per ship month WITH the
         # measured error vs the exact percentile — the committed
@@ -2804,6 +2821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # must sit inside the current window.
     return {
         # -- new this round (round 6; inside the 50-entry window) --
+        "q_stream_hdr": q_stream_hdr,
         "q_hdr_quantile": q_hdr_quantile,
         "q_diameter": q_diameter,
         "q_zorder": q_zorder,
@@ -3236,6 +3254,49 @@ def oracle_sql() -> dict[str, str]:
         "q_pq_recall": _sql_topk_recall(_sql_pq_topk(m=16, sub=4, n_codes=128)),
         "q_ivfpq_topk": _sql_ivfpq_topk(n_codes=128),
         "q_ivfpq_recall": _sql_topk_recall(_sql_ivfpq_topk(n_codes=128)),
+        "q_stream_hdr": """
+            WITH base AS (
+              SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+                     CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                          AS BIGINT) AS c
+              FROM lineitem
+            ),
+            b2 AS (
+              SELECT ship_month,
+                     (c // CAST(power(2, greatest(
+                          length(format('{:b}', c)) - 1 - 4, 0)) AS BIGINT))
+                     * CAST(power(2, greatest(
+                          length(format('{:b}', c)) - 1 - 4, 0)) AS BIGINT)
+                         AS bucket
+              FROM base
+            ),
+            hist AS (
+              SELECT ship_month, bucket, COUNT(*) AS cnt
+              FROM b2 GROUP BY ship_month, bucket
+            ),
+            cum AS (
+              SELECT ship_month, bucket,
+                     SUM(cnt) OVER (PARTITION BY ship_month
+                                    ORDER BY bucket) AS cum,
+                     SUM(cnt) OVER (PARTITION BY ship_month) AS n
+              FROM hist
+            ),
+            est AS (
+              SELECT ship_month,
+                     MIN(CASE WHEN cum >= 0.5 * n THEN bucket END) AS est_0,
+                     MIN(CASE WHEN cum >= 0.9 * n THEN bucket END) AS est_1,
+                     MIN(CASE WHEN cum >= 0.99 * n THEN bucket END) AS est_2
+              FROM cum GROUP BY ship_month
+            )
+            SELECT ship_month, CAST(0.5 AS DOUBLE) AS q,
+                   round(est_0 / 100.0, 4) AS est_v FROM est
+            UNION ALL
+            SELECT ship_month, CAST(0.9 AS DOUBLE), round(est_1 / 100.0, 4)
+            FROM est
+            UNION ALL
+            SELECT ship_month, CAST(0.99 AS DOUBLE), round(est_2 / 100.0, 4)
+            FROM est
+        """,
         "q_hdr_quantile": """
             WITH base AS (
               SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,

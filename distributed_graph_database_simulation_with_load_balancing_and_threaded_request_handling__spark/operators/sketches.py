@@ -341,6 +341,51 @@ def kmv_intersect_estimate(
     )
 
 
+def hdr_bucket(c: Column, *, sub_bits: int = 4) -> Column:
+    """The HDR bucket of a non-negative integer: ``c`` with all but
+    its top ``sub_bits+1`` significant bits zeroed (relative bucket
+    width <= 2^-sub_bits).  Pure integer arithmetic — bit length via
+    ``length(bin(c))``, never float log2 — so the identical expression
+    runs in ANSI SQL and the bucket id doubles as the bucket's exact
+    lower bound."""
+    k = int(sub_bits)
+    e = (F.length(F.bin(c)) - 1).cast("int")
+    shift = F.greatest(e - k, F.lit(0))
+    pw = F.pow(F.lit(2.0), shift.cast("double")).cast("long")
+    return (c / pw).cast("long") * pw
+
+
+def hdr_estimates(
+    hist: DataFrame,
+    *,
+    group_by: list[str],
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Quantile selection over an HDR histogram ``(*group_by, bucket,
+    cnt)``: per stratum, the smallest bucket whose cumulative count
+    reaches each requested quantile — ``(*group_by, est_0..est_n)``.
+    Runs over BIN-cardinality rows (bounded by construction), so the
+    per-stratum window never carries data-sized partitions."""
+    from pyspark.sql.window import Window
+
+    gcols = list(group_by)
+    wp = Window.partitionBy(*gcols) if gcols else Window.partitionBy()
+    cum = hist.select(
+        *gcols,
+        "bucket",
+        F.sum("cnt").over(wp.orderBy("bucket")).alias("cum"),
+        F.sum("cnt").over(wp).alias("n"),
+    )
+    return cum.groupBy(*gcols).agg(
+        *[
+            F.min(
+                F.when(F.col("cum") >= F.lit(float(q)) * F.col("n"), F.col("bucket"))
+            ).alias(f"est_{i}")
+            for i, q in enumerate(qs)
+        ]
+    )
+
+
 def hdr_quantile_err(
     df: DataFrame,
     value: Column,
@@ -372,38 +417,17 @@ def hdr_quantile_err(
     data rows — the per-stratum gather that makes exact percentiles
     single-task at scale is gone.
     """
-    from pyspark.sql.window import Window
-
     gcols = list(group_by or [])
-    k = int(sub_bits)
     # Exact cents via the decimal cast (HALF_UP in both engines), so
     # the bucket function sees integers, never raw doubles.
     c = (value.cast("decimal(18,2)") * 100).cast("long")
-    e = (F.length(F.bin(F.col("c"))) - 1).cast("int")
-    shift = F.greatest(e - k, F.lit(0))
-    pw = F.pow(F.lit(2.0), shift.cast("double")).cast("long")
-    bucket = ((F.col("c") / pw).cast("long") * pw).alias("bucket")
     base = df.select(*gcols, c.alias("c"), value.cast("double").alias("x"))
     hist = (
-        base.select(*gcols, bucket)
+        base.select(*gcols, hdr_bucket(F.col("c"), sub_bits=sub_bits).alias("bucket"))
         .groupBy(*gcols, "bucket")
         .agg(F.count("*").alias("cnt"))
     )
-    wp = Window.partitionBy(*gcols) if gcols else Window.partitionBy()
-    cum = hist.select(
-        *gcols,
-        "bucket",
-        F.sum("cnt").over(wp.orderBy("bucket")).alias("cum"),
-        F.sum("cnt").over(wp).alias("n"),
-    )
-    est = cum.groupBy(*gcols).agg(
-        *[
-            F.min(
-                F.when(F.col("cum") >= F.lit(float(q)) * F.col("n"), F.col("bucket"))
-            ).alias(f"est_{i}")
-            for i, q in enumerate(qs)
-        ]
-    )
+    est = hdr_estimates(hist, group_by=gcols, qs=qs)
     qarr = F.array(*[F.lit(float(q)) for q in qs])
     grouped = base.groupBy(*gcols) if gcols else base
     exact = grouped.agg(F.percentile(F.col("x"), qarr).alias("exact_q"))

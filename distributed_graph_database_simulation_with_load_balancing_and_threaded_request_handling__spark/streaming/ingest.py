@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     DoubleType,
+    IntegerType,
     LongType,
     StringType,
     StructField,
@@ -609,4 +610,73 @@ def run_corpus_stats_batch(spark: SparkSession, path: str) -> DataFrame:
     )
     return _drive_complete_to_table(
         spark, corpus_stats_stream(src), "stream_corpus", path
+    )
+
+
+# The lineitem columns exactly as the driver's parquet lays them out
+# (TESTDATA.md); shipdate is NTZ for the same reason as
+# EVENT_TABLE_SCHEMA — the file stores zone-less micros.
+LINEITEM_TABLE_SCHEMA = StructType(
+    [
+        StructField("l_orderkey", LongType(), True),
+        StructField("l_partkey", LongType(), True),
+        StructField("l_suppkey", LongType(), True),
+        StructField("l_linenumber", IntegerType(), True),
+        StructField("l_quantity", DoubleType(), True),
+        StructField("l_extendedprice", DoubleType(), True),
+        StructField("l_discount", DoubleType(), True),
+        StructField("l_tax", DoubleType(), True),
+        StructField("l_returnflag", StringType(), True),
+        StructField("l_linestatus", StringType(), True),
+        StructField("l_shipdate", TimestampNTZType(), True),
+    ]
+)
+
+
+def hdr_hist_stream(lineitem: DataFrame) -> DataFrame:
+    """Streaming HDR price histogram per ship month: the mergeable-
+    sketch property IS the streaming story — bucket counts are
+    integers, so complete-mode state (one row per (month, bucket),
+    bounded bins) equals the batch histogram for ANY micro-batch
+    split, and the quantile read happens AFTER the drive over
+    bin-cardinality rows."""
+    from ..operators.sketches import hdr_bucket
+
+    c = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+    return (
+        lineitem.select(
+            F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"),
+            hdr_bucket(c).alias("bucket"),
+        )
+        .groupBy("ship_month", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def run_hdr_hist_batch(spark: SparkSession, path: str) -> DataFrame:
+    """Drive ``hdr_hist_stream`` over the lineitem files at ``path``
+    to completion and read quantile estimates off the FINAL histogram
+    table — ``(ship_month, q, est_v)``.  The post-drive selection is a
+    batch walk over the bounded bin table (the same ``hdr_estimates``
+    the one-shot query uses), so the streaming result equals
+    ``q_hdr_quantile``'s estimate columns exactly."""
+    from ..operators.sketches import hdr_estimates
+
+    src = (
+        spark.readStream.schema(LINEITEM_TABLE_SCHEMA)
+        .format("parquet")
+        .load(_stream_source_dir(path))
+    )
+    hist = _drive_complete_to_table(spark, hdr_hist_stream(src), "stream_hdr", path)
+    qs = (0.5, 0.9, 0.99)
+    est = hdr_estimates(hist, group_by=["ship_month"], qs=qs)
+    return est.select(
+        "ship_month",
+        F.posexplode(
+            F.array(*[F.col(f"est_{i}") for i in range(len(qs))])
+        ).alias("i", "est_c"),
+    ).select(
+        "ship_month",
+        F.element_at(F.lit(list(map(float, qs))), F.col("i") + 1).alias("q"),
+        F.round(F.col("est_c") / 100.0, 4).alias("est_v"),
     )
