@@ -52,6 +52,9 @@ from distributed_graph_database_simulation_with_load_balancing_and_threaded_requ
     degree_histogram,
     link_prediction_scores,
     kcore,
+    ktruss,
+    label_propagation,
+    maximal_independent_set,
     pagerank_fixed,
     pagerank_fixed_both,
     pagerank_prepare,
@@ -273,6 +276,131 @@ def _sql_copurchase(where: str = "") -> str:
   ce AS (SELECT DISTINCT a.p AS src, b.p AS dst
          FROM li2 a JOIN li2 b ON a.ok = b.ok AND a.p < b.p)
 """
+
+
+def _ktruss_oracle_sql(rounds: int = 5, min_support: int = 2) -> str:
+    """Unrolled 4-truss support peeling over the 1995 co-purchase
+    graph — one (oriented-triangles, filtered-edges) CTE pair per
+    round, MATERIALIZED like the kcore/sssp oracles.  Peeling depth is
+    2-3 at every gate scale (measured; see graphalgs.ktruss), so 5
+    rounds reach the unique fixpoint with slack."""
+    where = (
+        "WHERE l_shipdate >= TIMESTAMP '1995-01-01' "
+        "AND l_shipdate < TIMESTAMP '1996-01-01'"
+    )
+    parts = ["WITH " + _sql_copurchase(where).strip()]
+    prev = "ce"
+    for i in range(rounds):
+        parts.append(
+            f"""
+  t{i} AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+           FROM {prev} e1
+           JOIN {prev} e2 ON e2.src = e1.src AND e2.dst > e1.dst
+           JOIN {prev} e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
+  e{i + 1} AS MATERIALIZED (
+           SELECT src, dst FROM (
+             SELECT a AS src, b AS dst FROM t{i}
+             UNION ALL SELECT a, c FROM t{i}
+             UNION ALL SELECT b, c FROM t{i})
+           GROUP BY src, dst HAVING COUNT(*) >= {min_support})"""
+        )
+        prev = f"e{i + 1}"
+    return (
+        ",".join(parts)
+        + f""",
+  tf AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+         FROM {prev} e1
+         JOIN {prev} e2 ON e2.src = e1.src AND e2.dst > e1.dst
+         JOIN {prev} e3 ON e3.src = e1.dst AND e3.dst = e2.dst)
+  SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS support FROM (
+    SELECT a AS src, b AS dst FROM tf
+    UNION ALL SELECT a, c FROM tf
+    UNION ALL SELECT b, c FROM tf)
+  GROUP BY src, dst HAVING COUNT(*) >= {min_support}"""
+    )
+
+
+def _mis_oracle_sql(rounds: int = 8) -> str:
+    """Unrolled Luby MIS over the 1995 co-purchase graph
+    (graphalgs.maximal_independent_set replica).  The priority is the
+    same fixed hash both engines compute identically —
+    ``md5('mis:' || v || ':' || round)`` — so every round's winner set
+    is value-exact reproducible.  Measured round count is 3 (sf0.01)
+    and 4 (sf0.1); once the active set empties every further unrolled
+    round is an exact no-op (empty winners), so 8 is generous slack —
+    and the Spark loop RAISES if it fails to converge, so the two can
+    never silently disagree.  MATERIALIZED for the same CTE-inlining
+    reason as the kcore/sssp oracles."""
+    where = (
+        "WHERE l_shipdate >= TIMESTAMP '1995-01-01' "
+        "AND l_shipdate < TIMESTAMP '1996-01-01'"
+    )
+    ctes = [
+        "WITH " + _sql_copurchase(where).strip(),
+        "sym AS MATERIALIZED (SELECT src, dst FROM ce UNION ALL SELECT dst, src FROM ce)",
+        "a0 AS MATERIALIZED (SELECT DISTINCT src AS v FROM sym)",
+    ]
+    for r in range(rounds):
+        ctes.append(
+            f"""p{r} AS (SELECT v, md5(concat_ws(':', 'mis', CAST(v AS VARCHAR),
+                       CAST({r} AS VARCHAR))) AS p FROM a{r})"""
+        )
+        ctes.append(
+            f"""w{r} AS MATERIALIZED (
+              SELECT v FROM a{r}
+              EXCEPT
+              SELECT DISTINCT s.src AS v FROM sym s
+                JOIN p{r} ps ON ps.v = s.src
+                JOIN p{r} pd ON pd.v = s.dst
+               WHERE pd.p < ps.p OR (pd.p = ps.p AND s.dst < s.src))"""
+        )
+        ctes.append(
+            f"""a{r + 1} AS MATERIALIZED (
+              SELECT v FROM a{r}
+              EXCEPT
+              SELECT v FROM (
+                SELECT v FROM w{r}
+                UNION ALL
+                SELECT s.dst AS v FROM sym s JOIN w{r} w ON w.v = s.src))"""
+        )
+    winners = "\nUNION ALL ".join(
+        f"SELECT CAST(v AS BIGINT) AS vertex, CAST({r} AS INTEGER) AS mis_round FROM w{r}"
+        for r in range(rounds)
+    )
+    return ",\n".join(ctes) + "\n" + winners
+
+
+def _lpa_oracle_sql(rounds: int = 4) -> str:
+    """Unrolled synchronous label propagation
+    (graphalgs.label_propagation replica): each round every vertex
+    adopts the most frequent neighbor label, ties to the SMALLEST
+    label.  The round count is part of the query contract (fixed, not
+    run-to-convergence), so the unroll is exact, not slack."""
+    where = (
+        "WHERE l_shipdate >= TIMESTAMP '1995-01-01' "
+        "AND l_shipdate < TIMESTAMP '1996-01-01'"
+    )
+    ctes = [
+        "WITH " + _sql_copurchase(where).strip(),
+        "sym AS MATERIALIZED (SELECT src, dst FROM ce UNION ALL SELECT dst, src FROM ce)",
+        "l0 AS MATERIALIZED (SELECT DISTINCT src AS v, src AS label FROM sym)",
+    ]
+    for r in range(rounds):
+        ctes.append(
+            f"""l{r + 1} AS MATERIALIZED (
+              SELECT v, MIN(label) AS label FROM (
+                SELECT s.src AS v, l.label, COUNT(*) AS c,
+                       MAX(COUNT(*)) OVER (PARTITION BY s.src) AS mc
+                FROM sym s JOIN l{r} l ON l.v = s.dst
+                GROUP BY s.src, l.label)
+              WHERE c = mc GROUP BY v)"""
+        )
+    return (
+        ",\n".join(ctes)
+        + f"""
+        SELECT CAST(v AS BIGINT) AS vertex, CAST(label AS BIGINT) AS label
+        FROM l{rounds}"""
+    )
 
 
 def _pagerank_oracle_sql(
@@ -2711,6 +2839,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(spark, sf_dir, "region"),
         )
 
+    def q_mis(spark, sf_dir):
+        # Luby maximal independent set over the 1995 co-purchase
+        # graph: deterministic md5 priorities, winners + their
+        # neighbors retire each round (measured 3-4 rounds).
+        edges = copurchase_edges(
+            spark, sf_dir, ship_range=("1995-01-01", "1996-01-01")
+        )
+        edges.count()  # warm the shared edge cache at session width
+        return maximal_independent_set(edges, loop_shuffle_partitions=4)
+
+    def q_lpa(spark, sf_dir):
+        # Synchronous label-propagation communities, FIXED 4 rounds
+        # (the deterministic fixed-iteration contract, like pagerank).
+        edges = copurchase_edges(
+            spark, sf_dir, ship_range=("1995-01-01", "1996-01-01")
+        )
+        edges.count()
+        return label_propagation(edges, rounds=4, loop_shuffle_partitions=4)
+
+    def q_ktruss(spark, sf_dir):
+        # 4-truss of the 1995 co-purchase graph: iterative edge-
+        # support peeling (unique fixpoint), oriented triangle
+        # enumeration each round; survivors with in-truss support.
+        edges = copurchase_edges(
+            spark, sf_dir, ship_range=("1995-01-01", "1996-01-01")
+        )
+        edges.count()  # warm the shared edge cache at session width
+        return ktruss(edges, k=4, loop_shuffle_partitions=4)
+
     def q_stream_hdr(spark, sf_dir):
         # The eighth streaming shape: the HDR histogram driven as a
         # complete-mode stateful aggregation (state = bounded bins per
@@ -2756,6 +2913,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return _loop_parts(
             spark, lambda: eccentricities(edges, sources), warm=(edges,)
+        )
+
+    def q_closeness(spark, sf_dir):
+        # Sampled closeness / harmonic centrality: the same three
+        # sources as q_diameter ride ONE multi-source BFS; per-source
+        # reach, total distance, and the integer-scaled harmonic sum.
+        from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.graphalgs import (
+            closeness_sampled,
+        )
+
+        edges = derived_tree_edges(spark, sf_dir, symmetric=True, graph_id=1)
+        sources = spark.createDataFrame(
+            [(1, 999), (1, 0), (1, 100)], "graph_id int, start long"
+        )
+        return _loop_parts(
+            spark, lambda: closeness_sampled(edges, sources), warm=(edges,)
         )
 
     def q_zorder(spark, sf_dir):
@@ -2821,6 +2994,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # must sit inside the current window.
     return {
         # -- new this round (round 6; inside the 50-entry window) --
+        "q_mis": q_mis,
+        "q_lpa": q_lpa,
+        "q_closeness": q_closeness,
+        "q_ktruss": q_ktruss,
         "q_stream_hdr": q_stream_hdr,
         "q_hdr_quantile": q_hdr_quantile,
         "q_diameter": q_diameter,
@@ -3254,6 +3431,9 @@ def oracle_sql() -> dict[str, str]:
         "q_pq_recall": _sql_topk_recall(_sql_pq_topk(m=16, sub=4, n_codes=128)),
         "q_ivfpq_topk": _sql_ivfpq_topk(n_codes=128),
         "q_ivfpq_recall": _sql_topk_recall(_sql_ivfpq_topk(n_codes=128)),
+        "q_ktruss": _ktruss_oracle_sql(),
+        "q_mis": _mis_oracle_sql(),
+        "q_lpa": _lpa_oracle_sql(),
         "q_stream_hdr": """
             WITH base AS (
               SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
@@ -3378,6 +3558,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT start, CAST(MAX(level) AS INTEGER) AS ecc,
                    CAST(COUNT(*) AS BIGINT) AS n_reached
             FROM lv GROUP BY start
+        """,
+        "q_closeness": f"""
+            WITH RECURSIVE e0 AS ({_SQL_E0}),
+            sym AS (
+              SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0
+            ),
+            bfs(start, vertex, level) AS (
+              SELECT v, v, CAST(0 AS INTEGER)
+              FROM (SELECT CAST(999 AS BIGINT) AS v
+                    UNION ALL SELECT CAST(0 AS BIGINT)
+                    UNION ALL SELECT CAST(100 AS BIGINT)) s
+              UNION
+              SELECT bfs.start, sym.dst, CAST(bfs.level + 1 AS INTEGER)
+              FROM bfs JOIN sym ON sym.src = bfs.vertex
+              WHERE bfs.level < 8
+            ),
+            lv AS (
+              SELECT start, vertex, MIN(level) AS level
+              FROM bfs GROUP BY start, vertex
+            )
+            SELECT start, CAST(COUNT(*) AS BIGINT) AS n_reached,
+                   CAST(SUM(level) AS BIGINT) AS sum_dist,
+                   CAST(SUM(1000000000 // level) AS BIGINT) AS harmonic_scaled
+            FROM lv WHERE level >= 1 GROUP BY start
         """,
         "q_zorder": f"""
             WITH cells AS (

@@ -1046,3 +1046,292 @@ def eccentricities(
         F.max("level").cast("int").alias("ecc"),
         F.count("*").cast("long").alias("n_reached"),
     )
+
+
+def closeness_sampled(
+    edges: DataFrame,
+    sources: DataFrame,
+    *,
+    graph_id: int | None = None,
+    scale: int = 10**9,
+) -> DataFrame:
+    """Sampled closeness / harmonic centrality: for each source vertex,
+    the reach count, total hop distance, and the integer-scaled
+    harmonic sum ``SUM(scale div level)`` over reached vertices —
+    ``(start, n_reached, sum_dist, harmonic_scaled)``.  On an
+    undirected graph d(u,v) = d(v,u), so one BFS from v yields v's
+    EXACT centrality over its component; sampling k sources is the
+    standard estimator (computing it for all n is all-pairs BFS).
+
+    Scale notes: identical posture to ``eccentricities`` — every
+    source rides ONE multi-source BFS (one frontier carries all k
+    traversals, one Spark action per superstep), and the rollup is a
+    k-row aggregate.  Integer ``div`` keeps the harmonic sum
+    order-independent and engine-portable (no float accumulation).
+    """
+    from .traverse import bfs_levels_multi
+
+    src = sources
+    if "graph_id" not in src.columns:
+        gid = 1 if graph_id is None else int(graph_id)
+        src = src.select(F.lit(gid).alias("graph_id"), F.col("start"))
+    lv = bfs_levels_multi(edges, src)
+    reached = lv.where(F.col("level") >= 1)
+    return reached.groupBy("start").agg(
+        F.count("*").cast("long").alias("n_reached"),
+        F.sum("level").cast("long").alias("sum_dist"),
+        F.sum(F.expr(f"{int(scale)} div level")).cast("long").alias("harmonic_scaled"),
+    )
+
+
+def maximal_independent_set(
+    edges: DataFrame,
+    *,
+    graph_id: int | None = None,
+    max_iters: int = 25,
+    loop_shuffle_partitions: int | None = None,
+) -> DataFrame:
+    """Luby-style maximal independent set — the canonical distributed
+    symmetry-breaking primitive (the building block for distributed
+    coloring/matching).  Each round every still-active vertex draws a
+    priority; a vertex joins the MIS iff its priority beats every
+    active neighbor's, then winners AND their neighbors retire.
+    Expected O(log n) rounds.
+
+    Determinism (the engine-portable trick shared with the sampling
+    operators): the "random" priority is ``md5('mis:' || v || ':' ||
+    round)`` — a fixed hash, not an RNG — compared lexicographically
+    with ``(priority, vertex)`` tie-break, so Spark and any SQL engine
+    replay the EXACT same rounds and the result is value-exact
+    reproducible.  Returns ``(vertex, mis_round)``.
+
+    Scale notes: per round, losers are found with one join of the
+    symmetric edge list against the active-priority set on each
+    endpoint (no window, no collect); winners retire their neighbor
+    set via hash anti-joins.  One count action per round (the active
+    set, which also materializes the round's checkpoint).  The active
+    set shrinks geometrically, so late rounds are near-free.
+    """
+    e = canonical_edges(edges, graph_id=graph_id).select("src", "dst")
+    sym = e.unionAll(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    spark = sym.sparkSession
+    _parts_key = "spark.sql.shuffle.partitions"
+    _prev_parts = spark.conf.get(_parts_key)
+    if loop_shuffle_partitions is not None:
+        spark.conf.set(_parts_key, str(int(loop_shuffle_partitions)))
+    try:
+        active = (
+            sym.select(F.col("src").alias("v"))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        rounds: list[DataFrame] = []
+        converged = False
+        for rnd in range(max_iters):
+            if active.count() == 0:
+                converged = True
+                break
+            pri = active.select(
+                "v",
+                F.md5(
+                    F.concat_ws(":", F.lit("mis"), F.col("v"), F.lit(rnd))
+                ).alias("p"),
+            )
+            ps = pri.select(F.col("v").alias("sv"), F.col("p").alias("sp"))
+            pd_ = pri.select(F.col("v").alias("dv"), F.col("p").alias("dp"))
+            # src loses if some ACTIVE neighbor has a strictly smaller
+            # (priority, vertex) key; inner joins against pri restrict
+            # the edge list to active x active.
+            losers = (
+                sym.join(ps, sym["src"] == F.col("sv"))
+                .join(pd_, sym["dst"] == F.col("dv"))
+                .where(
+                    (F.col("dp") < F.col("sp"))
+                    | ((F.col("dp") == F.col("sp")) & (F.col("dv") < F.col("sv")))
+                )
+                .select(F.col("sv").alias("v"))
+                .distinct()
+            )
+            winners = active.join(losers, "v", "left_anti").localCheckpoint(
+                eager=False
+            )
+            rounds.append(
+                winners.select(
+                    F.col("v").cast("long").alias("vertex"),
+                    F.lit(rnd).cast("int").alias("mis_round"),
+                )
+            )
+            retired = winners.unionAll(
+                sym.join(winners, sym["src"] == F.col("v")).select(
+                    F.col("dst").alias("v")
+                )
+            )
+            active = active.join(retired, "v", "left_anti").localCheckpoint(
+                eager=False
+            )
+        if not converged:
+            raise RuntimeError(
+                f"maximal_independent_set did not converge in {max_iters} rounds"
+            )
+        out = rounds[0]
+        for r in rounds[1:]:
+            out = out.unionAll(r)
+        return out
+    finally:
+        if loop_shuffle_partitions is not None:
+            spark.conf.set(_parts_key, _prev_parts)
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 4,
+    *,
+    graph_id: int | None = None,
+    loop_shuffle_partitions: int | None = None,
+) -> DataFrame:
+    """Synchronous label-propagation community detection (LPA), the
+    GraphX `lib.LabelPropagation` analogue: every vertex starts as its
+    own label; each round it adopts the most frequent label among its
+    neighbors, ties broken by SMALLEST label.  Synchronous LPA can
+    oscillate on bipartite structure, so — like ``pagerank_fixed`` —
+    the contract is a FIXED round count, which makes the output
+    deterministic and engine-replayable regardless of convergence.
+    Returns ``(vertex, label)`` after exactly ``rounds`` rounds.
+
+    Scale notes: each round is one join (symmetric edges x labels) +
+    one map-side-combined count + one ``max(struct(cnt, -label))``
+    aggregate — the argmax-with-tie-break as a plain hash aggregate,
+    NO per-vertex window (a window keyed on vertex would put each
+    vertex's candidate list in one task; fine here, fatal on a
+    100x hub).  One lazy checkpoint per round, no per-round action.
+    """
+    e = canonical_edges(edges, graph_id=graph_id).select("src", "dst")
+    sym = e.unionAll(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    spark = sym.sparkSession
+    _parts_key = "spark.sql.shuffle.partitions"
+    _prev_parts = spark.conf.get(_parts_key)
+    if loop_shuffle_partitions is not None:
+        spark.conf.set(_parts_key, str(int(loop_shuffle_partitions)))
+    try:
+        labels = (
+            sym.select(F.col("src").alias("v"))
+            .distinct()
+            .select("v", F.col("v").alias("label"))
+            .localCheckpoint(eager=False)
+        )
+        for i in range(int(rounds)):
+            nb = sym.join(
+                labels.select(F.col("v").alias("dv"), "label"),
+                sym["dst"] == F.col("dv"),
+            ).select(F.col("src").alias("v"), "label")
+            counts = nb.groupBy("v", "label").agg(F.count("*").alias("c"))
+            labels = (
+                counts.groupBy("v")
+                .agg(
+                    F.max(
+                        F.struct(F.col("c"), (-F.col("label")).alias("nl"))
+                    ).alias("m")
+                )
+                .select("v", (-F.col("m.nl")).cast("long").alias("label"))
+                .localCheckpoint(eager=False)
+            )
+        return labels.select(F.col("v").cast("long").alias("vertex"), "label")
+    finally:
+        if loop_shuffle_partitions is not None:
+            spark.conf.set(_parts_key, _prev_parts)
+
+
+def ktruss(
+    edges: DataFrame,
+    k: int,
+    *,
+    graph_id: int | None = None,
+    max_iters: int = 30,
+    loop_shuffle_partitions: int | None = None,
+) -> DataFrame:
+    """The k-truss: the maximal subgraph in which every EDGE sits in
+    at least ``k - 2`` triangles, by iterative support peeling — the
+    edge-grained sharpening of the k-core (every k-truss is inside the
+    (k-1)-core, but not vice versa; trusses are the standard
+    cohesive-community primitive one level above triangle counting).
+    Returns surviving canonical edges with their in-truss support:
+    ``(src, dst, support)``.
+
+    Like ``kcore``, the fixpoint is unique (support peeling is
+    confluent) and the edge set only shrinks, so an unchanged edge
+    COUNT implies an unchanged edge SET — one count action per round.
+    Exhausting ``max_iters`` raises rather than returning a
+    non-fixpoint.
+
+    Scale: each round enumerates triangles ONCE in oriented form
+    (wedges from the common LOWER endpoint closed by a third canonical
+    edge — each triangle found exactly once, the compact-forward
+    discipline of ``triangle_counts``), then distributes +1 support to
+    each of the three edges: two self-joins keyed on vertex ids plus
+    one map-side-combined count, all on the shrinking edge set.
+    Rounds needed = peeling depth (2-3 on the co-purchase graphs at
+    every gate scale — measured, not assumed).
+    """
+    if k < 3:
+        raise ValueError(f"k-truss needs k >= 3, got {k}")
+    min_support = k - 2
+    cur = canonical_edges(edges, graph_id=graph_id).select("src", "dst")
+    spark = cur.sparkSession
+    _parts_key = "spark.sql.shuffle.partitions"
+    _prev_parts = spark.conf.get(_parts_key)
+    if loop_shuffle_partitions is not None:
+        spark.conf.set(_parts_key, str(int(loop_shuffle_partitions)))
+
+    def _support(es: DataFrame) -> DataFrame:
+        e1 = es.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        e2 = es.select(F.col("src").alias("a2"), F.col("dst").alias("c"))
+        wedges = e1.join(
+            e2, (F.col("a") == F.col("a2")) & (F.col("c") > F.col("b"))
+        ).select("a", "b", "c")
+        tris = wedges.join(
+            es,
+            (es["src"] == F.col("b")) & (es["dst"] == F.col("c")),
+            "left_semi",
+        )
+        sides = (
+            tris.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+            .unionAll(tris.select(F.col("a").alias("src"), F.col("c").alias("dst")))
+            .unionAll(tris.select(F.col("b").alias("src"), F.col("c").alias("dst")))
+        )
+        return sides.groupBy("src", "dst").agg(F.count("*").alias("support"))
+
+    try:
+        cur = cur.localCheckpoint(eager=False)
+        prev = cur.count()
+        converged = False
+        for _ in range(max_iters):
+            nxt = (
+                _support(cur)
+                .where(F.col("support") >= min_support)
+                .select("src", "dst")
+                .localCheckpoint(eager=False)
+            )
+            n = nxt.count()
+            cur = nxt
+            if n == prev:
+                converged = True
+                break
+            prev = n
+        if not converged:
+            raise RuntimeError(f"ktruss did not converge in {max_iters} rounds")
+        # One more support pass over the fixpoint set for the output
+        # column (at the fixpoint the filter is a no-op by definition).
+        return (
+            _support(cur)
+            .where(F.col("support") >= min_support)
+            .select(
+                "src", "dst", F.col("support").cast("long").alias("support")
+            )
+        )
+    finally:
+        if loop_shuffle_partitions is not None:
+            spark.conf.set(_parts_key, _prev_parts)

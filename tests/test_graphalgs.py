@@ -270,6 +270,99 @@ def test_kcore_nonconvergence_raises(spark):
     with _pytest.raises(RuntimeError, match="did not converge"):
         kcore(path, 2, max_iters=2)
 
+def test_ktruss_peels_pendant_triangle(spark):
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.graphalgs import (
+        ktruss,
+    )
+
+    # K4 on 1-4 (every edge in 2 triangles) plus a pendant triangle
+    # 4-5-6 (each of its edges in exactly 1 triangle).
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    pend = [(4, 5), (5, 6), (4, 6)]
+    g = spark.createDataFrame(k4 + pend, "src long, dst long")
+    # 3-truss: every edge is in >=1 triangle, so everything survives.
+    got3 = {(r.src, r.dst): r.support for r in ktruss(g, 3).collect()}
+    assert set(got3) == set(k4 + pend)
+    # 4-truss: the pendant triangle peels away; K4 survives with
+    # support 2 on every edge.
+    got4 = {(r.src, r.dst): r.support for r in ktruss(g, 4).collect()}
+    assert got4 == {e: 2 for e in k4}
+    # 5-truss of K4 is empty (needs support 3).
+    assert ktruss(g, 5).count() == 0
+
+
+def test_ktruss_cascade_and_nonconvergence(spark):
+    import pytest as _pytest
+
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.graphalgs import (
+        ktruss,
+    )
+
+    # Triangle strip (1,2,3),(2,3,4),(3,4,5): only the spine edges
+    # 2-3 and 3-4 start with support 2, but once the rest peel they
+    # close no triangle — the 4-truss is empty via a CASCADE (two
+    # peel rounds), which max_iters=1 must surface as non-convergence.
+    strip = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4), (3, 5), (4, 5)],
+        "src long, dst long",
+    )
+    assert ktruss(strip, 4).count() == 0
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        ktruss(strip, 4, max_iters=1)
+    with _pytest.raises(ValueError):
+        ktruss(strip, 2)
+
+
+def test_mis_independent_and_maximal(spark):
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.graphalgs import (
+        maximal_independent_set,
+    )
+
+    # Petersen-ish mix: a path, a star, and a triangle.  The exact MIS
+    # depends on the hash priorities; the CONTRACT is independence +
+    # maximality + determinism, so assert those.
+    edges = (
+        [(i, i + 1) for i in range(1, 6)]
+        + [(10, c) for c in range(11, 16)]
+        + [(20, 21), (21, 22), (20, 22)]
+    )
+    g = spark.createDataFrame(edges, "src long, dst long")
+    mis1 = {r.vertex for r in maximal_independent_set(g).collect()}
+    mis2 = {r.vertex for r in maximal_independent_set(g).collect()}
+    assert mis1 == mis2  # hash priorities, not an RNG
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    # independence: no edge inside the set
+    assert all(not (adj[v] & mis1) for v in mis1)
+    # maximality: every outside vertex has a neighbor inside
+    assert all(adj[v] & mis1 for v in adj if v not in mis1)
+
+
+def test_label_propagation_fixed_rounds(spark):
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.graphalgs import (
+        label_propagation,
+    )
+
+    # Two disconnected triangles: after 4 synchronous rounds each
+    # collapses to its minimum vertex id (hand-traced fixpoint).
+    g = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6)],
+        "src long, dst long",
+    )
+    got = {r.vertex: r.label for r in label_propagation(g, rounds=4).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 4}
+    # Bipartite oscillation: a single edge swaps labels every round;
+    # the fixed-round contract makes the (non-converged) output
+    # deterministic — after an EVEN round count labels are back home.
+    p = spark.createDataFrame([(1, 2)], "src long, dst long")
+    got_even = {r.vertex: r.label for r in label_propagation(p, rounds=4).collect()}
+    assert got_even == {1: 1, 2: 2}
+    got_odd = {r.vertex: r.label for r in label_propagation(p, rounds=3).collect()}
+    assert got_odd == {1: 2, 2: 1}
+
+
 def test_copurchase_shipdate_pushdown_and_single_scan(spark):
     from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.sources.graphs import (
         copurchase_edges,
