@@ -179,6 +179,7 @@ from distributed_graph_database_simulation_with_load_balancing_and_threaded_requ
     nation_market_share,
     nation_trade_volume,
     order_gap_stats,
+    event_transitions,
     retention_cohorts,
     top_supplier,
     waiting_suppliers,
@@ -2706,6 +2707,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tables broadcast against the pushed-predicate event scans.
         return funnel_stages(load_table(spark, sf_dir, "events"))
 
+    def q_transitions(spark, sf_dir):
+        # First-order Markov transition matrix over per-user event
+        # sequences: LEAD keyed on user_id (bounded rows per key),
+        # |types|^2 output, broadcast row totals, integer-div
+        # probabilities.
+        return event_transitions(load_table(spark, sf_dir, "events"))
+
     def q_order_gaps(spark, sf_dir):
         # Purchase-cadence windows (LAG): per-customer day gaps
         # between consecutive orders, all-integer aggregates; one
@@ -2994,6 +3002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # must sit inside the current window.
     return {
         # -- new this round (round 6; inside the 50-entry window) --
+        "q_transitions": q_transitions,
         "q_mis": q_mis,
         "q_lpa": q_lpa,
         "q_closeness": q_closeness,
@@ -3434,6 +3443,26 @@ def oracle_sql() -> dict[str, str]:
         "q_ktruss": _ktruss_oracle_sql(),
         "q_mis": _mis_oracle_sql(),
         "q_lpa": _lpa_oracle_sql(),
+        "q_transitions": """
+            WITH pairs AS (
+              SELECT event_type AS from_type,
+                     LEAD(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                     ) AS to_type
+              FROM events
+            ),
+            counts AS (
+              SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+              FROM pairs WHERE to_type IS NOT NULL
+              GROUP BY from_type, to_type
+            ),
+            totals AS (
+              SELECT from_type, SUM(n) AS tot FROM counts GROUP BY from_type
+            )
+            SELECT c.from_type, c.to_type, c.n,
+                   CAST(c.n * 1000000 // t.tot AS BIGINT) AS p_scaled
+            FROM counts c JOIN totals t USING (from_type)
+        """,
         "q_stream_hdr": """
             WITH base AS (
               SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,

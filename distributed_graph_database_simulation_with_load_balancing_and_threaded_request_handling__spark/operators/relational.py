@@ -1197,6 +1197,42 @@ def retention_cohorts(events: DataFrame, *, signup_type: str = "signup") -> Data
     )
 
 
+def event_transitions(events: DataFrame, *, scale: int = 10**6) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: for each ordered pair of consecutive events of the same
+    user (ordered by ``(ts, event_id)`` — the id tie-break keeps the
+    sequence deterministic under equal timestamps), the transition
+    count and the integer-scaled transition probability
+    ``n * scale div row_total`` — the behavioral-model fitting query.
+    Returns ``(from_type, to_type, n, p_scaled)``.
+
+    Scale notes: the LEAD window is keyed on ``user_id`` — true
+    user-grained parallelism, bounded rows per key (never a
+    bounded-cardinality partition key carrying unbounded rows); the
+    transition matrix itself is |types|^2 rows, and the per-row totals
+    join is a broadcast of that tiny aggregate.  Integer ``div`` keeps
+    probabilities engine-exact.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = events.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).where(F.col("to_type").isNotNull())
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    totals = counts.groupBy("from_type").agg(F.sum("n").alias("tot"))
+    return (
+        counts.join(F.broadcast(totals), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            F.expr(f"CAST(n * {int(scale)} div tot AS LONG)").alias("p_scaled"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # The last five TPC-H shapes (Q2, Q9, Q11, Q16, Q20).  The driver's
 # testdata has no partsupp table, so all five derive the supply
