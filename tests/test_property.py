@@ -165,6 +165,88 @@ def test_kcore_matches_python_oracle(sess, pairs, k):
     assert got == python_kcore(pairs, k)
 
 
+def python_mis(pairs):
+    """Pure-python replay of the Luby rounds with the same md5
+    priorities — the exact algorithm, not just the properties."""
+    import hashlib
+
+    adj = {}
+    for u, v in pairs:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    active, out, rnd = set(adj), {}, 0
+    while active:
+        pri = {
+            v: (hashlib.md5(f"mis:{v}:{rnd}".encode()).hexdigest(), v)
+            for v in active
+        }
+        winners = {
+            v for v in active if all(pri[v] < pri[u] for u in adj[v] & active)
+        }
+        retired = set(winners)
+        for w in winners:
+            retired |= adj[w]
+        active -= retired
+        for w in winners:
+            out[w] = rnd
+        rnd += 1
+    return out
+
+
+def python_ktruss(pairs, k):
+    canon = {(min(u, v), max(u, v)) for u, v in pairs if u != v}
+    cur = set(canon)
+    while True:
+        sup = {e: 0 for e in cur}
+        verts = sorted({x for e in cur for x in e})
+        for a, b, c in combinations(verts, 3):
+            if (a, b) in cur and (a, c) in cur and (b, c) in cur:
+                for e in ((a, b), (a, c), (b, c)):
+                    sup[e] += 1
+        nxt = {e for e in cur if sup[e] >= k - 2}
+        if nxt == cur:
+            return {e: sup[e] for e in cur}
+        cur = nxt
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(pairs=random_graph())
+def test_mis_matches_python_oracle(sess, pairs):
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.graphalgs import (
+        maximal_independent_set,
+    )
+
+    if not pairs:
+        return
+    df = sess.createDataFrame(pairs, "src long, dst long")
+    got = {
+        r.vertex: r.mis_round for r in maximal_independent_set(df).collect()
+    }
+    assert got == python_mis(pairs)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(pairs=random_graph(), k=st.integers(min_value=3, max_value=4))
+def test_ktruss_matches_python_oracle(sess, pairs, k):
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.graphalgs import (
+        ktruss,
+    )
+
+    if not pairs:
+        return
+    df = sess.createDataFrame(pairs, "src long, dst long")
+    got = {(r.src, r.dst): r.support for r in ktruss(df, k).collect()}
+    assert got == python_ktruss(pairs, k)
+
+
 # --- multimodal byte parsers (pure Python, no Spark session needed) ---
 
 from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.multimodal import (  # noqa: E402
