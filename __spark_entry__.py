@@ -51,6 +51,7 @@ from distributed_graph_database_simulation_with_load_balancing_and_threaded_requ
     clustering_coefficient,
     degree_histogram,
     link_prediction_scores,
+    betweenness_sampled,
     kcore,
     ktruss,
     label_propagation,
@@ -318,6 +319,84 @@ def _ktruss_oracle_sql(rounds: int = 5, min_support: int = 2) -> str:
     UNION ALL SELECT a, c FROM tf
     UNION ALL SELECT b, c FROM tf)
   GROUP BY src, dst HAVING COUNT(*) >= {min_support}"""
+    )
+
+
+def _betweenness_oracle_sql(levels: int = 24, scale: int = 10**9) -> str:
+    """Unrolled sampled-Brandes betweenness over the 1995 co-purchase
+    graph (graphalgs.betweenness_sampled replica): recursive min-level
+    BFS from the 4 smallest vertices, then one unrolled
+    path-count (sigma) CTE per level forward and one integer-scaled
+    dependency (delta) CTE per level backward — every delta term is
+    ``sigma_v * (scale + delta_w) // sigma_w``, an integer, so the
+    accumulation is order-independent and value-exact in both engines.
+    Measured depth is 12/14/18 at sf0.001/0.01/0.1; the Spark loop
+    RAISES past max_depth=24, so engine and oracle can never silently
+    disagree about the unroll bound.  MATERIALIZED per the kcore/sssp
+    rationale (each CTE is referenced by two later ones)."""
+    where = (
+        "WHERE l_shipdate >= TIMESTAMP '1995-01-01' "
+        "AND l_shipdate < TIMESTAMP '1996-01-01'"
+    )
+    ctes = [
+        "WITH RECURSIVE " + _sql_copurchase(where).strip(),
+        "sym AS MATERIALIZED (SELECT src, dst FROM ce UNION ALL SELECT dst, src FROM ce)",
+        "srcs AS MATERIALIZED (SELECT DISTINCT src AS v FROM sym ORDER BY src LIMIT 4)",
+        f"""bfs(start, vertex, level) AS (
+          SELECT v, v, CAST(0 AS INTEGER) FROM srcs
+          UNION
+          SELECT bfs.start, sym.dst, CAST(bfs.level + 1 AS INTEGER)
+          FROM bfs JOIN sym ON sym.src = bfs.vertex
+          WHERE bfs.level < {levels})""",
+        """lv AS MATERIALIZED (
+          SELECT start, vertex, MIN(level) AS level
+          FROM bfs GROUP BY start, vertex)""",
+        """sig0 AS MATERIALIZED (
+          SELECT start, vertex, CAST(1 AS BIGINT) AS sigma
+          FROM lv WHERE level = 0)""",
+    ]
+    for d in range(1, levels + 1):
+        ctes.append(
+            f"""sig{d} AS MATERIALIZED (
+              SELECT l.start, l.vertex, CAST(SUM(p.sigma) AS BIGINT) AS sigma
+              FROM lv l
+              JOIN sym e ON e.dst = l.vertex
+              JOIN sig{d - 1} p ON p.start = l.start AND p.vertex = e.src
+              WHERE l.level = {d}
+              GROUP BY l.start, l.vertex)"""
+        )
+    for d in range(levels - 1, -1, -1):
+        if d == levels - 1:
+            dnext = "CAST(0 AS BIGINT)"
+            djoin = ""
+        else:
+            dnext = "COALESCE(dn.delta, 0)"
+            djoin = (
+                f"LEFT JOIN del{d + 1} dn "
+                f"ON dn.start = c.start AND dn.vertex = e.dst"
+            )
+        ctes.append(
+            f"""del{d} AS MATERIALIZED (
+              SELECT c.start, c.vertex,
+                     CAST(SUM(c.sigma * ({int(scale)} + {dnext}) // s2.sigma)
+                          AS BIGINT) AS delta
+              FROM sig{d} c
+              JOIN sym e ON e.src = c.vertex
+              JOIN sig{d + 1} s2 ON s2.start = c.start AND s2.vertex = e.dst
+              {djoin}
+              GROUP BY c.start, c.vertex)"""
+        )
+    all_del = "\nUNION ALL ".join(
+        f"SELECT start, vertex, delta FROM del{d}" for d in range(levels)
+    )
+    return (
+        ",\n".join(ctes)
+        + f"""
+        SELECT CAST(vertex AS BIGINT) AS vertex,
+               CAST(SUM(delta) AS BIGINT) AS bc_scaled
+        FROM ({all_del})
+        WHERE vertex != start
+        GROUP BY vertex HAVING SUM(delta) > 0"""
     )
 
 
@@ -2847,6 +2926,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(spark, sf_dir, "region"),
         )
 
+    def q_betweenness(spark, sf_dir):
+        # Sampled Brandes betweenness from the 4 smallest vertices of
+        # the symmetric 1995 co-purchase graph: one multi-source
+        # sigma-carrying frontier forward, integer-scaled dependency
+        # sweep backward (value-exact — every term is an integer div).
+        edges = copurchase_edges(
+            spark, sf_dir, symmetric=True, ship_range=("1995-01-01", "1996-01-01")
+        )
+        sources = (
+            edges.select(F.col("src").alias("start")).distinct().orderBy("start").limit(4)
+        )
+        return betweenness_sampled(edges, sources, loop_shuffle_partitions=4)
+
     def q_mis(spark, sf_dir):
         # Luby maximal independent set over the 1995 co-purchase
         # graph: deterministic md5 priorities, winners + their
@@ -3002,6 +3094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # must sit inside the current window.
     return {
         # -- new this round (round 6; inside the 50-entry window) --
+        "q_betweenness": q_betweenness,
         "q_transitions": q_transitions,
         "q_mis": q_mis,
         "q_lpa": q_lpa,
@@ -3441,6 +3534,7 @@ def oracle_sql() -> dict[str, str]:
         "q_ivfpq_topk": _sql_ivfpq_topk(n_codes=128),
         "q_ivfpq_recall": _sql_topk_recall(_sql_ivfpq_topk(n_codes=128)),
         "q_ktruss": _ktruss_oracle_sql(),
+        "q_betweenness": _betweenness_oracle_sql(),
         "q_mis": _mis_oracle_sql(),
         "q_lpa": _lpa_oracle_sql(),
         "q_transitions": """

@@ -1084,6 +1084,151 @@ def closeness_sampled(
     )
 
 
+def betweenness_sampled(
+    edges: DataFrame,
+    sources: DataFrame,
+    *,
+    scale: int = 10**9,
+    max_depth: int = 24,
+    loop_shuffle_partitions: int | None = None,
+) -> DataFrame:
+    """Sampled Brandes betweenness centrality over a SYMMETRIC edge
+    list: the summed pair-dependencies ``delta_s(v)`` from the given
+    source vertices — the standard betweenness estimator (exact needs
+    all-n sources = all-pairs; sampling k sources is Brandes-Pich).
+    Returns ``(vertex, bc_scaled)`` with ``bc_scaled = SUM_s
+    delta_s(v) * scale`` (sources excluded, zero rows dropped).
+
+    Engine-portable integer contract: the backward accumulation uses
+    ``sigma_v * (scale + delta_w) div sigma_w`` per (v, w) successor
+    term — every term is an integer, so the per-vertex SUM is
+    order-independent and any SQL engine replays it value-exact
+    (unlike float Brandes, where accumulation order changes low bits).
+    Path counts stay tiny on real graphs (measured max sigma 21 on the
+    co-purchase graphs), so the products sit far below BIGINT range.
+
+    Scale notes: all k sources ride ONE level-synchronous frontier
+    (keyed ``(start, vertex)``, the bfs_levels_multi posture) that
+    carries the path count ``sigma`` as a map-side-combined SUM —
+    forward cost is max-depth supersteps, not k x depth, with one
+    count action per level and last-two-frontiers dedup (valid on
+    symmetric lists: an edge moves at most one level).  The backward
+    sweep replays the stored per-level frames deepest-first — one
+    (frontier x edges x next-level) join per level, NO action (a
+    single lazy chain materialized by the consumer), no window, no
+    collect.  Depth beyond ``max_depth`` raises (the oracle unrolls a
+    fixed bound; raising beats silently disagreeing with it).
+    """
+    e = (
+        edges.select(
+            F.col("src").cast("long").alias("src"),
+            F.col("dst").cast("long").alias("dst"),
+        )
+        .persist()
+    )
+    spark = e.sparkSession
+    _parts_key = "spark.sql.shuffle.partitions"
+    _prev_parts = spark.conf.get(_parts_key)
+    if loop_shuffle_partitions is not None:
+        spark.conf.set(_parts_key, str(int(loop_shuffle_partitions)))
+    try:
+        src0 = sources.select(F.col("start").cast("long").alias("start")).distinct()
+        frontier = (
+            src0.join(
+                e.select(F.col("src").alias("start")).distinct(),
+                "start",
+                "left_semi",
+            )
+            .select(
+                "start",
+                F.col("start").alias("vertex"),
+                F.lit(1).cast("long").alias("sigma"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        levels = [frontier]
+        prev_keys: DataFrame | None = None
+        while True:
+            expanded = frontier.join(e, frontier["vertex"] == e["src"]).select(
+                frontier["start"], e["dst"].alias("vertex"), frontier["sigma"]
+            )
+            sums = expanded.groupBy("start", "vertex").agg(
+                F.sum("sigma").cast("long").alias("sigma")
+            )
+            dedup = frontier.select("start", "vertex")
+            if prev_keys is not None:
+                dedup = dedup.unionAll(prev_keys)
+            new = sums.join(dedup, ["start", "vertex"], "left_anti").localCheckpoint(
+                eager=False
+            )
+            if new.count() == 0:
+                break
+            if len(levels) > max_depth:
+                raise RuntimeError(
+                    f"betweenness_sampled exceeded max_depth={max_depth}"
+                )
+            prev_keys = frontier.select("start", "vertex")
+            levels.append(new)
+            frontier = new
+        depth = len(levels) - 1
+        out: DataFrame | None = None
+        delta_next: DataFrame | None = None
+        for d in range(depth - 1, -1, -1):
+            succ = levels[d + 1].select(
+                "start",
+                F.col("vertex").alias("w"),
+                F.col("sigma").alias("sigma_w"),
+            )
+            if delta_next is not None:
+                dn = delta_next.select(
+                    "start", F.col("vertex").alias("w"), F.col("delta").alias("dw")
+                )
+                succ = succ.join(dn, ["start", "w"], "left").select(
+                    "start",
+                    "w",
+                    "sigma_w",
+                    F.coalesce("dw", F.lit(0)).cast("long").alias("delta_w"),
+                )
+            else:
+                succ = succ.select(
+                    "start", "w", "sigma_w", F.lit(0).cast("long").alias("delta_w")
+                )
+            cur = levels[d]
+            terms = (
+                cur.join(e, cur["vertex"] == e["src"])
+                .select(
+                    cur["start"], cur["vertex"], cur["sigma"], e["dst"].alias("w")
+                )
+                .join(succ, ["start", "w"])
+                .select(
+                    "start",
+                    "vertex",
+                    F.expr(f"sigma * ({int(scale)} + delta_w) div sigma_w").alias(
+                        "term"
+                    ),
+                )
+            )
+            delta_next = (
+                terms.groupBy("start", "vertex")
+                .agg(F.sum("term").cast("long").alias("delta"))
+                .localCheckpoint(eager=False)
+            )
+            out = delta_next if out is None else out.unionAll(delta_next)
+        if out is None:
+            return spark.createDataFrame([], "vertex long, bc_scaled long")
+        return (
+            out.where(F.col("vertex") != F.col("start"))
+            .groupBy("vertex")
+            .agg(F.sum("delta").cast("long").alias("bc_scaled"))
+            .where(F.col("bc_scaled") > 0)
+            .select(F.col("vertex").cast("long").alias("vertex"), "bc_scaled")
+        )
+    finally:
+        if loop_shuffle_partitions is not None:
+            spark.conf.set(_parts_key, _prev_parts)
+        e.unpersist(blocking=False)
+
+
 def maximal_independent_set(
     edges: DataFrame,
     *,

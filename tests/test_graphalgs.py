@@ -313,6 +313,23 @@ def test_ktruss_cascade_and_nonconvergence(spark):
         ktruss(strip, 2)
 
 
+def test_betweenness_diamond(spark):
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.graphalgs import (
+        betweenness_sampled,
+    )
+
+    # Diamond + tail: 1-2, 1-3, 2-4, 3-4, 4-5 (symmetric), source 1.
+    # sigma(4)=2; hand-traced integer dependencies: delta(4)=1e9
+    # (pair (1,5)), delta(2)=delta(3)=1e9 (half of (1,4) + half of
+    # (1,5) each); 5 has zero dependency and is dropped.
+    canon = [(1, 2), (1, 3), (2, 4), (3, 4), (4, 5)]
+    sym = canon + [(b, a) for a, b in canon]
+    g = spark.createDataFrame(sym, "src long, dst long")
+    srcs = spark.createDataFrame([(1,)], "start long")
+    got = {r.vertex: r.bc_scaled for r in betweenness_sampled(g, srcs).collect()}
+    assert got == {2: 10**9, 3: 10**9, 4: 10**9}
+
+
 def test_mis_independent_and_maximal(spark):
     from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.graphalgs import (
         maximal_independent_set,

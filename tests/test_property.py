@@ -247,6 +247,67 @@ def test_ktruss_matches_python_oracle(sess, pairs, k):
     assert got == python_ktruss(pairs, k)
 
 
+def python_betweenness(pairs, sources, scale=10**9):
+    """Pure-python replay of the integer-exact Brandes sweep."""
+    from collections import defaultdict, deque
+
+    adj = defaultdict(set)
+    for u, v in pairs:
+        adj[u].add(v)
+        adj[v].add(u)
+    bc = defaultdict(int)
+    for s in sources:
+        if s not in adj:
+            continue
+        level = {s: 0}
+        sigma = {s: 1}
+        q = deque([s])
+        order = [s]
+        while q:
+            u = q.popleft()
+            for w in adj[u]:
+                if w not in level:
+                    level[w] = level[u] + 1
+                    sigma[w] = 0
+                    q.append(w)
+                    order.append(w)
+                if level[w] == level[u] + 1:
+                    sigma[w] += sigma[u]
+        delta = defaultdict(int)
+        for w in reversed(order):
+            for v in adj[w]:
+                if level.get(v) == level[w] - 1:
+                    delta[v] += sigma[v] * (scale + delta[w]) // sigma[w]
+        for v, d in delta.items():
+            if v != s:
+                bc[v] += d
+    return {v: x for v, x in bc.items() if x > 0}
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(pairs=random_graph())
+def test_betweenness_matches_python_oracle(sess, pairs):
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.graphalgs import (
+        betweenness_sampled,
+    )
+
+    if not pairs:
+        return
+    sym = pairs + [(b, a) for a, b in pairs]
+    df = sess.createDataFrame(sym, "src long, dst long")
+    sources = sorted({x for p in pairs for x in p})[:2]
+    srcs = sess.createDataFrame([(s,) for s in sources], "start long")
+    got = {
+        r.vertex: r.bc_scaled
+        for r in betweenness_sampled(df, srcs).collect()
+    }
+    assert got == python_betweenness(pairs, sources)
+
+
 # --- multimodal byte parsers (pure Python, no Spark session needed) ---
 
 from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.multimodal import (  # noqa: E402
