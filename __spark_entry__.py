@@ -208,6 +208,7 @@ from distributed_graph_database_simulation_with_load_balancing_and_threaded_requ
     run_attribution_batch,
     run_corpus_stats_batch,
     run_dedup_batch,
+    run_enrich_batch,
     run_hdr_hist_batch,
     run_edge_ingest_batch,
     run_event_rollup_batch,
@@ -2175,6 +2176,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             n=4,
         )
 
+    def q_stream_enrich(spark, sf_dir):
+        # The NINTH streaming shape: STREAM-STATIC broadcast
+        # enrichment join (streamed purchases x static signup dim —
+        # stateless join, bounded aggregation state), value-exact
+        # against the batch join + GROUP BY.
+        import os
+
+        return _loop_parts(
+            spark,
+            lambda: run_enrich_batch(
+                spark, os.path.join(sf_dir, "events.parquet")
+            ),
+            n=4,
+        )
+
     def q_pack_sequences(spark, sf_dir):
         # Training-sequence packing (concat-then-chunk): per-language
         # token tape cut into 256-token packs, all integer arithmetic,
@@ -3094,6 +3110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # must sit inside the current window.
     return {
         # -- new this round (round 6; inside the 50-entry window) --
+        "q_stream_enrich": q_stream_enrich,
         "q_betweenness": q_betweenness,
         "q_transitions": q_transitions,
         "q_mis": q_mis,
@@ -3537,6 +3554,19 @@ def oracle_sql() -> dict[str, str]:
         "q_betweenness": _betweenness_oracle_sql(),
         "q_mis": _mis_oracle_sql(),
         "q_lpa": _lpa_oracle_sql(),
+        "q_stream_enrich": """
+            WITH signup AS (
+              SELECT user_id, MIN(ts) AS t0 FROM events
+              WHERE event_type = 'signup' GROUP BY user_id
+            )
+            SELECT CAST(date_diff('day', s.t0, e.ts) // 7 AS INTEGER) AS week_offset,
+                   CAST(COUNT(*) AS BIGINT) AS n_purchases,
+                   round(CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE), 4)
+                       AS total_value
+            FROM events e JOIN signup s ON e.user_id = s.user_id
+            WHERE e.event_type = 'purchase' AND e.ts >= s.t0
+            GROUP BY 1
+        """,
         "q_transitions": """
             WITH pairs AS (
               SELECT event_type AS from_type,

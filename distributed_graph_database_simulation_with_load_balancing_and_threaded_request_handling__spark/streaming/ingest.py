@@ -455,6 +455,69 @@ def corpus_stats_stream(documents: DataFrame) -> DataFrame:
     )
 
 
+def enrich_purchases_stream(
+    events: DataFrame, signup_dim: DataFrame
+) -> DataFrame:
+    """STREAM-STATIC broadcast enrichment join — the canonical "enrich
+    a fact stream with a slowly-changing dimension" Structured
+    Streaming shape: streamed purchase events join a STATIC per-user
+    signup dimension (a plain batch DataFrame — no watermark, no join
+    state; Spark re-plans the static side per micro-batch), then roll
+    up into the weeks-since-signup revenue profile.  Returns
+    ``(week_offset, n_purchases, total_value)``.
+
+    Determinism contract: the join is stateless (every stream row
+    matches against the complete static side in its own micro-batch),
+    counts are integers and the value sum is an exact DECIMAL, so the
+    completed complete-mode result equals the batch join + GROUP BY
+    bit-exactly regardless of micro-batch boundaries.
+
+    Scale posture: the static dim is user-cardinality and broadcast —
+    the stream never shuffles for the join; aggregation state is one
+    row per week offset (bounded).  All-NTZ timestamps: datediff is
+    calendar arithmetic, no watermark — nothing timezone-dependent.
+    """
+    p = events.where(F.col("event_type") == "purchase")
+    j = p.join(F.broadcast(signup_dim), "user_id").where(
+        F.col("ts") >= F.col("t0")
+    )
+    return (
+        j.groupBy(
+            F.expr("CAST(datediff(ts, t0) DIV 7 AS INT)").alias("week_offset")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_purchases"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 4
+            ).alias("total_value"),
+        )
+    )
+
+
+def run_enrich_batch(spark: SparkSession, path: str) -> DataFrame:
+    """Drive ``enrich_purchases_stream`` over the event files at
+    ``path`` as a finite stream: the signup dimension is computed by
+    the BATCH reader over the same files (the production shape — a
+    static table the stream enriches against), the purchases arrive
+    as the stream.  NTZ schema on both sides (no watermark, no
+    windows), so no timezone pinning is needed."""
+    signup = (
+        spark.read.schema(EVENT_TABLE_SCHEMA)
+        .parquet(path)
+        .where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    src = (
+        spark.readStream.schema(EVENT_TABLE_SCHEMA)
+        .format("parquet")
+        .load(_stream_source_dir(path))
+    )
+    return _drive_complete_to_table(
+        spark, enrich_purchases_stream(src, signup), "stream_enrich", path
+    )
+
+
 def run_dedup_batch(spark: SparkSession, path: str) -> DataFrame:
     """Drive ``dedup_document_stream`` over the document files at
     ``path`` as a finite stream (append sink, availableNow) and return

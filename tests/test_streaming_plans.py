@@ -446,6 +446,47 @@ def test_event_rollup_stream_equals_batch_groupby(spark):
     assert streamed == batch
 
 
+def test_enrich_stream_static_join_equals_batch(spark):
+    # Stream-static broadcast join: the streamed purchases enriched
+    # with the batch signup dim must equal the batch join + GROUP BY
+    # exactly (stateless join, integer/decimal aggregates).
+    import os
+
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.streaming.ingest import (
+        run_enrich_batch,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf_dir):
+        pytest.skip("driver testdata not present")
+    path = os.path.join(sf_dir, "events.parquet")
+    streamed = {
+        r["week_offset"]: (r["n_purchases"], r["total_value"])
+        for r in run_enrich_batch(spark, path).collect()
+    }
+    ev = spark.read.parquet(path)
+    signup = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    batch = {
+        r["w"]: (r["n"], r["tv"])
+        for r in ev.where(F.col("event_type") == "purchase")
+        .join(signup, "user_id")
+        .where(F.col("ts") >= F.col("t0"))
+        .groupBy(F.expr("CAST(datediff(ts, t0) DIV 7 AS INT)").alias("w"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 4
+            ).alias("tv"),
+        )
+        .collect()
+    }
+    assert streamed == batch
+
+
 def test_event_rollup_stream_timezone_independent(spark):
     # The testdata parquet stores zone-free micros (batch reads them as
     # TIMESTAMP_NTZ); the stream source must declare the same NTZ
