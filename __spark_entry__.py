@@ -182,6 +182,7 @@ from distributed_graph_database_simulation_with_load_balancing_and_threaded_requ
     order_gap_stats,
     event_transitions,
     retention_cohorts,
+    skyline_2d,
     top_supplier,
     waiting_suppliers,
     order_priority_check,
@@ -2176,6 +2177,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             n=4,
         )
 
+    def q_skyline(spark, sf_dir):
+        # 2-D Pareto frontier over parts (size up, price down): the
+        # two-phase distributed skyline — per-size min-price
+        # candidates, broadcast strict-dominance anti-join, semi-join
+        # back.  Never an all-pairs dominance join.
+        return skyline_2d(
+            load_table(spark, sf_dir, "part"),
+            maximize="p_size",
+            minimize="p_retailprice",
+        ).select("p_partkey", "p_size", "p_retailprice")
+
     def q_stream_enrich(spark, sf_dir):
         # The NINTH streaming shape: STREAM-STATIC broadcast
         # enrichment join (streamed purchases x static signup dim —
@@ -3110,6 +3122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # must sit inside the current window.
     return {
         # -- new this round (round 6; inside the 50-entry window) --
+        "q_skyline": q_skyline,
         "q_stream_enrich": q_stream_enrich,
         "q_betweenness": q_betweenness,
         "q_transitions": q_transitions,
@@ -3554,6 +3567,15 @@ def oracle_sql() -> dict[str, str]:
         "q_betweenness": _betweenness_oracle_sql(),
         "q_mis": _mis_oracle_sql(),
         "q_lpa": _lpa_oracle_sql(),
+        "q_skyline": """
+            SELECT a.p_partkey, a.p_size, a.p_retailprice
+            FROM part a
+            WHERE NOT EXISTS (
+              SELECT 1 FROM part b
+              WHERE b.p_size >= a.p_size AND b.p_retailprice <= a.p_retailprice
+                AND (b.p_size > a.p_size OR b.p_retailprice < a.p_retailprice)
+            )
+        """,
         "q_stream_enrich": """
             WITH signup AS (
               SELECT user_id, MIN(ts) AS t0 FROM events

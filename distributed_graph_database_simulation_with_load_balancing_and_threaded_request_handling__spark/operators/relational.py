@@ -1197,6 +1197,47 @@ def retention_cohorts(events: DataFrame, *, signup_type: str = "signup") -> Data
     )
 
 
+def skyline_2d(
+    df: DataFrame,
+    *,
+    maximize: str,
+    minimize: str,
+) -> DataFrame:
+    """2-D skyline (Pareto frontier): the rows not strictly dominated
+    under (``maximize`` higher-is-better, ``minimize`` lower-is-better)
+    — row a is dominated iff some b has ``b.max >= a.max AND b.min <=
+    a.min`` with at least one strict.  Ties on the frontier are all
+    kept (the NOT-EXISTS semantics).  Returns the qualifying input
+    rows unchanged.
+
+    Scale notes — the two-phase distributed skyline, NEVER the naive
+    all-pairs dominance join: phase 1 collapses each ``maximize``
+    value to its min-``minimize`` via one map-side-combined groupBy
+    (candidates <= distinct maximize values; for an unbounded
+    continuous dimension, range-bucketize first — same algebra per
+    bucket); phase 2 prunes candidates against each other with a
+    BROADCAST anti-join on the strict-dominance predicate (the
+    candidate set is dimension-sized); phase 3 semi-joins the fact
+    rows back on the (max, min) frontier points.  No window, no
+    global sort, no self-join of the fact table.
+    """
+    s = F.col(maximize)
+    m = F.col(minimize)
+    mins = df.groupBy(s.alias("_sky_s")).agg(F.min(m).alias("_sky_m"))
+    a = mins.select(F.col("_sky_s").alias("_a_s"), F.col("_sky_m").alias("_a_m"))
+    b = mins.select(F.col("_sky_s").alias("_b_s"), F.col("_sky_m").alias("_b_m"))
+    frontier = a.join(
+        F.broadcast(b),
+        (F.col("_b_s") > F.col("_a_s")) & (F.col("_b_m") <= F.col("_a_m")),
+        "left_anti",
+    )
+    return df.join(
+        F.broadcast(frontier),
+        (s == F.col("_a_s")) & (m == F.col("_a_m")),
+        "left_semi",
+    )
+
+
 def event_transitions(events: DataFrame, *, scale: int = 10**6) -> DataFrame:
     """First-order Markov transition matrix over per-user event
     sequences: for each ordered pair of consecutive events of the same

@@ -221,3 +221,51 @@ def test_small_quantity_revenue_fixture(spark):
     )
     got = small_quantity_revenue(li, part).collect()[0]
     assert got.avg_yearly == 10.0  # 70 / 7
+
+
+def test_skyline_2d_dominance_and_ties(spark):
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.relational import (
+        skyline_2d,
+    )
+
+    rows = [
+        (1, 10, 5.0),   # frontier (best price at size 10)
+        (2, 10, 7.0),   # dominated by 1 (same size, higher price)
+        (3, 20, 5.0),   # frontier — dominates 1? size 20 > 10, price equal -> strict dominance of 1
+        (4, 20, 4.0),   # frontier (beats 3 on price)
+        (5, 5, 3.0),    # frontier (cheapest overall)
+        (6, 5, 3.0),    # tie of 5: both kept (no STRICT dominance)
+        (7, 4, 3.0),    # dominated by 5 (bigger size, equal price)
+    ]
+    df = spark.createDataFrame(rows, "id long, size int, price double")
+    got = {r.id for r in skyline_2d(df, maximize="size", minimize="price").collect()}
+    # 1 is dominated by 3 (size 20 >= 10, price 5 <= 5, strict on size).
+    # 3 is dominated by 4 (equal size, strictly lower price).
+    assert got == {4, 5, 6}
+
+
+def test_event_transitions_fixture(spark):
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.relational import (
+        event_transitions,
+    )
+    from datetime import datetime as dt
+
+    rows = [
+        (1, dt(2024, 1, 1, 0, 0), 1, "a"),
+        (2, dt(2024, 1, 1, 0, 1), 1, "b"),
+        (3, dt(2024, 1, 1, 0, 2), 1, "a"),
+        (4, dt(2024, 1, 1, 0, 0), 2, "a"),
+        (5, dt(2024, 1, 1, 0, 5), 2, "b"),
+        # equal timestamps: event_id tie-break orders 6 before 7
+        (6, dt(2024, 1, 1, 1, 0), 3, "b"),
+        (7, dt(2024, 1, 1, 1, 0), 3, "a"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    got = {
+        (r.from_type, r.to_type): (r.n, r.p_scaled)
+        for r in event_transitions(ev).collect()
+    }
+    # from 'a': a->b twice (users 1, 2); from 'b': b->a twice (users 1, 3).
+    assert got == {("a", "b"): (2, 1000000), ("b", "a"): (2, 1000000)}
