@@ -3122,7 +3122,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # must sit inside the current window.
     return {
         # -- new this round (round 6; inside the 50-entry window) --
-        "q_skyline": q_skyline,
         "q_stream_enrich": q_stream_enrich,
         "q_betweenness": q_betweenness,
         "q_transitions": q_transitions,
@@ -3174,6 +3173,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_repetition": q_repetition,
         "q_tfidf": q_tfidf,
         "q_collocations": q_collocations,
+        # -- must-verify overflow (position 51): the round-6 must-set
+        # is 51 queries against the driver's 50-entry window, so ONE
+        # new query queues here, machine-guaranteed to head round 7's
+        # window (test_registry_order_covers_the_driver_window).
+        # q_skyline is the demotion pick: 4 stable rows, locally
+        # oracle-verified at sf0.01 this round, fixture-pinned ties.
+        "q_skyline": q_skyline,
         # -- round-4-checked block (oldest official rows after the
         # stale-15; the first 50-minus-19 of these land inside this
         # round's window, the rest rotate forward next round) --
