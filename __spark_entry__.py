@@ -182,6 +182,7 @@ from distributed_graph_database_simulation_with_load_balancing_and_threaded_requ
     order_gap_stats,
     event_transitions,
     retention_cohorts,
+    revenue_grouping_sets,
     skyline_2d,
     top_supplier,
     waiting_suppliers,
@@ -2177,6 +2178,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             n=4,
         )
 
+    def q_grouping_sets(spark, sf_dir):
+        # Arbitrary GROUPING SETS (leaf grid + a different dimension's
+        # marginals + grand total) in ONE map-side-combined shuffle —
+        # the general multi-grain aggregation ROLLUP can't express.
+        return revenue_grouping_sets(load_table(spark, sf_dir, "lineitem"))
+
     def q_skyline(spark, sf_dir):
         # 2-D Pareto frontier over parts (size up, price down): the
         # two-phase distributed skyline — per-size min-price
@@ -3180,6 +3187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # q_skyline is the demotion pick: 4 stable rows, locally
         # oracle-verified at sf0.01 this round, fixture-pinned ties.
         "q_skyline": q_skyline,
+        "q_grouping_sets": q_grouping_sets,
         # -- round-4-checked block (oldest official rows after the
         # stale-15; the first 50-minus-19 of these land inside this
         # round's window, the rest rotate forward next round) --
@@ -3573,6 +3581,15 @@ def oracle_sql() -> dict[str, str]:
         "q_betweenness": _betweenness_oracle_sql(),
         "q_mis": _mis_oracle_sql(),
         "q_lpa": _lpa_oracle_sql(),
+        "q_grouping_sets": """
+            SELECT l_returnflag, l_linestatus,
+                   round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                              * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 4) AS revenue,
+                   CAST(COUNT(*) AS BIGINT) AS n_items,
+                   CAST(GROUPING(l_returnflag, l_linestatus) AS INTEGER) AS gid
+            FROM lineitem
+            GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+        """,
         "q_skyline": """
             SELECT a.p_partkey, a.p_size, a.p_retailprice
             FROM part a

@@ -264,6 +264,32 @@ def revenue_rollup(lineitem: DataFrame) -> DataFrame:
     )
 
 
+def revenue_grouping_sets(lineitem: DataFrame) -> DataFrame:
+    """Arbitrary (non-hierarchical) grouping sets in one pass —
+    ``GROUPING SETS ((returnflag, linestatus), (linestatus), ())`` —
+    the general form ROLLUP/CUBE are sugar for: the leaf grid plus the
+    SECOND dimension's marginals plus the grand total, which
+    ``ROLLUP(returnflag, linestatus)`` (first-dimension marginals)
+    cannot express.
+
+    Scale: same as ``revenue_rollup`` — the sets expand before the
+    exchange, so one map-side-combined shuffle serves all three;
+    output is the sum of the set cardinalities.  ``gid`` disambiguates
+    subtotal rows from leaf rows with NULL keys.
+    """
+    price = F.col("l_extendedprice").cast(_DEC)
+    disc = F.col("l_discount").cast(_DEC)
+    return lineitem.groupingSets(
+        [["l_returnflag", "l_linestatus"], ["l_linestatus"], []],
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(
+        F.round(F.sum(price * (1 - disc)).cast("double"), 4).alias("revenue"),
+        F.count("*").cast("long").alias("n_items"),
+        F.grouping_id().cast("int").alias("gid"),
+    )
+
+
 def event_type_pivot(
     events: DataFrame,
     types: tuple[str, ...] = ("click", "view", "purchase", "signup", "error"),
