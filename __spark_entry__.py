@@ -55,6 +55,7 @@ from distributed_graph_database_simulation_with_load_balancing_and_threaded_requ
     kcore,
     ktruss,
     label_propagation,
+    max_spanning_forest,
     maximal_independent_set,
     pagerank_fixed,
     pagerank_fixed_both,
@@ -322,6 +323,82 @@ def _ktruss_oracle_sql(rounds: int = 5, min_support: int = 2) -> str:
     UNION ALL SELECT a, c FROM tf
     UNION ALL SELECT b, c FROM tf)
   GROUP BY src, dst HAVING COUNT(*) >= {min_support}"""
+    )
+
+
+def _msf_oracle_sql(outer: int = 8, doubling: int = 8) -> str:
+    """Unrolled Borůvka maximum spanning forest over the WEIGHTED 1995
+    co-purchase graph (graphalgs.max_spanning_forest replica).  The
+    forest is UNIQUE under the (cnt DESC, src, dst) total order, so
+    the oracle only needs to be A correct MST replay, and this one
+    mirrors the engine's rounds: per round, each component's best
+    incident edge (ROW_NUMBER over the same total order), 2-cycle
+    collapse by LEAST, ``doubling`` pointer-doubling steps.  Measured
+    4-5 outer rounds / <= 5 doublings at every testdata SF; the Spark
+    side RAISES past the same bounds (and asserts the doubling
+    fixpoint each round), so the two can never silently disagree.
+    MATERIALIZED per the kcore rationale."""
+    where = (
+        "WHERE l_shipdate >= TIMESTAMP '1995-01-01' "
+        "AND l_shipdate < TIMESTAMP '1996-01-01'"
+    )
+    ctes = [
+        "WITH " + _sql_copurchase(where).strip(),
+        "w_ce AS MATERIALIZED (SELECT a.p AS src, b.p AS dst, COUNT(*) AS cnt "
+        "FROM li2 a JOIN li2 b ON a.ok = b.ok AND a.p < b.p GROUP BY a.p, b.p)",
+        """comp0 AS MATERIALIZED (
+          SELECT v, v AS c FROM (
+            SELECT DISTINCT src AS v FROM w_ce
+            UNION SELECT dst FROM w_ce))""",
+    ]
+    for r in range(outer):
+        ctes.append(
+            f"""cand{r} AS MATERIALIZED (
+              SELECT e.src, e.dst, e.cnt, cu.c AS cs, cv.c AS cd
+              FROM w_ce e
+              JOIN comp{r} cu ON cu.v = e.src
+              JOIN comp{r} cv ON cv.v = e.dst
+              WHERE cu.c != cv.c)"""
+        )
+        ctes.append(
+            f"""sel{r} AS MATERIALIZED (
+              SELECT c, src, dst, cnt, oc FROM (
+                SELECT c, src, dst, cnt, oc,
+                       ROW_NUMBER() OVER (
+                         PARTITION BY c ORDER BY cnt DESC, src, dst) AS rn
+                FROM (SELECT cs AS c, src, dst, cnt, cd AS oc FROM cand{r}
+                      UNION ALL
+                      SELECT cd, src, dst, cnt, cs FROM cand{r}))
+              WHERE rn = 1)"""
+        )
+        ctes.append(
+            f"""pr{r}_0 AS MATERIALIZED (
+              SELECT a.c,
+                     CASE WHEN b.c IS NOT NULL THEN LEAST(a.c, a.oc)
+                          ELSE a.oc END AS p
+              FROM sel{r} a
+              LEFT JOIN sel{r} b ON b.c = a.oc AND b.oc = a.c
+              UNION ALL
+              SELECT c, c FROM (SELECT DISTINCT c FROM comp{r}) t
+              WHERE c NOT IN (SELECT c FROM sel{r}))"""
+        )
+        for k in range(1, doubling + 1):
+            ctes.append(
+                f"pr{r}_{k} AS MATERIALIZED (SELECT a.c, b.p "
+                f"FROM pr{r}_{k - 1} a JOIN pr{r}_{k - 1} b ON b.c = a.p)"
+            )
+        ctes.append(
+            f"""comp{r + 1} AS MATERIALIZED (
+              SELECT m.v, p.p AS c FROM comp{r} m
+              JOIN pr{r}_{doubling} p ON p.c = m.c)"""
+        )
+    chosen = "\nUNION ALL ".join(
+        f"SELECT DISTINCT src, dst, cnt FROM sel{r}" for r in range(outer)
+    )
+    return (
+        ",\n".join(ctes)
+        + f"""
+        SELECT src, dst, CAST(cnt AS BIGINT) AS cnt FROM ({chosen})"""
     )
 
 
@@ -2961,6 +3038,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(spark, sf_dir, "region"),
         )
 
+    def q_msf(spark, sf_dir):
+        # Distributed Borůvka maximum spanning forest: the
+        # strongest-tie backbone of the weighted 1995 co-purchase
+        # graph — unique under the (cnt DESC, src, dst) total order.
+        edges = copurchase_weighted_edges(
+            spark, sf_dir, ship_range=("1995-01-01", "1996-01-01")
+        )
+        edges.count()  # warm the shared weighted-edge cache
+        return max_spanning_forest(edges, loop_shuffle_partitions=4)
+
     def q_betweenness(spark, sf_dir):
         # Sampled Brandes betweenness from the 4 smallest vertices of
         # the symmetric 1995 co-purchase graph: one multi-source
@@ -3130,6 +3217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- new this round (round 6; inside the 50-entry window) --
         "q_stream_enrich": q_stream_enrich,
+        "q_msf": q_msf,
         "q_betweenness": q_betweenness,
         "q_transitions": q_transitions,
         "q_mis": q_mis,
@@ -3579,6 +3667,7 @@ def oracle_sql() -> dict[str, str]:
         "q_ivfpq_recall": _sql_topk_recall(_sql_ivfpq_topk(n_codes=128)),
         "q_ktruss": _ktruss_oracle_sql(),
         "q_betweenness": _betweenness_oracle_sql(),
+        "q_msf": _msf_oracle_sql(),
         "q_mis": _mis_oracle_sql(),
         "q_lpa": _lpa_oracle_sql(),
         "q_grouping_sets": """

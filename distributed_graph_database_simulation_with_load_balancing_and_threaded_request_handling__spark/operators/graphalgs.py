@@ -1084,6 +1084,155 @@ def closeness_sampled(
     )
 
 
+def max_spanning_forest(
+    edges: DataFrame,
+    *,
+    weight_col: str = "cnt",
+    max_outer: int = 8,
+    loop_shuffle_partitions: int | None = None,
+) -> DataFrame:
+    """Distributed Borůvka maximum spanning forest over a CANONICAL
+    weighted edge list ``(src, dst, weight)`` — the strongest-tie
+    backbone of the graph (the minimum variant is the same algebra on
+    negated weights).  Under the total edge order ``(weight DESC, src,
+    dst)`` the forest is UNIQUE (distinct keys ⇒ Kruskal == Borůvka ==
+    this), so the result is deterministic and any correct SQL MST
+    replays it value-exact.  Returns the forest edges
+    ``(src, dst, <weight_col>)``.
+
+    Borůvka round: every component selects its best incident edge
+    (one ``min(struct(-w, src, dst, other_comp))`` hash aggregate over
+    both orientations of the cross-component candidate set — no
+    window); selected edges join the forest; touched components merge
+    by running ``connected_components`` (hash-min Pregel) over the
+    component-pair graph the selections induce.  Components at least
+    halve per round ⇒ O(log n) rounds (measured 4-5 on the co-purchase
+    graphs).  Label VALUES are irrelevant to the algorithm — only the
+    component PARTITION is, so any correct merge (hash-min here,
+    pointer doubling in the SQL oracle) yields identical rounds.
+
+    Raise-don't-diverge contract (the ktruss/kcore posture):
+    ``max_outer`` exhaustion raises (and the nested CC raises on ITS
+    non-convergence), so the engine can never silently disagree with
+    an oracle unrolled to the same bounds.
+
+    Engine note — why hash-min and NOT pointer doubling here: chaining
+    k label-table SELF-joins squares Catalyst's size estimate each
+    step, and `localCheckpoint` faithfully rewrites those stats
+    (`LogicalRDD.rewriteStatsAndConstraints`), so the BigInt
+    `sizeInBytes` doubles its BIT LENGTH per doubling — by round 3 the
+    driver spends minutes in `BigInteger.multiply` (measured: jstack
+    shows ToomCook3 under rewriteStatsAndConstraints).  Hash-min CC
+    joins labels against a FIXED edge table per round — stats grow
+    linearly — which is the same reason every other iterative loop in
+    this module is shaped that way.
+
+    Scale notes: per round — one candidate join of edges against the
+    label table on each endpoint (hash joins on vertex keys), one
+    map-side-combined struct-min per component, one CC run over the
+    component-pair graph (component-cardinality rows, shrinking
+    geometrically), ONE count action (the candidate probe) plus the
+    nested CC's per-round probes.  The forest accumulates as unions of
+    per-round checkpointed frames.
+    """
+    w = F.col(weight_col).cast("long")
+    e = edges.select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+        w.alias("w"),
+    ).persist()
+    spark = e.sparkSession
+    _parts_key = "spark.sql.shuffle.partitions"
+    _prev_parts = spark.conf.get(_parts_key)
+    if loop_shuffle_partitions is not None:
+        spark.conf.set(_parts_key, str(int(loop_shuffle_partitions)))
+    try:
+        comp = (
+            e.select(F.col("src").alias("v"))
+            .unionAll(e.select(F.col("dst").alias("v")))
+            .distinct()
+            .select("v", F.col("v").alias("c"))
+            .localCheckpoint(eager=True)
+        )
+        forest_parts: list[DataFrame] = []
+        converged = False
+        for _ in range(max_outer):
+            cu = comp.select(F.col("v").alias("u_"), F.col("c").alias("cs"))
+            cv = comp.select(F.col("v").alias("v_"), F.col("c").alias("cd"))
+            cand = (
+                e.join(cu, e["src"] == F.col("u_"))
+                .join(cv, e["dst"] == F.col("v_"))
+                .where(F.col("cs") != F.col("cd"))
+                .select("src", "dst", "w", "cs", "cd")
+                .localCheckpoint(eager=False)
+            )
+            if cand.count() == 0:
+                converged = True
+                break
+            both = cand.select(
+                F.col("cs").alias("c"),
+                F.struct(
+                    (-F.col("w")).alias("nw"), "src", "dst",
+                    F.col("cd").alias("oc"),
+                ).alias("k"),
+            ).unionAll(
+                cand.select(
+                    F.col("cd").alias("c"),
+                    F.struct(
+                        (-F.col("w")).alias("nw"), "src", "dst",
+                        F.col("cs").alias("oc"),
+                    ).alias("k"),
+                )
+            )
+            sel = both.groupBy("c").agg(F.min("k").alias("k")).localCheckpoint(
+                eager=True  # self-joined below (via the CC edge list)
+            )
+            forest_parts.append(
+                sel.select(
+                    F.col("k.src").alias("src"),
+                    F.col("k.dst").alias("dst"),
+                    (-F.col("k.nw")).alias(weight_col),
+                ).distinct()
+                .localCheckpoint(eager=False)
+            )
+            from .traverse import connected_components
+
+            # CC expects a SYMMETRIC edge list (hash-min propagates
+            # along src -> dst only), so emit both orientations of
+            # each component pair.
+            cpairs = sel.select(
+                F.col("c").alias("src"), F.col("k.oc").alias("dst")
+            )
+            merged = connected_components(
+                cpairs.unionAll(
+                    cpairs.select(
+                        F.col("dst").alias("src"), F.col("src").alias("dst")
+                    )
+                )
+            ).select(F.col("vertex").alias("pc"), F.col("component").alias("p"))
+            comp = (
+                comp.join(merged, comp["c"] == F.col("pc"), "left")
+                .select("v", F.coalesce("p", F.col("c")).alias("c"))
+                .localCheckpoint(eager=False)
+            )
+        if not converged:
+            raise RuntimeError(
+                f"max_spanning_forest did not converge in {max_outer} rounds"
+            )
+        if not forest_parts:
+            return spark.createDataFrame(
+                [], f"src long, dst long, {weight_col} long"
+            )
+        out = forest_parts[0]
+        for part in forest_parts[1:]:
+            out = out.unionAll(part)
+        return out
+    finally:
+        if loop_shuffle_partitions is not None:
+            spark.conf.set(_parts_key, _prev_parts)
+        e.unpersist(blocking=False)
+
+
 def betweenness_sampled(
     edges: DataFrame,
     sources: DataFrame,

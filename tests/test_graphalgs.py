@@ -313,6 +313,30 @@ def test_ktruss_cascade_and_nonconvergence(spark):
         ktruss(strip, 2)
 
 
+def test_max_spanning_forest_fixture(spark):
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.graphalgs import (
+        max_spanning_forest,
+    )
+
+    # Triangle 1-2-3 (weights 3, 2, 1) + disconnected edge 8-9: the
+    # max forest keeps the two heaviest triangle edges and the
+    # separate component's edge.  True tie case: square 4-5-6-7 all
+    # weight 5 — Kruskal under the (w DESC, src, dst) total order
+    # takes (4,5), (4,7), (5,6) and rejects (6,7) as the cycle edge.
+    rows = [
+        (1, 2, 3), (2, 3, 2), (1, 3, 1),
+        (8, 9, 7),
+        (4, 5, 5), (5, 6, 5), (6, 7, 5), (4, 7, 5),
+    ]
+    g = spark.createDataFrame(rows, "src long, dst long, cnt long")
+    got = {(r.src, r.dst, r.cnt) for r in max_spanning_forest(g).collect()}
+    assert got == {
+        (1, 2, 3), (2, 3, 2),
+        (8, 9, 7),
+        (4, 5, 5), (4, 7, 5), (5, 6, 5),
+    }
+
+
 def test_betweenness_diamond(spark):
     from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.graphalgs import (
         betweenness_sampled,

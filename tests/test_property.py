@@ -308,6 +308,54 @@ def test_betweenness_matches_python_oracle(sess, pairs):
     assert got == python_betweenness(pairs, sources)
 
 
+def python_kruskal_max(weighted):
+    """Unique maximum spanning forest under the (w DESC, src, dst)
+    total order — the independent oracle for the Borůvka operator."""
+    par = {}
+
+    def find(x):
+        while par.setdefault(x, x) != x:
+            par[x] = par[par[x]]
+            x = par[x]
+        return x
+
+    out = set()
+    for (u, v), w in sorted(weighted.items(), key=lambda kv: (-kv[1], kv[0])):
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            par[ru] = rv
+            out.add((u, v, w))
+    return out
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(pairs=random_graph(), seed=st.integers(min_value=0, max_value=10**6))
+def test_max_spanning_forest_matches_kruskal(sess, pairs, seed):
+    import hashlib
+
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.graphalgs import (
+        max_spanning_forest,
+    )
+
+    if not pairs:
+        return
+    # Deterministic pseudo-random weights 1..5 (duplicates likely —
+    # exercises the (w, src, dst) tie-break).
+    weighted = {
+        (u, v): 1 + int(hashlib.md5(f"{seed}:{u}:{v}".encode()).hexdigest(), 16) % 5
+        for u, v in pairs
+    }
+    df = sess.createDataFrame(
+        [(u, v, w) for (u, v), w in weighted.items()], "src long, dst long, cnt long"
+    )
+    got = {(r.src, r.dst, r.cnt) for r in max_spanning_forest(df).collect()}
+    assert got == python_kruskal_max(weighted)
+
+
 # --- multimodal byte parsers (pure Python, no Spark session needed) ---
 
 from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.multimodal import (  # noqa: E402
