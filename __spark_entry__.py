@@ -113,6 +113,7 @@ from distributed_graph_database_simulation_with_load_balancing_and_threaded_requ
     interval_join,
     time_gapfill,
     time_rollup,
+    trailing_window_spend,
 )
 from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.sketches import (
     kmv_intersect_estimate,
@@ -2255,6 +2256,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             n=4,
         )
 
+    def q_trailing_spend(spark, sf_dir):
+        # VALUE-based RANGE window frame: per-customer trailing-30-day
+        # spend over an integer day number — sparse histories span the
+        # full calendar window, same-day orders aggregate together
+        # (the frame shape ROWS windows cannot express).
+        return trailing_window_spend(load_table(spark, sf_dir, "orders"))
+
     def q_grouping_sets(spark, sf_dir):
         # Arbitrary GROUPING SETS (leaf grid + a different dimension's
         # marginals + grand total) in ONE map-side-combined shuffle —
@@ -3276,6 +3284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle-verified at sf0.01 this round, fixture-pinned ties.
         "q_skyline": q_skyline,
         "q_grouping_sets": q_grouping_sets,
+        "q_trailing_spend": q_trailing_spend,
         # -- round-4-checked block (oldest official rows after the
         # stale-15; the first 50-minus-19 of these land inside this
         # round's window, the rest rotate forward next round) --
@@ -3670,6 +3679,21 @@ def oracle_sql() -> dict[str, str]:
         "q_msf": _msf_oracle_sql(),
         "q_mis": _mis_oracle_sql(),
         "q_lpa": _lpa_oracle_sql(),
+        "q_trailing_spend": """
+            WITH base AS (
+              SELECT o_orderkey, o_custkey,
+                     CAST(CAST(o_orderdate AS DATE) - DATE '1992-01-01' AS BIGINT)
+                         AS day_num,
+                     CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+              FROM orders
+            )
+            SELECT o_orderkey, o_custkey, CAST(day_num AS INTEGER) AS day_num,
+                   CAST(SUM(cents) OVER w AS BIGINT) AS trailing_cents,
+                   CAST(COUNT(*) OVER w AS BIGINT) AS n_in_window
+            FROM base
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY day_num
+                         RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
+        """,
         "q_grouping_sets": """
             SELECT l_returnflag, l_linestatus,
                    round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))

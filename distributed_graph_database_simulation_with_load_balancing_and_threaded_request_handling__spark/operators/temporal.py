@@ -191,6 +191,45 @@ def time_rollup(
     )
 
 
+def trailing_window_spend(
+    orders: DataFrame,
+    *,
+    days: int = 30,
+) -> DataFrame:
+    """Per-customer trailing-``days``-day spend under a VALUE-based
+    window frame — ``RANGE BETWEEN (days-1) PRECEDING AND CURRENT
+    ROW`` over an integer day number — the sliding temporal aggregate
+    ROWS frames cannot express (a RANGE frame spans by ORDER-BY
+    *value*, so sparse order histories still cover the full calendar
+    span and same-day orders aggregate together).  Returns
+    ``(o_orderkey, o_custkey, day_num, trailing_cents, n_in_window)``.
+
+    Scale notes: the window is keyed on ``o_custkey`` — bounded rows
+    per key, real parallelism; the frame bound is an integer day
+    delta, so the comparison never touches timestamps (timezone-free,
+    engine-exact); cents keep the sum integer.
+    """
+    day_num = F.datediff(
+        F.to_date("o_orderdate"), F.lit("1992-01-01").cast("date")
+    ).alias("day_num")
+    cents = F.expr(
+        "CAST(round(o_totalprice * 100) AS BIGINT)"
+    ).alias("cents")
+    base = orders.select("o_orderkey", "o_custkey", day_num, cents)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("day_num")
+        .rangeBetween(-(int(days) - 1), 0)
+    )
+    return base.select(
+        "o_orderkey",
+        "o_custkey",
+        "day_num",
+        F.sum("cents").over(w).cast("long").alias("trailing_cents"),
+        F.count("*").over(w).cast("long").alias("n_in_window"),
+    )
+
+
 def time_gapfill(
     events: DataFrame,
     *,
