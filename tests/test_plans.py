@@ -561,3 +561,51 @@ def test_compaction_window_is_partitioned_by_source(spark):
 
     w = re.search(r"Window \[.*?windowspecdefinition\((.*?)\)", plan)
     assert w is not None and "source" in w.group(1)
+
+
+def test_transitions_window_keyed_on_user_and_totals_broadcast(spark):
+    # The LEAD window must be keyed on user_id (bounded rows per key —
+    # never a bounded-cardinality key carrying unbounded rows), and
+    # the row-totals join must broadcast the tiny aggregate.
+    df = entry.queries()["q_transitions"](spark, SF_DIR)
+    plan = _plan(df)
+    import re
+
+    w = re.search(r"windowspecdefinition\((.*?)\)", plan)
+    assert w is not None and "user_id" in w.group(1)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_skyline_broadcasts_and_never_self_joins_the_fact(spark):
+    # Two-phase skyline: dominance pruning and the fact re-join must
+    # both be broadcast (candidates are dimension-sized); the naive
+    # all-pairs dominance join would show a fact-side SortMergeJoin or
+    # a CartesianProduct.
+    df = entry.queries()["q_skyline"](spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "BroadcastNestedLoopJoin" in plan or plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_trailing_spend_range_frame_keyed_on_custkey(spark):
+    # RANGE frame (value-based), keyed on o_custkey; the frame bound
+    # must appear as a RANGE specification, not ROWS.
+    df = entry.queries()["q_trailing_spend"](spark, SF_DIR)
+    plan = _plan(df)
+    import re
+
+    w = re.search(r"windowspecdefinition\((.*?)\)", plan)
+    assert w is not None and "o_custkey" in w.group(1)
+    assert "RANGE" in plan.upper()
+
+
+def test_grouping_sets_single_exchange(spark):
+    # All three grouping sets expand below ONE map-side-combined
+    # shuffle — a plan with one exchange per set would triple-scan.
+    df = entry.queries()["q_grouping_sets"](spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Expand" in plan
