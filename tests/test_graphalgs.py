@@ -313,6 +313,23 @@ def test_ktruss_cascade_and_nonconvergence(spark):
         ktruss(strip, 2)
 
 
+def test_closeness_sampled_path_fixture(spark):
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.graphalgs import (
+        closeness_sampled,
+    )
+
+    # Path 1-2-3 (symmetric), sources {1, 2}: from 1 the levels are
+    # {2:1, 3:2} -> sum_dist 3, harmonic 1e9 + 5e8; from the center 2
+    # both neighbors sit at level 1 -> sum 2, harmonic 2e9.
+    canon = [(1, 1, 2), (1, 2, 3)]
+    sym = canon + [(g, d, s) for g, s, d in canon]
+    g = spark.createDataFrame(sym, "graph_id int, src long, dst long")
+    srcs = spark.createDataFrame([(1, 1), (1, 2)], "graph_id int, start long")
+    got = {r.start: (r.n_reached, r.sum_dist, r.harmonic_scaled)
+           for r in closeness_sampled(g, srcs).collect()}
+    assert got == {1: (2, 3, 1_500_000_000), 2: (2, 2, 2_000_000_000)}
+
+
 def test_max_spanning_forest_fixture(spark):
     from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.graphalgs import (
         max_spanning_forest,
