@@ -3077,7 +3077,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark, sf_dir, ship_range=("1995-01-01", "1996-01-01")
         )
         edges.count()  # warm the shared edge cache at session width
-        return maximal_independent_set(edges, loop_shuffle_partitions=4)
+        # max_iters == the oracle's unroll bound: exhausting it RAISES
+        # instead of silently returning rounds the oracle never ran.
+        return maximal_independent_set(
+            edges, max_iters=8, loop_shuffle_partitions=4
+        )
 
     def q_lpa(spark, sf_dir):
         # Synchronous label-propagation communities, FIXED 4 rounds
@@ -3096,7 +3100,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark, sf_dir, ship_range=("1995-01-01", "1996-01-01")
         )
         edges.count()  # warm the shared edge cache at session width
-        return ktruss(edges, k=4, loop_shuffle_partitions=4)
+        # max_iters == the oracle's unroll bound (the q_mis rationale).
+        return ktruss(edges, k=4, max_iters=5, loop_shuffle_partitions=4)
 
     def q_stream_hdr(spark, sf_dir):
         # The eighth streaming shape: the HDR histogram driven as a
