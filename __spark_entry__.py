@@ -182,6 +182,7 @@ from distributed_graph_database_simulation_with_load_balancing_and_threaded_requ
     nation_market_share,
     nation_trade_volume,
     order_gap_stats,
+    association_rules,
     event_transitions,
     retention_cohorts,
     revenue_grouping_sets,
@@ -2256,6 +2257,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             n=4,
         )
 
+    def q_assoc_rules(spark, sf_dir):
+        # Market-basket association rules over the full basket table
+        # (the q_communities window — repeat pairs need the full
+        # history): 2-itemset support / integer-scaled confidence +
+        # lift, rules pruned by min support BEFORE the dimension joins.
+        li = load_table(spark, sf_dir, "lineitem")
+        return association_rules(
+            li, "l_orderkey", "l_partkey", min_pair_count=2
+        )
+
     def q_trailing_spend(spark, sf_dir):
         # VALUE-based RANGE window frame: per-customer trailing-30-day
         # spend over an integer day number — sparse histories span the
@@ -3290,6 +3301,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_skyline": q_skyline,
         "q_grouping_sets": q_grouping_sets,
         "q_trailing_spend": q_trailing_spend,
+        "q_assoc_rules": q_assoc_rules,
         # -- round-4-checked block (oldest official rows after the
         # stale-15; the first 50-minus-19 of these land inside this
         # round's window, the rest rotate forward next round) --
@@ -3684,6 +3696,24 @@ def oracle_sql() -> dict[str, str]:
         "q_msf": _msf_oracle_sql(),
         "q_mis": _mis_oracle_sql(),
         "q_lpa": _lpa_oracle_sql(),
+        "q_assoc_rules": f"""
+            WITH {_sql_copurchase().strip()},
+            nitem AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS n
+                      FROM li2 GROUP BY p),
+            ng AS (SELECT CAST(COUNT(*) AS BIGINT) AS N FROM ok_sized),
+            pc AS (SELECT a.p AS src, b.p AS dst,
+                          CAST(COUNT(*) AS BIGINT) AS cnt
+                   FROM li2 a JOIN li2 b ON a.ok = b.ok AND a.p < b.p
+                   GROUP BY a.p, b.p HAVING COUNT(*) >= 2),
+            rules AS (SELECT src AS ante, dst AS cons, cnt FROM pc
+                      UNION ALL SELECT dst, src, cnt FROM pc)
+            SELECT ante, cons, cnt AS pair_cnt, na.n AS n_ante,
+                   CAST(cnt * 1000000 // na.n AS BIGINT) AS conf_ppm,
+                   CAST(cnt * ng.N * 1000000 // (na.n * nb.n) AS BIGINT)
+                       AS lift_ppm
+            FROM rules JOIN nitem na ON na.p = rules.ante
+                       JOIN nitem nb ON nb.p = rules.cons, ng
+        """,
         "q_trailing_spend": """
             WITH base AS (
               SELECT o_orderkey, o_custkey,

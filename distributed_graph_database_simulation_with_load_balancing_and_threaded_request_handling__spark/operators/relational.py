@@ -1223,6 +1223,80 @@ def retention_cohorts(events: DataFrame, *, signup_type: str = "signup") -> Data
     )
 
 
+def association_rules(
+    facts: DataFrame,
+    group_col: str,
+    item_col: str,
+    *,
+    max_group: int | None = 12,
+    min_pair_count: int = 3,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Market-basket association rules for 2-itemsets — the classic
+    support / confidence / lift mining query (the k=2 core of
+    FP-growth, which covers the overwhelming share of real basket
+    insight): for each ordered item pair (a -> b) co-occurring in at
+    least ``min_pair_count`` groups, the co-occurrence support, the
+    antecedent's group count, and integer-scaled confidence
+    ``cnt * scale div n(a)`` and lift ``cnt * N * scale div
+    (n(a) * n(b))``.  All-integer, so any SQL engine replays the
+    measures exactly.  Returns ``(ante, cons, pair_cnt, n_ante,
+    conf_ppm, lift_ppm)``.
+
+    Scale notes: pairs come from the single-scan basket-explosion
+    (``cooccurrence_pairs`` — collect_set + JVM-side sorted-array
+    explode, degenerate baskets dropped BEFORE the quadratic step);
+    item counts are one distinct + map-side-combined count; the group
+    total N is a one-row broadcast (the corpus-stats crossJoin idiom);
+    the min-support filter prunes the rule set before the two
+    dimension joins.  Lift's ``cnt * N * scale`` product needs
+    headroom: fine in BIGINT through ~1e9 groups; beyond that switch
+    the expression to DECIMAL(38,0) — same algebra.
+    """
+    from ..sources.graphs import cooccurrence_pairs
+
+    g, i = F.col(group_col), F.col(item_col)
+    li = facts.select(g.alias("g"), i.cast("long").alias("p")).distinct()
+    sized = (
+        li.groupBy("g").agg(F.count("*").alias("sz"))
+    )
+    if max_group is not None:
+        sized = sized.where(F.col("sz") <= int(max_group))
+    li2 = li.join(sized.select("g"), "g", "left_semi")
+    n_item = li2.groupBy("p").agg(F.count("*").cast("long").alias("n"))
+    n_groups = sized.agg(F.count("*").cast("long").alias("N"))
+    pairs = (
+        cooccurrence_pairs(facts, group_col, item_col, max_group=max_group)
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .where(F.col("cnt") >= int(min_pair_count))
+    )
+    both = pairs.select(
+        F.col("src").alias("ante"), F.col("dst").alias("cons"), "cnt"
+    ).unionAll(
+        pairs.select(F.col("dst").alias("ante"), F.col("src").alias("cons"), "cnt")
+    )
+    na = n_item.select(F.col("p").alias("ante"), F.col("n").alias("n_ante"))
+    nb = n_item.select(F.col("p").alias("cons"), F.col("n").alias("n_cons"))
+    return (
+        both.join(na, "ante")
+        .join(nb, "cons")
+        .crossJoin(F.broadcast(n_groups))
+        .select(
+            "ante",
+            "cons",
+            F.col("cnt").alias("pair_cnt"),
+            "n_ante",
+            F.expr(f"CAST(cnt * {int(scale)} div n_ante AS LONG)").alias(
+                "conf_ppm"
+            ),
+            F.expr(
+                f"CAST(cnt * N * {int(scale)} div (n_ante * n_cons) AS LONG)"
+            ).alias("lift_ppm"),
+        )
+    )
+
+
 def skyline_2d(
     df: DataFrame,
     *,
