@@ -81,12 +81,26 @@ def main():
     )
     print(f"max degree: skewed {hub_deg}", flush=True)
 
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.graphalgs import (
+        ktruss,
+        label_propagation,
+        max_spanning_forest,
+        maximal_independent_set,
+    )
+
     for name, g in (("base", base), ("skewed", skewed)):
         timed(f"triangles/adjacency {name}", lambda g=g: triangle_counts(g, strategy="adjacency").count())
         timed(f"triangles/wedge     {name}", lambda g=g: triangle_counts(g, strategy="wedge").count())
         timed(f"kcore k=2           {name}", lambda g=g: kcore(g, k=2, loop_shuffle_partitions=4, probe_every=2).count())
         sym = g.unionAll(g.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         timed(f"pagerank 5 iters    {name}", lambda sym=sym: pagerank_fixed(prepared=pagerank_prepare(sym), iters=5).count())
+        # Round-6 additions: the hub clique is exactly a truss/MIS/LPA
+        # stressor (the 500-clique's edges each close ~498 triangles).
+        timed(f"ktruss k=4          {name}", lambda g=g: ktruss(g, k=4, max_iters=12, loop_shuffle_partitions=4).count())
+        timed(f"mis                 {name}", lambda g=g: maximal_independent_set(g, loop_shuffle_partitions=4).count())
+        timed(f"lpa 4 rounds        {name}", lambda g=g: label_propagation(g, rounds=4, loop_shuffle_partitions=4).count())
+        wg = g.groupBy("src", "dst").agg(F.count("*").cast("long").alias("cnt"))
+        timed(f"msf                 {name}", lambda wg=wg: max_spanning_forest(wg, loop_shuffle_partitions=4).count())
 
     # Equality of the two triangle strategies on the skewed graph —
     # the degradation target must COUNT the same, not just run.
