@@ -92,7 +92,7 @@ def test_no_query_lacks_an_oracle():
     """Every declared query should have a value oracle.  If a genuinely
     non-SQL-expressible op is added later, list it here explicitly so the
     exemption is a reviewed decision, not an accident."""
-    exempt = set()  # keep empty: 70/70 oracle-checked is the repo's bar
+    exempt = set()  # keep empty: every registered query carries an oracle
     qs = entry.queries()
     os_ = entry.oracle_sql()
     missing = set(qs) - set(os_) - exempt
