@@ -52,6 +52,7 @@ from distributed_graph_database_simulation_with_load_balancing_and_threaded_requ
     degree_histogram,
     link_prediction_scores,
     betweenness_sampled,
+    four_clique_counts,
     kcore,
     ktruss,
     label_propagation,
@@ -3057,6 +3058,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(spark, sf_dir, "region"),
         )
 
+    def q_cliques4(spark, sf_dir):
+        # Per-vertex 4-clique counts over the 1995 co-purchase graph:
+        # each clique enumerated once in degree-ordered orientation
+        # (oriented triangle + out-extension + two semi closures).
+        edges = copurchase_edges(
+            spark, sf_dir, ship_range=("1995-01-01", "1996-01-01")
+        )
+        edges.count()  # warm the shared edge cache
+        return four_clique_counts(edges)
+
     def q_msf(spark, sf_dir):
         # Distributed Borůvka maximum spanning forest: the
         # strongest-tie backbone of the weighted 1995 co-purchase
@@ -3241,6 +3252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- new this round (round 6; inside the 50-entry window) --
         "q_stream_enrich": q_stream_enrich,
+        "q_cliques4": q_cliques4,
         "q_msf": q_msf,
         "q_betweenness": q_betweenness,
         "q_transitions": q_transitions,
@@ -3694,6 +3706,24 @@ def oracle_sql() -> dict[str, str]:
         "q_ktruss": _ktruss_oracle_sql(),
         "q_betweenness": _betweenness_oracle_sql(),
         "q_msf": _msf_oracle_sql(),
+        "q_cliques4": f"""
+            WITH {_sql_copurchase(
+                "WHERE l_shipdate >= TIMESTAMP '1995-01-01' "
+                "AND l_shipdate < TIMESTAMP '1996-01-01'").strip()},
+            q4 AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c, e3.dst AS d
+                   FROM ce e1
+                   JOIN ce e2 ON e2.src = e1.src AND e2.dst > e1.dst
+                   JOIN ce e3 ON e3.src = e1.src AND e3.dst > e2.dst
+                   JOIN ce e4 ON e4.src = e1.dst AND e4.dst = e2.dst
+                   JOIN ce e5 ON e5.src = e1.dst AND e5.dst = e3.dst
+                   JOIN ce e6 ON e6.src = e2.dst AND e6.dst = e3.dst)
+            SELECT vertex, CAST(COUNT(*) AS BIGINT) AS cliques4 FROM (
+              SELECT a AS vertex FROM q4
+              UNION ALL SELECT b FROM q4
+              UNION ALL SELECT c FROM q4
+              UNION ALL SELECT d FROM q4)
+            GROUP BY vertex
+        """,
         "q_mis": _mis_oracle_sql(),
         "q_lpa": _lpa_oracle_sql(),
         "q_assoc_rules": f"""

@@ -1084,6 +1084,62 @@ def closeness_sampled(
     )
 
 
+def four_clique_counts(
+    edges: DataFrame, *, graph_id: int | None = None
+) -> DataFrame:
+    """Per-vertex 4-clique participation counts — the motif-counting
+    step above ``triangle_counts`` (4-cliques drive community cores
+    and dense-subgraph mining the way triangles drive clustering
+    coefficient).  Returns ``(vertex, cliques4)`` for vertices in at
+    least one 4-clique.
+
+    Each clique is enumerated EXACTLY once in degree-ordered
+    orientation (the compact-forward discipline): the clique's
+    (deg, id)-smallest three vertices form one oriented triangle
+    (u ≺ v ≺ w), extended by w's out-neighbors x (so w ≺ x), with the
+    (u, x) and (v, x) closures checked by left-semi joins against the
+    oriented edge set — orientation by a TOTAL order makes every
+    closure edge's direction known in advance, so each check is one
+    equi semi-join, never a disjunction.
+
+    Scale: oriented out-degrees are O(sqrt(m)) (hubs absorb edges
+    inward), so candidate quads are bounded by triangles x sqrt(m);
+    both closure semi-joins stream against the same persisted oriented
+    edge table.  The per-vertex rollup is a map-side-combined count
+    over the four role projections.
+    """
+    e = canonical_edges(edges, graph_id=graph_id)
+    # Eager localCheckpoint, not persist: FIVE consumers read the
+    # oriented set (wedge legs, closer, extension, both semi probes)
+    # and a persist handle would be unpersisted before the caller's
+    # action runs (the triangle_counts rationale).
+    oriented = _oriented_edges(e).localCheckpoint(eager=True)
+    o1 = oriented.select("u", F.col("w").alias("v"), F.col("wdeg").alias("vdeg"))
+    o2 = oriented.select("u", "w", "wdeg")
+    wedges = o1.join(o2, "u").where(
+        (F.col("vdeg") < F.col("wdeg"))
+        | ((F.col("vdeg") == F.col("wdeg")) & (F.col("v") < F.col("w")))
+    )
+    closer = oriented.select(F.col("u").alias("v"), F.col("w"))
+    tris = wedges.join(closer, ["v", "w"]).select("u", "v", "w")
+    ext = oriented.select(F.col("u").alias("w"), F.col("w").alias("x"))
+    cand = tris.join(ext, "w").select("u", "v", "w", "x")
+    ux = oriented.select(F.col("u").alias("u"), F.col("w").alias("x"))
+    vx = oriented.select(F.col("u").alias("v"), F.col("w").alias("x"))
+    quads = cand.join(ux, ["u", "x"], "left_semi").join(
+        vx, ["v", "x"], "left_semi"
+    )
+    members = (
+        quads.select(F.col("u").alias("vertex"))
+        .unionAll(quads.select(F.col("v").alias("vertex")))
+        .unionAll(quads.select(F.col("w").alias("vertex")))
+        .unionAll(quads.select(F.col("x").alias("vertex")))
+    )
+    return members.groupBy("vertex").agg(
+        F.count("*").cast("long").alias("cliques4")
+    ).select(F.col("vertex").cast("long").alias("vertex"), "cliques4")
+
+
 def max_spanning_forest(
     edges: DataFrame,
     *,

@@ -313,6 +313,23 @@ def test_ktruss_cascade_and_nonconvergence(spark):
         ktruss(strip, 2)
 
 
+def test_four_cliques_k5_fixture(spark):
+    from itertools import combinations
+
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.graphalgs import (
+        four_clique_counts,
+    )
+
+    # K5 on 1..5: C(5,4)=5 4-cliques, every vertex in C(4,3)=4 of
+    # them; the square 10-11-12-13 has triangles... no, no triangles
+    # and certainly no 4-clique — it must not appear at all.
+    k5 = list(combinations(range(1, 6), 2))
+    sq = [(10, 11), (11, 12), (12, 13), (10, 13)]
+    g = spark.createDataFrame(k5 + sq, "src long, dst long")
+    got = {r.vertex: r.cliques4 for r in four_clique_counts(g).collect()}
+    assert got == {v: 4 for v in range(1, 6)}
+
+
 def test_closeness_sampled_path_fixture(spark):
     from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.graphalgs import (
         closeness_sampled,

@@ -308,6 +308,40 @@ def test_betweenness_matches_python_oracle(sess, pairs):
     assert got == python_betweenness(pairs, sources)
 
 
+def python_four_cliques(pairs):
+    adj = {}
+    for u, v in pairs:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    counts = {}
+    for a, b, c, d in combinations(sorted(adj), 4):
+        if (
+            b in adj[a] and c in adj[a] and d in adj[a]
+            and c in adj[b] and d in adj[b] and d in adj[c]
+        ):
+            for x in (a, b, c, d):
+                counts[x] = counts.get(x, 0) + 1
+    return counts
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(pairs=random_graph())
+def test_four_cliques_match_python_oracle(sess, pairs):
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.graphalgs import (
+        four_clique_counts,
+    )
+
+    if not pairs:
+        return
+    df = sess.createDataFrame(pairs, "src long, dst long")
+    got = {r.vertex: r.cliques4 for r in four_clique_counts(df).collect()}
+    assert got == python_four_cliques(pairs)
+
+
 def python_kruskal_max(weighted):
     """Unique maximum spanning forest under the (w DESC, src, dst)
     total order — the independent oracle for the Borůvka operator."""
