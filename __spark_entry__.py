@@ -3710,13 +3710,16 @@ def oracle_sql() -> dict[str, str]:
             WITH {_sql_copurchase(
                 "WHERE l_shipdate >= TIMESTAMP '1995-01-01' "
                 "AND l_shipdate < TIMESTAMP '1996-01-01'").strip()},
-            q4 AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c, e3.dst AS d
+            t3 AS MATERIALIZED (
+                   SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
                    FROM ce e1
                    JOIN ce e2 ON e2.src = e1.src AND e2.dst > e1.dst
-                   JOIN ce e3 ON e3.src = e1.src AND e3.dst > e2.dst
-                   JOIN ce e4 ON e4.src = e1.dst AND e4.dst = e2.dst
-                   JOIN ce e5 ON e5.src = e1.dst AND e5.dst = e3.dst
-                   JOIN ce e6 ON e6.src = e2.dst AND e6.dst = e3.dst)
+                   JOIN ce e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
+            q4 AS (SELECT t.a, t.b, t.c, x1.dst AS d
+                   FROM t3 t
+                   JOIN ce x1 ON x1.src = t.c
+                   JOIN ce x2 ON x2.src = t.b AND x2.dst = x1.dst
+                   JOIN ce x3 ON x3.src = t.a AND x3.dst = x1.dst)
             SELECT vertex, CAST(COUNT(*) AS BIGINT) AS cliques4 FROM (
               SELECT a AS vertex FROM q4
               UNION ALL SELECT b FROM q4
