@@ -185,6 +185,7 @@ from distributed_graph_database_simulation_with_load_balancing_and_threaded_requ
     order_gap_stats,
     association_rules,
     event_transitions,
+    gini_concentration,
     retention_cohorts,
     revenue_grouping_sets,
     skyline_2d,
@@ -3058,6 +3059,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(spark, sf_dir, "region"),
         )
 
+    def q_gini(spark, sf_dir):
+        # Revenue-concentration readout: Gini of per-customer spend,
+        # global ascending rank via the two-pass blocked decomposition
+        # (no single-partition window), integer ppm output.
+        return gini_concentration(load_table(spark, sf_dir, "orders"))
+
     def q_cliques4(spark, sf_dir):
         # Per-vertex 4-clique counts over the 1995 co-purchase graph:
         # each clique enumerated once in degree-ordered orientation
@@ -3252,6 +3259,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- new this round (round 6; inside the 50-entry window) --
         "q_stream_enrich": q_stream_enrich,
+        "q_gini": q_gini,
         "q_cliques4": q_cliques4,
         "q_msf": q_msf,
         "q_betweenness": q_betweenness,
@@ -3706,6 +3714,26 @@ def oracle_sql() -> dict[str, str]:
         "q_ktruss": _ktruss_oracle_sql(),
         "q_betweenness": _betweenness_oracle_sql(),
         "q_msf": _msf_oracle_sql(),
+        "q_gini": """
+            WITH spend AS (
+              SELECT o_custkey,
+                     CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                          AS BIGINT) AS cents
+              FROM orders GROUP BY o_custkey
+            ),
+            r AS (
+              SELECT cents,
+                     ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS i
+              FROM spend
+            )
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+                   CAST(SUM(cents) AS BIGINT) AS total_cents,
+                   CAST(CAST(2 * SUM(i * cents) - (COUNT(*) + 1) * SUM(cents)
+                             AS HUGEINT)
+                        * 1000000 // (COUNT(*) * SUM(cents)) AS BIGINT)
+                       AS gini_ppm
+            FROM r
+        """,
         "q_cliques4": f"""
             WITH {_sql_copurchase(
                 "WHERE l_shipdate >= TIMESTAMP '1995-01-01' "

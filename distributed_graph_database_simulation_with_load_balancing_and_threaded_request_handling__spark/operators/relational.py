@@ -1223,6 +1223,78 @@ def retention_cohorts(events: DataFrame, *, signup_type: str = "signup") -> Data
     )
 
 
+def gini_concentration(orders: DataFrame, *, n_blocks: int = 32, scale: int = 10**6) -> DataFrame:
+    """Gini coefficient of per-customer spend — the revenue-
+    concentration / inequality readout (`G = (2*SUM(i*x_i) -
+    (n+1)*S) / (n*S)` over ascending-sorted spends, the standard
+    rank formula), integer-scaled to ppm so both engines replay it
+    exactly.  Returns ONE row ``(n_customers, total_cents,
+    gini_ppm)``.
+
+    Scale notes: the global ascending rank uses the two-pass BLOCKED
+    decomposition (the bfs_level_order idiom — a bare global
+    row_number would put every customer in one task): deterministic
+    value-range blocks on the spend value (integral DIV, no sampling
+    pass), per-block local ranks (~n/n_blocks rows per window), and
+    block offsets from a metadata window over n_blocks count rows.
+    Ties broken by customer id, so the rank — and therefore the sum —
+    is deterministic.  ``SUM(i * cents)`` needs headroom: BIGINT is
+    fine through ~1e8 customers x 1e8 cents; beyond that cast the
+    product to DECIMAL(38,0) — same algebra.
+    """
+    cents = F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+    spend = orders.groupBy("o_custkey").agg(F.sum(cents).alias("cents"))
+    bounds = spend.agg(
+        F.min("cents").alias("lo"), F.max("cents").alias("hi")
+    ).first()
+    lo = bounds["lo"] if bounds["lo"] is not None else 0
+    hi = bounds["hi"] if bounds["hi"] is not None else 0
+    width = max(1, (hi - lo + n_blocks) // n_blocks)
+    blocked = spend.select(
+        "o_custkey",
+        "cents",
+        F.expr(f"(cents - {int(lo)}L) DIV {int(width)}L").alias("_blk"),
+    )
+    local = blocked.select(
+        "cents",
+        "_blk",
+        F.row_number()
+        .over(Window.partitionBy("_blk").orderBy("cents", "o_custkey"))
+        .alias("_rn"),
+    )
+    boff = (
+        blocked.groupBy("_blk")
+        .agg(F.count("*").alias("_n"))
+        .select(
+            "_blk",
+            F.sum("_n")
+            .over(
+                Window.orderBy("_blk").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            )
+            .alias("_boff"),
+        )
+        .fillna({"_boff": 0})
+    )
+    ranked = local.join(boff, "_blk").select(
+        "cents", (F.col("_rn") + F.col("_boff")).alias("i")
+    )
+    return ranked.agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.sum("cents").cast("long").alias("total_cents"),
+        # DECIMAL(38,0) numerator: SUM(i*cents) fits BIGINT, but the
+        # * scale step does not (measured overflow at sf0.01) — both
+        # engines do the widened floor-division exactly (HUGEINT on
+        # the DuckDB side).
+        F.expr(
+            f"CAST((CAST(2 * SUM(i * cents) - (COUNT(*) + 1) * SUM(cents) "
+            f"AS DECIMAL(38,0)) * {int(scale)}) "
+            f"div (COUNT(*) * SUM(cents)) AS LONG)"
+        ).alias("gini_ppm"),
+    )
+
+
 def association_rules(
     facts: DataFrame,
     group_col: str,

@@ -269,3 +269,30 @@ def test_event_transitions_fixture(spark):
     }
     # from 'a': a->b twice (users 1, 2); from 'b': b->a twice (users 1, 3).
     assert got == {("a", "b"): (2, 1000000), ("b", "a"): (2, 1000000)}
+
+
+def test_gini_concentration_fixture(spark):
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.relational import (
+        gini_concentration,
+    )
+
+    # Per-customer cents [1, 1, 2, 4] (customer 3 split over two
+    # orders): sorted ranks give SUM(i*x) = 1+2+6+16 = 25, S = 8,
+    # n = 4 -> G = (50 - 40) / 32 = 0.3125 = 312500 ppm.
+    orders = spark.createDataFrame(
+        [
+            (1, 0.01),
+            (2, 0.01),
+            (3, 0.01),
+            (3, 0.01),
+            (4, 0.04),
+        ],
+        "o_custkey long, o_totalprice double",
+    )
+    got = gini_concentration(orders).collect()[0]
+    assert (got.n_customers, got.total_cents, got.gini_ppm) == (4, 8, 312500)
+    # Perfect equality: G = 0 exactly.
+    eq = spark.createDataFrame(
+        [(c, 1.0) for c in range(1, 6)], "o_custkey long, o_totalprice double"
+    )
+    assert gini_concentration(eq).collect()[0].gini_ppm == 0
