@@ -144,6 +144,7 @@ from distributed_graph_database_simulation_with_load_balancing_and_threaded_requ
     sample_quantile_err,
     split_thresholds,
     stratified_sample,
+    temperature_sample,
     train_split,
 )
 from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.multimodal import (
@@ -3059,6 +3060,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(spark, sf_dir, "region"),
         )
 
+    def q_temperature_sample(spark, sf_dir):
+        # Multilingual temperature resampling (tau=2): per-language
+        # keep rate sqrt(min_count/count) derived from the corpus
+        # itself — upsamples scarce languages toward uniform.  IEEE
+        # sqrt/divide are correctly rounded, so membership is
+        # integer-exact cross-engine (sampling.py:temperature_sample).
+        docs = load_table(spark, sf_dir, "documents")
+        return temperature_sample(docs, tau=2.0).select("doc_id", "lang")
+
     def q_gini(spark, sf_dir):
         # Revenue-concentration readout: Gini of per-customer spend,
         # global ascending rank via the two-pass blocked decomposition
@@ -3258,6 +3268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # must sit inside the current window.
     return {
         # -- new this round (round 6; inside the 50-entry window) --
+        "q_temperature_sample": q_temperature_sample,
         "q_stream_enrich": q_stream_enrich,
         "q_gini": q_gini,
         "q_cliques4": q_cliques4,
@@ -3714,6 +3725,29 @@ def oracle_sql() -> dict[str, str]:
         "q_ktruss": _ktruss_oracle_sql(),
         "q_betweenness": _betweenness_oracle_sql(),
         "q_msf": _msf_oracle_sql(),
+        # Temperature resampling: the rate sqrt(min/count) uses only
+        # correctly-rounded IEEE ops (divide, sqrt, multiply, floor),
+        # so the hex threshold below is bit-identical to the engine's
+        # (sampling.py:temperature_sample); membership is then the
+        # integer-exact md5-slice comparison.
+        "q_temperature_sample": """
+            WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+            m AS (SELECT MIN(n) AS mn FROM c),
+            t AS (
+              SELECT lang,
+                     CASE WHEN v >= 4294967296 THEN 'gggggggg'
+                          ELSE lpad(lower(to_hex(v)), 8, '0') END AS thr
+              FROM (
+                SELECT lang,
+                       CAST(floor(sqrt(CAST(mn AS DOUBLE) / CAST(n AS DOUBLE))
+                                  * 4294967296.0) AS BIGINT) AS v
+                FROM c CROSS JOIN m
+              )
+            )
+            SELECT d.doc_id, d.lang
+            FROM documents d JOIN t ON t.lang = d.lang
+            WHERE substring(md5('temp' || CAST(d.doc_id AS VARCHAR)), 1, 8) < t.thr
+        """,
         "q_gini": """
             WITH spend AS (
               SELECT o_custkey,

@@ -201,6 +201,65 @@ def sample_quantile_err(
     )
 
 
+def temperature_sample(
+    df: DataFrame,
+    *,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    tau: float = 2.0,
+    salt: str = "temp",
+) -> DataFrame:
+    """Temperature-based corpus resampling: keep stratum ``l`` at rate
+    ``(min_count / count_l) ** (1/tau)`` — the standard multilingual
+    data-mix primitive (tau=1 flattens every language to the smallest
+    one's size; tau→inf keeps the natural distribution; intermediate
+    tau upsamples scarce strata toward uniform).  Unlike
+    ``stratified_sample`` the rates are DERIVED FROM THE DATA inside
+    the plan, so the same call re-balances any corpus snapshot without
+    a precomputed rate table.
+
+    Cross-engine exactness: membership is the usual md5-hex-threshold
+    decision, and for the default ``tau=2.0`` the rate is
+    ``sqrt(min/count)`` — IEEE-754 division and sqrt are correctly
+    rounded, so ``floor(rate * 2^32)`` is bit-identical in any IEEE
+    engine and the kept set is integer-exact in the DuckDB oracle.
+    Other tau values go through ``pow``, which is NOT correctly
+    rounded; they are statistically fine but carry a documented 1-ulp
+    cross-engine membership risk at threshold boundaries.
+
+    Scale: one count aggregation over the stratum column (map-side
+    combined, output rows = stratum cardinality), a broadcast scalar
+    min, a broadcast rate-table join back onto the fact table, and a
+    narrow filter — the data itself is never shuffled.  Rates are pure
+    functions of the observed counts, so a corpus refresh recomputes
+    them in the same pass.
+    """
+    counts = df.groupBy(strata_col).agg(F.count("*").alias("_n"))
+    mn = counts.agg(F.min("_n").alias("_mn"))
+    if tau == 2.0:
+        rate = F.sqrt(F.col("_mn").cast("double") / F.col("_n").cast("double"))
+    else:
+        rate = F.pow(
+            F.col("_mn").cast("double") / F.col("_n").cast("double"), 1.0 / tau
+        )
+    # floor(rate*2^32) can round UP to exactly 2^32 when rate is within
+    # 2^-33 of 1.0; hex('100000000') is 9 chars and would sort BELOW
+    # 'f...' slices, silently dropping rows — clamp both engines to the
+    # keep-all sentinel ('g' sorts above every hex digit).
+    v = F.floor(rate * F.lit(float(_SPACE)))
+    thr = F.when(v >= F.lit(_SPACE), F.lit("g" * _HEX_WIDTH)).otherwise(
+        F.lpad(F.lower(F.hex(v)), _HEX_WIDTH, "0")
+    )
+    rate_df = counts.crossJoin(F.broadcast(mn)).select(
+        strata_col, thr.alias("_thr")
+    )
+    return (
+        df.join(F.broadcast(rate_df), on=strata_col, how="inner")
+        .where(hash_slice(F.col(id_col), salt=salt) < F.col("_thr"))
+        .drop("_thr")
+    )
+
+
 def group_sample_exact(
     df: DataFrame,
     *,

@@ -364,6 +364,40 @@ def test_stratified_sample_rate_bounds_and_default(spark):
     assert stratified_sample(extra, {"keep": 0.0}, default_rate=1.0).count() == 200
 
 
+def test_temperature_sample_matches_python_replay(spark):
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.sampling import (
+        temperature_sample,
+    )
+    import hashlib
+    import math
+
+    # 400 en / 100 de / 25 zh: rates sqrt(25/400)=0.25, sqrt(25/100)=0.5, 1.0.
+    rows = (
+        [(i, "en") for i in range(400)]
+        + [(1000 + i, "de") for i in range(100)]
+        + [(2000 + i, "zh") for i in range(25)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+    got = {(r["doc_id"], r["lang"]) for r in
+           temperature_sample(docs).select("doc_id", "lang").collect()}
+
+    counts = {"en": 400, "de": 100, "zh": 25}
+    expect = set()
+    for doc_id, lang in rows:
+        rate = math.sqrt(25.0 / counts[lang])
+        v = math.floor(rate * 4294967296.0)
+        thr = "gggggggg" if v >= 4294967296 else format(v, "08x")
+        h = hashlib.md5(f"temp{doc_id}".encode()).hexdigest()[:8]
+        if h < thr:
+            expect.add((doc_id, lang))
+    assert got == expect
+    # The smallest stratum is kept in full (rate 1.0 -> sentinel threshold).
+    assert sum(1 for _, l in got if l == "zh") == 25
+    # Deterministic under re-execution.
+    assert got == {(r["doc_id"], r["lang"]) for r in
+                   temperature_sample(docs).select("doc_id", "lang").collect()}
+
+
 def test_rate_threshold_is_fixed_width_hex():
     assert rate_threshold(0.25) == "40000000"
     assert rate_threshold(0.5) == "80000000"
