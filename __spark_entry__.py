@@ -68,6 +68,7 @@ from distributed_graph_database_simulation_with_load_balancing_and_threaded_requ
 from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.sources.tables import load_table
 from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.dedup import (
     dedup_clusters,
+    edit_dedup,
     exact_dedup,
     fingerprint_dedup,
     minhash_dedup,
@@ -185,8 +186,11 @@ from distributed_graph_database_simulation_with_load_balancing_and_threaded_requ
     nation_trade_volume,
     order_gap_stats,
     association_rules,
+    decile_table,
+    event_sequences,
     event_transitions,
     gini_concentration,
+    order_cube,
     retention_cohorts,
     revenue_grouping_sets,
     skyline_2d,
@@ -3075,6 +3079,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (no single-partition window), integer ppm output.
         return gini_concentration(load_table(spark, sf_dir, "orders"))
 
+    def q_cube(spark, sf_dir):
+        # Full CUBE over (priority, order year): all four grains in
+        # ONE map-side-combined shuffle, gid bitmask disambiguation —
+        # completes the ROLLUP / GROUPING SETS / CUBE family.
+        return order_cube(load_table(spark, sf_dir, "orders"))
+
+    def q_event_seqs(spark, sf_dir):
+        # Contiguous 3-event clickstream motifs (sequential-pattern
+        # mining one order above q_transitions): two window LEADs per
+        # user timeline, global counts + integer support ppm.
+        return event_sequences(load_table(spark, sf_dir, "events"))
+
+    def q_deciles(spark, sf_dir):
+        # Global spend deciles: NTILE arithmetic off the blocked
+        # two-pass global rank (no single-partition window), one
+        # broadcast population count, 10 output groups.
+        return decile_table(load_table(spark, sf_dir, "orders"))
+
+    def q_edit_dedup(spark, sf_dir):
+        # Fuzzy dedup by edit distance: token-5-gram inverted-index
+        # blocking (bucket-capped, never all-pairs), then JVM
+        # levenshtein verification under an early-exit threshold.
+        return edit_dedup(load_table(spark, sf_dir, "documents"))
+
     def q_cliques4(spark, sf_dir):
         # Per-vertex 4-clique counts over the 1995 co-purchase graph:
         # each clique enumerated once in degree-ordered orientation
@@ -3268,6 +3296,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # must sit inside the current window.
     return {
         # -- new this round (round 6; inside the 50-entry window) --
+        "q_cube": q_cube,
+        "q_event_seqs": q_event_seqs,
+        "q_deciles": q_deciles,
+        "q_edit_dedup": q_edit_dedup,
         "q_temperature_sample": q_temperature_sample,
         "q_stream_enrich": q_stream_enrich,
         "q_gini": q_gini,
@@ -3767,6 +3799,91 @@ def oracle_sql() -> dict[str, str]:
                         * 1000000 // (COUNT(*) * SUM(cents)) AS BIGINT)
                        AS gini_ppm
             FROM r
+        """,
+        "q_cube": """
+            WITH base AS (
+              SELECT o_orderpriority AS priority,
+                     CAST(year(o_orderdate) AS INTEGER) AS o_year,
+                     CAST(o_totalprice AS DECIMAL(18,2)) AS price
+              FROM orders
+            )
+            SELECT priority, o_year,
+                   round(CAST(SUM(price) AS DOUBLE), 4) AS revenue,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(GROUPING(priority, o_year) AS INTEGER) AS gid
+            FROM base GROUP BY CUBE (priority, o_year)
+        """,
+        "q_event_seqs": """
+            WITH s AS (
+              SELECT event_type AS e1,
+                     LEAD(event_type, 1) OVER w AS e2,
+                     LEAD(event_type, 2) OVER w AS e3
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            f AS (
+              SELECT e1, e2, e3, CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM s WHERE e3 IS NOT NULL GROUP BY e1, e2, e3
+            )
+            SELECT e1, e2, e3, cnt,
+                   CAST(cnt * 1000000 // (SELECT SUM(cnt) FROM f) AS BIGINT)
+                       AS support_ppm
+            FROM f
+        """,
+        "q_deciles": """
+            WITH spend AS (
+              SELECT o_custkey,
+                     CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                          AS BIGINT) AS cents
+              FROM orders GROUP BY o_custkey
+            ),
+            r AS (
+              SELECT cents,
+                     ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS i
+              FROM spend
+            )
+            SELECT CAST((i - 1) * 10 // (SELECT COUNT(*) FROM spend) AS INTEGER)
+                       AS decile,
+                   CAST(COUNT(*) AS BIGINT) AS n_customers,
+                   CAST(SUM(cents) AS BIGINT) AS total_cents,
+                   CAST(MIN(cents) AS BIGINT) AS min_cents,
+                   CAST(MAX(cents) AS BIGINT) AS max_cents
+            FROM r GROUP BY 1
+        """,
+        # Blocking replay for the levenshtein fuzzy dedup: the same
+        # normalized token 5-gram vocabulary as q_decontam, bucket cap
+        # 16, length-band prefilter, then DuckDB's levenshtein (unit
+        # costs, identical to Spark's) under the same threshold.
+        "q_edit_dedup": f"""
+            WITH toks AS (
+              SELECT doc_id,
+                     CASE WHEN {_SQL_NORM} = '' THEN CAST([] AS VARCHAR[])
+                          ELSE regexp_split_to_array({_SQL_NORM}, '\\s+') END AS t
+              FROM documents
+            ),
+            gd AS (
+              SELECT doc_id, unnest(list_distinct(list_transform(
+                        range(1, greatest(len(t) - 4, 1) + 1),
+                        i -> array_to_string(t[i:i+4], ' ')))) AS g
+              FROM toks
+            ),
+            ok AS (
+              SELECT g FROM gd WHERE g != ''
+              GROUP BY g HAVING COUNT(*) <= 16
+            ),
+            cand AS (
+              SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+              FROM gd x JOIN ok USING (g) JOIN gd y USING (g)
+              WHERE x.doc_id < y.doc_id
+            )
+            SELECT CAST(c.doc_a AS BIGINT) AS doc_a,
+                   CAST(c.doc_b AS BIGINT) AS doc_b,
+                   CAST(levenshtein(da.text, db.text) AS INTEGER) AS lev
+            FROM cand c
+            JOIN documents da ON da.doc_id = c.doc_a
+            JOIN documents db ON db.doc_id = c.doc_b
+            WHERE abs(length(da.text) - length(db.text)) <= 10
+              AND levenshtein(da.text, db.text) <= 10
         """,
         "q_cliques4": f"""
             WITH {_sql_copurchase(

@@ -916,3 +916,78 @@ def prefix_jaccard_join(
             ).alias("jaccard"),
         )
     )
+
+
+def edit_dedup(
+    documents: DataFrame,
+    *,
+    max_edits: int = 10,
+    ngram_len: int = 5,
+    max_bucket: int = 16,
+    len_band: int | None = None,
+) -> DataFrame:
+    """Edit-distance near-duplicate pairs (fuzzy dedup): candidates
+    blocked by shared normalized token n-grams, verified with the
+    built-in JVM ``levenshtein`` under an early-exit threshold.
+
+    Completes the near-dup family along the axis the set-based
+    variants can't see: MinHash/SimHash/prefix-join all treat a
+    document as a BAG of shingles, so a rewrite that permutes tokens
+    without changing the set is invisible to them — Levenshtein
+    distance on the raw text counts every insertion/deletion/
+    substitution in ORDER.  (Reference analogue: none — the reference
+    has no text surface at all; this is north-star extension scope,
+    same family as minhash_dedup above.)
+
+    Blocking: a pair within ``max_edits`` character edits can break at
+    most ~``max_edits`` of its token n-gram runs, so near-dup pairs
+    share many exact n-grams — the candidate set is the n-gram
+    inverted-index self-join (the ``decontaminate`` vocabulary,
+    ``token_ngrams``), never all-pairs.  Degenerate grams (shared by
+    more than ``max_bucket`` docs = boilerplate) are dropped before
+    the join, the standard LSH-bucket cap.  A cheap length-band
+    prefilter (|len(a)-len(b)| <= max_edits, a lower bound on edit
+    distance) prunes survivors before the O(len^2) DP runs; passing
+    ``len_band`` overrides the bound (it can only widen it safely).
+
+    Scale: one exchange keyed on the gram string for the self-join
+    (AQE skew-split applies), one distinct on (id_a, id_b), two
+    id-keyed joins to fetch the texts, then a pure map-side verify.
+    The DP is JVM codegen (`levenshtein(l, r, threshold)` stops as
+    soon as the band exceeds the threshold) — no Python in the path.
+    """
+    band = max_edits if len_band is None else len_band
+    grams = token_ngrams(documents, ngram_len=ngram_len).where(F.col("g") != "")
+    sized = grams.withColumn(
+        "bsz", F.count("*").over(Window.partitionBy("g"))
+    ).where(F.col("bsz") <= max_bucket)
+    a = sized.select("g", F.col("id").alias("doc_a"))
+    b = sized.select("g", F.col("id").alias("doc_b"))
+    cand = (
+        a.join(b, "g")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    ta = documents.select(
+        F.col("doc_id").alias("doc_a"), F.col("text").alias("_ta")
+    )
+    tb = documents.select(
+        F.col("doc_id").alias("doc_b"), F.col("text").alias("_tb")
+    )
+    return (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .where(
+            F.abs(F.length("_ta") - F.length("_tb")) <= F.lit(int(band))
+        )
+        .withColumn(
+            "lev", F.levenshtein(F.col("_ta"), F.col("_tb"), int(max_edits))
+        )
+        .where(F.col("lev") >= 0)
+        .select(
+            F.col("doc_a").cast("long").alias("doc_a"),
+            F.col("doc_b").cast("long").alias("doc_b"),
+            F.col("lev").cast("int").alias("lev"),
+        )
+    )

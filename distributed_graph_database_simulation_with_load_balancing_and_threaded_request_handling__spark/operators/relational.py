@@ -1231,55 +1231,17 @@ def gini_concentration(orders: DataFrame, *, n_blocks: int = 32, scale: int = 10
     exactly.  Returns ONE row ``(n_customers, total_cents,
     gini_ppm)``.
 
-    Scale notes: the global ascending rank uses the two-pass BLOCKED
-    decomposition (the bfs_level_order idiom — a bare global
-    row_number would put every customer in one task): deterministic
-    value-range blocks on the spend value (integral DIV, no sampling
-    pass), per-block local ranks (~n/n_blocks rows per window), and
-    block offsets from a metadata window over n_blocks count rows.
-    Ties broken by customer id, so the rank — and therefore the sum —
-    is deterministic.  ``SUM(i * cents)`` needs headroom: BIGINT is
+    Scale notes: the global ascending rank comes from
+    ``blocked_global_rank`` (two-pass value-range blocks — a bare
+    global row_number would put every customer in one task); ties
+    broken by customer id, so the rank — and therefore the sum — is
+    deterministic.  ``SUM(i * cents)`` needs headroom: BIGINT is
     fine through ~1e8 customers x 1e8 cents; beyond that cast the
     product to DECIMAL(38,0) — same algebra.
     """
     cents = F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
     spend = orders.groupBy("o_custkey").agg(F.sum(cents).alias("cents"))
-    bounds = spend.agg(
-        F.min("cents").alias("lo"), F.max("cents").alias("hi")
-    ).first()
-    lo = bounds["lo"] if bounds["lo"] is not None else 0
-    hi = bounds["hi"] if bounds["hi"] is not None else 0
-    width = max(1, (hi - lo + n_blocks) // n_blocks)
-    blocked = spend.select(
-        "o_custkey",
-        "cents",
-        F.expr(f"(cents - {int(lo)}L) DIV {int(width)}L").alias("_blk"),
-    )
-    local = blocked.select(
-        "cents",
-        "_blk",
-        F.row_number()
-        .over(Window.partitionBy("_blk").orderBy("cents", "o_custkey"))
-        .alias("_rn"),
-    )
-    boff = (
-        blocked.groupBy("_blk")
-        .agg(F.count("*").alias("_n"))
-        .select(
-            "_blk",
-            F.sum("_n")
-            .over(
-                Window.orderBy("_blk").rowsBetween(
-                    Window.unboundedPreceding, -1
-                )
-            )
-            .alias("_boff"),
-        )
-        .fillna({"_boff": 0})
-    )
-    ranked = local.join(boff, "_blk").select(
-        "cents", (F.col("_rn") + F.col("_boff")).alias("i")
-    )
+    ranked = blocked_global_rank(spend, "cents", "o_custkey", n_blocks=n_blocks)
     return ranked.agg(
         F.count("*").cast("long").alias("n_customers"),
         F.sum("cents").cast("long").alias("total_cents"),
@@ -1758,3 +1720,154 @@ def promo_suppliers(
         sup["s_suppkey"] == qual["l_suppkey"],
         "left_semi",
     ).select(F.col("s_suppkey").cast("long").alias("s_suppkey"), "s_name", "n_name")
+
+
+def order_cube(orders: DataFrame) -> DataFrame:
+    """Full CUBE over (priority, order year): all four grains — leaf
+    grid, per-priority, per-year, grand total — in ONE map-side-
+    combined shuffle.  Completes the multi-grain family next to
+    ``revenue_rollup`` (hierarchical) and ``revenue_grouping_sets``
+    (arbitrary sets): CUBE is the power-set sugar.
+
+    Scale: identical to ROLLUP — each input row expands to the 4
+    grouping-set rows BEFORE the exchange and partial aggregation
+    collapses them per map task, so the shuffle carries (sets x
+    groups) rows, not (sets x input).  ``gid`` (grouping_id bitmask)
+    disambiguates subtotal rows from leaf rows whose key is NULL.
+    """
+    base = orders.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.year("o_orderdate").cast("int").alias("o_year"),
+        F.col("o_totalprice").cast(_DEC).alias("price"),
+    )
+    return base.cube("priority", "o_year").agg(
+        F.round(F.sum("price").cast("double"), 4).alias("revenue"),
+        F.count("*").cast("long").alias("n_orders"),
+        F.grouping_id().cast("int").alias("gid"),
+    )
+
+
+def event_sequences(events: DataFrame, *, scale: int = 10**6) -> DataFrame:
+    """Frequent contiguous 3-event sequences (sequential-pattern /
+    clickstream-motif mining, one order up from ``event_transitions``'
+    first-order pairs): two window LEADs over each user's timeline,
+    global counts, and integer support ppm against the total motif
+    count.
+
+    Ordering ties are broken by ``event_id`` so the motif multiset is
+    deterministic under any partitioning.  Scale: ONE exchange on
+    ``user_id`` (bounded rows per user) serves the window; the count
+    aggregation is map-side combined into at most |types|^3 groups,
+    and the one-row total is broadcast — no second scan, no global
+    window.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "user_id",
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).where(F.col("e3").isNotNull())
+    counts = seq.groupBy("e1", "e2", "e3").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    total = counts.agg(F.sum("cnt").alias("_tot"))
+    return counts.join(F.broadcast(total)).select(
+        "e1",
+        "e2",
+        "e3",
+        "cnt",
+        F.expr(f"CAST(cnt * {int(scale)} DIV _tot AS LONG)").alias("support_ppm"),
+    )
+
+
+def blocked_global_rank(
+    df: DataFrame,
+    value_col: str,
+    tie_col: str,
+    *,
+    n_blocks: int = 32,
+) -> DataFrame:
+    """Global ascending dense 1-based ROW_NUMBER over ``(value_col,
+    tie_col)`` WITHOUT a single-partition window: deterministic
+    value-range blocks (integral DIV off the min/max bounds — no
+    sampling pass), per-block local ranks (~n/n_blocks rows per window
+    partition), and block offsets from a metadata window over
+    ``n_blocks`` count rows.  The ``bfs_level_order`` idiom, shared by
+    ``gini_concentration`` and ``decile_table``.
+
+    Returns the input columns plus ``i`` (the global rank).  The
+    bounds read is one 2-column min/max action — at 100 TB that is a
+    map-side-combined scan, the price of not sampling; skewed value
+    ranges degrade block balance but never correctness (ties split by
+    ``tie_col`` inside a block, and equal values always land in the
+    same block).
+    """
+    bounds = df.agg(
+        F.min(value_col).alias("lo"), F.max(value_col).alias("hi")
+    ).first()
+    lo = bounds["lo"] if bounds["lo"] is not None else 0
+    hi = bounds["hi"] if bounds["hi"] is not None else 0
+    width = max(1, (int(hi) - int(lo) + n_blocks) // n_blocks)
+    blocked = df.withColumn(
+        "_blk", F.expr(f"({value_col} - {int(lo)}L) DIV {int(width)}L")
+    )
+    local = blocked.withColumn(
+        "_rn",
+        F.row_number().over(
+            Window.partitionBy("_blk").orderBy(value_col, tie_col)
+        ),
+    )
+    boff = (
+        blocked.groupBy("_blk")
+        .agg(F.count("*").alias("_n"))
+        .select(
+            "_blk",
+            F.sum("_n")
+            .over(
+                Window.orderBy("_blk").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            )
+            .alias("_boff"),
+        )
+        .fillna({"_boff": 0})
+    )
+    return (
+        local.join(boff, "_blk")
+        .withColumn("i", F.col("_rn") + F.col("_boff"))
+        .drop("_blk", "_rn", "_boff")
+    )
+
+
+def decile_table(orders: DataFrame, *, n_buckets: int = 10) -> DataFrame:
+    """Global spend deciles: per-customer spend ranked ascending over
+    the whole population, cut into ``n_buckets`` equal-count buckets
+    (``(i-1)*k DIV n`` — NTILE's arithmetic without NTILE's
+    single-partition global window), with per-bucket count / total /
+    min / max cents.
+
+    The distribution readout behind "top decile holds X% of revenue"
+    — the bucketed companion of ``gini_concentration``'s scalar.
+    Scale: the rank comes from ``blocked_global_rank`` (two bounded
+    windows, no global sort); the one-row population count is
+    broadcast; the final aggregation has ``n_buckets`` groups.
+    """
+    cents = F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+    spend = orders.groupBy("o_custkey").agg(F.sum(cents).alias("cents"))
+    ranked = blocked_global_rank(spend, "cents", "o_custkey")
+    n = spend.agg(F.count("*").alias("_n"))
+    return (
+        ranked.join(F.broadcast(n))
+        .withColumn(
+            "decile",
+            F.expr(f"CAST((i - 1) * {int(n_buckets)} DIV _n AS INT)"),
+        )
+        .groupBy("decile")
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.sum("cents").cast("long").alias("total_cents"),
+            F.min("cents").cast("long").alias("min_cents"),
+            F.max("cents").cast("long").alias("max_cents"),
+        )
+    )
