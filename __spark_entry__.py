@@ -26,6 +26,7 @@ from distributed_graph_database_simulation_with_load_balancing_and_threaded_requ
     add_graph as _add_graph,
     merge_edges as _merge_edges,
     modify_graph as _modify_graph,
+    snapshot_versions as _snapshot_versions,
 )
 from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.dispatch import (
     route_counts,
@@ -2865,6 +2866,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             db, graph_id=1, insert_pairs=inserts, delete_pairs=deletes
         )
 
+    def q_time_travel(spark, sf_dir):
+        # MVCC time travel over a 3-version delta log (the O9
+        # snapshot-isolation strengthening): v1 = the derived tree,
+        # v2 deletes the root->region edges and inserts 5 root->nation
+        # shortcuts, v3 deletes 2 of those shortcuts and re-inserts 2
+        # root->region edges.  All snapshots reconstructed in ONE
+        # edge-keyed pass (interval algebra, not sequential folds).
+        nation = load_table(spark, sf_dir, "nation")
+        region = load_table(spark, sf_dir, "region")
+        root_region = region.select(
+            F.lit(999).cast("long").alias("src"),
+            F.col("r_regionkey").cast("long").alias("dst"),
+        )
+        root_nation = nation.select(
+            F.lit(999).cast("long").alias("src"),
+            (F.col("n_nationkey") + 100).cast("long").alias("dst"),
+        )
+        return _snapshot_versions(
+            _raw_tree_pairs(spark, sf_dir),
+            [
+                (root_nation.where(F.col("dst") < 105), root_region),
+                (
+                    root_region.where(F.col("dst") < 2),
+                    root_nation.where(F.col("dst") < 102),
+                ),
+            ],
+            graph_id=1,
+        )
+
     def q_pq_topk(spark, sf_dir):
         # Product-quantized ANN (round-5 verdict #7): 16 subspaces x
         # 128 sampled codewords (16 small ints per vector = 16 bytes
@@ -3297,6 +3327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- new this round (round 6; inside the 50-entry window) --
         "q_cube": q_cube,
+        "q_time_travel": q_time_travel,
         "q_event_seqs": q_event_seqs,
         "q_deciles": q_deciles,
         "q_edit_dedup": q_edit_dedup,
@@ -3884,6 +3915,58 @@ def oracle_sql() -> dict[str, str]:
             JOIN documents db ON db.doc_id = c.doc_b
             WHERE abs(length(da.text) - length(db.text)) <= 10
               AND levenshtein(da.text, db.text) <= 10
+        """,
+        # MVCC time-travel replay: same net-event construction as
+        # catalog.snapshot_versions (delete-then-insert at one version
+        # nets to insert via EXCEPT), arg_max over (v) per (edge,
+        # version) decides visibility.
+        "q_time_travel": f"""
+            WITH e0 AS ({_SQL_E0}),
+            b AS (
+              SELECT DISTINCT LEAST(src, dst) AS lo, GREATEST(src, dst) AS hi
+              FROM e0 WHERE src <> dst
+            ),
+            rr AS (
+              SELECT DISTINCT
+                     LEAST(CAST(999 AS BIGINT), CAST(r_regionkey AS BIGINT)) AS lo,
+                     GREATEST(CAST(999 AS BIGINT), CAST(r_regionkey AS BIGINT)) AS hi
+              FROM region
+            ),
+            rn AS (
+              SELECT DISTINCT
+                     LEAST(CAST(999 AS BIGINT), CAST(100 + n_nationkey AS BIGINT)) AS lo,
+                     GREATEST(CAST(999 AS BIGINT), CAST(100 + n_nationkey AS BIGINT)) AS hi
+              FROM nation
+            ),
+            ev AS (
+              SELECT lo, hi, 1 AS v, TRUE AS ins FROM b
+              UNION ALL
+              SELECT lo, hi, 2, TRUE FROM rn WHERE lo < 105
+              UNION ALL
+              SELECT lo, hi, 2, FALSE FROM (
+                SELECT lo, hi FROM rr
+                EXCEPT
+                SELECT lo, hi FROM rn WHERE lo < 105
+              )
+              UNION ALL
+              SELECT lo, hi, 3, TRUE FROM rr WHERE lo < 2
+              UNION ALL
+              SELECT lo, hi, 3, FALSE FROM (
+                SELECT lo, hi FROM rn WHERE lo < 102
+                EXCEPT
+                SELECT lo, hi FROM rr WHERE lo < 2
+              )
+            ),
+            vers AS (SELECT CAST(unnest(range(1, 4)) AS INTEGER) AS version),
+            vis AS (
+              SELECT e.lo, e.hi, ver.version, arg_max(e.ins, e.v) AS ins
+              FROM ev e JOIN vers ver ON e.v <= ver.version
+              GROUP BY e.lo, e.hi, ver.version
+            )
+            SELECT CAST(1 AS INTEGER) AS graph_id, version,
+                   CAST(COUNT(*) AS BIGINT) AS n_edges,
+                   CAST(SUM(lo * 100003 + hi) AS BIGINT) AS checksum
+            FROM vis WHERE ins GROUP BY version
         """,
         "q_cliques4": f"""
             WITH {_sql_copurchase(

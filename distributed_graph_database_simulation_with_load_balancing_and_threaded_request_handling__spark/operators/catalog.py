@@ -197,3 +197,95 @@ def modify_graph(current: DataFrame, replacement_pairs: DataFrame, *, graph_id: 
     kept = current.where(F.col("graph_id") != graph_id)
     replaced = edges_from_pairs(replacement_pairs, graph_id=graph_id, symmetric=True)
     return kept.unionByName(replaced)
+
+
+def snapshot_versions(
+    base_pairs: DataFrame,
+    deltas: list[tuple[DataFrame | None, DataFrame | None]],
+    *,
+    graph_id: int,
+    edge_hash_prime: int = 100003,
+) -> DataFrame:
+    """MVCC time travel over a delta log — every version's snapshot in
+    ONE pass: version 1 is ``base_pairs`` (an ``add_graph``), each
+    following version applies an (insert_pairs, delete_pairs) delta
+    with ``merge_edges`` semantics (deletes first, so an edge in both
+    deltas ends PRESENT).  Returns one row per version: ``(version,
+    n_edges, checksum)`` over the CANONICAL undirected edge set.
+
+    This is the Spark-idiomatic strengthening of the reference's O9
+    readers-writer protocol (primary_server.c:138-153 holds a write
+    lock so readers never see a half-written graph file): here every
+    committed version is an immutable snapshot and "read as of v" is
+    a pure function of the log — readers pin a version and are
+    isolated from writers BY CONSTRUCTION, no locks.
+
+    Execution shape — interval algebra, not v sequential folds: each
+    delta contributes net per-edge events ``(edge, v, ins)`` (an
+    edge deleted and inserted at the same version nets to insert);
+    the bounded version list is broadcast against the event log, and
+    ``max(struct(v, ins))`` per (edge, version) — one map-side-
+    combined shuffle keyed on the edge — finds the latest event at or
+    before each version, whose flag decides visibility.  Cost is
+    O(|events| x versions) rows through one exchange, independent of
+    how many edges the base snapshot holds beyond the event log; a
+    long-lived log is compacted by re-basing (fold the prefix into a
+    new version-1 snapshot), the standard checkpoint move.
+    """
+    spark = base_pairs.sparkSession
+
+    def canon(pairs: DataFrame) -> DataFrame:
+        return (
+            pairs.where(F.col("src") != F.col("dst"))
+            .select(
+                F.least("src", "dst").cast("long").alias("lo"),
+                F.greatest("src", "dst").cast("long").alias("hi"),
+            )
+            .distinct()
+        )
+
+    def tagged(df: DataFrame, v: int, ins: bool) -> DataFrame:
+        return df.select(
+            "lo",
+            "hi",
+            F.lit(int(v)).alias("v"),
+            F.lit(bool(ins)).alias("ins"),
+        )
+
+    events = tagged(canon(base_pairs), 1, True)
+    for i, (insert_pairs, delete_pairs) in enumerate(deltas):
+        v = i + 2
+        ins_c = canon(insert_pairs) if insert_pairs is not None else None
+        if ins_c is not None:
+            events = events.unionByName(tagged(ins_c, v, True))
+        if delete_pairs is not None:
+            del_c = canon(delete_pairs)
+            if ins_c is not None:
+                # merge_edges net semantics: delete-then-insert at the
+                # same version leaves the edge present — the insert
+                # event alone represents the pair.
+                del_c = del_c.join(ins_c, ["lo", "hi"], "left_anti")
+            events = events.unionByName(tagged(del_c, v, False))
+    n_versions = len(deltas) + 1
+    vers = spark.range(1, n_versions + 1).select(
+        F.col("id").cast("int").alias("version")
+    )
+    vis = (
+        events.join(F.broadcast(vers), F.col("v") <= F.col("version"))
+        .groupBy("lo", "hi", "version")
+        .agg(F.max(F.struct(F.col("v"), F.col("ins"))).alias("last"))
+        .where(F.col("last.ins"))
+    )
+    return (
+        vis.groupBy("version")
+        .agg(
+            F.count("*").cast("long").alias("n_edges"),
+            F.sum(
+                F.col("lo") * F.lit(int(edge_hash_prime)) + F.col("hi")
+            )
+            .cast("long")
+            .alias("checksum"),
+        )
+        .withColumn("graph_id", F.lit(int(graph_id)))
+        .select("graph_id", "version", "n_edges", "checksum")
+    )
