@@ -47,6 +47,7 @@ from distributed_graph_database_simulation_with_load_balancing_and_threaded_requ
     derived_tree_edges,
     evict_edge_cache,
     requests_from_orders,
+    trade_digraph,
 )
 from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.graphalgs import (
     clustering_coefficient,
@@ -64,6 +65,7 @@ from distributed_graph_database_simulation_with_load_balancing_and_threaded_requ
     pagerank_prepare,
     personalized_pagerank_fixed,
     sssp,
+    strongly_connected_components,
     triangle_counts,
 )
 from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.sources.tables import load_table
@@ -2866,6 +2868,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             db, graph_id=1, insert_pairs=inserts, delete_pairs=deletes
         )
 
+    def q_scc(spark, sf_dir):
+        # Strongly connected components of the DIRECTED top-2 trade
+        # digraph: forward+backward hash-min labels ride one loop,
+        # f==b pins complete SCCs, peel repeats on the rest (2 peels
+        # measured).  The directed twin of q_connected_components.
+        edges = trade_digraph(spark, sf_dir)
+        edges.count()  # warm the shared digraph cache at session width
+        return _loop_parts(
+            spark,
+            lambda: strongly_connected_components(
+                edges, loop_shuffle_partitions=None
+            ),
+            n=4,
+        )
+
     def q_time_travel(spark, sf_dir):
         # MVCC time travel over a 3-version delta log (the O9
         # snapshot-isolation strengthening): v1 = the derived tree,
@@ -3327,6 +3344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- new this round (round 6; inside the 50-entry window) --
         "q_cube": q_cube,
+        "q_scc": q_scc,
         "q_time_travel": q_time_travel,
         "q_event_seqs": q_event_seqs,
         "q_deciles": q_deciles,
@@ -3915,6 +3933,48 @@ def oracle_sql() -> dict[str, str]:
             JOIN documents db ON db.doc_id = c.doc_b
             WHERE abs(length(da.text) - length(db.text)) <= 10
               AND levenshtein(da.text, db.text) <= 10
+        """,
+        # Directed-SCC ground truth on the bounded trade digraph:
+        # pairwise reachability by WITH RECURSIVE (|nations|^2 pairs),
+        # scc id = min mutual-reach partner (incl. self) — the same
+        # min-id contract the FW-BW peel converges to.
+        "q_scc": """
+            WITH RECURSIVE flows AS (
+              SELECT CAST(c.c_nationkey AS BIGINT) AS a,
+                     CAST(s.s_nationkey AS BIGINT) AS b,
+                     COUNT(*) AS cnt
+              FROM lineitem l
+              JOIN orders o ON o.o_orderkey = l.l_orderkey
+              JOIN customer c ON c.c_custkey = o.o_custkey
+              JOIN supplier s ON s.s_suppkey = l.l_suppkey
+              WHERE c.c_nationkey != s.s_nationkey
+              GROUP BY 1, 2
+            ),
+            tg AS (
+              SELECT a, b FROM (
+                SELECT a, b,
+                       ROW_NUMBER() OVER (PARTITION BY a
+                                          ORDER BY cnt DESC, b) AS rk
+                FROM flows
+              ) WHERE rk <= 2
+            ),
+            reach AS (
+              SELECT a AS s, b AS t FROM tg
+              UNION
+              SELECT r.s, tg.b FROM reach r JOIN tg ON tg.a = r.t
+            ),
+            verts AS (
+              SELECT DISTINCT a AS v FROM tg
+              UNION SELECT DISTINCT b FROM tg
+            ),
+            mutual AS (
+              SELECT r1.s AS v, r1.t AS w
+              FROM reach r1 JOIN reach r2 ON r2.s = r1.t AND r2.t = r1.s
+            )
+            SELECT CAST(v.v AS BIGINT) AS vertex,
+                   CAST(LEAST(v.v, COALESCE(MIN(m.w), v.v)) AS BIGINT) AS scc
+            FROM verts v LEFT JOIN mutual m ON m.v = v.v
+            GROUP BY v.v
         """,
         # MVCC time-travel replay: same net-event construction as
         # catalog.snapshot_versions (delete-then-insert at one version

@@ -1685,3 +1685,140 @@ def ktruss(
     finally:
         if loop_shuffle_partitions is not None:
             spark.conf.set(_parts_key, _prev_parts)
+
+
+def strongly_connected_components(
+    edges: DataFrame,
+    *,
+    max_peel_rounds: int = 10,
+    max_prop_rounds: int = 50,
+    loop_shuffle_partitions: int | None = None,
+) -> DataFrame:
+    """Strongly connected components of a DIRECTED graph by iterative
+    forward-backward hash-min peel (the FW-BW-MIN decomposition —
+    Pregel-style, the same family as the MultiStep SCC algorithm):
+
+    per peel round, propagate two labels to fixpoint over the
+    remaining subgraph — ``f(v)`` = min id of vertices that can REACH
+    v (along edge direction), ``b(v)`` = min id REACHABLE FROM v
+    (against it) — and pin every vertex with ``f(v) == b(v) == m``:
+    that pair of facts says ``m -> v`` and ``v -> m``, so v lies in
+    SCC(m); conversely every member of SCC(m) carries the same
+    (f, b), so pinned vertices always form COMPLETE SCCs.  Pinned
+    vertices leave, and the peel repeats on the rest.  The globally
+    minimum remaining vertex is always pinned (its f and b are both
+    itself), so every round makes progress; exhausting
+    ``max_peel_rounds`` raises rather than returning partial labels
+    (the adversarial case is id-descending chains — real graphs pin
+    many SCCs per round; the declared trade digraph needs 2).
+
+    Returns ``(vertex, scc)``, scc = min vertex id of the component —
+    the directed twin of ``connected_components``' contract.
+
+    Scale notes: both labels ride the SAME propagation loop — per
+    round one labels-join-edges shuffle per direction and one
+    min-aggregation each, then ONE action that materializes the
+    round's checkpoint and probes convergence via a summed change
+    flag (the connected_components discipline).  The peel restricts
+    the edge set with two hash semi-joins (no broadcast assumption),
+    and each peel round's survivor set shrinks by at least the pinned
+    SCCs.  No collect beyond the per-round scalar.
+    """
+    e = edges.select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+    ).distinct().persist()
+    spark = e.sparkSession
+    _parts_key = "spark.sql.shuffle.partitions"
+    _prev_parts = spark.conf.get(_parts_key)
+    if loop_shuffle_partitions is not None:
+        spark.conf.set(_parts_key, str(int(loop_shuffle_partitions)))
+    try:
+        remaining = (
+            e.select(F.col("src").alias("v"))
+            .unionAll(e.select(F.col("dst").alias("v")))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        pinned_parts: list[DataFrame] = []
+        done = False
+        for _ in range(max_peel_rounds):
+            if remaining.count() == 0:
+                done = True
+                break
+            re_ = (
+                e.join(
+                    remaining.select(F.col("v").alias("src")), "src", "left_semi"
+                )
+                .join(
+                    remaining.select(F.col("v").alias("dst")), "dst", "left_semi"
+                )
+                .persist()
+            )
+            labels = remaining.select(
+                "v", F.col("v").alias("f"), F.col("v").alias("b")
+            ).localCheckpoint(eager=False)
+            converged = False
+            for _r in range(max_prop_rounds):
+                fmin = (
+                    labels.join(re_, labels["v"] == re_["src"])
+                    .groupBy(re_["dst"].alias("v"))
+                    .agg(F.min("f").alias("_nf"))
+                )
+                bmin = (
+                    labels.join(re_, labels["v"] == re_["dst"])
+                    .groupBy(re_["src"].alias("v"))
+                    .agg(F.min("b").alias("_nb"))
+                )
+                new_labels = (
+                    labels.join(fmin, "v", "left")
+                    .join(bmin, "v", "left")
+                    .select(
+                        "v",
+                        F.least("f", F.coalesce("_nf", "f")).alias("f"),
+                        F.least("b", F.coalesce("_nb", "b")).alias("b"),
+                        (
+                            (F.coalesce("_nf", "f") < F.col("f"))
+                            | (F.coalesce("_nb", "b") < F.col("b"))
+                        )
+                        .cast("int")
+                        .alias("_changed"),
+                    )
+                    .localCheckpoint(eager=False)
+                )
+                n_changed = (
+                    new_labels.agg(F.sum("_changed")).collect()[0][0] or 0
+                )
+                labels = new_labels.drop("_changed")
+                if n_changed == 0:
+                    converged = True
+                    break
+            if not converged:
+                raise RuntimeError(
+                    f"SCC label propagation did not converge in "
+                    f"{max_prop_rounds} rounds"
+                )
+            pinned = labels.where(F.col("f") == F.col("b")).select(
+                F.col("v").cast("long").alias("vertex"),
+                F.col("f").cast("long").alias("scc"),
+            )
+            pinned_parts.append(pinned.localCheckpoint(eager=False))
+            remaining = (
+                labels.where(F.col("f") != F.col("b"))
+                .select("v")
+                .localCheckpoint(eager=False)
+            )
+            re_.unpersist(blocking=False)
+        if not done:
+            raise RuntimeError(
+                f"SCC peel did not finish in {max_peel_rounds} rounds "
+                "(id-descending chain worst case); raise max_peel_rounds"
+            )
+        out = pinned_parts[0]
+        for p in pinned_parts[1:]:
+            out = out.unionAll(p)
+        return out
+    finally:
+        if loop_shuffle_partitions is not None:
+            spark.conf.set(_parts_key, _prev_parts)
+        e.unpersist(blocking=False)

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from .tables import load_table
 
@@ -311,3 +312,67 @@ def copurchase_weighted_edges(
             F.col("dst").alias("src"), F.col("src").alias("dst"), "cnt", "w"
         )
     )
+
+
+def trade_digraph(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    top_k: int = 2,
+    cached: bool = True,
+) -> DataFrame:
+    """DIRECTED nation trade-flow graph: an edge ``a -> b`` when
+    supplier-nation ``b`` is among customer-nation ``a``'s ``top_k``
+    trading destinations by lineitem count (ties broken by cnt DESC,
+    then b ASC — deterministic at every scale).  The one derived graph
+    whose edges have DIRECTION, built for the strongly-connected-
+    component family: mutual top-partners form cycles, so SCCs are
+    non-trivial (measured 3-10-node cores at sf0.001-0.1).
+
+    Scale: one fact scan joined to three broadcast dims (orders is
+    fact-sized — that join shuffles on orderkey once), aggregated to
+    |nations|^2 flow rows; the top-k window runs over those bounded
+    rows, NOT the fact table.  Returns ``(src, dst)`` long columns.
+    """
+    key = (spark.sparkContext.applicationId, sf_dir, "trade_digraph", top_k)
+    if cached and key in _EDGE_CACHE:
+        return _EDGE_CACHE[key]
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_suppkey"
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_nationkey"
+    )
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        "s_suppkey", "s_nationkey"
+    )
+    flows = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .where(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(
+            F.col("c_nationkey").cast("long").alias("src"),
+            F.col("s_nationkey").cast("long").alias("dst"),
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+    out = (
+        flows.withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy("src").orderBy(
+                    F.col("cnt").desc(), F.col("dst")
+                )
+            ),
+        )
+        .where(F.col("_rk") <= int(top_k))
+        .select("src", "dst")
+    )
+    if cached:
+        out = out.persist()
+        _EDGE_CACHE[key] = out
+    return out
