@@ -153,6 +153,7 @@ from distributed_graph_database_simulation_with_load_balancing_and_threaded_requ
 )
 from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.multimodal import (
     attach_media,
+    audio_downsample_features,
     audio_pcm_features,
     extract_audio_meta,
     plant_audio_signal,
@@ -225,6 +226,7 @@ from distributed_graph_database_simulation_with_load_balancing_and_threaded_requ
     run_dedup_batch,
     run_enrich_batch,
     run_hdr_hist_batch,
+    run_spend_upsert_batch,
     run_edge_ingest_batch,
     run_event_rollup_batch,
     run_sessions_batch,
@@ -1786,6 +1788,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         media = plant_audio_signal(load_table(spark, sf_dir, "documents"))
         return audio_pcm_features(media)
 
+    def q_audio_downsample(spark, sf_dir):
+        # REAL integer resample: decode the planted PCM, decimate by
+        # 2 at FRAME granularity (stereo stays synced), same exact-
+        # integer features over the kept frames + the halved nominal
+        # rate — the audio twin of q_resize's vectorized gather.
+        media = plant_audio_signal(load_table(spark, sf_dir, "documents"))
+        return audio_downsample_features(media, factor=2)
+
     def _kmeans_assignment(spark, sf_dir):
         # One Lloyd loop per (session, sf_dir): the assignment is
         # shared by q_kmeans and q_cluster_labels.
@@ -2868,6 +2878,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             db, graph_id=1, insert_pairs=inserts, delete_pairs=deletes
         )
 
+    def q_stream_upsert(spark, sf_dir):
+        # The TENTH streaming shape: UPDATE-mode per-user spend
+        # rollup merged by foreachBatch into a keyed upsert view
+        # (anti-join changed keys + union, fresh version dir per
+        # micro-batch — the Delta-MERGE contract from primitives).
+        # Events staged as 3 arrival files, one per trigger, so the
+        # merge path really runs multi-batch; final == batch GROUP BY.
+        import os
+
+        return _loop_parts(
+            spark,
+            lambda: run_spend_upsert_batch(
+                spark, os.path.join(sf_dir, "events.parquet")
+            ),
+            n=4,
+        )
+
     def q_scc(spark, sf_dir):
         # Strongly connected components of the DIRECTED top-2 trade
         # digraph: forward+backward hash-min labels ride one loop,
@@ -3344,6 +3371,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- new this round (round 6; inside the 50-entry window) --
         "q_cube": q_cube,
+        "q_audio_downsample": q_audio_downsample,
+        "q_stream_upsert": q_stream_upsert,
         "q_scc": q_scc,
         "q_time_travel": q_time_travel,
         "q_event_seqs": q_event_seqs,
@@ -3933,6 +3962,40 @@ def oracle_sql() -> dict[str, str]:
             JOIN documents db ON db.doc_id = c.doc_b
             WHERE abs(length(da.text) - length(db.text)) <= 10
               AND levenshtein(da.text, db.text) <= 10
+        """,
+        # Decimation replay: interleaved sample k belongs to frame
+        # k // channels; keeping even frames keeps those k — same
+        # congruence signal as q_audio_features over the kept set.
+        "q_audio_downsample": """
+            WITH ks AS (SELECT range AS k FROM range(0, 1998)),
+            d AS (
+              SELECT CAST(doc_id AS BIGINT) AS media_id,
+                     CAST(1 + doc_id % 2 AS BIGINT) AS ch,
+                     CAST(100 + (37 * doc_id) % 900 AS BIGINT) AS frames,
+                     CAST(8000 + (doc_id % 5) * 4000 AS BIGINT) AS rate
+              FROM documents
+            ),
+            s AS (
+              SELECT media_id, ch, rate,
+                     ((37 * k + 11 * media_id) % 4001) - 2000 AS v
+              FROM d JOIN ks ON k < frames * ch
+              WHERE (k // ch) % 2 = 0
+            )
+            SELECT media_id,
+                   CAST(rate // 2 AS BIGINT) AS rate_out,
+                   CAST(COUNT(*) AS BIGINT) AS n_samples,
+                   CAST(MAX(ABS(v)) AS BIGINT) AS peak,
+                   CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs,
+                   CAST(SUM(v * v) AS BIGINT) AS sum_sq
+            FROM s GROUP BY media_id, rate
+        """,
+        "q_stream_upsert": """
+            SELECT user_id,
+                   CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                       AS spend_cents,
+                   CAST(COUNT(*) AS BIGINT) AS n_purchases
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY user_id
         """,
         # Directed-SCC ground truth on the bounded trade digraph:
         # pairwise reachability by WITH RECURSIVE (|nations|^2 pairs),

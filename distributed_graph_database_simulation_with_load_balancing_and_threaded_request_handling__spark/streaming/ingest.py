@@ -743,3 +743,107 @@ def run_hdr_hist_batch(spark: SparkSession, path: str) -> DataFrame:
         F.element_at(F.lit(list(map(float, qs))), F.col("i") + 1).alias("q"),
         F.round(F.col("est_c") / 100.0, 4).alias("est_v"),
     )
+
+
+# Base dirs of completed spend-upsert drives, reaped at the start of
+# the next drive (the _EDGE_INGEST_DIRS pattern — the returned
+# DataFrame reads the final version lazily, so the PREVIOUS drive's
+# tree can only be deleted once a new drive supersedes it).
+_UPSERT_DIRS: list[str] = []
+
+
+def spend_rollup_stream(events: DataFrame) -> DataFrame:
+    """Per-user purchase rollup in UPDATE semantics: integer-cents
+    spend + purchase count.  No watermark and no event-time window —
+    keyed running totals whose state is one row per user (the
+    classic continuously-maintained serving table)."""
+    p = events.where(F.col("event_type") == "purchase")
+    return p.groupBy("user_id").agg(
+        F.sum(F.expr("CAST(round(value * 100) AS BIGINT)"))
+        .cast("long")
+        .alias("spend_cents"),
+        F.count("*").cast("long").alias("n_purchases"),
+    )
+
+
+def run_spend_upsert_batch(
+    spark: SparkSession, path: str, *, n_files: int = 3
+) -> DataFrame:
+    """The TENTH streaming shape: an UPDATE-mode aggregation
+    materialized through ``foreachBatch`` as a keyed UPSERT view —
+    the streaming-merge (Delta ``MERGE WHEN MATCHED UPDATE``)
+    contract, built from primitives: every micro-batch emits only the
+    CHANGED user rows, and the sink merges them into the target by
+    anti-joining the changed keys out of the previous version and
+    unioning the new rows in, written as a fresh version directory
+    (the same atomic snapshot-swap discipline as
+    ``catalog.snapshot_versions`` — readers of version N never see a
+    half-merged N+1).
+
+    The events are staged as ``n_files`` arrival files and streamed
+    one file per trigger, so the merge path genuinely exercises
+    multi-batch upserts; the final materialized table equals the
+    batch GROUP BY exactly for ANY arrival split, because streaming
+    aggregation state carries totals across batches and the LAST
+    update per key wins.
+
+    Scale: the per-batch merge shuffles only |previous target| +
+    |changed keys| rows on user_id (with AQE the anti-join broadcasts
+    the changed-key side when small); at 100 TB the target would be
+    bucketed by the key so the merge is exchange-free — the
+    ``q_bucketed_table`` layout applied to a streaming sink.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    while _UPSERT_DIRS:
+        shutil.rmtree(_UPSERT_DIRS.pop(), ignore_errors=True)
+    base = tempfile.mkdtemp(prefix="stream_upsert_")
+    _UPSERT_DIRS.append(base)
+    qdir = os.path.join(base, "queue")
+    (
+        spark.read.schema(EVENT_TABLE_SCHEMA)
+        .parquet(path)
+        .repartition(n_files)
+        .write.parquet(qdir)
+    )
+    src = (
+        spark.readStream.schema(EVENT_TABLE_SCHEMA)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(qdir)
+    )
+    state = {"version": -1}
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        changed = batch_df.persist()
+        vdir = os.path.join(base, f"target_v{batch_id}")
+        prev = state["version"]
+        if prev >= 0:
+            cur = spark.read.parquet(os.path.join(base, f"target_v{prev}"))
+            out = cur.join(
+                changed.select("user_id"), "user_id", "left_anti"
+            ).unionByName(changed)
+        else:
+            out = changed
+        out.write.mode("overwrite").parquet(vdir)
+        state["version"] = batch_id
+        changed.unpersist(blocking=False)
+
+    q = (
+        spend_rollup_stream(src)
+        .writeStream.outputMode("update")
+        .foreachBatch(merge)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if state["version"] < 0:
+        return spark.createDataFrame(
+            [], "user_id long, spend_cents long, n_purchases long"
+        )
+    return spark.read.parquet(
+        os.path.join(base, f"target_v{state['version']}")
+    )
