@@ -51,6 +51,7 @@ from distributed_graph_database_simulation_with_load_balancing_and_threaded_requ
 )
 from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.graphalgs import (
     clustering_coefficient,
+    degree_assortativity,
     degree_histogram,
     link_prediction_scores,
     betweenness_sampled,
@@ -130,6 +131,7 @@ from distributed_graph_database_simulation_with_load_balancing_and_threaded_requ
     bloom_probe,
     cms_estimate,
     cms_table,
+    heavy_hitters,
     hll_distinct,
     hll_estimate,
     hll_registers,
@@ -3177,6 +3179,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # levenshtein verification under an early-exit threshold.
         return edit_dedup(load_table(spark, sf_dir, "documents"))
 
+    def q_heavy_hitters(spark, sf_dir):
+        # Sketch-then-verify heavy hitters: broadcast-CMS upper
+        # bounds prune rows MAP-SIDE (CMS never under-counts, so no
+        # true hitter is lost), the exact-count shuffle carries only
+        # near-heavy survivors; threshold = 1.2x the mean user
+        # frequency, cross-multiplied integers throughout.
+        return heavy_hitters(
+            load_table(spark, sf_dir, "events"), "user_id", num=12, den=10
+        )
+
+    def q_assortativity(spark, sf_dir):
+        # Degree assortativity of the 1995 co-purchase graph as an
+        # exact rational (num, den) + sign-safe ppm: the symmetric
+        # edge list collapses Newman's sqrt, so r is a ratio of two
+        # BIGINT-exact integers — no libm anywhere.
+        edges = copurchase_edges(
+            spark, sf_dir, ship_range=("1995-01-01", "1996-01-01")
+        )
+        edges.count()  # warm the shared edge cache
+        return degree_assortativity(edges)
+
     def q_cliques4(spark, sf_dir):
         # Per-vertex 4-clique counts over the 1995 co-purchase graph:
         # each clique enumerated once in degree-ordered orientation
@@ -3371,6 +3394,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- new this round (round 6; inside the 50-entry window) --
         "q_cube": q_cube,
+        "q_heavy_hitters": q_heavy_hitters,
+        "q_assortativity": q_assortativity,
         "q_audio_downsample": q_audio_downsample,
         "q_stream_upsert": q_stream_upsert,
         "q_scc": q_scc,
@@ -3962,6 +3987,81 @@ def oracle_sql() -> dict[str, str]:
             JOIN documents db ON db.doc_id = c.doc_b
             WHERE abs(length(da.text) - length(db.text)) <= 10
               AND levenshtein(da.text, db.text) <= 10
+        """,
+        # Heavy-hitters replay: the same 4 x 4096 md5 cells as the
+        # engine's sketch (3 hex chars), per-item MIN upper bound,
+        # both threshold predicates cross-multiplied; est-pass is a
+        # superset of exact-pass (CMS never under-counts), so the
+        # joint filter equals the engine's prune-then-verify.
+        "q_heavy_hitters": """
+            WITH depths AS (SELECT unnest(range(4)) AS i),
+            v AS (SELECT CAST(user_id AS VARCHAR) AS item FROM events),
+            cells AS (
+              SELECT i,
+                     substring(md5(CAST(i AS VARCHAR) || ':' || item), 1, 3)
+                         AS bucket,
+                     COUNT(*) AS cnt
+              FROM v CROSS JOIN depths GROUP BY 1, 2
+            ),
+            t AS (
+              SELECT COUNT(*) AS tot, COUNT(DISTINCT item) AS ni FROM v
+            ),
+            items AS (SELECT DISTINCT item FROM v),
+            probes AS (
+              SELECT item, i,
+                     substring(md5(CAST(i AS VARCHAR) || ':' || item), 1, 3)
+                         AS bucket
+              FROM items CROSS JOIN depths
+            ),
+            est AS (
+              SELECT item, CAST(MIN(cnt) AS BIGINT) AS n_est
+              FROM probes JOIN cells USING (i, bucket) GROUP BY item
+            ),
+            exact AS (
+              SELECT item, CAST(COUNT(*) AS BIGINT) AS n_exact
+              FROM v GROUP BY item
+            )
+            SELECT exact.item, exact.n_exact, est.n_est
+            FROM exact JOIN est USING (item), t
+            WHERE est.n_est * t.ni * 10 >= t.tot * 12
+              AND exact.n_exact * t.ni * 10 >= t.tot * 12
+        """,
+        # Assortativity replay: same sums over the symmetric stamped
+        # edge list; HUGEINT products mirror the DECIMAL(38) headroom,
+        # and the CASE keeps every integral division non-negative
+        # (truncate == floor there, so // and DIV agree).
+        "q_assortativity": f"""
+            WITH {_sql_copurchase(
+                "WHERE l_shipdate >= TIMESTAMP '1995-01-01' "
+                "AND l_shipdate < TIMESTAMP '1996-01-01'").strip()},
+            sym AS (
+              SELECT src, dst FROM ce
+              UNION ALL SELECT dst, src FROM ce
+            ),
+            deg AS (SELECT src AS v, COUNT(*) AS deg FROM sym GROUP BY src),
+            st AS (
+              SELECT dj.deg AS j, dk.deg AS k
+              FROM sym JOIN deg dj ON dj.v = sym.src
+                       JOIN deg dk ON dk.v = sym.dst
+            ),
+            s AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS m,
+                     SUM(j * k) AS sjk, SUM(j) AS sj, SUM(j * j) AS sjj
+              FROM st
+            ),
+            nd AS (
+              SELECT m,
+                     CAST(m AS HUGEINT) * sjk - CAST(sj AS HUGEINT) * sj AS num,
+                     CAST(m AS HUGEINT) * sjj - CAST(sj AS HUGEINT) * sj AS den
+              FROM s
+            )
+            SELECT m AS m_directed,
+                   CAST(num AS BIGINT) AS num,
+                   CAST(den AS BIGINT) AS den,
+                   CAST(CASE WHEN num >= 0 THEN (num * 1000000) // den
+                             ELSE -((-num * 1000000) // den) END AS BIGINT)
+                       AS r_ppm
+            FROM nd
         """,
         # Decimation replay: interleaved sample k belongs to frame
         # k // channels; keeping even frames keeps those k — same

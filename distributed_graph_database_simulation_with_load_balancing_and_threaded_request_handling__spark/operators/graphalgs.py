@@ -1822,3 +1822,71 @@ def strongly_connected_components(
         if loop_shuffle_partitions is not None:
             spark.conf.set(_parts_key, _prev_parts)
         e.unpersist(blocking=False)
+
+
+def degree_assortativity(edges: DataFrame, *, graph_id: int | None = None) -> DataFrame:
+    """Degree assortativity (Newman's r) as EXACT integers — do hubs
+    attach to hubs?  Over the symmetric directed rendering of the
+    undirected graph (each edge counted in both orientations, the
+    standard convention), with ``j = deg(src)``, ``k = deg(dst)``:
+
+        r = (M·Σjk − Σj·Σk) / sqrt((M·Σj² − (Σj)²)(M·Σk² − (Σk)²))
+
+    On a SYMMETRIC list Σj = Σk and Σj² = Σk², so the square root
+    collapses and r = (M·Σjk − (Σj)²) / (M·Σj² − (Σj)²) — a ratio of
+    two exact BIGINT-expressible integers, no libm.  Returns ONE row
+    ``(m_directed, num, den, r_ppm)``; num/den are the exact rational
+    (the cross-engine contract), r_ppm a sign-safe integer rendering
+    (``sign · (|num|·10⁶ div den)`` — integral div of NON-NEGATIVES
+    only, because truncating vs flooring division disagree on
+    negatives across engines).
+
+    Scale: one degree aggregation, two (vertex-keyed) joins to stamp
+    endpoint degrees on edges, one global sum — all map-side
+    combined, output is a single row.  The num/den products need
+    headroom: DECIMAL(38,0) covers M·Σjk for M ~ 1e12 edges of
+    degree ~1e6.
+    """
+    e = canonical_edges(edges, graph_id=graph_id)
+    sym = e.unionAll(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = (
+        sym.groupBy(F.col("src").alias("v"))
+        .agg(F.count("*").alias("deg"))
+    )
+    dj = deg.select(F.col("v").alias("src"), F.col("deg").alias("j"))
+    dk = deg.select(F.col("v").alias("dst"), F.col("deg").alias("k"))
+    stamped = sym.join(dj, "src").join(dk, "dst")
+    sums = stamped.agg(
+        F.count("*").alias("m"),
+        F.sum(F.col("j") * F.col("k")).alias("sjk"),
+        F.sum("j").alias("sj"),
+        F.sum(F.col("j") * F.col("j")).alias("sjj"),
+    )
+    return (
+        sums.select(
+            F.col("m").cast("long").alias("m_directed"),
+            F.expr(
+                "CAST(CAST(m AS DECIMAL(38,0)) * sjk "
+                "- CAST(sj AS DECIMAL(38,0)) * sj AS LONG)"
+            ).alias("num"),
+            F.expr(
+                "CAST(CAST(m AS DECIMAL(38,0)) * sjj "
+                "- CAST(sj AS DECIMAL(38,0)) * sj AS LONG)"
+            ).alias("den"),
+        ).select(
+            "m_directed",
+            "num",
+            "den",
+            # DECIMAL(38) product before the integral div (the
+            # gini_concentration headroom idiom: num*10^6 would
+            # overflow BIGINT near 1e13-edge graphs).
+            F.expr(
+                "CAST(CASE WHEN num >= 0 "
+                "THEN (CAST(num AS DECIMAL(38,0)) * 1000000) DIV den "
+                "ELSE -((CAST(-num AS DECIMAL(38,0)) * 1000000) DIV den) "
+                "END AS LONG)"
+            ).alias("r_ppm"),
+        )
+    )

@@ -455,3 +455,95 @@ def hdr_quantile_err(
             (F.col("exact_v") - F.col("est_v")) / F.col("exact_v"), 4
         ).alias("rel_err"),
     )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    value_col: str,
+    *,
+    num: int = 12,
+    den: int = 10,
+    depth: int = CMS_DEPTH,
+    hex_chars: int = 3,
+) -> DataFrame:
+    """Heavy hitters — items whose frequency is at least ``num/den``
+    times the MEAN item frequency — via broadcast-CMS map-side pruning
+    + exact second-pass verify (the sketch-then-verify pattern that
+    makes the sketch USEFUL, not just measurable):
+
+    1. build a ``depth`` x 16^``hex_chars`` count-min sketch (same
+       row-salted md5 cells as ``cms_table``; 3 hex chars = 4096
+       buckets per row so the sketch still broadcasts everywhere);
+    2. stamp every row's estimate with ``depth`` BROADCAST lookups
+       (no explode, no shuffle) and drop rows whose item's CMS upper
+       bound is below the threshold MAP-SIDE — since CMS never
+       under-counts, no true heavy hitter is lost;
+    3. exact-count only the survivors and keep items passing the
+       threshold on the exact count.
+
+    The threshold is the cross-multiplied integer predicate
+    ``n * n_items * den >= total * num`` (no division anywhere), with
+    (total, n_items) from a one-row broadcast.  Returns ``(item,
+    n_exact, n_est)``.
+
+    Scale: the win is step 2 — the exact-count shuffle carries only
+    near-heavy rows.  Pruning power degrades as distinct cardinality
+    outgrows the sketch (cell collisions inflate upper bounds toward
+    "everyone passes"); correctness never does.  Widen ``hex_chars``
+    with cardinality — each extra char is 16x more cells at the same
+    engine portability.
+    """
+    v = df.select(F.col(value_col).cast("string").alias("item"))
+    rows = F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("i")
+    cells = (
+        v.select(rows, "item")
+        .select(
+            "i",
+            F.substring(
+                F.md5(
+                    F.concat(F.col("i").cast("string"), F.lit(":"), F.col("item"))
+                ),
+                1,
+                hex_chars,
+            ).alias("bucket"),
+        )
+        .groupBy("i", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    totals = v.agg(
+        F.count("*").alias("_tot"), F.count_distinct("item").alias("_ni")
+    )
+    est = v
+    for i in range(depth):
+        ci = cells.where(F.col("i") == i).select(
+            F.col("bucket").alias(f"_b{i}"), F.col("cnt").alias(f"_c{i}")
+        )
+        est = est.withColumn(
+            f"_b{i}",
+            F.substring(
+                F.md5(F.concat(F.lit(f"{i}:"), F.col("item"))), 1, hex_chars
+            ),
+        ).join(F.broadcast(ci), f"_b{i}")
+    est_col = F.least(*[F.col(f"_c{i}") for i in range(depth)])
+    pruned = (
+        est.withColumn("_est", est_col)
+        .join(F.broadcast(totals))
+        .where(
+            F.col("_est") * F.col("_ni") * F.lit(int(den))
+            >= F.col("_tot") * F.lit(int(num))
+        )
+    )
+    return (
+        pruned.groupBy("item")
+        .agg(
+            F.count("*").cast("long").alias("n_exact"),
+            F.min("_est").cast("long").alias("n_est"),
+            F.min("_tot").alias("_tot"),
+            F.min("_ni").alias("_ni"),
+        )
+        .where(
+            F.col("n_exact") * F.col("_ni") * F.lit(int(den))
+            >= F.col("_tot") * F.lit(int(num))
+        )
+        .select("item", "n_exact", "n_est")
+    )
