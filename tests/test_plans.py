@@ -609,3 +609,58 @@ def test_grouping_sets_single_exchange(spark):
     plan = _plan(df)
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Expand" in plan
+
+
+def test_cube_single_exchange_with_expand(spark):
+    # CUBE's four grains expand BEFORE one map-side-combined shuffle
+    # (the q_grouping_sets contract extended to the power set).
+    df = entry.queries()["q_cube"](spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Expand" in plan
+
+
+def test_edit_dedup_no_cartesian_no_row_udf(spark):
+    # Blocking must keep the similarity self-join out of product
+    # space, and the levenshtein verify must stay JVM-side.
+    df = entry.queries()["q_edit_dedup"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "levenshtein" in plan
+
+
+def test_deciles_population_count_is_broadcast(spark):
+    # The one-row population count joins as a broadcast, never a
+    # shuffle; no single-partition data window (the rank comes from
+    # blocked_global_rank's bounded windows).
+    df = entry.queries()["q_deciles"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_heavy_hitters_sketch_lookups_are_broadcast(spark):
+    # All four per-row cell lookups and the totals row join as
+    # broadcasts — the prune is map-side, no pre-aggregation shuffle
+    # of the raw rows before the candidate filter.
+    df = entry.queries()["q_heavy_hitters"](spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan
+
+
+def test_time_travel_versions_are_broadcast(spark):
+    # The bounded version list must broadcast against the event log.
+    df = entry.queries()["q_time_travel"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_assortativity_single_row_no_window(spark):
+    # Degree stamping is two hash joins + one global aggregate; no
+    # window, no cartesian, output is one row.
+    df = entry.queries()["q_assortativity"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
