@@ -26,6 +26,7 @@ from distributed_graph_database_simulation_with_load_balancing_and_threaded_requ
     add_graph as _add_graph,
     merge_edges as _merge_edges,
     modify_graph as _modify_graph,
+    snapshot_diff as _snapshot_diff,
     snapshot_versions as _snapshot_versions,
 )
 from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.dispatch import (
@@ -284,6 +285,48 @@ _SQL_E0 = """
 _SQL_SYM = f"""
   WITH e0 AS ({_SQL_E0})
   SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0
+"""
+
+# Net event log of the 3-version delta history q_time_travel / q_cdc
+# share (catalog._delta_events replica: delete-then-insert at one
+# version nets to insert via EXCEPT).
+_SQL_TT_EV = f"""
+            e0 AS ({_SQL_E0}),
+            b AS (
+              SELECT DISTINCT LEAST(src, dst) AS lo, GREATEST(src, dst) AS hi
+              FROM e0 WHERE src <> dst
+            ),
+            rr AS (
+              SELECT DISTINCT
+                     LEAST(CAST(999 AS BIGINT), CAST(r_regionkey AS BIGINT)) AS lo,
+                     GREATEST(CAST(999 AS BIGINT), CAST(r_regionkey AS BIGINT)) AS hi
+              FROM region
+            ),
+            rn AS (
+              SELECT DISTINCT
+                     LEAST(CAST(999 AS BIGINT), CAST(100 + n_nationkey AS BIGINT)) AS lo,
+                     GREATEST(CAST(999 AS BIGINT), CAST(100 + n_nationkey AS BIGINT)) AS hi
+              FROM nation
+            ),
+            ev AS (
+              SELECT lo, hi, 1 AS v, TRUE AS ins FROM b
+              UNION ALL
+              SELECT lo, hi, 2, TRUE FROM rn WHERE lo < 105
+              UNION ALL
+              SELECT lo, hi, 2, FALSE FROM (
+                SELECT lo, hi FROM rr
+                EXCEPT
+                SELECT lo, hi FROM rn WHERE lo < 105
+              )
+              UNION ALL
+              SELECT lo, hi, 3, TRUE FROM rr WHERE lo < 2
+              UNION ALL
+              SELECT lo, hi, 3, FALSE FROM (
+                SELECT lo, hi FROM rn WHERE lo < 102
+                EXCEPT
+                SELECT lo, hi FROM rr WHERE lo < 2
+              )
+            )
 """
 
 # Part co-purchase graph (sources/graphs.copurchase_edges replica):
@@ -2912,13 +2955,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             n=4,
         )
 
-    def q_time_travel(spark, sf_dir):
-        # MVCC time travel over a 3-version delta log (the O9
-        # snapshot-isolation strengthening): v1 = the derived tree,
-        # v2 deletes the root->region edges and inserts 5 root->nation
+    def _tt_deltas(spark, sf_dir):
+        # The shared 3-version history: v1 = the derived tree, v2
+        # deletes the root->region edges and inserts 5 root->nation
         # shortcuts, v3 deletes 2 of those shortcuts and re-inserts 2
-        # root->region edges.  All snapshots reconstructed in ONE
-        # edge-keyed pass (interval algebra, not sequential folds).
+        # root->region edges.  Consumed by q_time_travel and q_cdc.
         nation = load_table(spark, sf_dir, "nation")
         region = load_table(spark, sf_dir, "region")
         root_region = region.select(
@@ -2929,15 +2970,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.lit(999).cast("long").alias("src"),
             (F.col("n_nationkey") + 100).cast("long").alias("dst"),
         )
+        return [
+            (root_nation.where(F.col("dst") < 105), root_region),
+            (
+                root_region.where(F.col("dst") < 2),
+                root_nation.where(F.col("dst") < 102),
+            ),
+        ]
+
+    def q_time_travel(spark, sf_dir):
+        # MVCC time travel over the 3-version delta log (the O9
+        # snapshot-isolation strengthening).  All snapshots
+        # reconstructed in ONE edge-keyed pass (interval algebra,
+        # not sequential folds).
         return _snapshot_versions(
             _raw_tree_pairs(spark, sf_dir),
-            [
-                (root_nation.where(F.col("dst") < 105), root_region),
-                (
-                    root_region.where(F.col("dst") < 2),
-                    root_nation.where(F.col("dst") < 102),
-                ),
-            ],
+            _tt_deltas(spark, sf_dir),
+            graph_id=1,
+        )
+
+    def q_cdc(spark, sf_dir):
+        # Change-data-capture between v1 and v3 of the same history:
+        # net add/del rows a consumer replays to advance a
+        # materialized copy — intermediate churn cancels (the v2-only
+        # shortcuts deleted again at v3 never appear), like Delta CDF
+        # between two versions.
+        return _snapshot_diff(
+            _raw_tree_pairs(spark, sf_dir),
+            _tt_deltas(spark, sf_dir),
+            v_from=1,
+            v_to=3,
             graph_id=1,
         )
 
@@ -3394,6 +3456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- new this round (round 6; inside the 50-entry window) --
         "q_cube": q_cube,
+        "q_cdc": q_cdc,
         "q_heavy_hitters": q_heavy_hitters,
         "q_assortativity": q_assortativity,
         "q_audio_downsample": q_audio_downsample,
@@ -4144,42 +4207,7 @@ def oracle_sql() -> dict[str, str]:
         # nets to insert via EXCEPT), arg_max over (v) per (edge,
         # version) decides visibility.
         "q_time_travel": f"""
-            WITH e0 AS ({_SQL_E0}),
-            b AS (
-              SELECT DISTINCT LEAST(src, dst) AS lo, GREATEST(src, dst) AS hi
-              FROM e0 WHERE src <> dst
-            ),
-            rr AS (
-              SELECT DISTINCT
-                     LEAST(CAST(999 AS BIGINT), CAST(r_regionkey AS BIGINT)) AS lo,
-                     GREATEST(CAST(999 AS BIGINT), CAST(r_regionkey AS BIGINT)) AS hi
-              FROM region
-            ),
-            rn AS (
-              SELECT DISTINCT
-                     LEAST(CAST(999 AS BIGINT), CAST(100 + n_nationkey AS BIGINT)) AS lo,
-                     GREATEST(CAST(999 AS BIGINT), CAST(100 + n_nationkey AS BIGINT)) AS hi
-              FROM nation
-            ),
-            ev AS (
-              SELECT lo, hi, 1 AS v, TRUE AS ins FROM b
-              UNION ALL
-              SELECT lo, hi, 2, TRUE FROM rn WHERE lo < 105
-              UNION ALL
-              SELECT lo, hi, 2, FALSE FROM (
-                SELECT lo, hi FROM rr
-                EXCEPT
-                SELECT lo, hi FROM rn WHERE lo < 105
-              )
-              UNION ALL
-              SELECT lo, hi, 3, TRUE FROM rr WHERE lo < 2
-              UNION ALL
-              SELECT lo, hi, 3, FALSE FROM (
-                SELECT lo, hi FROM rn WHERE lo < 102
-                EXCEPT
-                SELECT lo, hi FROM rr WHERE lo < 2
-              )
-            ),
+            WITH {_SQL_TT_EV.strip()},
             vers AS (SELECT CAST(unnest(range(1, 4)) AS INTEGER) AS version),
             vis AS (
               SELECT e.lo, e.hi, ver.version, arg_max(e.ins, e.v) AS ins
@@ -4190,6 +4218,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_edges,
                    CAST(SUM(lo * 100003 + hi) AS BIGINT) AS checksum
             FROM vis WHERE ins GROUP BY version
+        """,
+        # CDC replay: visibility at v1 and v3 off the same event log,
+        # EXCEPT in both directions.
+        "q_cdc": f"""
+            WITH {_SQL_TT_EV.strip()},
+            va AS (
+              SELECT lo, hi FROM (
+                SELECT lo, hi, arg_max(ins, v) AS ins
+                FROM ev WHERE v <= 1 GROUP BY lo, hi
+              ) WHERE ins
+            ),
+            vb AS (
+              SELECT lo, hi FROM (
+                SELECT lo, hi, arg_max(ins, v) AS ins
+                FROM ev WHERE v <= 3 GROUP BY lo, hi
+              ) WHERE ins
+            )
+            SELECT CAST(1 AS INTEGER) AS graph_id, 'add' AS op, lo, hi
+            FROM (SELECT lo, hi FROM vb EXCEPT SELECT lo, hi FROM va)
+            UNION ALL
+            SELECT CAST(1 AS INTEGER), 'del', lo, hi
+            FROM (SELECT lo, hi FROM va EXCEPT SELECT lo, hi FROM vb)
         """,
         "q_cliques4": f"""
             WITH {_sql_copurchase(

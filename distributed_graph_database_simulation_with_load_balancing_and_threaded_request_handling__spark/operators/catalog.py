@@ -199,6 +199,103 @@ def modify_graph(current: DataFrame, replacement_pairs: DataFrame, *, graph_id: 
     return kept.unionByName(replaced)
 
 
+def _delta_events(
+    base_pairs: DataFrame,
+    deltas: list[tuple[DataFrame | None, DataFrame | None]],
+) -> DataFrame:
+    """Net per-edge event log ``(lo, hi, v, ins)`` for a delta-log
+    history: version 1 inserts the canonical base set; each following
+    version contributes its canonical insert set and the delete set
+    MINUS the inserts (``merge_edges`` runs deletes first, so an edge
+    in both deltas nets to present — one insert event represents it).
+    Shared by ``snapshot_versions`` (read any version) and
+    ``snapshot_diff`` (CDC between versions)."""
+
+    def canon(pairs: DataFrame) -> DataFrame:
+        return (
+            pairs.where(F.col("src") != F.col("dst"))
+            .select(
+                F.least("src", "dst").cast("long").alias("lo"),
+                F.greatest("src", "dst").cast("long").alias("hi"),
+            )
+            .distinct()
+        )
+
+    def tagged(df: DataFrame, v: int, ins: bool) -> DataFrame:
+        return df.select(
+            "lo",
+            "hi",
+            F.lit(int(v)).alias("v"),
+            F.lit(bool(ins)).alias("ins"),
+        )
+
+    events = tagged(canon(base_pairs), 1, True)
+    for i, (insert_pairs, delete_pairs) in enumerate(deltas):
+        v = i + 2
+        ins_c = canon(insert_pairs) if insert_pairs is not None else None
+        if ins_c is not None:
+            events = events.unionByName(tagged(ins_c, v, True))
+        if delete_pairs is not None:
+            del_c = canon(delete_pairs)
+            if ins_c is not None:
+                del_c = del_c.join(ins_c, ["lo", "hi"], "left_anti")
+            events = events.unionByName(tagged(del_c, v, False))
+    return events
+
+
+def _visible_at(events: DataFrame, version: int) -> DataFrame:
+    """Canonical edge set ``(lo, hi)`` visible at ``version``: the
+    latest event at or before it decides (``max(struct(v, ins))`` —
+    one map-side-combined shuffle keyed on the edge)."""
+    return (
+        events.where(F.col("v") <= int(version))
+        .groupBy("lo", "hi")
+        .agg(F.max(F.struct(F.col("v"), F.col("ins"))).alias("last"))
+        .where(F.col("last.ins"))
+        .select("lo", "hi")
+    )
+
+
+def snapshot_diff(
+    base_pairs: DataFrame,
+    deltas: list[tuple[DataFrame | None, DataFrame | None]],
+    *,
+    v_from: int,
+    v_to: int,
+    graph_id: int,
+) -> DataFrame:
+    """Change-data-capture between two committed versions of the
+    delta-log catalog: ``(graph_id, op, lo, hi)`` where op is 'add'
+    for edges visible at ``v_to`` but not ``v_from`` and 'del' for
+    the reverse — the net diff a downstream consumer replays to move
+    a materialized copy from one snapshot to the other (intermediate
+    churn cancels out, exactly like Delta CDF between two versions).
+
+    Completes the lakehouse mutation trio: ``snapshot_versions``
+    (time-travel read), the streaming upsert view (continuous MERGE),
+    and this diff (CDC export).  Scale: two visibility passes over
+    the shared event log (each one edge-keyed shuffle) + two
+    anti-joins on the edge key; never a full-snapshot rewrite.
+    """
+    # The event log is narrow unions of small deltas — recomputing it
+    # for the two visibility passes is cheaper than holding a persist
+    # the (lazy) result would outlive.
+    events = _delta_events(base_pairs, deltas)
+    a = _visible_at(events, v_from)
+    b = _visible_at(events, v_to)
+    added = b.join(a, ["lo", "hi"], "left_anti").select(
+        F.lit("add").alias("op"), "lo", "hi"
+    )
+    removed = a.join(b, ["lo", "hi"], "left_anti").select(
+        F.lit("del").alias("op"), "lo", "hi"
+    )
+    return (
+        added.unionByName(removed)
+        .withColumn("graph_id", F.lit(int(graph_id)))
+        .select("graph_id", "op", "lo", "hi")
+    )
+
+
 def snapshot_versions(
     base_pairs: DataFrame,
     deltas: list[tuple[DataFrame | None, DataFrame | None]],
@@ -233,39 +330,7 @@ def snapshot_versions(
     new version-1 snapshot), the standard checkpoint move.
     """
     spark = base_pairs.sparkSession
-
-    def canon(pairs: DataFrame) -> DataFrame:
-        return (
-            pairs.where(F.col("src") != F.col("dst"))
-            .select(
-                F.least("src", "dst").cast("long").alias("lo"),
-                F.greatest("src", "dst").cast("long").alias("hi"),
-            )
-            .distinct()
-        )
-
-    def tagged(df: DataFrame, v: int, ins: bool) -> DataFrame:
-        return df.select(
-            "lo",
-            "hi",
-            F.lit(int(v)).alias("v"),
-            F.lit(bool(ins)).alias("ins"),
-        )
-
-    events = tagged(canon(base_pairs), 1, True)
-    for i, (insert_pairs, delete_pairs) in enumerate(deltas):
-        v = i + 2
-        ins_c = canon(insert_pairs) if insert_pairs is not None else None
-        if ins_c is not None:
-            events = events.unionByName(tagged(ins_c, v, True))
-        if delete_pairs is not None:
-            del_c = canon(delete_pairs)
-            if ins_c is not None:
-                # merge_edges net semantics: delete-then-insert at the
-                # same version leaves the edge present — the insert
-                # event alone represents the pair.
-                del_c = del_c.join(ins_c, ["lo", "hi"], "left_anti")
-            events = events.unionByName(tagged(del_c, v, False))
+    events = _delta_events(base_pairs, deltas)
     n_versions = len(deltas) + 1
     vers = spark.range(1, n_versions + 1).select(
         F.col("id").cast("int").alias("version")
