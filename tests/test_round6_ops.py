@@ -280,3 +280,51 @@ def test_audio_downsample_matches_python_replay(sess):
         assert r.peak == max(abs(v) for v in kept)
         assert r.sum_abs == sum(abs(v) for v in kept)
         assert r.sum_sq == sum(v * v for v in kept)
+
+
+def test_snapshot_diff_cancels_intermediate_churn(sess):
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.catalog import (
+        snapshot_diff,
+    )
+
+    base = sess.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    # v2 inserts (3,4) and deletes (1,2); v3 deletes (3,4) again and
+    # re-inserts (1,2): the v1 -> v3 diff must be EMPTY.
+    i2 = sess.createDataFrame([(3, 4)], "src long, dst long")
+    d2 = sess.createDataFrame([(1, 2)], "src long, dst long")
+    i3 = sess.createDataFrame([(1, 2)], "src long, dst long")
+    d3 = sess.createDataFrame([(3, 4)], "src long, dst long")
+    deltas = [(i2, d2), (i3, d3)]
+    assert snapshot_diff(
+        base, deltas, v_from=1, v_to=3, graph_id=1
+    ).count() == 0
+    mid = {
+        (r.op, r.lo, r.hi)
+        for r in snapshot_diff(
+            base, deltas, v_from=1, v_to=2, graph_id=1
+        ).collect()
+    }
+    assert mid == {("add", 3, 4), ("del", 1, 2)}
+
+
+def test_assortativity_matches_python_replay(sess):
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.graphalgs import (
+        degree_assortativity,
+    )
+
+    # star (disassortative, r < 0) plus a detached triangle.
+    pairs = [(1, 2), (1, 3), (1, 4), (1, 5), (6, 7), (7, 8), (6, 8)]
+    sym = pairs + [(b, a) for a, b in pairs]
+    deg = {}
+    for a, _ in sym:
+        deg[a] = deg.get(a, 0) + 1
+    m = len(sym)
+    sjk = sum(deg[a] * deg[b] for a, b in sym)
+    sj = sum(deg[a] for a, _ in sym)
+    sjj = sum(deg[a] ** 2 for a, _ in sym)
+    num, den = m * sjk - sj * sj, m * sjj - sj * sj
+    df = sess.createDataFrame(pairs, "src long, dst long")
+    row = degree_assortativity(df).collect()[0]
+    assert (row.m_directed, row.num, row.den) == (m, num, den)
+    assert row.num < 0  # the star drives r negative
+    assert row.r_ppm == -((-num * 10**6) // den)
