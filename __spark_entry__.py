@@ -66,6 +66,7 @@ from distributed_graph_database_simulation_with_load_balancing_and_threaded_requ
     pagerank_fixed_both,
     pagerank_prepare,
     personalized_pagerank_fixed,
+    random_walks,
     sssp,
     strongly_connected_components,
     triangle_counts,
@@ -98,6 +99,7 @@ from distributed_graph_database_simulation_with_load_balancing_and_threaded_requ
     lsh_topk,
     make_hyperplanes,
     pq_topk,
+    sq8_topk,
 )
 from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.textops import (
     PII_EMAIL,
@@ -174,6 +176,8 @@ from distributed_graph_database_simulation_with_load_balancing_and_threaded_requ
     resize_bitmaps,
 )
 from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.relational import (
+    revenue_trend,
+    spend_outliers,
     brand_revenue,
     customer_order_distribution,
     customers_without_orders,
@@ -3443,6 +3447,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round(F.col("n_matched") / 10.0, 6).alias("recall"),
         )
 
+
+    def q_walks(spark, sf_dir):
+        # Deterministic DeepWalk corpus (one 4-step uniform walk per
+        # vertex) over the 1995 co-purchase graph: the neighbor pick
+        # is a seeded md5 index into the dst-sorted adjacency, so the
+        # emitted (walk, position, vertex) corpus is bit-reproducible
+        # and replayable in ANSI SQL.
+        edges = copurchase_edges(
+            spark, sf_dir, ship_range=("1995-01-01", "1996-01-01")
+        )
+        return random_walks(edges, walk_len=4)
+
+    def q_sq8_topk(spark, sf_dir):
+        # Scalar-quantized (1 byte/dim) approximate top-k: symmetric
+        # uint8 codes against shared per-dimension min/max bounds,
+        # BIGINT dot-product score — exact cross-engine, no rounding
+        # contract at all.
+        emb = load_table(spark, sf_dir, "embeddings")
+        qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+        return sq8_topk(emb, qvec, 10)
+
+    def q_sq8_recall(spark, sf_dir):
+        # Measured SQ8 quality: overlap of the quantized top-10 with
+        # the exact cosine top-10 (the q_pq_recall pattern).
+        emb = load_table(spark, sf_dir, "embeddings")
+        qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+        exact = cosine_topk(emb, qvec, 10).select("vec_id")
+        approx = sq8_topk(emb, qvec, 10).select("vec_id")
+        return exact.join(approx, "vec_id").agg(
+            F.count("*").cast("long").alias("n_matched")
+        ).select(
+            F.lit(10).cast("long").alias("k"),
+            "n_matched",
+            F.round(F.col("n_matched") / 10.0, 6).alias("recall"),
+        )
+
+    def q_outliers(spark, sf_dir):
+        # Per-customer z-score spend anomalies; the outlier FLAG is a
+        # pure-BIGINT inequality ((n*y-S)^2 >= t^2*(n*SS-S^2)) so the
+        # flagged set cannot drift across engines at a float boundary.
+        return spend_outliers(load_table(spark, sf_dir, "orders"))
+
+    def q_trend(spark, sf_dir):
+        # Closed-form OLS daily-revenue trend, DECIMAL(38,0)-exact
+        # moments, sign-safe integral renderings (assortativity idiom).
+        return revenue_trend(load_table(spark, sf_dir, "orders"))
+
     # Registry ORDER matters: the driver's oracle gate checks only the
     # FIRST 50 entries per round, so the window ROTATES — this round's
     # new queries lead, then the 15 queries whose official rows aged to
@@ -3455,6 +3506,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # must sit inside the current window.
     return {
         # -- new this round (round 6; inside the 50-entry window) --
+        "q_walks": q_walks,
+        "q_sq8_topk": q_sq8_topk,
+        "q_sq8_recall": q_sq8_recall,
+        "q_outliers": q_outliers,
+        "q_trend": q_trend,
         "q_cube": q_cube,
         "q_cdc": q_cdc,
         "q_heavy_hitters": q_heavy_hitters,
@@ -3636,6 +3692,111 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pricing_summary": q_pricing_summary,
         "q_event_windows": q_event_windows,
     }
+
+
+
+def _sql_random_walks(walk_len: int = 4) -> str:
+    """Replay of graphalgs.random_walks(walk_len) over the 1995
+    co-purchase graph: dst-sorted indexed adjacency, and at step t of
+    walk w on vertex v the pick is int(md5('walk:w:t:v')[:8], 16) %
+    deg(v) — DuckDB's ('0x'||hex)::BIGINT equals Spark's
+    conv(hex,16,10) on 32-bit values, so the corpus matches row for
+    row."""
+    parts = [
+        f"WITH {_sql_copurchase(_KCORE_SHIP_WHERE)}",
+        "sym AS (SELECT src, dst FROM ce UNION ALL SELECT dst, src FROM ce)",
+        "adj AS (SELECT src, dst, ROW_NUMBER() OVER "
+        "(PARTITION BY src ORDER BY dst) - 1 AS idx FROM sym)",
+        "deg AS (SELECT src AS v, COUNT(*) AS d FROM sym GROUP BY src)",
+        "w0 AS (SELECT v AS walk_id, v AS vertex FROM deg)",
+    ]
+    for t in range(1, walk_len + 1):
+        pick = (
+            "('0x' || substr(md5('walk:' || CAST(p.walk_id AS VARCHAR) || "
+            f"':{t}:' || CAST(p.vertex AS VARCHAR)), 1, 8))::BIGINT % d.d"
+        )
+        parts.append(
+            f"w{t} AS (SELECT p.walk_id, a.dst AS vertex "
+            f"FROM w{t - 1} p JOIN deg d ON d.v = p.vertex "
+            f"JOIN adj a ON a.src = p.vertex AND a.idx = {pick})"
+        )
+    sel = " UNION ALL ".join(
+        f"SELECT CAST(walk_id AS BIGINT) AS walk_id, "
+        f"CAST({t} AS INTEGER) AS step, CAST(vertex AS BIGINT) AS vertex "
+        f"FROM w{t}"
+        for t in range(walk_len + 1)
+    )
+    return ",\n".join(parts) + "\n" + sel
+
+
+# similarity.sq8_topk replayed: per-dimension min/max bounds, uint8
+# codes for vectors AND the id-0 query, BIGINT symmetric dot score.
+_SQL_SQ8_TOPK = """
+    WITH vecs AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings),
+    dims AS (SELECT id, unnest(dv) AS val, generate_subscripts(dv, 1) AS pos FROM vecs),
+    rng AS (SELECT pos, MIN(val) AS mn, MAX(val) AS mx FROM dims GROUP BY pos),
+    codes AS (
+      SELECT d.id, d.pos,
+             CASE WHEN r.mx - r.mn = 0 THEN 0
+                  ELSE LEAST(255, GREATEST(0,
+                       CAST(floor((d.val - r.mn) * 255 / (r.mx - r.mn)) AS BIGINT)))
+             END AS c
+      FROM dims d JOIN rng r USING (pos)),
+    q AS (SELECT pos, c AS qc FROM codes WHERE id = 0),
+    scores AS (SELECT c.id AS vec_id, CAST(SUM(c.c * q.qc) AS BIGINT) AS score
+               FROM codes c JOIN q USING (pos) GROUP BY c.id),
+    top AS (SELECT vec_id, score FROM scores ORDER BY score DESC, vec_id LIMIT 10)
+    SELECT vec_id, score,
+           CAST(ROW_NUMBER() OVER (ORDER BY score DESC, vec_id) AS INTEGER) AS rank
+    FROM top
+"""
+
+
+# relational.spend_outliers replayed: integer moments, pure-BIGINT
+# outlier inequality, float only in the reported z.
+_SQL_OUTLIERS = """
+    WITH r AS (SELECT o_custkey, o_orderkey,
+                      CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+               FROM orders),
+    mom AS (SELECT o_custkey, COUNT(*) AS n, SUM(cents) AS s,
+                   SUM(cents * cents) AS ss
+            FROM r GROUP BY o_custkey)
+    SELECT r.o_custkey, r.o_orderkey, r.cents,
+           CAST(m.n AS BIGINT) AS n_orders,
+           round(CAST(m.n * r.cents - m.s AS DOUBLE)
+                 / sqrt(CAST(m.n * m.ss - m.s * m.s AS DOUBLE)), 4) AS z
+    FROM r JOIN mom m USING (o_custkey)
+    WHERE m.n >= 5
+      AND m.n * m.ss - m.s * m.s > 0
+      AND (m.n * r.cents - m.s) * (m.n * r.cents - m.s)
+          >= 4 * (m.n * m.ss - m.s * m.s)
+"""
+
+
+# relational.revenue_trend replayed: HUGEINT-exact OLS moments,
+# floor-division only on non-negatives (// == Spark DIV there).
+_SQL_TREND = """
+    WITH daily AS (
+      SELECT datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS x,
+             SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS y
+      FROM orders GROUP BY 1),
+    s AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, CAST(SUM(x) AS HUGEINT) AS sx,
+                 CAST(SUM(y) AS HUGEINT) AS sy,
+                 CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+                 CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+          FROM daily),
+    t AS (SELECT n, sx, sy, n * sxy - sx * sy AS num, n * sxx - sx * sx AS den FROM s)
+    SELECT CAST(n AS BIGINT) AS n_days,
+           CAST(CASE WHEN num >= 0 THEN (num * 1000000) // den
+                     ELSE -((-num * 1000000) // den) END AS BIGINT)
+             AS slope_ppm_cents_per_day,
+           CAST(CASE WHEN sy * den - num * sx >= 0
+                     THEN (sy * den - num * sx) // (n * den)
+                     ELSE -((-(sy * den - num * sx)) // (n * den)) END AS BIGINT)
+             AS intercept_cents
+    FROM t
+"""
+
 
 def oracle_sql() -> dict[str, str]:
     # Morton interleave as pure integer arithmetic (mirrors
@@ -3966,6 +4127,11 @@ def oracle_sql() -> dict[str, str]:
                        AS gini_ppm
             FROM r
         """,
+        "q_walks": _sql_random_walks(walk_len=4),
+        "q_sq8_topk": _SQL_SQ8_TOPK,
+        "q_sq8_recall": _sql_topk_recall(_SQL_SQ8_TOPK),
+        "q_outliers": _SQL_OUTLIERS,
+        "q_trend": _SQL_TREND,
         "q_cube": """
             WITH base AS (
               SELECT o_orderpriority AS priority,

@@ -1890,3 +1890,108 @@ def degree_assortativity(edges: DataFrame, *, graph_id: int | None = None) -> Da
             ).alias("r_ppm"),
         )
     )
+
+
+def random_walks(
+    edges: DataFrame,
+    *,
+    walk_len: int = 4,
+    salt: str = "walk",
+    graph_id: int | None = None,
+) -> DataFrame:
+    """Deterministic uniform random walks over the symmetrized graph,
+    one walk started at every vertex (the DeepWalk / node2vec p=q=1
+    corpus-generation step: the emitted (walk, position, vertex)
+    sequences are the "sentences" a skip-gram embedding trains on).
+
+    The "random" choice is a seeded, engine-portable hash: at step t
+    of walk w standing on vertex v, the next neighbor is
+
+        idx = int(md5('{salt}:w:t:v')[:8 hex], 16) % deg(v)
+
+    into v's dst-sorted adjacency.  That makes the corpus exactly
+    reproducible run to run (a property the ad-hoc RNG of a driver
+    loop cannot give) and replayable in ANSI SQL for the value
+    oracle — the same md5-keyed determinism contract as the sampling
+    and MIS operators.
+
+    Scale posture (100 TB): the adjacency is indexed once
+    (``row_number`` partitioned by src — one shuffle; a hub's
+    neighbor list sorts inside its own partition) and persisted
+    across the ``walk_len`` supersteps.  Each superstep is two 1:1
+    equi-joins of the O(V) frontier — (vertex -> deg) to form the
+    pick, then (vertex, pick) -> next — so a walk transition costs
+    O(1) rows JOINED, never a neighbor-list expansion: stepping off a
+    100M-degree celebrity vertex moves one row, not 100M.  Every
+    vertex of the symmetric graph has deg >= 1, so walks never
+    terminate early and the output is exactly V * (walk_len + 1)
+    rows.  No collect; the loop is width-bounded (walk_id, vertex).
+
+    Reference scope note: the reference engine's traversals are BFS/
+    DFS only (secondary_server.c:83, :162); walks are part of the
+    training-data extension surface (SURVEY.md section 2.3).
+    """
+    from pyspark.sql.window import Window
+
+    e = canonical_edges(edges, graph_id=graph_id)
+    sym = e.unionAll(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    # Distinct column names on the (shared-lineage) adjacency and
+    # degree tables keep the walk_len self-joins unambiguous.
+    adj = sym.select(
+        F.col("src").alias("a_src"),
+        F.col("dst").alias("a_dst"),
+        (
+            F.row_number().over(Window.partitionBy("src").orderBy("dst")) - 1
+        ).alias("a_idx"),
+    ).persist()
+    deg = (
+        sym.groupBy("src")
+        .agg(F.count("*").alias("d_deg"))
+        .select(F.col("src").alias("d_v"), "d_deg")
+        .persist()
+    )
+
+    state = deg.select(
+        F.col("d_v").alias("walk_id"), F.col("d_v").alias("vertex")
+    )
+    outs = [state.withColumn("step", F.lit(0).cast("int"))]
+    for t in range(1, walk_len + 1):
+        pick_hash = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.lit(salt),
+                        F.col("walk_id").cast("string"),
+                        F.lit(str(t)),
+                        F.col("vertex").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        staged = (
+            state.join(deg, F.col("vertex") == F.col("d_v"))
+            .withColumn("pick", pick_hash % F.col("d_deg"))
+            .select("walk_id", "vertex", "pick")
+        )
+        state = staged.join(
+            adj,
+            (F.col("vertex") == F.col("a_src"))
+            & (F.col("pick") == F.col("a_idx")),
+        ).select("walk_id", F.col("a_dst").alias("vertex"))
+        outs.append(state.withColumn("step", F.lit(t).cast("int")))
+
+    result = outs[0]
+    for o in outs[1:]:
+        result = result.unionAll(o)
+    return result.select(
+        F.col("walk_id").cast("long").alias("walk_id"),
+        "step",
+        F.col("vertex").cast("long").alias("vertex"),
+    )

@@ -1871,3 +1871,132 @@ def decile_table(orders: DataFrame, *, n_buckets: int = 10) -> DataFrame:
             F.max("cents").cast("long").alias("max_cents"),
         )
     )
+
+
+def spend_outliers(
+    orders: DataFrame,
+    *,
+    min_orders: int = 5,
+    z_threshold: int = 2,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Per-customer z-score anomaly detection over order spend: flag
+    orders whose total is >= ``z_threshold`` population standard
+    deviations from that customer's own mean (the per-entity outlier
+    sweep a data-quality pipeline runs before training on transaction
+    streams).
+
+    Cross-engine exactness: with integer cents y and per-customer
+    exact sums S = sum(y), SS = sum(y^2) over n orders,
+
+        z = (n*y - S) / sqrt(n*SS - S^2)     (algebraic identity)
+
+    and the FLAG is evaluated without any float at all:
+    |z| >= t  <=>  (n*y - S)^2 >= t^2 * (n*SS - S^2) — a pure BIGINT
+    comparison, so the flagged row set cannot drift across engines
+    from a float boundary; only the reported z value itself touches
+    doubles (exact-integer inputs -> IEEE sqrt/divide -> round).
+
+    Scale posture: one groupBy(custkey) for the moments (map-side
+    combined), one 1:1 join back on the grouping key (AQE reuses the
+    partitioning), no window over unbounded partitions, output is the
+    outlier rows only.  Headroom: BIGINT holds (n*y - S)^2 through
+    ~1e9-cent orders at n ~ 1e2; past that, the same algebra in
+    DECIMAL(38,0) (the gini_concentration idiom).
+
+    Returns ``(o_custkey, o_orderkey, cents, n_orders, z)`` for
+    flagged orders with at least ``min_orders`` orders behind the
+    estimate (small-n z-scores are noise).
+    """
+    cents = F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+    rows = orders.select("o_custkey", "o_orderkey", cents.alias("cents"))
+    mom = rows.groupBy("o_custkey").agg(
+        F.count("*").alias("n"),
+        F.sum("cents").alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).alias("ss"),
+    )
+    j = rows.join(mom, "o_custkey")
+    num = F.col("n") * F.col("cents") - F.col("s")
+    den = F.col("n") * F.col("ss") - F.col("s") * F.col("s")
+    t2 = int(z_threshold) * int(z_threshold)
+    return (
+        j.where(F.col("n") >= int(min_orders))
+        .where(den > 0)
+        .where(num * num >= F.lit(t2) * den)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "cents",
+            F.col("n").cast("long").alias("n_orders"),
+            F.round(
+                num.cast("double") / F.sqrt(den.cast("double")), round_digits
+            ).alias("z"),
+        )
+    )
+
+
+def revenue_trend(orders: DataFrame, *, scale: int = 10**6) -> DataFrame:
+    """Closed-form OLS trend of daily revenue — the slope/intercept
+    fit a forecasting pipeline reads off the fact table (y = cents of
+    revenue per day, x = days since 1992-01-01).  All moments are
+    exact integers; the line is reported as sign-safe integer
+    renderings (the degree_assortativity contract — integral div of
+    non-negatives only, so truncate-vs-floor never disagrees across
+    engines; the raw rational stays DECIMAL-internal because n*Sxy
+    outgrows BIGINT one scale factor up):
+
+        slope     = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2)   [cents/day]
+        intercept = (Sy*den - num*Sx) / (n*den)        [cents]
+
+    Scale posture: one groupBy(day) (map-side combined; day count is
+    bounded by the calendar, not the data), one single-row global
+    aggregate.  The cross products overflow BIGINT at gate scale
+    already (n*Sxy ~ 1e19), so the algebra runs in DECIMAL(38,0)
+    end-to-end — exact in both engines (HUGEINT on the DuckDB side).
+
+    Returns ONE row ``(n_days, slope_ppm_cents_per_day,
+    intercept_cents)``.
+    """
+    cents = F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+    daily = (
+        orders.select(
+            F.datediff(F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")).alias("x"),
+            cents.alias("y"),
+        )
+        .groupBy("x")
+        .agg(F.sum("y").alias("y"))
+    )
+    sums = daily.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * y")).alias("sxy"),
+    )
+    return sums.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.expr(
+            "CAST(CAST(n AS DECIMAL(38,0)) * sxy "
+            "- CAST(sx AS DECIMAL(38,0)) * sy AS DECIMAL(38,0))"
+        ).alias("_num"),
+        F.expr(
+            "CAST(CAST(n AS DECIMAL(38,0)) * sxx "
+            "- CAST(sx AS DECIMAL(38,0)) * sx AS DECIMAL(38,0))"
+        ).alias("_den"),
+        F.col("sx").cast("long").alias("_sx"),
+        F.col("sy").cast("long").alias("_sy"),
+    ).select(
+        "n_days",
+        F.expr(
+            f"CAST(CASE WHEN _num >= 0 "
+            f"THEN (_num * {int(scale)}) DIV _den "
+            f"ELSE -((-_num * {int(scale)}) DIV _den) END AS LONG)"
+        ).alias("slope_ppm_cents_per_day"),
+        F.expr(
+            "CAST(CASE WHEN CAST(_sy AS DECIMAL(38,0)) * _den - _num * _sx >= 0 "
+            "THEN (CAST(_sy AS DECIMAL(38,0)) * _den - _num * _sx) "
+            "DIV (CAST(n_days AS DECIMAL(38,0)) * _den) "
+            "ELSE -((-(CAST(_sy AS DECIMAL(38,0)) * _den - _num * _sx)) "
+            "DIV (CAST(n_days AS DECIMAL(38,0)) * _den)) END AS LONG)"
+        ).alias("intercept_cents"),
+    )

@@ -873,3 +873,116 @@ def cosine_range_search(
         )
         .where(F.col("sim") >= float(threshold))
     )
+
+
+def sq8_params(
+    embeddings: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[list[float], list[float]]:
+    """Per-dimension (min, max) quantization bounds for scalar
+    quantization: ONE scan (posexplode -> groupBy(dim) -> min/max),
+    collecting exactly ``dim`` rows driver-side (the bounded
+    centroids/codebooks collect pattern — never the data path).
+    min/max are order-insensitive picks of existing float values, so
+    the bounds are exactly reproducible in any engine (no float-sum
+    nondeterminism)."""
+    rows = (
+        embeddings.select(
+            F.posexplode(as_double_vec(F.col(vec_col))).alias("pos", "val")
+        )
+        .groupBy("pos")
+        .agg(F.min("val").alias("mn"), F.max("val").alias("mx"))
+        .orderBy("pos")
+        .collect()
+    )
+    return [float(r["mn"]) for r in rows], [float(r["mx"]) for r in rows]
+
+
+def _sq8_code_col(vec: Column, mns: list[float], mxs: list[float], levels: int) -> Column:
+    """uint8 codes for one double-vector column: per dimension d,
+    floor((v - mn_d) * levels / (mx_d - mn_d)) clamped to [0, levels]
+    (degenerate mn==mx dims code to 0).  Bounds enter the plan as
+    literal arrays indexed by ``transform``'s position argument —
+    pure JVM codegen, no UDF, and the exact arithmetic the SQL oracle
+    replays (identical IEEE expression tree)."""
+    mn_arr = F.array(*[F.lit(float(x)) for x in mns])
+    rng_arr = F.array(*[F.lit(float(x - n)) for n, x in zip(mns, mxs)])
+    lv = F.lit(int(levels)).cast("long")
+    zero = F.lit(0).cast("long")
+    return F.transform(
+        vec,
+        lambda x, i: F.when(F.element_at(rng_arr, i + 1) == 0.0, zero).otherwise(
+            F.least(
+                lv,
+                F.greatest(
+                    zero,
+                    F.floor(
+                        (x - F.element_at(mn_arr, i + 1))
+                        * float(levels)
+                        / F.element_at(rng_arr, i + 1)
+                    ),
+                ),
+            )
+        ),
+    )
+
+
+def sq8_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    levels: int = 255,
+) -> DataFrame:
+    """Scalar-quantized (SQ8) approximate top-k by SYMMETRIC integer
+    dot product: every vector — and the query — is encoded to one
+    uint8 code per dimension against shared per-dimension min/max
+    bounds, and similarity is ``sum_d qcode_d * vcode_d`` — pure
+    BIGINT arithmetic, so the score (unlike a float ADC) is exact
+    cross-engine with no rounding contract at all.
+
+    This is the third point on the index-compression spectrum the
+    engine exposes (exact float scan -> SQ8 at 1 byte/dim -> PQ at
+    m bytes/vector): SQ8 keeps per-dimension resolution that PQ's
+    shared codebooks trade away, at 4x the footprint of m=16 PQ but
+    1/8 of the raw float column.
+
+    Scale posture (100 TB): the bounds are a dim-row collect
+    (``sq8_params``); encoding is ``transform`` over literal bound
+    arrays (JVM codegen, no UDF, no shuffle); scoring reads only the
+    code column; top-k is TakeOrderedAndProject (partial per-partition
+    top-k, no global sort).  At index-build time the code column is
+    what you persist — the float column never needs to be read again
+    for scoring.
+
+    Returns ``(vec_id, score, rank)`` with BIGINT score.
+    """
+    mns, mxs = sq8_params(embeddings, vec_col=vec_col, id_col=id_col)
+    qc: list[int] = []
+    for q, mn, mx in zip(query_vec, mns, mxs):
+        r = mx - mn
+        if r == 0.0:
+            qc.append(0)
+        else:
+            qc.append(
+                min(int(levels), max(0, math.floor((float(q) - mn) * levels / r)))
+            )
+    qcodes = F.array(*[F.lit(int(c)).cast("long") for c in qc])
+    codes = _sq8_code_col(as_double_vec(F.col(vec_col)), mns, mxs, levels)
+    score = F.aggregate(
+        F.zip_with(codes, qcodes, lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    sims = embeddings.select(
+        F.col(id_col).cast("long").alias("vec_id"), score.alias("score")
+    )
+    from pyspark.sql.window import Window
+
+    top = sims.orderBy(F.col("score").desc(), F.col("vec_id")).limit(k)
+    w = Window.orderBy(F.col("score").desc(), F.col("vec_id"))
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))
