@@ -1898,6 +1898,7 @@ def random_walks(
     walk_len: int = 4,
     salt: str = "walk",
     graph_id: int | None = None,
+    loop_shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """Deterministic uniform random walks over the symmetrized graph,
     one walk started at every vertex (the DeepWalk / node2vec p=q=1
@@ -1926,6 +1927,13 @@ def random_walks(
     vertex of the symmetric graph has deg >= 1, so walks never
     terminate early and the output is exactly V * (walk_len + 1)
     rows.  No collect; the loop is width-bounded (walk_id, vertex).
+    ``loop_shuffle_partitions`` right-sizes the superstep shuffles
+    (the sssp idiom, scoped set/restore): a frontier of thousands of
+    rows should not pay a scan-width shuffle 2*walk_len times.  Each
+    superstep ends in a LAZY localCheckpoint; the final state's eager
+    checkpoint materializes the whole chain in one action, after
+    which the adjacency can be released — the union branches read
+    cached step blocks only.
 
     Reference scope note: the reference engine's traversals are BFS/
     DFS only (secondary_server.c:83, :162); walks are part of the
@@ -1945,53 +1953,184 @@ def random_walks(
         (
             F.row_number().over(Window.partitionBy("src").orderBy("dst")) - 1
         ).alias("a_idx"),
-    ).persist()
-    deg = (
-        sym.groupBy("src")
-        .agg(F.count("*").alias("d_deg"))
-        .select(F.col("src").alias("d_v"), "d_deg")
-        .persist()
     )
+    deg = sym.groupBy("src").agg(F.count("*").alias("d_deg")).select(
+        F.col("src").alias("d_v"), "d_deg"
+    )
+    if loop_shuffle_partitions is not None:
+        adj = adj.coalesce(int(loop_shuffle_partitions))
+        deg = deg.coalesce(int(loop_shuffle_partitions))
+    adj = adj.persist()
+    deg = deg.persist()
+    spark = adj.sparkSession
+    _parts_key = "spark.sql.shuffle.partitions"
+    _prev_parts = spark.conf.get(_parts_key)
+    if loop_shuffle_partitions is not None:
+        spark.conf.set(_parts_key, str(int(loop_shuffle_partitions)))
 
-    state = deg.select(
-        F.col("d_v").alias("walk_id"), F.col("d_v").alias("vertex")
-    )
-    outs = [state.withColumn("step", F.lit(0).cast("int"))]
-    for t in range(1, walk_len + 1):
-        pick_hash = F.conv(
-            F.substring(
-                F.md5(
-                    F.concat_ws(
-                        ":",
-                        F.lit(salt),
-                        F.col("walk_id").cast("string"),
-                        F.lit(str(t)),
-                        F.col("vertex").cast("string"),
-                    )
+    try:
+        state = deg.select(
+            F.col("d_v").alias("walk_id"), F.col("d_v").alias("vertex")
+        ).localCheckpoint(eager=False)
+        outs = [state.withColumn("step", F.lit(0).cast("int"))]
+        for t in range(1, walk_len + 1):
+            pick_hash = F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":",
+                            F.lit(salt),
+                            F.col("walk_id").cast("string"),
+                            F.lit(str(t)),
+                            F.col("vertex").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
                 ),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("long")
-        staged = (
-            state.join(deg, F.col("vertex") == F.col("d_v"))
-            .withColumn("pick", pick_hash % F.col("d_deg"))
-            .select("walk_id", "vertex", "pick")
-        )
-        state = staged.join(
-            adj,
-            (F.col("vertex") == F.col("a_src"))
-            & (F.col("pick") == F.col("a_idx")),
-        ).select("walk_id", F.col("a_dst").alias("vertex"))
-        outs.append(state.withColumn("step", F.lit(t).cast("int")))
+                16,
+                10,
+            ).cast("long")
+            staged = (
+                state.join(deg, F.col("vertex") == F.col("d_v"))
+                .withColumn("pick", pick_hash % F.col("d_deg"))
+                .select("walk_id", "vertex", "pick")
+            )
+            state = staged.join(
+                adj,
+                (F.col("vertex") == F.col("a_src"))
+                & (F.col("pick") == F.col("a_idx")),
+            ).select("walk_id", F.col("a_dst").alias("vertex"))
+            # Lazy checkpoint per superstep: lineage stays O(1), and
+            # the chained blocks materialize in sequence under the
+            # ONE eager action below (the sssp probe pattern) — no
+            # per-step job floor, no per-branch recompute.
+            eager = t == walk_len
+            state = state.localCheckpoint(eager=eager)
+            outs.append(state.withColumn("step", F.lit(t).cast("int")))
 
-    result = outs[0]
-    for o in outs[1:]:
-        result = result.unionAll(o)
-    return result.select(
-        F.col("walk_id").cast("long").alias("walk_id"),
-        "step",
-        F.col("vertex").cast("long").alias("vertex"),
+        result = outs[0]
+        for o in outs[1:]:
+            result = result.unionAll(o)
+        return result.select(
+            F.col("walk_id").cast("long").alias("walk_id"),
+            "step",
+            F.col("vertex").cast("long").alias("vertex"),
+        )
+    finally:
+        if loop_shuffle_partitions is not None:
+            spark.conf.set(_parts_key, _prev_parts)
+        adj.unpersist(blocking=False)
+        deg.unpersist(blocking=False)
+
+
+def neighbor_sample(
+    edges: DataFrame,
+    *,
+    k: int = 3,
+    salt: str = "nbr",
+    graph_id: int | None = None,
+) -> DataFrame:
+    """Deterministic GraphSAGE-style neighbor sampling: for every
+    vertex keep up to ``k`` neighbors, chosen by ascending
+    ``md5(salt:src:dst)`` (a seeded uniform draw without replacement
+    — the mini-batch fan-in cap GNN training uses so a celebrity
+    vertex contributes k rows, not its whole neighbor list).
+
+    Engine-portable by the usual md5 contract: the hex strings order
+    identically in any engine, ties (impossible for distinct dst, but
+    pinned anyway) break on dst.  Returns ``(src, dst, sample_rank)``
+    with sample_rank 1..k.
+
+    Scale posture: ONE row_number window partitioned by src — each
+    vertex's candidates sort inside its own partition (never a global
+    window), and the output is hard-capped at k rows per vertex, so
+    downstream joins see bounded fan-in regardless of skew.  For
+    degrees so extreme one vertex's list breaks a task, pre-thin with
+    a coarse hash filter on md5 before the window (same order, fewer
+    rows) — the standard top-k-per-key escalation.
+    """
+    from pyspark.sql.window import Window
+
+    e = canonical_edges(edges, graph_id=graph_id)
+    sym = e.unionAll(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    pri = F.md5(
+        F.concat_ws(
+            ":",
+            F.lit(salt),
+            F.col("src").cast("string"),
+            F.col("dst").cast("string"),
+        )
+    )
+    w = Window.partitionBy("src").orderBy(pri, F.col("dst"))
+    return (
+        sym.withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= int(k))
+        .select(
+            F.col("src").cast("long").alias("src"),
+            F.col("dst").cast("long").alias("dst"),
+            F.col("sample_rank").cast("int").alias("sample_rank"),
+        )
+    )
+
+
+def feature_propagation(
+    edges: DataFrame,
+    features: DataFrame,
+    *,
+    hops: int = 2,
+    graph_id: int | None = None,
+    id_col: str = "vertex",
+    feat_col: str = "feat",
+) -> DataFrame:
+    """Linear neighborhood aggregation — the SIGN / GraphSAGE
+    preprocessing step that materializes h_k = A·h_{k-1} so GNN
+    training becomes plain table learning: h_0 is an INTEGER vertex
+    feature, and hop k sums the (k-1)-hop values of the immediate
+    neighbors (walks with backtracking — the standard linear
+    operator, exactly A^k·x).
+
+    All-integer (sums of BIGINT features), so the readout is exact
+    cross-engine with no float contract.  Vertices missing from
+    ``features`` propagate 0 (COALESCE on the feature join);
+    vertices absent from the graph do not appear.
+
+    Scale posture: each hop is ONE edges-x-values equi-join shuffled
+    on the vertex key plus ONE map-side-combined groupBy — the
+    textbook distributed SpMV; hop count is the only multiplier.  The
+    degree column rides the same aggregation.  At extreme feature
+    width, h_k becomes an array and the same join/agg applies
+    elementwise (zip_with sums) — the scalar form here is the
+    declared surface.
+
+    Returns ``(vertex, degree, h1, ..., h<hops>)``.
+    """
+    e = canonical_edges(edges, graph_id=graph_id)
+    sym = e.unionAll(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    verts = sym.groupBy(F.col("src").alias("v")).agg(
+        F.count("*").alias("degree")
+    )
+    h = features.select(
+        F.col(id_col).alias("fv"), F.col(feat_col).cast("long").alias("h")
+    )
+    out = verts
+    for hop in range(1, int(hops) + 1):
+        agg = (
+            sym.join(h, sym["dst"] == h["fv"])
+            .groupBy(F.col("src").alias("v2"))
+            .agg(F.sum("h").alias(f"h{hop}"))
+        )
+        out = out.join(agg, out["v"] == agg["v2"], "left").drop("v2")
+        out = out.withColumn(f"h{hop}", F.coalesce(F.col(f"h{hop}"), F.lit(0)))
+        h = out.select(
+            F.col("v").alias("fv"), F.col(f"h{hop}").cast("long").alias("h")
+        )
+    return out.select(
+        F.col("v").cast("long").alias("vertex"),
+        F.col("degree").cast("long").alias("degree"),
+        *[F.col(f"h{i}").cast("long").alias(f"h{i}") for i in range(1, int(hops) + 1)],
     )

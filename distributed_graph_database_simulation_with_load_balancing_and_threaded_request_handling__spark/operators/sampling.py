@@ -289,3 +289,38 @@ def group_sample_exact(
         df.withColumn("sample_rank", F.row_number().over(w))
         .where(F.col("sample_rank") <= k)
     )
+
+
+def grouped_split_summary(
+    df: DataFrame,
+    *,
+    group_col: str = "source",
+    fracs: dict[str, float] | None = None,
+    salt: str = "gsplit",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Leakage-safe dataset split: the md5 decision variable hashes
+    the GROUP key, not the row id, so every row of a group lands in
+    the same split — the contamination guard for web corpora, where
+    near-duplicates cluster by origin and a row-hashed split leaks
+    them across train/test.  (Composes ``train_split`` with
+    ``id_col=group_col``; the no-straddle property is then true BY
+    CONSTRUCTION — the split is a pure function of the group key.)
+
+    Returns the per-split audit row a pipeline logs: ``(split,
+    n_groups, n_rows[, total_weight])``.
+
+    Scale posture: the assignment is a codegen'd projection (zero
+    shuffles); the audit is one groupBy(split) with a distinct-count
+    — at 100 TB swap count_distinct for approx_count_distinct or a
+    two-level (split, group) pre-aggregation; output is |splits| rows
+    either way.
+    """
+    assigned = train_split(df, id_col=group_col, fracs=fracs, salt=salt)
+    aggs = [
+        F.countDistinct(group_col).cast("long").alias("n_groups"),
+        F.count("*").cast("long").alias("n_rows"),
+    ]
+    if weight_col is not None:
+        aggs.append(F.sum(weight_col).cast("long").alias("total_weight"))
+    return assigned.groupBy("split").agg(*aggs)

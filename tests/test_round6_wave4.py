@@ -203,3 +203,84 @@ def test_wave4_plans_have_no_antipatterns(spark):
     plan = qs["q_sq8_topk"](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "ArrowEvalPython" not in plan
+
+
+# --------------------------------------------- neighbor sampling
+
+def test_neighbor_sample_caps_and_replays(spark):
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.graphalgs import (
+        neighbor_sample,
+    )
+
+    star = [(1, i) for i in range(2, 9)] + [(2, 3)]  # hub 1 (deg 7)
+    got = neighbor_sample(make_edges(spark, star), k=3).collect()
+    by_src = {}
+    for r in got:
+        by_src.setdefault(r["src"], []).append((r["sample_rank"], r["dst"]))
+    # hub capped at k, low-degree vertices keep their full list
+    assert len(by_src[1]) == 3
+    assert len(by_src[4]) == 1
+    for src, lst in by_src.items():
+        assert sorted(rk for rk, _ in lst) == list(range(1, len(lst) + 1))
+    # python replay of the md5 priority order
+    adj = {}
+    for u, v in star:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    for src, lst in by_src.items():
+        exp = sorted(
+            adj[src],
+            key=lambda d: (hashlib.md5(f"nbr:{src}:{d}".encode()).hexdigest(), d),
+        )[:3]
+        assert [d for _, d in sorted(lst)] == exp
+
+
+# ------------------------------------------- feature propagation
+
+def test_feature_propagation_matches_hand_sums(spark):
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.graphalgs import (
+        feature_propagation,
+    )
+
+    path = [(1, 2), (2, 3)]  # 1-2-3
+    feats = spark.createDataFrame(
+        [(1, 10), (2, 100)], "vertex long, feat long"  # vertex 3 missing -> 0
+    )
+    got = {
+        r["vertex"]: (r["degree"], r["h1"], r["h2"])
+        for r in feature_propagation(make_edges(spark, path), feats, hops=2).collect()
+    }
+    # h1: sums of neighbor h0 (missing features contribute 0)
+    # h2: sums of neighbor h1 (walks WITH backtracking: A^2 x)
+    assert got[1] == (1, 100, 10)      # h2(1) = h1(2) = 10+0
+    assert got[2] == (2, 10, 200)      # h1(2) = 10+0; h2(2) = h1(1)+h1(3) = 100+100
+    assert got[3] == (1, 100, 10)
+    assert set(got) == {1, 2, 3}
+
+
+# ------------------------------------------------- grouped split
+
+def test_grouped_split_never_straddles_groups(spark):
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.sampling import (
+        grouped_split_summary,
+        train_split,
+    )
+
+    rows = [(i, f"src{i % 7}", 10 * i) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    assigned = train_split(df, id_col="source", salt="gsplit")
+    per_group = (
+        assigned.groupBy("source")
+        .agg(F.countDistinct("split").alias("k"))
+        .collect()
+    )
+    assert all(r["k"] == 1 for r in per_group)  # leakage-safe by construction
+    summary = {
+        r["split"]: (r["n_groups"], r["n_rows"], r["total_weight"])
+        for r in grouped_split_summary(
+            df, group_col="source", salt="gsplit", weight_col="n_chars"
+        ).collect()
+    }
+    assert sum(g for g, _, _ in summary.values()) == 7
+    assert sum(n for _, n, _ in summary.values()) == 200
+    assert sum(w for _, _, w in summary.values()) == sum(10 * i for i in range(200))
