@@ -51,6 +51,7 @@ from distributed_graph_database_simulation_with_load_balancing_and_threaded_requ
     trade_digraph,
 )
 from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.graphalgs import (
+    also_bought,
     clustering_coefficient,
     degree_assortativity,
     degree_histogram,
@@ -116,11 +117,13 @@ from distributed_graph_database_simulation_with_load_balancing_and_threaded_requ
     rare_bigram_rate,
     redact_pii,
     repetition_features,
+    similar_docs_jaccard,
     tfidf_topk,
 )
 from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.temporal import (
     activity_profile_similarity,
     asof_join,
+    cumulative_new_users,
     interval_join,
     time_gapfill,
     time_rollup,
@@ -189,6 +192,7 @@ from distributed_graph_database_simulation_with_load_balancing_and_threaded_requ
     funnel_stages,
     idle_customers,
     important_parts,
+    integrity_audit,
     large_quantity_orders,
     min_cost_supplier,
     product_profit,
@@ -3530,6 +3534,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             docs, group_col="source", weight_col="n_chars"
         )
 
+    def q_also_bought(spark, sf_dir):
+        # Item-based CF readout: top-3 co-purchased parts per part
+        # over the full-history weighted co-purchase graph (shares the
+        # session-cached weighted base with q_communities); one
+        # per-src WindowGroupLimit, no extra fact scan.
+        wsym = copurchase_weighted_edges(spark, sf_dir, symmetric=True)
+        return also_bought(wsym, k=3)
+
+    def q_integrity_audit(spark, sf_dir):
+        # Referential-integrity sweep: orphan counts per FK relation;
+        # dims broadcast into left-anti joins, the one fact-fact check
+        # shuffles on the orderkey it already serves elsewhere.
+        return integrity_audit(
+            load_table(spark, sf_dir, "lineitem"),
+            load_table(spark, sf_dir, "orders"),
+            load_table(spark, sf_dir, "customer"),
+            load_table(spark, sf_dir, "supplier"),
+            load_table(spark, sf_dir, "part"),
+            load_table(spark, sf_dir, "nation"),
+        )
+
+    def q_new_users(spark, sf_dir):
+        # Adoption curves: exact first day each user performs each
+        # event type, then a per-type running sum over
+        # calendar-bounded day rows only (type-partitioned window).
+        return cumulative_new_users(
+            load_table(spark, sf_dir, "events"), type_col="event_type"
+        )
+
+    def q_similar_docs(spark, sf_dir):
+        # "More like this": pruned-vocabulary token Jaccard of every
+        # doc against doc 7, blocked by the query's inverted-index
+        # postings — integer ppm scores, never all-pairs.
+        # df_prune_pct=80 here, not the real-corpus 20 default: the
+        # synthetic documents table has a 31-token vocabulary whose
+        # tokens all carry df ~75-80%, so a 20% cut empties every
+        # token set (measured); 80 keeps 26/31 tokens and still
+        # exercises the prune path.
+        return similar_docs_jaccard(
+            load_table(spark, sf_dir, "documents"),
+            query_doc_id=7,
+            k=10,
+            df_prune_pct=80,
+        )
+
     # Registry ORDER matters: the driver's oracle gate checks only the
     # FIRST 50 entries per round, so the window ROTATES — this round's
     # new queries lead, then the 15 queries whose official rows aged to
@@ -3600,6 +3649,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_funnel": q_funnel,
         "q_retention": q_retention,
         "q_vector_stats": q_vector_stats,
+        "q_also_bought": q_also_bought,
+        "q_integrity_audit": q_integrity_audit,
+        "q_new_users": q_new_users,
+        "q_similar_docs": q_similar_docs,
         # -- official rows aged to r3: lead the round-6 window --
         "q_top_events": q_top_events,
         "q_event_props": q_event_props,
@@ -6653,4 +6706,94 @@ def oracle_sql() -> dict[str, str]:
     # The streamed graph ingest must equal batch add_graph (O1)
     # row-for-row — same oracle by construction.
     oracles["q_stream_edges"] = oracles["q_add_graph"]
+    # graphalgs.also_bought replayed: weighted co-purchase counts over
+    # the FULL history (no ship window), symmetric orientation, top-3
+    # per src by (cnt desc, dst).
+    oracles["q_also_bought"] = f"""
+        WITH {_sql_copurchase("").strip()},
+        w_ce AS (SELECT a.p AS src, b.p AS dst, COUNT(*) AS cnt
+                 FROM li2 a JOIN li2 b ON a.ok = b.ok AND a.p < b.p
+                 GROUP BY a.p, b.p),
+        wsym AS (SELECT src, dst, cnt FROM w_ce
+                 UNION ALL SELECT dst, src, cnt FROM w_ce),
+        r AS (SELECT src, dst, cnt,
+                     ROW_NUMBER() OVER (PARTITION BY src
+                                        ORDER BY cnt DESC, dst) AS rank
+              FROM wsym)
+        SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst,
+               CAST(cnt AS BIGINT) AS cnt, CAST(rank AS INTEGER) AS rank
+        FROM r WHERE rank <= 3
+    """
+    # relational.integrity_audit replayed: per-FK orphan counts via
+    # NOT EXISTS (== left-anti).
+    _fk_checks = [
+        ("customer.nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        ("lineitem.orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem.partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("orders.custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("supplier.nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ]
+    oracles["q_integrity_audit"] = " UNION ALL ".join(
+        f"""SELECT '{name}' AS relation,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM {child}) AS n_rows,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM {child} c
+                WHERE NOT EXISTS (SELECT 1 FROM {parent} p
+                                  WHERE p.{pk} = c.{ck})) AS n_orphans"""
+        for name, child, ck, parent, pk in _fk_checks
+    )
+    # temporal.cumulative_new_users replayed: first day each user
+    # performs each event type, day rollup, per-type running sum.
+    oracles["q_new_users"] = """
+        WITH firstday AS (
+          SELECT event_type, user_id, MIN(CAST(ts AS DATE)) AS day
+          FROM events GROUP BY event_type, user_id
+        ),
+        daily AS (
+          SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS new_users
+          FROM firstday GROUP BY event_type, day
+        )
+        SELECT event_type, day, new_users,
+               CAST(SUM(new_users) OVER (PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cume_users
+        FROM daily
+    """
+    # textops.similar_docs_jaccard replayed: max-df 80% vocabulary
+    # prune (synthetic-corpus calibration, see q_similar_docs),
+    # inverted-index intersection with doc 7, integer-ppm Jaccard,
+    # top-10 by (jac_ppm desc, doc_id).
+    oracles["q_similar_docs"] = f"""
+        WITH base AS (
+          SELECT doc_id, {_SQL_NORM} AS norm FROM documents
+          WHERE {_SQL_NORM} <> ''
+        ),
+        toks AS (
+          SELECT DISTINCT doc_id, unnest(string_split(norm, ' ')) AS tok
+          FROM base
+        ),
+        dfreq AS (SELECT tok, COUNT(*) AS df FROM toks GROUP BY tok),
+        nd AS (SELECT COUNT(*) AS n_docs FROM base),
+        kept AS (
+          SELECT t.doc_id, t.tok FROM toks t JOIN dfreq USING (tok) CROSS JOIN nd
+          WHERE df * 100 <= 80 * n_docs
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM kept GROUP BY doc_id),
+        q AS (SELECT tok FROM kept WHERE doc_id = 7),
+        qs AS (SELECT COUNT(*) AS qsz FROM q),
+        inter AS (
+          SELECT k.doc_id, COUNT(*) AS i FROM kept k JOIN q USING (tok)
+          WHERE k.doc_id <> 7 GROUP BY k.doc_id
+        ),
+        scored AS (
+          SELECT i.doc_id, CAST(i.i AS BIGINT) AS n_shared,
+                 CAST((i.i * 1000000) // (s.sz + qs.qsz - i.i) AS BIGINT)
+                     AS jac_ppm
+          FROM inter i JOIN sizes s USING (doc_id) CROSS JOIN qs
+        ),
+        top AS (SELECT * FROM scored ORDER BY jac_ppm DESC, doc_id LIMIT 10)
+        SELECT doc_id, n_shared, jac_ppm,
+               CAST(ROW_NUMBER() OVER (ORDER BY jac_ppm DESC, doc_id)
+                    AS INTEGER) AS rank
+        FROM top
+    """
     return oracles

@@ -2134,3 +2134,34 @@ def feature_propagation(
         F.col("degree").cast("long").alias("degree"),
         *[F.col(f"h{i}").cast("long").alias(f"h{i}") for i in range(1, int(hops) + 1)],
     )
+
+
+def also_bought(weighted_edges: DataFrame, *, k: int = 3) -> DataFrame:
+    """Item-based collaborative-filtering readout over the SYMMETRIC
+    weighted co-purchase graph: for every part, the top-``k``
+    co-purchased parts by co-occurrence count — the "customers also
+    bought" panel, precomputed as a table.
+
+    Deterministic ranking (cnt desc, dst asc) over exact integer
+    counts.  Returns ``(src, dst, cnt, rank)`` with rank <= k.
+
+    Scale posture: ONE per-src window over the already-aggregated
+    edge list (WindowGroupLimit pushes the k-cutoff into the sort —
+    no vertex materializes more than its edge list, and the output is
+    hard-capped at k rows per part).  The co-occurrence aggregation
+    itself is the shared copurchase_weighted_edges base — this
+    readout adds no extra scan of the fact table.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("src").orderBy(F.col("cnt").desc(), F.col("dst"))
+    return (
+        weighted_edges.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= int(k))
+        .select(
+            F.col("src").cast("long").alias("src"),
+            F.col("dst").cast("long").alias("dst"),
+            F.col("cnt").cast("long").alias("cnt"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

@@ -2000,3 +2000,61 @@ def revenue_trend(orders: DataFrame, *, scale: int = 10**6) -> DataFrame:
             "DIV (CAST(n_days AS DECIMAL(38,0)) * _den)) END AS LONG)"
         ).alias("intercept_cents"),
     )
+
+
+def integrity_audit(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    part: DataFrame,
+    nation: DataFrame,
+) -> DataFrame:
+    """Referential-integrity audit — the pre-training data-quality
+    sweep: for each foreign-key relation, how many child rows point
+    at a missing parent (orphans), alongside the checked row count.
+    A healthy warehouse reports zeros; the query exists so a broken
+    ingest is a diff in a dashboard row, not a silent join loss
+    downstream.
+
+    Scale posture: each check is ONE left-anti join on the key —
+    dimension parents (customer/part/nation) broadcast; the one
+    fact-fact check (lineitem->orders) shuffles on orderkey exactly
+    like the TPC-H joins that key already serves.  Output is one row
+    per relation.
+
+    Returns ``(relation, n_rows, n_orphans)`` sorted by relation.
+    """
+    checks = [
+        (
+            "customer.nationkey->nation",
+            customer,
+            "c_nationkey",
+            nation,
+            "n_nationkey",
+        ),
+        ("lineitem.orderkey->orders", lineitem, "l_orderkey", orders, "o_orderkey"),
+        ("lineitem.partkey->part", lineitem, "l_partkey", part, "p_partkey"),
+        ("orders.custkey->customer", orders, "o_custkey", customer, "c_custkey"),
+        (
+            "supplier.nationkey->nation",
+            supplier,
+            "s_nationkey",
+            nation,
+            "n_nationkey",
+        ),
+    ]
+    out = None
+    for name, child, ck, parent, pk in checks:
+        orphans = child.join(
+            parent.select(pk), child[ck] == parent[pk], "left_anti"
+        )
+        row = child.agg(F.count("*").alias("n_rows")).crossJoin(
+            orphans.agg(F.count("*").alias("n_orphans"))
+        ).select(
+            F.lit(name).alias("relation"),
+            F.col("n_rows").cast("long"),
+            F.col("n_orphans").cast("long"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out

@@ -320,3 +320,42 @@ def activity_profile_similarity(
         .limit(k)
         .select(F.col("u").cast("long").alias("user_id"), "dot")
     )
+
+
+def cumulative_new_users(
+    events: DataFrame, *, type_col: str | None = None
+) -> DataFrame:
+    """Daily new-user and cumulative-user counts — the growth curve an
+    operations dashboard reads: a user is "new" on the day of their
+    FIRST event (exact, not approximate: one min-aggregation per
+    user), and the cumulative column is the running sum over days.
+    With ``type_col`` the curve is per event type ("first time each
+    user performs each action"), one adoption curve per type.
+
+    Scale posture: the per-user min is one map-side-combined groupBy
+    over the fact stream; the day rollup reduces to calendar-bounded
+    cardinality BEFORE the running-sum window, so the window orders
+    thousands of day rows, never event rows — the same bounded-domain
+    argument as revenue_trend's day grouping.  The per-type variant's
+    window is additionally PARTITIONED by type, so no single task
+    ever holds more than one type's calendar.
+
+    Returns ``([type_col,] day, new_users, cume_users)``.
+    """
+    from pyspark.sql.window import Window
+
+    keys = ([type_col] if type_col else []) + ["day"]
+    first = events.groupBy(
+        *(([type_col] if type_col else []) + ["user_id"])
+    ).agg(F.min(F.to_date("ts")).alias("day"))
+    daily = first.groupBy(*keys).agg(
+        F.count("*").cast("long").alias("new_users")
+    )
+    w = (
+        Window.partitionBy(type_col) if type_col else Window
+    ).orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        *keys,
+        "new_users",
+        F.sum("new_users").over(w).cast("long").alias("cume_users"),
+    )

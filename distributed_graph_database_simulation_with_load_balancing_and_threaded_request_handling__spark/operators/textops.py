@@ -616,3 +616,87 @@ def bm25_topk(
 
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+def similar_docs_jaccard(
+    documents: DataFrame,
+    query_doc_id: int,
+    k: int = 10,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    df_prune_pct: int = 20,
+) -> DataFrame:
+    """Similar-document retrieval: exact token-set Jaccard of every
+    document against ONE query document, blocked by an inverted
+    index — the "find me more like this" lookup a curation pipeline
+    runs when a curator stars an exemplar.
+
+    The vocabulary is pruned FIRST: tokens whose document frequency
+    exceeds ``df_prune_pct``% of the corpus are dropped everywhere
+    (stopwords explode the candidate set and carry no discrimination
+    — the standard max-df cut), and the Jaccard is computed over the
+    PRUNED token sets consistently, so the score is a well-defined
+    content-token Jaccard the SQL oracle replays exactly.  The prune
+    predicate is cross-multiplied integers (df * 100 <= pct * n_docs)
+    — no float boundary.
+
+    Candidates are docs sharing >= 1 surviving token with the query
+    (inverted-index semi-block: the index join touches only the
+    query's token postings, never all pairs); the query's token set
+    rides a broadcast.  Scores are integer ppm (inter * 1e6 DIV
+    union) — engine-exact.  Returns ``(doc_id, n_shared, jac_ppm,
+    rank)``, rank <= k by (jac_ppm desc, doc_id), query excluded.
+
+    Scale posture: one token explode + two map-side-combined
+    aggregations build the pruned index; the candidate join is keyed
+    on the query's tokens only (bounded by one document's vocabulary);
+    top-k is TakeOrderedAndProject.  At 100 TB the df table is the
+    reusable corpus artifact (shared with tf-idf), and per-query cost
+    is proportional to the query's posting lists — the inverted-index
+    contract.
+    """
+    from ..functions.textfns import normalize_text
+
+    base = documents.select(
+        F.col(id_col).alias("doc_id"),
+        normalize_text(F.col(text_col)).alias("norm"),
+    ).where(F.col("norm") != "")
+    toks = base.select(
+        "doc_id", F.explode(F.split("norm", " ")).alias("tok")
+    ).distinct()
+    dfreq = toks.groupBy("tok").agg(F.count("*").alias("df"))
+    n_docs = base.agg(F.count("*").alias("n_docs"))
+    kept = (
+        toks.join(dfreq, "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .where(F.col("df") * 100 <= F.lit(int(df_prune_pct)) * F.col("n_docs"))
+        .select("doc_id", "tok")
+    )
+    sizes = kept.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    qtoks = kept.where(F.col("doc_id") == int(query_doc_id)).select(
+        F.col("tok").alias("qtok")
+    )
+    qsize = qtoks.agg(F.count("*").alias("qsz"))
+    inter = (
+        kept.where(F.col("doc_id") != int(query_doc_id))
+        .join(F.broadcast(qtoks), F.col("tok") == F.col("qtok"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("inter"))
+    )
+    scored = (
+        inter.join(sizes, "doc_id")
+        .crossJoin(F.broadcast(qsize))
+        .select(
+            "doc_id",
+            F.col("inter").cast("long").alias("n_shared"),
+            F.expr(
+                "CAST((inter * 1000000) DIV (sz + qsz - inter) AS LONG)"
+            ).alias("jac_ppm"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    top = scored.orderBy(F.col("jac_ppm").desc(), F.col("doc_id")).limit(int(k))
+    w = Window.orderBy(F.col("jac_ppm").desc(), F.col("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))
