@@ -991,3 +991,39 @@ def edit_dedup(
             F.col("lev").cast("int").alias("lev"),
         )
     )
+
+
+def cross_source_duplicates(
+    documents: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Mirror detection: for every unordered pair of sources, how many
+    distinct normalized-text fingerprints appear in BOTH — the matrix
+    that tells a crawl-curation pipeline which domains mirror each
+    other (and therefore which source-level dedup to schedule).
+
+    Scale posture: the fingerprint projection is map-side (32-hex
+    digest, text never shuffles); the distinct (fp, source) set is one
+    exchange; the per-fp source self-join explodes only fingerprints
+    that actually repeat across sources, and its fan-out per fp is
+    bounded by the source count (a domain catalog, not the corpus).
+
+    Returns ``(source_a, source_b, n_shared_fps)``, source_a < source_b.
+    """
+    from ..functions.textfns import fingerprint
+
+    fps = documents.select(
+        fingerprint(F.col(text_col)).alias("fp"),
+        F.col(source_col).alias("source"),
+    ).distinct()
+    a = fps.select("fp", F.col("source").alias("source_a"))
+    b = fps.select("fp", F.col("source").alias("source_b"))
+    return (
+        a.join(b, on="fp")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("long").alias("n_shared_fps"))
+    )

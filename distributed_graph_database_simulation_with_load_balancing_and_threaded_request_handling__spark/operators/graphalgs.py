@@ -2165,3 +2165,72 @@ def also_bought(weighted_edges: DataFrame, *, k: int = 3) -> DataFrame:
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def modularity_summary(edges_canonical: DataFrame, labels: DataFrame) -> DataFrame:
+    """Newman modularity Q of a vertex partition, as an EXACT integral
+    ppm (the assortativity idiom): with M undirected edges, e_c
+    intra-community edges and d_c the community degree sum,
+
+        Q = sum_c e_c / M  -  sum_c (d_c / 2M)^2
+          = (4M * sum(e_c) - sum(d_c^2)) / (4 M^2)
+
+    — one DECIMAL(38,0) rational, sign-safe integral division (Q can
+    be negative), zero float accumulation.  This is the quality
+    readout for ``connected_components``/``label_propagation``
+    partitions: a near-zero Q says the "communities" are no better
+    than random wiring.
+
+    ``edges_canonical``: one row per undirected edge, src < dst.
+    ``labels``: ``(vertex, component)``.
+
+    Scale posture: two label joins keyed on vertex ids (the same
+    shuffle key the CC loop already used), two map-side-combined
+    per-community rollups (output = community count), then a one-row
+    reduction.  No collect; the final row is the action.
+
+    Returns one row ``(n_communities, m_edges, q_ppm)``.
+    """
+    la = labels.select(F.col("vertex").alias("src"), F.col("component").alias("ca"))
+    lb = labels.select(F.col("vertex").alias("dst"), F.col("component").alias("cb"))
+    tagged = edges_canonical.select("src", "dst").join(la, "src").join(lb, "dst")
+    intra = (
+        tagged.where(F.col("ca") == F.col("cb"))
+        .groupBy("ca")
+        .agg(F.count("*").alias("e_c"))
+        # coalesce: a partition with ZERO intra edges must read 0, not
+        # NULL (SUM over an empty relation), so Q = -sum_dc2/4M^2.
+        .agg(F.coalesce(F.sum("e_c"), F.lit(0)).alias("sum_ec"))
+    )
+    deg = (
+        edges_canonical.select(F.col("src").alias("vertex"))
+        .unionAll(edges_canonical.select(F.col("dst").alias("vertex")))
+        .groupBy("vertex")
+        .agg(F.count("*").alias("d"))
+    )
+    dc = (
+        deg.join(labels, "vertex")
+        .groupBy("component")
+        .agg(F.sum("d").alias("d_c"))
+    )
+    per_comm = dc.agg(
+        F.count("*").cast("long").alias("n_communities"),
+        F.sum(F.expr("CAST(d_c AS DECIMAL(38,0)) * d_c")).alias("sum_dc2"),
+    )
+    m = edges_canonical.agg(F.count("*").alias("m_edges"))
+    return (
+        per_comm.crossJoin(F.broadcast(m))
+        .crossJoin(F.broadcast(intra))
+        .select(
+            "n_communities",
+            F.col("m_edges").cast("long").alias("m_edges"),
+            F.expr(
+                "CAST(CASE WHEN m_edges = 0 THEN 0 ELSE "
+                "CASE WHEN 4 * CAST(m_edges AS DECIMAL(38,0)) * sum_ec - sum_dc2 >= 0 "
+                "THEN ((4 * CAST(m_edges AS DECIMAL(38,0)) * sum_ec - sum_dc2) * 1000000)"
+                " DIV (4 * CAST(m_edges AS DECIMAL(38,0)) * m_edges) "
+                "ELSE -(((sum_dc2 - 4 * CAST(m_edges AS DECIMAL(38,0)) * sum_ec) * 1000000)"
+                " DIV (4 * CAST(m_edges AS DECIMAL(38,0)) * m_edges)) END END AS BIGINT)"
+            ).alias("q_ppm"),
+        )
+    )

@@ -2058,3 +2058,51 @@ def integrity_audit(
         )
         out = row if out is None else out.unionAll(row)
     return out
+
+
+def event_contingency(events: DataFrame) -> DataFrame:
+    """Chi-square contingency table of event type x day-of-week —
+    the independence check behind "is usage pattern uniform across
+    the week?".  Every reported number is an INTEGER so the table
+    cannot drift across engines: expected counts and per-cell
+    chi-square contributions are scaled ppm via integral division of
+    non-negative DECIMAL(38,0) products (the float chi-square would
+    be an unordered sum — banned by the bm25 fixed-order rule; here
+    the per-cell rows ARE the statistic, and any consumer can sum the
+    integer contribs in whatever order it likes).
+
+    dow is 0=Sunday..6=Saturday (Spark ``dayofweek()-1``, equal to
+    DuckDB/Postgres ``date_part('dow')``).
+
+    Scale posture: one map-side-combined groupBy over at most
+    ``n_types * 7`` cells; margins are two tiny rollups of the cell
+    table broadcast back — the fact stream is scanned exactly once.
+
+    Returns ``(event_type, dow, obs, exp_ppm, contrib_ppm)``.
+    """
+    cells = events.select(
+        "event_type", (F.dayofweek("ts") - 1).cast("int").alias("dow")
+    ).groupBy("event_type", "dow").agg(F.count("*").cast("long").alias("obs"))
+    rowm = cells.groupBy("event_type").agg(F.sum("obs").alias("r"))
+    colm = cells.groupBy("dow").agg(F.sum("obs").alias("c"))
+    total = cells.agg(F.sum("obs").alias("n"))
+    return (
+        cells.join(F.broadcast(rowm), "event_type")
+        .join(F.broadcast(colm), "dow")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "event_type",
+            "dow",
+            "obs",
+            F.expr(
+                "CAST((CAST(r AS DECIMAL(38,0)) * c * 1000000)"
+                " DIV CAST(n AS DECIMAL(38,0)) AS BIGINT)"
+            ).alias("exp_ppm"),
+            F.expr(
+                "CAST(((CAST(obs AS DECIMAL(38,0)) * n - CAST(r AS DECIMAL(38,0)) * c)"
+                " * (CAST(obs AS DECIMAL(38,0)) * n - CAST(r AS DECIMAL(38,0)) * c)"
+                " * 1000000)"
+                " DIV (CAST(r AS DECIMAL(38,0)) * c * n) AS BIGINT)"
+            ).alias("contrib_ppm"),
+        )
+    )

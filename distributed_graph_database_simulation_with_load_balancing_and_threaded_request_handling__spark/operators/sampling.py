@@ -324,3 +324,41 @@ def grouped_split_summary(
     if weight_col is not None:
         aggs.append(F.sum(weight_col).cast("long").alias("total_weight"))
     return assigned.groupBy("split").agg(*aggs)
+
+
+def leakage_matrix(
+    pairs: DataFrame,
+    assigned: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    split_col: str = "split",
+) -> DataFrame:
+    """Split-leakage audit: classify near-duplicate ``pairs``
+    ``(id_a, id_b)`` by the splits their members landed in.  Off-
+    diagonal rows (train x test, train x val, ...) are LEAKED
+    near-duplicates — memorized training text that inflates eval
+    scores; the diagonal is harmless.  Grouped splits
+    (``grouped_split_summary``) exist precisely to drive the
+    off-diagonal to zero when dups cluster by group.
+
+    Scale posture: two broadcast-or-shuffle joins keyed on the id (the
+    pair table is LSH-verified output, orders of magnitude smaller
+    than the corpus), then a map-side-combined groupBy over at most
+    ``n_splits^2`` canonical cells.
+
+    Returns ``(split_a, split_b, n_pairs)`` with split_a <= split_b.
+    """
+    sp = assigned.select(F.col(id_col).alias("_id"), F.col(split_col).alias("_sp"))
+    joined = (
+        pairs.select("id_a", "id_b")
+        .join(sp.select(F.col("_id").alias("id_a"), F.col("_sp").alias("sa")), on="id_a")
+        .join(sp.select(F.col("_id").alias("id_b"), F.col("_sp").alias("sb")), on="id_b")
+    )
+    return (
+        joined.select(
+            F.least("sa", "sb").alias("split_a"),
+            F.greatest("sa", "sb").alias("split_b"),
+        )
+        .groupBy("split_a", "split_b")
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+    )

@@ -986,3 +986,84 @@ def sq8_topk(
     top = sims.orderBy(F.col("score").desc(), F.col("vec_id")).limit(k)
     w = Window.orderBy(F.col("score").desc(), F.col("vec_id"))
     return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+def lsh_knn_graph(
+    embeddings: DataFrame,
+    k: int = 3,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_planes: int = 8,
+    num_tables: int = 4,
+    seed: int = 42,
+    round_digits: int = 4,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Approximate k-NN GRAPH construction: for every vector, its
+    top-``k`` neighbours by exact cosine among vectors sharing a
+    sign-LSH bucket in any of ``num_tables`` tables — the bulk
+    primitive graph-based ANN indexes (HNSW/NSG ingest) and SemDeDup
+    build on, as one declarative plan.
+
+    Same blocking discipline as ``embedding_near_dup`` (shared
+    seed/planes, degenerate buckets dropped, candidate pairs
+    ``distinct``-ed on bare ids BEFORE vectors are fetched, each pair
+    scored once) — the all-pairs cross join never happens, and the
+    per-vertex candidate list is bounded by
+    ``num_tables * max_bucket_size``.  The final top-k is one
+    per-source window over those bounded lists (WindowGroupLimit).
+    At 100 TB, raise ``num_planes`` so bucket occupancy stays flat:
+    candidate volume scales n * (n / 2^planes) per table.
+
+    Returns ``(id, nbr, sim, rank)``, rank <= k by (sim desc, nbr).
+    """
+    from pyspark.sql.window import Window
+
+    dim_row = embeddings.select(F.size(vec_col).alias("d")).first()
+    dim = int(dim_row["d"])
+    embeddings = ensure_parallelism(embeddings.select(id_col, vec_col))
+    sig_udf = hyperplane_signatures_arrow(
+        [make_hyperplanes(num_planes, dim, seed=seed + 1000 * t) for t in range(num_tables)]
+    )
+    sigs = embeddings.select(
+        F.col(id_col).alias("id"), sig_udf(F.col(vec_col)).alias("sigs")
+    )
+    blocked = sigs.select("id", F.posexplode("sigs").alias("table", "sig"))
+    sized = blocked.withColumn(
+        "bsz", F.count("*").over(Window.partitionBy("table", "sig"))
+    ).where(F.col("bsz") <= max_bucket_size)
+    a = sized.select("table", "sig", F.col("id").alias("id_a"))
+    b = sized.select("table", "sig", F.col("id").alias("id_b"))
+    # Canonical pairs scored once, then both orientations feed the
+    # per-source windows (the score is symmetric).
+    cand = (
+        a.join(b, on=["table", "sig"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    vecs = embeddings.select(
+        F.col(id_col).alias("id"), as_double_vec(F.col(vec_col)).alias("vec")
+    )
+    scored = (
+        cand.join(
+            vecs.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a")), on="id_a"
+        )
+        .join(vecs.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b")), on="id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine_sim(F.col("vec_a"), F.col("vec_b")), round_digits).alias("sim"),
+        )
+    )
+    directed = scored.select(
+        F.col("id_a").alias("id"), F.col("id_b").alias("nbr"), "sim"
+    ).unionAll(
+        scored.select(F.col("id_b").alias("id"), F.col("id_a").alias("nbr"), "sim")
+    )
+    w = Window.partitionBy("id").orderBy(F.col("sim").desc(), F.col("nbr"))
+    return (
+        directed.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= int(k))
+    )

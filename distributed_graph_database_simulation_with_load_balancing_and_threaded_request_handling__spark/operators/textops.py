@@ -700,3 +700,79 @@ def similar_docs_jaccard(
     top = scored.orderBy(F.col("jac_ppm").desc(), F.col("doc_id")).limit(int(k))
     w = Window.orderBy(F.col("jac_ppm").desc(), F.col("doc_id"))
     return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+def boilerplate_prefixes(
+    documents: DataFrame,
+    *,
+    n_tokens: int = 8,
+    k: int = 10,
+    text_col: str = "text",
+) -> DataFrame:
+    """Boilerplate-template mining: the top-``k`` most common leading
+    ``n_tokens``-token prefixes of normalized text — header/footer
+    templates, cookie banners, and licence blurbs surface here before
+    a cleaning pass strips them.
+
+    Scale posture: ONE projection builds the prefix key (split +
+    slice + join, all codegen), ONE map-side-combined groupBy counts
+    it, and the top-k is TakeOrderedAndProject — the shuffle carries
+    (prefix, partial count), never document text.
+
+    Returns ``(prefix, n_docs, rank)``, rank by (n_docs desc, prefix).
+    """
+    from ..functions.textfns import normalize_text
+    from pyspark.sql.window import Window
+
+    pref = (
+        documents.select(normalize_text(F.col(text_col)).alias("norm"))
+        .where(F.col("norm") != "")
+        .select(
+            F.array_join(
+                F.slice(F.split("norm", " "), 1, int(n_tokens)), " "
+            ).alias("prefix")
+        )
+    )
+    counts = pref.groupBy("prefix").agg(F.count("*").cast("long").alias("n_docs"))
+    top = counts.orderBy(F.col("n_docs").desc(), F.col("prefix")).limit(int(k))
+    w = Window.orderBy(F.col("n_docs").desc(), F.col("prefix"))
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+def token_length_histogram(
+    documents: DataFrame,
+    *,
+    text_col: str = "text",
+    group_col: str = "lang",
+) -> DataFrame:
+    """Sequence-length planning histogram: per ``group_col``, document
+    counts and token totals in power-of-two token-count buckets — the
+    table a packing/batching stage reads to size context windows.
+
+    The bucket is the largest power of two <= token count, computed
+    with the HDR idiom (bit length via ``length(bin(c))``, never a
+    float log2) so the identical integer expression runs in ANSI SQL.
+
+    Scale posture: one codegen projection + one map-side-combined
+    groupBy over (group, bucket) — output cardinality is
+    ``n_groups * log2(max_len)``, driver-safe at any corpus size.
+
+    Returns ``(group, bucket, n_docs, total_tokens)``.
+    """
+    from ..functions.textfns import token_count
+
+    n = token_count(F.col(text_col))
+    e = (F.length(F.bin(n)) - 1).cast("int")
+    bucket = (
+        F.when(n <= 0, F.lit(0))
+        .otherwise(F.pow(F.lit(2.0), e.cast("double")).cast("long"))
+        .alias("bucket")
+    )
+    return (
+        documents.select(F.col(group_col).alias("group"), bucket, n.alias("n_tok"))
+        .groupBy("group", "bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("total_tokens"),
+        )
+    )
