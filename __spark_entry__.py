@@ -101,6 +101,7 @@ from distributed_graph_database_simulation_with_load_balancing_and_threaded_requ
     embedding_near_dup,
     ivf_pq_topk,
     ivf_topk,
+    knn_graph_recall,
     lsh_knn_graph,
     lsh_topk,
     make_hyperplanes,
@@ -129,6 +130,7 @@ from distributed_graph_database_simulation_with_load_balancing_and_threaded_requ
     activity_profile_similarity,
     asof_join,
     cumulative_new_users,
+    daily_volume_anomalies,
     interval_join,
     time_gapfill,
     time_rollup,
@@ -188,8 +190,10 @@ from distributed_graph_database_simulation_with_load_balancing_and_threaded_requ
     resize_bitmaps,
 )
 from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.relational import (
+    column_profile,
     revenue_trend,
     spend_outliers,
+    winsorized_spend,
     brand_revenue,
     customer_order_distribution,
     customers_without_orders,
@@ -1055,6 +1059,39 @@ def _sql_emb_sig_ctes() -> str:
     GROUP BY v.id, pl.t
   )"""
 
+def _sql_knn_graph_ctes() -> str:
+    """CTEs replicating similarity.lsh_knn_graph over a preceding
+    ``vecs(id, dv)`` CTE: shared sign-LSH buckets -> canonical
+    candidate pairs (bucket cap 1000) -> exact cosine -> both
+    orientations ranked.  Ends with ``knng(id, nbr, sim, rank)``
+    (unfiltered rank — consumers apply their own k cut)."""
+    return f"""
+  {_sql_emb_sig_ctes().strip()},
+  sized AS (
+    SELECT id, t, sig, COUNT(*) OVER (PARTITION BY t, sig) AS bsz FROM esig
+  ),
+  cand AS (
+    SELECT DISTINCT x.id AS id_a, y.id AS id_b
+    FROM sized x JOIN sized y ON x.t = y.t AND x.sig = y.sig AND x.id < y.id
+    WHERE x.bsz <= 1000 AND y.bsz <= 1000
+  ),
+  scored AS (
+    SELECT c.id_a, c.id_b,
+           round(list_cosine_similarity(a.dv, b.dv), 4) AS sim
+    FROM cand c JOIN vecs a ON a.id = c.id_a JOIN vecs b ON b.id = c.id_b
+  ),
+  directed AS (
+    SELECT id_a AS id, id_b AS nbr, sim FROM scored
+    UNION ALL SELECT id_b, id_a, sim FROM scored
+  ),
+  knng AS (
+    SELECT id, nbr, sim,
+           CAST(ROW_NUMBER() OVER (PARTITION BY id
+                ORDER BY sim DESC, nbr) AS INTEGER) AS rank
+    FROM directed
+  )"""
+
+
 # minhash_dedup's signature-screen cut, computed once in Python so both
 # engines compare against the bit-identical literal.
 _MINHASH_SCREEN_CUT = 0.8 - 2.0 * (0.8 * (1.0 - 0.8) / 32) ** 0.5
@@ -1240,12 +1277,13 @@ def _sql_kmeans_ctes(*, k: int = 8, iters: int = 3, dim: int = 64) -> str:
     return ",\n    ".join(parts)
 
 
-def _sql_ivf_topk() -> str:
-    """Full replication of similarity.ivf_topk(k=10, 16 cells, 4
-    probes): md5-ordered centroid selection, nearest-cell assignment by
-    |c|^2 - 2 v.c (ties -> lowest cell), probe the 4 cells nearest the
-    query, exact cosine top-10 within them."""
-    return """
+def _sql_ivf_topk(n_probe: int = 4) -> str:
+    """Full replication of similarity.ivf_topk(k=10, 16 cells,
+    ``n_probe`` probes): md5-ordered centroid selection, nearest-cell
+    assignment by |c|^2 - 2 v.c (ties -> lowest cell), probe the
+    ``n_probe`` cells nearest the query, exact cosine top-10 within
+    them."""
+    return f"""
     WITH vecs AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings),
     cents AS (
       SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) AS cell, dv AS c
@@ -1255,7 +1293,7 @@ def _sql_ivf_topk() -> str:
     probe AS (
       SELECT cell FROM cents CROSS JOIN q
       ORDER BY list_dot_product(c, c) - 2*list_dot_product(c, qv) + list_dot_product(qv, qv), cell
-      LIMIT 4
+      LIMIT {int(n_probe)}
     ),
     assign AS (
       SELECT v.id, c.cell,
@@ -3658,6 +3696,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return modularity_summary(strong, labels)
 
+    def q_profile(spark, sf_dir):
+        # ANALYZE-style column statistics in ONE scan (multi-distinct
+        # Expand + stack unpivot); float columns excluded by design
+        # (engine-specific rendering).
+        return column_profile(
+            load_table(spark, sf_dir, "orders"),
+            ["o_orderstatus", "o_orderpriority", "o_custkey", "o_orderdate"],
+        )
+
+    def q_winsorize(spark, sf_dir):
+        # Robust clipping readout: exact nearest-rank p5/p95 via the
+        # blocked global rank (no single-partition sort), clamp scan
+        # under a broadcast threshold row.
+        return winsorized_spend(load_table(spark, sf_dir, "orders"))
+
+    def q_volume_anomaly(spark, sf_dir):
+        # Daily event volume with z flags — the spend_outliers
+        # pure-BIGINT inequality over calendar-bounded day rows.
+        return daily_volume_anomalies(load_table(spark, sf_dir, "events"))
+
+    def q_knn_recall(spark, sf_dir):
+        # Measured kNN-graph quality: LSH-blocked edges vs the exact
+        # top-3 for 20 sampled vertices (sample x corpus broadcast —
+        # the quadratic stays verification-sized).
+        emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        return knn_graph_recall(emb, k=3, sample_below=20)
+
+    def q_ivf_sweep(spark, sf_dir):
+        # Index-tuning table: IVF recall at n_probe = 1, 2, 4 against
+        # the exact top-10 — the probes/recall tradeoff curve an ANN
+        # deployment reads before fixing its operating point.
+        emb = load_table(spark, sf_dir, "embeddings")
+        qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+        exact = cosine_topk(emb, qvec, 10).select("vec_id")
+        out = None
+        for p in (1, 2, 4):
+            approx = ivf_topk(emb, qvec, 10, n_probe=p).select("vec_id")
+            row = (
+                exact.join(approx, "vec_id")
+                .agg(F.count("*").cast("long").alias("n_matched"))
+                .select(
+                    F.lit(p).cast("int").alias("n_probe"),
+                    "n_matched",
+                    F.round(F.col("n_matched") / 10.0, 6).alias("recall"),
+                )
+            )
+            out = row if out is None else out.unionAll(row)
+        return out
+
     # Registry ORDER matters: the driver's oracle gate checks only the
     # FIRST 50 entries per round, so the window ROTATES — this round's
     # new queries lead, then the 15 queries whose official rows aged to
@@ -3739,6 +3826,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_knn_graph": q_knn_graph,
         "q_split_leakage": q_split_leakage,
         "q_modularity": q_modularity,
+        "q_profile": q_profile,
+        "q_winsorize": q_winsorize,
+        "q_volume_anomaly": q_volume_anomaly,
+        "q_knn_recall": q_knn_recall,
+        "q_ivf_sweep": q_ivf_sweep,
         # -- official rows aged to r3: lead the round-6 window --
         "q_top_events": q_top_events,
         "q_event_props": q_event_props,
@@ -6965,31 +7057,8 @@ def oracle_sql() -> dict[str, str]:
         WITH vecs AS (
           SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings
         ),
-        {_sql_emb_sig_ctes()},
-        sized AS (
-          SELECT id, t, sig, COUNT(*) OVER (PARTITION BY t, sig) AS bsz FROM esig
-        ),
-        cand AS (
-          SELECT DISTINCT x.id AS id_a, y.id AS id_b
-          FROM sized x JOIN sized y ON x.t = y.t AND x.sig = y.sig AND x.id < y.id
-          WHERE x.bsz <= 1000 AND y.bsz <= 1000
-        ),
-        scored AS (
-          SELECT c.id_a, c.id_b,
-                 round(list_cosine_similarity(a.dv, b.dv), 4) AS sim
-          FROM cand c JOIN vecs a ON a.id = c.id_a JOIN vecs b ON b.id = c.id_b
-        ),
-        directed AS (
-          SELECT id_a AS id, id_b AS nbr, sim FROM scored
-          UNION ALL SELECT id_b, id_a, sim FROM scored
-        ),
-        r AS (
-          SELECT id, nbr, sim,
-                 CAST(ROW_NUMBER() OVER (PARTITION BY id
-                      ORDER BY sim DESC, nbr) AS INTEGER) AS rank
-          FROM directed
-        )
-        SELECT id, nbr, sim, rank FROM r WHERE rank <= 3
+        {_sql_knn_graph_ctes()}
+        SELECT id, nbr, sim, rank FROM knng WHERE rank <= 3
     """
     # sampling.leakage_matrix over dedup.minhash_dedup(md5) pairs and
     # the default 90/5/5 doc_id split, all replayed.
@@ -7058,4 +7127,109 @@ def oracle_sql() -> dict[str, str]:
                  AS BIGINT) AS q_ppm
         FROM agg CROSS JOIN m CROSS JOIN intra
     """
+    # relational.column_profile replayed: one SELECT per profiled
+    # column (string/integer/timestamp casts render identically; float
+    # columns are excluded by design).
+    oracles["q_profile"] = " UNION ALL ".join(
+        f"""SELECT '{c}' AS "column",
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_rows,
+               CAST(COUNT(CASE WHEN {c} IS NULL THEN 1 END) AS BIGINT) AS n_nulls,
+               CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+               CAST(MIN({c}) AS VARCHAR) AS min_s,
+               CAST(MAX({c}) AS VARCHAR) AS max_s
+        FROM orders"""
+        for c in ("o_orderstatus", "o_orderpriority", "o_custkey", "o_orderdate")
+    )
+    # relational.winsorized_spend replayed: nearest-rank p5/p95 by
+    # global (cents, orderkey) row number, clamp aggregation.
+    oracles["q_winsorize"] = """
+        WITH cents AS (
+          SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents, o_orderkey
+          FROM orders
+        ),
+        r AS (
+          SELECT cents, ROW_NUMBER() OVER (ORDER BY cents, o_orderkey) AS i
+          FROM cents
+        ),
+        n AS (SELECT COUNT(*) AS _n FROM cents),
+        th AS (
+          SELECT MIN(cents) AS p_lo, MAX(cents) AS p_hi
+          FROM r CROSS JOIN n
+          WHERE i = (5 * _n + 99) // 100 OR i = (95 * _n + 99) // 100
+        )
+        SELECT CAST(n._n AS BIGINT) AS n_orders,
+               CAST(th.p_lo AS BIGINT) AS p_lo_cents,
+               CAST(th.p_hi AS BIGINT) AS p_hi_cents,
+               CAST(SUM(CASE WHEN c.cents < th.p_lo THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_clipped_low,
+               CAST(SUM(CASE WHEN c.cents > th.p_hi THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_clipped_high,
+               CAST(SUM(GREATEST(LEAST(c.cents, th.p_hi), th.p_lo)) AS BIGINT)
+                   AS winsorized_sum_cents
+        FROM cents c CROSS JOIN th CROSS JOIN n
+        GROUP BY n._n, th.p_lo, th.p_hi
+    """
+    # temporal.daily_volume_anomalies replayed: day rollup, one-row
+    # integer moments, pure-BIGINT flag inequality, display-only z.
+    oracles["q_volume_anomaly"] = """
+        WITH daily AS (
+          SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n_events
+          FROM events GROUP BY 1
+        ),
+        mom AS (
+          SELECT COUNT(*) AS n, SUM(n_events) AS s,
+                 SUM(n_events * n_events) AS ss
+          FROM daily
+        )
+        SELECT day, n_events,
+               CASE WHEN n * ss - s * s <= 0 THEN 0.0
+                    ELSE round(CAST(n * n_events - s AS DOUBLE)
+                               / sqrt(CAST(n * ss - s * s AS DOUBLE)), 4)
+               END AS z,
+               (n * ss - s * s > 0
+                AND (n * n_events - s) * (n * n_events - s)
+                    >= 4 * (n * ss - s * s)) AS flagged
+        FROM daily CROSS JOIN mom
+    """
+    # similarity.knn_graph_recall replayed: the knng CTEs filtered to
+    # the sampled sources vs a sample x corpus exact top-3.
+    oracles["q_knn_recall"] = f"""
+        WITH vecs AS (
+          SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings
+        ),
+        {_sql_knn_graph_ctes()},
+        g AS (SELECT id, nbr FROM knng WHERE rank <= 3 AND id < 20),
+        ex AS (
+          SELECT s.id AS sid, v.id AS nbr,
+                 ROW_NUMBER() OVER (PARTITION BY s.id
+                     ORDER BY round(list_cosine_similarity(s.dv, v.dv), 4) DESC,
+                              v.id) AS rnk
+          FROM vecs s JOIN vecs v ON v.id <> s.id
+          WHERE s.id < 20
+        ),
+        ns AS (SELECT COUNT(*) AS n_sampled FROM vecs WHERE id < 20),
+        m AS (
+          SELECT COUNT(*) AS nm
+          FROM (SELECT sid, nbr FROM ex WHERE rnk <= 3) e
+          JOIN g ON g.id = e.sid AND g.nbr = e.nbr
+        )
+        SELECT CAST(3 AS BIGINT) AS k,
+               CAST(ns.n_sampled AS BIGINT) AS n_sampled,
+               CAST(m.nm AS BIGINT) AS n_matched,
+               round(CAST(m.nm AS DOUBLE) / (ns.n_sampled * 3), 6) AS recall
+        FROM m CROSS JOIN ns
+    """
+    # similarity.ivf_topk recall sweep at n_probe = 1, 2, 4 — each arm
+    # is the parameterized IVF replica joined against the exact top-10.
+    oracles["q_ivf_sweep"] = " UNION ALL ".join(
+        f"""SELECT CAST({p} AS INTEGER) AS n_probe,
+               CAST(nm AS BIGINT) AS n_matched,
+               round(CAST(nm AS DOUBLE) / 10.0, 6) AS recall
+        FROM (
+          SELECT COUNT(*) AS nm
+          FROM (SELECT vec_id FROM ({_SQL_SIM_TOPK})) ex
+          JOIN (SELECT vec_id FROM ({_sql_ivf_topk(p)})) ap USING (vec_id)
+        )"""
+        for p in (1, 2, 4)
+    )
     return oracles

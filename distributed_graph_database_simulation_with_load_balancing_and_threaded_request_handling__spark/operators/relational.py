@@ -2106,3 +2106,99 @@ def event_contingency(events: DataFrame) -> DataFrame:
             ).alias("contrib_ppm"),
         )
     )
+
+
+def column_profile(df: DataFrame, cols: list[str]) -> DataFrame:
+    """ANALYZE-style column profile: per column, row/null/distinct
+    counts and min/max rendered as strings — the catalog-statistics
+    sweep a warehouse runs after ingest (and the CBO reads for join
+    sizing).  Floating-point columns are the caller's responsibility
+    to exclude: float->string rendering is engine-specific, everything
+    else (strings, integers, dates) casts identically.
+
+    Scale posture: ONE scan computes every aggregate (the multi-
+    distinct runs as one Expand — n_cols passes over in-memory rows,
+    not n_cols scans), and the unpivot to one row per column touches
+    a single driver-sized row.
+
+    Returns ``(column, n_rows, n_nulls, n_distinct, min_s, max_s)``.
+    """
+    aggs = [F.count("*").alias("_rows")]
+    for c in cols:
+        aggs += [
+            F.count(F.when(F.col(c).isNull(), 1)).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__nd"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    one = df.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', {c}__nulls, {c}__nd, {c}__min, {c}__max" for c in cols
+    )
+    return one.selectExpr(
+        f"stack({len(cols)}, {stack}) AS (column, n_nulls, n_distinct, min_s, max_s)",
+        "_rows",
+    ).select(
+        "column",
+        F.col("_rows").cast("long").alias("n_rows"),
+        F.col("n_nulls").cast("long").alias("n_nulls"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        "min_s",
+        "max_s",
+    )
+
+
+def winsorized_spend(
+    orders: DataFrame, *, lo_pct: int = 5, hi_pct: int = 95
+) -> DataFrame:
+    """Robust-preprocessing readout: exact nearest-rank p5/p95 of
+    order spend (cents) and the winsorized total — what a feature
+    pipeline reports before clipping heavy-tailed amounts.  The
+    percentile is nearest-rank (value at 1-based rank
+    ``ceil(p*n/100)`` = ``(p*n + 99) DIV 100`` — pure integers, no
+    interpolation, so both engines agree bit-for-bit).
+
+    Scale posture: the global rank is ``blocked_global_rank`` (two
+    bounded windows, no single-partition sort); the two threshold
+    rows and the count are broadcast back over one clamp scan.
+
+    Returns one row ``(n_orders, p_lo_cents, p_hi_cents,
+    n_clipped_low, n_clipped_high, winsorized_sum_cents)``.
+    """
+    cents = orders.select(
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+        F.col("o_orderkey"),
+    )
+    ranked = blocked_global_rank(cents, "cents", "o_orderkey")
+    n = cents.agg(F.count("*").alias("_n"))
+    thresholds = (
+        ranked.join(F.broadcast(n))
+        .where(
+            (F.col("i") == F.expr(f"({int(lo_pct)} * _n + 99) DIV 100"))
+            | (F.col("i") == F.expr(f"({int(hi_pct)} * _n + 99) DIV 100"))
+        )
+        .groupBy()
+        .agg(
+            F.min("cents").alias("p_lo"),
+            F.max("cents").alias("p_hi"),
+        )
+    )
+    return (
+        cents.crossJoin(F.broadcast(thresholds))
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.min("p_lo").cast("long").alias("p_lo_cents"),
+            F.min("p_hi").cast("long").alias("p_hi_cents"),
+            F.sum((F.col("cents") < F.col("p_lo")).cast("long"))
+            .cast("long")
+            .alias("n_clipped_low"),
+            F.sum((F.col("cents") > F.col("p_hi")).cast("long"))
+            .cast("long")
+            .alias("n_clipped_high"),
+            F.sum(
+                F.greatest(F.least(F.col("cents"), F.col("p_hi")), F.col("p_lo"))
+            )
+            .cast("long")
+            .alias("winsorized_sum_cents"),
+        )
+    )

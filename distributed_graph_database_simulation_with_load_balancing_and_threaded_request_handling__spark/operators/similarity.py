@@ -1067,3 +1067,68 @@ def lsh_knn_graph(
         directed.withColumn("rank", F.row_number().over(w).cast("int"))
         .where(F.col("rank") <= int(k))
     )
+
+
+def knn_graph_recall(
+    embeddings: DataFrame,
+    k: int = 3,
+    *,
+    sample_below: int = 20,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: int = 4,
+    **lsh_kwargs,
+) -> DataFrame:
+    """Measured quality of ``lsh_knn_graph``: for the sampled vertices
+    (id < ``sample_below``), the overlap between the LSH-blocked graph
+    edges and the EXACT top-k — the recall number an index-tuning loop
+    watches when choosing plane/table counts.
+
+    The exact ground truth is sample x corpus (never corpus x corpus):
+    the sampled vectors ride a broadcast against one scan, so the
+    quadratic stays verification-sized at any scale.
+
+    Returns one row ``(k, n_sampled, n_matched, recall)``.
+    """
+    from pyspark.sql.window import Window
+
+    approx = (
+        lsh_knn_graph(embeddings, k, vec_col=vec_col, id_col=id_col, **lsh_kwargs)
+        .where(F.col("id") < int(sample_below))
+        .select("id", "nbr")
+    )
+    vecs = embeddings.select(
+        F.col(id_col).alias("id"), as_double_vec(F.col(vec_col)).alias("vec")
+    )
+    sample = vecs.where(F.col("id") < int(sample_below)).select(
+        F.col("id").alias("sid"), F.col("vec").alias("svec")
+    )
+    scored = (
+        vecs.crossJoin(F.broadcast(sample))
+        .where(F.col("id") != F.col("sid"))
+        .select(
+            "sid",
+            "id",
+            F.round(cosine_sim(F.col("svec"), F.col("vec")), round_digits).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("sid").orderBy(F.col("sim").desc(), F.col("id"))
+    exact = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= int(k))
+        .select("sid", "id")
+    )
+    n_sample = sample.count()
+    denom = n_sample * int(k)
+    return (
+        exact.join(
+            approx, (exact["sid"] == approx["id"]) & (exact["id"] == approx["nbr"])
+        )
+        .agg(F.count("*").cast("long").alias("n_matched"))
+        .select(
+            F.lit(int(k)).cast("long").alias("k"),
+            F.lit(int(n_sample)).cast("long").alias("n_sampled"),
+            "n_matched",
+            F.round(F.col("n_matched") / float(denom), 6).alias("recall"),
+        )
+    )

@@ -359,3 +359,55 @@ def cumulative_new_users(
         "new_users",
         F.sum("new_users").over(w).cast("long").alias("cume_users"),
     )
+
+
+def daily_volume_anomalies(
+    events: DataFrame, *, z_threshold: int = 2, round_digits: int = 4
+) -> DataFrame:
+    """Operational anomaly readout: every day's event volume with its
+    z-score against the whole series, flagged where |z| >= threshold.
+    The flag is the ``spend_outliers`` pure-BIGINT inequality
+    ((n*y - S)^2 >= t^2 (n*SS - S^2)) so the flagged set cannot drift
+    at a float boundary; the reported z is display-only.
+
+    Scale posture: one map-side-combined day rollup reduces the fact
+    stream to calendar-bounded rows; the one-row moment aggregate is
+    broadcast back over those day rows only.
+
+    Returns ``(day, n_events, z, flagged)`` for EVERY day (the
+    anomaly-free weeks are part of the readout).
+    """
+    daily = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("long").alias("n_events")
+    )
+    mom = daily.agg(
+        F.count("*").alias("n"),
+        F.sum("n_events").alias("s"),
+        F.sum(F.expr("n_events * n_events")).alias("ss"),
+    )
+    t2 = int(z_threshold) ** 2
+    return (
+        daily.crossJoin(F.broadcast(mom))
+        .select(
+            "day",
+            "n_events",
+            F.when(
+                F.expr("n * ss - s * s") <= 0, F.lit(0.0)
+            )
+            .otherwise(
+                F.round(
+                    F.expr(
+                        "CAST(n * n_events - s AS DOUBLE)"
+                        " / sqrt(CAST(n * ss - s * s AS DOUBLE))"
+                    ),
+                    round_digits,
+                )
+            )
+            .alias("z"),
+            F.expr(
+                "n * ss - s * s > 0 AND "
+                "(n * n_events - s) * (n * n_events - s)"
+                f" >= {t2} * (n * ss - s * s)"
+            ).alias("flagged"),
+        )
+    )
