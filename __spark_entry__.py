@@ -28,6 +28,7 @@ from distributed_graph_database_simulation_with_load_balancing_and_threaded_requ
     modify_graph as _modify_graph,
     snapshot_diff as _snapshot_diff,
     snapshot_versions as _snapshot_versions,
+    vacuum_plan as _vacuum_plan,
 )
 from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.dispatch import (
     route_counts,
@@ -43,6 +44,7 @@ from distributed_graph_database_simulation_with_load_balancing_and_threaded_requ
 )
 from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.sources.graphs import (
     ROOT_VID,
+    cobuyer_weighted_edges,
     copurchase_edges,
     copurchase_weighted_edges,
     derived_tree_edges,
@@ -116,6 +118,7 @@ from distributed_graph_database_simulation_with_load_balancing_and_threaded_requ
     boilerplate_prefixes,
     chunk_documents,
     collocations,
+    lang_confusion,
     corpus_stats,
     token_length_histogram,
     doc_features,
@@ -3758,6 +3761,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             out = row if out is None else out.unionAll(row)
         return out
 
+    def q_lang_confusion(spark, sf_dir):
+        # Language-ID evaluation: marker-count guess vs the labeled
+        # lang — one codegen projection + a bounded-cell rollup; zh
+        # (outside the marker table) landing wrong/und is the point.
+        return lang_confusion(load_table(spark, sf_dir, "documents"))
+
+    def q_vacuum(spark, sf_dir):
+        # OPTIMIZE/VACUUM dry-run over the shared 3-version delta log
+        # (horizon 2): per version, events contributed, events
+        # surviving the re-base as deciding inserts, and reclaimables.
+        return _vacuum_plan(
+            _raw_tree_pairs(spark, sf_dir), _tt_deltas(spark, sf_dir), horizon=2
+        )
+
+    def q_cobuyers(spark, sf_dir):
+        # User-user CF ("shoppers like you"): the OTHER projection of
+        # the basket bipartite graph — also_bought's window readout
+        # over customer pairs weighted by shared distinct parts;
+        # staple parts (>25 buyers) dropped before the pair explosion
+        # (cap calibrated in sources.cobuyer_weighted_edges).
+        wsym = cobuyer_weighted_edges(spark, sf_dir, symmetric=True)
+        return also_bought(wsym, k=3)
+
     # Registry ORDER matters: the driver's oracle gate checks only the
     # FIRST 50 entries per round, so the window ROTATES — this round's
     # new queries lead, then the 15 queries whose official rows aged to
@@ -3844,6 +3870,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_volume_anomaly": q_volume_anomaly,
         "q_knn_recall": q_knn_recall,
         "q_ivf_sweep": q_ivf_sweep,
+        "q_lang_confusion": q_lang_confusion,
+        "q_vacuum": q_vacuum,
+        "q_cobuyers": q_cobuyers,
         # -- official rows aged to r3: lead the round-6 window --
         "q_top_events": q_top_events,
         "q_event_props": q_event_props,
@@ -7245,4 +7274,84 @@ def oracle_sql() -> dict[str, str]:
         )"""
         for p in (1, 2, 4)
     )
+    # textops.lang_confusion replayed: the q_doc_features marker-count
+    # argmax CASE, rolled up to (label, guess) cells.
+    oracles["q_lang_confusion"] = """
+        WITH feat AS (
+          SELECT lang, concat(' ', lower(text), ' ') AS padded FROM documents
+        ),
+        scored AS (
+          SELECT lang,
+                 (CASE WHEN contains(padded, ' the ') THEN 1 ELSE 0 END
+                  + CASE WHEN contains(padded, ' a ') THEN 1 ELSE 0 END
+                  + CASE WHEN contains(padded, ' of ') THEN 1 ELSE 0 END) AS s_en,
+                 (CASE WHEN contains(padded, ' der ') THEN 1 ELSE 0 END
+                  + CASE WHEN contains(padded, ' und ') THEN 1 ELSE 0 END
+                  + CASE WHEN contains(padded, ' die ') THEN 1 ELSE 0 END) AS s_de,
+                 (CASE WHEN contains(padded, ' el ') THEN 1 ELSE 0 END
+                  + CASE WHEN contains(padded, ' y ') THEN 1 ELSE 0 END
+                  + CASE WHEN contains(padded, ' de ') THEN 1 ELSE 0 END) AS s_es,
+                 (CASE WHEN contains(padded, ' le ') THEN 1 ELSE 0 END
+                  + CASE WHEN contains(padded, ' et ') THEN 1 ELSE 0 END
+                  + CASE WHEN contains(padded, ' la ') THEN 1 ELSE 0 END) AS s_fr
+          FROM feat
+        ),
+        g AS (
+          SELECT lang,
+                 CASE WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+                      WHEN s_de > 0 AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_en THEN 'de'
+                      WHEN s_es > 0 AND s_es >= s_fr AND s_es >= s_en AND s_es >= s_de THEN 'es'
+                      WHEN s_fr > 0 AND s_fr >= s_en AND s_fr >= s_de AND s_fr >= s_es THEN 'fr'
+                      ELSE 'und' END AS lang_guess
+          FROM scored
+        )
+        SELECT lang, lang_guess, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM g GROUP BY 1, 2
+    """
+    # catalog.vacuum_plan replayed over the shared 3-version event
+    # log: deciding events at horizon 2 via arg_max(ins, v) + MAX(v).
+    oracles["q_vacuum"] = f"""
+        WITH {_SQL_TT_EV.strip()},
+        dec AS (
+          SELECT lo, hi, arg_max(ins, v) AS ins, MAX(v) AS v_dec
+          FROM ev WHERE v <= 2 GROUP BY lo, hi
+        ),
+        live AS (
+          SELECT v_dec AS v, COUNT(*) AS n_live FROM dec WHERE ins GROUP BY v_dec
+        ),
+        pv AS (SELECT v, COUNT(*) AS n_events FROM ev GROUP BY v)
+        SELECT CAST(pv.v AS INTEGER) AS version,
+               CAST(n_events AS BIGINT) AS n_events,
+               CAST(COALESCE(n_live, 0) AS BIGINT) AS n_live_at_horizon,
+               CAST(CASE WHEN pv.v <= 2 THEN n_events - COALESCE(n_live, 0)
+                         ELSE 0 END AS BIGINT) AS n_reclaimable
+        FROM pv LEFT JOIN live ON live.v = pv.v
+    """
+    # sources.cobuyer_weighted_edges + graphalgs.also_bought replayed:
+    # the customer-side bipartite projection (parts as groups, staples
+    # over 25 buyers dropped), per-customer top-3.
+    oracles["q_cobuyers"] = """
+        WITH bought AS (
+          SELECT DISTINCT l_partkey AS g, CAST(o_custkey AS BIGINT) AS p
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        ),
+        g_sized AS (SELECT g FROM bought GROUP BY g HAVING COUNT(*) <= 25),
+        b2 AS (SELECT bought.g, bought.p FROM bought JOIN g_sized USING (g)),
+        w_ce AS (
+          SELECT a.p AS src, b.p AS dst, COUNT(*) AS cnt
+          FROM b2 a JOIN b2 b ON a.g = b.g AND a.p < b.p GROUP BY 1, 2
+        ),
+        wsym AS (
+          SELECT src, dst, cnt FROM w_ce UNION ALL SELECT dst, src, cnt FROM w_ce
+        ),
+        r AS (
+          SELECT src, dst, cnt,
+                 ROW_NUMBER() OVER (PARTITION BY src
+                                    ORDER BY cnt DESC, dst) AS rank
+          FROM wsym
+        )
+        SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst,
+               CAST(cnt AS BIGINT) AS cnt, CAST(rank AS INTEGER) AS rank
+        FROM r WHERE rank <= 3
+    """
     return oracles

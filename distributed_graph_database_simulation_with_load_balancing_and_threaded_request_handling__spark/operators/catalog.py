@@ -354,3 +354,62 @@ def snapshot_versions(
         .withColumn("graph_id", F.lit(int(graph_id)))
         .select("graph_id", "version", "n_edges", "checksum")
     )
+
+
+def vacuum_plan(
+    base_pairs: DataFrame,
+    deltas: list[tuple[DataFrame | None, DataFrame | None]],
+    *,
+    horizon: int,
+) -> DataFrame:
+    """Checkpoint/VACUUM planning for the delta-log catalog: if the
+    history is re-based at ``horizon`` (every version <= horizon
+    folded into a fresh base snapshot — the standard log-compaction
+    move ``snapshot_versions`` documents), how much of the log does
+    each version contribute and how much is reclaimed?  Per version:
+    its event count, how many of its events SURVIVE as rows of the
+    folded base (they are the deciding insert for some edge at the
+    horizon), and how many are reclaimable (superseded events and
+    dead tombstones for v <= horizon; versions beyond the horizon
+    keep their log verbatim, reclaimable 0).
+
+    Completes the lakehouse maintenance story around
+    ``snapshot_versions`` (time travel), ``snapshot_diff`` (CDC) and
+    the streaming upsert view (MERGE): this is the OPTIMIZE/VACUUM
+    dry-run.
+
+    Scale: one edge-keyed max(struct) shuffle over the event log for
+    the deciding events + two tiny per-version rollups — never a
+    snapshot materialization.
+
+    Returns ``(version, n_events, n_live_at_horizon, n_reclaimable)``.
+    """
+    events = _delta_events(base_pairs, deltas)
+    dec = (
+        events.where(F.col("v") <= int(horizon))
+        .groupBy("lo", "hi")
+        .agg(F.max(F.struct(F.col("v"), F.col("ins"))).alias("last"))
+    )
+    live = (
+        dec.where(F.col("last.ins"))
+        .groupBy(F.col("last.v").alias("v"))
+        .agg(F.count("*").alias("n_live"))
+    )
+    per_version = events.groupBy("v").agg(F.count("*").alias("n_events"))
+    return (
+        per_version.join(live, "v", "left")
+        .select(
+            F.col("v").cast("int").alias("version"),
+            F.col("n_events").cast("long").alias("n_events"),
+            F.coalesce(F.col("n_live"), F.lit(0)).cast("long").alias(
+                "n_live_at_horizon"
+            ),
+            F.when(
+                F.col("v") <= int(horizon),
+                F.col("n_events") - F.coalesce(F.col("n_live"), F.lit(0)),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("n_reclaimable"),
+        )
+    )

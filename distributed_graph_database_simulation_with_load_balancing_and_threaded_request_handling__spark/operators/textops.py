@@ -776,3 +776,29 @@ def token_length_histogram(
             F.sum("n_tok").cast("long").alias("total_tokens"),
         )
     )
+
+
+def lang_confusion(
+    documents: DataFrame, *, text_col: str = "text", label_col: str = "lang"
+) -> DataFrame:
+    """Language-ID evaluation: the confusion matrix of the
+    deterministic marker-count guess (``lang_guess``) against the
+    labeled language — the accuracy readout a router/filter stage
+    publishes before trusting the classifier on unlabeled data.
+    Languages outside the marker table (e.g. zh) SHOULD land in a
+    wrong-or-'und' row; that visibility is the point.
+
+    Scale posture: one codegen projection (fixed marker containment
+    checks, no tokenization) + one map-side-combined groupBy over at
+    most ``n_langs * (n_langs + 1)`` cells.
+
+    Returns ``(lang, lang_guess, n_docs)``.
+    """
+    return (
+        documents.select(
+            F.col(label_col).alias("lang"),
+            lang_guess(F.col(text_col)).alias("lang_guess"),
+        )
+        .groupBy("lang", "lang_guess")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )

@@ -376,3 +376,58 @@ def trade_digraph(
         out = out.persist()
         _EDGE_CACHE[key] = out
     return out
+
+
+def cobuyer_weighted_edges(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    max_part_buyers: int = 25,
+    symmetric: bool = False,
+    cached: bool = True,
+) -> DataFrame:
+    """The OTHER projection of the order-basket bipartite graph:
+    customers connected when they bought the same part, weighted by
+    how many distinct parts they share — the "shoppers like you"
+    graph (user-user collaborative filtering), where
+    ``copurchase_weighted_edges`` is the item-item side.
+
+    Same one-scan ``cooccurrence_pairs`` machinery with parts as the
+    groups: a part bought by more than ``max_part_buyers`` distinct
+    customers is a non-discriminative staple and is dropped BEFORE
+    the quadratic pair explosion (the max_basket posture, mirrored).
+    The default 25 is calibrated to the driver data (buyers per part:
+    median 30, max ~53 — measured at sf0.01 AND sf0.1), keeping ~20%
+    of parts and ~1M pairs at sf0.1, the same order as the
+    co-purchase base; a cap at the basket-side 12 is VACUOUS here
+    (zero parts survive, measured).
+
+    Returns canonical ``(src, dst, cnt)`` customer pairs
+    (``symmetric=True`` unions both orientations, shuffle-free).
+    """
+    base_key = (
+        spark.sparkContext.applicationId, sf_dir, "cobuyer_w", max_part_buyers,
+    )
+    if cached and base_key in _EDGE_CACHE:
+        weighted = _EDGE_CACHE[base_key]
+    else:
+        li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+        orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+        bought = li.join(
+            orders, li["l_orderkey"] == orders["o_orderkey"]
+        ).select("l_partkey", "o_custkey")
+        weighted = (
+            cooccurrence_pairs(
+                bought, "l_partkey", "o_custkey", max_group=max_part_buyers
+            )
+            .groupBy("src", "dst")
+            .agg(F.count("*").alias("cnt"))
+        )
+        if cached:
+            weighted = weighted.persist()
+            _EDGE_CACHE[base_key] = weighted
+    if not symmetric:
+        return weighted
+    return weighted.unionAll(
+        weighted.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "cnt")
+    )
