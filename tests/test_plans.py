@@ -664,3 +664,63 @@ def test_assortativity_single_row_no_window(spark):
     plan = _plan(df)
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_also_bought_window_group_limit_caps_per_src(spark):
+    # The k-cutoff must push into the sort (WindowGroupLimit) so no
+    # vertex materializes more than its edge list.
+    df = entry.queries()["q_also_bought"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_column_profile_is_one_scan_with_expand(spark):
+    # The multi-distinct must compile to a single Expand over ONE
+    # parquet scan — n_cols passes over in-memory rows, never n_cols
+    # scans of the table.
+    df = entry.queries()["q_profile"](spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("Scan parquet") == 1
+    assert "Expand" in plan
+
+
+def test_integrity_audit_broadcasts_dim_parents(spark):
+    # customer/part/nation parents broadcast into the left-anti
+    # joins; only lineitem->orders may shuffle.
+    df = entry.queries()["q_integrity_audit"](spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_knn_graph_no_cartesian_and_bucket_window_blocks(spark):
+    # LSH blocking must keep the pair generation an equi join on
+    # (table, sig) — an all-pairs cross join is the failure mode.
+    df = entry.queries()["q_knn_graph"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "WindowGroupLimit" in plan  # per-source top-k cutoff
+
+
+def test_winsorize_thresholds_ride_a_broadcast(spark):
+    # The p5/p95 row must come back as a broadcast over the clamp
+    # scan, never a shuffle of the fact against a 1-row side.
+    df = entry.queries()["q_winsorize"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_new_users_window_partitioned_by_type(spark):
+    # The running sum must be partitioned by event_type — a global
+    # unpartitioned window over day rows is the bounded-but-weaker
+    # fallback this query deliberately avoids.
+    import re
+
+    df = entry.queries()["q_new_users"](spark, SF_DIR)
+    plan = _plan(df)
+    # The Window operator prints "[<frame exprs>], [<partition exprs>],
+    # [<order exprs>]" — the partition list must be event_type.
+    w = re.search(r"Window \[sum\(new_users#\d+L?\)[^\]]*\], \[(\w+)#", plan)
+    assert w is not None and w.group(1) == "event_type", plan
