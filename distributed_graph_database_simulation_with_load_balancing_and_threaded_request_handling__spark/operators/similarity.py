@@ -1077,6 +1077,7 @@ def knn_graph_recall(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     round_digits: int = 4,
+    graph: DataFrame | None = None,
     **lsh_kwargs,
 ) -> DataFrame:
     """Measured quality of ``lsh_knn_graph``: for the sampled vertices
@@ -1092,11 +1093,14 @@ def knn_graph_recall(
     """
     from pyspark.sql.window import Window
 
-    approx = (
-        lsh_knn_graph(embeddings, k, vec_col=vec_col, id_col=id_col, **lsh_kwargs)
-        .where(F.col("id") < int(sample_below))
-        .select("id", "nbr")
-    )
+    if graph is None:
+        # ``graph``: pass a precomputed lsh_knn_graph(k) result to
+        # measure it without rebuilding (the shared-family-cache
+        # posture of the declared query pair).
+        graph = lsh_knn_graph(
+            embeddings, k, vec_col=vec_col, id_col=id_col, **lsh_kwargs
+        )
+    approx = graph.where(F.col("id") < int(sample_below)).select("id", "nbr")
     vecs = embeddings.select(
         F.col(id_col).alias("id"), as_double_vec(F.col(vec_col)).alias("vec")
     )
