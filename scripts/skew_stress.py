@@ -102,6 +102,38 @@ def main():
         wg = g.groupBy("src", "dst").agg(F.count("*").cast("long").alias("cnt"))
         timed(f"msf                 {name}", lambda wg=wg: max_spanning_forest(wg, loop_shuffle_partitions=4).count())
 
+    # Round-6 third session: the kNN-graph stressor — sign-LSH
+    # signatures are scale-invariant, so 600 positively-scaled copies
+    # of one vector collide into ONE mega bucket in EVERY table (the
+    # boilerplate/duplicate-cluster event the bucket cap exists for).
+    # cap 1000: the 600-member bucket survives and pays ~180k pairs;
+    # cap 500: it is dropped and the hub is absorbed.
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.similarity import (
+        lsh_knn_graph,
+    )
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select(
+        "vec_id", "embedding"
+    )
+    q0 = emb.where(F.col("vec_id") == 0).first()["embedding"]
+    copies = spark.range(600).select(
+        (F.col("id") + 2_000_000).alias("vec_id"),
+        F.array(*[F.lit(float(x) * 1.5) for x in q0])
+        .cast("array<double>")
+        .alias("embedding"),
+    )
+    emb_skewed = emb.unionByName(copies).persist()
+    emb_skewed.count()
+    timed("knn_graph base", lambda: lsh_knn_graph(emb, 3).count())
+    timed(
+        "knn_graph dup-cluster cap=1000 (mega bucket survives)",
+        lambda: lsh_knn_graph(emb_skewed, 3).count(),
+    )
+    timed(
+        "knn_graph dup-cluster cap=500  (mega bucket dropped)",
+        lambda: lsh_knn_graph(emb_skewed, 3, max_bucket_size=500).count(),
+    )
+
     # Equality of the two triangle strategies on the skewed graph —
     # the degradation target must COUNT the same, not just run.
     adj = triangle_counts(skewed, strategy="adjacency")

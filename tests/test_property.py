@@ -621,3 +621,91 @@ def test_prefix_join_exact_vs_brute_force(sess, docs, t):
         ).collect()
     }
     assert got == _brute_jaccard_pairs(rows, t_num, t_den)
+
+
+# ---------------------------------------------------------------------------
+# Round-6 third-session properties: modularity and winsorization against
+# pure-python oracles on random inputs.
+
+
+@st.composite
+def random_partitioned_graph(draw):
+    """Random simple graph on 3..9 vertices with a random vertex
+    partition — exercises positive, zero, and negative modularity."""
+    n = draw(st.integers(min_value=3, max_value=9))
+    all_pairs = [(u, v) for u in range(1, n + 1) for v in range(u + 1, n + 1)]
+    edges = [p for p in all_pairs if draw(st.booleans())]
+    if not edges:
+        edges = [all_pairs[0]]
+    labels = {v: draw(st.integers(min_value=0, max_value=2)) for v in range(1, n + 1)}
+    return edges, labels
+
+
+def python_modularity_ppm(edges, labels):
+    m = len(edges)
+    e_c = sum(1 for u, v in edges if labels[u] == labels[v])
+    deg = {}
+    for u, v in edges:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    d_c = {}
+    for v, d in deg.items():
+        d_c[labels[v]] = d_c.get(labels[v], 0) + d
+    sum_dc2 = sum(d * d for d in d_c.values())
+    num = 4 * m * e_c - sum_dc2
+    den = 4 * m * m
+    # Spark DIV truncates toward zero; python // floors — align signs.
+    q = (num * 1_000_000) // den if num >= 0 else -((-num * 1_000_000) // den)
+    n_comms = len({labels[v] for v in deg})
+    return n_comms, m, q
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(g=random_partitioned_graph())
+def test_modularity_matches_python_oracle(sess, g):
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.graphalgs import (
+        modularity_summary,
+    )
+
+    edges, labels = g
+    edf = sess.createDataFrame(edges, "src long, dst long")
+    ldf = sess.createDataFrame(list(labels.items()), "vertex long, component long")
+    [r] = modularity_summary(edf, ldf).collect()
+    assert (r["n_communities"], r["m_edges"], r["q_ppm"]) == python_modularity_ppm(
+        edges, labels
+    )
+    assert -1_000_000 <= r["q_ppm"] < 1_000_000  # Q in [-1, 1)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    prices=st.lists(
+        st.integers(min_value=1, max_value=10_000), min_size=3, max_size=40
+    )
+)
+def test_winsorized_spend_matches_python_oracle(sess, prices):
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.relational import (
+        winsorized_spend,
+    )
+
+    orders = sess.createDataFrame(
+        [(i, c / 100.0) for i, c in enumerate(prices)],
+        "o_orderkey long, o_totalprice double",
+    )
+    n = len(prices)
+    ordered = sorted(prices)
+    p_lo = ordered[(5 * n + 99) // 100 - 1]
+    p_hi = ordered[(95 * n + 99) // 100 - 1]
+    [r] = winsorized_spend(orders).collect()
+    assert (r["n_orders"], r["p_lo_cents"], r["p_hi_cents"]) == (n, p_lo, p_hi)
+    assert r["n_clipped_low"] == sum(1 for c in prices if c < p_lo)
+    assert r["n_clipped_high"] == sum(1 for c in prices if c > p_hi)
+    assert r["winsorized_sum_cents"] == sum(min(max(c, p_lo), p_hi) for c in prices)
