@@ -145,6 +145,8 @@ def test_evict_other_sf_releases_previous_sweep():
         entry._RECALL_PAIRS_CACHE,
         entry._PAGERANK_GRAPH_CACHE,
         entry._KMEANS_CACHE,
+        entry._COMMUNITIES_CACHE,
+        entry._APPROX_RESULT_CACHE,
         graphs._EDGE_CACHE,
     )
     stale = [k for cache in all_caches for k in cache if k[1] == sf_a]
