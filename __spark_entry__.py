@@ -3090,6 +3090,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             graph_id=1,
         )
 
+    def _qvec0(emb):
+        return [
+            float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]
+        ]
+
     def _shared_result(spark, sf_dir, family, build):
         # One materialization per (session, sf_dir, family): the
         # LUT-literal codegen + Arrow encode behind the PQ/IVF-PQ/
@@ -3112,9 +3117,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # because the oracle replays codebook selection, encoding
         # argmin, and the pinned float-add order.
         emb = load_table(spark, sf_dir, "embeddings")
-        qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+        # qvec is read inside the builder so a cache HIT runs zero
+        # Spark jobs (the .first() scan is part of the build).
         return _shared_result(
-            spark, sf_dir, "pq", lambda: pq_topk(emb, qvec, 10, m=16, n_codes=128)
+            spark, sf_dir, "pq",
+            lambda: pq_topk(emb, _qvec0(emb), 10, m=16, n_codes=128),
         )
 
     def q_ivfpq_topk(spark, sf_dir):
@@ -3124,9 +3131,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # LUT-literal JVM scoring, value-exact via the replayed
         # codebooks/encode/float-add order.
         emb = load_table(spark, sf_dir, "embeddings")
-        qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
         return _shared_result(
-            spark, sf_dir, "ivfpq", lambda: ivf_pq_topk(emb, qvec, 10, n_codes=128)
+            spark, sf_dir, "ivfpq",
+            lambda: ivf_pq_topk(emb, _qvec0(emb), 10, n_codes=128),
         )
 
     def q_ivfpq_recall(spark, sf_dir):
@@ -3569,9 +3576,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # BIGINT dot-product score — exact cross-engine, no rounding
         # contract at all.
         emb = load_table(spark, sf_dir, "embeddings")
-        qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
         return _shared_result(
-            spark, sf_dir, "sq8", lambda: sq8_topk(emb, qvec, 10)
+            spark, sf_dir, "sq8", lambda: sq8_topk(emb, _qvec0(emb), 10)
         )
 
     def q_sq8_recall(spark, sf_dir):
@@ -3780,9 +3786,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb = load_table(spark, sf_dir, "embeddings")
         qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
         exact = cosine_topk(emb, qvec, 10).select("vec_id")
+        # One coarse-quantizer build for all three arms (the sweep
+        # re-plans only the pruned-cell predicate).
+        from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.similarity import (
+            ivf_centroids,
+        )
+
+        cents = ivf_centroids(emb)
         out = None
         for p in (1, 2, 4):
-            approx = ivf_topk(emb, qvec, 10, n_probe=p).select("vec_id")
+            approx = ivf_topk(
+                emb, qvec, 10, n_probe=p, centroids=cents
+            ).select("vec_id")
             row = (
                 exact.join(approx, "vec_id")
                 .agg(F.count("*").cast("long").alias("n_matched"))

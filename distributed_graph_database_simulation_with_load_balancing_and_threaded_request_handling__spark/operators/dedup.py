@@ -997,7 +997,6 @@ def cross_source_duplicates(
     documents: DataFrame,
     *,
     text_col: str = "text",
-    id_col: str = "doc_id",
     source_col: str = "source",
 ) -> DataFrame:
     """Mirror detection: for every unordered pair of sources, how many

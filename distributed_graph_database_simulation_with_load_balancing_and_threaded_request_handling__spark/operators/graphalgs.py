@@ -2194,13 +2194,10 @@ def modularity_summary(edges_canonical: DataFrame, labels: DataFrame) -> DataFra
     la = labels.select(F.col("vertex").alias("src"), F.col("component").alias("ca"))
     lb = labels.select(F.col("vertex").alias("dst"), F.col("component").alias("cb"))
     tagged = edges_canonical.select("src", "dst").join(la, "src").join(lb, "dst")
-    intra = (
-        tagged.where(F.col("ca") == F.col("cb"))
-        .groupBy("ca")
-        .agg(F.count("*").alias("e_c"))
-        # coalesce: a partition with ZERO intra edges must read 0, not
-        # NULL (SUM over an empty relation), so Q = -sum_dc2/4M^2.
-        .agg(F.coalesce(F.sum("e_c"), F.lit(0)).alias("sum_ec"))
+    # COUNT over an empty relation is 0 (not NULL), so the zero-intra
+    # partition needs no guard and no per-community rollup here.
+    intra = tagged.where(F.col("ca") == F.col("cb")).agg(
+        F.count("*").alias("sum_ec")
     )
     deg = (
         edges_canonical.select(F.col("src").alias("vertex"))

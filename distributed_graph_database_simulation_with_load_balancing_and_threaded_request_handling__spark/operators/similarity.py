@@ -236,6 +236,7 @@ def ivf_topk(
     n_cells: int = 16,
     n_probe: int = 4,
     round_digits: int = 4,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: partition vectors into coarse cells
     (inverted file), probe only the ``n_probe`` cells nearest the
@@ -246,7 +247,10 @@ def ivf_topk(
     of the data, and the scored remainder is a per-partition top-k
     merge (TakeOrderedAndProject), never a full shuffle.
     """
-    cents = ivf_centroids(
+    # ``centroids``: pass a precomputed ivf_centroids() result to
+    # share one coarse-quantizer build across probe settings (the
+    # q_ivf_sweep arms) — the selection scan runs once, not per arm.
+    cents = centroids if centroids is not None else ivf_centroids(
         embeddings, vec_col=vec_col, id_col=id_col, n_cells=n_cells
     )
 
@@ -646,6 +650,54 @@ def ivf_pq_topk(
     return top.withColumn("rank", F.row_number().over(w).cast("int"))
 
 
+def _lsh_candidate_pairs(
+    embeddings: DataFrame,
+    *,
+    vec_col: str,
+    id_col: str,
+    num_planes: int,
+    num_tables: int,
+    seed: int,
+    max_bucket_size: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared sign-LSH blocking pipeline (ONE sync point with the SQL
+    replicas ``_sql_emb_sig_ctes``/``_sql_knn_graph_ctes``): per-table
+    signatures, degenerate buckets (> ``max_bucket_size``) dropped,
+    canonical ``id_a < id_b`` candidate pairs ``distinct``-ed on bare
+    ids BEFORE any vector payload moves.  Returns ``(cand, vecs)`` —
+    the pair table and the ``(id, vec)`` double-vector side for
+    scoring joins.  Used by ``embedding_near_dup`` (threshold filter)
+    and ``lsh_knn_graph`` (per-source top-k); the blocking discipline
+    must stay bit-identical between them and their oracles."""
+    from pyspark.sql.window import Window
+
+    dim_row = embeddings.select(F.size(vec_col).alias("d")).first()
+    dim = int(dim_row["d"])
+    embeddings = ensure_parallelism(embeddings.select(id_col, vec_col))
+    sig_udf = hyperplane_signatures_arrow(
+        [make_hyperplanes(num_planes, dim, seed=seed + 1000 * t) for t in range(num_tables)]
+    )
+    sigs = embeddings.select(
+        F.col(id_col).alias("id"), sig_udf(F.col(vec_col)).alias("sigs")
+    )
+    blocked = sigs.select("id", F.posexplode("sigs").alias("table", "sig"))
+    sized = blocked.withColumn(
+        "bsz", F.count("*").over(Window.partitionBy("table", "sig"))
+    ).where(F.col("bsz") <= max_bucket_size)
+    a = sized.select("table", "sig", F.col("id").alias("id_a"))
+    b = sized.select("table", "sig", F.col("id").alias("id_b"))
+    cand = (
+        a.join(b, on=["table", "sig"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    vecs = embeddings.select(
+        F.col(id_col).alias("id"), as_double_vec(F.col(vec_col)).alias("vec")
+    )
+    return cand, vecs
+
+
 def embedding_near_dup(
     embeddings: DataFrame,
     *,
@@ -679,31 +731,14 @@ def embedding_near_dup(
     with probability 1 — the basis of the planted-duplicate oracle in
     ``__spark_entry__.q_embedding_near_dup``.
     """
-    from pyspark.sql.window import Window
-
-    dim_row = embeddings.select(F.size(vec_col).alias("d")).first()
-    dim = int(dim_row["d"])
-    embeddings = ensure_parallelism(embeddings.select(id_col, vec_col))
-    sig_udf = hyperplane_signatures_arrow(
-        [make_hyperplanes(num_planes, dim, seed=seed + 1000 * t) for t in range(num_tables)]
-    )
-    sigs = embeddings.select(
-        F.col(id_col).alias("id"), sig_udf(F.col(vec_col)).alias("sigs")
-    )
-    blocked = sigs.select("id", F.posexplode("sigs").alias("table", "sig"))
-    sized = blocked.withColumn(
-        "bsz", F.count("*").over(Window.partitionBy("table", "sig"))
-    ).where(F.col("bsz") <= max_bucket_size)
-    a = sized.select("table", "sig", F.col("id").alias("id_a"))
-    b = sized.select("table", "sig", F.col("id").alias("id_b"))
-    cand = (
-        a.join(b, on=["table", "sig"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
-    vecs = embeddings.select(
-        F.col(id_col).alias("id"), as_double_vec(F.col(vec_col)).alias("vec")
+    cand, vecs = _lsh_candidate_pairs(
+        embeddings,
+        vec_col=vec_col,
+        id_col=id_col,
+        num_planes=num_planes,
+        num_tables=num_tables,
+        seed=seed,
+        max_bucket_size=max_bucket_size,
     )
     return (
         cand.join(
@@ -1020,31 +1055,16 @@ def lsh_knn_graph(
     """
     from pyspark.sql.window import Window
 
-    dim_row = embeddings.select(F.size(vec_col).alias("d")).first()
-    dim = int(dim_row["d"])
-    embeddings = ensure_parallelism(embeddings.select(id_col, vec_col))
-    sig_udf = hyperplane_signatures_arrow(
-        [make_hyperplanes(num_planes, dim, seed=seed + 1000 * t) for t in range(num_tables)]
-    )
-    sigs = embeddings.select(
-        F.col(id_col).alias("id"), sig_udf(F.col(vec_col)).alias("sigs")
-    )
-    blocked = sigs.select("id", F.posexplode("sigs").alias("table", "sig"))
-    sized = blocked.withColumn(
-        "bsz", F.count("*").over(Window.partitionBy("table", "sig"))
-    ).where(F.col("bsz") <= max_bucket_size)
-    a = sized.select("table", "sig", F.col("id").alias("id_a"))
-    b = sized.select("table", "sig", F.col("id").alias("id_b"))
     # Canonical pairs scored once, then both orientations feed the
     # per-source windows (the score is symmetric).
-    cand = (
-        a.join(b, on=["table", "sig"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
-    vecs = embeddings.select(
-        F.col(id_col).alias("id"), as_double_vec(F.col(vec_col)).alias("vec")
+    cand, vecs = _lsh_candidate_pairs(
+        embeddings,
+        vec_col=vec_col,
+        id_col=id_col,
+        num_planes=num_planes,
+        num_tables=num_tables,
+        seed=seed,
+        max_bucket_size=max_bucket_size,
     )
     scored = (
         cand.join(
@@ -1098,7 +1118,12 @@ def knn_graph_recall(
         # measure it without rebuilding (the shared-family-cache
         # posture of the declared query pair).
         graph = lsh_knn_graph(
-            embeddings, k, vec_col=vec_col, id_col=id_col, **lsh_kwargs
+            embeddings,
+            k,
+            vec_col=vec_col,
+            id_col=id_col,
+            round_digits=round_digits,
+            **lsh_kwargs,
         )
     approx = graph.where(F.col("id") < int(sample_below)).select("id", "nbr")
     vecs = embeddings.select(
