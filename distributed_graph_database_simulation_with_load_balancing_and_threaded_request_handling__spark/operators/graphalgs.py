@@ -1259,12 +1259,18 @@ def max_spanning_forest(
             cpairs = sel.select(
                 F.col("c").alias("src"), F.col("k.oc").alias("dst")
             )
+            # probe_every=3: the merge graphs are tiny (component-
+            # cardinality rows) so the nested CC's cost is its ACTION
+            # count, not data — chaining 3 rounds per probe cuts the
+            # per-round scheduling floor (identical fixpoint; A/B in
+            # BASELINE.md round-6 third session).
             merged = connected_components(
                 cpairs.unionAll(
                     cpairs.select(
                         F.col("dst").alias("src"), F.col("src").alias("dst")
                     )
-                )
+                ),
+                probe_every=3,
             ).select(F.col("vertex").alias("pc"), F.col("component").alias("p"))
             comp = (
                 comp.join(merged, comp["c"] == F.col("pc"), "left")

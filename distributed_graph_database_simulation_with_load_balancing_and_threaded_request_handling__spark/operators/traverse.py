@@ -491,6 +491,7 @@ def connected_components(
     graph_id: int | None = None,
     max_iters: int = 50,
     pointer_jumping: bool = False,
+    probe_every: int = 1,
 ) -> DataFrame:
     """Connected components by hash-min label propagation (the
     canonical Pregel algorithm; GraphX `connectedComponents` computes
@@ -520,7 +521,15 @@ def connected_components(
     labels are localCheckpointed so lineage stays flat.  Convergence
     is a ``_changed`` flag summed in the SAME action that materializes
     the round's checkpoint — one Spark job per round, no separate
-    old-vs-new join probe.  Exhausting ``max_iters`` without
+    old-vs-new join probe.  ``probe_every`` chains that many rounds
+    between probes (the sssp contract: every chained round keeps its
+    lazy localCheckpoint, only the probe ACTION is amortized; a round
+    past the fixpoint is a no-op whose _changed sums to 0, so any
+    chaining factor reaches the identical fixpoint, paying at most
+    probe_every - 1 no-op rounds of plan overhead after convergence —
+    worth it where the per-action scheduling floor dominates, e.g.
+    the component-pair merge graphs inside max_spanning_forest).
+    Exhausting ``max_iters`` without
     convergence raises rather than silently returning wrong labels
     (a path graph longer than ``max_iters`` would otherwise get
     incorrect components with no signal).
@@ -534,7 +543,9 @@ def connected_components(
             .select("vertex", F.col("vertex").alias("component"))
             .localCheckpoint(eager=False)  # materialized by round 1's action
         )
-        for _ in range(max_iters):
+        probe = max(1, int(probe_every))
+        rounds_since_probe = 0
+        for i in range(max_iters):
             nbr_min = (
                 labels.join(e, labels["vertex"] == e["src"])
                 .groupBy(e["dst"].alias("vertex"))
@@ -565,8 +576,12 @@ def connected_components(
                 F.least("component", "_nc").alias("component"),
                 (F.col("_nc") < F.col("component")).cast("int").alias("_changed"),
             ).localCheckpoint(eager=False)
-            n_changed = new_labels.agg(F.sum("_changed")).collect()[0][0] or 0
             labels = new_labels.drop("_changed")
+            rounds_since_probe += 1
+            if rounds_since_probe < probe and i < max_iters - 1:
+                continue  # chain: probe only every ``probe`` rounds
+            rounds_since_probe = 0
+            n_changed = new_labels.agg(F.sum("_changed")).collect()[0][0] or 0
             if n_changed == 0:
                 converged = True
                 break

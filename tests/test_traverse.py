@@ -197,3 +197,26 @@ def test_connected_components_pointer_jumping_logarithmic(spark):
     # plain hash-min genuinely cannot make 12 rounds on this diameter
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(e, graph_id=1, max_iters=12)
+
+
+def test_connected_components_probe_chaining_same_fixpoint(spark):
+    # probe_every chains rounds between convergence probes; the
+    # fixpoint (min id per component) must be identical for any
+    # chaining factor, including on a path long enough to need many
+    # rounds and with the probe boundary landing mid-convergence.
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.traverse import (
+        connected_components,
+    )
+
+    pairs = [(i, i + 1) for i in range(1, 14)] + [(20, 21)]
+    edges = make_edges(spark, pairs)
+    base = {
+        (r["vertex"], r["component"])
+        for r in connected_components(edges).collect()
+    }
+    for probe in (2, 3, 7):
+        got = {
+            (r["vertex"], r["component"])
+            for r in connected_components(edges, probe_every=probe).collect()
+        }
+        assert got == base, probe
