@@ -487,9 +487,32 @@ def test_pq_scoring_is_code_only_jvm_with_topk(spark):
     # Exactly ONE ArrowEvalPython each: without the asNondeterministic
     # marker on the IVF-PQ encode UDF, Catalyst pushes the probe-cell
     # filter below the code projection and extracts a second
-    # evaluation — the encode would run twice per row.
-    for name in ("q_pq_topk", "q_ivfpq_topk"):
-        df = entry.queries()[name](spark, SF_DIR)
+    # evaluation — the encode would run twice per row.  Pinned on the
+    # OPERATOR build plans directly: the declared queries now return
+    # the session-cached materialization (_APPROX_RESULT_CACHE), whose
+    # InMemoryRelation plan text duplicates the cached tree.
+    import os as _os
+
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.similarity import (
+        ivf_pq_topk,
+        pq_topk,
+    )
+
+    emb = spark.read.parquet(_os.path.join(SF_DIR, "embeddings.parquet"))
+    qvec = [
+        float(x)
+        for x in emb.where(emb["vec_id"] == 0).first()["embedding"]
+    ]
+    # k=9, not the declared k=10: the declared queries persist their
+    # k=10 builds (_APPROX_RESULT_CACHE), and Spark's CacheManager
+    # substitutes ANY canonically-equal plan with the InMemoryRelation
+    # (whose printed text duplicates the tree) — a non-matching k pins
+    # the raw build plan regardless of test order.
+    builds = {
+        "pq_topk": pq_topk(emb, qvec, 9, m=16, n_codes=128),
+        "ivf_pq_topk": ivf_pq_topk(emb, qvec, 9, n_codes=128),
+    }
+    for name, df in builds.items():
         plan = _plan(df)
         assert plan.count("ArrowEvalPython") == 1, name
         assert "BatchEvalPython" not in plan, name
