@@ -194,7 +194,9 @@ from distributed_graph_database_simulation_with_load_balancing_and_threaded_requ
 )
 from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.relational import (
     column_profile,
+    quintile_mobility,
     revenue_trend,
+    seasonal_index,
     spend_outliers,
     winsorized_spend,
     brand_revenue,
@@ -3833,6 +3835,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         wsym = cobuyer_weighted_edges(spark, sf_dir, symmetric=True)
         return also_bought(wsym, k=3)
 
+    def q_quintile_move(spark, sf_dir):
+        # Spend-quintile mobility 1995 -> 1996: two pushed-down
+        # year scans, two blocked global ranks (no single-partition
+        # sort), one custkey join, a 25-cell rollup.
+        return quintile_mobility(load_table(spark, sf_dir, "orders"))
+
+    def q_seasonality(spark, sf_dir):
+        # Month-of-year seasonal index in exact integer ppm
+        # (1_000_000 = average month): 12-cell rollup + one-row total.
+        return seasonal_index(load_table(spark, sf_dir, "orders"))
+
     # Registry ORDER matters: the driver's oracle gate checks only the
     # FIRST 50 entries per round, so the window ROTATES — this round's
     # new queries lead, then the 15 queries whose official rows aged to
@@ -3922,6 +3935,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lang_confusion": q_lang_confusion,
         "q_vacuum": q_vacuum,
         "q_cobuyers": q_cobuyers,
+        "q_quintile_move": q_quintile_move,
+        "q_seasonality": q_seasonality,
         # -- official rows aged to r3: lead the round-6 window --
         "q_top_events": q_top_events,
         "q_event_props": q_event_props,
@@ -7402,5 +7417,65 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst,
                CAST(cnt AS BIGINT) AS cnt, CAST(rank AS INTEGER) AS rank
         FROM r WHERE rank <= 3
+    """
+    # relational.quintile_mobility replayed: per-year exact-cents rank
+    # (cents, custkey ascending), NTILE arithmetic, inner join on the
+    # customers active both years.
+    oracles["q_quintile_move"] = """
+        WITH s94 AS (
+          SELECT o_custkey,
+                 CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                     AS cents
+          FROM orders
+          WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+            AND o_orderdate < TIMESTAMP '1996-01-01'
+          GROUP BY o_custkey
+        ),
+        r94 AS (
+          SELECT o_custkey,
+                 ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS i FROM s94
+        ),
+        b94 AS (
+          SELECT o_custkey,
+                 CAST((i - 1) * 5 // (SELECT COUNT(*) FROM s94) AS INTEGER)
+                     AS q_from
+          FROM r94
+        ),
+        s95 AS (
+          SELECT o_custkey,
+                 CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                     AS cents
+          FROM orders
+          WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+            AND o_orderdate < TIMESTAMP '1997-01-01'
+          GROUP BY o_custkey
+        ),
+        r95 AS (
+          SELECT o_custkey,
+                 ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS i FROM s95
+        ),
+        b95 AS (
+          SELECT o_custkey,
+                 CAST((i - 1) * 5 // (SELECT COUNT(*) FROM s95) AS INTEGER)
+                     AS q_to
+          FROM r95
+        )
+        SELECT q_from, q_to, CAST(COUNT(*) AS BIGINT) AS n_customers
+        FROM b94 JOIN b95 USING (o_custkey)
+        GROUP BY 1, 2
+    """
+    # relational.seasonal_index replayed: 12-cell rollup, HUGEINT
+    # non-negative integral division.
+    oracles["q_seasonality"] = """
+        WITH monthly AS (
+          SELECT CAST(month(o_orderdate) AS INTEGER) AS month,
+                 SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS mc
+          FROM orders GROUP BY 1
+        ),
+        t AS (SELECT SUM(mc) AS tc FROM monthly)
+        SELECT month, CAST(mc AS BIGINT) AS total_cents,
+               CAST((CAST(mc AS HUGEINT) * 12 * 1000000)
+                    // CAST(tc AS HUGEINT) AS BIGINT) AS idx_ppm
+        FROM monthly CROSS JOIN t
     """
     return oracles

@@ -2202,3 +2202,78 @@ def winsorized_spend(
             .alias("winsorized_sum_cents"),
         )
     )
+
+
+def quintile_mobility(
+    orders: DataFrame, *, year_from: int = 1995, year_to: int = 1996, n_buckets: int = 5
+) -> DataFrame:
+    """Customer spend-quintile mobility matrix between two years — the
+    rank-migration readout behind "do top-quintile customers stay
+    top-quintile?".  Defaults 1995 -> 1996 (the driver data's first
+    two full years; it holds no 1994 orders — measured).  Per year, customers WITH orders that year are
+    ranked by exact spend cents (``blocked_global_rank`` — no
+    single-partition sort) and cut into ``n_buckets`` equal-count
+    buckets with NTILE's arithmetic (``(i-1)*k DIV n``); the matrix
+    counts customers active in BOTH years per (from, to) cell.
+
+    Scale posture: two year-filtered scans with the year predicate
+    pushed down, two blocked ranks (bounded windows), one
+    custkey-keyed join, a ``n_buckets^2``-cell rollup.
+
+    Returns ``(q_from, q_to, n_customers)``.
+    """
+    def bucketed(year: int, out: str) -> DataFrame:
+        spend = (
+            orders.where(
+                (F.col("o_orderdate") >= f"{year}-01-01")
+                & (F.col("o_orderdate") < f"{year + 1}-01-01")
+            )
+            .groupBy("o_custkey")
+            .agg(
+                F.sum(
+                    F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+                ).alias("cents")
+            )
+        )
+        ranked = blocked_global_rank(spend, "cents", "o_custkey")
+        n = spend.agg(F.count("*").alias("_n"))
+        return ranked.join(F.broadcast(n)).select(
+            "o_custkey",
+            F.expr(f"CAST((i - 1) * {int(n_buckets)} DIV _n AS INT)").alias(out),
+        )
+
+    a = bucketed(year_from, "q_from")
+    b = bucketed(year_to, "q_to")
+    return (
+        a.join(b, "o_custkey")
+        .groupBy("q_from", "q_to")
+        .agg(F.count("*").cast("long").alias("n_customers"))
+    )
+
+
+def seasonal_index(orders: DataFrame) -> DataFrame:
+    """Month-of-year seasonal index over the whole history: each
+    calendar month's share of total revenue scaled against the uniform
+    1/12 share, as integer ppm (1_000_000 = exactly average) —
+    the classical seasonal-decomposition readout, computed exactly
+    (``month_cents * 12 * 1e6 DIV total_cents``; DECIMAL(38,0)
+    headroom, non-negative so DIV == floor cross-engine).
+
+    Scale posture: one map-side-combined 12-cell rollup + a one-row
+    broadcast total.
+
+    Returns ``(month, total_cents, idx_ppm)``.
+    """
+    cents = F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+    monthly = orders.groupBy(F.month("o_orderdate").cast("int").alias("month")).agg(
+        F.sum(cents).alias("mc")
+    )
+    total = monthly.agg(F.sum("mc").alias("tc"))
+    return monthly.crossJoin(F.broadcast(total)).select(
+        "month",
+        F.col("mc").cast("long").alias("total_cents"),
+        F.expr(
+            "CAST((CAST(mc AS DECIMAL(38,0)) * 12 * 1000000)"
+            " DIV CAST(tc AS DECIMAL(38,0)) AS BIGINT)"
+        ).alias("idx_ppm"),
+    )

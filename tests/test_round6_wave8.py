@@ -115,3 +115,65 @@ def test_cobuyer_staple_cap_drops_group_before_explosion(spark):
     )
     pairs = cooccurrence_pairs(bought, "l_partkey", "o_custkey", max_group=3)
     assert {(r["src"], r["dst"]) for r in pairs.collect()} == {(1, 2)}
+
+
+# ----------------------------------------------- quintile mobility
+
+
+def test_quintile_mobility_tracks_rank_moves(spark):
+    import datetime
+
+    # 5 customers active both years, one per quintile; customer 5
+    # crashes from top to bottom in year 2, everyone else shifts up
+    # one bucket; customer 9 is active only in year 1 (excluded).
+    rows = []
+    for i, cents in enumerate([10.0, 20.0, 30.0, 40.0, 50.0], start=1):
+        rows.append((i, cents, datetime.datetime(1995, 6, 1)))
+    y2 = {1: 20.0, 2: 30.0, 3: 40.0, 4: 50.0, 5: 1.0}
+    for i, cents in y2.items():
+        rows.append((i, cents, datetime.datetime(1996, 6, 1)))
+    rows.append((9, 99.0, datetime.datetime(1995, 7, 1)))
+    orders = spark.createDataFrame(
+        [(j, r[0], r[1], r[2]) for j, r in enumerate(rows)],
+        "o_orderkey long, o_custkey long, o_totalprice double, o_orderdate timestamp",
+    )
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.relational import (
+        quintile_mobility,
+    )
+
+    got = {
+        (r["q_from"], r["q_to"]): r["n_customers"]
+        for r in quintile_mobility(orders).collect()
+    }
+    # y1 spends: c1=10<c2=20<c3=30<c4=40<c5=50<c9=99 (6 customers,
+    # buckets (i-1)*5 DIV 6 -> 0,0,1,2,3,4).
+    # y2 spends: c5=1<c1=20<c2=30<c3=40<c4=50 (5 customers ->
+    # buckets 0,1,2,3,4).
+    assert got == {
+        (0, 1): 1,  # c1
+        (0, 2): 1,  # c2
+        (1, 3): 1,  # c3
+        (2, 4): 1,  # c4
+        (3, 0): 1,  # c5 crash
+    }
+
+
+def test_seasonal_index_sums_to_twelve_million_ppm(spark):
+    import datetime
+
+    # Two months, 3:1 revenue split; idx = month share * 12 * 1e6 /
+    # total: m1 = 75% -> 9_000_000 ppm; m2 = 25% -> 3_000_000 ppm.
+    orders = spark.createDataFrame(
+        [
+            (1, 30.0, datetime.datetime(1995, 1, 5)),
+            (2, 45.0, datetime.datetime(1995, 1, 20)),
+            (3, 25.0, datetime.datetime(1995, 2, 5)),
+        ],
+        "o_orderkey long, o_totalprice double, o_orderdate timestamp",
+    )
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.relational import (
+        seasonal_index,
+    )
+
+    got = {r["month"]: (r["total_cents"], r["idx_ppm"]) for r in seasonal_index(orders).collect()}
+    assert got == {1: (7500, 9_000_000), 2: (2500, 3_000_000)}
