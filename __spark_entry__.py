@@ -3408,7 +3408,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         sources = (
             edges.select(F.col("src").alias("start")).distinct().orderBy("start").limit(4)
         )
-        return betweenness_sampled(edges, sources, loop_shuffle_partitions=4)
+        # probe_every=3: one count action per 3 chained forward
+        # levels (A/B same-boot at sf0.1: 12.7 -> 10.0 s warm,
+        # identical rows — BASELINE.md round-6 third session).
+        return betweenness_sampled(
+            edges, sources, loop_shuffle_partitions=4, probe_every=3
+        )
 
     def q_mis(spark, sf_dir):
         # Luby maximal independent set over the 1995 co-purchase

@@ -1302,6 +1302,7 @@ def betweenness_sampled(
     scale: int = 10**9,
     max_depth: int = 24,
     loop_shuffle_partitions: int | None = None,
+    probe_every: int = 1,
 ) -> DataFrame:
     """Sampled Brandes betweenness centrality over a SYMMETRIC edge
     list: the summed pair-dependencies ``delta_s(v)`` from the given
@@ -1322,7 +1323,13 @@ def betweenness_sampled(
     (keyed ``(start, vertex)``, the bfs_levels_multi posture) that
     carries the path count ``sigma`` as a map-side-combined SUM —
     forward cost is max-depth supersteps, not k x depth, with one
-    count action per level and last-two-frontiers dedup (valid on
+    count action per CHAIN of ``probe_every`` levels (each level keeps
+    its lazy localCheckpoint; a frontier can never be empty then
+    non-empty, so a non-empty chain tail proves the whole chain and a
+    zero tail is resolved by recounting the chain's already-
+    materialized frames — unlike the shallow dispatch BFS where
+    chaining regressed, this loop is ~18 levels deep and the probe
+    action floor dominates) and last-two-frontiers dedup (valid on
     symmetric lists: an edge moves at most one level).  The backward
     sweep replays the stored per-level frames deepest-first — one
     (frontier x edges x next-level) join per level, NO action (a
@@ -1359,7 +1366,10 @@ def betweenness_sampled(
         )
         levels = [frontier]
         prev_keys: DataFrame | None = None
-        while True:
+        probe = max(1, int(probe_every))
+        pending: list[DataFrame] = []
+        done = False
+        while not done:
             expanded = frontier.join(e, frontier["vertex"] == e["src"]).select(
                 frontier["start"], e["dst"].alias("vertex"), frontier["sigma"]
             )
@@ -1372,15 +1382,34 @@ def betweenness_sampled(
             new = sums.join(dedup, ["start", "vertex"], "left_anti").localCheckpoint(
                 eager=False
             )
-            if new.count() == 0:
-                break
-            if len(levels) > max_depth:
-                raise RuntimeError(
-                    f"betweenness_sampled exceeded max_depth={max_depth}"
-                )
+            pending.append(new)
             prev_keys = frontier.select("start", "vertex")
-            levels.append(new)
             frontier = new
+            at_depth_guard = len(levels) + len(pending) > max_depth + 1
+            if len(pending) < probe and not at_depth_guard:
+                continue  # chain more levels before the probe action
+            if pending[-1].count() > 0:
+                # A frontier can never be empty then non-empty, so a
+                # non-empty tail proves every chained level non-empty.
+                levels.extend(pending)
+                pending = []
+                if len(levels) - 1 > max_depth:
+                    raise RuntimeError(
+                        f"betweenness_sampled exceeded max_depth={max_depth}"
+                    )
+                continue
+            # Zero tail: keep the non-empty prefix (the chain's frames
+            # are materialized — these recounts read checkpoint blocks).
+            for df in pending:
+                if df.count() == 0:
+                    break
+                levels.append(df)
+                if len(levels) - 1 > max_depth:
+                    raise RuntimeError(
+                        f"betweenness_sampled exceeded max_depth={max_depth}"
+                    )
+            pending = []
+            done = True
         depth = len(levels) - 1
         out: DataFrame | None = None
         delta_next: DataFrame | None = None

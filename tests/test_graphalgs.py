@@ -618,3 +618,30 @@ def test_parse_byte_conf_units():
 
     with pytest.raises(ValueError):
         _parse_byte_conf("ten megabytes")
+
+
+def test_betweenness_probe_chaining_same_result(spark):
+    # Chained forward probes must not change the dependency sums —
+    # any probe factor reaches the same levels (a frontier can never
+    # be empty then non-empty), including when the chain boundary
+    # straddles the last level.
+    from conftest import make_edges
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.graphalgs import (
+        betweenness_sampled,
+    )
+
+    pairs = [(1, 2), (2, 3), (3, 4), (4, 5), (2, 6), (6, 4)]
+    edges = make_edges(spark, pairs).select("src", "dst")
+    sources = spark.createDataFrame([(1,), (5,)], "start long")
+    base = {
+        (r["vertex"], r["bc_scaled"])
+        for r in betweenness_sampled(edges, sources).collect()
+    }
+    for probe in (2, 3, 5):
+        got = {
+            (r["vertex"], r["bc_scaled"])
+            for r in betweenness_sampled(
+                edges, sources, probe_every=probe
+            ).collect()
+        }
+        assert got == base, probe
