@@ -1343,6 +1343,139 @@ def _sql_add_chain(prefix: str, m: int) -> str:
     return expr
 
 
+def _sql_pq_intdist(a: str, b: str, sub: int) -> str:
+    """Exact int64 squared distance between two BIGINT lists of length
+    ``sub`` — the similarity._pq_train_lloyd / _pq_codes_arrow_q
+    assignment metric, order-independent (integer adds)."""
+    return (
+        f"list_sum(list_transform(range(1, {sub} + 1), "
+        f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+    )
+
+
+def _sql_pq_lloyd_rounds(*, iters: int, sub: int, subq: str, tb: str) -> list[str]:
+    """Unrolled per-subspace integer Lloyd's rounds (the
+    _sql_kmeans_ctes idiom, partitioned by subspace j): given
+    ``{subq}(id, j, vq)`` (quantized subvectors) and ``{tb}0(j, code,
+    cq)`` (seeded integer codebooks), emit assignment + update CTEs
+    through ``{tb}{iters}``.  Assignment ties -> lowest code; update
+    is per-dim ``SUM // COUNT`` floor division (positive quanta);
+    empty codes keep their codeword — exactly
+    similarity._pq_train_lloyd."""
+    dist = _sql_pq_intdist("s.vq", "b.cq", sub)
+    sums = ", ".join(
+        f"CAST(SUM(s.vq[{i}]) // COUNT(*) AS BIGINT) AS s{i}"
+        for i in range(1, sub + 1)
+    )
+    dims = ", ".join(f"s{i}" for i in range(1, sub + 1))
+    parts = []
+    for r in range(1, iters + 1):
+        parts.append(f"""ta{r} AS MATERIALIZED (
+      SELECT id, j, code FROM (
+        SELECT s.id, s.j, b.code,
+               ROW_NUMBER() OVER (PARTITION BY s.id, s.j
+                 ORDER BY {dist}, b.code) AS rn
+        FROM {subq} s JOIN {tb}{r - 1} b USING (j)
+      ) WHERE rn = 1
+    )""")
+        parts.append(f"""{tb}{r} AS MATERIALIZED (
+      SELECT j, code, [{dims}] AS cq FROM (
+        SELECT a.j, a.code, {sums}
+        FROM ta{r} a JOIN {subq} s ON s.id = a.id AND s.j = a.j
+        GROUP BY a.j, a.code
+      )
+      UNION ALL
+      SELECT b.j, b.code, b.cq FROM {tb}{r - 1} b
+      WHERE NOT EXISTS (SELECT 1 FROM ta{r} a
+                        WHERE a.j = b.j AND a.code = b.code)
+    )""")
+    return parts
+
+
+def _sql_pq_topk_trained(
+    m: int = 16, n_codes: int = 128, sub: int = 4, k: int = 10, iters: int = 3
+) -> str:
+    """Full replication of similarity.pq_topk(train_iters=``iters``):
+    md5-ordered seeded codebooks, ``iters`` unrolled rounds of
+    per-subspace integer Lloyd's (fixed-point quantization
+    floor((x+1)*1e6), ties -> lowest code, SUM // COUNT updates,
+    empty codes keep), integer-exact encode against the trained
+    books, then ADC off the DEQUANTIZED float books (cq/1e6 - 1 —
+    exact IEEE, identical in numpy) with the SAME left-associated
+    float-add order as the Spark expression chain."""
+    d_chain = _sql_add_chain("p.d", m)
+    n_chain = _sql_add_chain("p.n", m)
+    d_cases = ", ".join(
+        f"MAX(CASE WHEN j = {j} THEN d END) AS d{j}" for j in range(1, m + 1)
+    )
+    n_cases = ", ".join(
+        f"MAX(CASE WHEN j = {j} THEN nsq END) AS n{j}" for j in range(1, m + 1)
+    )
+    rounds = ",\n    ".join(
+        _sql_pq_lloyd_rounds(iters=iters, sub=sub, subq="subq", tb="tb")
+    )
+    enc_dist = _sql_pq_intdist("s.vq", "b.cq", sub)
+    qslice = (
+        f"list_transform(range(1, {sub} + 1), "
+        f"i -> CAST(floor((v.dv[(j.j - 1) * {sub} + i] + 1.0) * 1000000) AS BIGINT))"
+    )
+    return f"""
+    WITH vecs AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings),
+    samp AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) AS code, dv
+      FROM vecs ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT {n_codes}
+    ),
+    js AS (SELECT unnest(range(1, {m} + 1)) AS j),
+    subq AS MATERIALIZED (
+      SELECT v.id, j.j, {qslice} AS vq
+      FROM vecs v CROSS JOIN js j
+    ),
+    tb0 AS MATERIALIZED (
+      SELECT j.j, s.code,
+             list_transform(range(1, {sub} + 1),
+               i -> CAST(floor((s.dv[(j.j - 1) * {sub} + i] + 1.0) * 1000000) AS BIGINT)) AS cq
+      FROM samp s CROSS JOIN js j
+    ),
+    {rounds},
+    books AS MATERIALIZED (
+      SELECT j, code, list_transform(cq, x -> x / 1000000.0 - 1.0) AS c FROM tb{iters}
+    ),
+    q AS (SELECT dv AS qv FROM vecs WHERE id = 0),
+    qn AS (SELECT sqrt(list_dot_product(qv, qv)) AS qnorm FROM q),
+    lut AS (
+      SELECT b.j, b.code,
+             list_dot_product(list_slice(q.qv, (b.j - 1) * {sub} + 1, b.j * {sub}), b.c) AS d,
+             list_dot_product(b.c, b.c) AS nsq
+      FROM books b CROSS JOIN q
+    ),
+    assign AS (
+      SELECT id, j, code FROM (
+        SELECT s.id, s.j, b.code,
+               ROW_NUMBER() OVER (PARTITION BY s.id, s.j
+                 ORDER BY {enc_dist}, b.code) AS rn
+        FROM subq s JOIN tb{iters} b USING (j)
+      ) WHERE rn = 1
+    ),
+    terms AS (
+      SELECT a.id, a.j, l.d, l.nsq FROM assign a JOIN lut l USING (j, code)
+    ),
+    piv AS (SELECT id, {d_cases}, {n_cases} FROM terms GROUP BY id),
+    sims AS (
+      SELECT p.id AS vec_id,
+             CASE WHEN qn.qnorm = 0 OR {n_chain} = 0 THEN 0.0
+                  ELSE round({d_chain} / (sqrt({n_chain}) * qn.qnorm), 4)
+             END AS sim
+      FROM piv p CROSS JOIN qn
+    ),
+    ranked AS (
+      SELECT vec_id, sim,
+             CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id) AS INTEGER) AS rank
+      FROM sims
+    )
+    SELECT vec_id, sim, rank FROM ranked WHERE rank <= {k}
+"""
+
+
 def _sql_pq_topk(m: int = 4, n_codes: int = 16, sub: int = 16, k: int = 10) -> str:
     """Full replication of similarity.pq_topk(k=10, m=4 subspaces,
     16 codewords): md5-ordered codeword sample (the ivf_centroids
@@ -1549,6 +1682,62 @@ def _sql_hx_frac(col: str) -> str:
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
+
+def _registry_order(names, records_root: str | None = None) -> list[str]:
+    """DERIVED registry rotation (round-7: the manual rotation missed
+    the freshly-landed record two rounds running, so the order is now
+    computed, not typed).  The driver's oracle gate checks only the
+    FIRST 50 registry entries per round; official coverage therefore
+    decays unless the window rotates.  Policy, derived from the
+    on-disk CORRECTNESS_r*.json records at call time:
+
+    - must-set = every query absent from the two most recent records'
+      hash-matched names — exactly the set
+      test_entry_parses.py::test_registry_order_covers_the_driver_window
+      requires contiguous at the head.
+    - within the must-set, oldest official record first (never-recorded
+      queries lead at round 0), name-tiebroken — so the stalest
+      evidence is always inside the next 50-entry window.
+    - the recently-verified tail is likewise oldest-record-first, so
+      the next block to age out already sits just behind the window.
+
+    Because the head is *computed* as the must-set, landing a new
+    CORRECTNESS record can never invalidate the order: the next
+    import re-derives it.  Deterministic for a given record state."""
+    import glob as _glob
+    import json as _json
+    import re as _re
+
+    root = records_root or os.path.dirname(os.path.abspath(__file__))
+    records = sorted(
+        _glob.glob(os.path.join(root, "CORRECTNESS_r*.json")),
+        key=lambda p: int(_re.search(r"_r(\d+)", p).group(1)),
+    )
+    last_ok: dict[str, int] = {}
+    for path in records:
+        rnd = int(_re.search(r"_r(\d+)", path).group(1))
+        try:
+            with open(path) as fh:
+                rec = _json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for name, row in rec.items():
+            if isinstance(row, dict) and row.get("hash_match"):
+                last_ok[name] = max(rnd, last_ok.get(name, 0))
+    recent: set[str] = set()
+    for path in records[-2:]:
+        try:
+            with open(path) as fh:
+                rec = _json.load(fh)
+        except (OSError, ValueError):
+            continue
+        recent |= {
+            n for n, row in rec.items() if isinstance(row, dict) and row.get("hash_match")
+        }
+    key = lambda n: (last_ok.get(n, 0), n)  # noqa: E731
+    must = sorted((n for n in names if n not in recent), key=key)
+    rest = sorted((n for n in names if n in recent), key=key)
+    return must + rest
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: BFS hop-distance over the derived tree at
@@ -3852,16 +4041,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return seasonal_index(load_table(spark, sf_dir, "orders"))
 
     # Registry ORDER matters: the driver's oracle gate checks only the
-    # FIRST 50 entries per round, so the window ROTATES — this round's
-    # new queries lead, then the 15 queries whose official rows aged to
-    # r3 (flagged by the rotation test after r5's record landed), then
-    # the round-4-checked block (next to age out, fills the window);
-    # the round-5-checked block (freshest official rows) holds the
-    # tail.  The rotation policy is machine-enforced by
-    # test_entry_parses.py::test_registry_order_covers_the_driver_window:
-    # any query absent from the two most recent CORRECTNESS records
-    # must sit inside the current window.
-    return {
+    # FIRST 50 entries per round.  The order is no longer typed by hand
+    # (the manual rotation went stale two rounds running) — it is
+    # DERIVED from the CORRECTNESS_r*.json records by _registry_order:
+    # must-verify queries (absent from the two freshest records) head
+    # the registry oldest-evidence-first; the verified tail follows in
+    # age order so the next block to expire already fronts the queue.
+    # The dict literal below is the stable DEFINITION order only.
+    base = {
         # -- new this round (round 6; inside the 50-entry window) --
         "q_walks": q_walks,
         "q_neighbor_sample": q_neighbor_sample,
@@ -4073,6 +4260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pricing_summary": q_pricing_summary,
         "q_event_windows": q_event_windows,
     }
+    return {name: base[name] for name in _registry_order(base)}
 
 
 

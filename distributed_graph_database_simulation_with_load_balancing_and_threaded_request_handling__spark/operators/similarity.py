@@ -318,6 +318,27 @@ def ivf_topk_partitioned(
     )
 
 
+def _broadcast_lut_row(spark, **luts) -> DataFrame:
+    """One-row DataFrame carrying ADC lookup tables as
+    ``array<array<double>>`` DATA columns (name -> (m, n_codes)
+    nested list).  Scoring crossJoins the broadcast row and indexes
+    with ``element_at(element_at(col, j), code)`` — the query plan
+    holds O(m) expressions however large the codebooks grow, where
+    the previous literal-array form inlined 2*m*n_codes float
+    literals into the expression tree (a Catalyst plan-size /
+    whole-stage-codegen cliff at production codebook sizes;
+    round-6 verdict #5).  The floats are the SAME doubles the
+    literals carried, so scores are bit-identical and the SQL
+    oracles need no change."""
+    from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
+
+    schema = StructType(
+        [StructField(n, ArrayType(ArrayType(DoubleType()))) for n in luts]
+    )
+    row = [[[float(x) for x in sub] for sub in lut] for lut in luts.values()]
+    return spark.createDataFrame([row], schema)
+
+
 def pq_codebooks(
     embeddings: DataFrame,
     *,
@@ -379,6 +400,178 @@ def _pq_codes_arrow(books: list[list[list[float]]]):
     return codes
 
 
+PQ_SCALE = 10**6
+PQ_OFFSET = 1.0  # embeddings live in (-1, 1); +1 keeps quanta positive
+PQ_RESID_OFFSET = 2.0  # residuals of (-1,1) vectors live in (-2, 2)
+
+
+def _pq_quantize(X, offset: float):
+    """(n, dim) float64 -> int64 fixed-point quanta, the
+    ``clustering.KMEANS_SCALE`` recipe: ``floor((x + offset) * 1e6)``
+    uses only correctly-rounded IEEE ops, so numpy and any SQL engine
+    land on identical integers; positive quanta make floor-div ==
+    trunc-div everywhere."""
+    import numpy as np
+
+    return np.floor((X + offset) * PQ_SCALE).astype(np.int64)
+
+
+def _pq_train_lloyd(
+    src: DataFrame,
+    books_q,
+    *,
+    iters: int,
+    offset: float,
+    cents=None,
+):
+    """Per-subspace integer Lloyd's k-means over quantized subvector
+    slices — ALL m subspaces trained in one ``mapInPandas`` pass per
+    round (the ``clustering._lloyd_rounds`` posture: the big table
+    flows through one Arrow worker emitting (j, code)-keyed partial
+    sums; only m*n_codes*(sub+1) longs ever reach the driver).
+
+    Deterministic contract (what the SQL oracle replays, round by
+    unrolled round): assignment = argmin int64 squared distance, ties
+    to the lowest code (numpy argmin takes the first minimum); update
+    = per-dim ``sum // count`` floor division; an empty code keeps its
+    codeword.  With ``cents`` (IVF-PQ), each vector is first reduced
+    to its float residual ``v - cent(nearest cell)`` (exact IEEE
+    subtract, the ``residual_pq_codebooks`` rule) before quantizing.
+
+    int64 headroom: quanta < 2^22, squared diffs < 2^44, summed over
+    sub <= 2^6 dims < 2^50 — no overflow anywhere near."""
+    import numpy as np
+
+    n_sub, n_codes, sub = books_q.shape
+    if cents is not None:
+        C = np.asarray(cents, dtype=np.float64)
+        C_sq = (C * C).sum(axis=1)
+
+    for _ in range(iters):
+        B = books_q  # bind this round's codebooks into the closure
+        B_sq = (B * B).sum(axis=2)  # (m, n_codes)
+
+        def partials(batches):
+            for pdf in batches:
+                X = np.stack(pdf["emb"].to_numpy()).astype(np.float64)
+                if cents is not None:
+                    cell = (C_sq[None, :] - 2.0 * (X @ C.T)).argmin(axis=1)
+                    X = X - C[cell]
+                V = _pq_quantize(X, offset).reshape(-1, n_sub, sub)
+                sc = B_sq[None, :, :] - 2 * np.einsum("bjs,jcs->bjc", V, B)
+                a = sc.argmin(axis=2)  # (n, m), int argmin — engine-exact
+                acc = np.zeros((n_sub, n_codes, sub + 1), dtype=np.int64)
+                for j in range(n_sub):
+                    np.add.at(acc[j, :, :sub], a[:, j], V[:, j, :])
+                    np.add.at(acc[j, :, sub], a[:, j], 1)
+                js, codes = np.nonzero(acc[:, :, sub])
+                yield pd.DataFrame(
+                    {
+                        "j": js.astype("int32"),
+                        "code": codes.astype("int32"),
+                        "sums": [acc[j, c].tolist() for j, c in zip(js, codes)],
+                    }
+                )
+
+        p = src.mapInPandas(partials, schema="j int, code int, sums array<long>")
+        rows = (
+            p.select("j", "code", F.posexplode("sums").alias("pos", "s"))
+            .groupBy("j", "code", "pos")
+            .agg(F.sum("s").alias("s"))
+            .collect()
+        )  # m x n_codes x (sub+1) longs to the driver — O(1) in table size
+        acc = np.zeros((n_sub, n_codes, sub + 1), dtype=np.int64)
+        for r in rows:
+            acc[r["j"], r["code"], r["pos"]] = r["s"]
+        new_books = books_q.copy()  # empty codes keep their codeword
+        for j in range(n_sub):
+            for c in range(n_codes):
+                if acc[j, c, sub] > 0:
+                    new_books[j, c] = acc[j, c, :sub] // acc[j, c, sub]
+        books_q = new_books
+    return books_q
+
+
+def pq_codebooks_trained(
+    embeddings: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 4,
+    n_codes: int = 16,
+    train_iters: int = 2,
+    cents: list[list[float]] | None = None,
+):
+    """TRAINED product-quantization codebooks (round-6 verdict #4):
+    the md5-ordered ``n_codes`` sample seeds the books exactly as
+    ``pq_codebooks``/``residual_pq_codebooks`` did, then
+    ``train_iters`` rounds of per-subspace integer Lloyd's sharpen
+    them against the full table — same SQL-replayable contract as
+    ``clustering.kmeans_fixed`` (unrolled rounds, fixed-point int64
+    arithmetic, deterministic ties), so the value oracle replays
+    training, encoding, and scoring end to end.
+
+    Returns ``(books_q, books_f)``: the int64 quantized codebooks
+    (shape (m, n_codes, sub) — what the encoder argmins against) and
+    their float dequantization ``q / 1e6 - offset`` (exact IEEE ops,
+    identical in SQL — what ADC LUTs are computed from).  With
+    ``cents``, books quantize IVF residuals (offset 2) instead of raw
+    vectors (offset 1)."""
+    import numpy as np
+
+    offset = PQ_OFFSET if cents is None else PQ_RESID_OFFSET
+    if cents is None:
+        seed = pq_codebooks(
+            embeddings, vec_col=vec_col, id_col=id_col, m=m, n_codes=n_codes
+        )
+    else:
+        seed = residual_pq_codebooks(
+            embeddings, cents, vec_col=vec_col, id_col=id_col, m=m, n_codes=n_codes
+        )
+    books_q = _pq_quantize(np.asarray(seed, dtype=np.float64), offset)
+    src = embeddings.select(as_double_vec(F.col(vec_col)).alias("emb"))
+    books_q = _pq_train_lloyd(
+        src, books_q, iters=train_iters, offset=offset, cents=cents
+    )
+    books_f = (books_q.astype(np.float64) / PQ_SCALE) - offset
+    return books_q, [[list(map(float, c)) for c in bj] for bj in books_f]
+
+
+def _pq_codes_arrow_q(books_q, offset: float, cents=None):
+    """PQ encoder against TRAINED integer codebooks: quantize the
+    (residual) subvectors to the same int64 grid and argmin exact
+    integer squared distance (ties -> lowest code) — the cross-engine
+    determinism the float encoder only gets from tie-free data, made
+    unconditional.  With ``cents``: array<int> [cell, code_1..code_m]
+    (the ``_ivf_pq_codes_arrow`` shape); else array<int> of m codes."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    B = np.asarray(books_q, dtype=np.int64)
+    n_sub, _, sub = B.shape
+    B_sq = (B * B).sum(axis=2)
+    if cents is not None:
+        C = np.asarray(cents, dtype=np.float64)
+        C_sq = (C * C).sum(axis=1)
+
+    @pandas_udf("array<int>")
+    def codes(vecs: pd.Series) -> pd.Series:
+        X = np.asarray(vecs.tolist(), dtype=np.float64)
+        if cents is not None:
+            cell = (C_sq[None, :] - 2.0 * (X @ C.T)).argmin(axis=1)
+            X = X - C[cell]
+        V = _pq_quantize(X, offset).reshape(-1, n_sub, sub)
+        sc = B_sq[None, :, :] - 2 * np.einsum("bjs,jcs->bjc", V, B)
+        code = (sc.argmin(axis=2) + 1).astype("int32")
+        if cents is not None:
+            code = np.concatenate(
+                [(cell + 1).astype("int32")[:, None], code], axis=1
+            )
+        return pd.Series(list(code))
+
+    return codes
+
+
 def pq_topk(
     embeddings: DataFrame,
     query_vec: list[float],
@@ -389,6 +582,7 @@ def pq_topk(
     m: int = 4,
     n_codes: int = 16,
     round_digits: int = 4,
+    train_iters: int = 0,
 ) -> DataFrame:
     """Product-quantized approximate top-k by asymmetric distance
     computation (ADC, Jégou et al. 2011): vectors are encoded as m
@@ -405,10 +599,28 @@ def pq_topk(
     UDF is the encode, which at 100 TB is a one-time index build).
     Top-k is TakeOrderedAndProject as in ``cosine_topk``.  Returns
     ``(vec_id, sim, rank)``; composes with IVF cells for
-    partition-pruned probing (``save_ivf_partitioned``)."""
-    books = pq_codebooks(
-        embeddings, vec_col=vec_col, id_col=id_col, m=m, n_codes=n_codes
-    )
+    partition-pruned probing (``save_ivf_partitioned``).
+
+    ``train_iters > 0`` swaps the sampled codebooks for TRAINED ones
+    (``pq_codebooks_trained``: per-subspace integer Lloyd's, same
+    seeded init, unrolled rounds replayed by the oracle) and encodes
+    by exact integer distance — measured recall moves 0.8 -> ~1.0 at
+    m=16/128 (BASELINE.md)."""
+    if train_iters:
+        books_q, books = pq_codebooks_trained(
+            embeddings,
+            vec_col=vec_col,
+            id_col=id_col,
+            m=m,
+            n_codes=n_codes,
+            train_iters=train_iters,
+        )
+        codes = _pq_codes_arrow_q(books_q, PQ_OFFSET)(F.col(vec_col))
+    else:
+        books = pq_codebooks(
+            embeddings, vec_col=vec_col, id_col=id_col, m=m, n_codes=n_codes
+        )
+        codes = _pq_codes_arrow(books)(F.col(vec_col))
     sub = len(query_vec) // m
     q_norm = math.sqrt(sum(float(x) * float(x) for x in query_vec))
     dot_lut, nsq_lut = [], []
@@ -417,19 +629,26 @@ def pq_topk(
         dot_lut.append([sum(a * b for a, b in zip(qj, c)) for c in books[j]])
         nsq_lut.append([sum(a * a for a in c) for c in books[j]])
 
-    codes = _pq_codes_arrow(books)(F.col(vec_col))
-    df = embeddings.select(F.col(id_col).alias("vec_id"), codes.alias("_codes"))
+    # LUTs ride as DATA in a broadcast 1-row relation, not as literal
+    # arrays in the expression tree (round-6 verdict #5): the plan is
+    # O(m) element_at expressions regardless of n_codes, so growing
+    # production codebooks (m=16 x 4096 codes) can never hit the
+    # Catalyst plan-size / codegen cliff the literal form risked.
+    # Values are bit-identical to the literal form — the oracle SQL is
+    # unchanged.
+    lut_row = _broadcast_lut_row(
+        embeddings.sparkSession, _dlut=dot_lut, _nlut=nsq_lut
+    )
+    df = embeddings.select(
+        F.col(id_col).alias("vec_id"), codes.alias("_codes")
+    ).crossJoin(F.broadcast(lut_row))
     adot = None
     ansq = None
     # Left-associated chains so the float add order is pinned (the SQL
     # oracle writes the same explicit (((t1+t2)+t3)+t4) parenthesization).
     for j in range(m):
-        dj = F.element_at(
-            F.array(*[F.lit(float(x)) for x in dot_lut[j]]), F.col("_codes")[j]
-        )
-        nj = F.element_at(
-            F.array(*[F.lit(float(x)) for x in nsq_lut[j]]), F.col("_codes")[j]
-        )
+        dj = F.element_at(F.element_at(F.col("_dlut"), j + 1), F.col("_codes")[j])
+        nj = F.element_at(F.element_at(F.col("_nlut"), j + 1), F.col("_codes")[j])
         adot = dj if adot is None else adot + dj
         ansq = nj if ansq is None else ansq + nj
     if q_norm == 0.0:
@@ -537,6 +756,7 @@ def ivf_pq_topk(
     m: int = 4,
     n_codes: int = 16,
     round_digits: int = 4,
+    train_iters: int = 0,
 ) -> DataFrame:
     """IVF-PQ approximate top-k: coarse-quantize into IVF cells, probe
     the ``n_probe`` cells nearest the query, and score ONLY the
@@ -555,9 +775,23 @@ def ivf_pq_topk(
     cents = ivf_centroids(
         embeddings, vec_col=vec_col, id_col=id_col, n_cells=n_cells
     )
-    books = residual_pq_codebooks(
-        embeddings, cents, vec_col=vec_col, id_col=id_col, m=m, n_codes=n_codes
-    )
+    if train_iters:
+        # Trained residual codebooks (round-6 verdict #4): same seeded
+        # init, per-subspace integer Lloyd's over the RESIDUALS,
+        # integer-exact encode; the oracle replays the unrolled rounds.
+        books_q, books = pq_codebooks_trained(
+            embeddings,
+            vec_col=vec_col,
+            id_col=id_col,
+            m=m,
+            n_codes=n_codes,
+            train_iters=train_iters,
+            cents=cents,
+        )
+    else:
+        books = residual_pq_codebooks(
+            embeddings, cents, vec_col=vec_col, id_col=id_col, m=m, n_codes=n_codes
+        )
     sub = len(query_vec) // m
     q = [float(x) for x in query_vec]
     q_norm = math.sqrt(sum(x * x for x in q))
@@ -598,7 +832,11 @@ def ivf_pq_topk(
     # projection and extracts a SECOND ArrowEvalPython for it — the
     # encode would run twice per row.  The marker pins one evaluation
     # (plan shape asserted in test_plans.py).
-    codes_udf = _ivf_pq_codes_arrow(cents, books).asNondeterministic()
+    codes_udf = (
+        _pq_codes_arrow_q(books_q, PQ_RESID_OFFSET, cents=cents)
+        if train_iters
+        else _ivf_pq_codes_arrow(cents, books)
+    ).asNondeterministic()
     df = embeddings.select(
         F.col(id_col).alias("vec_id"), codes_udf(F.col(vec_col)).alias("_codes")
     ).select(
@@ -606,34 +844,61 @@ def ivf_pq_topk(
         F.col("_codes")[0].alias("cell"),
         *[F.col("_codes")[j + 1].alias(f"_c{j}") for j in range(m)],
     )
-    cand = df.where(F.col("cell").isin(probe_cells))
+    # LUTs ride as DATA in an n_probe-row broadcast relation keyed by
+    # cell (round-6 verdict #5): the global dot/|r|^2 tables AND the
+    # cell-dependent cent_j.r_jc table / q.cent / |cent|^2 scalars all
+    # arrive via ONE broadcast hash join, so the plan holds O(m)
+    # element_at expressions — no 2*m*n_codes literals, no n_probe-arm
+    # CASE chains — and stays flat as codebooks grow to production
+    # sizes.  Same doubles as the literal form; oracle SQL unchanged.
+    # (The isin filter STAYS: it is the partition-prunable predicate;
+    # the join then only matches probed cells by construction.)
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
 
-    def _lit_arr(vals):
-        return F.array(*[F.lit(float(x)) for x in vals])
-
-    def _cell_case(mapping):
-        expr = None
-        for pc in probe_cells:
-            branch = mapping(pc)
-            expr = (
-                F.when(F.col("cell") == pc, branch)
-                if expr is None
-                else expr.when(F.col("cell") == pc, branch)
-            )
-        return expr
+    lut_schema = StructType(
+        [
+            StructField("cell", IntegerType()),
+            StructField("_a", DoubleType()),
+            StructField("_b", DoubleType()),
+            StructField("_dlut", ArrayType(ArrayType(DoubleType()))),
+            StructField("_nlut", ArrayType(ArrayType(DoubleType()))),
+            StructField("_clut", ArrayType(ArrayType(DoubleType()))),
+        ]
+    )
+    lut_rows = [
+        [
+            int(pc),
+            float(cellA[pc]),
+            float(cellB[pc]),
+            [[float(x) for x in row] for row in dq],
+            [[float(x) for x in row] for row in nn],
+            [[float(x) for x in row] for row in cellC[pc]],
+        ]
+        for pc in probe_cells
+    ]
+    luts = embeddings.sparkSession.createDataFrame(lut_rows, lut_schema)
+    cand = df.where(F.col("cell").isin(probe_cells)).join(
+        F.broadcast(luts), "cell"
+    )
 
     d_chain = None
     n_chain = None
     c_chain = None
     for j in range(m):
-        dj = F.element_at(_lit_arr(dq[j]), F.col(f"_c{j}"))
-        nj = F.element_at(_lit_arr(nn[j]), F.col(f"_c{j}"))
-        cj = _cell_case(lambda pc, j=j: F.element_at(_lit_arr(cellC[pc][j]), F.col(f"_c{j}")))
+        dj = F.element_at(F.element_at(F.col("_dlut"), j + 1), F.col(f"_c{j}"))
+        nj = F.element_at(F.element_at(F.col("_nlut"), j + 1), F.col(f"_c{j}"))
+        cj = F.element_at(F.element_at(F.col("_clut"), j + 1), F.col(f"_c{j}"))
         d_chain = dj if d_chain is None else d_chain + dj
         n_chain = nj if n_chain is None else n_chain + nj
         c_chain = cj if c_chain is None else c_chain + cj
-    a_term = _cell_case(lambda pc: F.lit(float(cellA[pc])))
-    b_term = _cell_case(lambda pc: F.lit(float(cellB[pc])))
+    a_term = F.col("_a")
+    b_term = F.col("_b")
     adot = a_term + d_chain
     nsq = (b_term + F.lit(2.0) * c_chain) + n_chain
     if q_norm == 0.0:

@@ -202,3 +202,59 @@ def test_bench_compact_line_fits_tail():
     assert rec["value"] == round(sum(fake.values()), 3)
     assert len(rec["slowest"]) == 10
     json.loads(full)  # line 1 stays valid JSON too
+
+
+def test_registry_order_is_derived_for_any_record_state(tmp_path):
+    """Round-7 fix for the two-rounds-running rotation failure: the
+    registry order is now COMPUTED from the CORRECTNESS records, so
+    landing a new record can never invalidate it.  Drive
+    _registry_order through synthetic record states — none, one,
+    partial, all-verified, a fresh record landing mid-round — and
+    assert the head==must invariant plus oldest-evidence-first
+    priority hold in every one."""
+    import json
+
+    names = [f"q_{chr(97 + i)}{i}" for i in range(12)]
+
+    def write(round_no, verified):
+        p = tmp_path / f"CORRECTNESS_r{round_no:02d}.json"
+        p.write_text(
+            json.dumps(
+                {
+                    n: {"rows_match": True, "schema_match": True, "hash_match": ok}
+                    for n, ok in verified.items()
+                }
+            )
+        )
+
+    def check():
+        order = entry._registry_order(names, records_root=str(tmp_path))
+        assert sorted(order) == sorted(names)  # a permutation, always
+        records = sorted(tmp_path.glob("CORRECTNESS_r*.json"))
+        recent = set()
+        for p in records[-2:]:
+            rec = json.loads(p.read_text())
+            recent |= {n for n, row in rec.items() if row.get("hash_match")}
+        must = set(names) - recent
+        assert set(order[: len(must)]) == must
+        return order
+
+    # no records: everything is must, sorted by name
+    order = check()
+    assert order == sorted(names)
+
+    # one record verifying half (and one hash MISMATCH, which must not count)
+    write(1, {n: True for n in names[:6]} | {names[6]: False})
+    order = check()
+    assert set(order[:6]) == set(names[6:])
+
+    # a second record verifying the rest: must-set empty, oldest-first tail
+    write(2, {n: True for n in names[6:]})
+    order = check()
+    assert order[:6] == sorted(names[:6])  # r1 block ages out first
+
+    # a THIRD record lands (the failure mode that bit rounds 5 and 6):
+    # r1's block immediately becomes the must-set, no manual edit needed
+    write(3, {n: True for n in names[6:]})
+    order = check()
+    assert set(order[:6]) == set(names[:6])

@@ -520,6 +520,37 @@ def test_pq_scoring_is_code_only_jvm_with_topk(spark):
         assert "TakeOrderedAndProject" in plan, name
 
 
+def test_pq_plan_size_constant_in_codebook_size(spark):
+    """Round-6 verdict #5: ADC LUTs must ride as broadcast-relation
+    DATA, not as 2*m*n_codes float literals in the expression tree —
+    the literal form is a Catalyst plan-size / codegen cliff at
+    production codebook sizes.  Pin it structurally: growing n_codes
+    8x must leave the plan TEXT essentially unchanged (the LUT values
+    live in the broadcast row, which the plan prints by schema, not
+    by value), and the LUT arrives via a broadcast join."""
+    import os as _os
+
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.similarity import (
+        ivf_pq_topk,
+        pq_topk,
+    )
+
+    emb = spark.read.parquet(_os.path.join(SF_DIR, "embeddings.parquet"))
+    qvec = [float(x) for x in emb.where(emb["vec_id"] == 0).first()["embedding"]]
+    for build in (
+        lambda n: pq_topk(emb, qvec, 9, m=16, n_codes=n),
+        lambda n: ivf_pq_topk(emb, qvec, 9, m=16, n_codes=n),
+    ):
+        small, large = _plan(build(16)), _plan(build(128))
+        # identical modulo plan-id noise: an 8x codebook may not grow
+        # the plan text more than a few percent (literals would 8x it)
+        assert len(large) < len(small) * 1.10, (len(small), len(large))
+        assert "BroadcastExchange" in large
+        # scoring reads only the code column + broadcast LUT row: no
+        # embedding column in any projection above the encode UDF
+        assert large.count("ArrowEvalPython") == 1
+
+
 def test_ann_batch_one_scan_window_group_limit(spark):
     # Batched retrieval contract: the per-query top-k must compile to
     # WindowGroupLimit (partial per-partition top-k per query), the
