@@ -1654,6 +1654,131 @@ def _sql_ivfpq_topk(
 """
 
 
+def _sql_ivfpq_topk_trained(
+    m: int = 4,
+    n_codes: int = 128,
+    sub: int = 16,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    k: int = 10,
+    iters: int = 2,
+) -> str:
+    """Full replication of similarity.ivf_pq_topk(train_iters=
+    ``iters``): md5-ordered centroids and codeword seed, residuals
+    quantized at offset 2 (they live in (-2, 2)), ``iters`` unrolled
+    per-subspace integer Lloyd's rounds over ALL vectors' residuals,
+    integer-exact encode of the probed rows, ADC off the dequantized
+    float books (cq/1e6 - 2) with the pinned float-add order."""
+    d_cases = ", ".join(
+        f"MAX(CASE WHEN j = {j} THEN d END) AS d{j}" for j in range(1, m + 1)
+    )
+    n_cases = ", ".join(
+        f"MAX(CASE WHEN j = {j} THEN nsq END) AS n{j}" for j in range(1, m + 1)
+    )
+    c_cases = ", ".join(
+        f"MAX(CASE WHEN j = {j} THEN cd END) AS c{j}" for j in range(1, m + 1)
+    )
+    d_chain = _sql_add_chain("p.d", m)
+    n_chain = _sql_add_chain("p.n", m)
+    c_chain = _sql_add_chain("p.c", m)
+    nsq = f"((pc.bb + 2 * {c_chain}) + {n_chain})"
+    adot = f"(pc.a + {d_chain})"
+    rounds = ",\n    ".join(
+        _sql_pq_lloyd_rounds(iters=iters, sub=sub, subq="rsubq", tb="tb")
+    )
+    enc_dist = _sql_pq_intdist("r.vq", "b.cq", sub)
+    rq = (
+        f"list_transform(range(1, {sub} + 1), i -> CAST(floor(("
+        f"(v.dv[(j.j - 1) * {sub} + i] - c.c[(j.j - 1) * {sub} + i])"
+        f" + 2.0) * 1000000) AS BIGINT))"
+    )
+    return f"""
+    WITH vecs AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings),
+    cents AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) AS cell, dv AS c
+      FROM vecs ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT {n_cells}
+    ),
+    q AS (SELECT dv AS qv FROM vecs WHERE id = 0),
+    qn AS (SELECT sqrt(list_dot_product(qv, qv)) AS qnorm FROM q),
+    probe AS (
+      SELECT cell FROM cents CROSS JOIN q
+      ORDER BY list_dot_product(c, c) - 2*list_dot_product(c, qv) + list_dot_product(qv, qv), cell
+      LIMIT {n_probe}
+    ),
+    assign AS MATERIALIZED (
+      SELECT id, cell FROM (
+        SELECT v.id, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY v.id
+                 ORDER BY list_dot_product(c.c, c.c) - 2*list_dot_product(v.dv, c.c), c.cell) AS rn
+        FROM vecs v CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    samp AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) AS code, id, dv
+      FROM vecs ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT {n_codes}
+    ),
+    js AS (SELECT unnest(range(1, {m} + 1)) AS j),
+    rsubq AS MATERIALIZED (
+      SELECT v.id, j.j, {rq} AS vq
+      FROM vecs v JOIN assign a ON a.id = v.id JOIN cents c ON c.cell = a.cell
+      CROSS JOIN js j
+    ),
+    tb0 AS MATERIALIZED (
+      SELECT r.j, s.code, r.vq AS cq
+      FROM samp s JOIN rsubq r ON r.id = s.id
+    ),
+    {rounds},
+    books AS MATERIALIZED (
+      SELECT j, code, list_transform(cq, x -> x / 1000000.0 - 2.0) AS b FROM tb{iters}
+    ),
+    enc AS (
+      SELECT e.id, a.cell, e.j, e.code FROM (
+        SELECT r.id, r.j, b.code,
+               ROW_NUMBER() OVER (PARTITION BY r.id, r.j
+                 ORDER BY {enc_dist}, b.code) AS rn
+        FROM rsubq r JOIN tb{iters} b USING (j)
+      ) e JOIN assign a ON a.id = e.id
+      WHERE e.rn = 1 AND a.cell IN (SELECT cell FROM probe)
+    ),
+    dq AS (
+      SELECT b.j, b.code,
+             list_dot_product(list_slice(q.qv, (b.j - 1) * {sub} + 1, b.j * {sub}), b.b) AS d,
+             list_dot_product(b.b, b.b) AS nsq
+      FROM books b CROSS JOIN q
+    ),
+    dc AS (
+      SELECT c.cell, b.j, b.code,
+             list_dot_product(list_slice(c.c, (b.j - 1) * {sub} + 1, b.j * {sub}), b.b) AS cd
+      FROM cents c CROSS JOIN books b
+      WHERE c.cell IN (SELECT cell FROM probe)
+    ),
+    percell AS (
+      SELECT c.cell, list_dot_product(q.qv, c.c) AS a, list_dot_product(c.c, c.c) AS bb
+      FROM cents c CROSS JOIN q WHERE c.cell IN (SELECT cell FROM probe)
+    ),
+    terms AS (
+      SELECT e.id, e.cell, e.j, dq.d, dq.nsq, dc.cd
+      FROM enc e
+      JOIN dq ON dq.j = e.j AND dq.code = e.code
+      JOIN dc ON dc.cell = e.cell AND dc.j = e.j AND dc.code = e.code
+    ),
+    piv AS (SELECT id, cell, {d_cases}, {n_cases}, {c_cases} FROM terms GROUP BY id, cell),
+    sims AS (
+      SELECT p.id AS vec_id,
+             CASE WHEN qn.qnorm = 0 OR {nsq} <= 0 THEN 0.0
+                  ELSE round({adot} / (sqrt({nsq}) * qn.qnorm), 4)
+             END AS sim
+      FROM piv p JOIN percell pc ON pc.cell = p.cell CROSS JOIN qn
+    ),
+    ranked AS (
+      SELECT vec_id, sim,
+             CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id) AS INTEGER) AS rank
+      FROM sims
+    )
+    SELECT vec_id, sim, rank FROM ranked WHERE rank <= {k}
+"""
+
+
 def _sql_topk_recall(approx_sql: str) -> str:
     """Overlap of an approximate top-10 with the exact cosine top-10."""
     return f"""
@@ -3312,7 +3437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Spark jobs (the .first() scan is part of the build).
         return _shared_result(
             spark, sf_dir, "pq",
-            lambda: pq_topk(emb, _qvec0(emb), 10, m=16, n_codes=128),
+            lambda: pq_topk(emb, _qvec0(emb), 10, m=16, n_codes=128, train_iters=3),
         )
 
     def q_ivfpq_topk(spark, sf_dir):
@@ -3324,7 +3449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb = load_table(spark, sf_dir, "embeddings")
         return _shared_result(
             spark, sf_dir, "ivfpq",
-            lambda: ivf_pq_topk(emb, _qvec0(emb), 10, n_codes=128),
+            lambda: ivf_pq_topk(emb, _qvec0(emb), 10, n_codes=128, train_iters=2),
         )
 
     def q_ivfpq_recall(spark, sf_dir):
@@ -3334,7 +3459,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
         exact = cosine_topk(emb, qvec, 10).select("vec_id")
         approx = _shared_result(
-            spark, sf_dir, "ivfpq", lambda: ivf_pq_topk(emb, qvec, 10, n_codes=128)
+            spark, sf_dir, "ivfpq",
+            lambda: ivf_pq_topk(emb, qvec, 10, n_codes=128, train_iters=2)
         ).select("vec_id")
         return exact.join(approx, "vec_id").agg(
             F.count("*").cast("long").alias("n_matched")
@@ -3744,7 +3870,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
         exact = cosine_topk(emb, qvec, 10).select("vec_id")
         approx = _shared_result(
-            spark, sf_dir, "pq", lambda: pq_topk(emb, qvec, 10, m=16, n_codes=128)
+            spark, sf_dir, "pq",
+            lambda: pq_topk(emb, qvec, 10, m=16, n_codes=128, train_iters=3),
         ).select("vec_id")
         return exact.join(approx, "vec_id").agg(
             F.count("*").cast("long").alias("n_matched")
@@ -4703,10 +4830,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_lsh_topk": _sql_lsh_topk(),
         "q_ivf_topk": _sql_ivf_topk(),
-        "q_pq_topk": _sql_pq_topk(m=16, sub=4, n_codes=128),
-        "q_pq_recall": _sql_topk_recall(_sql_pq_topk(m=16, sub=4, n_codes=128)),
-        "q_ivfpq_topk": _sql_ivfpq_topk(n_codes=128),
-        "q_ivfpq_recall": _sql_topk_recall(_sql_ivfpq_topk(n_codes=128)),
+        # trained codebooks (round-7): the oracle replays the unrolled
+        # per-subspace integer Lloyd's rounds, the integer-exact
+        # encode, and the dequantized-book ADC.
+        "q_pq_topk": _sql_pq_topk_trained(m=16, sub=4, n_codes=128, iters=3),
+        "q_pq_recall": _sql_topk_recall(
+            _sql_pq_topk_trained(m=16, sub=4, n_codes=128, iters=3)
+        ),
+        "q_ivfpq_topk": _sql_ivfpq_topk_trained(n_codes=128, iters=2),
+        "q_ivfpq_recall": _sql_topk_recall(_sql_ivfpq_topk_trained(n_codes=128, iters=2)),
         "q_ktruss": _ktruss_oracle_sql(),
         "q_betweenness": _betweenness_oracle_sql(),
         "q_msf": _msf_oracle_sql(),

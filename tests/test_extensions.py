@@ -1144,3 +1144,78 @@ def test_ivf_pq_codes_and_topk_consistency(embeddings):
     sims = {r["vec_id"]: r["sim"] for r in rows}
     present = [v for v in (0, 13, 26, 39) if v in sims]
     assert len({sims[v] for v in present}) <= 1
+
+
+def test_pq_trained_books_deterministic_and_no_worse(embeddings):
+    """Round-7 trained codebooks (similarity.pq_codebooks_trained):
+    per-subspace integer Lloyd's must be deterministic (bit-identical
+    books across runs — the SQL oracle replays them) and must not
+    increase total quantization error vs the seeded sample books
+    (Lloyd's is monotone non-increasing in the summed assignment
+    distance)."""
+    import numpy as np
+
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.similarity import (
+        PQ_OFFSET,
+        _pq_quantize,
+        pq_codebooks,
+        pq_codebooks_trained,
+    )
+
+    m, n_codes, sub = 4, 8, 2
+    q1, f1 = pq_codebooks_trained(embeddings, m=m, n_codes=n_codes, train_iters=2)
+    q2, f2 = pq_codebooks_trained(embeddings, m=m, n_codes=n_codes, train_iters=2)
+    assert np.array_equal(q1, q2)
+    assert f1 == f2
+
+    seed_q = _pq_quantize(
+        np.asarray(pq_codebooks(embeddings, m=m, n_codes=n_codes)), PQ_OFFSET
+    )
+    X = np.array(
+        [r["embedding"] for r in embeddings.orderBy("vec_id").collect()],
+        dtype=np.float64,
+    )
+    V = _pq_quantize(X, PQ_OFFSET).reshape(-1, m, sub)
+
+    def total_err(books):
+        b = np.asarray(books)
+        d = ((V[:, :, None, :] - b[None, :, :, :]) ** 2).sum(axis=3)
+        return int(d.min(axis=2).sum())
+
+    assert total_err(q1) <= total_err(seed_q)
+
+
+def test_pq_trained_encode_matches_books(embeddings):
+    """The integer encoder (_pq_codes_arrow_q) must assign every
+    vector to its true integer-argmin codeword of the trained books,
+    ties to the lowest code."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.similarity import (
+        PQ_OFFSET,
+        _pq_codes_arrow_q,
+        _pq_quantize,
+        pq_codebooks_trained,
+    )
+
+    m, n_codes, sub = 4, 8, 2
+    books_q, _ = pq_codebooks_trained(embeddings, m=m, n_codes=n_codes, train_iters=2)
+    rows = (
+        embeddings.select(
+            "vec_id", _pq_codes_arrow_q(books_q, PQ_OFFSET)(F.col("embedding")).alias("c")
+        )
+        .orderBy("vec_id")
+        .collect()
+    )
+    X = np.array(
+        [r["embedding"] for r in embeddings.orderBy("vec_id").collect()],
+        dtype=np.float64,
+    )
+    V = _pq_quantize(X, PQ_OFFSET).reshape(-1, m, sub)
+    b = np.asarray(books_q)
+    d = ((V[:, :, None, :] - b[None, :, :, :]) ** 2).sum(axis=3)
+    expect = d.argmin(axis=2) + 1
+    got = np.array([r["c"] for r in rows])
+    assert np.array_equal(got, expect)
