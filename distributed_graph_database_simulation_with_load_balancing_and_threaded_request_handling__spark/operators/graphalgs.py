@@ -1728,6 +1728,7 @@ def strongly_connected_components(
     max_peel_rounds: int = 10,
     max_prop_rounds: int = 50,
     loop_shuffle_partitions: int | None = None,
+    probe_every: int = 1,
 ) -> DataFrame:
     """Strongly connected components of a DIRECTED graph by iterative
     forward-backward hash-min peel (the FW-BW-MIN decomposition —
@@ -1794,6 +1795,17 @@ def strongly_connected_components(
                 "v", F.col("v").alias("f"), F.col("v").alias("b")
             ).localCheckpoint(eager=False)
             converged = False
+            # Probe chaining (round-6 verdict #8 — the sssp/CC
+            # discipline extended to the peel's propagation loop):
+            # min-label propagation is monotone and its fixpoint is
+            # stable, so a round with zero changes is followed only by
+            # zero-change rounds — probing every ``probe_every``
+            # rounds reaches the same unique fixpoint while paying the
+            # probe ACTION once per chain; each chained round still
+            # ends in its own lazy localCheckpoint, which the probe
+            # materializes exactly once.  At most probe_every - 1
+            # no-op rounds run past convergence.
+            probe = max(1, int(probe_every))
             for _r in range(max_prop_rounds):
                 fmin = (
                     labels.join(re_, labels["v"] == re_["src"])
@@ -1821,13 +1833,14 @@ def strongly_connected_components(
                     )
                     .localCheckpoint(eager=False)
                 )
-                n_changed = (
-                    new_labels.agg(F.sum("_changed")).collect()[0][0] or 0
-                )
                 labels = new_labels.drop("_changed")
-                if n_changed == 0:
-                    converged = True
-                    break
+                if (_r + 1) % probe == 0 or _r == max_prop_rounds - 1:
+                    n_changed = (
+                        new_labels.agg(F.sum("_changed")).collect()[0][0] or 0
+                    )
+                    if n_changed == 0:
+                        converged = True
+                        break
             if not converged:
                 raise RuntimeError(
                     f"SCC label propagation did not converge in "

@@ -92,6 +92,29 @@ def test_scc_id_descending_chain_needs_peels(sess):
         strongly_connected_components(chain, max_peel_rounds=2)
 
 
+def test_scc_probe_chaining_same_fixpoint(sess):
+    # Round-7: min-label propagation is monotone, so probing every k
+    # rounds must land on the SAME fixpoint for any k (the sssp
+    # probe_every contract, extended to the SCC peel loop).  Two
+    # 3-cycles bridged one way + a tail — multi-SCC, multi-depth.
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.graphalgs import (
+        strongly_connected_components,
+    )
+
+    arcs = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 6), (6, 4), (6, 7)]
+    df = sess.createDataFrame(arcs, "src long, dst long")
+    base = {
+        r.vertex: r.scc
+        for r in strongly_connected_components(df, probe_every=1).collect()
+    }
+    for pe in (2, 3, 7):
+        got = {
+            r.vertex: r.scc
+            for r in strongly_connected_components(df, probe_every=pe).collect()
+        }
+        assert got == base, pe
+
+
 # ------------------------------------------------- MVCC snapshot log
 
 def test_snapshot_versions_delete_then_insert_nets_to_present(sess):
