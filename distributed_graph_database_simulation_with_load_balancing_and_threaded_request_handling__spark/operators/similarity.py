@@ -453,6 +453,8 @@ def _pq_train_lloyd(
 
         def partials(batches):
             for pdf in batches:
+                if not len(pdf):  # hash-filtered training can empty a batch
+                    continue
                 X = np.stack(pdf["emb"].to_numpy()).astype(np.float64)
                 if cents is not None:
                     cell = (C_sq[None, :] - 2.0 * (X @ C.T)).argmin(axis=1)
@@ -501,6 +503,7 @@ def pq_codebooks_trained(
     n_codes: int = 16,
     train_iters: int = 2,
     cents: list[list[float]] | None = None,
+    train_filter_hex: str | None = None,
 ):
     """TRAINED product-quantization codebooks (round-6 verdict #4):
     the md5-ordered ``n_codes`` sample seeds the books exactly as
@@ -516,7 +519,16 @@ def pq_codebooks_trained(
     their float dequantization ``q / 1e6 - offset`` (exact IEEE ops,
     identical in SQL — what ADC LUTs are computed from).  With
     ``cents``, books quantize IVF residuals (offset 2) instead of raw
-    vectors (offset 1)."""
+    vectors (offset 1).
+
+    ``train_filter_hex`` is the 100 TB posture: training restricts to
+    rows whose ``md5(id-as-string)`` sorts below the given hex prefix
+    (e.g. ``"1"`` ~ 1/16 of the table) — a deterministic, scan-parallel
+    sample with NO global sort, replayable in SQL as ``WHERE md5(...)
+    < '<prefix>'``.  Codebook training on a uniform sample is the
+    standard PQ recipe (Jégou et al. train on a held-out learn set);
+    the ENCODE still covers every row.  Default None trains on the
+    full table (right at the shipped scales)."""
     import numpy as np
 
     offset = PQ_OFFSET if cents is None else PQ_RESID_OFFSET
@@ -529,7 +541,12 @@ def pq_codebooks_trained(
             embeddings, cents, vec_col=vec_col, id_col=id_col, m=m, n_codes=n_codes
         )
     books_q = _pq_quantize(np.asarray(seed, dtype=np.float64), offset)
-    src = embeddings.select(as_double_vec(F.col(vec_col)).alias("emb"))
+    train_src = embeddings
+    if train_filter_hex is not None:
+        train_src = train_src.where(
+            F.md5(F.col(id_col).cast("string")) < F.lit(train_filter_hex)
+        )
+    src = train_src.select(as_double_vec(F.col(vec_col)).alias("emb"))
     books_q = _pq_train_lloyd(
         src, books_q, iters=train_iters, offset=offset, cents=cents
     )
@@ -583,6 +600,7 @@ def pq_topk(
     n_codes: int = 16,
     round_digits: int = 4,
     train_iters: int = 0,
+    train_filter_hex: str | None = None,
 ) -> DataFrame:
     """Product-quantized approximate top-k by asymmetric distance
     computation (ADC, Jégou et al. 2011): vectors are encoded as m
@@ -614,6 +632,7 @@ def pq_topk(
             m=m,
             n_codes=n_codes,
             train_iters=train_iters,
+            train_filter_hex=train_filter_hex,
         )
         codes = _pq_codes_arrow_q(books_q, PQ_OFFSET)(F.col(vec_col))
     else:
@@ -757,6 +776,7 @@ def ivf_pq_topk(
     n_codes: int = 16,
     round_digits: int = 4,
     train_iters: int = 0,
+    train_filter_hex: str | None = None,
 ) -> DataFrame:
     """IVF-PQ approximate top-k: coarse-quantize into IVF cells, probe
     the ``n_probe`` cells nearest the query, and score ONLY the
@@ -787,6 +807,7 @@ def ivf_pq_topk(
             n_codes=n_codes,
             train_iters=train_iters,
             cents=cents,
+            train_filter_hex=train_filter_hex,
         )
     else:
         books = residual_pq_codebooks(

@@ -1219,3 +1219,37 @@ def test_pq_trained_encode_matches_books(embeddings):
     expect = d.argmin(axis=2) + 1
     got = np.array([r["c"] for r in rows])
     assert np.array_equal(got, expect)
+
+
+def test_pq_trained_hash_sampled_training(embeddings):
+    """train_filter_hex (the 100 TB posture): training restricted to
+    the md5-prefix sample must stay deterministic, produce valid
+    books (every codeword finite, shape preserved), and the encoder
+    must still cover EVERY row."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.similarity import (
+        PQ_OFFSET,
+        _pq_codes_arrow_q,
+        pq_codebooks_trained,
+    )
+
+    m, n_codes = 4, 8
+    q1, _ = pq_codebooks_trained(
+        embeddings, m=m, n_codes=n_codes, train_iters=2, train_filter_hex="8"
+    )
+    q2, _ = pq_codebooks_trained(
+        embeddings, m=m, n_codes=n_codes, train_iters=2, train_filter_hex="8"
+    )
+    assert np.array_equal(q1, q2)
+    assert q1.shape == (m, n_codes, 2)
+    n = (
+        embeddings.select(
+            _pq_codes_arrow_q(q1, PQ_OFFSET)(F.col("embedding")).alias("c")
+        )
+        .where(F.size("c") == m)
+        .count()
+    )
+    assert n == embeddings.count()
