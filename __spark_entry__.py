@@ -5092,7 +5092,17 @@ def oracle_sql() -> dict[str, str]:
         # scc id = min mutual-reach partner (incl. self) — the same
         # min-id contract the FW-BW peel converges to.
         "q_scc": """
-            WITH RECURSIVE flows AS (
+            -- flows0 is MATERIALIZED as an optimizer fence (round-7):
+            -- with the a != b predicate inside the join block, DuckDB
+            -- 1.0 rewrites it into a customer NESTED_LOOP_JOIN
+            -- supplier ON c_nationkey != s_nationkey — a 1.5e9-row
+            -- intermediate at decade scale (measured: disk-full spill
+            -- at sf1-equivalent; 0.9 s with the fence).  Filtering
+            -- the 625 aggregated groups afterward is value-identical:
+            -- each fact row belongs to exactly one (a, b) group, so
+            -- dropping diagonal GROUPS drops exactly the diagonal
+            -- ROWS' counts.
+            WITH RECURSIVE flows0 AS MATERIALIZED (
               SELECT CAST(c.c_nationkey AS BIGINT) AS a,
                      CAST(s.s_nationkey AS BIGINT) AS b,
                      COUNT(*) AS cnt
@@ -5100,9 +5110,9 @@ def oracle_sql() -> dict[str, str]:
               JOIN orders o ON o.o_orderkey = l.l_orderkey
               JOIN customer c ON c.c_custkey = o.o_custkey
               JOIN supplier s ON s.s_suppkey = l.l_suppkey
-              WHERE c.c_nationkey != s.s_nationkey
               GROUP BY 1, 2
             ),
+            flows AS (SELECT a, b, cnt FROM flows0 WHERE a != b),
             tg AS (
               SELECT a, b FROM (
                 SELECT a, b,
