@@ -258,3 +258,18 @@ def test_registry_order_is_derived_for_any_record_state(tmp_path):
     write(3, {n: True for n in names[6:]})
     order = check()
     assert set(order[:6]) == set(names[:6])
+
+
+def test_scc_oracle_keeps_the_nlj_fence():
+    """Round-7: DuckDB 1.0 rewrites a cross-alias inequality inside a
+    multi-join block (WHERE c.c_nationkey != s.s_nationkey) into
+    customer NESTED_LOOP_JOIN supplier — a 1.5e9-row intermediate at
+    decade scale that spilled to disk-full.  The q_scc oracle must
+    keep the MATERIALIZED-CTE fence: aggregate the flow groups first,
+    filter the diagonal groups afterward."""
+    sql = entry.oracle_sql()["q_scc"]
+    assert "MATERIALIZED" in sql
+    # the inequality must only appear as the post-aggregation group
+    # filter, never next to the nationkey columns inside the join
+    assert "c_nationkey!=s" not in sql.replace(" ", "")
+    assert "WHERE a != b" in sql
