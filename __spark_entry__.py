@@ -1808,7 +1808,11 @@ def _sql_hx_frac(col: str) -> str:
 # Driver contract
 # ---------------------------------------------------------------------------
 
-def _registry_order(names, records_root: str | None = None) -> list[str]:
+def _registry_order(
+    names,
+    records_root: str | None = None,
+    live_hashes: dict[str, str] | None = None,
+) -> list[str]:
     """DERIVED registry rotation (round-7: the manual rotation missed
     the freshly-landed record two rounds running, so the order is now
     computed, not typed).  The driver's oracle gate checks only the
@@ -1825,6 +1829,13 @@ def _registry_order(names, records_root: str | None = None) -> list[str]:
       evidence is always inside the next 50-entry window.
     - the recently-verified tail is likewise oldest-record-first, so
       the next block to age out already sits just behind the window.
+    - CHANGE-AWARE (round-8, per round-7 ADVICE): any query whose
+      live oracle-SQL hash differs from ORACLE_HASHES.json — the
+      snapshot taken at its last verified record
+      (scripts/snapshot_oracle_hashes.py) — is treated as
+      never-verified: forced to the head of the must-set no matter
+      how fresh its record is.  A changed Spark/oracle pair can
+      therefore never coast on a pre-change record.
 
     Because the head is *computed* as the must-set, landing a new
     CORRECTNESS record can never invalidate the order: the next
@@ -1834,13 +1845,25 @@ def _registry_order(names, records_root: str | None = None) -> list[str]:
     import re as _re
 
     root = records_root or os.path.dirname(os.path.abspath(__file__))
-    records = sorted(
-        _glob.glob(os.path.join(root, "CORRECTNESS_r*.json")),
-        key=lambda p: int(_re.search(r"_r(\d+)", p).group(1)),
-    )
+    candidates = []
+    for p in _glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = _re.search(r"_r(\d+)", os.path.basename(p))
+        if m is not None:  # skip stray non-numeric names (ADVICE r7)
+            candidates.append((int(m.group(1)), p))
+    candidates.sort()
+    records = [p for _, p in candidates]
+    rounds = {p: rnd for rnd, p in candidates}
+    changed: set[str] = set()
+    if live_hashes:
+        try:
+            with open(os.path.join(root, "ORACLE_HASHES.json")) as fh:
+                snap = _json.load(fh)
+        except (OSError, ValueError):
+            snap = {}
+        changed = {n for n, h in live_hashes.items() if snap.get(n) != h}
     last_ok: dict[str, int] = {}
     for path in records:
-        rnd = int(_re.search(r"_r(\d+)", path).group(1))
+        rnd = rounds[path]
         try:
             with open(path) as fh:
                 rec = _json.load(fh)
@@ -1859,7 +1882,9 @@ def _registry_order(names, records_root: str | None = None) -> list[str]:
         recent |= {
             n for n, row in rec.items() if isinstance(row, dict) and row.get("hash_match")
         }
-    key = lambda n: (last_ok.get(n, 0), n)  # noqa: E731
+    # A changed oracle voids both its record age and its recency.
+    recent -= changed
+    key = lambda n: (-1 if n in changed else last_ok.get(n, 0), n)  # noqa: E731
     must = sorted((n for n in names if n not in recent), key=key)
     rest = sorted((n for n in names if n in recent), key=key)
     return must + rest
@@ -4387,7 +4412,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pricing_summary": q_pricing_summary,
         "q_event_windows": q_event_windows,
     }
-    return {name: base[name] for name in _registry_order(base)}
+    import hashlib as _hashlib
+
+    live = {
+        n: _hashlib.sha256(s.encode()).hexdigest() for n, s in oracle_sql().items()
+    }
+    return {name: base[name] for name in _registry_order(base, live_hashes=live)}
 
 
 

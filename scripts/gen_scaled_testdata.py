@@ -15,7 +15,7 @@ tie-break discipline), timestamps densify 10x (windows/sessions).
 region/nation stay fixed (bounded dims at every scale).
 
 Usage: python scripts/gen_scaled_testdata.py [factor] [src_dir] [out_dir]
-Defaults: 10 /root/testdata/sf0.1 <repo>/.scratch/sf1
+Defaults: 10 /root/testdata/sf0.1 <repo>/.scratch/sf10x0.1
 """
 
 from __future__ import annotations

@@ -55,14 +55,24 @@ def test_registry_order_covers_the_driver_window():
     a second window — is queued immediately behind, guaranteed to head
     next round's window.  No query's official record can silently age:
     it is either recently verified, in this round's window, or
-    machine-queued first-in-line for the next."""
+    machine-queued first-in-line for the next.
+
+    Round-8 (per round-7 ADVICE): the must-set additionally contains
+    every query whose live oracle-SQL hash differs from
+    ORACLE_HASHES.json — a changed Spark/oracle pair must re-verify
+    regardless of how fresh its record is."""
     import glob
+    import hashlib
     import json
     import re
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     records = sorted(
-        glob.glob(os.path.join(root, "CORRECTNESS_r*.json")),
+        (
+            p
+            for p in glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))
+            if re.search(r"_r(\d+)", os.path.basename(p))
+        ),
         key=lambda p: int(re.search(r"_r(\d+)", p).group(1)),
     )
     recently_checked = set()
@@ -74,9 +84,18 @@ def test_registry_order_covers_the_driver_window():
             for name, row in rec.items()
             if isinstance(row, dict) and row.get("hash_match")
         }
+    with open(os.path.join(root, "ORACLE_HASHES.json")) as fh:
+        snap = json.load(fh)
+    changed = {
+        name
+        for name, sql in entry.oracle_sql().items()
+        if snap.get(name) != hashlib.sha256(sql.encode()).hexdigest()
+    }
     order = list(entry.queries())
-    must = set(order) - recently_checked
-    assert len(must) <= 100, (
+    must = (set(order) - recently_checked) | (changed & set(order))
+    # The two-window cap bounds registry growth; queries FORCED back in
+    # by an oracle change sit on top of it by design.
+    assert len(must) <= 100 + len(changed & recently_checked), (
         f"must-verify set ({len(must)}) exceeds two driver windows — "
         "query growth has outrun the rotation; verify more per round"
     )
