@@ -1392,6 +1392,44 @@ def _sql_pq_lloyd_rounds(*, iters: int, sub: int, subq: str, tb: str) -> list[st
     return parts
 
 
+def _sql_cell_lloyd_rounds(*, iters: int, dim: int) -> list[str]:
+    """Unrolled FULL-VECTOR integer Lloyd's rounds for the trained IVF
+    coarse quantizer (similarity.ivf_centroids_trained ==
+    clustering._lloyd_rounds): given ``fullq(id, vq)`` (full-dim
+    ``floor((x + 1) * 1e6)`` quanta) and ``cc0(cell, cq)`` (quantized
+    md5-ordered seeds), emit assignment + update CTEs through
+    ``cc{iters}``.  Assignment ties -> lowest cell; update is per-dim
+    ``SUM // COUNT`` floor division (positive quanta); empty cells
+    keep their centroid."""
+    dist = _sql_pq_intdist("s.vq", "b.cq", dim)
+    sums = ", ".join(
+        f"CAST(SUM(s.vq[{i}]) // COUNT(*) AS BIGINT) AS s{i}"
+        for i in range(1, dim + 1)
+    )
+    dims = ", ".join(f"s{i}" for i in range(1, dim + 1))
+    parts = []
+    for r in range(1, iters + 1):
+        parts.append(f"""ca{r} AS MATERIALIZED (
+      SELECT id, cell FROM (
+        SELECT s.id, b.cell,
+               ROW_NUMBER() OVER (PARTITION BY s.id
+                 ORDER BY {dist}, b.cell) AS rn
+        FROM fullq s CROSS JOIN cc{r - 1} b
+      ) WHERE rn = 1
+    )""")
+        parts.append(f"""cc{r} AS MATERIALIZED (
+      SELECT cell, [{dims}] AS cq FROM (
+        SELECT a.cell, {sums}
+        FROM ca{r} a JOIN fullq s USING (id)
+        GROUP BY a.cell
+      )
+      UNION ALL
+      SELECT b.cell, b.cq FROM cc{r - 1} b
+      WHERE NOT EXISTS (SELECT 1 FROM ca{r} a WHERE a.cell = b.cell)
+    )""")
+    return parts
+
+
 def _sql_pq_topk_trained(
     m: int = 16, n_codes: int = 128, sub: int = 4, k: int = 10, iters: int = 3
 ) -> str:
@@ -1662,13 +1700,22 @@ def _sql_ivfpq_topk_trained(
     n_probe: int = 4,
     k: int = 10,
     iters: int = 2,
+    cell_iters: int = 0,
 ) -> str:
     """Full replication of similarity.ivf_pq_topk(train_iters=
     ``iters``): md5-ordered centroids and codeword seed, residuals
     quantized at offset 2 (they live in (-2, 2)), ``iters`` unrolled
     per-subspace integer Lloyd's rounds over ALL vectors' residuals,
     integer-exact encode of the probed rows, ADC off the dequantized
-    float books (cq/1e6 - 2) with the pinned float-add order."""
+    float books (cq/1e6 - 2) with the pinned float-add order.
+
+    ``cell_iters`` > 0 replays ivf_pq_topk(cell_iters=...) — the
+    TRAINED coarse quantizer (round-7 verdict #1): seeds quantized to
+    the ``floor((x + 1) * 1e6)`` grid, ``cell_iters`` unrolled
+    full-vector integer Lloyd's rounds (``_sql_cell_lloyd_rounds``),
+    and EVERY cell pick (probe selection, vector assignment) runs as
+    exact int64 distance on that grid — no float-ordering dependence
+    anywhere in the trained pipeline."""
     d_cases = ", ".join(
         f"MAX(CASE WHEN j = {j} THEN d END) AS d{j}" for j in range(1, m + 1)
     )
@@ -1692,9 +1739,44 @@ def _sql_ivfpq_topk_trained(
         f"(v.dv[(j.j - 1) * {sub} + i] - c.c[(j.j - 1) * {sub} + i])"
         f" + 2.0) * 1000000) AS BIGINT))"
     )
-    return f"""
-    WITH vecs AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings),
-    cents AS (
+    dim = m * sub
+    if cell_iters:
+        quant1 = "list_transform(dv, x -> CAST(floor((x + 1.0) * 1000000) AS BIGINT))"
+        cell_rounds = ",\n    ".join(
+            _sql_cell_lloyd_rounds(iters=cell_iters, dim=dim)
+        )
+        cdist = _sql_pq_intdist("s.vq", "b.cq", dim)
+        qdist = _sql_pq_intdist("qq.vq", "b.cq", dim)
+        cells_block = f"""fullq AS MATERIALIZED (
+      SELECT id, {quant1} AS vq FROM vecs
+    ),
+    cc0 AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) AS cell,
+             {quant1} AS cq
+      FROM vecs ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT {n_cells}
+    ),
+    {cell_rounds},
+    cents AS MATERIALIZED (
+      SELECT cell, list_transform(cq, x -> x / 1000000.0 - 1.0) AS c FROM cc{cell_iters}
+    ),
+    q AS (SELECT dv AS qv FROM vecs WHERE id = 0),
+    qq AS (SELECT {quant1.replace('(dv,', '(qv,')} AS vq FROM q),
+    qn AS (SELECT sqrt(list_dot_product(qv, qv)) AS qnorm FROM q),
+    probe AS (
+      SELECT b.cell FROM cc{cell_iters} b CROSS JOIN qq
+      ORDER BY {qdist}, b.cell
+      LIMIT {n_probe}
+    ),
+    assign AS MATERIALIZED (
+      SELECT id, cell FROM (
+        SELECT s.id, b.cell,
+               ROW_NUMBER() OVER (PARTITION BY s.id
+                 ORDER BY {cdist}, b.cell) AS rn
+        FROM fullq s CROSS JOIN cc{cell_iters} b
+      ) WHERE rn = 1
+    )"""
+    else:
+        cells_block = f"""cents AS (
       SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) AS cell, dv AS c
       FROM vecs ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT {n_cells}
     ),
@@ -1712,7 +1794,10 @@ def _sql_ivfpq_topk_trained(
                  ORDER BY list_dot_product(c.c, c.c) - 2*list_dot_product(v.dv, c.c), c.cell) AS rn
         FROM vecs v CROSS JOIN cents c
       ) WHERE rn = 1
-    ),
+    )"""
+    return f"""
+    WITH vecs AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings),
+    {cells_block},
     samp AS (
       SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) AS code, id, dv
       FROM vecs ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT {n_codes}
@@ -3466,15 +3551,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def q_ivfpq_topk(spark, sf_dir):
-        # Residual IVF-PQ (the complete 100 TB ANN read path): probe 4
-        # of 16 cells, score only probed rows' (1+m)-int codes by ADC
-        # against centroid+residual-codeword reconstructions — all
-        # LUT-literal JVM scoring, value-exact via the replayed
-        # codebooks/encode/float-add order.
+        # Residual IVF-PQ (the complete 100 TB ANN read path), FULLY
+        # TRAINED (round-7 verdict #1): integer-Lloyd's coarse
+        # quantizer (2 rounds) + integer-Lloyd's residual books
+        # (m=32 x 128 codes, 2 rounds), probe 8 of 16 cells, score
+        # only probed rows' (1+m)-int codes by ADC against
+        # centroid+residual-codeword reconstructions — broadcast-LUT
+        # JVM scoring, value-exact via the replayed training/encode/
+        # float-add order; every cell argmin is exact int64, so the
+        # whole pipeline is engine-exact (no float-order caveat).
+        # Declared operating point: recall 0.9 @ query 0 (sf0.01 AND
+        # sf0.1); mean recall@10 over 20 queries 0.77/0.79 (was 0.5
+        # probe-capped at the old m=4/probe-4 sampled-cells config).
         emb = load_table(spark, sf_dir, "embeddings")
         return _shared_result(
             spark, sf_dir, "ivfpq",
-            lambda: ivf_pq_topk(emb, _qvec0(emb), 10, n_codes=128, train_iters=2),
+            lambda: ivf_pq_topk(
+                emb, _qvec0(emb), 10,
+                n_probe=8, m=32, n_codes=128, train_iters=2, cell_iters=2,
+            ),
         )
 
     def q_ivfpq_recall(spark, sf_dir):
@@ -3485,7 +3580,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         exact = cosine_topk(emb, qvec, 10).select("vec_id")
         approx = _shared_result(
             spark, sf_dir, "ivfpq",
-            lambda: ivf_pq_topk(emb, qvec, 10, n_codes=128, train_iters=2)
+            lambda: ivf_pq_topk(
+                emb, qvec, 10,
+                n_probe=8, m=32, n_codes=128, train_iters=2, cell_iters=2,
+            )
         ).select("vec_id")
         return exact.join(approx, "vec_id").agg(
             F.count("*").cast("long").alias("n_matched")
@@ -4867,8 +4965,14 @@ def oracle_sql() -> dict[str, str]:
         "q_pq_recall": _sql_topk_recall(
             _sql_pq_topk_trained(m=16, sub=4, n_codes=128, iters=3)
         ),
-        "q_ivfpq_topk": _sql_ivfpq_topk_trained(n_codes=128, iters=2),
-        "q_ivfpq_recall": _sql_topk_recall(_sql_ivfpq_topk_trained(n_codes=128, iters=2)),
+        "q_ivfpq_topk": _sql_ivfpq_topk_trained(
+            m=32, n_codes=128, sub=2, n_probe=8, iters=2, cell_iters=2
+        ),
+        "q_ivfpq_recall": _sql_topk_recall(
+            _sql_ivfpq_topk_trained(
+                m=32, n_codes=128, sub=2, n_probe=8, iters=2, cell_iters=2
+            )
+        ),
         "q_ktruss": _ktruss_oracle_sql(),
         "q_betweenness": _betweenness_oracle_sql(),
         "q_msf": _msf_oracle_sql(),

@@ -206,6 +206,76 @@ def ivf_centroids(
     return [[float(x) for x in r["v"]] for r in rows]
 
 
+def ivf_centroids_trained(
+    embeddings: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = 16,
+    iters: int = 2,
+) -> tuple[list[list[int]], list[list[float]]]:
+    """TRAINED coarse quantizer for IVF (round-7 verdict #1): the same
+    md5-ordered ``n_cells`` seed as ``ivf_centroids``, sharpened by
+    ``iters`` rounds of full-vector integer Lloyd's — literally
+    ``clustering._lloyd_rounds`` (quantize ``floor((x + 1) * 1e6)``,
+    int64 squared-distance argmin with ties to the lowest cell,
+    per-dim ``sum // count`` updates, empty cells keep their
+    centroid), so the SQL oracle replays cell training round by
+    unrolled round exactly like the PQ books.
+
+    Returns ``(cents_q, cents_f)``: int64 centroids (what every cell
+    argmin runs against — the assignment is engine-exact integer
+    arithmetic, closing the float-matmul near-tie hazard the sampled
+    path carries) and their float dequantization ``q / 1e6 - 1``
+    (exact IEEE — what residuals subtract and ADC terms dot against).
+
+    Scale: per round one ``mapInPandas`` partial-sum pass over the
+    table; only ``n_cells x (dim + 1)`` longs reach the driver."""
+    import numpy as np
+
+    from .clustering import KMEANS_OFFSET, KMEANS_SCALE, _lloyd_rounds
+
+    rows = (
+        embeddings.select(F.col(id_col).alias("id"), as_double_vec(F.col(vec_col)).alias("v"))
+        .orderBy(F.md5(F.col("id").cast("string")), F.col("id"))
+        .limit(n_cells)
+        .collect()
+    )
+    seed = np.asarray([[float(x) for x in r["v"]] for r in rows], dtype=np.float64)
+    cents_q = np.floor((seed + KMEANS_OFFSET) * KMEANS_SCALE).astype(np.int64)
+    dim = cents_q.shape[1]
+    src = embeddings.select(as_double_vec(F.col(vec_col)).alias("emb"))
+    # Scoped shuffle width (the kmeans_fixed idiom): the per-round
+    # keyed aggregation carries n_cells x (dim + 1) longs, so size the
+    # round's shuffle to that, not to the session's scan width.
+    spark = embeddings.sparkSession
+    _parts_key = "spark.sql.shuffle.partitions"
+    _prev_parts = spark.conf.get(_parts_key)
+    spark.conf.set(_parts_key, "4")
+    try:
+        cents_q = _lloyd_rounds(src, cents_q, n_cells, dim, iters)
+    finally:
+        spark.conf.set(_parts_key, _prev_parts)
+    cents_f = cents_q.astype(np.float64) / KMEANS_SCALE - KMEANS_OFFSET
+    return (
+        [[int(x) for x in row] for row in cents_q],
+        [[float(x) for x in row] for row in cents_f],
+    )
+
+
+def _int_cell_assign(X, cents_q):
+    """Engine-exact 0-based cell assignment: quantize the batch to the
+    ``(x + 1) * 1e6`` int64 grid and argmin exact integer squared
+    distance against int64 centroids (ties -> lowest cell; numpy
+    argmin takes the first minimum).  No float matmul anywhere, so no
+    summation-order hazard — any SQL engine lands on the same cell."""
+    import numpy as np
+
+    Cq = np.asarray(cents_q, dtype=np.int64)
+    Vq = _pq_quantize(X, PQ_OFFSET)
+    return ((Vq[:, None, :] - Cq[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+
+
 def _nearest_cell_arrow(centroids: list[list[float]]):
     """1-based nearest-centroid index by squared L2 distance, as an
     Arrow Pandas UDF: argmin_j (|c_j|^2 - 2 v.c_j) for the whole batch
@@ -423,6 +493,7 @@ def _pq_train_lloyd(
     iters: int,
     offset: float,
     cents=None,
+    cents_q=None,
 ):
     """Per-subspace integer Lloyd's k-means over quantized subvector
     slices — ALL m subspaces trained in one ``mapInPandas`` pass per
@@ -437,6 +508,11 @@ def _pq_train_lloyd(
     codeword.  With ``cents`` (IVF-PQ), each vector is first reduced
     to its float residual ``v - cent(nearest cell)`` (exact IEEE
     subtract, the ``residual_pq_codebooks`` rule) before quantizing.
+    The cell pick itself is float (a BLAS matmul) UNLESS ``cents_q``
+    (trained integer centroids) is also given — then the cell argmin
+    is exact int64 arithmetic (``_int_cell_assign``) and the whole
+    trained pipeline is engine-exact end to end (the round-7 ADVICE
+    float-order hazard applies only to the legacy sampled-cells path).
 
     int64 headroom: quanta < 2^22, squared diffs < 2^44, summed over
     sub <= 2^6 dims < 2^50 — no overflow anywhere near."""
@@ -456,7 +532,9 @@ def _pq_train_lloyd(
                 if not len(pdf):  # hash-filtered training can empty a batch
                     continue
                 X = np.stack(pdf["emb"].to_numpy()).astype(np.float64)
-                if cents is not None:
+                if cents_q is not None:
+                    X = X - C[_int_cell_assign(X, cents_q)]
+                elif cents is not None:
                     cell = (C_sq[None, :] - 2.0 * (X @ C.T)).argmin(axis=1)
                     X = X - C[cell]
                 V = _pq_quantize(X, offset).reshape(-1, n_sub, sub)
@@ -503,6 +581,7 @@ def pq_codebooks_trained(
     n_codes: int = 16,
     train_iters: int = 2,
     cents: list[list[float]] | None = None,
+    cents_q: list[list[int]] | None = None,
     train_filter_hex: str | None = None,
 ):
     """TRAINED product-quantization codebooks (round-6 verdict #4):
@@ -538,7 +617,13 @@ def pq_codebooks_trained(
         )
     else:
         seed = residual_pq_codebooks(
-            embeddings, cents, vec_col=vec_col, id_col=id_col, m=m, n_codes=n_codes
+            embeddings,
+            cents,
+            vec_col=vec_col,
+            id_col=id_col,
+            m=m,
+            n_codes=n_codes,
+            centroids_q=cents_q,
         )
     books_q = _pq_quantize(np.asarray(seed, dtype=np.float64), offset)
     train_src = embeddings
@@ -548,19 +633,22 @@ def pq_codebooks_trained(
         )
     src = train_src.select(as_double_vec(F.col(vec_col)).alias("emb"))
     books_q = _pq_train_lloyd(
-        src, books_q, iters=train_iters, offset=offset, cents=cents
+        src, books_q, iters=train_iters, offset=offset, cents=cents, cents_q=cents_q
     )
     books_f = (books_q.astype(np.float64) / PQ_SCALE) - offset
     return books_q, [[list(map(float, c)) for c in bj] for bj in books_f]
 
 
-def _pq_codes_arrow_q(books_q, offset: float, cents=None):
+def _pq_codes_arrow_q(books_q, offset: float, cents=None, cents_q=None):
     """PQ encoder against TRAINED integer codebooks: quantize the
     (residual) subvectors to the same int64 grid and argmin exact
     integer squared distance (ties -> lowest code) — the cross-engine
     determinism the float encoder only gets from tie-free data, made
     unconditional.  With ``cents``: array<int> [cell, code_1..code_m]
-    (the ``_ivf_pq_codes_arrow`` shape); else array<int> of m codes."""
+    (the ``_ivf_pq_codes_arrow`` shape); else array<int> of m codes.
+    With ``cents_q`` too (trained cells), the cell argmin itself is
+    exact int64 (``_int_cell_assign``) instead of a float matmul —
+    the whole code becomes engine-exact."""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
@@ -575,7 +663,10 @@ def _pq_codes_arrow_q(books_q, offset: float, cents=None):
     def codes(vecs: pd.Series) -> pd.Series:
         X = np.asarray(vecs.tolist(), dtype=np.float64)
         if cents is not None:
-            cell = (C_sq[None, :] - 2.0 * (X @ C.T)).argmin(axis=1)
+            if cents_q is not None:
+                cell = _int_cell_assign(X, cents_q)
+            else:
+                cell = (C_sq[None, :] - 2.0 * (X @ C.T)).argmin(axis=1)
             X = X - C[cell]
         V = _pq_quantize(X, offset).reshape(-1, n_sub, sub)
         sc = B_sq[None, :, :] - 2 * np.einsum("bjs,jcs->bjc", V, B)
@@ -692,6 +783,7 @@ def residual_pq_codebooks(
     id_col: str = "vec_id",
     m: int = 4,
     n_codes: int = 16,
+    centroids_q: list[list[int]] | None = None,
 ) -> list[list[list[float]]]:
     """RESIDUAL product-quantization codebooks (IVF-PQ, Jégou et al.
     2011): the same md5-ordered ``n_codes`` sample as
@@ -718,6 +810,16 @@ def residual_pq_codebooks(
     sub = dim // m
 
     def nearest_cell(v: list[float]) -> int:
+        if centroids_q is not None:
+            # Trained-cells path: exact int64 distance on the
+            # (x + 1) * 1e6 grid — engine-exact, no float ordering.
+            vq = [math.floor((x + PQ_OFFSET) * PQ_SCALE) for x in v]
+            best, best_d = 0, None
+            for j, cq in enumerate(centroids_q):
+                d = sum((a - b) * (a - b) for a, b in zip(vq, cq))
+                if best_d is None or d < best_d:
+                    best, best_d = j, d
+            return best
         best, best_d = 0, None
         for j, c in enumerate(centroids):
             d = sum(cc * cc for cc in c) - 2.0 * sum(a * b for a, b in zip(v, c))
@@ -776,6 +878,7 @@ def ivf_pq_topk(
     n_codes: int = 16,
     round_digits: int = 4,
     train_iters: int = 0,
+    cell_iters: int = 0,
     train_filter_hex: str | None = None,
 ) -> DataFrame:
     """IVF-PQ approximate top-k: coarse-quantize into IVF cells, probe
@@ -791,10 +894,30 @@ def ivf_pq_topk(
     LUT literal (per probed cell where cell-dependent), so the scored
     plan is pure JVM codegen over the code column with pinned
     left-associated float-add order, replayable in the SQL oracle.
-    """
-    cents = ivf_centroids(
-        embeddings, vec_col=vec_col, id_col=id_col, n_cells=n_cells
-    )
+
+    ``cell_iters`` > 0 (round-7 verdict #1) trains the coarse
+    quantizer too — ``ivf_centroids_trained`` integer Lloyd's — and
+    switches EVERY cell argmin (training residuals, encode, probe
+    selection) to exact int64 arithmetic on the quantized grid, so
+    the full trained pipeline is engine-exact with no float-ordering
+    caveat.  Requires ``train_iters`` > 0 (trained cells feed trained
+    residual books; mixing trained cells with sampled books is not a
+    declared operating point)."""
+    cents_q = None
+    if cell_iters:
+        if not train_iters:
+            raise ValueError("cell_iters requires train_iters > 0")
+        cents_q, cents = ivf_centroids_trained(
+            embeddings,
+            vec_col=vec_col,
+            id_col=id_col,
+            n_cells=n_cells,
+            iters=cell_iters,
+        )
+    else:
+        cents = ivf_centroids(
+            embeddings, vec_col=vec_col, id_col=id_col, n_cells=n_cells
+        )
     if train_iters:
         # Trained residual codebooks (round-6 verdict #4): same seeded
         # init, per-subspace integer Lloyd's over the RESIDUALS,
@@ -807,6 +930,7 @@ def ivf_pq_topk(
             n_codes=n_codes,
             train_iters=train_iters,
             cents=cents,
+            cents_q=cents_q,
             train_filter_hex=train_filter_hex,
         )
     else:
@@ -817,10 +941,25 @@ def ivf_pq_topk(
     q = [float(x) for x in query_vec]
     q_norm = math.sqrt(sum(x * x for x in q))
 
-    def sqdist(c: list[float]) -> float:
-        return sum((x - y) * (x - y) for x, y in zip(c, q))
+    if cents_q is not None:
+        # Probe pick on the same exact int64 grid as every other cell
+        # argmin (ties -> lowest cell) — replayed verbatim in SQL.
+        qq = [math.floor((x + PQ_OFFSET) * PQ_SCALE) for x in q]
 
-    probe = sorted(range(len(cents)), key=lambda j: (sqdist(cents[j]), j))[:n_probe]
+        def isqdist(c_q: list[int]) -> int:
+            return sum((x - y) * (x - y) for x, y in zip(c_q, qq))
+
+        probe = sorted(
+            range(len(cents_q)), key=lambda j: (isqdist(cents_q[j]), j)
+        )[:n_probe]
+    else:
+
+        def sqdist(c: list[float]) -> float:
+            return sum((x - y) * (x - y) for x, y in zip(c, q))
+
+        probe = sorted(range(len(cents)), key=lambda j: (sqdist(cents[j]), j))[
+            :n_probe
+        ]
     probe_cells = [j + 1 for j in probe]
 
     # Global (cell-independent) LUTs: dot(q_j, r_jc) and |r_jc|^2.
@@ -854,7 +993,7 @@ def ivf_pq_topk(
     # encode would run twice per row.  The marker pins one evaluation
     # (plan shape asserted in test_plans.py).
     codes_udf = (
-        _pq_codes_arrow_q(books_q, PQ_RESID_OFFSET, cents=cents)
+        _pq_codes_arrow_q(books_q, PQ_RESID_OFFSET, cents=cents, cents_q=cents_q)
         if train_iters
         else _ivf_pq_codes_arrow(cents, books)
     ).asNondeterministic()

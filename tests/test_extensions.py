@@ -1253,3 +1253,62 @@ def test_pq_trained_hash_sampled_training(embeddings):
         .count()
     )
     assert n == embeddings.count()
+
+
+def test_ivf_trained_cells_deterministic_and_no_worse(embeddings):
+    """Round-8 trained coarse quantizer (ivf_centroids_trained):
+    full-vector integer Lloyd's must be deterministic (bit-identical
+    centroids across runs — the SQL oracle replays the rounds), must
+    not increase total assignment error vs the md5 seed, and the
+    dequantized floats must be exactly q / 1e6 - 1."""
+    import numpy as np
+
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.similarity import (
+        PQ_OFFSET,
+        _pq_quantize,
+        ivf_centroids,
+        ivf_centroids_trained,
+    )
+
+    q1, f1 = ivf_centroids_trained(embeddings, n_cells=8, iters=2)
+    q2, f2 = ivf_centroids_trained(embeddings, n_cells=8, iters=2)
+    assert q1 == q2 and f1 == f2
+    Q = np.asarray(q1, dtype=np.int64)
+    assert np.array_equal(
+        np.asarray(f1), Q.astype(np.float64) / 10**6 - 1.0
+    )
+    X = np.array(
+        [r["embedding"] for r in embeddings.orderBy("vec_id").collect()],
+        dtype=np.float64,
+    )
+    V = _pq_quantize(X, PQ_OFFSET)
+    seed_q = _pq_quantize(np.asarray(ivf_centroids(embeddings, n_cells=8)), PQ_OFFSET)
+
+    def total_err(cq):
+        d = ((V[:, None, :] - np.asarray(cq)[None, :, :]) ** 2).sum(axis=2)
+        return int(d.min(axis=1).sum())
+
+    assert total_err(q1) <= total_err(seed_q)
+
+
+def test_ivf_pq_trained_cells_topk(embeddings):
+    """The fully-trained IVF-PQ path (cell_iters > 0): deterministic
+    ranks, collinear ids score identically when probed, and
+    cell_iters without train_iters is rejected (not a declared
+    operating point)."""
+    import pytest as _pytest
+
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.similarity import (
+        ivf_pq_topk,
+    )
+
+    rows = ivf_pq_topk(
+        embeddings, QUERY, 5,
+        n_cells=8, n_probe=3, m=4, n_codes=16, train_iters=1, cell_iters=1,
+    ).collect()
+    assert [r["rank"] for r in rows] == [1, 2, 3, 4, 5]
+    sims = {r["vec_id"]: r["sim"] for r in rows}
+    present = [v for v in (0, 13, 26, 39) if v in sims]
+    assert len({sims[v] for v in present}) <= 1
+    with _pytest.raises(ValueError):
+        ivf_pq_topk(embeddings, QUERY, 5, cell_iters=1, train_iters=0)
