@@ -181,8 +181,10 @@ from distributed_graph_database_simulation_with_load_balancing_and_threaded_requ
     plant_audio_signal,
     plant_encoded_adam7_pngs,
     plant_encoded_palette_pngs,
+    plant_encoded_jpegs,
     plant_encoded_pngs,
     plant_encoded_rgb_pngs,
+    jpeg_decode_stats,
     png_decode_stats,
     rgb_decode_stats,
     extract_media_meta,
@@ -2350,6 +2352,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ),
         )
 
+    def q_jpeg_decode(spark, sf_dir):
+        # REAL baseline JPEG decode (round-7 verdict #6 — the last
+        # "REAL decode" hole): planted 16x16 baseline JPEGs whose DCT
+        # coefficients live only on the {DC, (4,0), (0,4), (4,4)}
+        # bases with 8-multiple amplitudes, so the true pixels are
+        # exact integers and the full codec (canonical Huffman from
+        # the file's own DHT, 0xFF00 unstuffing, EXTEND, DC
+        # prediction, zigzag, dequantize, float IDCT) round-trips
+        # losslessly — every fixture's stream carries real AC run
+        # codes AND stuffed 0xFF bytes, and the oracle replays the
+        # closed-form pixels; a decoder bug anywhere breaks values.
+        return _shared_result(
+            spark, sf_dir, "media_jpeg",
+            lambda: jpeg_decode_stats(
+                plant_encoded_jpegs(load_table(spark, sf_dir, "documents")),
+                out_w=8, out_h=8,
+            ),
+        )
+
     def q_audio_features(spark, sf_dir):
         # REAL signal features from DECODED audio: planted WAVs carry
         # arithmetic int16 PCM (sample k = ((37k + 11*id) % 4001) -
@@ -4489,6 +4510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_requests": q_stream_requests,
         "q_png_adam7": q_png_adam7,
         "q_png_palette": q_png_palette,
+        "q_jpeg_decode": q_jpeg_decode,
         "q_clustering_coeff": q_clustering_coeff,
         "q_link_pred": q_link_pred,
         "q_stream_attrib": q_stream_attrib,
@@ -6082,6 +6104,33 @@ def oracle_sql() -> dict[str, str]:
         # Interlacing is an encoding detail the decode must erase:
         # same pixel contract, same oracle, different byte layout.
         "q_png_adam7": _SQL_PNG_STATS,
+        # Baseline JPEG decode: replay the planted per-block arithmetic
+        # pixel(r, c) = m + a1*s4(r%8) + a2*s4(c%8) + a3*s4(r%8)*s4(c%8)
+        # (s4 = sign of the u=4 DCT basis, +1 at t in {0,3,4,7}); the
+        # 16x16 -> 8x8 nearest-neighbor resize samples even coords.
+        "q_jpeg_decode": """
+    WITH grid AS (
+      SELECT r.r, c.c FROM range(0, 16) r(r) CROSS JOIN range(0, 16) c(c)
+    ),
+    px AS (
+      SELECT CAST(d.doc_id AS BIGINT) AS media_id, g.r, g.c,
+             (64 + (17 * (2 * (g.r // 8) + (g.c // 8)) + 5 * d.doc_id) % 128)
+             + ((3 * (2 * (g.r // 8) + (g.c // 8)) + d.doc_id) % 9 - 4)
+               * (CASE WHEN (g.r % 8) IN (0, 3, 4, 7) THEN 1 ELSE -1 END)
+             + ((3 * (2 * (g.r // 8) + (g.c // 8)) + d.doc_id + 1) % 9 - 4)
+               * (CASE WHEN (g.c % 8) IN (0, 3, 4, 7) THEN 1 ELSE -1 END)
+             + ((3 * (2 * (g.r // 8) + (g.c // 8)) + d.doc_id + 2) % 9 - 4)
+               * (CASE WHEN (g.r % 8) IN (0, 3, 4, 7) THEN 1 ELSE -1 END)
+               * (CASE WHEN (g.c % 8) IN (0, 3, 4, 7) THEN 1 ELSE -1 END)
+             AS pix
+      FROM documents d CROSS JOIN grid g
+    )
+    SELECT media_id, CAST(16 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
+           CAST(SUM(pix) AS BIGINT) AS pix_sum,
+           CAST(SUM(CASE WHEN r % 2 = 0 AND c % 2 = 0 THEN pix END) AS BIGINT)
+               AS resized_sum
+    FROM px GROUP BY media_id
+""",
         "q_png_palette": """
             WITH grid AS (
               SELECT r.r, c.c FROM range(0, 16) r(r) CROSS JOIN range(0, 16) c(c)

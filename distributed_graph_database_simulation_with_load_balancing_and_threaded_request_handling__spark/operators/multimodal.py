@@ -69,17 +69,21 @@ def attach_media(documents: DataFrame, *, text_col: str = "text", id_col: str = 
     )
 
 def decode_image(data: bytes) -> Any:
-    """STUB — generic pixel decode for codec-library formats (JPEG
-    entropy decode, webp…; PIL/opencv not available in this
-    container).  The mapInPandas plumbing around it is real; swap
-    this seam for a real decoder in production.  The PNG family needs
-    NO seam: header metadata (``image_dims`` parses real
-    PNG/GIF/JPEG/BMP bytes, stdlib only) and 8-bit
+    """STUB — generic pixel decode for the remaining codec-library
+    formats (progressive/multi-component JPEG, webp…; PIL/opencv not
+    available in this container).  The mapInPandas plumbing around it
+    is real; swap this seam for a real decoder in production.  The
+    PNG family needs NO seam: header metadata (``image_dims`` parses
+    real PNG/GIF/JPEG/BMP bytes, stdlib only) and 8-bit
     grayscale/truecolor/palette pixels, sequential or
     Adam7-interlaced (``png_decode`` is a complete stdlib
     inflate+unfilter+de-interlace+PLTE decoder, value-oracle-checked
     end-to-end by q_png_decode/q_rgb_decode/q_png_palette/
-    q_png_adam7)."""
+    q_png_adam7).  BASELINE JPEG needs no seam either since round 8:
+    ``jpeg_gray_decode`` is a complete stdlib+numpy baseline decoder
+    (marker walk, canonical Huffman from the file's DHT, 0xFF00
+    unstuffing, EXTEND, DC prediction, dequantize, zigzag, float64
+    IDCT), value-oracle-checked end-to-end by q_jpeg_decode."""
     raise NotImplementedError("image decode requires PIL/opencv; stubbed by design")
 
 
@@ -1197,3 +1201,419 @@ def audio_downsample_features(media: DataFrame, *, factor: int = 2) -> DataFrame
             )
 
     return media.mapInPandas(process, schema=AUDIO_DOWNSAMPLE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG — a REAL stdlib-only codec (round-7 verdict #6: the
+# last "REAL decode" hole).  Scope: baseline DCT (SOF0), 8-bit,
+# single-component grayscale, no subsampling, no restart intervals —
+# the q_png_decode playbook applied to an entropy-coded format.  The
+# decoder walks the actual marker stream (DQT/SOF0/DHT/SOS), builds
+# canonical Huffman tables from the file's own DHT segments, entropy-
+# decodes with 0xFF00 byte-unstuffing, EXTENDs signed magnitudes,
+# undoes DC prediction, dequantizes, de-zigzags, and runs a float64
+# separable IDCT.  Progressive/multi-component/subsampled streams
+# raise — that residual seam (plus webp) is what decode_image still
+# stubs.  Reference seam: the reference has no media handling at all
+# (SURVEY.md §2.2); this is north-star extension surface.
+# ---------------------------------------------------------------------------
+
+_ZIGZAG = [
+    (0, 0), (0, 1), (1, 0), (2, 0), (1, 1), (0, 2), (0, 3), (1, 2),
+    (2, 1), (3, 0), (4, 0), (3, 1), (2, 2), (1, 3), (0, 4), (0, 5),
+    (1, 4), (2, 3), (3, 2), (4, 1), (5, 0), (6, 0), (5, 1), (4, 2),
+    (3, 3), (2, 4), (1, 5), (0, 6), (0, 7), (1, 6), (2, 5), (3, 4),
+    (4, 3), (5, 2), (6, 1), (7, 0), (7, 1), (6, 2), (5, 3), (4, 4),
+    (3, 5), (2, 6), (1, 7), (2, 7), (3, 6), (4, 5), (5, 4), (6, 3),
+    (7, 2), (7, 3), (6, 4), (5, 5), (4, 6), (3, 7), (4, 7), (5, 6),
+    (6, 5), (7, 4), (7, 5), (6, 6), (5, 7), (6, 7), (7, 6), (7, 7),
+]
+
+# ITU-T T.81 Annex K.3 typical luminance Huffman tables (public spec).
+_DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_LUMA_VALS = list(range(12))
+_AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical Huffman assignment (T.81 C.2): symbol -> (code, nbits)."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for nbits in range(1, 17):
+        for _ in range(bits[nbits - 1]):
+            out[vals[k]] = (code, nbits)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _dct_matrix():
+    """Orthonormal 8x8 DCT-II matrix M: coeffs = M @ block @ M.T."""
+    import numpy as np
+
+    x = np.arange(8, dtype=np.float64)
+    M = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16) / 2.0
+    M[0, :] /= np.sqrt(2.0)
+    return M
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(category, raw bits) for a signed coefficient — T.81 F.1.2.1:
+    negatives are stored as value-1 in ``category`` low bits."""
+    cat = int(v).bit_length() if v > 0 else int(-v).bit_length()
+    raw = v if v >= 0 else v + (1 << cat) - 1
+    return cat, raw
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, nbits: int) -> None:
+        self.acc = (self.acc << nbits) | (code & ((1 << nbits) - 1))
+        self.n += nbits
+        while self.n >= 8:
+            byte = (self.acc >> (self.n - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:  # byte stuffing (T.81 B.1.1.5)
+                self.out.append(0x00)
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> bytes:
+        if self.n:
+            pad = 8 - self.n
+            self.put((1 << pad) - 1, pad)  # 1-fill to byte boundary
+        return bytes(self.out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def take(self, nbits: int) -> int:
+        while self.n < nbits:
+            b = self.data[self.pos]
+            if b == 0xFF:
+                nxt = self.data[self.pos + 1]
+                if nxt == 0x00:
+                    self.pos += 2  # stuffed 0xFF data byte
+                else:
+                    raise ValueError("hit marker inside entropy data")
+            else:
+                self.pos += 1
+            self.acc = (self.acc << 8) | b
+            self.n += 8
+        v = (self.acc >> (self.n - nbits)) & ((1 << nbits) - 1)
+        self.n -= nbits
+        self.acc &= (1 << self.n) - 1
+        return v
+
+    def huff(self, table: dict[tuple[int, int], int]) -> int:
+        code, nbits = 0, 0
+        while nbits < 17:
+            code = (code << 1) | self.take(1)
+            nbits += 1
+            sym = table.get((nbits, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code")
+
+
+def _extend(raw: int, cat: int) -> int:
+    """T.81 F.2.2.1 EXTEND: raw ``cat``-bit magnitude -> signed value."""
+    if cat == 0:
+        return 0
+    return raw if raw >= (1 << (cat - 1)) else raw - (1 << cat) + 1
+
+
+def jpeg_gray_encode(pixels) -> bytes:
+    """REAL baseline JPEG encoder (stdlib + numpy float64 DCT):
+    grayscale, dimensions padded to 8-multiples by edge replication,
+    all-ones quantization table (Q100-exact: quantization loses only
+    the DCT round-to-int), Annex K luminance Huffman tables."""
+    import numpy as np
+    import struct
+
+    arr = np.asarray(pixels, dtype=np.float64)
+    h, w = arr.shape
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = np.pad(arr, ((0, ph - h), (0, pw - w)), mode="edge")
+    M = _dct_matrix()
+    dc_codes = _huff_codes(_DC_LUMA_BITS, _DC_LUMA_VALS)
+    ac_codes = _huff_codes(_AC_LUMA_BITS, _AC_LUMA_VALS)
+    bw = _BitWriter()
+    prev_dc = 0
+    for br in range(0, ph, 8):
+        for bc in range(0, pw, 8):
+            block = padded[br : br + 8, bc : bc + 8] - 128.0
+            coef = np.rint(M @ block @ M.T).astype(np.int64)
+            zz = [int(coef[r, c]) for r, c in _ZIGZAG]
+            diff = zz[0] - prev_dc
+            prev_dc = zz[0]
+            cat, raw = _magnitude(diff)
+            code, nb = dc_codes[cat]
+            bw.put(code, nb)
+            if cat:
+                bw.put(raw, cat)
+            run = 0
+            for v in zz[1:]:
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, nb = ac_codes[0xF0]  # ZRL
+                    bw.put(code, nb)
+                    run -= 16
+                cat, raw = _magnitude(v)
+                code, nb = ac_codes[(run << 4) | cat]
+                bw.put(code, nb)
+                bw.put(raw, cat)
+                run = 0
+            if run:
+                code, nb = ac_codes[0x00]  # EOB
+                bw.put(code, nb)
+    scan = bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    dqt = seg(0xFFDB, bytes([0x00]) + bytes([1] * 64))
+    sof = seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    dht = seg(
+        0xFFC4,
+        bytes([0x00]) + bytes(_DC_LUMA_BITS) + bytes(_DC_LUMA_VALS)
+        + bytes([0x10]) + bytes(_AC_LUMA_BITS) + bytes(_AC_LUMA_VALS),
+    )
+    sos = seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    return b"\xff\xd8" + dqt + sof + dht + sos + scan + b"\xff\xd9"
+
+
+def jpeg_gray_decode(data: bytes):
+    """REAL baseline JPEG decoder (stdlib + numpy): parses the marker
+    stream, builds Huffman tables from the file's own DHT segments,
+    entropy-decodes with byte-unstuffing, dequantizes against the
+    file's DQT, de-zigzags, float64 IDCT, +128 level shift, clamps,
+    crops padding.  Returns an int64 (h, w) array.  Raises
+    NotImplementedError for progressive (SOF2), multi-component, or
+    restart-interval streams — the documented residual seam."""
+    import numpy as np
+    import struct
+
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qt: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    h = w = 0
+    comp_q = 0
+    scan_dc = scan_ac = 0
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("marker desync")
+        marker = data[pos + 1]
+        if marker == 0xD9:
+            break
+        seglen = struct.unpack(">H", data[pos + 2 : pos + 4])[0]
+        body = data[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables")
+                qt[tq] = list(body[i + 1 : i + 65])
+                i += 65
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError("only baseline SOF0 is supported")
+        elif marker == 0xC0:
+            prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
+            if prec != 8 or ncomp != 1 or body[7] != 0x11:
+                raise NotImplementedError(
+                    "only 8-bit single-component unsubsampled baseline"
+                )
+            comp_q = body[8]
+        elif marker == 0xC4:
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0x0F
+                bits = list(body[i + 1 : i + 17])
+                nval = sum(bits)
+                vals = list(body[i + 17 : i + 17 + nval])
+                table: dict[tuple[int, int], int] = {}
+                code = 0
+                k = 0
+                for nbits in range(1, 17):
+                    for _ in range(bits[nbits - 1]):
+                        table[(nbits, code)] = vals[k]
+                        code += 1
+                        k += 1
+                    code <<= 1
+                huff[(tc, th)] = table
+                i += 17 + nval
+        elif marker == 0xDD:
+            if struct.unpack(">H", body[:2])[0] != 0:
+                raise NotImplementedError("restart intervals")
+        elif marker == 0xDA:
+            scan_dc, scan_ac = body[2] >> 4, body[2] & 0x0F
+            pos = pos + 2 + seglen
+            break
+        pos += 2 + seglen
+    else:
+        raise ValueError("no SOS segment")
+    if not h or comp_q not in qt:
+        raise ValueError("missing SOF0/DQT before SOS")
+    q = qt[comp_q]
+    dc_tab = huff[(0, scan_dc)]
+    ac_tab = huff[(1, scan_ac)]
+    M = _dct_matrix()
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    out = np.zeros((ph, pw), dtype=np.int64)
+    br = _BitReader(data, pos)
+    prev_dc = 0
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
+            zz = [0] * 64
+            cat = br.huff(dc_tab)
+            prev_dc += _extend(br.take(cat) if cat else 0, cat)
+            zz[0] = prev_dc * q[0]
+            k = 1
+            while k < 64:
+                sym = br.huff(ac_tab)
+                if sym == 0x00:  # EOB
+                    break
+                run, cat = sym >> 4, sym & 0x0F
+                if cat == 0:
+                    if run != 15:
+                        raise ValueError("bad AC symbol")
+                    k += 16  # ZRL
+                    continue
+                k += run
+                if k > 63:
+                    raise ValueError("AC run overflow")
+                zz[k] = _extend(br.take(cat), cat) * q[k]
+                k += 1
+            coef = np.zeros((8, 8), dtype=np.float64)
+            for i, (r, c) in enumerate(_ZIGZAG):
+                coef[r, c] = zz[i]
+            block = M.T @ coef @ M + 128.0
+            out[by : by + 8, bx : bx + 8] = np.clip(np.rint(block), 0, 255)
+    return out[:h, :w]
+
+
+# Sign pattern of cos((2t+1)*pi/4) — the u=4 DCT basis row.  Planted
+# JPEG pixels ride ONLY the {(0,0),(4,0),(0,4),(4,4)} bases with
+# 8-multiple coefficients, so the true decoded pixels are exact
+# integers (each basis contributes k/8-integer terms) and the float
+# IDCT + rint lands on them exactly: the whole lossy codec round-trips
+# losslessly ON THIS SUBSPACE, which is what makes a full value oracle
+# possible for an entropy-coded lossy format.
+_S4 = [1, -1, -1, 1, 1, -1, -1, 1]
+
+
+def plant_encoded_jpegs(documents: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """Fully-encoded baseline JPEG fixtures, 16x16 grayscale (4
+    blocks).  Per block b (raster 0..3) of doc ``id``:
+
+        m  = 64 + (17*b + 5*id) % 128          (flat DC level)
+        a1 = ((3*b + id) % 9) - 4              (vertical half-band)
+        a2 = ((3*b + id + 1) % 9) - 4          (horizontal half-band)
+        a3 = ((3*b + id + 2) % 9) - 4          (checkerboard)
+        pixel(r, c) = m + a1*_S4[r] + a2*_S4[c] + a3*_S4[r]*_S4[c]
+
+    DCT: DC = 8*(m-128), K(4,0) = 8*a1, K(0,4) = 8*a2, K(4,4) = 8*a3,
+    every other coefficient exactly 0 — so the encoder's rint() is
+    exact, the stream carries real DC-diff + AC-run Huffman codes
+    (zigzag gaps of 9 and 20 zeros between the surviving
+    coefficients), and the decoded pixels equal the planted arithmetic
+    bit for bit.  Values stay in [52, 203]: no clamping anywhere."""
+    import numpy as np
+
+    r_idx = np.asarray(_S4)[:, None]
+    c_idx = np.asarray(_S4)[None, :]
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for i in pdf[id_col]:
+                i = int(i)
+                img = np.zeros((16, 16), dtype=np.int64)
+                for b in range(4):
+                    m = 64 + (17 * b + 5 * i) % 128
+                    a1 = (3 * b + i) % 9 - 4
+                    a2 = (3 * b + i + 1) % 9 - 4
+                    a3 = (3 * b + i + 2) % 9 - 4
+                    blk = m + a1 * r_idx + a2 * c_idx + a3 * r_idx * c_idx
+                    img[(b // 2) * 8 : (b // 2) * 8 + 8,
+                        (b % 2) * 8 : (b % 2) * 8 + 8] = blk
+                ids.append(i)
+                payloads.append(jpeg_gray_encode(img))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "media_type": ["image"] * len(ids),
+                    "media": payloads,
+                    "source": ["planted"] * len(ids),
+                }
+            )
+
+    return documents.select(id_col).mapInPandas(build, schema=MEDIA_SCHEMA)
+
+
+def jpeg_decode_stats(media: DataFrame, *, out_w: int, out_h: int) -> DataFrame:
+    """Decode encoded JPEGs and run the nearest-neighbor resize kernel
+    in ONE map stage — ``png_decode_stats`` with the JPEG decoder
+    (same narrow replayable-integer output, same 100 TB shape: media
+    bytes never leave the scan-side map)."""
+    import numpy as np
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, psums, rsums = [], [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["media"]):
+                src = jpeg_gray_decode(bytes(payload))
+                h, w = src.shape
+                rr = (np.arange(out_h, dtype=np.int64) * h) // out_h
+                cc = (np.arange(out_w, dtype=np.int64) * w) // out_w
+                resized = src[np.ix_(rr, cc)]
+                ids.append(int(mid))
+                ws.append(w)
+                hs.append(h)
+                psums.append(int(src.sum(dtype=np.int64)))
+                rsums.append(int(resized.sum(dtype=np.int64)))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "width": ws,
+                    "height": hs,
+                    "pix_sum": psums,
+                    "resized_sum": rsums,
+                }
+            )
+
+    return media.mapInPandas(process, schema=PNG_STATS_SCHEMA)

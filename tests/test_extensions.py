@@ -865,6 +865,60 @@ def test_png_decode_rejects_malformed_bytes():
         png_decode(bad_pal)
 
 
+def test_jpeg_codec_roundtrip():
+    """Baseline JPEG codec (round 8): (a) the planted coefficient
+    subspace round-trips EXACTLY (the value-oracle contract); (b)
+    arbitrary pixels round-trip within +-1 at the all-ones quant
+    table (DCT is orthonormal, so coefficient rounding of +-0.5 per
+    coefficient can move a pixel by at most ~1); (c) every planted
+    stream exercises byte stuffing; (d) non-baseline streams raise
+    the documented NotImplementedError; corrupt bytes raise
+    ValueError."""
+    import numpy as np
+    import pytest
+
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.multimodal import (
+        _S4,
+        image_dims,
+        jpeg_gray_decode,
+        jpeg_gray_encode,
+    )
+
+    r_idx = np.asarray(_S4)[:, None]
+    c_idx = np.asarray(_S4)[None, :]
+    stuffed = 0
+    for i in (0, 1, 7, 123, 499):
+        img = np.zeros((16, 16), dtype=np.int64)
+        for b in range(4):
+            m = 64 + (17 * b + 5 * i) % 128
+            a1 = (3 * b + i) % 9 - 4
+            a2 = (3 * b + i + 1) % 9 - 4
+            a3 = (3 * b + i + 2) % 9 - 4
+            img[(b // 2) * 8 : (b // 2) * 8 + 8, (b % 2) * 8 : (b % 2) * 8 + 8] = (
+                m + a1 * r_idx + a2 * c_idx + a3 * r_idx * c_idx
+            )
+        enc = jpeg_gray_encode(img)
+        assert np.array_equal(jpeg_gray_decode(enc), img)
+        assert image_dims(enc) == (16, 16)  # header parser agrees
+        stuffed += b"\xff\x00" in enc[20:-2]
+    assert stuffed == 5  # every planted stream hits 0xFF00 unstuffing
+
+    # Arbitrary pixels, non-multiple-of-8 dims (edge-pad + crop path).
+    x = ((31 * np.arange(13)[:, None] + 17 * np.arange(21)[None, :] + 5) % 256).astype(
+        np.int64
+    )
+    dec = jpeg_gray_decode(jpeg_gray_encode(x))
+    assert dec.shape == x.shape
+    assert int(np.abs(dec - x).max()) <= 1
+
+    enc16 = jpeg_gray_encode(np.full((8, 8), 99, dtype=np.int64))
+    with pytest.raises(ValueError):
+        jpeg_gray_decode(b"not a jpeg")
+    # Progressive SOF2 must raise the documented seam error.
+    with pytest.raises(NotImplementedError):
+        jpeg_gray_decode(enc16.replace(b"\xff\xc0", b"\xff\xc2", 1))
+
+
 def test_png_decode_composes_with_resize(spark):
     """decode_png_bitmaps(plant_encoded_pngs(...)) feeds the SAME
     resize kernel as the raw-bitmap path and lands on identical
