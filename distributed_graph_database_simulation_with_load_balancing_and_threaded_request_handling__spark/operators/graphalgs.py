@@ -1184,12 +1184,14 @@ def max_spanning_forest(
     this module is shaped that way.
 
     Scale notes: per round — one candidate join of edges against the
-    label table on each endpoint (hash joins on vertex keys), one
-    map-side-combined struct-min per component, one CC run over the
-    component-pair graph (component-cardinality rows, shrinking
-    geometrically), ONE count action (the candidate probe) plus the
-    nested CC's per-round probes.  The forest accumulates as unions of
-    per-round checkpointed frames.
+    label table on each endpoint (hash joins on vertex keys) streaming
+    straight into one map-side-combined struct-min per component, all
+    under a SINGLE action (sel's eager checkpoint — the round-8 fused
+    round; convergence reads take(1) off the materialized result),
+    then one CC run over the component-pair graph
+    (component-cardinality rows, shrinking geometrically) with its own
+    chained probes.  The forest accumulates as unions of per-round
+    checkpointed frames.
     """
     w = F.col(weight_col).cast("long")
     e = edges.select(
@@ -1215,16 +1217,24 @@ def max_spanning_forest(
         for _ in range(max_outer):
             cu = comp.select(F.col("v").alias("u_"), F.col("c").alias("cs"))
             cv = comp.select(F.col("v").alias("v_"), F.col("c").alias("cd"))
+            # FUSED round action (round-7 verdict #5): no separate
+            # candidate-count probe and no edge-sized cand checkpoint
+            # — the joins stream straight into the map-side-combined
+            # struct-min aggregate, and the ONE action per round is
+            # sel's eager checkpoint.  Convergence = empty sel
+            # (component-cardinality rows), read via take(1) on the
+            # already-materialized checkpoint.  Same-boot A/B at
+            # sf0.1 is time-NEUTRAL (~8.7 s warm both arms — the
+            # floor is the nested CC supersteps, BASELINE.md round-8)
+            # but the fuse removes the per-round materialization of
+            # the FULL cross-component candidate edge set, which is
+            # the edge-sized disk write that would dominate at 100 TB.
             cand = (
                 e.join(cu, e["src"] == F.col("u_"))
                 .join(cv, e["dst"] == F.col("v_"))
                 .where(F.col("cs") != F.col("cd"))
                 .select("src", "dst", "w", "cs", "cd")
-                .localCheckpoint(eager=False)
             )
-            if cand.count() == 0:
-                converged = True
-                break
             both = cand.select(
                 F.col("cs").alias("c"),
                 F.struct(
@@ -1241,8 +1251,11 @@ def max_spanning_forest(
                 )
             )
             sel = both.groupBy("c").agg(F.min("k").alias("k")).localCheckpoint(
-                eager=True  # self-joined below (via the CC edge list)
+                eager=True  # the round's single action; self-joined below
             )
+            if not sel.take(1):
+                converged = True
+                break
             forest_parts.append(
                 sel.select(
                     F.col("k.src").alias("src"),
