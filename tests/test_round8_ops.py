@@ -1,0 +1,121 @@
+"""Round-8 property tests: the baseline JPEG codec's two contracts
+(exact on the planted coefficient subspace — the q_jpeg_decode value
+oracle's foundation — and bounded-error on arbitrary pixels), and
+salted_join equivalence under randomized skew/salt counts (the
+SCALE.md wall-2 cure must be semantics-preserving for ANY shape, not
+just the q_salted_join fixture).
+"""
+
+import numpy as np
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.multimodal import (
+    _S4,
+    image_dims,
+    jpeg_gray_decode,
+    jpeg_gray_encode,
+)
+from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.partitioning import (
+    salted_join,
+)
+
+
+@st.composite
+def planted_subspace_image(draw):
+    """Random image on the q_jpeg_decode coefficient subspace: each
+    8x8 block is m + a1*S4_r + a2*S4_c + a3*S4_r*S4_c (the DC and
+    (4,0)/(0,4)/(4,4) DCT bases), the construction the oracle replays
+    in closed form.  Any m/a combination keeping pixels in [0, 255]
+    must round-trip EXACTLY — quantization is all-ones and these
+    bases hit integer DCT coefficients."""
+    bh = draw(st.integers(min_value=1, max_value=3))
+    bw = draw(st.integers(min_value=1, max_value=3))
+    r_idx = np.asarray(_S4)[:, None]
+    c_idx = np.asarray(_S4)[None, :]
+    img = np.zeros((bh * 8, bw * 8), dtype=np.int64)
+    for b in range(bh * bw):
+        m = draw(st.integers(min_value=64, max_value=191))
+        a1 = draw(st.integers(min_value=-4, max_value=4))
+        a2 = draw(st.integers(min_value=-4, max_value=4))
+        a3 = draw(st.integers(min_value=-4, max_value=4))
+        block = m + a1 * r_idx + a2 * c_idx + a3 * r_idx * c_idx
+        img[(b // bw) * 8 : (b // bw) * 8 + 8, (b % bw) * 8 : (b % bw) * 8 + 8] = block
+    return img
+
+
+@settings(max_examples=40, deadline=None)
+@given(img=planted_subspace_image())
+def test_jpeg_exact_on_planted_subspace(img):
+    enc = jpeg_gray_encode(img)
+    assert np.array_equal(jpeg_gray_decode(enc), img)
+    assert image_dims(enc) == (img.shape[1], img.shape[0])  # (width, height)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    h=st.integers(min_value=1, max_value=20),
+    w=st.integers(min_value=1, max_value=20),
+    data=st.data(),
+)
+def test_jpeg_bounded_error_on_arbitrary_pixels(h, w, data):
+    """Arbitrary pixels, arbitrary (non-8-multiple) dims: shape is
+    preserved through the edge-pad + crop path and every pixel lands
+    within the orthonormal-DCT rounding bound.  Per coefficient the
+    encoder's rint loses <= 0.5; 2D DCT basis entries are <= 0.125,
+    so the per-pixel error is < 64 * 0.5 * 0.125 = 4 in the worst
+    case (typical random images land well under 1)."""
+    img = np.asarray(
+        data.draw(
+            st.lists(
+                st.lists(st.integers(min_value=0, max_value=255), min_size=w, max_size=w),
+                min_size=h,
+                max_size=h,
+            )
+        ),
+        dtype=np.int64,
+    )
+    dec = jpeg_gray_decode(jpeg_gray_encode(img))
+    assert dec.shape == (h, w)
+    assert int(np.abs(dec - img).max()) < 4
+
+
+@pytest.fixture(scope="module")
+def sess(spark):
+    return spark
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    salts=st.integers(min_value=1, max_value=8),
+    hot_rows=st.integers(min_value=0, max_value=40),
+    cold_keys=st.integers(min_value=0, max_value=10),
+    dim_extra=st.integers(min_value=0, max_value=5),
+)
+def test_salted_join_equivalence_under_random_skew(sess, salts, hot_rows, cold_keys, dim_extra):
+    """salted_join == plain inner join for any salt count and any
+    skew mix, including duplicate dim keys (the explode side must
+    replicate matches, never dedupe them) and fact keys missing from
+    the dim (inner-join drops them on both paths)."""
+    fact_rows = [(1, f"hot{i}") for i in range(hot_rows)] + [
+        (10 + k, f"cold{k}") for k in range(cold_keys)
+    ]
+    # key 999 exists only in the fact; dim key 1 is DUPLICATED so the
+    # join multiplicity > 1 on the hot key.
+    fact_rows.append((999, "orphan"))
+    dim_rows = [(1, "d1a"), (1, "d1b")] + [(10 + k, f"d{k}") for k in range(cold_keys + dim_extra)]
+    fact = sess.createDataFrame(fact_rows, "k long, payload string")
+    dim = sess.createDataFrame(dim_rows, "k long, label string")
+    plain = sorted(
+        (r["k"], r["payload"], r["label"]) for r in fact.join(dim, "k").collect()
+    )
+    salted = sorted(
+        (r["k"], r["payload"], r["label"])
+        for r in salted_join(fact, dim, "k", salts=salts).collect()
+    )
+    assert salted == plain
