@@ -119,3 +119,33 @@ def test_salted_join_equivalence_under_random_skew(sess, salts, hot_rows, cold_k
         for r in salted_join(fact, dim, "k", salts=salts).collect()
     )
     assert salted == plain
+
+
+def test_snapshot_absorb_updates_only_verified_names():
+    """The rotation snapshot may absorb a name's live hash ONLY off a
+    record that hash-matched it (scripts/snapshot_oracle_hashes.py
+    protocol) — a blanket refresh before the verifying record lands
+    would erase the must-verify flags _registry_order acts on."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "snapmod",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "scripts", "snapshot_oracle_hashes.py"),
+    )
+    snapmod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(snapmod)
+
+    snap = {"a": "old_a", "b": "h_b", "d": "old_d"}
+    live = {"a": "new_a", "b": "h_b", "c": "h_c", "d": "new_d"}
+    record = {
+        "a": {"hash_match": True},   # verified -> absorbed
+        "b": {"hash_match": False},  # failed -> untouched
+        "c": {"hash_match": True},   # new name verified -> added
+        # d changed but absent from the record -> stays stale/pinned
+        "zz_gone": {"hash_match": True},  # not in live -> ignored
+    }
+    updated = snapmod.absorb(snap, live, record)
+    assert updated == ["a", "c"]
+    assert snap == {"a": "new_a", "b": "h_b", "c": "h_c", "d": "old_d"}
