@@ -149,3 +149,28 @@ def test_snapshot_absorb_updates_only_verified_names():
     updated = snapmod.absorb(snap, live, record)
     assert updated == ["a", "c"]
     assert snap == {"a": "new_a", "b": "h_b", "c": "h_c", "d": "old_d"}
+
+
+def test_trained_ivfpq_recall_floor(spark):
+    """The round-8 quality claim itself, not just Spark/DuckDB parity:
+    the oracle hash-compares both engines computing the SAME
+    construction, so a symmetric quality regression (both sides
+    dropping to 0.4) would stay oracle-green.  Pin the declared
+    operating point — trained cells, m=32 x 128 codes, n_probe=8 of
+    16 — to recall@10 >= 0.7 at sf0.01 (measured 0.9, BASELINE.md
+    probe/recall frontier)."""
+    from pyspark.sql import functions as F
+
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.similarity import (
+        cosine_topk,
+        ivf_pq_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    exact = cosine_topk(emb, qvec, 10).select("vec_id")
+    approx = ivf_pq_topk(
+        emb, qvec, 10, n_probe=8, m=32, n_codes=128, train_iters=2, cell_iters=2
+    ).select("vec_id")
+    matched = exact.join(approx, "vec_id").count()
+    assert matched >= 7, f"trained IVF-PQ recall@10 fell to {matched / 10}"
