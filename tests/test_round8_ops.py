@@ -174,3 +174,68 @@ def test_trained_ivfpq_recall_floor(spark):
     ).select("vec_id")
     matched = exact.join(approx, "vec_id").count()
     assert matched >= 7, f"trained IVF-PQ recall@10 fell to {matched / 10}"
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    members=st.sets(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=60),
+    probes=st.sets(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=60),
+)
+def test_bloom_probe_never_false_negative(sess, members, probes):
+    """The Bloom contract the join-pruning path leans on: every true
+    member probes 'maybe' (NO false negatives, any build/probe mix) —
+    so bloom-prune -> exact-join always equals the plain exact join."""
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.sketches import (
+        bloom_bits,
+        bloom_probe,
+    )
+
+    build = sess.createDataFrame([(v,) for v in members], "v long")
+    probe = sess.createDataFrame([(v,) for v in probes], "v long")
+    bits = bloom_bits(build, "v")
+    flagged = {r["item"] for r in bloom_probe(bits, probe, "v").collect() if r["maybe"]}
+    true_hits = members & probes
+    assert true_hits <= flagged  # no false negatives, ever
+    # pruning equivalence: survivors exact-joined == plain exact join
+    survivors = probe.where(probe["v"].isin(list(flagged)) if flagged else "false")
+    pruned = {r["v"] for r in survivors.join(build, "v").collect()}
+    assert pruned == true_hits
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    core=st.text(alphabet="abcdefghijklmnopqrstuvwxyz", min_size=8, max_size=20),
+    pre_a=st.text(alphabet="qrstuvwxyz", min_size=0, max_size=15),
+    suf_a=st.text(alphabet="qrstuvwxyz", min_size=0, max_size=15),
+    pre_b=st.text(alphabet="abcdefghijkl", min_size=0, max_size=25),
+    suf_b=st.text(alphabet="abcdefghijkl", min_size=0, max_size=25),
+)
+def test_winnowing_guarantee_random_shared_run(sess, core, pre_a, suf_a, pre_b, suf_b):
+    """SIGMOD-2003 winnowing guarantee, randomized: a shared substring
+    of length >= k + window - 1 (= 8 at k=5, w=4) embedded at DIFFERENT
+    offsets inside otherwise-arbitrary documents must contribute at
+    least one shared fingerprint — position-robustness is the whole
+    point of min-window selection over head-anchored sampling."""
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.dedup import (
+        winnow_fingerprints,
+    )
+
+    docs = sess.createDataFrame(
+        [
+            (1, f"{pre_a} {core} {suf_a}", "en", "s"),
+            (2, f"{pre_b} {core} {suf_b}", "en", "s"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    fps = {}
+    for r in winnow_fingerprints(docs, k=5, window=4).collect():
+        fps.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert fps.get(1, set()) & fps.get(2, set()), "shared run produced no shared fingerprint"
