@@ -239,3 +239,74 @@ def test_winnowing_guarantee_random_shared_run(sess, core, pre_a, suf_a, pre_b, 
     for r in winnow_fingerprints(docs, k=5, window=4).collect():
         fps.setdefault(r["doc_id"], set()).add(r["fp"])
     assert fps.get(1, set()) & fps.get(2, set()), "shared run produced no shared fingerprint"
+
+
+@st.composite
+def asof_fixture(draw):
+    """Random as-of shape: per-key unique right timestamps (the
+    documented precondition), left timestamps free to tie each other
+    and the right side; multiple keys; keys missing on either side."""
+    n_keys = draw(st.integers(min_value=1, max_value=3))
+    left = []
+    right = []
+    for k in range(n_keys):
+        lts = draw(st.lists(st.integers(min_value=0, max_value=50), min_size=0, max_size=6))
+        rts = draw(st.sets(st.integers(min_value=0, max_value=50), min_size=0, max_size=6))
+        left += [(k, t) for t in lts]
+        right += [(k, t, float(100 * k + t)) for t in sorted(rts)]
+    direction = draw(st.sampled_from(["backward", "forward"]))
+    tol = draw(st.sampled_from([None, 0, 3, 10]))
+    return left, right, direction, tol
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(fx=asof_fixture())
+def test_asof_join_matches_merge_asof_brute_force(sess, fx):
+    """asof_join vs a per-row python replay of the pandas merge_asof
+    contract (backward/forward, inclusive ties, tolerance nulling,
+    left rows always kept) over random keyed timestamp mixes — the
+    union-merge implementation must agree everywhere, not just on the
+    four fixture shapes."""
+    import datetime
+
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.temporal import (
+        asof_join,
+    )
+
+    left_rows, right_rows, direction, tol = fx
+    ts = lambda s: datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=s)
+    left = sess.createDataFrame(
+        [(k, ts(t)) for k, t in left_rows] or [(99, ts(0))], "k int, t timestamp"
+    )
+    right = sess.createDataFrame(
+        [(k, ts(t), v) for k, t, v in right_rows] or [(98, ts(0), 0.0)],
+        "k int, rt timestamp, v double",
+    )
+    got = {
+        (r["k"], r["t"]): (r["asof_ts"], r["asof_v"])
+        for r in asof_join(
+            left, right, on=["k"], left_ts="t", right_ts="rt", values=["v"],
+            direction=direction, tolerance_seconds=tol,
+        ).collect()
+    }
+
+    rindex = {}
+    for k, t, v in (right_rows or [(98, 0, 0.0)]):
+        rindex.setdefault(k, []).append((t, v))
+    want = {}
+    for k, t in (left_rows or [(99, 0)]):
+        cands = rindex.get(k, [])
+        if direction == "backward":
+            cands = [(rt, v) for rt, v in cands if rt <= t]
+            best = max(cands) if cands else None
+        else:
+            cands = [(rt, v) for rt, v in cands if rt >= t]
+            best = min(cands) if cands else None
+        if best is not None and tol is not None and abs(best[0] - t) > tol:
+            best = None
+        want[(k, ts(t))] = (ts(best[0]), best[1]) if best else (None, None)
+    assert got == want
