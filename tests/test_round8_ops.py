@@ -310,3 +310,52 @@ def test_asof_join_matches_merge_asof_brute_force(sess, fx):
             best = None
         want[(k, ts(t))] = (ts(best[0]), best[1]) if best else (None, None)
     assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    gaps=st.lists(
+        st.integers(min_value=0, max_value=90),  # minutes between events
+        min_size=1,
+        max_size=12,
+    ),
+    gap_minutes=st.sampled_from([1, 30, 45]),
+)
+def test_sessionize_matches_python_scan(sess, gaps, gap_minutes):
+    """Gap sessionization vs a linear python scan on random inter-event
+    gaps (including exact-boundary gaps: silence == gap_minutes must
+    NOT split — the rule is strictly-greater).  Checks the session
+    count, per-session event counts, and start/end timestamps."""
+    import datetime
+
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.relational import (
+        sessionize_events,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    ts, cur = [], t0
+    for g in gaps:
+        cur = cur + datetime.timedelta(minutes=g)
+        ts.append(cur)
+    rows = [(1, t, i, 1.0) for i, t in enumerate(ts)]
+    events = sess.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, value double"
+    )
+    got = sorted(
+        (r["session_start"], r["session_end"], r["n_events"])
+        for r in sessionize_events(events, gap_minutes=gap_minutes).collect()
+    )
+    sessions, start, prev, n = [], ts[0], ts[0], 1
+    for t in ts[1:]:
+        if (t - prev) > datetime.timedelta(minutes=gap_minutes):  # strictly greater splits
+            sessions.append((start, prev, n))
+            start, n = t, 1
+        else:
+            n += 1
+        prev = t
+    sessions.append((start, prev, n))
+    assert got == sorted(sessions)
