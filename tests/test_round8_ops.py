@@ -359,3 +359,41 @@ def test_sessionize_matches_python_scan(sess, gaps, gap_minutes):
         prev = t
     sessions.append((start, prev, n))
     assert got == sorted(sessions)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    weights=st.lists(st.integers(min_value=1, max_value=8), min_size=2, max_size=4),
+    salt=st.sampled_from(["split", "v2", "exp-7"]),
+    n=st.integers(min_value=50, max_value=200),
+)
+def test_train_split_partition_properties(sess, weights, salt, n):
+    """train_split is a FUNCTION of (id, salt, fracs): every row gets
+    exactly one split (exhaustive, no drops/dupes), re-running yields
+    identical assignments, a different salt reshuffles without
+    changing the contract, and empirical proportions track fracs
+    within a generous binomial envelope."""
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.sampling import (
+        train_split,
+    )
+
+    total = sum(weights)
+    fracs = {f"s{i}": w / total for i, w in enumerate(weights[:-1])}
+    fracs[f"s{len(weights) - 1}"] = 1.0 - sum(fracs.values())  # exact 1.0
+    docs = sess.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    out = train_split(docs, fracs=fracs, salt=salt).collect()
+    assert len(out) == n and len({r["doc_id"] for r in out}) == n  # exhaustive, 1:1
+    assert {r["split"] for r in out} <= set(fracs)
+    again = {(r["doc_id"], r["split"]) for r in train_split(docs, fracs=fracs, salt=salt).collect()}
+    assert again == {(r["doc_id"], r["split"]) for r in out}  # deterministic
+    from collections import Counter
+
+    got = Counter(r["split"] for r in out)
+    for name, frac in fracs.items():
+        # 4-sigma binomial envelope + 2-row slack for tiny fractions.
+        sigma = (n * frac * (1 - frac)) ** 0.5
+        assert abs(got.get(name, 0) - n * frac) <= 4 * sigma + 2, (name, dict(got), fracs)
