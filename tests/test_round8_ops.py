@@ -397,3 +397,56 @@ def test_train_split_partition_properties(sess, weights, salt, n):
         # 4-sigma binomial envelope + 2-row slack for tiny fractions.
         sigma = (n * frac * (1 - frac)) ** 0.5
         assert abs(got.get(name, 0) - n * frac) <= 4 * sigma + 2, (name, dict(got), fracs)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    obs=st.dictionaries(
+        st.integers(min_value=0, max_value=30),  # hour offsets
+        st.lists(st.integers(min_value=-50, max_value=50), min_size=1, max_size=3),
+        min_size=1,
+        max_size=8,
+    ),
+)
+def test_time_gapfill_matches_python_scan(sess, obs):
+    """time_gapfill vs a python replay on random sparse hour series:
+    dense grid exactly spans [first, last] observed hour, observed
+    hours carry their own sum (filled=0), gap hours carry the last
+    observed sum (filled=1)."""
+    import datetime
+
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.temporal import (
+        time_gapfill,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for h, vals in obs.items():
+        for i, v in enumerate(vals):
+            rows.append(
+                (eid, t0 + datetime.timedelta(hours=h, minutes=5 * i), 7, "e", float(v), "{}")
+            )
+            eid += 1
+    events = sess.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string,"
+        "value double, props string"
+    )
+    got = {
+        int((r["hour"] - t0).total_seconds() // 3600): (r["value_filled"], r["filled"])
+        for r in time_gapfill(events).collect()
+    }
+    sums = {h: float(sum(vals)) for h, vals in obs.items()}
+    lo, hi = min(sums), max(sums)
+    want, carry = {}, None
+    for h in range(lo, hi + 1):
+        if h in sums:
+            carry = sums[h]
+            want[h] = (carry, 0)
+        else:
+            want[h] = (carry, 1)
+    assert got == want
