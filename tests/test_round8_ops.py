@@ -450,3 +450,52 @@ def test_time_gapfill_matches_python_scan(sess, obs):
         else:
             want[h] = (carry, 1)
     assert got == want
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    sizes=st.lists(st.integers(min_value=0, max_value=12), min_size=1, max_size=4),
+    k=st.integers(min_value=1, max_value=6),
+)
+def test_group_sample_exact_contract(sess, sizes, k):
+    """group_sample_exact: exactly min(k, |group|) rows per group,
+    contiguous 1..n ranks, selection INVARIANT to physical
+    partitioning (the determinism-across-partitionings claim), and
+    stable across runs."""
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.sampling import (
+        group_sample_exact,
+    )
+
+    rows = [
+        (g, g * 1000 + i)
+        for g, n in enumerate(sizes)
+        for i in range(n)
+    ]
+    if not rows:
+        rows = [(0, 0)]
+        sizes = [1]
+    df = sess.createDataFrame(rows, "g int, doc_id long")
+
+    def run(frame):
+        return sorted(
+            (r["g"], r["doc_id"], r["sample_rank"])
+            for r in group_sample_exact(frame, group_by=["g"], id_col="doc_id", k=k).collect()
+        )
+
+    got = run(df)
+    from collections import Counter
+
+    per_group = Counter(g for g, _, _ in got)
+    for g, n in enumerate(sizes):
+        assert per_group.get(g, 0) == min(k, n)
+    ranks = {}
+    for g, _, r in got:
+        ranks.setdefault(g, []).append(r)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in ranks.values())
+    assert {(g, d) for g, d, _ in got} <= set(rows)  # a true subset
+    assert got == run(df.repartition(7))  # partitioning-invariant
+    assert got == run(df.coalesce(1))
