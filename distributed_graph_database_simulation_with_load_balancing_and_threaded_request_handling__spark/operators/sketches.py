@@ -451,8 +451,14 @@ def hdr_quantile_err(
         "q",
         "est_v",
         "exact_v",
+        # try_divide: an all-zero stratum has exact_v = 0 (and est_v =
+        # 0 with it — the estimate never exceeds the exact quantile);
+        # report rel_err 0 there instead of raising under ANSI mode.
         F.round(
-            (F.col("exact_v") - F.col("est_v")) / F.col("exact_v"), 4
+            F.when(F.col("exact_v") == 0.0, 0.0).otherwise(
+                F.try_divide(F.col("exact_v") - F.col("est_v"), F.col("exact_v"))
+            ),
+            4,
         ).alias("rel_err"),
     )
 

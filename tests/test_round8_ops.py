@@ -499,3 +499,57 @@ def test_group_sample_exact_contract(sess, sizes, k):
     assert {(g, d) for g, d, _ in got} <= set(rows)  # a true subset
     assert got == run(df.repartition(7))  # partitioning-invariant
     assert got == run(df.coalesce(1))
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(st.integers(min_value=0, max_value=1_000_000), min_size=1, max_size=40),
+    sub_bits=st.sampled_from([2, 4]),
+)
+def test_hdr_quantile_matches_integer_replay(sess, vals, sub_bits):
+    """hdr_quantile_err's estimates vs a pure-python replay of the
+    SAME integer bucket function and cumulative selection — the
+    bit-exactness claim that lets the SQL oracle reproduce the sketch.
+    Whole-dollar values keep the cents cast exact."""
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.sketches import (
+        hdr_quantile_err,
+    )
+    from pyspark.sql import functions as F
+
+    qs = (0.5, 0.9, 0.99)
+    df = sess.createDataFrame([(float(v),) for v in vals], "x double")
+    got = {
+        r["q"]: r["est_v"]
+        for r in hdr_quantile_err(df, F.col("x"), sub_bits=sub_bits, qs=qs).collect()
+    }
+
+    def bucket(c: int) -> int:
+        shift = max(c.bit_length() - 1 - sub_bits, 0)
+        return (c >> shift) << shift
+
+    from collections import Counter
+
+    hist = sorted(Counter(bucket(v * 100) for v in vals).items())
+    n = len(vals)
+    want = {}
+    for q in qs:
+        cum = 0
+        for b, cnt in hist:
+            cum += cnt
+            if cum >= q * n:
+                want[q] = round(b / 100.0, 4)
+                break
+    assert got == want
+    # Sketch soundness: the estimate never exceeds the exact quantile
+    # value and sits within one relative bucket width below it.
+    sv = sorted(vals)
+    for q in qs:
+        import math
+
+        exact = sv[min(n - 1, max(0, math.ceil(q * n) - 1))]
+        assert got[q] <= exact
+        assert got[q] >= exact * (1 - 2.0 ** -sub_bits) - 0.01
