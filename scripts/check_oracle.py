@@ -5,6 +5,9 @@ order-insensitive value comparison (sorted rows, columns sorted by
 name, floats rounded).
 
 Usage: python scripts/check_oracle.py [sf_dir] [query ...]
+       python scripts/check_oracle.py [sf_dir] --head N   # first N
+       registry entries only — N=50 mirrors the driver's official
+       verification window exactly (same derived rotation order).
 """
 
 from __future__ import annotations
@@ -39,8 +42,14 @@ def norm_rows(rows, colnames):
     return out
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    head = 0
+    if "--head" in args:
+        i = args.index("--head")
+        head = int(args[i + 1])
+        args = args[:i] + args[i + 2:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
     spark = get_spark("oracle-check")
     con = duckdb.connect()
     for t in TABLES:
@@ -50,6 +59,8 @@ def main() -> int:
 
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    if head:
+        queries = dict(list(queries.items())[:head])
     failures = 0
     for name, fn in queries.items():
         if only and name not in only:
