@@ -553,3 +553,37 @@ def test_hdr_quantile_matches_integer_replay(sess, vals, sub_bits):
         exact = sv[min(n - 1, max(0, math.ceil(q * n) - 1))]
         assert got[q] <= exact
         assert got[q] >= exact * (1 - 2.0 ** -sub_bits) - 0.01
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    counts=st.dictionaries(
+        st.integers(min_value=0, max_value=300),
+        st.integers(min_value=1, max_value=25),
+        min_size=1,
+        max_size=25,
+    ),
+)
+def test_heavy_hitters_sketch_then_verify_is_exact(sess, counts):
+    """heavy_hitters == the exact threshold set for ANY multiset: the
+    CMS prune is an upper bound (never drops a true heavy hitter) and
+    the second pass exact-counts survivors, so the sketch changes the
+    COST, never the answer."""
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.sketches import (
+        heavy_hitters,
+    )
+
+    rows = [(str(k),) for k, n in counts.items() for _ in range(n)]
+    df = sess.createDataFrame(rows, "v string")
+    got = {(r["item"], r["n_exact"]) for r in heavy_hitters(df, "v").collect()}
+    total, n_items = sum(counts.values()), len(counts)
+    want = {
+        (str(k), n)
+        for k, n in counts.items()
+        if n * n_items * 10 >= total * 12  # the cross-multiplied predicate
+    }
+    assert got == want
