@@ -587,3 +587,55 @@ def test_heavy_hitters_sketch_then_verify_is_exact(sess, counts):
         if n * n_items * 10 >= total * 12  # the cross-multiplied predicate
     }
     assert got == want
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=15),
+            st.integers(min_value=0, max_value=15),
+        ),
+        min_size=0,
+        max_size=15,
+    ),
+    n_docs=st.integers(min_value=16, max_value=20),
+)
+def test_dedup_clusters_matches_union_find(sess, edges, n_docs):
+    """dedup_clusters vs python union-find on random pair graphs
+    (self-loops included): cluster_id is each component's min doc id,
+    exactly one keep per cluster, and docs in no pair come back as
+    singleton keeps when documents is supplied."""
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.dedup import (
+        dedup_clusters,
+    )
+
+    pairs = sess.createDataFrame(
+        [(a, b) for a, b in edges] or [(99, 99)], "id_a long, id_b long"
+    )
+    docs = sess.createDataFrame([(i,) for i in range(n_docs)], "doc_id long")
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["keep"])
+        for r in dedup_clusters(pairs, documents=docs).collect()
+    }
+
+    parent = list(range(101))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in (edges or [(99, 99)]):
+        parent[find(a)] = find(b)
+    want = {}
+    for d in range(n_docs):
+        comp = find(d)
+        rep = min(x for x in range(101) if find(x) == comp and (x < n_docs or x in {99}))
+        want[d] = (rep, d == rep)
+    assert got == want
