@@ -3569,6 +3569,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]
         ]
 
+    def _ann_cache_key(sf_dir):
+        # Fingerprint of the embeddings table for the trained-artifact
+        # store (round-8 verdict #4): realpath + (relpath, size,
+        # mtime_ns) of every data file — free to compute driver-side,
+        # and any regeneration of the testdata invalidates it, so a
+        # stale artifact can never be loaded against new data.  Handles
+        # both single-file and directory parquet layouts.
+        import hashlib
+        import json
+
+        base = os.path.join(sf_dir, "embeddings.parquet")
+        stats = []
+        if os.path.isfile(base):
+            st = os.stat(base)
+            stats.append(("", st.st_size, st.st_mtime_ns))
+        else:
+            for dirpath, _, files in os.walk(base):
+                for f in files:
+                    p = os.path.join(dirpath, f)
+                    st = os.stat(p)
+                    stats.append((os.path.relpath(p, base), st.st_size, st.st_mtime_ns))
+        stats.sort()
+        return hashlib.sha256(
+            json.dumps([os.path.realpath(base), stats]).encode()
+        ).hexdigest()[:24]
+
     def _shared_result(spark, sf_dir, family, build):
         # One materialization per (session, sf_dir, family): the
         # LUT-literal codegen + Arrow encode behind the PQ/IVF-PQ/
@@ -3595,7 +3621,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Spark jobs (the .first() scan is part of the build).
         return _shared_result(
             spark, sf_dir, "pq",
-            lambda: pq_topk(emb, _qvec0(emb), 10, m=16, n_codes=128, train_iters=3),
+            lambda: pq_topk(
+                emb, _qvec0(emb), 10, m=16, n_codes=128, train_iters=3,
+                cache_key=_ann_cache_key(sf_dir),
+            ),
         )
 
     def q_ivfpq_topk(spark, sf_dir):
@@ -3617,6 +3646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             lambda: ivf_pq_topk(
                 emb, _qvec0(emb), 10,
                 n_probe=8, m=32, n_codes=128, train_iters=2, cell_iters=2,
+                cache_key=_ann_cache_key(sf_dir),
             ),
         )
 
@@ -3631,6 +3661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             lambda: ivf_pq_topk(
                 emb, qvec, 10,
                 n_probe=8, m=32, n_codes=128, train_iters=2, cell_iters=2,
+                cache_key=_ann_cache_key(sf_dir),
             )
         ).select("vec_id")
         return exact.join(approx, "vec_id").agg(
@@ -4042,7 +4073,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         exact = cosine_topk(emb, qvec, 10).select("vec_id")
         approx = _shared_result(
             spark, sf_dir, "pq",
-            lambda: pq_topk(emb, qvec, 10, m=16, n_codes=128, train_iters=3),
+            lambda: pq_topk(
+                emb, qvec, 10, m=16, n_codes=128, train_iters=3,
+                cache_key=_ann_cache_key(sf_dir),
+            ),
         ).select("vec_id")
         return exact.join(approx, "vec_id").agg(
             F.count("*").cast("long").alias("n_matched")

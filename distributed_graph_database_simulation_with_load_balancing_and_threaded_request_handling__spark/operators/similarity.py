@@ -26,6 +26,84 @@ from ..partitioning import ensure_parallelism
 def _vec_lit(vec: list[float]) -> Column:
     return F.array(*[F.lit(float(x)) for x in vec]).cast("array<double>")
 
+
+# ---------------------------------------------------------------------------
+# Trained-artifact store (round-8 verdict #4): integer-Lloyd's training is
+# deterministic for a given (table content, config), so the trained
+# centroids / codebooks — a few KB of int64s — are written once to a
+# versioned JSON artifact and loaded on every later session instead of
+# re-running the 2-3 s multi-pass training.  Only the INT arrays are
+# stored; the float views are recomputed as q / SCALE - OFFSET (exact
+# IEEE division by a power-of-ten literal, the same expression the SQL
+# oracle uses), so a load round-trip is bit-identical to a fresh train.
+# ---------------------------------------------------------------------------
+
+_ARTIFACT_VERSION = 1
+
+
+def _artifact_dir() -> str:
+    import os
+
+    override = os.environ.get("SPARK_GRAFT_ANN_CACHE")
+    if override:
+        return override
+    # operators/similarity.py -> operators -> package -> repo root
+    root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    return os.path.join(root, ".scratch", "ann_cache")
+
+
+def _artifact_load(kind: str, cache_key: str | None, config: dict):
+    """Return the stored int-array payload for (kind, cache_key, config),
+    or None on miss / no key / unreadable file."""
+    import hashlib
+    import json
+    import os
+
+    if cache_key is None:
+        return None
+    digest = hashlib.sha256(
+        json.dumps(
+            {"v": _ARTIFACT_VERSION, "kind": kind, "key": cache_key, "cfg": config},
+            sort_keys=True,
+        ).encode()
+    ).hexdigest()[:24]
+    path = os.path.join(_artifact_dir(), f"{kind}_{digest}.json")
+    try:
+        with open(path) as fh:
+            return json.load(fh)["payload"]
+    except (OSError, ValueError, KeyError):
+        return None
+
+
+def _artifact_save(kind: str, cache_key: str | None, config: dict, payload) -> None:
+    """Atomically persist the trained int arrays (tmp + rename so a
+    concurrent reader never sees a torn file).  Best-effort: a failed
+    write only means the next session retrains."""
+    import hashlib
+    import json
+    import os
+    import tempfile
+
+    if cache_key is None:
+        return
+    digest = hashlib.sha256(
+        json.dumps(
+            {"v": _ARTIFACT_VERSION, "kind": kind, "key": cache_key, "cfg": config},
+            sort_keys=True,
+        ).encode()
+    ).hexdigest()[:24]
+    d = _artifact_dir()
+    try:
+        os.makedirs(d, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+        with os.fdopen(fd, "w") as fh:
+            json.dump({"version": _ARTIFACT_VERSION, "payload": payload}, fh)
+        os.replace(tmp, os.path.join(d, f"{kind}_{digest}.json"))
+    except OSError:
+        pass
+
 def _cosine_to_query(query_vec: list[float], vec_col: str) -> Column:
     """Cosine similarity of ``vec_col`` to one constant query vector,
     shared by every to-a-query scorer (global, filtered, per-group) so
@@ -213,6 +291,7 @@ def ivf_centroids_trained(
     id_col: str = "vec_id",
     n_cells: int = 16,
     iters: int = 2,
+    cache_key: str | None = None,
 ) -> tuple[list[list[int]], list[list[float]]]:
     """TRAINED coarse quantizer for IVF (round-7 verdict #1): the same
     md5-ordered ``n_cells`` seed as ``ivf_centroids``, sharpened by
@@ -230,10 +309,29 @@ def ivf_centroids_trained(
     (exact IEEE — what residuals subtract and ADC terms dot against).
 
     Scale: per round one ``mapInPandas`` partial-sum pass over the
-    table; only ``n_cells x (dim + 1)`` longs reach the driver."""
+    table; only ``n_cells x (dim + 1)`` longs reach the driver.
+
+    ``cache_key`` (round-8 verdict #4): an opaque fingerprint of the
+    table contents.  When given, the trained int64 centroids are
+    loaded from the versioned artifact store instead of re-running the
+    seed scan + Lloyd's passes; a miss trains and persists.  The float
+    view is always recomputed from the ints, so load == train exactly
+    (pinned by tests/test_similarity.py)."""
     import numpy as np
 
     from .clustering import KMEANS_OFFSET, KMEANS_SCALE, _lloyd_rounds
+
+    cfg = {
+        "vec_col": vec_col, "id_col": id_col, "n_cells": n_cells, "iters": iters,
+    }
+    cached = _artifact_load("ivf_cents", cache_key, cfg)
+    if cached is not None:
+        cq = np.asarray(cached, dtype=np.int64)
+        cf = cq.astype(np.float64) / KMEANS_SCALE - KMEANS_OFFSET
+        return (
+            [[int(x) for x in row] for row in cq],
+            [[float(x) for x in row] for row in cf],
+        )
 
     rows = (
         embeddings.select(F.col(id_col).alias("id"), as_double_vec(F.col(vec_col)).alias("v"))
@@ -257,10 +355,9 @@ def ivf_centroids_trained(
     finally:
         spark.conf.set(_parts_key, _prev_parts)
     cents_f = cents_q.astype(np.float64) / KMEANS_SCALE - KMEANS_OFFSET
-    return (
-        [[int(x) for x in row] for row in cents_q],
-        [[float(x) for x in row] for row in cents_f],
-    )
+    out_q = [[int(x) for x in row] for row in cents_q]
+    _artifact_save("ivf_cents", cache_key, cfg, out_q)
+    return (out_q, [[float(x) for x in row] for row in cents_f])
 
 
 def _int_cell_assign(X, cents_q):
@@ -583,6 +680,7 @@ def pq_codebooks_trained(
     cents: list[list[float]] | None = None,
     cents_q: list[list[int]] | None = None,
     train_filter_hex: str | None = None,
+    cache_key: str | None = None,
 ):
     """TRAINED product-quantization codebooks (round-6 verdict #4):
     the md5-ordered ``n_codes`` sample seeds the books exactly as
@@ -607,10 +705,26 @@ def pq_codebooks_trained(
     < '<prefix>'``.  Codebook training on a uniform sample is the
     standard PQ recipe (Jégou et al. train on a held-out learn set);
     the ENCODE still covers every row.  Default None trains on the
-    full table (right at the shipped scales)."""
+    full table (right at the shipped scales).
+
+    ``cache_key``: table-content fingerprint for the trained-artifact
+    store (round-8 verdict #4).  The residual path's dependence on the
+    coarse quantizer is part of the artifact identity: ``cents`` /
+    ``cents_q`` are hashed into the config, so books trained against
+    different centroids never collide."""
     import numpy as np
 
     offset = PQ_OFFSET if cents is None else PQ_RESID_OFFSET
+    cfg = {
+        "vec_col": vec_col, "id_col": id_col, "m": m, "n_codes": n_codes,
+        "train_iters": train_iters, "train_filter_hex": train_filter_hex,
+        "cents": cents, "cents_q": cents_q,
+    }
+    cached = _artifact_load("pq_books", cache_key, cfg)
+    if cached is not None:
+        bq = np.asarray(cached, dtype=np.int64)
+        bf = (bq.astype(np.float64) / PQ_SCALE) - offset
+        return bq, [[list(map(float, c)) for c in bj] for bj in bf]
     if cents is None:
         seed = pq_codebooks(
             embeddings, vec_col=vec_col, id_col=id_col, m=m, n_codes=n_codes
@@ -635,6 +749,7 @@ def pq_codebooks_trained(
     books_q = _pq_train_lloyd(
         src, books_q, iters=train_iters, offset=offset, cents=cents, cents_q=cents_q
     )
+    _artifact_save("pq_books", cache_key, cfg, [[list(map(int, c)) for c in bj] for bj in books_q])
     books_f = (books_q.astype(np.float64) / PQ_SCALE) - offset
     return books_q, [[list(map(float, c)) for c in bj] for bj in books_f]
 
@@ -692,6 +807,7 @@ def pq_topk(
     round_digits: int = 4,
     train_iters: int = 0,
     train_filter_hex: str | None = None,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """Product-quantized approximate top-k by asymmetric distance
     computation (ADC, Jégou et al. 2011): vectors are encoded as m
@@ -724,6 +840,7 @@ def pq_topk(
             n_codes=n_codes,
             train_iters=train_iters,
             train_filter_hex=train_filter_hex,
+            cache_key=cache_key,
         )
         codes = _pq_codes_arrow_q(books_q, PQ_OFFSET)(F.col(vec_col))
     else:
@@ -880,6 +997,7 @@ def ivf_pq_topk(
     train_iters: int = 0,
     cell_iters: int = 0,
     train_filter_hex: str | None = None,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """IVF-PQ approximate top-k: coarse-quantize into IVF cells, probe
     the ``n_probe`` cells nearest the query, and score ONLY the
@@ -913,6 +1031,7 @@ def ivf_pq_topk(
             id_col=id_col,
             n_cells=n_cells,
             iters=cell_iters,
+            cache_key=cache_key,
         )
     else:
         cents = ivf_centroids(
@@ -932,6 +1051,7 @@ def ivf_pq_topk(
             cents=cents,
             cents_q=cents_q,
             train_filter_hex=train_filter_hex,
+            cache_key=cache_key,
         )
     else:
         books = residual_pq_codebooks(
