@@ -5601,7 +5601,12 @@ def oracle_sql() -> dict[str, str]:
               FROM est JOIN ex USING (ship_month)
             )
             SELECT ship_month, q, est_v, exact_v,
-                   round((exact_v - est_v) / exact_v, 4) AS rel_err
+                   -- both-zero guard mirrors sketches.hdr_quantile_err:
+                   -- an all-zero stratum reads 0; a nonzero estimate
+                   -- against an exact 0 surfaces as NULL, never 0.
+                   CASE WHEN exact_v = 0 AND est_v = 0 THEN 0.0
+                        ELSE round((exact_v - est_v) / nullif(exact_v, 0), 4)
+                   END AS rel_err
             FROM unrolled
         """,
         "q_diameter": f"""

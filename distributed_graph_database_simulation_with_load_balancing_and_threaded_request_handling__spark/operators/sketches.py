@@ -451,11 +451,14 @@ def hdr_quantile_err(
         "q",
         "est_v",
         "exact_v",
-        # try_divide: an all-zero stratum has exact_v = 0 (and est_v =
-        # 0 with it — the estimate never exceeds the exact quantile);
-        # report rel_err 0 there instead of raising under ANSI mode.
+        # An all-zero stratum has exact_v = 0 AND est_v = 0 — report
+        # rel_err 0 there instead of raising under ANSI mode.  Guard on
+        # BOTH columns (round-8 ADVICE): with negative-value strata the
+        # est <= exact invariant does not hold, and a nonzero estimate
+        # against an exact 0 is a REAL estimator error that must
+        # surface (try_divide -> NULL), never be silently reported 0.
         F.round(
-            F.when(F.col("exact_v") == 0.0, 0.0).otherwise(
+            F.when((F.col("exact_v") == 0.0) & (F.col("est_v") == 0.0), 0.0).otherwise(
                 F.try_divide(F.col("exact_v") - F.col("est_v"), F.col("exact_v"))
             ),
             4,
