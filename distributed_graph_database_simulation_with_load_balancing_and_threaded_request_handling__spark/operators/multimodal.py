@@ -1317,8 +1317,16 @@ class _BitReader:
 
     def take(self, nbits: int) -> int:
         while self.n < nbits:
+            # Bounds-checked (round-8 ADVICE): the decoder sees
+            # arbitrary media payload bytes, so a truncated stream —
+            # including one ENDING in 0xFF — must raise ValueError,
+            # never leak an IndexError out of the codec.
+            if self.pos >= len(self.data):
+                raise ValueError("truncated entropy stream")
             b = self.data[self.pos]
             if b == 0xFF:
+                if self.pos + 1 >= len(self.data):
+                    raise ValueError("truncated entropy stream")
                 nxt = self.data[self.pos + 1]
                 if nxt == 0x00:
                     self.pos += 2  # stuffed 0xFF data byte
@@ -1432,13 +1440,30 @@ def jpeg_gray_decode(data: bytes):
     h = w = 0
     comp_q = 0
     scan_dc = scan_ac = 0
-    while pos + 4 <= len(data):
+    while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("marker desync")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+        # marker — skip to the first non-FF byte (round-8 ADVICE).
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 2 > len(data):
+            raise ValueError("truncated marker segment")
         marker = data[pos + 1]
         if marker == 0xD9:
             break
+        if marker == 0x00:
+            raise ValueError("marker desync")  # FF00 is not a marker
+        if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+            # TEM / RSTn / SOI carry NO length field — skipping them as
+            # length-prefixed segments would desync the walk.
+            pos += 2
+            continue
+        if pos + 4 > len(data):
+            raise ValueError("truncated marker segment")
         seglen = struct.unpack(">H", data[pos + 2 : pos + 4])[0]
+        if seglen < 2 or pos + 2 + seglen > len(data):
+            raise ValueError("truncated marker segment")
         body = data[pos + 4 : pos + 2 + seglen]
         if marker == 0xDB:
             i = 0

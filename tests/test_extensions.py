@@ -1437,3 +1437,53 @@ def test_trained_artifact_store_load_equals_train(embeddings, tmp_path, monkeypa
         similarity.ivf_centroids_trained(
             embeddings, n_cells=8, iters=3, cache_key="tbl-v1"
         )
+
+
+def test_jpeg_decode_robust_to_fill_bytes_and_truncation():
+    """Round-8 ADVICE: the decoder is exposed to arbitrary payload
+    bytes.  A truncated stream — including one ending in 0xFF — must
+    raise ValueError (never IndexError); 0xFF fill bytes before a
+    marker and length-less TEM/RSTn markers in the header walk must be
+    skipped, not parsed as length-prefixed segments."""
+    import numpy as np
+    import pytest
+
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.multimodal import (
+        _S4,
+        jpeg_gray_decode,
+        jpeg_gray_encode,
+    )
+
+    # Planted-subspace pixels (the plant_encoded_jpegs pattern) so the
+    # lossy codec round-trips EXACTLY and equality assertions are fair.
+    r_idx = np.asarray(_S4)[:, None]
+    c_idx = np.asarray(_S4)[None, :]
+    img = np.zeros((16, 16), dtype=np.int64)
+    for b in range(4):
+        m = 64 + (17 * b + 35) % 128
+        img[(b // 2) * 8 : (b // 2) * 8 + 8, (b % 2) * 8 : (b % 2) * 8 + 8] = (
+            m + ((3 * b + 7) % 9 - 4) * r_idx + ((3 * b + 8) % 9 - 4) * c_idx
+        )
+    enc = jpeg_gray_encode(img)
+    assert np.array_equal(jpeg_gray_decode(enc), img)
+
+    # Truncation mid-scan, and truncation ENDING IN 0xFF (the unguarded
+    # data[pos+1] lookahead the ADVICE flagged).
+    cut = enc[: enc.index(b"\xff\xda") + 12]
+    with pytest.raises(ValueError):
+        jpeg_gray_decode(cut)
+    with pytest.raises(ValueError):
+        jpeg_gray_decode(cut + b"\xff")
+
+    # 0xFF fill bytes before markers (T.81 B.1.1.2) decode identically.
+    filled = b"\xff\xd8" + b"\xff\xff" + enc[2:]  # fill before DQT
+    filled = filled.replace(b"\xff\xc4", b"\xff\xff\xff\xc4", 1)  # before DHT
+    assert np.array_equal(jpeg_gray_decode(filled), img)
+
+    # Length-less TEM / RSTn markers in the header walk are skipped.
+    temmed = b"\xff\xd8" + b"\xff\x01" + b"\xff\xd0" + enc[2:]
+    assert np.array_equal(jpeg_gray_decode(temmed), img)
+
+    # A declared-length segment overrunning the buffer raises cleanly.
+    with pytest.raises(ValueError):
+        jpeg_gray_decode(enc[:6])
