@@ -1487,3 +1487,59 @@ def test_jpeg_decode_robust_to_fill_bytes_and_truncation():
     # A declared-length segment overrunning the buffer raises cleanly.
     with pytest.raises(ValueError):
         jpeg_gray_decode(enc[:6])
+
+
+def test_untrained_ivf_float_argmin_is_tie_free_on_fixtures():
+    """Round-8 verdict #5: the UNTRAINED IVF paths (ivf_topk /
+    _nearest_cell_arrow and the train_iters=0 encode) argmin a float64
+    score c_sq - 2 v.c, whose summation order differs between numpy
+    and a SQL replay — safe only while the data is near-tie-free.
+    This pins that contract on the shipped fixtures: at sf0.001 and
+    sf0.01, for the declared n_cells=16 sampled centroids, (a) the
+    float argmin equals a correctly-rounded math.fsum reference, and
+    (b) the best/runner-up relative margin exceeds 1e-9 — ten orders
+    above accumulated float64 rounding.  The TRAINED path needs no
+    such contract (exact int64 argmin, _int_cell_assign)."""
+    import hashlib
+    import math
+    import os
+
+    import numpy as np
+    import pytest
+
+    duckdb = pytest.importorskip("duckdb")
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        pq = os.path.join(sf_dir, "embeddings.parquet")
+        if not os.path.exists(pq):
+            pytest.skip("driver testdata not present")
+        rows = duckdb.sql(
+            f"select vec_id, embedding from '{pq}'"
+        ).fetchall()
+        ids = [r[0] for r in rows]
+        X = np.array([r[1] for r in rows], dtype=np.float64)
+        # ivf_centroids' selection, replayed: md5(id-as-string) order.
+        order = sorted(
+            range(len(ids)),
+            key=lambda i: (hashlib.md5(str(ids[i]).encode()).hexdigest(), ids[i]),
+        )
+        C = X[order[:16]]
+        c_sq = (C * C).sum(axis=1)
+        S = c_sq[None, :] - 2.0 * (X @ C.T)  # _nearest_cell_arrow's score
+        got = S.argmin(axis=1)
+        # (b) tie-freeness margin
+        Ss = np.sort(S, axis=1)
+        rel = (Ss[:, 1] - Ss[:, 0]) / (np.abs(S).max(axis=1) + 1.0)
+        assert rel.min() > 1e-9, f"near-tie in {sf_dir}: {rel.min()}"
+        # (a) order-independent reference argmin (correctly-rounded sums)
+        dim = X.shape[1]
+        for i in range(len(X)):
+            ref = min(
+                range(16),
+                key=lambda j: (
+                    math.fsum(C[j, k] * C[j, k] for k in range(dim))
+                    - 2.0 * math.fsum(X[i, k] * C[j, k] for k in range(dim)),
+                    j,
+                ),
+            )
+            assert ref == got[i], (sf_dir, ids[i])
