@@ -289,8 +289,18 @@ def python_betweenness(pairs, sources, scale=10**9):
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
-@given(pairs=random_graph())
-def test_betweenness_matches_python_oracle(sess, pairs):
+@given(
+    pairs=random_graph(),
+    n_sources=st.integers(min_value=1, max_value=4),
+    probe_every=st.integers(min_value=1, max_value=3),
+)
+def test_betweenness_matches_python_oracle(sess, pairs, n_sources, probe_every):
+    # Round-8 verdict #8 strengthening: vary the SOURCE COUNT (the
+    # q_betweenness production shape rides 4 sources on one frontier)
+    # and the PROBE CHAIN length — probe_every > 1 on graphs this small
+    # exercises the zero-tail recount path (chain overshoots the true
+    # depth, the non-empty prefix is recovered from materialized
+    # frames), which is the riskiest machinery in the loop.
     from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.graphalgs import (
         betweenness_sampled,
     )
@@ -299,11 +309,11 @@ def test_betweenness_matches_python_oracle(sess, pairs):
         return
     sym = pairs + [(b, a) for a, b in pairs]
     df = sess.createDataFrame(sym, "src long, dst long")
-    sources = sorted({x for p in pairs for x in p})[:2]
+    sources = sorted({x for p in pairs for x in p})[:n_sources]
     srcs = sess.createDataFrame([(s,) for s in sources], "start long")
     got = {
         r.vertex: r.bc_scaled
-        for r in betweenness_sampled(df, srcs).collect()
+        for r in betweenness_sampled(df, srcs, probe_every=probe_every).collect()
     }
     assert got == python_betweenness(pairs, sources)
 
