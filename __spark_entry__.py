@@ -189,6 +189,8 @@ from distributed_graph_database_simulation_with_load_balancing_and_threaded_requ
     rgb_decode_stats,
     extract_media_meta,
     frame_sample,
+    gif_frame_stats,
+    plant_encoded_gifs,
     plant_audio,
     plant_bitmaps,
     plant_images,
@@ -2270,6 +2272,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "media_id",
             "frame_no",
             F.length("frame").cast("long").alias("n_bytes"),
+        )
+
+    def q_gif_frames(spark, sf_dir):
+        # REAL decoded-frame sampling (round-8 verdict #7): fully
+        # encoded animated GIF89a streams (global gray palette,
+        # per-frame GCE + LZW image blocks — stdlib codec both
+        # directions, like the JPEG one) are decoded frame by frame;
+        # every 2nd frame capped at 2 is kept.  Pixels are arithmetic
+        # in (id, frame, r, c), so the oracle replays frame counts,
+        # stride selection, the cap, and every decoded pixel sum.
+        return _shared_result(
+            spark, sf_dir, "media_gif",
+            lambda: gif_frame_stats(
+                plant_encoded_gifs(load_table(spark, sf_dir, "documents")),
+                every_k=2, max_frames=2,
+            ),
         )
 
     def q_resize(spark, sf_dir):
@@ -4545,6 +4563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_png_adam7": q_png_adam7,
         "q_png_palette": q_png_palette,
         "q_jpeg_decode": q_jpeg_decode,
+        "q_gif_frames": q_gif_frames,  # new round 9 (never-recorded -> heads the window)
         "q_clustering_coeff": q_clustering_coeff,
         "q_link_pred": q_link_pred,
         "q_stream_attrib": q_stream_attrib,
@@ -6169,6 +6188,30 @@ def oracle_sql() -> dict[str, str]:
            CAST(SUM(CASE WHEN r % 2 = 0 AND c % 2 = 0 THEN pix END) AS BIGINT)
                AS resized_sum
     FROM px GROUP BY media_id
+""",
+        # Animated-GIF decoded-frame sampler: n_frames = 2 + id % 4,
+        # kept frames 0, 2 (every 2nd, cap 2), pixel(f, r, c) =
+        # (7*id + 13*f + 31*r + 17*c) % 256 on the 16x16 grid.
+        "q_gif_frames": """
+    WITH grid AS (
+      SELECT r.r, c.c FROM range(0, 16) r(r) CROSS JOIN range(0, 16) c(c)
+    ),
+    docs AS (
+      SELECT CAST(doc_id AS BIGINT) AS media_id,
+             CAST(2 + doc_id % 4 AS BIGINT) AS n_frames
+      FROM documents
+    ),
+    kept AS (
+      SELECT media_id, n_frames, CAST(f.f AS BIGINT) AS frame_no
+      FROM docs JOIN range(0, 4) f(f)
+        ON f.f < n_frames AND f.f % 2 = 0 AND f.f // 2 < 2
+    )
+    SELECT k.media_id, k.frame_no, k.n_frames,
+           CAST(16 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
+           CAST(SUM((7 * k.media_id + 13 * k.frame_no + 31 * g.r + 17 * g.c)
+                    % 256) AS BIGINT) AS pix_sum
+    FROM kept k CROSS JOIN grid g
+    GROUP BY k.media_id, k.frame_no, k.n_frames
 """,
         "q_png_palette": """
             WITH grid AS (

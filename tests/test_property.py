@@ -719,3 +719,46 @@ def test_winsorized_spend_matches_python_oracle(sess, prices):
     assert r["n_clipped_low"] == sum(1 for c in prices if c < p_lo)
     assert r["n_clipped_high"] == sum(1 for c in prices if c > p_hi)
     assert r["winsorized_sum_cents"] == sum(min(max(c, p_lo), p_hi) for c in prices)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    n_frames=st.integers(min_value=1, max_value=4),
+    w=st.integers(min_value=1, max_value=24),
+    h=st.integers(min_value=1, max_value=24),
+    seed=st.integers(min_value=0, max_value=10**6),
+)
+def test_gif_codec_roundtrips_random_frames(n_frames, w, h, seed):
+    """Round-9 GIF codec: encode/decode round-trips ANY uint8 frame
+    stack bit-exactly (GIF is lossless), across LZW width growth and
+    the 4096 dictionary reset; truncation raises ValueError and the
+    undeclared interlace bit raises the documented seam error."""
+    import numpy as np
+    import pytest
+
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.multimodal import (
+        gif_decode_frames,
+        gif_encode_frames,
+        image_dims,
+    )
+
+    rng = np.random.default_rng(seed)
+    frames = [rng.integers(0, 256, size=(h, w)) for _ in range(n_frames)]
+    enc = gif_encode_frames(frames)
+    dec = gif_decode_frames(enc)
+    assert len(dec) == n_frames
+    for a, b in zip(dec, frames):
+        assert np.array_equal(a, b)
+    assert image_dims(enc) == (w, h)
+
+    with pytest.raises(ValueError):
+        gif_decode_frames(enc[: len(enc) // 2])
+    with pytest.raises(ValueError):
+        gif_decode_frames(b"GIF89a" + enc[6:10])
+    # flip the interlace bit of the first image descriptor (fixed
+    # structural offset: 13 header + 768 palette + 19 NETSCAPE + 8 GCE)
+    idx = 13 + 768 + 19 + 8
+    assert enc[idx] == 0x2C
+    flipped = enc[: idx + 9] + bytes([enc[idx + 9] | 0x40]) + enc[idx + 10 :]
+    with pytest.raises(NotImplementedError):
+        gif_decode_frames(flipped)
