@@ -2796,10 +2796,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Frontiers are <= a few thousand rows; 4 loop partitions keeps
         # the ~18-round superstep loop off the per-task scheduling
         # floor (measured at sf0.1: 8 -> 4 saves ~15%; 2 is marginally
-        # faster still but leaves no headroom for wider frontiers).
+        # faster still but leaves no headroom for wider frontiers) and
+        # _iter_loop_width grows the width past sf0.1 (the relaxation join
+        # still carries O(edges) rows even when frontiers are small).
         # probe_every=3 amortizes the convergence-probe action over
         # three chained relaxations (identical fixpoint; ~35% off).
-        return sssp(wsym, int(src), loop_shuffle_partitions=4, probe_every=3)
+        return sssp(
+            wsym, int(src),
+            loop_shuffle_partitions=_iter_loop_width(wsym.count()), probe_every=3,
+        )
 
     def q_returned_revenue(spark, sf_dir):
         # TPC-H Q10 shape: top-20 customers by returned-item revenue
@@ -3587,6 +3592,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]
         ]
 
+    def _iter_loop_width(n_edges):
+        # Loop shuffle width for the iterative graph loops: per-round
+        # keyed joins carry O(edges), so width must GROW with the
+        # graph.  4 partitions clears the per-task scheduling floor at
+        # the shipped scales (round-6 A/B), one partition per ~300k
+        # edges bounds partition size as data grows, capped at the 32
+        # local cores (a real cluster would cap at executor cores).
+        # The round-9 100x graph gate is what made this adaptive: a
+        # constant 4 would push ~30M-row partitions through the
+        # candidate joins at 120M edges.
+        return max(4, min(32, int(n_edges) // 300_000))
+
     def _ann_cache_key(sf_dir):
         # Fingerprint of the embeddings table for the trained-artifact
         # store (round-8 verdict #4): realpath + (relpath, size,
@@ -3929,8 +3946,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         edges = copurchase_weighted_edges(
             spark, sf_dir, ship_range=("1995-01-01", "1996-01-01")
         )
-        edges.count()  # warm the shared weighted-edge cache
-        return max_spanning_forest(edges, loop_shuffle_partitions=4)
+        n_edges = edges.count()  # warm the shared weighted-edge cache
+        return max_spanning_forest(
+            edges, loop_shuffle_partitions=_iter_loop_width(n_edges)
+        )
 
     def q_betweenness(spark, sf_dir):
         # Sampled Brandes betweenness from the 4 smallest vertices of
@@ -3947,7 +3966,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # levels (A/B same-boot at sf0.1: 12.7 -> 10.0 s warm,
         # identical rows — BASELINE.md round-6 third session).
         return betweenness_sampled(
-            edges, sources, loop_shuffle_partitions=4, probe_every=3
+            edges, sources,
+            loop_shuffle_partitions=_iter_loop_width(edges.count()), probe_every=3,
         )
 
     def q_mis(spark, sf_dir):

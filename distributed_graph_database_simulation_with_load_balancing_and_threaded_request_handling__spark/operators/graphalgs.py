@@ -23,6 +23,13 @@ from pyspark.sql import functions as F
 
 from .traverse import _edges_only
 
+# Superstep observability (round-9, for the 100x graph gate): each
+# iterative loop records how many rounds it actually ran on its last
+# invocation, so scale sweeps can REPORT the measured superstep count
+# next to wall time instead of extrapolating the O(log n) claims.
+# Driver-side only, one tiny dict write per query — no plan impact.
+LOOP_STATS: dict[str, dict] = {}
+
 def canonical_edges(edges: DataFrame, *, graph_id: int | None = None) -> DataFrame:
     """Undirected edge set as canonical ``src < dst`` pairs (one row
     per edge regardless of input orientation/duplication)."""
@@ -808,6 +815,7 @@ def sssp(
                 break
         if not converged:
             raise RuntimeError(f"sssp did not converge in {max_iters} relaxations")
+        LOOP_STATS["sssp"] = {"rounds": i + 1}
         return dist.select(
             F.col("v").cast("long").alias("vertex"), F.col("d").cast("long").alias("dist")
         )
@@ -1214,7 +1222,7 @@ def max_spanning_forest(
         )
         forest_parts: list[DataFrame] = []
         converged = False
-        for _ in range(max_outer):
+        for _round in range(max_outer):
             cu = comp.select(F.col("v").alias("u_"), F.col("c").alias("cs"))
             cv = comp.select(F.col("v").alias("v_"), F.col("c").alias("cd"))
             # FUSED round action (round-7 verdict #5): no separate
@@ -1294,6 +1302,7 @@ def max_spanning_forest(
             raise RuntimeError(
                 f"max_spanning_forest did not converge in {max_outer} rounds"
             )
+        LOOP_STATS["max_spanning_forest"] = {"rounds": _round + 1}
         if not forest_parts:
             return spark.createDataFrame(
                 [], f"src long, dst long, {weight_col} long"
@@ -1424,6 +1433,7 @@ def betweenness_sampled(
             pending = []
             done = True
         depth = len(levels) - 1
+        LOOP_STATS["betweenness_sampled"] = {"depth": depth}
         out: DataFrame | None = None
         delta_next: DataFrame | None = None
         for d in range(depth - 1, -1, -1):
@@ -1791,10 +1801,13 @@ def strongly_connected_components(
         )
         pinned_parts: list[DataFrame] = []
         done = False
+        n_peels = 0
+        total_props = 0
         for _ in range(max_peel_rounds):
             if remaining.count() == 0:
                 done = True
                 break
+            n_peels += 1
             re_ = (
                 e.join(
                     remaining.select(F.col("v").alias("src")), "src", "left_semi"
@@ -1859,6 +1872,7 @@ def strongly_connected_components(
                     f"SCC label propagation did not converge in "
                     f"{max_prop_rounds} rounds"
                 )
+            total_props += _r + 1
             pinned = labels.where(F.col("f") == F.col("b")).select(
                 F.col("v").cast("long").alias("vertex"),
                 F.col("f").cast("long").alias("scc"),
@@ -1875,6 +1889,10 @@ def strongly_connected_components(
                 f"SCC peel did not finish in {max_peel_rounds} rounds "
                 "(id-descending chain worst case); raise max_peel_rounds"
             )
+        LOOP_STATS["strongly_connected_components"] = {
+            "peel_rounds": n_peels,
+            "prop_rounds_total": total_props,
+        }
         out = pinned_parts[0]
         for p in pinned_parts[1:]:
             out = out.unionAll(p)
