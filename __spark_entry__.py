@@ -190,6 +190,8 @@ from distributed_graph_database_simulation_with_load_balancing_and_threaded_requ
     extract_media_meta,
     frame_sample,
     gif_frame_stats,
+    jpeg_color_stats,
+    plant_encoded_color_jpegs,
     plant_encoded_gifs,
     plant_audio,
     plant_bitmaps,
@@ -2272,6 +2274,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "media_id",
             "frame_no",
             F.length("frame").cast("long").alias("n_bytes"),
+        )
+
+    def q_jpeg_color(spark, sf_dir):
+        # REAL multi-component (YCbCr 4:2:0) baseline JPEG decode
+        # (round 9): interleaved-MCU entropy decode with
+        # per-component DC predictors over fully-encoded color
+        # fixtures; the planes ride the exact DCT subspace so all
+        # three component sums replay closed-form, and the RGB sums
+        # replay the declared box-upsample + BT.601 floor(x+0.5)
+        # conversion verbatim.
+        return _shared_result(
+            spark, sf_dir, "media_jpegcolor",
+            lambda: jpeg_color_stats(
+                plant_encoded_color_jpegs(load_table(spark, sf_dir, "documents"))
+            ),
         )
 
     def q_gif_frames(spark, sf_dir):
@@ -4584,6 +4601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_png_palette": q_png_palette,
         "q_jpeg_decode": q_jpeg_decode,
         "q_gif_frames": q_gif_frames,  # new round 9 (never-recorded -> heads the window)
+        "q_jpeg_color": q_jpeg_color,  # new round 9
         "q_clustering_coeff": q_clustering_coeff,
         "q_link_pred": q_link_pred,
         "q_stream_attrib": q_stream_attrib,
@@ -6207,6 +6225,60 @@ def oracle_sql() -> dict[str, str]:
            CAST(SUM(pix) AS BIGINT) AS pix_sum,
            CAST(SUM(CASE WHEN r % 2 = 0 AND c % 2 = 0 THEN pix END) AS BIGINT)
                AS resized_sum
+    FROM px GROUP BY media_id
+""",
+        # Multi-component 4:2:0 JPEG: Y is the q_jpeg_decode plane;
+        # Cb/Cr are single 8x8 subspace blocks sampled at (r//2, c//2)
+        # (box upsampling); RGB replays BT.601 with floor(x+0.5) and
+        # LEAST/GREATEST clamping — the same op order as the decoder.
+        "q_jpeg_color": """
+    WITH grid AS (
+      SELECT r.r, c.c FROM range(0, 16) r(r) CROSS JOIN range(0, 16) c(c)
+    ),
+    px AS (
+      SELECT CAST(d.doc_id AS BIGINT) AS media_id, g.r, g.c,
+             (64 + (17 * (2 * (g.r // 8) + (g.c // 8)) + 5 * d.doc_id) % 128)
+             + ((3 * (2 * (g.r // 8) + (g.c // 8)) + d.doc_id) % 9 - 4)
+               * (CASE WHEN (g.r % 8) IN (0, 3, 4, 7) THEN 1 ELSE -1 END)
+             + ((3 * (2 * (g.r // 8) + (g.c // 8)) + d.doc_id + 1) % 9 - 4)
+               * (CASE WHEN (g.c % 8) IN (0, 3, 4, 7) THEN 1 ELSE -1 END)
+             + ((3 * (2 * (g.r // 8) + (g.c // 8)) + d.doc_id + 2) % 9 - 4)
+               * (CASE WHEN (g.r % 8) IN (0, 3, 4, 7) THEN 1 ELSE -1 END)
+               * (CASE WHEN (g.c % 8) IN (0, 3, 4, 7) THEN 1 ELSE -1 END)
+             AS y,
+             (96 + (7 * d.doc_id) % 64)
+             + (d.doc_id % 9 - 4)
+               * (CASE WHEN (g.r // 2) IN (0, 3, 4, 7) THEN 1 ELSE -1 END)
+             + ((d.doc_id + 1) % 9 - 4)
+               * (CASE WHEN (g.c // 2) IN (0, 3, 4, 7) THEN 1 ELSE -1 END)
+             + ((d.doc_id + 2) % 9 - 4)
+               * (CASE WHEN (g.r // 2) IN (0, 3, 4, 7) THEN 1 ELSE -1 END)
+               * (CASE WHEN (g.c // 2) IN (0, 3, 4, 7) THEN 1 ELSE -1 END)
+             AS cb,
+             (96 + (11 * d.doc_id) % 64)
+             + (d.doc_id % 9 - 4)
+               * (CASE WHEN (g.r // 2) IN (0, 3, 4, 7) THEN 1 ELSE -1 END)
+             + ((d.doc_id + 1) % 9 - 4)
+               * (CASE WHEN (g.c // 2) IN (0, 3, 4, 7) THEN 1 ELSE -1 END)
+             + ((d.doc_id + 2) % 9 - 4)
+               * (CASE WHEN (g.r // 2) IN (0, 3, 4, 7) THEN 1 ELSE -1 END)
+               * (CASE WHEN (g.c // 2) IN (0, 3, 4, 7) THEN 1 ELSE -1 END)
+             AS cr
+      FROM documents d CROSS JOIN grid g
+    )
+    SELECT media_id, CAST(16 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
+           CAST(SUM(y) AS BIGINT) AS y_sum,
+           CAST(SUM(CASE WHEN r % 2 = 0 AND c % 2 = 0 THEN cb END) AS BIGINT)
+               AS cb_sum,
+           CAST(SUM(CASE WHEN r % 2 = 0 AND c % 2 = 0 THEN cr END) AS BIGINT)
+               AS cr_sum,
+           CAST(SUM(LEAST(255, GREATEST(0, FLOOR(
+               y + 1.402 * (cr - 128) + 0.5)))) AS BIGINT) AS r_sum,
+           CAST(SUM(LEAST(255, GREATEST(0, FLOOR(
+               y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128) + 0.5))))
+               AS BIGINT) AS g_sum,
+           CAST(SUM(LEAST(255, GREATEST(0, FLOOR(
+               y + 1.772 * (cb - 128) + 0.5)))) AS BIGINT) AS b_sum
     FROM px GROUP BY media_id
 """,
         # Animated-GIF decoded-frame sampler: n_frames = 2 + id % 4,

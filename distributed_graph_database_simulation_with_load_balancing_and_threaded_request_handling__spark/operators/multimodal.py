@@ -70,8 +70,8 @@ def attach_media(documents: DataFrame, *, text_col: str = "text", id_col: str = 
 
 def decode_image(data: bytes) -> Any:
     """STUB — generic pixel decode for the remaining codec-library
-    formats (progressive/multi-component JPEG, webp…; PIL/opencv not
-    available in this container).  The mapInPandas plumbing around it
+    formats (progressive JPEG, webp…; PIL/opencv not available in
+    this container).  The mapInPandas plumbing around it
     is real; swap this seam for a real decoder in production.  The
     PNG family needs NO seam: header metadata (``image_dims`` parses
     real PNG/GIF/JPEG/BMP bytes, stdlib only) and 8-bit
@@ -83,12 +83,15 @@ def decode_image(data: bytes) -> Any:
     ``jpeg_gray_decode`` is a complete stdlib+numpy baseline decoder
     (marker walk, canonical Huffman from the file's DHT, 0xFF00
     unstuffing, EXTEND, DC prediction, dequantize, zigzag, float64
-    IDCT), value-oracle-checked end-to-end by q_jpeg_decode.
-    ANIMATED GIF needs no seam since round 9: ``gif_decode_frames``
-    is a complete stdlib+numpy decoder (block walk, LZW with dict
-    growth/reset, palette mapping, draw-over compositing),
-    value-oracle-checked by q_gif_frames.  The remaining seam is
-    progressive/multi-component JPEG, webp, and real video codecs."""
+    IDCT), value-oracle-checked end-to-end by q_jpeg_decode — and
+    since round 9 MULTI-COMPONENT baseline JPEG needs none either:
+    ``jpeg_ycbcr_decode`` handles 4:2:0 YCbCr interleaved MCUs
+    (q_jpeg_color).  ANIMATED GIF also needs no seam since round 9:
+    ``gif_decode_frames`` is a complete stdlib+numpy decoder (block
+    walk, LZW with dict growth/reset, palette mapping, draw-over
+    compositing), value-oracle-checked by q_gif_frames.  The
+    remaining seam is progressive JPEG, webp, and real video
+    codecs."""
     raise NotImplementedError("image decode requires PIL/opencv; stubbed by design")
 
 
@@ -1364,6 +1367,44 @@ def _extend(raw: int, cat: int) -> int:
     return raw if raw >= (1 << (cat - 1)) else raw - (1 << cat) + 1
 
 
+def _jpeg_encode_block(bw: "_BitWriter", block, prev_dc: int, dc_codes, ac_codes) -> int:
+    """DCT + all-ones-quantize + entropy-code one 8x8 spatial block
+    (shared by the gray and YCbCr encoders).  Returns the new DC
+    predictor."""
+    import numpy as np
+
+    M = _dct_matrix()
+    coef = np.rint(M @ (np.asarray(block, dtype=np.float64) - 128.0) @ M.T).astype(
+        np.int64
+    )
+    zz = [int(coef[r, c]) for r, c in _ZIGZAG]
+    diff = zz[0] - prev_dc
+    prev_dc = zz[0]
+    cat, raw = _magnitude(diff)
+    code, nb = dc_codes[cat]
+    bw.put(code, nb)
+    if cat:
+        bw.put(raw, cat)
+    run = 0
+    for v in zz[1:]:
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, nb = ac_codes[0xF0]  # ZRL
+            bw.put(code, nb)
+            run -= 16
+        cat, raw = _magnitude(v)
+        code, nb = ac_codes[(run << 4) | cat]
+        bw.put(code, nb)
+        bw.put(raw, cat)
+        run = 0
+    if run:
+        code, nb = ac_codes[0x00]  # EOB
+        bw.put(code, nb)
+    return prev_dc
+
+
 def jpeg_gray_encode(pixels) -> bytes:
     """REAL baseline JPEG encoder (stdlib + numpy float64 DCT):
     grayscale, dimensions padded to 8-multiples by edge replication,
@@ -1376,40 +1417,15 @@ def jpeg_gray_encode(pixels) -> bytes:
     h, w = arr.shape
     ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
     padded = np.pad(arr, ((0, ph - h), (0, pw - w)), mode="edge")
-    M = _dct_matrix()
     dc_codes = _huff_codes(_DC_LUMA_BITS, _DC_LUMA_VALS)
     ac_codes = _huff_codes(_AC_LUMA_BITS, _AC_LUMA_VALS)
     bw = _BitWriter()
     prev_dc = 0
     for br in range(0, ph, 8):
         for bc in range(0, pw, 8):
-            block = padded[br : br + 8, bc : bc + 8] - 128.0
-            coef = np.rint(M @ block @ M.T).astype(np.int64)
-            zz = [int(coef[r, c]) for r, c in _ZIGZAG]
-            diff = zz[0] - prev_dc
-            prev_dc = zz[0]
-            cat, raw = _magnitude(diff)
-            code, nb = dc_codes[cat]
-            bw.put(code, nb)
-            if cat:
-                bw.put(raw, cat)
-            run = 0
-            for v in zz[1:]:
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, nb = ac_codes[0xF0]  # ZRL
-                    bw.put(code, nb)
-                    run -= 16
-                cat, raw = _magnitude(v)
-                code, nb = ac_codes[(run << 4) | cat]
-                bw.put(code, nb)
-                bw.put(raw, cat)
-                run = 0
-            if run:
-                code, nb = ac_codes[0x00]  # EOB
-                bw.put(code, nb)
+            prev_dc = _jpeg_encode_block(
+                bw, padded[br : br + 8, bc : bc + 8], prev_dc, dc_codes, ac_codes
+            )
     scan = bw.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
@@ -1426,15 +1442,16 @@ def jpeg_gray_encode(pixels) -> bytes:
     return b"\xff\xd8" + dqt + sof + dht + sos + scan + b"\xff\xd9"
 
 
-def jpeg_gray_decode(data: bytes):
-    """REAL baseline JPEG decoder (stdlib + numpy): parses the marker
-    stream, builds Huffman tables from the file's own DHT segments,
-    entropy-decodes with byte-unstuffing, dequantizes against the
-    file's DQT, de-zigzags, float64 IDCT, +128 level shift, clamps,
-    crops padding.  Returns an int64 (h, w) array.  Raises
-    NotImplementedError for progressive (SOF2), multi-component, or
-    restart-interval streams — the documented residual seam."""
-    import numpy as np
+def _jpeg_headers(data: bytes):
+    """Shared baseline-JPEG header walk (round-9 refactor so the gray
+    and YCbCr decoders read one implementation): parses DQT / SOF0 /
+    DHT / DRI up to SOS, with the round-8 robustness rules (fill-byte
+    skipping, length-less TEM/RSTn/SOI markers, bounds-checked
+    lengths).  Returns ``(qt, huff, frame, scan, pos)`` where frame =
+    (h, w, [(comp_id, h_samp, v_samp, tq), ...]), scan maps comp_id ->
+    (dc_table_id, ac_table_id), and pos is the entropy-data offset.
+    Raises NotImplementedError for progressive/extended SOFs, 16-bit
+    quant tables, and restart intervals — the documented seam."""
     import struct
 
     if data[:2] != b"\xff\xd8":
@@ -1442,9 +1459,8 @@ def jpeg_gray_decode(data: bytes):
     pos = 2
     qt: dict[int, list[int]] = {}
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
-    h = w = 0
-    comp_q = 0
-    scan_dc = scan_ac = 0
+    frame: tuple | None = None
+    scan: dict[int, tuple[int, int]] = {}
     while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("marker desync")
@@ -1483,11 +1499,14 @@ def jpeg_gray_decode(data: bytes):
             raise NotImplementedError("only baseline SOF0 is supported")
         elif marker == 0xC0:
             prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
-            if prec != 8 or ncomp != 1 or body[7] != 0x11:
-                raise NotImplementedError(
-                    "only 8-bit single-component unsubsampled baseline"
-                )
-            comp_q = body[8]
+            if prec != 8:
+                raise NotImplementedError("only 8-bit precision")
+            comps = []
+            for ci in range(ncomp):
+                cid = body[6 + 3 * ci]
+                samp = body[7 + 3 * ci]
+                comps.append((cid, samp >> 4, samp & 0x0F, body[8 + 3 * ci]))
+            frame = (h, w, comps)
         elif marker == 0xC4:
             i = 0
             while i < len(body):
@@ -1510,50 +1529,220 @@ def jpeg_gray_decode(data: bytes):
             if struct.unpack(">H", body[:2])[0] != 0:
                 raise NotImplementedError("restart intervals")
         elif marker == 0xDA:
-            scan_dc, scan_ac = body[2] >> 4, body[2] & 0x0F
+            ns = body[0]
+            for ci in range(ns):
+                cid = body[1 + 2 * ci]
+                tabs = body[2 + 2 * ci]
+                scan[cid] = (tabs >> 4, tabs & 0x0F)
             pos = pos + 2 + seglen
             break
         pos += 2 + seglen
     else:
         raise ValueError("no SOS segment")
-    if not h or comp_q not in qt:
+    if frame is None:
+        raise ValueError("missing SOF0/DQT before SOS")
+    return qt, huff, frame, scan, pos
+
+
+def _jpeg_decode_block(br: "_BitReader", dc_tab, ac_tab, q, prev_dc: int):
+    """Entropy-decode + dequantize + IDCT one 8x8 block.  Returns the
+    clamped int64 spatial block and the updated DC predictor."""
+    import numpy as np
+
+    zz = [0] * 64
+    cat = br.huff(dc_tab)
+    prev_dc += _extend(br.take(cat) if cat else 0, cat)
+    zz[0] = prev_dc * q[0]
+    k = 1
+    while k < 64:
+        sym = br.huff(ac_tab)
+        if sym == 0x00:  # EOB
+            break
+        run, cat = sym >> 4, sym & 0x0F
+        if cat == 0:
+            if run != 15:
+                raise ValueError("bad AC symbol")
+            k += 16  # ZRL
+            continue
+        k += run
+        if k > 63:
+            raise ValueError("AC run overflow")
+        zz[k] = _extend(br.take(cat), cat) * q[k]
+        k += 1
+    coef = np.zeros((8, 8), dtype=np.float64)
+    for i, (r, c) in enumerate(_ZIGZAG):
+        coef[r, c] = zz[i]
+    M = _dct_matrix()
+    block = M.T @ coef @ M + 128.0
+    return np.clip(np.rint(block), 0, 255).astype(np.int64), prev_dc
+
+
+def jpeg_gray_decode(data: bytes):
+    """REAL baseline JPEG decoder (stdlib + numpy): parses the marker
+    stream, builds Huffman tables from the file's own DHT segments,
+    entropy-decodes with byte-unstuffing, dequantizes against the
+    file's DQT, de-zigzags, float64 IDCT, +128 level shift, clamps,
+    crops padding.  Returns an int64 (h, w) array.  Raises
+    NotImplementedError for progressive (SOF2) or restart-interval
+    streams; multi-component streams decode via ``jpeg_ycbcr_decode``
+    (round 9)."""
+    import numpy as np
+
+    qt, huff, (h, w, comps), scan, pos = _jpeg_headers(data)
+    if len(comps) != 1 or (comps[0][1], comps[0][2]) != (1, 1):
+        raise NotImplementedError(
+            "only 8-bit single-component unsubsampled baseline"
+        )
+    cid, _, _, comp_q = comps[0]
+    if not h or comp_q not in qt or cid not in scan:
         raise ValueError("missing SOF0/DQT before SOS")
     q = qt[comp_q]
-    dc_tab = huff[(0, scan_dc)]
-    ac_tab = huff[(1, scan_ac)]
-    M = _dct_matrix()
+    dc_tab = huff[(0, scan[cid][0])]
+    ac_tab = huff[(1, scan[cid][1])]
     ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
     out = np.zeros((ph, pw), dtype=np.int64)
     br = _BitReader(data, pos)
     prev_dc = 0
     for by in range(0, ph, 8):
         for bx in range(0, pw, 8):
-            zz = [0] * 64
-            cat = br.huff(dc_tab)
-            prev_dc += _extend(br.take(cat) if cat else 0, cat)
-            zz[0] = prev_dc * q[0]
-            k = 1
-            while k < 64:
-                sym = br.huff(ac_tab)
-                if sym == 0x00:  # EOB
-                    break
-                run, cat = sym >> 4, sym & 0x0F
-                if cat == 0:
-                    if run != 15:
-                        raise ValueError("bad AC symbol")
-                    k += 16  # ZRL
-                    continue
-                k += run
-                if k > 63:
-                    raise ValueError("AC run overflow")
-                zz[k] = _extend(br.take(cat), cat) * q[k]
-                k += 1
-            coef = np.zeros((8, 8), dtype=np.float64)
-            for i, (r, c) in enumerate(_ZIGZAG):
-                coef[r, c] = zz[i]
-            block = M.T @ coef @ M + 128.0
-            out[by : by + 8, bx : bx + 8] = np.clip(np.rint(block), 0, 255)
+            block, prev_dc = _jpeg_decode_block(br, dc_tab, ac_tab, q, prev_dc)
+            out[by : by + 8, bx : bx + 8] = block
     return out[:h, :w]
+
+
+def jpeg_ycbcr_encode(y, cb, cr) -> bytes:
+    """REAL baseline MULTI-COMPONENT JPEG encoder (round 9): YCbCr
+    with 4:2:0 chroma subsampling — the dominant real-world JPEG
+    shape.  Takes the three planes directly (``y`` (H, W), ``cb``/
+    ``cr`` (H/2, W/2), H and W multiples of 16 = whole MCUs), writes
+    SOF0 with sampling factors Y=2x2 / Cb=Cr=1x1, one all-ones quant
+    table, the Annex K luma Huffman pair shared by all components
+    (legal per T.81), and interleaves each MCU as 4 Y blocks (2x2
+    raster) + Cb + Cr with per-COMPONENT DC prediction."""
+    import struct
+
+    import numpy as np
+
+    Y = np.asarray(y, dtype=np.float64)
+    Cb = np.asarray(cb, dtype=np.float64)
+    Cr = np.asarray(cr, dtype=np.float64)
+    h, w = Y.shape
+    if h % 16 or w % 16:
+        raise ValueError("jpeg_ycbcr_encode needs whole 16x16 MCUs")
+    if Cb.shape != (h // 2, w // 2) or Cr.shape != (h // 2, w // 2):
+        raise ValueError("chroma planes must be half-size (4:2:0)")
+    dc_codes = _huff_codes(_DC_LUMA_BITS, _DC_LUMA_VALS)
+    ac_codes = _huff_codes(_AC_LUMA_BITS, _AC_LUMA_VALS)
+    bw = _BitWriter()
+    dcs = {"y": 0, "cb": 0, "cr": 0}
+    for my in range(0, h, 16):
+        for mx in range(0, w, 16):
+            for by, bx in ((0, 0), (0, 8), (8, 0), (8, 8)):
+                dcs["y"] = _jpeg_encode_block(
+                    bw,
+                    Y[my + by : my + by + 8, mx + bx : mx + bx + 8],
+                    dcs["y"], dc_codes, ac_codes,
+                )
+            cy, cx = my // 2, mx // 2
+            dcs["cb"] = _jpeg_encode_block(
+                bw, Cb[cy : cy + 8, cx : cx + 8], dcs["cb"], dc_codes, ac_codes
+            )
+            dcs["cr"] = _jpeg_encode_block(
+                bw, Cr[cy : cy + 8, cx : cx + 8], dcs["cr"], dc_codes, ac_codes
+            )
+    scan = bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    dqt = seg(0xFFDB, bytes([0x00]) + bytes([1] * 64))
+    sof = seg(
+        0xFFC0,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + bytes([1, 0x22, 0])  # Y: 2x2 sampling, qtable 0
+        + bytes([2, 0x11, 0])  # Cb
+        + bytes([3, 0x11, 0]),  # Cr
+    )
+    dht = seg(
+        0xFFC4,
+        bytes([0x00]) + bytes(_DC_LUMA_BITS) + bytes(_DC_LUMA_VALS)
+        + bytes([0x10]) + bytes(_AC_LUMA_BITS) + bytes(_AC_LUMA_VALS),
+    )
+    sos = seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+    return b"\xff\xd8" + dqt + sof + dht + sos + scan + b"\xff\xd9"
+
+
+def jpeg_ycbcr_decode(data: bytes):
+    """REAL baseline multi-component JPEG decoder: 4:2:0 YCbCr SOF0
+    streams (Y=2x2, Cb=Cr=1x1 sampling) via the shared header walk,
+    interleaved-MCU entropy decode with per-component DC predictors
+    and per-component quant/Huffman tables from the file itself.
+    Returns ``(Y, Cb, Cr)`` int64 planes (chroma at half resolution —
+    the exact decoded components, before any upsampling policy).
+    Other sampling grids raise NotImplementedError (the seam);
+    single-component streams belong to ``jpeg_gray_decode``."""
+    import numpy as np
+
+    qt, huff, (h, w, comps), scan, pos = _jpeg_headers(data)
+    if len(comps) != 3:
+        raise NotImplementedError("jpeg_ycbcr_decode expects 3 components")
+    samps = [(hs, vs) for _, hs, vs, _ in comps]
+    if samps != [(2, 2), (1, 1), (1, 1)]:
+        raise NotImplementedError("only 4:2:0 (Y 2x2, chroma 1x1) sampling")
+    mcus_y = -(-h // 16)
+    mcus_x = -(-w // 16)
+    Y = np.zeros((mcus_y * 16, mcus_x * 16), dtype=np.int64)
+    C = [np.zeros((mcus_y * 8, mcus_x * 8), dtype=np.int64) for _ in range(2)]
+    tabs = []
+    for cid, _, _, tq in comps:
+        if tq not in qt or cid not in scan:
+            raise ValueError("missing quant/scan tables for component")
+        tabs.append((huff[(0, scan[cid][0])], huff[(1, scan[cid][1])], qt[tq]))
+    br = _BitReader(data, pos)
+    dcs = [0, 0, 0]
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for by, bx in ((0, 0), (0, 8), (8, 0), (8, 8)):
+                block, dcs[0] = _jpeg_decode_block(br, *tabs[0], dcs[0])
+                Y[my * 16 + by : my * 16 + by + 8,
+                  mx * 16 + bx : mx * 16 + bx + 8] = block
+            for ci in (1, 2):
+                block, dcs[ci] = _jpeg_decode_block(br, *tabs[ci], dcs[ci])
+                C[ci - 1][my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = block
+    ch, cw = -(-h // 2), -(-w // 2)
+    return Y[:h, :w], C[0][:ch, :cw], C[1][:ch, :cw]
+
+
+def jpeg_color_decode(data: bytes):
+    """Decode a 4:2:0 YCbCr JPEG to an (h, w, 3) int64 RGB array:
+    box-replicate chroma upsampling (each chroma sample covers its
+    2x2 luma cell — the declared upsampling policy, replayed verbatim
+    by the SQL oracle) and the ITU-R BT.601 conversion with
+    floor(x + 0.5) rounding (tie behavior pinned explicitly — np.rint
+    banker's rounding would NOT replay in SQL):
+
+        R = Y + 1.402 (Cr-128)
+        G = Y - 0.344136 (Cb-128) - 0.714136 (Cr-128)
+        B = Y + 1.772 (Cb-128)
+    """
+    return _ycbcr_to_rgb(*jpeg_ycbcr_decode(data))
+
+
+def _ycbcr_to_rgb(Y, Cb, Cr):
+    import numpy as np
+
+    Yf = Y.astype(np.float64)
+    up = lambda p: p.astype(np.float64).repeat(2, axis=0).repeat(2, axis=1)[  # noqa: E731
+        : Y.shape[0], : Y.shape[1]
+    ]
+    cb = up(Cb) - 128.0
+    cr = up(Cr) - 128.0
+    r = np.floor(Yf + 1.402 * cr + 0.5)
+    g = np.floor(Yf - 0.344136 * cb - 0.714136 * cr + 0.5)
+    b = np.floor(Yf + 1.772 * cb + 0.5)
+    return np.stack(
+        [np.clip(x, 0, 255).astype(np.int64) for x in (r, g, b)], axis=2
+    )
 
 
 # Sign pattern of cos((2t+1)*pi/4) — the u=4 DCT basis row.  Planted
@@ -1998,3 +2187,104 @@ def gif_frame_stats(
             )
 
     return media.mapInPandas(process, schema=GIF_FRAME_SCHEMA)
+
+
+def plant_encoded_color_jpegs(documents: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """Fully-encoded 4:2:0 YCbCr JPEG fixtures (round 9): the Y plane
+    is the q_jpeg_decode 16x16 arithmetic (4 blocks on the exact
+    {DC,(4,0),(0,4),(4,4)} DCT subspace); Cb/Cr are single 8x8 blocks
+    on the same subspace:
+
+        cb: m = 96 + (7*id) % 64,  a_k = ((id + k) % 9) - 4
+        cr: m = 96 + (11*id) % 64, a_k = ((id + k) % 9) - 4
+        plane(r, c) = m + a0*_S4[r] + a1*_S4[c] + a2*_S4[r]*_S4[c]
+
+    All three planes decode bit-exactly (the lossless-on-subspace
+    property), so the oracle replays component sums AND the declared
+    box-upsample + BT.601 floor(x+0.5) RGB conversion."""
+    import numpy as np
+
+    r_idx = np.asarray(_S4)[:, None]
+    c_idx = np.asarray(_S4)[None, :]
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for i in pdf[id_col]:
+                i = int(i)
+                y = np.zeros((16, 16), dtype=np.int64)
+                for b in range(4):
+                    m = 64 + (17 * b + 5 * i) % 128
+                    a1 = (3 * b + i) % 9 - 4
+                    a2 = (3 * b + i + 1) % 9 - 4
+                    a3 = (3 * b + i + 2) % 9 - 4
+                    y[(b // 2) * 8 : (b // 2) * 8 + 8,
+                      (b % 2) * 8 : (b % 2) * 8 + 8] = (
+                        m + a1 * r_idx + a2 * c_idx + a3 * r_idx * c_idx
+                    )
+                def chroma(mul):
+                    m = 96 + (mul * i) % 64
+                    return (
+                        m
+                        + (i % 9 - 4) * r_idx
+                        + ((i + 1) % 9 - 4) * c_idx
+                        + ((i + 2) % 9 - 4) * r_idx * c_idx
+                    )
+                ids.append(i)
+                payloads.append(jpeg_ycbcr_encode(y, chroma(7), chroma(11)))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "media_type": ["image"] * len(ids),
+                    "media": payloads,
+                    "source": ["planted"] * len(ids),
+                }
+            )
+
+    return documents.select(id_col).mapInPandas(build, schema=MEDIA_SCHEMA)
+
+
+COLOR_JPEG_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("width", LongType(), False),
+        StructField("height", LongType(), False),
+        StructField("y_sum", LongType(), False),
+        StructField("cb_sum", LongType(), False),
+        StructField("cr_sum", LongType(), False),
+        StructField("r_sum", LongType(), False),
+        StructField("g_sum", LongType(), False),
+        StructField("b_sum", LongType(), False),
+    ]
+)
+
+
+def jpeg_color_stats(media: DataFrame) -> DataFrame:
+    """Decode 4:2:0 YCbCr JPEGs and emit narrow replayable integers:
+    the exact decoded component sums (Y, half-res Cb/Cr) and the RGB
+    channel sums after the declared box-upsample + BT.601
+    floor(x+0.5) conversion.  Same 100 TB shape as the other decode
+    stats: bytes never leave the scan-side Arrow map."""
+    import numpy as np
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "media_id", "width", "height",
+                "y_sum", "cb_sum", "cr_sum", "r_sum", "g_sum", "b_sum",
+            )}
+            for mid, payload in zip(pdf["media_id"], pdf["media"]):
+                Y, Cb, Cr = jpeg_ycbcr_decode(bytes(payload))
+                rgb = _ycbcr_to_rgb(Y, Cb, Cr)
+                rows["media_id"].append(int(mid))
+                rows["height"].append(Y.shape[0])
+                rows["width"].append(Y.shape[1])
+                rows["y_sum"].append(int(Y.sum(dtype=np.int64)))
+                rows["cb_sum"].append(int(Cb.sum(dtype=np.int64)))
+                rows["cr_sum"].append(int(Cr.sum(dtype=np.int64)))
+                rows["r_sum"].append(int(rgb[:, :, 0].sum(dtype=np.int64)))
+                rows["g_sum"].append(int(rgb[:, :, 1].sum(dtype=np.int64)))
+                rows["b_sum"].append(int(rgb[:, :, 2].sum(dtype=np.int64)))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(process, schema=COLOR_JPEG_SCHEMA)

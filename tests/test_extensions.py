@@ -1543,3 +1543,68 @@ def test_untrained_ivf_float_argmin_is_tie_free_on_fixtures():
                 ),
             )
             assert ref == got[i], (sf_dir, ids[i])
+
+
+def test_jpeg_ycbcr_codec_roundtrips_and_seam_routing():
+    """Round-9 multi-component baseline JPEG: 4:2:0 interleaved MCUs
+    with per-component DC prediction round-trip exactly on the planted
+    subspace and within the DCT-rint +-1 envelope on arbitrary planes
+    (including multi-MCU geometry); gray and color decoders reject
+    each other's streams via the documented seam error; the RGB
+    conversion clamps and floor(x+0.5)-rounds."""
+    import numpy as np
+    import pytest
+
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.multimodal import (
+        _S4,
+        image_dims,
+        jpeg_color_decode,
+        jpeg_gray_decode,
+        jpeg_gray_encode,
+        jpeg_ycbcr_decode,
+        jpeg_ycbcr_encode,
+    )
+
+    r_idx = np.asarray(_S4)[:, None]
+    c_idx = np.asarray(_S4)[None, :]
+    for i in (0, 7, 123, 499):
+        y = np.zeros((16, 16), dtype=np.int64)
+        for b in range(4):
+            m = 64 + (17 * b + 5 * i) % 128
+            y[(b // 2) * 8 : (b // 2) * 8 + 8, (b % 2) * 8 : (b % 2) * 8 + 8] = (
+                m
+                + ((3 * b + i) % 9 - 4) * r_idx
+                + ((3 * b + i + 1) % 9 - 4) * c_idx
+                + ((3 * b + i + 2) % 9 - 4) * r_idx * c_idx
+            )
+        cb = 96 + (7 * i) % 64 + (i % 9 - 4) * r_idx + ((i + 1) % 9 - 4) * c_idx
+        cr = 96 + (11 * i) % 64 + (i % 9 - 4) * r_idx + ((i + 1) % 9 - 4) * c_idx
+        enc = jpeg_ycbcr_encode(y, cb, cr)
+        Yd, Cbd, Crd = jpeg_ycbcr_decode(enc)
+        assert np.array_equal(Yd, y)
+        assert np.array_equal(Cbd, cb) and np.array_equal(Crd, cr)
+        assert image_dims(enc) == (16, 16)
+        rgb = jpeg_color_decode(enc)
+        # replay the declared conversion independently
+        up = lambda p: p.repeat(2, 0).repeat(2, 1).astype(float)  # noqa: E731
+        want_r = np.clip(np.floor(y + 1.402 * (up(cr) - 128.0) + 0.5), 0, 255)
+        assert np.array_equal(rgb[:, :, 0], want_r.astype(np.int64))
+        assert rgb.min() >= 0 and rgb.max() <= 255
+
+    # arbitrary planes, multi-MCU (32x16): lossy +-1 envelope
+    rng = np.random.default_rng(9)
+    y = rng.integers(0, 256, (32, 16))
+    cb = rng.integers(0, 256, (16, 8))
+    cr = rng.integers(0, 256, (16, 8))
+    Yd, Cbd, Crd = jpeg_ycbcr_decode(jpeg_ycbcr_encode(y, cb, cr))
+    for got, want in ((Yd, y), (Cbd, cb), (Crd, cr)):
+        assert got.shape == want.shape
+        assert int(np.abs(got - want).max()) <= 1
+
+    # seam routing both directions
+    with pytest.raises(NotImplementedError):
+        jpeg_gray_decode(jpeg_ycbcr_encode(y, cb, cr))
+    with pytest.raises(NotImplementedError):
+        jpeg_ycbcr_decode(jpeg_gray_encode(np.full((8, 8), 99, dtype=np.int64)))
+    with pytest.raises(ValueError):  # non-MCU-aligned dims
+        jpeg_ycbcr_encode(y[:30], cb, cr)
