@@ -2406,6 +2406,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ),
         )
 
+    def q_jpeg_progressive(spark, sf_dir):
+        # REAL progressive (SOF2) JPEG decode (round 9 — the last
+        # JPEG seam): the SAME planted pixels as q_jpeg_decode, but
+        # encoded as a 6-scan spectral-selection + successive-
+        # approximation stream (DC point transform + refinement,
+        # split AC bands at Al=2, two chained AC refinement scans
+        # with EOB runs / ZRL / buffered correction bits).  The scan
+        # structure is an encoding detail the decode must erase, so
+        # the oracle is q_jpeg_decode's verbatim — the q_png_adam7
+        # pattern.
+        from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.multimodal import (
+            jpeg_progressive_decode,
+        )
+
+        return _shared_result(
+            spark, sf_dir, "media_jpegprog",
+            lambda: jpeg_decode_stats(
+                plant_encoded_jpegs(
+                    load_table(spark, sf_dir, "documents"), progressive=True
+                ),
+                out_w=8, out_h=8, decode=jpeg_progressive_decode,
+            ),
+        )
+
     def q_audio_features(spark, sf_dir):
         # REAL signal features from DECODED audio: planted WAVs carry
         # arithmetic int16 PCM (sample k = ((37k + 11*id) % 4001) -
@@ -4602,6 +4626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_jpeg_decode": q_jpeg_decode,
         "q_gif_frames": q_gif_frames,  # new round 9 (never-recorded -> heads the window)
         "q_jpeg_color": q_jpeg_color,  # new round 9
+        "q_jpeg_progressive": q_jpeg_progressive,  # new round 9
         "q_clustering_coeff": q_clustering_coeff,
         "q_link_pred": q_link_pred,
         "q_stream_attrib": q_stream_attrib,
@@ -8197,4 +8222,9 @@ def oracle_sql() -> dict[str, str]:
                     // CAST(tc AS HUGEINT) AS BIGINT) AS idx_ppm
         FROM monthly CROSS JOIN t
     """
+    # Progressive JPEG carries the SAME planted pixels as the baseline
+    # fixtures — the scan structure is an encoding detail the decode
+    # must erase, so the oracle is q_jpeg_decode's verbatim (the
+    # q_png_adam7 pattern).
+    oracles["q_jpeg_progressive"] = oracles["q_jpeg_decode"]
     return oracles

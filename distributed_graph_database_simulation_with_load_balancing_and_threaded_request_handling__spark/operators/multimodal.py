@@ -70,8 +70,8 @@ def attach_media(documents: DataFrame, *, text_col: str = "text", id_col: str = 
 
 def decode_image(data: bytes) -> Any:
     """STUB — generic pixel decode for the remaining codec-library
-    formats (progressive JPEG, webp…; PIL/opencv not available in
-    this container).  The mapInPandas plumbing around it
+    formats (progressive COLOR JPEG, webp…; PIL/opencv not available
+    in this container).  The mapInPandas plumbing around it
     is real; swap this seam for a real decoder in production.  The
     PNG family needs NO seam: header metadata (``image_dims`` parses
     real PNG/GIF/JPEG/BMP bytes, stdlib only) and 8-bit
@@ -84,14 +84,16 @@ def decode_image(data: bytes) -> Any:
     (marker walk, canonical Huffman from the file's DHT, 0xFF00
     unstuffing, EXTEND, DC prediction, dequantize, zigzag, float64
     IDCT), value-oracle-checked end-to-end by q_jpeg_decode — and
-    since round 9 MULTI-COMPONENT baseline JPEG needs none either:
-    ``jpeg_ycbcr_decode`` handles 4:2:0 YCbCr interleaved MCUs
-    (q_jpeg_color).  ANIMATED GIF also needs no seam since round 9:
-    ``gif_decode_frames`` is a complete stdlib+numpy decoder (block
-    walk, LZW with dict growth/reset, palette mapping, draw-over
-    compositing), value-oracle-checked by q_gif_frames.  The
-    remaining seam is progressive JPEG, webp, and real video
-    codecs."""
+    since round 9 MULTI-COMPONENT baseline JPEG needs none either
+    (``jpeg_ycbcr_decode``, 4:2:0 interleaved MCUs — q_jpeg_color)
+    nor does PROGRESSIVE grayscale (``jpeg_progressive_decode``,
+    SOF2 spectral selection + successive approximation —
+    q_jpeg_progressive).  ANIMATED GIF also needs no seam since
+    round 9: ``gif_decode_frames`` is a complete stdlib+numpy
+    decoder (block walk, LZW with dict growth/reset, palette
+    mapping, draw-over compositing), value-oracle-checked by
+    q_gif_frames.  The remaining seam is progressive COLOR JPEG,
+    webp, and real video codecs."""
     raise NotImplementedError("image decode requires PIL/opencv; stubbed by design")
 
 
@@ -1442,6 +1444,50 @@ def jpeg_gray_encode(pixels) -> bytes:
     return b"\xff\xd8" + dqt + sof + dht + sos + scan + b"\xff\xd9"
 
 
+def _parse_dqt(body: bytes, qt: dict) -> None:
+    i = 0
+    while i < len(body):
+        pq, tq = body[i] >> 4, body[i] & 0x0F
+        if pq != 0:
+            raise NotImplementedError("16-bit quant tables")
+        qt[tq] = list(body[i + 1 : i + 65])
+        i += 65
+
+
+def _parse_dht(body: bytes, huff: dict) -> None:
+    i = 0
+    while i < len(body):
+        tc, th = body[i] >> 4, body[i] & 0x0F
+        bits = list(body[i + 1 : i + 17])
+        nval = sum(bits)
+        vals = list(body[i + 17 : i + 17 + nval])
+        table: dict[tuple[int, int], int] = {}
+        code = 0
+        k = 0
+        for nbits in range(1, 17):
+            for _ in range(bits[nbits - 1]):
+                table[(nbits, code)] = vals[k]
+                code += 1
+                k += 1
+            code <<= 1
+        huff[(tc, th)] = table
+        i += 17 + nval
+
+
+def _parse_sof(body: bytes):
+    import struct
+
+    prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
+    if prec != 8:
+        raise NotImplementedError("only 8-bit precision")
+    comps = []
+    for ci in range(ncomp):
+        cid = body[6 + 3 * ci]
+        samp = body[7 + 3 * ci]
+        comps.append((cid, samp >> 4, samp & 0x0F, body[8 + 3 * ci]))
+    return (h, w, comps)
+
+
 def _jpeg_headers(data: bytes):
     """Shared baseline-JPEG header walk (round-9 refactor so the gray
     and YCbCr decoders read one implementation): parses DQT / SOF0 /
@@ -1487,44 +1533,18 @@ def _jpeg_headers(data: bytes):
             raise ValueError("truncated marker segment")
         body = data[pos + 4 : pos + 2 + seglen]
         if marker == 0xDB:
-            i = 0
-            while i < len(body):
-                pq, tq = body[i] >> 4, body[i] & 0x0F
-                if pq != 0:
-                    raise NotImplementedError("16-bit quant tables")
-                qt[tq] = list(body[i + 1 : i + 65])
-                i += 65
+            _parse_dqt(body, qt)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
-            raise NotImplementedError("only baseline SOF0 is supported")
+            raise NotImplementedError(
+                "only baseline SOF0 is supported"
+                + (" (progressive SOF2 -> jpeg_progressive_decode)"
+                   if marker == 0xC2 else "")
+            )
         elif marker == 0xC0:
-            prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
-            if prec != 8:
-                raise NotImplementedError("only 8-bit precision")
-            comps = []
-            for ci in range(ncomp):
-                cid = body[6 + 3 * ci]
-                samp = body[7 + 3 * ci]
-                comps.append((cid, samp >> 4, samp & 0x0F, body[8 + 3 * ci]))
-            frame = (h, w, comps)
+            frame = _parse_sof(body)
         elif marker == 0xC4:
-            i = 0
-            while i < len(body):
-                tc, th = body[i] >> 4, body[i] & 0x0F
-                bits = list(body[i + 1 : i + 17])
-                nval = sum(bits)
-                vals = list(body[i + 17 : i + 17 + nval])
-                table: dict[tuple[int, int], int] = {}
-                code = 0
-                k = 0
-                for nbits in range(1, 17):
-                    for _ in range(bits[nbits - 1]):
-                        table[(nbits, code)] = vals[k]
-                        code += 1
-                        k += 1
-                    code <<= 1
-                huff[(tc, th)] = table
-                i += 17 + nval
+            _parse_dht(body, huff)
         elif marker == 0xDD:
             if struct.unpack(">H", body[:2])[0] != 0:
                 raise NotImplementedError("restart intervals")
@@ -1755,7 +1775,9 @@ def _ycbcr_to_rgb(Y, Cb, Cr):
 _S4 = [1, -1, -1, 1, 1, -1, -1, 1]
 
 
-def plant_encoded_jpegs(documents: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+def plant_encoded_jpegs(
+    documents: DataFrame, *, id_col: str = "doc_id", progressive: bool = False
+) -> DataFrame:
     """Fully-encoded baseline JPEG fixtures, 16x16 grayscale (4
     blocks).  Per block b (raster 0..3) of doc ``id``:
 
@@ -1770,11 +1792,18 @@ def plant_encoded_jpegs(documents: DataFrame, *, id_col: str = "doc_id") -> Data
     exact, the stream carries real DC-diff + AC-run Huffman codes
     (zigzag gaps of 9 and 20 zeros between the surviving
     coefficients), and the decoded pixels equal the planted arithmetic
-    bit for bit.  Values stay in [52, 203]: no clamping anywhere."""
+    bit for bit.  Values stay in [52, 203]: no clamping anywhere.
+
+    ``progressive=True`` (round 9) encodes the SAME pixels as SOF2
+    progressive streams (the 6-scan spectral-selection + successive-
+    approximation script) — coefficient coding across a complete scan
+    script is lossless, so the decode contract and oracle are
+    q_jpeg_decode's verbatim."""
     import numpy as np
 
     r_idx = np.asarray(_S4)[:, None]
     c_idx = np.asarray(_S4)[None, :]
+    encode = jpeg_gray_encode_progressive if progressive else jpeg_gray_encode
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1791,7 +1820,7 @@ def plant_encoded_jpegs(documents: DataFrame, *, id_col: str = "doc_id") -> Data
                     img[(b // 2) * 8 : (b // 2) * 8 + 8,
                         (b % 2) * 8 : (b % 2) * 8 + 8] = blk
                 ids.append(i)
-                payloads.append(jpeg_gray_encode(img))
+                payloads.append(encode(img))
             yield pd.DataFrame(
                 {
                     "media_id": ids,
@@ -1804,18 +1833,24 @@ def plant_encoded_jpegs(documents: DataFrame, *, id_col: str = "doc_id") -> Data
     return documents.select(id_col).mapInPandas(build, schema=MEDIA_SCHEMA)
 
 
-def jpeg_decode_stats(media: DataFrame, *, out_w: int, out_h: int) -> DataFrame:
+def jpeg_decode_stats(
+    media: DataFrame, *, out_w: int, out_h: int, decode=None
+) -> DataFrame:
     """Decode encoded JPEGs and run the nearest-neighbor resize kernel
     in ONE map stage — ``png_decode_stats`` with the JPEG decoder
     (same narrow replayable-integer output, same 100 TB shape: media
-    bytes never leave the scan-side map)."""
+    bytes never leave the scan-side map).  ``decode`` swaps the
+    decoder (default baseline ``jpeg_gray_decode``; pass
+    ``jpeg_progressive_decode`` for SOF2 streams — round 9)."""
     import numpy as np
+
+    decode_fn = decode or jpeg_gray_decode
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, ws, hs, psums, rsums = [], [], [], [], []
             for mid, payload in zip(pdf["media_id"], pdf["media"]):
-                src = jpeg_gray_decode(bytes(payload))
+                src = decode_fn(bytes(payload))
                 h, w = src.shape
                 rr = (np.arange(out_h, dtype=np.int64) * h) // out_h
                 cc = (np.arange(out_w, dtype=np.int64) * w) // out_w
@@ -2288,3 +2323,399 @@ def jpeg_color_stats(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(process, schema=COLOR_JPEG_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# PROGRESSIVE (SOF2) grayscale JPEG — round 9, closing the last JPEG
+# seam: full spectral selection AND successive approximation, encoder
+# and decoder, T.81 Annex G semantics (the libjpeg-compatible scan
+# logic: EOB runs spanning blocks, ZRL inside refinement bands,
+# buffered correction bits, point transforms — arithmetic shift for
+# DC, magnitude shift toward zero for AC).  Coefficient coding across
+# a complete scan script is LOSSLESS, so a progressive stream decodes
+# to EXACTLY the baseline decode of the same image — that equality
+# (pinned by tests and by q_jpeg_progressive sharing q_jpeg_decode's
+# oracle) is the independent cross-check on both sides of the codec.
+# ---------------------------------------------------------------------------
+
+# Progressive AC Huffman table: the Annex K sequential table carries
+# no EOBn symbols (0x10..0xE0 — end-of-band RUNS, a progressive-only
+# construct), so progressive scans ship their own DHT: every needed
+# symbol (EOB0..EOB14, ZRL, all run/size pairs up to size 10) at a
+# flat 8 bits — 176 codes, Kraft sum 176/256 < 1, a legal (incomplete)
+# canonical table any decoder reads from the stream like any other.
+_AC_PROG_VALS = sorted(
+    {r << 4 for r in range(15)}
+    | {0xF0}
+    | {(r << 4) | s for r in range(16) for s in range(1, 11)}
+)
+_AC_PROG_BITS = [0, 0, 0, 0, 0, 0, 0, len(_AC_PROG_VALS), 0, 0, 0, 0, 0, 0, 0, 0]
+
+# (Ss, Se, Ah, Al) — a libjpeg-style script exercising every mechanism:
+# DC first with point transform, split AC bands at Al=2, then DC and
+# two chained AC refinement scans down to full precision.
+_PROGRESSIVE_SCRIPT = (
+    (0, 0, 0, 1),
+    (1, 5, 0, 2),
+    (6, 63, 0, 2),
+    (0, 0, 1, 0),
+    (1, 63, 2, 1),
+    (1, 63, 1, 0),
+)
+
+
+def _pt_ac(v: int, al: int) -> int:
+    """AC point transform (T.81 G.1.2.1): magnitude shift — divide by
+    2^Al discarding the fraction TOWARD ZERO (a plain arithmetic >>
+    would floor negatives and corrupt correction bits)."""
+    return -((-v) >> al) if v < 0 else v >> al
+
+
+def jpeg_gray_encode_progressive(pixels) -> bytes:
+    """REAL progressive JPEG encoder: SOF2 single-component, the
+    6-scan script above, all-ones quantization (same exact-subspace
+    contract as the baseline encoder)."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(pixels, dtype=np.float64)
+    h, w = arr.shape
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = np.pad(arr, ((0, ph - h), (0, pw - w)), mode="edge")
+    M = _dct_matrix()
+    blocks: list[list[int]] = []
+    for br_ in range(0, ph, 8):
+        for bc in range(0, pw, 8):
+            coef = np.rint(
+                M @ (padded[br_ : br_ + 8, bc : bc + 8] - 128.0) @ M.T
+            ).astype(np.int64)
+            blocks.append([int(coef[r, c]) for r, c in _ZIGZAG])
+    dc_codes = _huff_codes(_DC_LUMA_BITS, _DC_LUMA_VALS)
+    ac_codes = _huff_codes(_AC_PROG_BITS, _AC_PROG_VALS)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xFFDB, bytes([0x00]) + bytes([1] * 64))
+    out += seg(0xFFC2, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    out += seg(
+        0xFFC4,
+        bytes([0x00]) + bytes(_DC_LUMA_BITS) + bytes(_DC_LUMA_VALS)
+        + bytes([0x10]) + bytes(_AC_PROG_BITS) + bytes(_AC_PROG_VALS),
+    )
+    for ss, se, ah, al in _PROGRESSIVE_SCRIPT:
+        out += seg(0xFFDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al]))
+        bw = _BitWriter()
+        if ss == 0:  # DC scan
+            if ah == 0:
+                prev = 0
+                for zz in blocks:
+                    v = zz[0] >> al  # DC point transform: arithmetic shift
+                    cat, raw = _magnitude(v - prev)
+                    prev = v
+                    code, nb = dc_codes[cat]
+                    bw.put(code, nb)
+                    if cat:
+                        bw.put(raw, cat)
+            else:  # DC refinement: one raw bit per block
+                for zz in blocks:
+                    bw.put((zz[0] >> al) & 1, 1)
+        elif ah == 0:  # AC first scan of the band
+            eobrun = 0
+
+            def flush_eob():
+                nonlocal eobrun
+                if eobrun:
+                    r = eobrun.bit_length() - 1
+                    code, nb = ac_codes[r << 4]
+                    bw.put(code, nb)
+                    if r:
+                        bw.put(eobrun - (1 << r), r)
+                    eobrun = 0
+
+            for zz in blocks:
+                vals = [_pt_ac(zz[k], al) for k in range(ss, se + 1)]
+                if not any(vals):
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+                    continue
+                flush_eob()
+                run = 0
+                last_nz = max(i for i, v in enumerate(vals) if v)
+                for i in range(last_nz + 1):
+                    v = vals[i]
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, nb = ac_codes[0xF0]
+                        bw.put(code, nb)
+                        run -= 16
+                    cat, raw = _magnitude(v)
+                    code, nb = ac_codes[(run << 4) | cat]
+                    bw.put(code, nb)
+                    bw.put(raw, cat)
+                    run = 0
+                if last_nz < len(vals) - 1:
+                    eobrun = 1
+            flush_eob()
+        else:  # AC refinement scan (Ah -> Al)
+            eobrun = 0
+            eob_bits: list[int] = []
+
+            def flush_eob_ref():
+                nonlocal eobrun, eob_bits
+                if eobrun:
+                    r = eobrun.bit_length() - 1
+                    code, nb = ac_codes[r << 4]
+                    bw.put(code, nb)
+                    if r:
+                        bw.put(eobrun - (1 << r), r)
+                    for b in eob_bits:
+                        bw.put(b, 1)
+                    eobrun = 0
+                    eob_bits = []
+
+            for zz in blocks:
+                mags = [_pt_ac(abs(zz[k]), al) for k in range(ss, se + 1)]
+                newly = [i for i, m in enumerate(mags) if m == 1]
+                if not newly:
+                    eobrun += 1
+                    eob_bits.extend(m & 1 for m in mags if m > 1)
+                    if eobrun == 0x7FFF:
+                        flush_eob_ref()
+                    continue
+                last_new = newly[-1]
+                run = 0
+                corr: list[int] = []
+                for i in range(last_new + 1):
+                    m = mags[i]
+                    if m == 0:
+                        run += 1
+                        continue
+                    # Pending ZRLs are emitted on reaching ANY nonzero
+                    # magnitude — including correction-only positions —
+                    # so that buffered correction bits land on the
+                    # decoder's side of the ZRL advance (the libjpeg
+                    # emission order; associating ZRLs only with
+                    # newly-significant coefficients desyncs the bit
+                    # stream when corrections sit between the 16th zero
+                    # and the next new coefficient).
+                    while run > 15:
+                        flush_eob_ref()
+                        code, nb = ac_codes[0xF0]
+                        bw.put(code, nb)
+                        run -= 16
+                        for b in corr:
+                            bw.put(b, 1)
+                        corr = []
+                    if m > 1:  # history-nonzero: correction bit only
+                        corr.append(m & 1)
+                        continue
+                    # newly significant (magnitude exactly 1 at Al)
+                    flush_eob_ref()
+                    code, nb = ac_codes[(run << 4) | 1]
+                    bw.put(code, nb)
+                    bw.put(1 if zz[ss + i] > 0 else 0, 1)
+                    for b in corr:
+                        bw.put(b, 1)
+                    corr = []
+                    run = 0
+                tail_bits = [m & 1 for m in mags[last_new + 1 :] if m > 1]
+                if run or tail_bits or last_new < len(mags) - 1:
+                    eobrun += 1
+                    eob_bits.extend(tail_bits)
+                    if eobrun == 0x7FFF:
+                        flush_eob_ref()
+            flush_eob_ref()
+        out += bw.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def jpeg_progressive_decode(data: bytes):
+    """REAL progressive (SOF2) JPEG decoder, single-component: walks
+    every scan, accumulates the coefficient array across DC/AC first
+    and refinement passes (EOB runs, ZRL, correction bits), then
+    dequantizes + IDCTs once — identical output to the baseline
+    decoder on the same image, by construction of the format."""
+    import numpy as np
+    import struct
+
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qt: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    frame = None
+    coefs: list[list[int]] | None = None
+    eobrun = 0
+    while pos + 2 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("marker desync")
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 2 > len(data):
+            raise ValueError("truncated marker segment")
+        marker = data[pos + 1]
+        if marker == 0xD9:
+            break
+        if marker == 0x00:
+            raise ValueError("marker desync")
+        if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+            pos += 2
+            continue
+        if pos + 4 > len(data):
+            raise ValueError("truncated marker segment")
+        seglen = struct.unpack(">H", data[pos + 2 : pos + 4])[0]
+        if seglen < 2 or pos + 2 + seglen > len(data):
+            raise ValueError("truncated marker segment")
+        body = data[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:
+            _parse_dqt(body, qt)
+        elif marker == 0xC2:
+            frame = _parse_sof(body)
+            h, w, comps = frame
+            if len(comps) != 1 or (comps[0][1], comps[0][2]) != (1, 1):
+                raise NotImplementedError(
+                    "progressive decode: single unsubsampled component only"
+                )
+            nblocks = (-(-h // 8)) * (-(-w // 8))
+            coefs = [[0] * 64 for _ in range(nblocks)]
+        elif marker == 0xC0:
+            raise NotImplementedError(
+                "baseline SOF0 -> jpeg_gray_decode / jpeg_ycbcr_decode"
+            )
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise NotImplementedError("unsupported SOF type")
+        elif marker == 0xC4:
+            _parse_dht(body, huff)
+        elif marker == 0xDD:
+            if struct.unpack(">H", body[:2])[0] != 0:
+                raise NotImplementedError("restart intervals")
+        elif marker == 0xDA:
+            if frame is None or coefs is None:
+                raise ValueError("SOS before SOF2")
+            ns = body[0]
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            a = body[3 + 2 * ns]
+            ah, al = a >> 4, a & 0x0F
+            tabs = body[2]
+            br = _BitReader(data, pos + 2 + seglen)
+            eobrun = 0
+            if ss == 0:  # DC scan
+                if se != 0:
+                    raise ValueError("DC scan with Se != 0")
+                if ah == 0:
+                    dc_tab = huff[(0, tabs >> 4)]
+                    pred = 0
+                    for zz in coefs:
+                        cat = br.huff(dc_tab)
+                        pred += _extend(br.take(cat) if cat else 0, cat)
+                        zz[0] = pred << al
+                else:
+                    for zz in coefs:
+                        if br.take(1):
+                            zz[0] |= 1 << al
+            elif ah == 0:  # AC first scan
+                ac_tab = huff[(1, tabs & 0x0F)]
+                for zz in coefs:
+                    if eobrun:
+                        eobrun -= 1
+                        continue
+                    k = ss
+                    while k <= se:
+                        sym = br.huff(ac_tab)
+                        r, s = sym >> 4, sym & 0x0F
+                        if s:
+                            k += r
+                            if k > se:
+                                raise ValueError("AC run overflow")
+                            zz[k] = _extend(br.take(s), s) << al
+                            k += 1
+                        elif r != 15:
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += br.take(r)
+                            break
+                        else:
+                            k += 16  # ZRL
+            else:  # AC refinement scan
+                ac_tab = huff[(1, tabs & 0x0F)]
+                p1, m1 = 1 << al, -1 << al
+                for zz in coefs:
+                    k = ss
+                    if eobrun == 0:
+                        while k <= se:
+                            sym = br.huff(ac_tab)
+                            r, s = sym >> 4, sym & 0x0F
+                            if s:
+                                if s != 1:
+                                    raise ValueError(
+                                        "refinement magnitude must be 1"
+                                    )
+                                coef = p1 if br.take(1) else m1
+                            else:
+                                if r != 15:
+                                    eobrun = 1 << r
+                                    if r:
+                                        eobrun += br.take(r)
+                                    break
+                                coef = 0  # ZRL: skip 16 zero-history slots
+                            # advance over r zero-history positions,
+                            # correcting nonzero coefficients on the way
+                            while k <= se:
+                                if zz[k]:
+                                    if br.take(1) and (zz[k] & p1) == 0:
+                                        zz[k] += p1 if zz[k] > 0 else m1
+                                else:
+                                    if r == 0:
+                                        break
+                                    r -= 1
+                                k += 1
+                            if coef and k <= se:
+                                zz[k] = coef
+                            k += 1
+                    if eobrun:
+                        # EOB region: every nonzero coefficient left in
+                        # the band takes a correction bit
+                        while k <= se:
+                            if zz[k]:
+                                if br.take(1) and (zz[k] & p1) == 0:
+                                    zz[k] += p1 if zz[k] > 0 else m1
+                            k += 1
+                        eobrun -= 1
+            # resync to the next marker after this scan's entropy data
+            pos = br.pos
+            while pos + 1 < len(data) and not (
+                data[pos] == 0xFF and data[pos + 1] != 0x00
+            ):
+                pos += 1
+            continue
+        pos += 2 + seglen
+    else:
+        raise ValueError("missing EOI")
+    if frame is None or coefs is None:
+        raise ValueError("no SOF2/SOS decoded")
+    h, w, comps = frame
+    tq = comps[0][3]
+    if tq not in qt:
+        raise ValueError("missing quant table")
+    q = qt[tq]
+    M = _dct_matrix()
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    out = np.zeros((ph, pw), dtype=np.int64)
+    bi = 0
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
+            coef = np.zeros((8, 8), dtype=np.float64)
+            for i, (r, c) in enumerate(_ZIGZAG):
+                coef[r, c] = coefs[bi][i] * q[i]
+            block = M.T @ coef @ M + 128.0
+            out[by : by + 8, bx : bx + 8] = np.clip(np.rint(block), 0, 255)
+            bi += 1
+    return out[:h, :w]

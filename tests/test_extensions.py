@@ -1608,3 +1608,50 @@ def test_jpeg_ycbcr_codec_roundtrips_and_seam_routing():
         jpeg_ycbcr_decode(jpeg_gray_encode(np.full((8, 8), 99, dtype=np.int64)))
     with pytest.raises(ValueError):  # non-MCU-aligned dims
         jpeg_ycbcr_encode(y[:30], cb, cr)
+
+
+def test_jpeg_progressive_decode_equals_baseline():
+    """Round-9 progressive (SOF2) codec: coefficient coding across a
+    complete spectral-selection + successive-approximation scan script
+    is LOSSLESS, so the progressive decode must equal the (already
+    oracle-proven) baseline decode BIT FOR BIT on any image — the
+    independent cross-check on both sides of the new codec.  Regimes:
+    random (dense coefficients), near-flat (cross-block EOB runs),
+    low-amplitude noise (refinement-heavy +-1 coefficients), binary
+    noise (large magnitudes), and the minimized round-9 regression
+    (correction bits between the 16th zero of a run and the next
+    newly-significant coefficient — the ZRL emission-order bug)."""
+    import numpy as np
+    import pytest
+
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.multimodal import (
+        jpeg_gray_decode,
+        jpeg_gray_encode,
+        jpeg_gray_encode_progressive,
+        jpeg_progressive_decode,
+    )
+
+    rng = np.random.default_rng(123)
+    cases = [
+        rng.integers(0, 256, (18, 33)),
+        np.full((48, 24), 128),
+        128 + rng.integers(-2, 3, (17, 19)),
+        rng.integers(0, 2, (25, 25)) * 255,
+        ((np.arange(13)[:, None] * 2 + np.arange(29)[None, :]) % 256),
+    ]
+    img = np.full((40, 40), 128)
+    img[3, 3] = 255  # sparse spike: long EOB runs
+    cases.append(img)
+    for im in cases:
+        base = jpeg_gray_decode(jpeg_gray_encode(im))
+        prog = jpeg_progressive_decode(jpeg_gray_encode_progressive(im))
+        assert np.array_equal(base, prog)
+
+    enc = jpeg_gray_encode_progressive(cases[0])
+    # routing: baseline decoders reject SOF2, progressive rejects SOF0
+    with pytest.raises(NotImplementedError):
+        jpeg_gray_decode(enc)
+    with pytest.raises(NotImplementedError):
+        jpeg_progressive_decode(jpeg_gray_encode(cases[0]))
+    with pytest.raises(ValueError):
+        jpeg_progressive_decode(enc[: len(enc) // 2])
