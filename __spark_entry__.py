@@ -178,6 +178,8 @@ from distributed_graph_database_simulation_with_load_balancing_and_threaded_requ
     audio_downsample_features,
     audio_pcm_features,
     extract_audio_meta,
+    g711_audio_features,
+    plant_g711_audio,
     plant_audio_signal,
     plant_encoded_adam7_pngs,
     plant_encoded_palette_pngs,
@@ -2439,6 +2441,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         media = plant_audio_signal(load_table(spark, sf_dir, "documents"))
         return audio_pcm_features(media)
 
+    def q_g711_audio(spark, sf_dir):
+        # REAL compressed-audio decode (G.711): planted WAVs carry
+        # arithmetically-encoded mu-law (even ids) / A-law (odd ids)
+        # bytes — byte k = (13k + 5*id) % 256 — expanded through the
+        # spec's integer companding arithmetic (g711.c segment math)
+        # to int16, then the same exact-integer features as
+        # q_audio_features.  The oracle replays the full expansion
+        # per byte in SQL, so the codec itself is value-checked.
+        media = plant_g711_audio(load_table(spark, sf_dir, "documents"))
+        return g711_audio_features(media)
+
     def q_audio_downsample(spark, sf_dir):
         # REAL integer resample: decode the planted PCM, decimate by
         # 2 at FRAME granularity (stereo stays synced), same exact-
@@ -4601,6 +4614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_request_replies": q_request_replies,
         "q_png_decode": q_png_decode,
         "q_audio_features": q_audio_features,
+        "q_g711_audio": q_g711_audio,
         "q_kmeans": q_kmeans,
         "q_cluster_labels": q_cluster_labels,
         "q_semantic_dedup": q_semantic_dedup,
@@ -6424,6 +6438,55 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs,
                    CAST(SUM(v * v) AS BIGINT) AS sum_sq
             FROM s GROUP BY media_id, n
+        """,
+        # plant_g711_audio writes encoded byte k = (13k + 5*id) % 256
+        # into a mu-law (even id) / A-law (odd id) WAV with n =
+        # 100 + (31*id) % 400 frames; the oracle replays the g711.c
+        # integer expansion per byte — mu-law: u = 255-b, t =
+        # (((u&15)<<3)+132) << ((u>>4)&7), sign picks 132-t / t-132;
+        # A-law: a = b XOR 85, segment-scaled mantissa, sign bit SET
+        # means positive — so peak/sum_abs/sum_sq check the codec
+        # arithmetic itself, not just the plumbing.
+        "q_g711_audio": """
+            WITH ks AS (SELECT range AS k FROM range(0, 500)),
+            d AS (
+              SELECT CAST(doc_id AS BIGINT) AS media_id,
+                     CAST(100 + (31 * doc_id) % 400 AS BIGINT) AS n,
+                     CASE WHEN doc_id % 2 = 0 THEN 'mulaw' ELSE 'alaw' END AS codec
+              FROM documents
+            ),
+            b AS (
+              SELECT media_id, n, codec,
+                     CAST((13 * k + 5 * media_id) % 256 AS BIGINT) AS byte
+              FROM d JOIN ks ON k < n
+            ),
+            e AS (
+              SELECT media_id, n, codec, byte,
+                     CASE WHEN codec = 'mulaw' THEN 255 - byte
+                          ELSE xor(byte, 85) END AS a
+              FROM b
+            ),
+            v AS (
+              SELECT media_id, n, codec,
+                CASE WHEN codec = 'mulaw' THEN
+                  CASE WHEN (a & 128) != 0
+                       THEN 132 - (((((a & 15) * 8) + 132)) * (1 << ((a >> 4) & 7)))
+                       ELSE (((((a & 15) * 8) + 132)) * (1 << ((a >> 4) & 7))) - 132
+                  END
+                ELSE
+                  (CASE WHEN (a & 128) != 0 THEN 1 ELSE -1 END) *
+                  (CASE WHEN ((a >> 4) & 7) = 0 THEN ((a & 15) * 16) + 8
+                        WHEN ((a >> 4) & 7) = 1 THEN ((a & 15) * 16) + 264
+                        ELSE (((a & 15) * 16) + 264) * (1 << (((a >> 4) & 7) - 1))
+                   END)
+                END AS val
+              FROM e
+            )
+            SELECT media_id, codec, n AS n_samples,
+                   CAST(MAX(ABS(val)) AS BIGINT) AS peak,
+                   CAST(SUM(ABS(val)) AS BIGINT) AS sum_abs,
+                   CAST(SUM(val * val) AS BIGINT) AS sum_sq
+            FROM v GROUP BY media_id, codec, n
         """,
         # plant_audio builds one 16-bit PCM WAV per doc (44 header
         # bytes + frames*channels*2); params are arithmetic in doc_id.

@@ -1,0 +1,76 @@
+"""Round-9 operator tests: the G.711 companded-audio decoder (and the
+other codecs this round adds as it goes).
+
+The G.711 contract is bit-exactness against the spec arithmetic: the
+numpy LUTs must match a straight, independent transcription of the
+Sun/CCITT ``g711.c`` expansion routines on all 256 codes, and the WAV
+walk must route format 7 -> mu-law, 6 -> A-law and reject everything
+else with ValueError (never a crash) — the decoder is exposed to
+arbitrary media payload bytes.
+"""
+
+import numpy as np
+import pytest
+
+from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.multimodal import (
+    _g711_alaw_table,
+    _g711_mulaw_table,
+    _g711_wav_bytes,
+    g711_decode,
+)
+
+
+def _ulaw2linear(u: int) -> int:
+    # independent transcription of g711.c ulaw2linear
+    u = ~u & 0xFF
+    t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+    return (0x84 - t) if (u & 0x80) else (t - 0x84)
+
+
+def _alaw2linear(a: int) -> int:
+    # independent transcription of g711.c alaw2linear
+    a ^= 0x55
+    t = (a & 0x0F) << 4
+    seg = (a & 0x70) >> 4
+    if seg == 0:
+        t += 8
+    elif seg == 1:
+        t += 0x108
+    else:
+        t = (t + 0x108) << (seg - 1)
+    return t if (a & 0x80) else -t
+
+
+def test_g711_tables_match_spec_on_all_codes():
+    mu, al = _g711_mulaw_table(), _g711_alaw_table()
+    for c in range(256):
+        assert mu[c] == _ulaw2linear(c), f"mulaw code {c}"
+        assert al[c] == _alaw2linear(c), f"alaw code {c}"
+    # canonical anchors: both mu-law zero codes decode to 0; extremes
+    assert mu[0x7F] == 0 and mu[0xFF] == 0
+    assert mu[0x00] == -32124 and mu[0x80] == 32124
+    assert al[0x55] == -8 and al[0xD5] == 8
+    assert int(al.min()) == -32256 and int(al.max()) == 32256
+
+
+def test_g711_wav_roundtrip_routes_by_format_code():
+    enc = np.arange(256, dtype=np.uint8).tobytes()
+    codec, s = g711_decode(_g711_wav_bytes(7, 256, enc))
+    assert codec == "mulaw" and (s == _g711_mulaw_table()).all()
+    codec, s = g711_decode(_g711_wav_bytes(6, 256, enc))
+    assert codec == "alaw" and (s == _g711_alaw_table()).all()
+    assert s.dtype == np.int16
+
+
+def test_g711_rejects_foreign_payloads_with_valueerror():
+    with pytest.raises(ValueError):
+        g711_decode(b"not a wav at all")
+    with pytest.raises(ValueError):
+        g711_decode(b"RIFF\x00\x00\x00\x00WAVE")  # no fmt/data chunks
+    # 16-bit PCM (format 1) must be rejected by THIS decoder, not mis-expanded
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.multimodal import (
+        _wav_bytes,
+    )
+
+    with pytest.raises(ValueError):
+        g711_decode(_wav_bytes(8000, 1, 4))
