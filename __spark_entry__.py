@@ -179,7 +179,10 @@ from distributed_graph_database_simulation_with_load_balancing_and_threaded_requ
     audio_pcm_features,
     extract_audio_meta,
     g711_audio_features,
+    ima_adpcm_features,
     plant_g711_audio,
+    plant_ima_adpcm_audio,
+    _IMA_STEP_TABLE,
     plant_audio_signal,
     plant_encoded_adam7_pngs,
     plant_encoded_palette_pngs,
@@ -2452,6 +2455,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         media = plant_g711_audio(load_table(spark, sf_dir, "documents"))
         return g711_audio_features(media)
 
+    def q_adpcm_audio(spark, sf_dir):
+        # REAL stateful compressed-audio decode (IMA/DVI ADPCM, WAV
+        # format 0x11): each 4-bit code advances a predictor + step-
+        # table index, so decode is a per-block state machine — blocks
+        # are independent by codec design (each header restates the
+        # state precisely so decoders can seek/parallelize), which is
+        # the intra-file parallelism grain the Spark plan rides.  The
+        # oracle replays the state machine with a recursive CTE
+        # advancing every (file, block) decoder one nibble per step.
+        media = plant_ima_adpcm_audio(load_table(spark, sf_dir, "documents"))
+        return ima_adpcm_features(media)
+
     def q_audio_downsample(spark, sf_dir):
         # REAL integer resample: decode the planted PCM, decimate by
         # 2 at FRAME granularity (stereo stays synced), same exact-
@@ -4615,6 +4630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_png_decode": q_png_decode,
         "q_audio_features": q_audio_features,
         "q_g711_audio": q_g711_audio,
+        "q_adpcm_audio": q_adpcm_audio,
         "q_kmeans": q_kmeans,
         "q_cluster_labels": q_cluster_labels,
         "q_semantic_dedup": q_semantic_dedup,
@@ -6487,6 +6503,75 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(ABS(val)) AS BIGINT) AS sum_abs,
                    CAST(SUM(val * val) AS BIGINT) AS sum_sq
             FROM v GROUP BY media_id, codec, n
+        """,
+        # plant_ima_adpcm_audio: 1 + id%2 blocks of 64 nibbles; block b
+        # starts at predictor ((7*id + 911*b) % 4001) - 2000 and step
+        # index (id + 13*b) % 89; nibble k is (5k + 3*id + 7*b) % 16.
+        # The oracle replays the IMA state machine itself: a (step
+        # index x nibble) difference LUT built from the 89-entry step
+        # table with the spec's shift-truncated arithmetic, then a
+        # RECURSIVE CTE advancing every (file, block) decoder one
+        # nibble per iteration, accumulating |s|, s^2, and peak with
+        # int16 clamping at each step — a value oracle for a genuinely
+        # stateful codec.
+        "q_adpcm_audio": f"""
+            WITH RECURSIVE steps(sidx, step) AS (VALUES {
+                ",".join(f"({i},{s})" for i, s in enumerate(_IMA_STEP_TABLE))
+            }),
+            lut AS (
+              SELECT s.sidx, r.range AS nib,
+                     (s.step >> 3)
+                     + CASE WHEN (r.range & 1) != 0 THEN s.step >> 2 ELSE 0 END
+                     + CASE WHEN (r.range & 2) != 0 THEN s.step >> 1 ELSE 0 END
+                     + CASE WHEN (r.range & 4) != 0 THEN s.step ELSE 0 END AS diff,
+                     CASE r.range & 7 WHEN 4 THEN 2 WHEN 5 THEN 4
+                          WHEN 6 THEN 6 WHEN 7 THEN 8 ELSE -1 END AS didx
+              FROM steps s, range(16) r
+            ),
+            blocks AS (
+              SELECT CAST(d.doc_id AS BIGINT) AS media_id,
+                     CAST(b.range AS BIGINT) AS blk,
+                     ((7 * d.doc_id + 911 * b.range) % 4001) - 2000 AS p0,
+                     (d.doc_id + 13 * b.range) % 89 AS i0
+              FROM documents d JOIN range(2) b ON b.range < 1 + d.doc_id % 2
+            ),
+            dec AS (
+              SELECT media_id, blk, 0 AS k, p0 AS pred, i0 AS sidx,
+                     CAST(ABS(p0) AS BIGINT) AS sum_abs,
+                     CAST(p0 * p0 AS BIGINT) AS sum_sq,
+                     CAST(ABS(p0) AS BIGINT) AS peak
+              FROM blocks
+              UNION ALL
+              SELECT d.media_id, d.blk, d.k + 1,
+                     LEAST(32767, GREATEST(-32768,
+                       d.pred + CASE WHEN ((5 * d.k + 3 * d.media_id + 7 * d.blk) % 16) >= 8
+                                     THEN -l.diff ELSE l.diff END)),
+                     LEAST(88, GREATEST(0, d.sidx + l.didx)),
+                     d.sum_abs + ABS(LEAST(32767, GREATEST(-32768,
+                       d.pred + CASE WHEN ((5 * d.k + 3 * d.media_id + 7 * d.blk) % 16) >= 8
+                                     THEN -l.diff ELSE l.diff END))),
+                     d.sum_sq + CAST(LEAST(32767, GREATEST(-32768,
+                       d.pred + CASE WHEN ((5 * d.k + 3 * d.media_id + 7 * d.blk) % 16) >= 8
+                                     THEN -l.diff ELSE l.diff END)) AS BIGINT)
+                              * LEAST(32767, GREATEST(-32768,
+                       d.pred + CASE WHEN ((5 * d.k + 3 * d.media_id + 7 * d.blk) % 16) >= 8
+                                     THEN -l.diff ELSE l.diff END)),
+                     GREATEST(d.peak, ABS(LEAST(32767, GREATEST(-32768,
+                       d.pred + CASE WHEN ((5 * d.k + 3 * d.media_id + 7 * d.blk) % 16) >= 8
+                                     THEN -l.diff ELSE l.diff END))))
+              FROM dec d
+              JOIN lut l ON l.sidx = d.sidx
+                        AND l.nib = (5 * d.k + 3 * d.media_id + 7 * d.blk) % 16
+              WHERE d.k < 64
+            )
+            SELECT media_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_blocks,
+                   CAST(65 * COUNT(*) AS BIGINT) AS n_samples,
+                   CAST(MAX(peak) AS BIGINT) AS peak,
+                   CAST(SUM(sum_abs) AS BIGINT) AS sum_abs,
+                   CAST(SUM(sum_sq) AS BIGINT) AS sum_sq
+            FROM dec WHERE k = 64
+            GROUP BY media_id
         """,
         # plant_audio builds one 16-bit PCM WAV per doc (44 header
         # bytes + frames*channels*2); params are arithmetic in doc_id.

@@ -574,6 +574,209 @@ def g711_audio_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(process, schema=G711_FEATURES_SCHEMA)
 
 
+# --- IMA ADPCM (WAV format 0x11) -------------------------------------------
+#
+# REAL block-structured compressed audio (round 9): IMA/DVI ADPCM is a
+# genuinely STATEFUL codec — each 4-bit code updates a predictor and a
+# step-table index — which makes it the audio analogue of the entropy-
+# coded image paths: the decode cannot be expressed as a per-byte map,
+# only as a per-block state machine.  Scale story: blocks are
+# INDEPENDENT by design (each block header restates predictor + step
+# index precisely so decoders can seek and parallelize), so the Spark
+# plan parallelizes across files and blocks inside one Arrow stage and
+# is sequential only within a block — the codec's own inherent grain,
+# the same intra-file parallelism argument as JPEG restart intervals.
+# The DuckDB oracle replays the state machine with a recursive CTE
+# advancing every (file, block) decoder one nibble per iteration.
+
+_IMA_STEP_TABLE = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+_IMA_INDEX_TABLE = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _ima_decode_block(pred: int, index: int, nibbles) -> list[int]:
+    """Decode one IMA ADPCM block: the header sample ``pred`` is
+    emitted first, then each 4-bit code advances (pred, index) by the
+    spec's shift-truncated difference — diff = (step>>3) (+ step>>2 if
+    bit0) (+ step>>1 if bit1) (+ step if bit2), sign from bit3 —
+    with predictor clamped to int16 and index to [0, 88]."""
+    out = [pred]
+    for n in nibbles:
+        step = _IMA_STEP_TABLE[index]
+        diff = step >> 3
+        if n & 1:
+            diff += step >> 2
+        if n & 2:
+            diff += step >> 1
+        if n & 4:
+            diff += step
+        pred = pred - diff if n & 8 else pred + diff
+        pred = max(-32768, min(32767, pred))
+        index = max(0, min(88, index + _IMA_INDEX_TABLE[n & 7]))
+        out.append(pred)
+    return out
+
+
+def ima_adpcm_decode(data: bytes):
+    """REAL IMA ADPCM WAV decode: RIFF walk to ``fmt `` (format 0x11,
+    4-bit, mono asserted) + ``data``, then per-block state-machine
+    expansion — block layout per the IMA/Microsoft spec: 4-byte header
+    (int16 LE initial predictor, uint8 initial step index, reserved),
+    then two low-nibble-first codes per byte.  Returns ``(samples,
+    n_blocks)`` with int16 samples across all blocks in order."""
+    import struct
+
+    import numpy as np
+
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a WAV")
+    pos = 12
+    audio_format = bits = channels = block_align = None
+    payload = None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        size = struct.unpack("<I", data[pos + 4 : pos + 8])[0]
+        if cid == b"fmt ":
+            audio_format, channels = struct.unpack("<HH", data[pos + 8 : pos + 12])
+            block_align, bits = struct.unpack("<HH", data[pos + 20 : pos + 24])
+        elif cid == b"data":
+            payload = data[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)
+    if payload is None or audio_format is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    if (audio_format, bits, channels) != (0x11, 4, 1):
+        raise ValueError(
+            f"unsupported WAV shape: format={audio_format} bits={bits} "
+            f"channels={channels} (IMA ADPCM decoder covers 4-bit mono)"
+        )
+    if block_align is None or block_align < 4:
+        raise ValueError("bad IMA block align")
+    samples: list[int] = []
+    n_blocks = 0
+    for off in range(0, len(payload) - len(payload) % block_align, block_align):
+        block = payload[off : off + block_align]
+        pred = struct.unpack("<h", block[0:2])[0]
+        index = block[2]
+        if index > 88:
+            raise ValueError("IMA step index out of range")
+        codes = np.frombuffer(block[4:], dtype=np.uint8)
+        nibbles = np.empty(codes.size * 2, dtype=np.uint8)
+        nibbles[0::2] = codes & 0x0F  # low nibble first per spec
+        nibbles[1::2] = codes >> 4
+        samples.extend(_ima_decode_block(pred, index, nibbles.tolist()))
+        n_blocks += 1
+    return np.asarray(samples, dtype=np.int16), n_blocks
+
+
+def _ima_wav_bytes(n_blocks: int, block_payloads: list[bytes]) -> bytes:
+    """Minimal valid IMA ADPCM WAV: mono 8 kHz, format 0x11, uniform
+    block_align taken from the first block."""
+    import struct
+
+    block_align = len(block_payloads[0])
+    spb = 1 + (block_align - 4) * 2  # samples per block
+    fmt = struct.pack(
+        "<HHIIHH", 0x11, 1, 8000, 8000 * block_align // spb, block_align, 4
+    ) + struct.pack("<HH", 2, spb)  # cbSize=2 + wSamplesPerBlock
+    payload = b"".join(block_payloads)
+    body = (
+        b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", 20)
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(payload))
+        + payload
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def plant_ima_adpcm_audio(documents: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """Planted IMA ADPCM WAVs with ARITHMETIC block state: file id has
+    1 + id % 2 blocks of 64 nibbles each; block b starts at predictor
+    ``((7*id + 911*b) % 4001) - 2000`` and step index ``(id + 13*b) %
+    89``, and nibble k of block b is ``(5*k + 3*id + 7*b) % 16`` — the
+    SQL oracle replays the exact state machine from these."""
+    import struct
+
+    import numpy as np
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for i in pdf[id_col]:
+                i = int(i)
+                blocks = []
+                for b in range(1 + i % 2):
+                    pred = ((7 * i + 911 * b) % 4001) - 2000
+                    index = (i + 13 * b) % 89
+                    k = np.arange(64, dtype=np.int64)
+                    nib = ((5 * k + 3 * i + 7 * b) % 16).astype(np.uint8)
+                    codes = (nib[0::2] | (nib[1::2] << 4)).astype(np.uint8)
+                    blocks.append(
+                        struct.pack("<hBB", pred, index, 0) + codes.tobytes()
+                    )
+                ids.append(i)
+                payloads.append(_ima_wav_bytes(len(blocks), blocks))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "media_type": ["audio"] * len(ids),
+                    "media": payloads,
+                    "source": ["planted"] * len(ids),
+                }
+            )
+
+    return documents.select(id_col).mapInPandas(build, schema=MEDIA_SCHEMA)
+
+
+ADPCM_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("n_blocks", LongType(), False),
+        StructField("n_samples", LongType(), False),
+        StructField("peak", LongType(), False),
+        StructField("sum_abs", LongType(), False),
+        StructField("sum_sq", LongType(), False),
+    ]
+)
+
+
+def ima_adpcm_features(media: DataFrame) -> DataFrame:
+    """Signal features from DECODED IMA ADPCM samples, one Arrow map
+    stage: per-block state-machine expansion then the same exact-
+    integer reductions as the PCM/G.711 paths — the oracle replays
+    them through a recursive CTE advancing every block's decoder."""
+    import numpy as np
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                k: []
+                for k in ("media_id", "n_blocks", "n_samples", "peak", "sum_abs", "sum_sq")
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["media"]):
+                s, nb = ima_adpcm_decode(bytes(payload))
+                s = s.astype(np.int64)
+                a = np.abs(s)
+                rows["media_id"].append(int(mid))
+                rows["n_blocks"].append(int(nb))
+                rows["n_samples"].append(int(s.size))
+                rows["peak"].append(int(a.max(initial=0)))
+                rows["sum_abs"].append(int(a.sum(dtype=np.int64)))
+                rows["sum_sq"].append(int((s * s).sum(dtype=np.int64)))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(process, schema=ADPCM_FEATURES_SCHEMA)
+
+
 def _png_bytes(w: int, h: int) -> bytes:
     """Minimal structurally-valid PNG: signature + IHDR (real CRC)."""
     import struct

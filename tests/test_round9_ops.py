@@ -11,6 +11,8 @@ arbitrary media payload bytes.
 
 import numpy as np
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.multimodal import (
     _g711_alaw_table,
@@ -60,6 +62,79 @@ def test_g711_wav_roundtrip_routes_by_format_code():
     codec, s = g711_decode(_g711_wav_bytes(6, 256, enc))
     assert codec == "alaw" and (s == _g711_alaw_table()).all()
     assert s.dtype == np.int16
+
+
+def _ref_ima_block(pred, index, nibbles):
+    # independent IMA state machine (different structure: bit loop)
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.multimodal import (
+        _IMA_INDEX_TABLE,
+        _IMA_STEP_TABLE,
+    )
+
+    out = [pred]
+    for n in nibbles:
+        step = _IMA_STEP_TABLE[index]
+        diff = step >> 3
+        for bit, sh in ((1, 2), (2, 1), (4, 0)):
+            if n & bit:
+                diff += step >> sh
+        pred = pred + (-diff if n & 8 else diff)
+        pred = min(32767, max(-32768, pred))
+        index = min(88, max(0, index + _IMA_INDEX_TABLE[n & 7]))
+        out.append(pred)
+    return out
+
+
+@given(
+    st.integers(-32768, 32767),
+    st.integers(0, 88),
+    st.lists(st.integers(0, 15), min_size=2, max_size=64).filter(lambda l: len(l) % 2 == 0),
+)
+@settings(max_examples=60, deadline=None)
+def test_ima_adpcm_decode_matches_independent_state_machine(pred, index, nibs):
+    import struct
+
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.multimodal import (
+        _ima_wav_bytes,
+        ima_adpcm_decode,
+    )
+
+    codes = bytes(nibs[j] | (nibs[j + 1] << 4) for j in range(0, len(nibs), 2))
+    wav = _ima_wav_bytes(1, [struct.pack("<hBB", pred, index, 0) + codes])
+    s, nb = ima_adpcm_decode(wav)
+    assert nb == 1
+    assert s.tolist() == _ref_ima_block(pred, index, nibs)
+
+
+def test_ima_adpcm_multi_block_resets_state_per_block():
+    import struct
+
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.multimodal import (
+        _ima_wav_bytes,
+        ima_adpcm_decode,
+    )
+
+    # two blocks with different headers: decode must equal the two
+    # independent single-block decodes concatenated (seekability).
+    b1 = struct.pack("<hBB", 1000, 40, 0) + bytes([0x73, 0x1F])
+    b2 = struct.pack("<hBB", -2000, 5, 0) + bytes([0x88, 0xE4])
+    s, nb = ima_adpcm_decode(_ima_wav_bytes(2, [b1, b2]))
+    s1, _ = ima_adpcm_decode(_ima_wav_bytes(1, [b1]))
+    s2, _ = ima_adpcm_decode(_ima_wav_bytes(1, [b2]))
+    assert nb == 2
+    assert s.tolist() == s1.tolist() + s2.tolist()
+
+
+def test_ima_adpcm_rejects_foreign_payloads_with_valueerror():
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.multimodal import (
+        _wav_bytes,
+        ima_adpcm_decode,
+    )
+
+    with pytest.raises(ValueError):
+        ima_adpcm_decode(b"junk")
+    with pytest.raises(ValueError):
+        ima_adpcm_decode(_wav_bytes(8000, 1, 4))  # plain PCM, not 0x11
 
 
 def test_g711_rejects_foreign_payloads_with_valueerror():
