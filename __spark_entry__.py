@@ -2411,6 +2411,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ),
         )
 
+    def q_jpeg_restart(spark, sf_dir):
+        # REAL restart-interval (DRI/RSTn) JPEG decode (round 9): the
+        # SAME planted pixels as q_jpeg_decode, encoded with DRI=3 so
+        # the 4-MCU stream splits into an uneven 3+1 segment pair —
+        # and decoded by the PARALLEL path: jpeg_restart_segments
+        # finds the byte-aligned RSTn boundaries without entropy
+        # decoding (stuffing makes FF D0-D7 unambiguous), then each
+        # segment decodes INDEPENDENTLY with a fresh DC predictor.
+        # Restart structure is an encoding detail the decode must
+        # erase, so the oracle is q_jpeg_decode's verbatim.  This is
+        # the codec's own intra-image parallelism grain — the scale
+        # answer for multi-gigapixel scans that q_adpcm_audio's block
+        # independence gives audio.
+        from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.multimodal import (
+            jpeg_gray_decode_parallel,
+        )
+
+        return _shared_result(
+            spark, sf_dir, "media_jpegrst",
+            lambda: jpeg_decode_stats(
+                plant_encoded_jpegs(
+                    load_table(spark, sf_dir, "documents"), restart_interval=3
+                ),
+                out_w=8, out_h=8, decode=jpeg_gray_decode_parallel,
+            ),
+        )
+
     def q_jpeg_progressive(spark, sf_dir):
         # REAL progressive (SOF2) JPEG decode (round 9 — the last
         # JPEG seam): the SAME planted pixels as q_jpeg_decode, but
@@ -4657,6 +4684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_gif_frames": q_gif_frames,  # new round 9 (never-recorded -> heads the window)
         "q_jpeg_color": q_jpeg_color,  # new round 9
         "q_jpeg_progressive": q_jpeg_progressive,  # new round 9
+        "q_jpeg_restart": q_jpeg_restart,  # new round 9
         "q_clustering_coeff": q_clustering_coeff,
         "q_link_pred": q_link_pred,
         "q_stream_attrib": q_stream_attrib,
@@ -8375,4 +8403,8 @@ def oracle_sql() -> dict[str, str]:
     # must erase, so the oracle is q_jpeg_decode's verbatim (the
     # q_png_adam7 pattern).
     oracles["q_jpeg_progressive"] = oracles["q_jpeg_decode"]
+    # Restart-interval streams likewise carry the SAME planted pixels —
+    # DRI/RSTn segmentation is an encoding detail the decode must
+    # erase, so the oracle is q_jpeg_decode's verbatim.
+    oracles["q_jpeg_restart"] = oracles["q_jpeg_decode"]
     return oracles

@@ -1774,11 +1774,19 @@ def _jpeg_encode_block(bw: "_BitWriter", block, prev_dc: int, dc_codes, ac_codes
     return prev_dc
 
 
-def jpeg_gray_encode(pixels) -> bytes:
+def jpeg_gray_encode(pixels, *, restart_interval: int = 0) -> bytes:
     """REAL baseline JPEG encoder (stdlib + numpy float64 DCT):
     grayscale, dimensions padded to 8-multiples by edge replication,
     all-ones quantization table (Q100-exact: quantization loses only
-    the DCT round-to-int), Annex K luminance Huffman tables."""
+    the DCT round-to-int), Annex K luminance Huffman tables.
+
+    ``restart_interval`` (round 9, T.81 B.2.4.4 / E.2.4): > 0 emits a
+    DRI segment and splits the entropy stream into independently
+    decodable chunks of that many MCUs — each chunk 1-padded to a byte
+    boundary, RST0..7 markers cycling between chunks, DC predictor
+    reset per chunk.  This is the codec's OWN intra-image parallel
+    grain: a 100-megapixel scan with DRI decodes as thousands of
+    independent segments instead of one sequential entropy pass."""
     import numpy as np
     import struct
 
@@ -1788,14 +1796,22 @@ def jpeg_gray_encode(pixels) -> bytes:
     padded = np.pad(arr, ((0, ph - h), (0, pw - w)), mode="edge")
     dc_codes = _huff_codes(_DC_LUMA_BITS, _DC_LUMA_VALS)
     ac_codes = _huff_codes(_AC_LUMA_BITS, _AC_LUMA_VALS)
-    bw = _BitWriter()
-    prev_dc = 0
-    for br in range(0, ph, 8):
-        for bc in range(0, pw, 8):
-            prev_dc = _jpeg_encode_block(
-                bw, padded[br : br + 8, bc : bc + 8], prev_dc, dc_codes, ac_codes
-            )
-    scan = bw.flush()
+    blocks = [
+        padded[br : br + 8, bc : bc + 8]
+        for br in range(0, ph, 8)
+        for bc in range(0, pw, 8)
+    ]
+    ri = restart_interval or len(blocks)
+    chunks = []
+    for s in range(0, len(blocks), ri):
+        bw = _BitWriter()
+        prev_dc = 0  # predictor resets at every restart boundary
+        for block in blocks[s : s + ri]:
+            prev_dc = _jpeg_encode_block(bw, block, prev_dc, dc_codes, ac_codes)
+        chunks.append(bw.flush())
+    scan = bytearray(chunks[0])
+    for n, chunk in enumerate(chunks[1:]):
+        scan += bytes([0xFF, 0xD0 + n % 8]) + chunk
 
     def seg(marker: int, body: bytes) -> bytes:
         return struct.pack(">HH", marker, len(body) + 2) + body
@@ -1807,8 +1823,11 @@ def jpeg_gray_encode(pixels) -> bytes:
         bytes([0x00]) + bytes(_DC_LUMA_BITS) + bytes(_DC_LUMA_VALS)
         + bytes([0x10]) + bytes(_AC_LUMA_BITS) + bytes(_AC_LUMA_VALS),
     )
+    dri = (
+        seg(0xFFDD, struct.pack(">H", restart_interval)) if restart_interval else b""
+    )
     sos = seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
-    return b"\xff\xd8" + dqt + sof + dht + sos + scan + b"\xff\xd9"
+    return b"\xff\xd8" + dqt + sof + dht + dri + sos + bytes(scan) + b"\xff\xd9"
 
 
 def _parse_dqt(body: bytes, qt: dict) -> None:
@@ -1860,11 +1879,13 @@ def _jpeg_headers(data: bytes):
     and YCbCr decoders read one implementation): parses DQT / SOF0 /
     DHT / DRI up to SOS, with the round-8 robustness rules (fill-byte
     skipping, length-less TEM/RSTn/SOI markers, bounds-checked
-    lengths).  Returns ``(qt, huff, frame, scan, pos)`` where frame =
-    (h, w, [(comp_id, h_samp, v_samp, tq), ...]), scan maps comp_id ->
-    (dc_table_id, ac_table_id), and pos is the entropy-data offset.
-    Raises NotImplementedError for progressive/extended SOFs, 16-bit
-    quant tables, and restart intervals — the documented seam."""
+    lengths).  Returns ``(qt, huff, frame, scan, pos, dri)`` where
+    frame = (h, w, [(comp_id, h_samp, v_samp, tq), ...]), scan maps
+    comp_id -> (dc_table_id, ac_table_id), pos is the entropy-data
+    offset, and dri is the restart interval in MCUs (0 = none; REAL
+    since round 9 — restart markers are JPEG's own intra-image
+    parallel-decode grain).  Raises NotImplementedError for
+    progressive/extended SOFs and 16-bit quant tables — the seam."""
     import struct
 
     if data[:2] != b"\xff\xd8":
@@ -1874,6 +1895,7 @@ def _jpeg_headers(data: bytes):
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     frame: tuple | None = None
     scan: dict[int, tuple[int, int]] = {}
+    dri = 0
     while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("marker desync")
@@ -1913,8 +1935,7 @@ def _jpeg_headers(data: bytes):
         elif marker == 0xC4:
             _parse_dht(body, huff)
         elif marker == 0xDD:
-            if struct.unpack(">H", body[:2])[0] != 0:
-                raise NotImplementedError("restart intervals")
+            dri = struct.unpack(">H", body[:2])[0]
         elif marker == 0xDA:
             ns = body[0]
             for ci in range(ns):
@@ -1928,7 +1949,7 @@ def _jpeg_headers(data: bytes):
         raise ValueError("no SOS segment")
     if frame is None:
         raise ValueError("missing SOF0/DQT before SOS")
-    return qt, huff, frame, scan, pos
+    return qt, huff, frame, scan, pos, dri
 
 
 def _jpeg_decode_block(br: "_BitReader", dc_tab, ac_tab, q, prev_dc: int):
@@ -1969,13 +1990,15 @@ def jpeg_gray_decode(data: bytes):
     stream, builds Huffman tables from the file's own DHT segments,
     entropy-decodes with byte-unstuffing, dequantizes against the
     file's DQT, de-zigzags, float64 IDCT, +128 level shift, clamps,
-    crops padding.  Returns an int64 (h, w) array.  Raises
-    NotImplementedError for progressive (SOF2) or restart-interval
+    crops padding.  Returns an int64 (h, w) array.  Handles restart
+    intervals (DRI/RSTn — round 9): at each interval boundary the
+    reader byte-aligns, consumes the RSTn marker, and resets the DC
+    predictor.  Raises NotImplementedError for progressive (SOF2)
     streams; multi-component streams decode via ``jpeg_ycbcr_decode``
     (round 9)."""
     import numpy as np
 
-    qt, huff, (h, w, comps), scan, pos = _jpeg_headers(data)
+    qt, huff, (h, w, comps), scan, pos, dri = _jpeg_headers(data)
     if len(comps) != 1 or (comps[0][1], comps[0][2]) != (1, 1):
         raise NotImplementedError(
             "only 8-bit single-component unsubsampled baseline"
@@ -1990,9 +2013,80 @@ def jpeg_gray_decode(data: bytes):
     out = np.zeros((ph, pw), dtype=np.int64)
     br = _BitReader(data, pos)
     prev_dc = 0
+    mcu = 0
     for by in range(0, ph, 8):
         for bx in range(0, pw, 8):
+            if dri and mcu and mcu % dri == 0:
+                # byte-align, swallow RSTn, reset the predictor
+                br.n = 0
+                br.acc = 0
+                if (
+                    br.pos + 2 > len(br.data)
+                    or br.data[br.pos] != 0xFF
+                    or not 0xD0 <= br.data[br.pos + 1] <= 0xD7
+                ):
+                    raise ValueError("expected restart marker")
+                br.pos += 2
+                prev_dc = 0
             block, prev_dc = _jpeg_decode_block(br, dc_tab, ac_tab, q, prev_dc)
+            out[by : by + 8, bx : bx + 8] = block
+            mcu += 1
+    return out[:h, :w]
+
+
+def jpeg_restart_segments(data: bytes) -> list[tuple[int, int, int]]:
+    """Split a DRI-coded baseline stream into its independently
+    decodable restart segments WITHOUT entropy-decoding: returns
+    ``[(first_mcu, start, end), ...]`` byte ranges.  Byte-stuffing
+    guarantees any 0xFF followed by 0xD0–0xD7 in entropy data is a
+    true restart marker (data 0xFF is always stuffed to FF00), so the
+    scan is a plain byte search — the cheap driver-side planning step
+    that makes intra-image parallel decode possible."""
+    qt, huff, (h, w, comps), scan, pos, dri = _jpeg_headers(data)
+    if not dri:
+        raise ValueError("stream has no restart interval")
+    segs = []
+    start, first_mcu = pos, 0
+    i = pos
+    while i + 1 < len(data):
+        if data[i] == 0xFF and 0xD0 <= data[i + 1] <= 0xD7:
+            segs.append((first_mcu, start, i))
+            first_mcu += dri
+            start = i + 2
+            i += 2
+            continue
+        if data[i] == 0xFF and data[i + 1] == 0xD9:
+            break
+        i += 1
+    segs.append((first_mcu, start, i))
+    return segs
+
+
+def jpeg_gray_decode_parallel(data: bytes):
+    """Decode a restart-interval stream by decoding every restart
+    segment INDEPENDENTLY (each starts byte-aligned with a fresh DC
+    predictor — T.81's whole point for DRI), then placing each
+    segment's MCUs at its raster offset.  Bit-identical to the
+    sequential ``jpeg_gray_decode`` by construction; at scale the
+    per-segment loop is the shard boundary (one task per segment for
+    giant scans) rather than a per-image sequential entropy pass."""
+    import numpy as np
+
+    qt, huff, (h, w, comps), scan, pos, dri = _jpeg_headers(data)
+    cid, _, _, comp_q = comps[0]
+    q = qt[comp_q]
+    dc_tab = huff[(0, scan[cid][0])]
+    ac_tab = huff[(1, scan[cid][1])]
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    mcus_x = pw // 8
+    out = np.zeros((ph, pw), dtype=np.int64)
+    n_mcus = (ph // 8) * mcus_x
+    for first_mcu, start, end in jpeg_restart_segments(data):
+        br = _BitReader(data[:end], start)
+        prev_dc = 0
+        for mcu in range(first_mcu, min(first_mcu + dri, n_mcus)):
+            block, prev_dc = _jpeg_decode_block(br, dc_tab, ac_tab, q, prev_dc)
+            by, bx = (mcu // mcus_x) * 8, (mcu % mcus_x) * 8
             out[by : by + 8, bx : bx + 8] = block
     return out[:h, :w]
 
@@ -2070,7 +2164,11 @@ def jpeg_ycbcr_decode(data: bytes):
     single-component streams belong to ``jpeg_gray_decode``."""
     import numpy as np
 
-    qt, huff, (h, w, comps), scan, pos = _jpeg_headers(data)
+    qt, huff, (h, w, comps), scan, pos, dri = _jpeg_headers(data)
+    if dri:
+        raise NotImplementedError(
+            "restart intervals in multi-component streams (gray path is real)"
+        )
     if len(comps) != 3:
         raise NotImplementedError("jpeg_ycbcr_decode expects 3 components")
     samps = [(hs, vs) for _, hs, vs, _ in comps]
@@ -2143,7 +2241,11 @@ _S4 = [1, -1, -1, 1, 1, -1, -1, 1]
 
 
 def plant_encoded_jpegs(
-    documents: DataFrame, *, id_col: str = "doc_id", progressive: bool = False
+    documents: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    progressive: bool = False,
+    restart_interval: int = 0,
 ) -> DataFrame:
     """Fully-encoded baseline JPEG fixtures, 16x16 grayscale (4
     blocks).  Per block b (raster 0..3) of doc ``id``:
@@ -2165,12 +2267,22 @@ def plant_encoded_jpegs(
     progressive streams (the 6-scan spectral-selection + successive-
     approximation script) — coefficient coding across a complete scan
     script is lossless, so the decode contract and oracle are
-    q_jpeg_decode's verbatim."""
+    q_jpeg_decode's verbatim.  ``restart_interval`` (round 9) encodes
+    the same pixels as a DRI/RSTn stream — restart structure is an
+    encoding detail the decode must erase, so the oracle is again
+    verbatim."""
     import numpy as np
 
     r_idx = np.asarray(_S4)[:, None]
     c_idx = np.asarray(_S4)[None, :]
-    encode = jpeg_gray_encode_progressive if progressive else jpeg_gray_encode
+    if progressive:
+        encode = jpeg_gray_encode_progressive
+    elif restart_interval:
+        encode = lambda img: jpeg_gray_encode(  # noqa: E731
+            img, restart_interval=restart_interval
+        )
+    else:
+        encode = jpeg_gray_encode
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -64,6 +64,68 @@ def test_g711_wav_roundtrip_routes_by_format_code():
     assert s.dtype == np.int16
 
 
+@given(st.data())
+@settings(max_examples=40, deadline=None)
+def test_jpeg_restart_parallel_equals_sequential_and_planted(data):
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.multimodal import (
+        _S4,
+        jpeg_gray_decode,
+        jpeg_gray_decode_parallel,
+        jpeg_gray_encode,
+        jpeg_restart_segments,
+    )
+
+    r = np.asarray(_S4)[:, None]
+    c = np.asarray(_S4)[None, :]
+    bh = data.draw(st.integers(1, 4))
+    bw = data.draw(st.integers(1, 4))
+    img = np.zeros((bh * 8, bw * 8), dtype=np.int64)
+    for i in range(bh):
+        for j in range(bw):
+            m = data.draw(st.integers(64, 191))
+            a1, a2, a3 = (data.draw(st.integers(-4, 4)) for _ in range(3))
+            img[i * 8 : i * 8 + 8, j * 8 : j * 8 + 8] = m + a1 * r + a2 * c + a3 * r * c
+    ri = data.draw(st.integers(1, bh * bw + 1))
+    enc = jpeg_gray_encode(img, restart_interval=ri)
+    seq = jpeg_gray_decode(enc)
+    par = jpeg_gray_decode_parallel(enc)
+    # planted subspace: the lossy codec round-trips exactly; and the
+    # independent-segment decode must equal the sequential one
+    assert (seq == img).all()
+    assert (par == seq).all()
+    assert len(jpeg_restart_segments(enc)) == -(-bh * bw // ri)
+
+
+def test_jpeg_restart_arbitrary_pixels_parallel_equals_sequential():
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.multimodal import (
+        jpeg_gray_decode,
+        jpeg_gray_decode_parallel,
+        jpeg_gray_encode,
+    )
+
+    rng = np.random.default_rng(42)
+    for ri in (1, 2, 5):
+        img = rng.integers(0, 256, size=(24, 32))
+        enc = jpeg_gray_encode(img, restart_interval=ri)
+        seq = jpeg_gray_decode(enc)
+        par = jpeg_gray_decode_parallel(enc)
+        # off-subspace pixels are lossy, but both decode paths must
+        # agree bit-for-bit and stay within the codec's error bound
+        assert (par == seq).all()
+        assert np.abs(seq - img).max() <= 2
+
+
+def test_jpeg_no_restart_segments_raises():
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.multimodal import (
+        jpeg_gray_encode,
+        jpeg_restart_segments,
+    )
+
+    enc = jpeg_gray_encode(np.full((8, 8), 128))
+    with pytest.raises(ValueError):
+        jpeg_restart_segments(enc)
+
+
 def _ref_ima_block(pred, index, nibbles):
     # independent IMA state machine (different structure: bit loop)
     from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.multimodal import (
