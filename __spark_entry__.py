@@ -116,6 +116,7 @@ from distributed_graph_database_simulation_with_load_balancing_and_threaded_requ
     PII_PHONE,
     bm25_topk,
     boilerplate_prefixes,
+    bpe_train,
     chunk_documents,
     collocations,
     lang_confusion,
@@ -2665,6 +2666,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Corpus-level PMI-lift collocations (top-20 bigrams).
         return collocations(load_table(spark, sf_dir, "documents"), k=20, min_count=5)
 
+    def q_bpe_train(spark, sf_dir):
+        # Distributed BPE merge training (round 9): learn the first 5
+        # byte-pair merges from the corpus — per round, ONE map-side-
+        # combinable groupBy over exploded adjacent symbol pairs of
+        # the pre-aggregated (word, freq) vocabulary relation, argmax
+        # collected as a single bounded row, merge applied as a pure
+        # string expression.  The oracle replays all 5 rounds with
+        # chained CTEs using the identical pinned double-replace merge
+        # semantics; tie-break is (count desc, pair asc) — exact
+        # integer counts make this fully deterministic cross-engine.
+        return bpe_train(load_table(spark, sf_dir, "documents"), n_merges=5)
+
     def q_train_split(spark, sf_dir):
         # Deterministic hash-based 90/5/5 train/val/test assignment.
         docs = load_table(spark, sf_dir, "documents")
@@ -4632,6 +4645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kcore": q_kcore,
         "q_sssp": q_sssp,
         "q_train_split": q_train_split,
+        "q_bpe_train": q_bpe_train,
         "q_stratified_sample": q_stratified_sample,
         "q_group_sample": q_group_sample,
         "q_rollup_revenue": q_rollup_revenue,
@@ -8407,4 +8421,52 @@ def oracle_sql() -> dict[str, str]:
     # DRI/RSTn segmentation is an encoding detail the decode must
     # erase, so the oracle is q_jpeg_decode's verbatim.
     oracles["q_jpeg_restart"] = oracles["q_jpeg_decode"]
+
+    # BPE merge training: 5 chained (pair-count -> argmax -> apply)
+    # CTE steps with the pinned double-replace merge semantics (two
+    # non-overlapping passes are exact: misses only follow matches, so
+    # they are never adjacent).  Tie-break (cnt DESC, pair ASC);
+    # integer counts make the argmax engine-exact.
+    def _bpe_step(i: int) -> str:
+        prev = f"w{i-1}"
+        return f"""
+            p{i} AS (
+              SELECT toks[k + 1] || ' ' || toks[k + 2] AS pair,
+                     SUM(freq) AS cnt
+              FROM (SELECT str_split(t, ' ') AS toks, freq FROM {prev}),
+                   range(0, 40) r(k)
+              WHERE k < len(toks) - 1
+              GROUP BY 1
+            ),
+            b{i} AS (SELECT pair, cnt FROM p{i} ORDER BY cnt DESC, pair LIMIT 1),
+            w{i} AS (
+              SELECT trim(replace(replace(' ' || t || ' ',
+                       ' ' || (SELECT pair FROM b{i}) || ' ',
+                       ' ' || (SELECT replace(pair, ' ', '') FROM b{i}) || ' '),
+                       ' ' || (SELECT pair FROM b{i}) || ' ',
+                       ' ' || (SELECT replace(pair, ' ', '') FROM b{i}) || ' ')) AS t,
+                     freq
+              FROM {prev}
+            )"""
+
+    oracles["q_bpe_train"] = (
+        """
+        WITH w0 AS (
+          SELECT trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS t,
+                 CAST(COUNT(*) AS BIGINT) AS freq
+          FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+                FROM documents)
+          WHERE len(w) > 0 AND len(w) <= 30
+          GROUP BY 1
+        ),"""
+        + ",".join(_bpe_step(i) for i in range(1, 6))
+        + """
+        SELECT * FROM ("""
+        + " UNION ALL ".join(
+            f"SELECT {i} AS rank, pair, replace(pair, ' ', '') AS merged,"
+            f" CAST(cnt AS BIGINT) AS freq FROM b{i}"
+            for i in range(1, 6)
+        )
+        + ") ORDER BY rank"
+    )
     return oracles

@@ -802,3 +802,97 @@ def lang_confusion(
         .groupBy("lang", "lang_guess")
         .agg(F.count("*").cast("long").alias("n_docs"))
     )
+
+
+def bpe_train(
+    documents: DataFrame,
+    *,
+    text_col: str = "text",
+    n_merges: int = 5,
+    max_word_len: int = 30,
+) -> DataFrame:
+    """Distributed BPE merge training (round 9) — the canonical
+    LLM-tokenizer pipeline step: learn the first ``n_merges`` byte-pair
+    merges from the corpus by iterating (count adjacent symbol pairs
+    weighted by word frequency) -> (argmax pair, count-desc then
+    pair-asc tie-break) -> (apply the merge corpus-wide).
+
+    Exactly how this scales to 100 TB: the corpus never leaves the
+    cluster — each round is ONE map-side-combinable groupBy over
+    exploded adjacent pairs of the (word, freq) table (which is itself
+    a pre-aggregated groupBy over the corpus, shrinking 100 TB of text
+    to a vocabulary-sized relation), and the driver collects only the
+    single argmax row per round (the same bounded-collect contract as
+    the k-means centroid loop).  Merge application is a pure string
+    expression over the word table, not the corpus.
+
+    Merge-application semantics (pinned, identical in the SQL oracle):
+    tokens are space-joined; applying merge (a, b) replaces
+    ``' a b '`` with ``' ab '`` in ``' '||tokens||' '`` TWICE — a
+    single non-overlapping left-to-right pass misses at most
+    alternating occurrences in runs (consecutive occurrences share the
+    delimiter space), and misses are never adjacent (each miss follows
+    a match), so a second pass is exact.
+
+    Returns one row per learned merge: ``(rank, pair, merged, freq)``.
+    """
+    words = (
+        documents.select(
+            F.explode(F.split(F.lower(F.col(text_col)), "[^a-z]+")).alias("w")
+        )
+        .where((F.length("w") > 0) & (F.length("w") <= max_word_len))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("freq"))
+        .select(
+            F.trim(F.regexp_replace(F.col("w"), "(.)", "$1 ")).alias("t"), "freq"
+        )
+    )
+    spark = documents.sparkSession
+    words = words.persist()
+    try:
+        merges = []
+        for rank in range(1, n_merges + 1):
+            best = (
+                words.select(F.split("t", " ").alias("toks"), "freq")
+                .select(
+                    F.explode(
+                        # CASE guard: Spark's sequence(0, -1) DESCENDS
+                        # rather than yielding empty, so single-token
+                        # words (no adjacent pairs) need an explicit
+                        # empty array; explode then drops them.
+                        F.expr(
+                            "CASE WHEN size(toks) < 2 THEN array()"
+                            " ELSE transform(sequence(0, size(toks) - 2),"
+                            " i -> concat(element_at(toks, i + 1), ' ',"
+                            " element_at(toks, i + 2))) END"
+                        )
+                    ).alias("pair"),
+                    "freq",
+                )
+                .groupBy("pair")
+                .agg(F.sum("freq").alias("cnt"))
+                .orderBy(F.desc("cnt"), F.asc("pair"))
+                .limit(1)
+                .collect()  # bounded: exactly one argmax row per round
+            )
+            if not best:
+                break
+            pair, cnt = best[0]["pair"], int(best[0]["cnt"])
+            merged = pair.replace(" ", "")
+            merges.append((rank, pair, merged, cnt))
+            pat, rep = f" {pair} ", f" {merged} "
+            applied = words.select(
+                F.expr(
+                    "trim(replace(replace(concat(' ', t, ' '),"
+                    f" '{pat}', '{rep}'), '{pat}', '{rep}'))"
+                ).alias("t"),
+                "freq",
+            ).persist()
+            applied.count()  # materialize before dropping the parent
+            words.unpersist()
+            words = applied
+    finally:
+        words.unpersist()
+    return spark.createDataFrame(
+        merges, "rank INT, pair STRING, merged STRING, freq BIGINT"
+    )

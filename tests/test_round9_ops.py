@@ -64,6 +64,34 @@ def test_g711_wav_roundtrip_routes_by_format_code():
     assert s.dtype == np.int16
 
 
+def test_bpe_train_matches_hand_computed_merges(spark_session=None):
+    from pyspark.sql import SparkSession
+
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.textops import (
+        bpe_train,
+    )
+
+    spark = SparkSession.builder.master("local[4]").getOrCreate()
+    # corpus chosen so merges cascade: 'aaaa' runs pin the pinned
+    # double-replace semantics (non-overlapping left-to-right: a a a a
+    # -> aa aa, a a a -> aa a), and round 2 must see merged symbols.
+    docs = spark.createDataFrame(
+        [("aaaa aaaa aaa ab",), ("aaaa ab ab",), ("b b b! aaaa",)], "text string"
+    )
+    rows = [tuple(r) for r in bpe_train(docs, n_merges=3).collect()]
+    # hand computation: words = {aaaa:4, aaa:1, ab:3, b:3}
+    # round 1 pairs: 'a a': 4*3 (aaaa) + 1*2 (aaa) = 14; 'a b': 3
+    #   -> merge 'a a'->aa; applied: aaaa -> 'aa aa' (non-overlapping
+    #   left-to-right), aaa -> 'aa a', ab stays 'a b'
+    # round 2 pairs: 'aa aa':4, 'aa a':1, 'a b':3 -> 'aa aa' cnt 4
+    # round 3 pairs: 'aa a':1, 'a b':3 -> 'a b' cnt 3
+    assert rows == [
+        (1, "a a", "aa", 14),
+        (2, "aa aa", "aaaa", 4),
+        (3, "a b", "ab", 3),
+    ], rows
+
+
 @given(st.data())
 @settings(max_examples=40, deadline=None)
 def test_jpeg_restart_parallel_equals_sequential_and_planted(data):
