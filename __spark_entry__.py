@@ -116,6 +116,7 @@ from distributed_graph_database_simulation_with_load_balancing_and_threaded_requ
     PII_PHONE,
     bm25_topk,
     boilerplate_prefixes,
+    bpe_tokenize,
     bpe_train,
     chunk_documents,
     collocations,
@@ -2676,7 +2677,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # chained CTEs using the identical pinned double-replace merge
         # semantics; tie-break is (count desc, pair asc) — exact
         # integer counts make this fully deterministic cross-engine.
-        return bpe_train(load_table(spark, sf_dir, "documents"), n_merges=5)
+        # Shared with q_bpe_tokenize (one training pass per session).
+        return _shared_result(
+            spark, sf_dir, "bpe_merges",
+            lambda: bpe_train(load_table(spark, sf_dir, "documents"), n_merges=5),
+        )
+
+    def q_bpe_tokenize(spark, sf_dir):
+        # BPE apply (q_bpe_train's twin): tokenize the corpus under
+        # the learned 5-merge list and report per-doc word/token
+        # counts — the sizing pass before sequence packing.  The
+        # merge chain is applied once to the distinct-word VOCABULARY
+        # and broadcast-joined back to the exploded (doc, word)
+        # stream: the corpus never passes through the merge
+        # expressions and the big side never shuffles for the join.
+        merges_df = _shared_result(
+            spark, sf_dir, "bpe_merges",
+            lambda: bpe_train(load_table(spark, sf_dir, "documents"), n_merges=5),
+        )
+        merges = [
+            (r["pair"], r["merged"]) for r in merges_df.orderBy("rank").collect()
+        ]  # bounded: 5 rows
+        return bpe_tokenize(load_table(spark, sf_dir, "documents"), merges)
 
     def q_train_split(spark, sf_dir):
         # Deterministic hash-based 90/5/5 train/val/test assignment.
@@ -4646,6 +4668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sssp": q_sssp,
         "q_train_split": q_train_split,
         "q_bpe_train": q_bpe_train,
+        "q_bpe_tokenize": q_bpe_tokenize,
         "q_stratified_sample": q_stratified_sample,
         "q_group_sample": q_group_sample,
         "q_rollup_revenue": q_rollup_revenue,
@@ -8440,7 +8463,8 @@ def oracle_sql() -> dict[str, str]:
             ),
             b{i} AS (SELECT pair, cnt FROM p{i} ORDER BY cnt DESC, pair LIMIT 1),
             w{i} AS (
-              SELECT trim(replace(replace(' ' || t || ' ',
+              SELECT w,
+                     trim(replace(replace(' ' || t || ' ',
                        ' ' || (SELECT pair FROM b{i}) || ' ',
                        ' ' || (SELECT replace(pair, ' ', '') FROM b{i}) || ' '),
                        ' ' || (SELECT pair FROM b{i}) || ' ',
@@ -8449,17 +8473,26 @@ def oracle_sql() -> dict[str, str]:
               FROM {prev}
             )"""
 
-    oracles["q_bpe_train"] = (
+    # Shared learning chain: w0 is the (word, spaced-symbols, freq)
+    # vocabulary; each step counts pairs, argmaxes, and applies the
+    # merge, carrying the original word through for the tokenize join.
+    _bpe_chain = (
         """
         WITH w0 AS (
-          SELECT trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS t,
-                 CAST(COUNT(*) AS BIGINT) AS freq
-          FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
-                FROM documents)
-          WHERE len(w) > 0 AND len(w) <= 30
-          GROUP BY 1
+          SELECT w, trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS t, freq
+          FROM (
+            SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+            FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+                  FROM documents)
+            WHERE len(w) > 0 AND len(w) <= 30
+            GROUP BY 1
+          )
         ),"""
         + ",".join(_bpe_step(i) for i in range(1, 6))
+    )
+
+    oracles["q_bpe_train"] = (
+        _bpe_chain
         + """
         SELECT * FROM ("""
         + " UNION ALL ".join(
@@ -8468,5 +8501,22 @@ def oracle_sql() -> dict[str, str]:
             for i in range(1, 6)
         )
         + ") ORDER BY rank"
+    )
+
+    # Tokenize: join every (doc, word) occurrence to its final symbol
+    # string after the 5 learned merges; token count = symbol count.
+    oracles["q_bpe_tokenize"] = (
+        _bpe_chain
+        + """
+        , dw AS (
+          SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                 unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+          FROM documents
+        )
+        SELECT dw.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(SUM(len(str_split(v.t, ' '))) AS BIGINT) AS n_tokens
+        FROM dw JOIN w5 v ON v.w = dw.w
+        GROUP BY dw.doc_id"""
     )
     return oracles

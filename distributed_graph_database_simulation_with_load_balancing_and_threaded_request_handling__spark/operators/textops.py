@@ -896,3 +896,49 @@ def bpe_train(
     return spark.createDataFrame(
         merges, "rank INT, pair STRING, merged STRING, freq BIGINT"
     )
+
+
+def bpe_tokenize(
+    documents: DataFrame,
+    merges: list[tuple[str, str]],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_word_len: int = 30,
+) -> DataFrame:
+    """Apply learned BPE merges (round 9 — ``bpe_train``'s twin):
+    tokenize the corpus under a fixed merge list and report per-doc
+    word and token counts, the sizing pass every training-data
+    pipeline runs before packing.
+
+    Scale shape: the merge chain is applied ONCE to the distinct-word
+    vocabulary (a tiny relation, same pinned double-replace semantics
+    as training), which then BROADCAST-joins back to the exploded
+    (doc, word) stream — the corpus itself never passes through the
+    merge expressions, and the join adds no shuffle on the big side.
+
+    Returns ``(doc_id, n_words, n_tokens)``.
+    """
+    words = documents.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.explode(F.split(F.lower(F.col(text_col)), "[^a-z]+")).alias("w"),
+    ).where((F.length("w") > 0) & (F.length("w") <= max_word_len))
+    t = F.trim(F.regexp_replace(F.col("w"), "(.)", "$1 "))
+    for pair, merged in merges:
+        pat, rep = F.lit(f" {pair} "), F.lit(f" {merged} ")
+        t = F.trim(
+            F.replace(
+                F.replace(F.concat(F.lit(" "), t, F.lit(" ")), pat, rep), pat, rep
+            )
+        )
+    vocab = (
+        words.select("w").distinct().select("w", F.size(F.split(t, " ")).alias("n_tok"))
+    )
+    return (
+        words.join(F.broadcast(vocab), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
+    )
