@@ -2440,6 +2440,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ),
         )
 
+    def q_mjpeg_frames(spark, sf_dir):
+        # REAL video decode (round 9): MJPEG-in-AVI — each frame an
+        # independent baseline JPEG inside a RIFF/AVI 'movi' LIST, so
+        # the from-scratch JPEG codec IS the video decoder.  Container
+        # walk -> every-2nd-frame sampling -> full entropy decode, in
+        # one Arrow stage.  weighted_sum = Σ pix*(31r+17c+1) is
+        # position-sensitive (plain sums cancel the planted AC bases),
+        # so the oracle value-checks every pixel of every sampled
+        # frame.  Frames are independent by format — the video
+        # analogue of JPEG restart segments and ADPCM blocks.
+        from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.multimodal import (
+            mjpeg_frame_stats,
+            plant_encoded_mjpeg,
+        )
+
+        return mjpeg_frame_stats(
+            plant_encoded_mjpeg(load_table(spark, sf_dir, "documents")), every=2
+        )
+
     def q_jpeg_progressive(spark, sf_dir):
         # REAL progressive (SOF2) JPEG decode (round 9 — the last
         # JPEG seam): the SAME planted pixels as q_jpeg_decode, but
@@ -4722,6 +4741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_jpeg_color": q_jpeg_color,  # new round 9
         "q_jpeg_progressive": q_jpeg_progressive,  # new round 9
         "q_jpeg_restart": q_jpeg_restart,  # new round 9
+        "q_mjpeg_frames": q_mjpeg_frames,  # new round 9
         "q_clustering_coeff": q_clustering_coeff,
         "q_link_pred": q_link_pred,
         "q_stream_attrib": q_stream_attrib,
@@ -8444,6 +8464,43 @@ def oracle_sql() -> dict[str, str]:
     # DRI/RSTn segmentation is an encoding detail the decode must
     # erase, so the oracle is q_jpeg_decode's verbatim.
     oracles["q_jpeg_restart"] = oracles["q_jpeg_decode"]
+
+    # MJPEG AVI: every sampled frame's pixels replay closed-form (the
+    # q_jpeg_decode construction with the frame index mixed in); the
+    # position-weighted checksum makes the check pixel-exact.
+    oracles["q_mjpeg_frames"] = """
+        WITH grid AS (
+          SELECT r.r, c.c FROM range(0, 16) r(r) CROSS JOIN range(0, 16) c(c)
+        ),
+        fr AS (
+          SELECT CAST(d.doc_id AS BIGINT) AS media_id,
+                 CAST(2 + d.doc_id % 4 AS BIGINT) AS n_frames,
+                 CAST(f.range AS BIGINT) AS frame_idx
+          FROM documents d JOIN range(0, 5) f
+            ON f.range < 2 + d.doc_id % 4 AND f.range % 2 = 0
+        ),
+        px AS (
+          SELECT fr.media_id, fr.n_frames, fr.frame_idx, g.r, g.c,
+                 (64 + (17 * (2 * (g.r // 8) + (g.c // 8))
+                        + 5 * fr.media_id + 29 * fr.frame_idx) % 128)
+                 + ((3 * (2 * (g.r // 8) + (g.c // 8))
+                     + fr.media_id + fr.frame_idx) % 9 - 4)
+                   * (CASE WHEN (g.r % 8) IN (0, 3, 4, 7) THEN 1 ELSE -1 END)
+                 + ((3 * (2 * (g.r // 8) + (g.c // 8))
+                     + fr.media_id + fr.frame_idx + 1) % 9 - 4)
+                   * (CASE WHEN (g.c % 8) IN (0, 3, 4, 7) THEN 1 ELSE -1 END)
+                 + ((3 * (2 * (g.r // 8) + (g.c // 8))
+                     + fr.media_id + fr.frame_idx + 2) % 9 - 4)
+                   * (CASE WHEN (g.r % 8) IN (0, 3, 4, 7) THEN 1 ELSE -1 END)
+                   * (CASE WHEN (g.c % 8) IN (0, 3, 4, 7) THEN 1 ELSE -1 END)
+                 AS pix
+          FROM fr CROSS JOIN grid g
+        )
+        SELECT media_id, n_frames, frame_idx,
+               CAST(SUM(pix) AS BIGINT) AS pix_sum,
+               CAST(SUM(pix * (31 * r + 17 * c + 1)) AS BIGINT) AS weighted_sum
+        FROM px GROUP BY media_id, n_frames, frame_idx
+    """
 
     # BPE merge training: 5 chained (pair-count -> argmax -> apply)
     # CTE steps with the pinned double-replace merge semantics (two

@@ -64,6 +64,34 @@ def test_g711_wav_roundtrip_routes_by_format_code():
     assert s.dtype == np.int16
 
 
+def test_mjpeg_avi_roundtrip_and_rejection():
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.multimodal import (
+        _avi_mjpeg_bytes,
+        jpeg_gray_decode,
+        jpeg_gray_encode,
+        mjpeg_avi_frames,
+    )
+
+    rng = np.random.default_rng(3)
+    frames = [rng.integers(0, 256, size=(16, 16)) for _ in range(5)]
+    avi = _avi_mjpeg_bytes([jpeg_gray_encode(f) for f in frames], 16, 16)
+    got = mjpeg_avi_frames(avi)
+    assert len(got) == 5
+    for f, payload in zip(frames, got):
+        # MJPEG frames are plain baseline JPEGs: lossy on arbitrary
+        # pixels but within the codec's pinned error bound
+        assert np.abs(jpeg_gray_decode(payload) - f).max() <= 2
+    with pytest.raises(ValueError):
+        mjpeg_avi_frames(b"definitely not an avi")
+    with pytest.raises(ValueError):
+        # valid RIFF, wrong form type
+        mjpeg_avi_frames(b"RIFF\x04\x00\x00\x00WAVE")
+    # AVI whose video stream is not MJPG must be rejected, not decoded
+    bad = avi.replace(b"vidsMJPG", b"vidsH264")
+    with pytest.raises(ValueError):
+        mjpeg_avi_frames(bad)
+
+
 def test_bpe_train_matches_hand_computed_merges(spark_session=None):
     from pyspark.sql import SparkSession
 
