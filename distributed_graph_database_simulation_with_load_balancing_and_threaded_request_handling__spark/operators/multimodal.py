@@ -54,6 +54,18 @@ META_SCHEMA = StructType(
     ]
 )
 
+def _spread(ids: DataFrame) -> DataFrame:
+    """Spread the fixture id relation across the session's parallelism
+    before planting (round 9): the documents scan is a single parquet
+    file at small SF — ONE partition — which would serialize every
+    per-row codec in the Arrow stage onto one core (measured:
+    q_mjpeg_frames 10 s single-core vs sub-second spread).  Real media
+    arrives pre-partitioned; the repartition models that and costs
+    only a shuffle of bare ids."""
+    n = ids.sparkSession.sparkContext.defaultParallelism
+    return ids.repartition(n)
+
+
 def attach_media(documents: DataFrame, *, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Demo media table over the documents fixture: utf-8 bytes of the
     text as the opaque payload (deterministic, library-free).  Real
@@ -329,7 +341,7 @@ def plant_audio(documents: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    return documents.select(id_col).mapInPandas(build, schema=MEDIA_SCHEMA)
+    return _spread(documents.select(id_col)).mapInPandas(build, schema=MEDIA_SCHEMA)
 
 
 def plant_audio_signal(documents: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
@@ -362,7 +374,7 @@ def plant_audio_signal(documents: DataFrame, *, id_col: str = "doc_id") -> DataF
                 }
             )
 
-    return documents.select(id_col).mapInPandas(build, schema=MEDIA_SCHEMA)
+    return _spread(documents.select(id_col)).mapInPandas(build, schema=MEDIA_SCHEMA)
 
 
 AUDIO_FEATURES_SCHEMA = StructType(
@@ -534,7 +546,7 @@ def plant_g711_audio(documents: DataFrame, *, id_col: str = "doc_id") -> DataFra
                 }
             )
 
-    return documents.select(id_col).mapInPandas(build, schema=MEDIA_SCHEMA)
+    return _spread(documents.select(id_col)).mapInPandas(build, schema=MEDIA_SCHEMA)
 
 
 G711_FEATURES_SCHEMA = StructType(
@@ -734,7 +746,7 @@ def plant_ima_adpcm_audio(documents: DataFrame, *, id_col: str = "doc_id") -> Da
                 }
             )
 
-    return documents.select(id_col).mapInPandas(build, schema=MEDIA_SCHEMA)
+    return _spread(documents.select(id_col)).mapInPandas(build, schema=MEDIA_SCHEMA)
 
 
 ADPCM_FEATURES_SCHEMA = StructType(
@@ -843,7 +855,7 @@ def plant_images(documents: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    return documents.select(id_col).mapInPandas(build, schema=MEDIA_SCHEMA)
+    return _spread(documents.select(id_col)).mapInPandas(build, schema=MEDIA_SCHEMA)
 
 
 def _png_chunk(tag: bytes, body: bytes) -> bytes:
@@ -1183,7 +1195,7 @@ def plant_encoded_pngs(documents: DataFrame, *, id_col: str = "doc_id") -> DataF
                 }
             )
 
-    return documents.select(id_col).mapInPandas(build, schema=MEDIA_SCHEMA)
+    return _spread(documents.select(id_col)).mapInPandas(build, schema=MEDIA_SCHEMA)
 
 
 def plant_encoded_rgb_pngs(documents: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
@@ -1214,7 +1226,7 @@ def plant_encoded_rgb_pngs(documents: DataFrame, *, id_col: str = "doc_id") -> D
                 }
             )
 
-    return documents.select(id_col).mapInPandas(build, schema=MEDIA_SCHEMA)
+    return _spread(documents.select(id_col)).mapInPandas(build, schema=MEDIA_SCHEMA)
 
 
 def plant_encoded_adam7_pngs(documents: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
@@ -1245,7 +1257,7 @@ def plant_encoded_adam7_pngs(documents: DataFrame, *, id_col: str = "doc_id") ->
                 }
             )
 
-    return documents.select(id_col).mapInPandas(build, schema=MEDIA_SCHEMA)
+    return _spread(documents.select(id_col)).mapInPandas(build, schema=MEDIA_SCHEMA)
 
 
 def plant_encoded_palette_pngs(documents: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
@@ -1286,7 +1298,7 @@ def plant_encoded_palette_pngs(documents: DataFrame, *, id_col: str = "doc_id") 
                 }
             )
 
-    return documents.select(id_col).mapInPandas(build, schema=MEDIA_SCHEMA)
+    return _spread(documents.select(id_col)).mapInPandas(build, schema=MEDIA_SCHEMA)
 
 
 RGB_STATS_SCHEMA = StructType(
@@ -2309,7 +2321,7 @@ def plant_encoded_jpegs(
                 }
             )
 
-    return documents.select(id_col).mapInPandas(build, schema=MEDIA_SCHEMA)
+    return _spread(documents.select(id_col)).mapInPandas(build, schema=MEDIA_SCHEMA)
 
 
 def jpeg_decode_stats(
@@ -2478,7 +2490,7 @@ def plant_encoded_mjpeg(documents: DataFrame, *, id_col: str = "doc_id") -> Data
                 }
             )
 
-    return documents.select(id_col).mapInPandas(build, schema=MEDIA_SCHEMA)
+    return _spread(documents.select(id_col)).mapInPandas(build, schema=MEDIA_SCHEMA)
 
 
 MJPEG_FRAME_SCHEMA = StructType(
@@ -2825,7 +2837,7 @@ def plant_encoded_gifs(documents: DataFrame, *, id_col: str = "doc_id") -> DataF
                 }
             )
 
-    return documents.select(id_col).mapInPandas(build, schema=MEDIA_SCHEMA)
+    return _spread(documents.select(id_col)).mapInPandas(build, schema=MEDIA_SCHEMA)
 
 
 GIF_FRAME_SCHEMA = StructType(
@@ -2931,7 +2943,7 @@ def plant_encoded_color_jpegs(documents: DataFrame, *, id_col: str = "doc_id") -
                 }
             )
 
-    return documents.select(id_col).mapInPandas(build, schema=MEDIA_SCHEMA)
+    return _spread(documents.select(id_col)).mapInPandas(build, schema=MEDIA_SCHEMA)
 
 
 COLOR_JPEG_SCHEMA = StructType(
