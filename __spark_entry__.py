@@ -2440,6 +2440,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ),
         )
 
+    def q_warc_parse(spark, sf_dir):
+        # REAL WARC ingestion (round 9): Common Crawl's wire format —
+        # multi-member gzip (one member per record, the layout that
+        # lets an index point at member offsets for record-level range
+        # reads = task-level splits at 100 TB), walked with a zlib
+        # decompressobj loop, headers parsed, payload sliced by
+        # Content-Length.  c_count is a content checksum the oracle
+        # replays arithmetically, proving the members inflated to the
+        # right bytes (length alone would pass a zero-filled payload).
+        from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.sources.warc import (
+            plant_warc,
+            warc_records,
+        )
+
+        return warc_records(plant_warc(load_table(spark, sf_dir, "documents")))
+
     def q_mjpeg_frames(spark, sf_dir):
         # REAL video decode (round 9): MJPEG-in-AVI — each frame an
         # independent baseline JPEG inside a RIFF/AVI 'movi' LIST, so
@@ -4742,6 +4758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_jpeg_progressive": q_jpeg_progressive,  # new round 9
         "q_jpeg_restart": q_jpeg_restart,  # new round 9
         "q_mjpeg_frames": q_mjpeg_frames,  # new round 9
+        "q_warc_parse": q_warc_parse,  # new round 9
         "q_clustering_coeff": q_clustering_coeff,
         "q_link_pred": q_link_pred,
         "q_stream_attrib": q_stream_attrib,
@@ -8464,6 +8481,32 @@ def oracle_sql() -> dict[str, str]:
     # DRI/RSTn segmentation is an encoding detail the decode must
     # erase, so the oracle is q_jpeg_decode's verbatim.
     oracles["q_jpeg_restart"] = oracles["q_jpeg_decode"]
+
+    # WARC: record 0 is the warcinfo ('format: WARC/1.0', 16 bytes, no
+    # lowercase 'c'); response r's payload is 'doc {id} rec {r} '
+    # repeated 10 + (id+r) % 20 times — lengths and 'c' counts replay
+    # from the same string arithmetic.
+    oracles["q_warc_parse"] = """
+        WITH resp AS (
+          SELECT CAST(d.doc_id AS BIGINT) AS media_id,
+                 CAST(r.range + 1 AS BIGINT) AS rec_idx,
+                 CAST(10 + (d.doc_id + r.range) % 20 AS BIGINT) AS k,
+                 'doc ' || d.doc_id || ' rec ' || r.range || ' ' AS unit
+          FROM documents d JOIN range(0, 3) r ON r.range < 1 + d.doc_id % 3
+        )
+        SELECT CAST(doc_id AS BIGINT) AS media_id,
+               CAST(0 AS BIGINT) AS rec_idx,
+               'warcinfo' AS warc_type,
+               CAST(16 AS BIGINT) AS content_length,
+               CAST(0 AS BIGINT) AS c_count
+        FROM documents
+        UNION ALL
+        SELECT media_id, rec_idx, 'response' AS warc_type,
+               CAST(k * len(unit) AS BIGINT) AS content_length,
+               CAST(k * (len(unit) - len(replace(unit, 'c', ''))) AS BIGINT)
+                   AS c_count
+        FROM resp
+    """
 
     # MJPEG AVI: every sampled frame's pixels replay closed-form (the
     # q_jpeg_decode construction with the frame index mixed in); the

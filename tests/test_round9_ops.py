@@ -64,6 +64,33 @@ def test_g711_wav_roundtrip_routes_by_format_code():
     assert s.dtype == np.int16
 
 
+def test_warc_multimember_roundtrip_and_rejection():
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.sources.warc import (
+        warc_decode,
+        warc_encode,
+    )
+
+    recs = [
+        ("warcinfo", "urn:warc:1", b"format: WARC/1.0"),
+        ("response", "http://example.org/a", b"hello world " * 7),
+        ("response", "http://example.org/b", b""),  # empty payload legal
+    ]
+    enc = warc_encode(recs)
+    # multi-member: each record its own gzip member (CC layout)
+    assert enc.count(b"\x1f\x8b\x08") >= 3
+    assert warc_decode(enc) == recs
+    # deterministic bytes (mtime pinned)
+    assert warc_encode(recs) == enc
+    with pytest.raises(ValueError):
+        warc_decode(b"plainly not gzip")
+    with pytest.raises(ValueError):
+        warc_decode(enc[:-4])  # truncated final member
+    import gzip
+
+    with pytest.raises(ValueError):
+        warc_decode(gzip.compress(b"HTTP/1.1 200 OK\r\n\r\nnot warc"))
+
+
 def test_mjpeg_avi_roundtrip_and_rejection():
     from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.multimodal import (
         _avi_mjpeg_bytes,
