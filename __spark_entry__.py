@@ -2298,6 +2298,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ),
         )
 
+    def q_jpeg_prog_color(spark, sf_dir):
+        # REAL progressive COLOR JPEG decode (round 9 — the last JPEG
+        # shape, what `cjpeg -progressive` emits for photos): SOF2 +
+        # 4:2:0 YCbCr with interleaved DC scans (per-component
+        # predictors, MCU order) and per-component AC scans (T.81 G.1
+        # forbids interleaved progressive AC), stress-proven
+        # bit-identical to the baseline color decoder on random
+        # images.  Scan structure is an encoding detail the decode
+        # must erase, so the oracle is q_jpeg_color's verbatim.
+        from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.multimodal import (
+            jpeg_ycbcr_progressive_decode,
+        )
+
+        return _shared_result(
+            spark, sf_dir, "media_jpegprogcolor",
+            lambda: jpeg_color_stats(
+                plant_encoded_color_jpegs(
+                    load_table(spark, sf_dir, "documents"), progressive=True
+                ),
+                decode=jpeg_ycbcr_progressive_decode,
+            ),
+        )
+
     def q_gif_frames(spark, sf_dir):
         # REAL decoded-frame sampling (round-8 verdict #7): fully
         # encoded animated GIF89a streams (global gray palette,
@@ -4755,6 +4778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_jpeg_decode": q_jpeg_decode,
         "q_gif_frames": q_gif_frames,  # new round 9 (never-recorded -> heads the window)
         "q_jpeg_color": q_jpeg_color,  # new round 9
+        "q_jpeg_prog_color": q_jpeg_prog_color,  # new round 9
         "q_jpeg_progressive": q_jpeg_progressive,  # new round 9
         "q_jpeg_restart": q_jpeg_restart,  # new round 9
         "q_mjpeg_frames": q_mjpeg_frames,  # new round 9
@@ -8481,6 +8505,10 @@ def oracle_sql() -> dict[str, str]:
     # DRI/RSTn segmentation is an encoding detail the decode must
     # erase, so the oracle is q_jpeg_decode's verbatim.
     oracles["q_jpeg_restart"] = oracles["q_jpeg_decode"]
+    # Progressive COLOR streams carry the SAME planted planes as the
+    # baseline color fixtures — scan structure is an encoding detail
+    # the decode must erase, so the oracle is q_jpeg_color's verbatim.
+    oracles["q_jpeg_prog_color"] = oracles["q_jpeg_color"]
 
     # WARC: record 0 is the warcinfo ('format: WARC/1.0', 16 bytes, no
     # lowercase 'c'); response r's payload is 'doc {id} rec {r} '

@@ -64,6 +64,55 @@ def test_g711_wav_roundtrip_routes_by_format_code():
     assert s.dtype == np.int16
 
 
+def test_progressive_color_equals_baseline_color():
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.multimodal import (
+        jpeg_color_decode,
+        jpeg_progressive_color_decode,
+        jpeg_ycbcr_decode,
+        jpeg_ycbcr_encode,
+        jpeg_ycbcr_encode_progressive,
+        jpeg_ycbcr_progressive_decode,
+    )
+
+    rng = np.random.default_rng(13)
+    for t in range(25):
+        mh, mw = int(rng.integers(1, 4)), int(rng.integers(1, 4))
+        H, W = mh * 16, mw * 16
+        Y = rng.integers(0, 256, size=(H, W))
+        Cb = rng.integers(0, 256, size=(H // 2, W // 2))
+        Cr = rng.integers(0, 256, size=(H // 2, W // 2))
+        enc_p = jpeg_ycbcr_encode_progressive(Y, Cb, Cr)
+        enc_b = jpeg_ycbcr_encode(Y, Cb, Cr)
+        # progressive coefficient coding across a full scan script is
+        # lossless: all planes AND the RGB conversion must be
+        # bit-identical to the baseline decode of the same image
+        for p, b in zip(
+            jpeg_ycbcr_progressive_decode(enc_p), jpeg_ycbcr_decode(enc_b)
+        ):
+            assert (p == b).all(), t
+        assert (
+            jpeg_progressive_color_decode(enc_p) == jpeg_color_decode(enc_b)
+        ).all(), t
+
+
+def test_progressive_color_rejects_wrong_shapes():
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.multimodal import (
+        jpeg_gray_encode,
+        jpeg_ycbcr_encode,
+        jpeg_ycbcr_progressive_decode,
+    )
+
+    with pytest.raises(NotImplementedError):
+        # baseline stream routed to the progressive decoder
+        jpeg_ycbcr_progressive_decode(
+            jpeg_ycbcr_encode(
+                np.full((16, 16), 128), np.full((8, 8), 128), np.full((8, 8), 128)
+            )
+        )
+    with pytest.raises((NotImplementedError, ValueError)):
+        jpeg_ycbcr_progressive_decode(jpeg_gray_encode(np.full((8, 8), 99)))
+
+
 def test_warc_multimember_roundtrip_and_rejection():
     from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.sources.warc import (
         warc_decode,
