@@ -116,6 +116,7 @@ from distributed_graph_database_simulation_with_load_balancing_and_threaded_requ
     PII_PHONE,
     bm25_topk,
     boilerplate_prefixes,
+    bpe_fertility,
     bpe_tokenize,
     bpe_train,
     chunk_documents,
@@ -2758,6 +2759,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ]  # bounded: 5 rows
         return bpe_tokenize(load_table(spark, sf_dir, "documents"), merges)
 
+    def q_bpe_fertility(spark, sf_dir):
+        # Tokenizer-coverage readout: per-language fertility (tokens
+        # per word, integer ppm) under the shared learned merges —
+        # the standard multilingual-tokenizer-fit metric.  Same
+        # vocabulary-broadcast shape as q_bpe_tokenize; one map-side-
+        # combined groupBy on language.
+        merges_df = _shared_result(
+            spark, sf_dir, "bpe_merges",
+            lambda: bpe_train(load_table(spark, sf_dir, "documents"), n_merges=5),
+        )
+        merges = [
+            (r["pair"], r["merged"]) for r in merges_df.orderBy("rank").collect()
+        ]
+        return bpe_fertility(load_table(spark, sf_dir, "documents"), merges)
+
     def q_train_split(spark, sf_dir):
         # Deterministic hash-based 90/5/5 train/val/test assignment.
         docs = load_table(spark, sf_dir, "documents")
@@ -4727,6 +4743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_train_split": q_train_split,
         "q_bpe_train": q_bpe_train,
         "q_bpe_tokenize": q_bpe_tokenize,
+        "q_bpe_fertility": q_bpe_fertility,
         "q_stratified_sample": q_stratified_sample,
         "q_group_sample": q_group_sample,
         "q_rollup_revenue": q_rollup_revenue,
@@ -8579,9 +8596,15 @@ def oracle_sql() -> dict[str, str]:
     # they are never adjacent).  Tie-break (cnt DESC, pair ASC);
     # integer counts make the argmax engine-exact.
     def _bpe_step(i: int) -> str:
+        # Every CTE is MATERIALIZED: each level is referenced more
+        # than once (w{i} reads w{i-1}; b{i}'s scalar subqueries are
+        # referenced four times inside w{i}), so un-materialized
+        # inlining re-evaluates the whole lower chain multiplicatively
+        # per level — measured as a hang at 5 merges.  Same fence
+        # class as the q_scc NLJ guard.
         prev = f"w{i-1}"
         return f"""
-            p{i} AS (
+            p{i} AS MATERIALIZED (
               SELECT toks[k + 1] || ' ' || toks[k + 2] AS pair,
                      SUM(freq) AS cnt
               FROM (SELECT str_split(t, ' ') AS toks, freq FROM {prev}),
@@ -8589,8 +8612,10 @@ def oracle_sql() -> dict[str, str]:
               WHERE k < len(toks) - 1
               GROUP BY 1
             ),
-            b{i} AS (SELECT pair, cnt FROM p{i} ORDER BY cnt DESC, pair LIMIT 1),
-            w{i} AS (
+            b{i} AS MATERIALIZED (
+              SELECT pair, cnt FROM p{i} ORDER BY cnt DESC, pair LIMIT 1
+            ),
+            w{i} AS MATERIALIZED (
               SELECT w,
                      trim(replace(replace(' ' || t || ' ',
                        ' ' || (SELECT pair FROM b{i}) || ' ',
@@ -8606,7 +8631,7 @@ def oracle_sql() -> dict[str, str]:
     # merge, carrying the original word through for the tokenize join.
     _bpe_chain = (
         """
-        WITH w0 AS (
+        WITH w0 AS MATERIALIZED (
           SELECT w, trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS t, freq
           FROM (
             SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
@@ -8646,5 +8671,23 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(len(str_split(v.t, ' '))) AS BIGINT) AS n_tokens
         FROM dw JOIN w5 v ON v.w = dw.w
         GROUP BY dw.doc_id"""
+    )
+
+    # Fertility: the same vocabulary join grouped by language; integer
+    # ppm so both engines floor-divide identically.
+    oracles["q_bpe_fertility"] = (
+        _bpe_chain
+        + """
+        , dw AS (
+          SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+          FROM documents
+        )
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(SUM(len(str_split(v.t, ' '))) AS BIGINT) AS n_tokens,
+               CAST(SUM(len(str_split(v.t, ' '))) * 1000000
+                    // COUNT(*) AS BIGINT) AS fertility_ppm
+        FROM dw JOIN w5 v ON v.w = dw.w
+        GROUP BY lang"""
     )
     return oracles

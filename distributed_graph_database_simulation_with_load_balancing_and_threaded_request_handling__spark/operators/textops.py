@@ -942,3 +942,57 @@ def bpe_tokenize(
             F.sum("n_tok").cast("long").alias("n_tokens"),
         )
     )
+
+
+def bpe_fertility(
+    documents: DataFrame,
+    merges: list[tuple[str, str]],
+    *,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    max_word_len: int = 30,
+) -> DataFrame:
+    """Tokenizer-coverage readout (round 9): per-language FERTILITY —
+    tokens per word under a fixed merge list — the standard metric for
+    how well a tokenizer fits each language in a multilingual corpus
+    (high fertility = the language pays more sequence length per word).
+
+    Same scale shape as ``bpe_tokenize``: merges apply once to the
+    vocabulary, broadcast-join back to the exploded (lang, word)
+    stream, one map-side-combined groupBy on language.  Fertility is
+    integer parts-per-million (floor division over exact counts) so
+    the oracle replays it bit-for-bit.
+
+    Returns ``(lang, n_words, n_tokens, fertility_ppm)``.
+    """
+    words = documents.select(
+        F.col(lang_col).alias("lang"),
+        F.explode(F.split(F.lower(F.col(text_col)), "[^a-z]+")).alias("w"),
+    ).where((F.length("w") > 0) & (F.length("w") <= max_word_len))
+    t = F.trim(F.regexp_replace(F.col("w"), "(.)", "$1 "))
+    for pair, merged in merges:
+        pat, rep = F.lit(f" {pair} "), F.lit(f" {merged} ")
+        t = F.trim(
+            F.replace(
+                F.replace(F.concat(F.lit(" "), t, F.lit(" ")), pat, rep), pat, rep
+            )
+        )
+    vocab = (
+        words.select("w").distinct().select("w", F.size(F.split(t, " ")).alias("n_tok"))
+    )
+    return (
+        words.join(F.broadcast(vocab), "w")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
+        .select(
+            "lang",
+            "n_words",
+            "n_tokens",
+            F.expr("(n_tokens * 1000000) div n_words").cast("long").alias(
+                "fertility_ppm"
+            ),
+        )
+    )
