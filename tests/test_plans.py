@@ -50,6 +50,16 @@ def test_brand_revenue_broadcasts_the_dim_side(spark):
     assert "SortMergeJoin" not in plan  # dim join must not degrade
 
 
+def test_bpe_tokenize_broadcasts_the_vocabulary(spark):
+    # The merged vocabulary must broadcast back to the exploded
+    # (doc, word) stream — the big side never shuffles for the join
+    # (round 9; the fertility query shares the shape).
+    df = entry.queries()["q_bpe_tokenize"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_sim_topk_uses_take_ordered(spark):
     # Top-k must be TakeOrderedAndProject (per-partition heaps, k rows
     # to the driver), never a global sort followed by a limit.
