@@ -305,6 +305,8 @@ def wav_pcm_decode(data: bytes):
         cid = data[pos : pos + 4]
         size = struct.unpack("<I", data[pos + 4 : pos + 8])[0]
         if cid == b"fmt ":
+            if pos + 24 > len(data):
+                raise ValueError("truncated fmt chunk")
             audio_format = struct.unpack("<H", data[pos + 8 : pos + 10])[0]
             bits = struct.unpack("<H", data[pos + 22 : pos + 24])[0]
         elif cid == b"data":
@@ -490,6 +492,8 @@ def g711_decode(data: bytes):
         cid = data[pos : pos + 4]
         size = struct.unpack("<I", data[pos + 4 : pos + 8])[0]
         if cid == b"fmt ":
+            if pos + 24 > len(data):
+                raise ValueError("truncated fmt chunk")
             audio_format = struct.unpack("<H", data[pos + 8 : pos + 10])[0]
             bits = struct.unpack("<H", data[pos + 22 : pos + 24])[0]
         elif cid == b"data":
@@ -661,6 +665,8 @@ def ima_adpcm_decode(data: bytes):
         cid = data[pos : pos + 4]
         size = struct.unpack("<I", data[pos + 4 : pos + 8])[0]
         if cid == b"fmt ":
+            if pos + 24 > len(data):
+                raise ValueError("truncated fmt chunk")
             audio_format, channels = struct.unpack("<HH", data[pos + 8 : pos + 12])
             block_align, bits = struct.unpack("<HH", data[pos + 20 : pos + 24])
         elif cid == b"data":

@@ -64,6 +64,60 @@ def test_g711_wav_roundtrip_routes_by_format_code():
     assert s.dtype == np.int16
 
 
+@given(st.binary(max_size=96), st.integers(0, 4))
+@settings(max_examples=300, deadline=None)
+def test_round9_decoders_never_crash_on_garbage(data, which):
+    """Every round-9 decoder sees arbitrary media payload bytes in
+    production: the only legal outcomes on garbage are a decode, a
+    ValueError, or a NotImplementedError — never IndexError or
+    struct.error (the fuzz that found the truncated-fmt-chunk crash
+    this test now pins)."""
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.multimodal import (
+        g711_decode,
+        ima_adpcm_decode,
+        mjpeg_avi_frames,
+        wav_pcm_decode,
+    )
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.sources.warc import (
+        warc_decode,
+    )
+
+    fn = (g711_decode, ima_adpcm_decode, mjpeg_avi_frames, warc_decode, wav_pcm_decode)[
+        which
+    ]
+    try:
+        fn(data)
+    except (ValueError, NotImplementedError):
+        pass
+
+
+@given(st.binary(max_size=40), st.integers(0, 4))
+@settings(max_examples=300, deadline=None)
+def test_round9_decoders_never_crash_on_corrupted_headers(data, which):
+    # graft garbage onto real container magic so header paths are hit
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.multimodal import (
+        g711_decode,
+        ima_adpcm_decode,
+        mjpeg_avi_frames,
+        wav_pcm_decode,
+    )
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.sources.warc import (
+        warc_decode,
+    )
+
+    fn, magic = (
+        (g711_decode, b"RIFF\x20\x00\x00\x00WAVEfmt "),
+        (ima_adpcm_decode, b"RIFF\x20\x00\x00\x00WAVEfmt "),
+        (mjpeg_avi_frames, b"RIFF\x20\x00\x00\x00AVI LIST"),
+        (warc_decode, b"\x1f\x8b\x08\x00\x00\x00\x00\x00"),
+        (wav_pcm_decode, b"RIFF\x20\x00\x00\x00WAVEfmt "),
+    )[which]
+    try:
+        fn(magic + data)
+    except (ValueError, NotImplementedError):
+        pass
+
+
 def test_progressive_color_equals_baseline_color():
     from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.multimodal import (
         jpeg_color_decode,
