@@ -119,6 +119,7 @@ from distributed_graph_database_simulation_with_load_balancing_and_threaded_requ
     bpe_fertility,
     bpe_tokenize,
     bpe_train,
+    json_extract_features,
     chunk_documents,
     collocations,
     lang_confusion,
@@ -2464,6 +2465,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ),
         )
 
+    def q_json_extract(spark, sf_dir):
+        # Native JSON path (round 9): planted JSON metadata parsed by
+        # Spark's Jackson-backed from_json (JVM codegen, no Python) —
+        # scalars, nested struct, array length + indexing — against
+        # DuckDB's yyjson parsing the identical printf-built string:
+        # two independent JSON parsers must agree on every value.
+        return json_extract_features(load_table(spark, sf_dir, "documents"))
+
     def q_warc_parse(spark, sf_dir):
         # REAL WARC ingestion (round 9): Common Crawl's wire format —
         # multi-member gzip (one member per record, the layout that
@@ -4800,6 +4809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_jpeg_restart": q_jpeg_restart,  # new round 9
         "q_mjpeg_frames": q_mjpeg_frames,  # new round 9
         "q_warc_parse": q_warc_parse,  # new round 9
+        "q_json_extract": q_json_extract,  # new round 9
         "q_clustering_coeff": q_clustering_coeff,
         "q_link_pred": q_link_pred,
         "q_stream_attrib": q_stream_attrib,
@@ -8526,6 +8536,25 @@ def oracle_sql() -> dict[str, str]:
     # baseline color fixtures — scan structure is an encoding detail
     # the decode must erase, so the oracle is q_jpeg_color's verbatim.
     oracles["q_jpeg_prog_color"] = oracles["q_jpeg_color"]
+
+    # JSON: the oracle builds the identical payload with printf and
+    # parses it with DuckDB's native yyjson functions — an independent
+    # JSON parser agreeing with Spark's Jackson on every value.
+    oracles["q_json_extract"] = """
+        WITH j AS (
+          SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                 printf('{"id": %d, "views": %d, "tags": ["t%d", "t%d"], "meta": {"score": %d}}',
+                        doc_id, (doc_id * 7) % 1000, doc_id % 5,
+                        (doc_id + 1) % 7, (doc_id * 3) % 100) AS payload
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(json_extract(payload, '$.views') AS BIGINT) AS views,
+               CAST(json_extract(payload, '$.meta.score') AS BIGINT) AS score,
+               CAST(json_array_length(payload, '$.tags') AS BIGINT) AS n_tags,
+               json_extract_string(payload, '$.tags[0]') AS tag0
+        FROM j
+    """
 
     # WARC: record 0 is the warcinfo ('format: WARC/1.0', 16 bytes, no
     # lowercase 'c'); response r's payload is 'doc {id} rec {r} '

@@ -996,3 +996,36 @@ def bpe_fertility(
             ),
         )
     )
+
+
+def json_extract_features(documents: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """Semi-structured JSON extraction (round 9): every real corpus
+    carries JSON metadata sidecars (CC 'metadata' records, API dumps,
+    annotation exports), so the engine needs the native JSON path —
+    not a regex.  A deterministic JSON payload is planted per doc
+    (arithmetic in the id, built with format_string so the oracle
+    builds the identical string with printf), then parsed with
+    ``from_json`` — Spark's real Jackson-backed parser, JVM-side
+    codegen, no Python — extracting scalars, a nested struct field,
+    and array length/indexing.  The DuckDB oracle parses the same
+    string with its native yyjson functions: two independent JSON
+    parsers must agree on every extracted value.
+
+    Returns ``(doc_id, views, score, n_tags, tag0)``.
+    """
+    i = F.col(id_col).cast("long")
+    payload = F.format_string(
+        '{"id": %d, "views": %d, "tags": ["t%d", "t%d"], "meta": {"score": %d}}',
+        i, (i * 7) % 1000, i % 5, (i + 1) % 7, (i * 3) % 100,
+    )
+    parsed = F.from_json(
+        payload,
+        "id BIGINT, views BIGINT, tags ARRAY<STRING>, meta STRUCT<score: BIGINT>",
+    )
+    return documents.select(
+        i.alias("doc_id"),
+        parsed["views"].alias("views"),
+        parsed["meta"]["score"].alias("score"),
+        F.size(parsed["tags"]).cast("long").alias("n_tags"),
+        parsed["tags"][0].alias("tag0"),
+    )
