@@ -170,6 +170,7 @@ from distributed_graph_database_simulation_with_load_balancing_and_threaded_requ
     grouped_split_summary,
     group_sample_exact,
     leakage_matrix,
+    negative_sample,
     rate_threshold,
     sample_quantile_err,
     split_thresholds,
@@ -2464,6 +2465,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 out_w=8, out_h=8, decode=jpeg_gray_decode_parallel,
             ),
         )
+
+    def q_negative_sample(spark, sf_dir):
+        # Contrastive-training negative sampling (round 9): k=3
+        # deterministic cross-language negatives per anchor via
+        # hash-blocked slices — each anchor probes ONE md5-chosen
+        # bucket (N x N/16 join, never all-pairs), per-anchor window
+        # rank over salted md5 — the engine-portable split idiom, so
+        # the oracle replays membership and ranking exactly.
+        return negative_sample(load_table(spark, sf_dir, "documents"), k=3)
 
     def q_json_extract(spark, sf_dir):
         # Native JSON path (round 9): planted JSON metadata parsed by
@@ -4810,6 +4820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mjpeg_frames": q_mjpeg_frames,  # new round 9
         "q_warc_parse": q_warc_parse,  # new round 9
         "q_json_extract": q_json_extract,  # new round 9
+        "q_negative_sample": q_negative_sample,  # new round 9
         "q_clustering_coeff": q_clustering_coeff,
         "q_link_pred": q_link_pred,
         "q_stream_attrib": q_stream_attrib,
@@ -8536,6 +8547,32 @@ def oracle_sql() -> dict[str, str]:
     # baseline color fixtures — scan structure is an encoding detail
     # the decode must erase, so the oracle is q_jpeg_color's verbatim.
     oracles["q_jpeg_prog_color"] = oracles["q_jpeg_color"]
+
+    # Negative sampling: DuckDB replays the same salted-md5 buckets,
+    # cross-group filter, and per-anchor (pair-hash, neg_id) ranking.
+    oracles["q_negative_sample"] = """
+        WITH a AS (
+          SELECT CAST(doc_id AS BIGINT) AS anchor_id, lang AS a_grp,
+                 substr(md5('nsb' || CAST(doc_id AS VARCHAR)), 1, 1) AS bkt
+          FROM documents
+        ),
+        c AS (
+          SELECT CAST(doc_id AS BIGINT) AS neg_id, lang AS c_grp,
+                 substr(md5('nsc' || CAST(doc_id AS VARCHAR)), 1, 1) AS bkt
+          FROM documents
+        ),
+        ranked AS (
+          SELECT a.anchor_id, c.neg_id,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY a.anchor_id
+                   ORDER BY md5('nsp' || CAST(a.anchor_id AS VARCHAR) || '|'
+                                || CAST(c.neg_id AS VARCHAR)), c.neg_id
+                 ) AS rnk
+          FROM a JOIN c ON a.bkt = c.bkt AND a.a_grp != c.c_grp
+        )
+        SELECT anchor_id, neg_id, CAST(rnk AS INT) AS rnk
+        FROM ranked WHERE rnk <= 3
+    """
 
     # JSON: the oracle builds the identical payload with printf and
     # parses it with DuckDB's native yyjson functions — an independent

@@ -362,3 +362,60 @@ def leakage_matrix(
         .groupBy("split_a", "split_b")
         .agg(F.count("*").cast("long").alias("n_pairs"))
     )
+
+
+def negative_sample(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    group_col: str = "lang",
+    k: int = 3,
+    salt: str = "ns",
+) -> DataFrame:
+    """Hash-blocked NEGATIVE SAMPLING (round 9) — the contrastive-
+    training primitive: for every anchor row, pick ``k`` deterministic
+    negatives from a different ``group_col`` (excluding same-group
+    rows avoids false negatives, the SimCLR/DPR recipe).
+
+    Scale shape: the naive form is an all-pairs ranking (N^2).  Here
+    every candidate is hashed into one of 16 slices (first md5 hex
+    char; widen the prefix to grow the bucket count with N) and each
+    anchor probes EXACTLY ONE hash-chosen slice — an N x N/B join
+    instead of N x N, with uniformity by construction (md5 buckets).
+    The per-anchor ranking is a window over ~N/B rows keyed on the
+    anchor, never a global sort.  All
+    decisions are salted md5 (the engine-portable split idiom above),
+    so membership and ranking replay exactly in the SQL oracle.
+
+    Returns ``(anchor_id, neg_id, rnk)`` with rnk in 1..k.
+    """
+    a = df.select(
+        F.col(id_col).cast("long").alias("anchor_id"),
+        F.col(group_col).alias("a_grp"),
+        F.substring(
+            F.md5(F.concat(F.lit(salt + "b"), F.col(id_col).cast("string"))), 1, 1
+        ).alias("bkt"),
+    )
+    c = df.select(
+        F.col(id_col).cast("long").alias("neg_id"),
+        F.col(group_col).alias("c_grp"),
+        F.substring(
+            F.md5(F.concat(F.lit(salt + "c"), F.col(id_col).cast("string"))), 1, 1
+        ).alias("bkt"),
+    )
+    pair_h = F.md5(
+        F.concat(
+            F.lit(salt + "p"),
+            F.col("anchor_id").cast("string"),
+            F.lit("|"),
+            F.col("neg_id").cast("string"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(pair_h.asc(), F.col("neg_id").asc())
+    return (
+        a.join(c, "bkt")
+        .where(F.col("a_grp") != F.col("c_grp"))
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("anchor_id", "neg_id", F.col("rnk").cast("int").alias("rnk"))
+    )
