@@ -120,6 +120,7 @@ from distributed_graph_database_simulation_with_load_balancing_and_threaded_requ
     bpe_tokenize,
     bpe_train,
     json_extract_features,
+    url_parse_features,
     chunk_documents,
     collocations,
     lang_confusion,
@@ -2483,6 +2484,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # two independent JSON parsers must agree on every value.
         return json_extract_features(load_table(spark, sf_dir, "documents"))
 
+    def q_url_parse(spark, sf_dir):
+        # Native URL parsing (round 9): Spark's parse_url (JVM,
+        # java.net.URI-backed) extracts HOST / PATH / a QUERY param
+        # from planted arithmetic URLs; the oracle rebuilds the same
+        # fields from the id arithmetic — a value check that the
+        # parser splits exactly where the RFC says.
+        return url_parse_features(load_table(spark, sf_dir, "documents"))
+
     def q_warc_parse(spark, sf_dir):
         # REAL WARC ingestion (round 9): Common Crawl's wire format —
         # multi-member gzip (one member per record, the layout that
@@ -4821,6 +4830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_warc_parse": q_warc_parse,  # new round 9
         "q_json_extract": q_json_extract,  # new round 9
         "q_negative_sample": q_negative_sample,  # new round 9
+        "q_url_parse": q_url_parse,  # new round 9
         "q_clustering_coeff": q_clustering_coeff,
         "q_link_pred": q_link_pred,
         "q_stream_attrib": q_stream_attrib,
@@ -8547,6 +8557,18 @@ def oracle_sql() -> dict[str, str]:
     # baseline color fixtures — scan structure is an encoding detail
     # the decode must erase, so the oracle is q_jpeg_color's verbatim.
     oracles["q_jpeg_prog_color"] = oracles["q_jpeg_color"]
+
+    # URL parsing: the oracle rebuilds host/path/ref from the id
+    # arithmetic (path depth = 2 slashes by construction).
+    oracles["q_url_parse"] = """
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               'host' || CAST(doc_id % 50 AS VARCHAR) || '.example.org' AS host,
+               '/cat' || CAST(doc_id % 7 AS VARCHAR) || '/p' || CAST(doc_id AS VARCHAR)
+                   AS path,
+               'r' || CAST(doc_id % 3 AS VARCHAR) AS ref,
+               CAST(2 AS BIGINT) AS path_depth
+        FROM documents
+    """
 
     # Negative sampling: DuckDB replays the same salted-md5 buckets,
     # cross-group filter, and per-anchor (pair-hash, neg_id) ranking.

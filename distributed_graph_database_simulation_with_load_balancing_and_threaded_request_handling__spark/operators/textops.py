@@ -1029,3 +1029,35 @@ def json_extract_features(documents: DataFrame, *, id_col: str = "doc_id") -> Da
         F.size(parsed["tags"]).cast("long").alias("n_tags"),
         parsed["tags"][0].alias("tag0"),
     )
+
+
+def url_parse_features(documents: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """URL structure extraction (round 9): crawl pipelines key
+    everything on the parsed URL (host-level dedup/blocklists,
+    path-depth heuristics, tracking-param stripping), so the engine
+    exposes Spark's NATIVE ``parse_url`` (JVM, java.net.URI-backed —
+    not a regex).  URLs are planted arithmetic in the id:
+
+        https://host{id % 50}.example.org/cat{id % 7}/p{id}?ref=r{id % 3}
+
+    and HOST / PATH / the ``ref`` QUERY param are extracted natively.
+    The oracle rebuilds the same fields from the id arithmetic — a
+    value check that the parser splits exactly where the RFC says.
+
+    Returns ``(doc_id, host, path, ref, path_depth)``.
+    """
+    i = F.col(id_col).cast("long")
+    url = F.format_string(
+        "https://host%d.example.org/cat%d/p%d?ref=r%d",
+        i % 50, i % 7, i, i % 3,
+    )
+    return documents.select(
+        i.alias("doc_id"),
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("ref")).alias("ref"),
+        (
+            F.length(F.parse_url(url, F.lit("PATH")))
+            - F.length(F.replace(F.parse_url(url, F.lit("PATH")), F.lit("/"), F.lit("")))
+        ).cast("long").alias("path_depth"),
+    )
