@@ -121,6 +121,7 @@ from distributed_graph_database_simulation_with_load_balancing_and_threaded_requ
     bpe_train,
     json_extract_features,
     url_parse_features,
+    xml_extract_features,
     chunk_documents,
     collocations,
     lang_confusion,
@@ -2484,6 +2485,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # two independent JSON parsers must agree on every value.
         return json_extract_features(load_table(spark, sf_dir, "documents"))
 
+    def q_xpath_extract(spark, sf_dir):
+        # Native XML path (round 9): Spark's XPath family (javax.xml,
+        # JVM — attribute, text node, numeric node, node-set count)
+        # over planted XML sidecars; the oracle rebuilds the fields
+        # from the id arithmetic.
+        return xml_extract_features(load_table(spark, sf_dir, "documents"))
+
     def q_url_parse(spark, sf_dir):
         # Native URL parsing (round 9): Spark's parse_url (JVM,
         # java.net.URI-backed) extracts HOST / PATH / a QUERY param
@@ -4831,6 +4839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_json_extract": q_json_extract,  # new round 9
         "q_negative_sample": q_negative_sample,  # new round 9
         "q_url_parse": q_url_parse,  # new round 9
+        "q_xpath_extract": q_xpath_extract,  # new round 9
         "q_clustering_coeff": q_clustering_coeff,
         "q_link_pred": q_link_pred,
         "q_stream_attrib": q_stream_attrib,
@@ -8557,6 +8566,18 @@ def oracle_sql() -> dict[str, str]:
     # baseline color fixtures — scan structure is an encoding detail
     # the decode must erase, so the oracle is q_jpeg_color's verbatim.
     oracles["q_jpeg_prog_color"] = oracles["q_jpeg_color"]
+
+    # XML: the oracle rebuilds title/views/tag fields from the id
+    # arithmetic (n_tags = 2 by construction), value-checking the
+    # JVM XPath parser's split points.
+    oracles["q_xpath_extract"] = """
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               't' || CAST(doc_id % 11 AS VARCHAR) AS title,
+               CAST((doc_id * 7) % 1000 AS BIGINT) AS views,
+               CAST(2 AS BIGINT) AS n_tags,
+               'g' || CAST(doc_id % 5 AS VARCHAR) AS tag0
+        FROM documents
+    """
 
     # URL parsing: the oracle rebuilds host/path/ref from the id
     # arithmetic (path depth = 2 slashes by construction).

@@ -1061,3 +1061,35 @@ def url_parse_features(documents: DataFrame, *, id_col: str = "doc_id") -> DataF
             - F.length(F.replace(F.parse_url(url, F.lit("PATH")), F.lit("/"), F.lit("")))
         ).cast("long").alias("path_depth"),
     )
+
+
+def xml_extract_features(documents: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """XML extraction (round 9): the other metadata sidecar format
+    (sitemaps, RSS/Atom feeds, Wikipedia dumps, PubMed) — parsed with
+    Spark's NATIVE XPath family (``xpath_string``/``xpath_long``/
+    ``xpath`` — JVM javax.xml, not a regex).  A deterministic XML
+    payload is planted per doc:
+
+        <doc id="{id}"><title>t{id % 11}</title>
+          <views>{(7*id) % 1000}</views>
+          <tags><tag>g{id % 5}</tag><tag>g{(id+1) % 7}</tag></tags></doc>
+
+    extracting an attribute, a text node, a numeric node, and a
+    node-set count.  The oracle rebuilds the fields from the id
+    arithmetic — a value check on the real XML parser's split points.
+
+    Returns ``(doc_id, title, views, n_tags, tag0)``.
+    """
+    i = F.col(id_col).cast("long")
+    xml = F.format_string(
+        '<doc id="%d"><title>t%d</title><views>%d</views>'
+        "<tags><tag>g%d</tag><tag>g%d</tag></tags></doc>",
+        i, i % 11, (i * 7) % 1000, i % 5, (i + 1) % 7,
+    )
+    return documents.select(
+        i.alias("doc_id"),
+        F.xpath_string(xml, F.lit("/doc/title")).alias("title"),
+        F.xpath_long(xml, F.lit("/doc/views")).alias("views"),
+        F.size(F.xpath(xml, F.lit("/doc/tags/tag/text()"))).cast("long").alias("n_tags"),
+        F.xpath_string(xml, F.lit("/doc/tags/tag[1]")).alias("tag0"),
+    )
