@@ -2500,6 +2500,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # parser splits exactly where the RFC says.
         return url_parse_features(load_table(spark, sf_dir, "documents"))
 
+    def q_lz4_corpus(spark, sf_dir):
+        # REAL LZ4 frame decode (round 9): .jsonl.lz4-style shards
+        # (token/offset block format + frame wrapper with the xxh32
+        # header-checksum byte, both from the public spec, both
+        # directions) decompressed in one Arrow stage; the 'c'-count
+        # value-checks the reconstructed bytes, not just sizes.
+        # Frame blocks are independently decodable (BD-sized), so
+        # giant shards split at block granularity — the gzip-member
+        # WARC story for the other wire compression.
+        from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.sources.warc import (
+            lz4_corpus_stats,
+            plant_lz4_shards,
+        )
+
+        return lz4_corpus_stats(plant_lz4_shards(load_table(spark, sf_dir, "documents")))
+
     def q_warc_parse(spark, sf_dir):
         # REAL WARC ingestion (round 9): Common Crawl's wire format —
         # multi-member gzip (one member per record, the layout that
@@ -4840,6 +4856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_negative_sample": q_negative_sample,  # new round 9
         "q_url_parse": q_url_parse,  # new round 9
         "q_xpath_extract": q_xpath_extract,  # new round 9
+        "q_lz4_corpus": q_lz4_corpus,  # new round 9
         "q_clustering_coeff": q_clustering_coeff,
         "q_link_pred": q_link_pred,
         "q_stream_attrib": q_stream_attrib,
@@ -8566,6 +8583,20 @@ def oracle_sql() -> dict[str, str]:
     # baseline color fixtures — scan structure is an encoding detail
     # the decode must erase, so the oracle is q_jpeg_color's verbatim.
     oracles["q_jpeg_prog_color"] = oracles["q_jpeg_color"]
+
+    # LZ4 shards: m = 20 + id % 30 lines of 'doc {id} line {l}\n';
+    # per-line length = 11 + len(str(id)) + len(str(l)); the l-digit
+    # sum over 0..m-1 is m + max(0, m-10) since m <= 49; one 'c' per
+    # line ('doc' — ids and line numbers are digits).
+    oracles["q_lz4_corpus"] = """
+        SELECT CAST(doc_id AS BIGINT) AS media_id,
+               CAST((20 + doc_id % 30) * (11 + len(CAST(doc_id AS VARCHAR)))
+                    + (20 + doc_id % 30) + GREATEST(0, (20 + doc_id % 30) - 10)
+                    AS BIGINT) AS n_bytes,
+               CAST(20 + doc_id % 30 AS BIGINT) AS n_lines,
+               CAST(20 + doc_id % 30 AS BIGINT) AS c_count
+        FROM documents
+    """
 
     # XML: the oracle rebuilds title/views/tag fields from the id
     # arithmetic (n_tags = 2 by construction), value-checking the

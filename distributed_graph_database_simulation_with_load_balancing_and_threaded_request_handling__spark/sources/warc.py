@@ -166,3 +166,285 @@ def warc_records(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(process, schema=WARC_RECORD_SCHEMA)
+
+
+# --- LZ4 frame format (round 9) --------------------------------------------
+#
+# The other wire compression real corpora arrive in (.jsonl.lz4 shard
+# dumps, Kafka/Parquet lz4 payloads): the LZ4 BLOCK format (token
+# byte, extended literal/match lengths, 2-byte offsets, 4-byte
+# minmatch) inside the LZ4 FRAME format (magic, FLG/BD descriptor
+# with an xxHash32 header-checksum byte, block-size-prefixed blocks,
+# end mark) — both implemented from the public spec, stdlib-only,
+# compressor AND decompressor.  Scale story: like gzip-member WARCs,
+# frame blocks are independently decodable units sized by BD (64 KB
+# here), so giant .lz4 shards split at block granularity.
+
+
+def _xxh32(data: bytes, seed: int = 0) -> int:
+    """xxHash32 (public spec) — the LZ4 frame header checksum."""
+    P1, P2, P3, P4, P5 = 2654435761, 2246822519, 3266489917, 668265263, 374761393
+    M = 0xFFFFFFFF
+
+    def rotl(x: int, r: int) -> int:
+        return ((x << r) | (x >> (32 - r))) & M
+
+    i, n = 0, len(data)
+    if n >= 16:
+        v1 = (seed + P1 + P2) & M
+        v2 = (seed + P2) & M
+        v3 = seed & M
+        v4 = (seed - P1) & M
+        while i <= n - 16:
+            for which in range(4):
+                lane = int.from_bytes(data[i : i + 4], "little")
+                if which == 0:
+                    v1 = (rotl((v1 + lane * P2) & M, 13) * P1) & M
+                elif which == 1:
+                    v2 = (rotl((v2 + lane * P2) & M, 13) * P1) & M
+                elif which == 2:
+                    v3 = (rotl((v3 + lane * P2) & M, 13) * P1) & M
+                else:
+                    v4 = (rotl((v4 + lane * P2) & M, 13) * P1) & M
+                i += 4
+        h = (rotl(v1, 1) + rotl(v2, 7) + rotl(v3, 12) + rotl(v4, 18)) & M
+    else:
+        h = (seed + P5) & M
+    h = (h + n) & M
+    while i + 4 <= n:
+        h = (rotl((h + int.from_bytes(data[i : i + 4], "little") * P3) & M, 17) * P4) & M
+        i += 4
+    while i < n:
+        h = (rotl((h + data[i] * P5) & M, 11) * P1) & M
+        i += 1
+    h ^= h >> 15
+    h = (h * P2) & M
+    h ^= h >> 13
+    h = (h * P3) & M
+    h ^= h >> 16
+    return h
+
+
+def lz4_block_compress(data: bytes) -> bytes:
+    """Greedy LZ4 block compressor: hash-table match finder over
+    4-byte windows, spec-legal output (last 5 bytes literal-only, no
+    match closer than 12 bytes to the end — the block-format end
+    restrictions)."""
+    n = len(data)
+    out = bytearray()
+    table: dict[bytes, int] = {}
+    anchor = 0
+    i = 0
+
+    def emit(lit_len: int, lit_start: int, match_len: int | None, offset: int) -> None:
+        tok_lit = 15 if lit_len >= 15 else lit_len
+        tok_match = 0 if match_len is None else (15 if match_len - 4 >= 15 else match_len - 4)
+        out.append((tok_lit << 4) | tok_match)
+        rem = lit_len - 15
+        while rem >= 0:
+            out.append(min(rem, 255))
+            if rem < 255:
+                break
+            rem -= 255
+        out.extend(data[lit_start : lit_start + lit_len])
+        if match_len is None:
+            return
+        out.extend(offset.to_bytes(2, "little"))
+        rem = match_len - 4 - 15
+        while rem >= 0:
+            out.append(min(rem, 255))
+            if rem < 255:
+                break
+            rem -= 255
+
+    while i + 12 <= n:  # spec: matches must end >= 12 bytes before block end
+        key = data[i : i + 4]
+        cand = table.get(key)
+        table[key] = i
+        if cand is not None and i - cand <= 0xFFFF and data[cand : cand + 4] == key:
+            mlen = 4
+            limit = n - 5  # last 5 bytes must be literals
+            while i + mlen < limit and data[cand + mlen] == data[i + mlen]:
+                mlen += 1
+            emit(i - anchor, anchor, mlen, i - cand)
+            i += mlen
+            anchor = i
+        else:
+            i += 1
+    emit(n - anchor, anchor, None, 0)
+    return bytes(out)
+
+
+def lz4_block_decompress(data: bytes, max_size: int = 1 << 22) -> bytes:
+    """LZ4 block decompressor per the public spec: token walk,
+    extended lengths, overlapping back-references copied byte-wise.
+    Raises ValueError on malformed input (truncation, zero/underflow
+    offsets, output overrun)."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        token = data[i]
+        i += 1
+        lit = token >> 4
+        if lit == 15:
+            while True:
+                if i >= n:
+                    raise ValueError("truncated literal length")
+                b = data[i]
+                i += 1
+                lit += b
+                if b != 255:
+                    break
+        if i + lit > n:
+            raise ValueError("truncated literals")
+        out.extend(data[i : i + lit])
+        i += lit
+        if i >= n:
+            break  # last sequence: literals only
+        if i + 2 > n:
+            raise ValueError("truncated offset")
+        offset = int.from_bytes(data[i : i + 2], "little")
+        i += 2
+        if offset == 0 or offset > len(out):
+            raise ValueError("bad match offset")
+        mlen = (token & 0x0F) + 4
+        if (token & 0x0F) == 15:
+            while True:
+                if i >= n:
+                    raise ValueError("truncated match length")
+                b = data[i]
+                i += 1
+                mlen += b
+                if b != 255:
+                    break
+        if len(out) + mlen > max_size:
+            raise ValueError("output exceeds max_size")
+        src = len(out) - offset
+        for k in range(mlen):  # byte-wise: offsets may overlap the output tail
+            out.append(out[src + k])
+    return bytes(out)
+
+
+_LZ4_MAGIC = (0x184D2204).to_bytes(4, "little")
+
+
+def lz4_frame_compress(data: bytes, *, block_size: int = 1 << 16) -> bytes:
+    """LZ4 FRAME writer: magic, FLG (version 01, block-independence
+    set), BD (64 KB max block), xxh32 header-checksum byte, then
+    independently-compressed blocks (stored uncompressed with the
+    high-bit size flag when compression does not shrink), end mark."""
+    flg = 0x60  # version 01 + block-independence; no checksums/size
+    bd = 0x40  # 64 KB max block size
+    header = bytes([flg, bd])
+    out = bytearray(_LZ4_MAGIC + header)
+    out.append((_xxh32(header) >> 8) & 0xFF)
+    for off in range(0, len(data), block_size) or [0]:
+        raw = data[off : off + block_size]
+        if not raw:
+            break
+        comp = lz4_block_compress(raw)
+        if len(comp) < len(raw):
+            out.extend(len(comp).to_bytes(4, "little") + comp)
+        else:
+            out.extend((len(raw) | 0x80000000).to_bytes(4, "little") + raw)
+    out.extend((0).to_bytes(4, "little"))  # EndMark
+    return bytes(out)
+
+
+def lz4_frame_decompress(data: bytes) -> bytes:
+    """LZ4 FRAME reader: validates magic, FLG version, and the xxh32
+    header-checksum byte, then walks size-prefixed blocks to the end
+    mark.  ValueError on anything malformed."""
+    if data[:4] != _LZ4_MAGIC:
+        raise ValueError("not an LZ4 frame")
+    if len(data) < 7:
+        raise ValueError("truncated frame header")
+    flg, bd = data[4], data[5]
+    if (flg >> 6) != 0b01:
+        raise ValueError("unsupported LZ4 frame version")
+    if flg & 0x08:  # content-size field present
+        if len(data) < 15:
+            raise ValueError("truncated frame header")
+        header = data[4:14]
+        pos = 15
+    else:
+        header = data[4:6]
+        pos = 7
+    if data[pos - 1] != (_xxh32(header) >> 8) & 0xFF:
+        raise ValueError("frame header checksum mismatch")
+    out = bytearray()
+    while True:
+        if pos + 4 > len(data):
+            raise ValueError("missing end mark")
+        size = int.from_bytes(data[pos : pos + 4], "little")
+        pos += 4
+        if size == 0:
+            break
+        uncompressed = bool(size & 0x80000000)
+        size &= 0x7FFFFFFF
+        if pos + size > len(data):
+            raise ValueError("truncated block")
+        block = data[pos : pos + size]
+        pos += size
+        out.extend(block if uncompressed else lz4_block_decompress(block))
+        if flg & 0x10:  # per-block checksum flag
+            pos += 4
+    return bytes(out)
+
+
+LZ4_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("n_bytes", LongType(), False),
+        StructField("n_lines", LongType(), False),
+        StructField("c_count", LongType(), False),
+    ]
+)
+
+
+def plant_lz4_shards(documents: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """Planted .lz4 text shards: file ``id`` is the LZ4-frame
+    compression of ``m = 20 + id % 30`` lines ``'doc {id} line {l}\\n'``
+    — decompressed byte counts, line counts, and character counts
+    replay closed-form in SQL."""
+    from ..operators.multimodal import _spread
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for i in pdf[id_col]:
+                i = int(i)
+                m = 20 + i % 30
+                text = "".join(f"doc {i} line {l}\n" for l in range(m)).encode()
+                ids.append(i)
+                payloads.append(lz4_frame_compress(text))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "media_type": ["lz4"] * len(ids),
+                    "media": payloads,
+                    "source": ["planted"] * len(ids),
+                }
+            )
+
+    return _spread(documents.select(id_col)).mapInPandas(build, schema=WARC_FILE_SCHEMA)
+
+
+def lz4_corpus_stats(media: DataFrame) -> DataFrame:
+    """Decompress .lz4 shards in one Arrow map stage and emit exact
+    integers over the INFLATED text (bytes, lines, 'c' count): length
+    alone would pass a garbage inflater that got sizes right, so the
+    character count value-checks the actual reconstructed bytes."""
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("media_id", "n_bytes", "n_lines", "c_count")}
+            for mid, payload in zip(pdf["media_id"], pdf["media"]):
+                raw = lz4_frame_decompress(bytes(payload))
+                rows["media_id"].append(int(mid))
+                rows["n_bytes"].append(len(raw))
+                rows["n_lines"].append(raw.count(b"\n"))
+                rows["c_count"].append(raw.count(b"c"))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(process, schema=LZ4_STATS_SCHEMA)

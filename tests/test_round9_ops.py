@@ -118,6 +118,58 @@ def test_round9_decoders_never_crash_on_corrupted_headers(data, which):
         pass
 
 
+def test_xxh32_matches_public_vectors():
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.sources.warc import (
+        _xxh32,
+    )
+
+    assert _xxh32(b"") == 0x02CC5D05
+    assert _xxh32(b"a") == 0x550D7456
+    assert _xxh32(b"abc") == 0x32D153FF
+    assert _xxh32(b"Nobody inspects the spammish repetition") == 0xE2293B2F
+
+
+@given(st.binary(max_size=4000))
+@settings(max_examples=150, deadline=None)
+def test_lz4_roundtrips_arbitrary_bytes(data):
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.sources.warc import (
+        lz4_block_compress,
+        lz4_block_decompress,
+        lz4_frame_compress,
+        lz4_frame_decompress,
+    )
+
+    assert lz4_block_decompress(lz4_block_compress(data)) == data
+    assert lz4_frame_decompress(lz4_frame_compress(data)) == data
+
+
+def test_lz4_multiblock_and_compression():
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.sources.warc import (
+        lz4_frame_compress,
+        lz4_frame_decompress,
+    )
+
+    big = b"hello world, this text repeats a lot. " * 9000  # > 5 blocks
+    enc = lz4_frame_compress(big)
+    assert lz4_frame_decompress(enc) == big
+    assert len(enc) < len(big) // 5  # actually compresses
+
+
+@given(st.binary(max_size=60))
+@settings(max_examples=200, deadline=None)
+def test_lz4_frame_decompress_never_crashes_on_garbage(data):
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.sources.warc import (
+        _LZ4_MAGIC,
+        lz4_frame_decompress,
+    )
+
+    for payload in (data, _LZ4_MAGIC + data):
+        try:
+            lz4_frame_decompress(payload)
+        except ValueError:
+            pass
+
+
 def test_progressive_color_equals_baseline_color():
     from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.multimodal import (
         jpeg_color_decode,
