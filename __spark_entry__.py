@@ -2595,6 +2595,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         media = plant_g711_audio(load_table(spark, sf_dir, "documents"))
         return g711_audio_features(media)
 
+    def q_flac_audio(spark, sf_dir):
+        # REAL lossless compressed audio (round 9): FLAC with fixed
+        # predictors — rice-coded residuals, CRC-8 headers, CRC-16
+        # footers, and the STREAMINFO MD5 self-check the decoder
+        # VERIFIES over the full decode (a bug anywhere breaks the
+        # signature before the oracle even looks).  Frames decode
+        # independently (seekable by design) — the same intra-file
+        # grain as restart JPEG and ADPCM blocks.  The fixture is the
+        # q_audio_features arithmetic signal mono, losslessly encoded,
+        # so the oracle replays the identical closed forms through a
+        # real compressed container.
+        from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.multimodal import (
+            flac_audio_features,
+            plant_flac_audio,
+        )
+
+        return flac_audio_features(plant_flac_audio(load_table(spark, sf_dir, "documents")))
+
     def q_adpcm_audio(spark, sf_dir):
         # REAL stateful compressed-audio decode (IMA/DVI ADPCM, WAV
         # format 0x11): each 4-bit code advances a predictor + step-
@@ -4822,6 +4840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_audio_features": q_audio_features,
         "q_g711_audio": q_g711_audio,
         "q_adpcm_audio": q_adpcm_audio,
+        "q_flac_audio": q_flac_audio,
         "q_kmeans": q_kmeans,
         "q_cluster_labels": q_cluster_labels,
         "q_semantic_dedup": q_semantic_dedup,
@@ -6703,6 +6722,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(ABS(val)) AS BIGINT) AS sum_abs,
                    CAST(SUM(val * val) AS BIGINT) AS sum_sq
             FROM v GROUP BY media_id, codec, n
+        """,
+        # plant_flac_audio carries the q_audio_features arithmetic
+        # signal mono (n = 100 + (37*id) % 900; sample k = ((37k +
+        # 11*id) % 4001) - 2000) through a REAL lossless container,
+        # so the oracle is the same closed-form replay plus the
+        # planted sample rate.
+        "q_flac_audio": """
+            WITH ks AS (SELECT range AS k FROM range(0, 999)),
+            d AS (
+              SELECT CAST(doc_id AS BIGINT) AS media_id,
+                     CAST(8000 + (doc_id % 5) * 4000 AS BIGINT) AS sample_rate,
+                     CAST(100 + (37 * doc_id) % 900 AS BIGINT) AS n
+              FROM documents
+            ),
+            s AS (
+              SELECT media_id, sample_rate, n,
+                     ((37 * k + 11 * media_id) % 4001) - 2000 AS v
+              FROM d JOIN ks ON k < n
+            )
+            SELECT media_id, sample_rate, n AS n_samples,
+                   CAST(MAX(ABS(v)) AS BIGINT) AS peak,
+                   CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs,
+                   CAST(SUM(v * v) AS BIGINT) AS sum_sq
+            FROM s GROUP BY media_id, sample_rate, n
         """,
         # plant_ima_adpcm_audio: 1 + id%2 blocks of 64 nibbles; block b
         # starts at predictor ((7*id + 911*b) % 4001) - 2000 and step

@@ -2375,6 +2375,446 @@ def jpeg_decode_stats(
     return media.mapInPandas(process, schema=PNG_STATS_SCHEMA)
 
 
+# --- FLAC (round 9) ---------------------------------------------------------
+#
+# REAL lossless compressed audio: FLAC with fixed predictors — rice-
+# coded residuals, CRC-8 frame headers, CRC-16 frame footers, UTF-8
+# coded frame numbers, and the STREAMINFO MD5 of the decoded PCM that
+# the decoder VERIFIES (the format's own end-to-end self-check: a
+# decode bug anywhere breaks the signature).  Encoder and decoder both
+# from the public spec (RFC 9639), stdlib + numpy.  The LPC subframe
+# type is not emitted by this encoder and raises NotImplementedError
+# in the decoder — fixed predictors are a fully legal FLAC subset
+# (flac -0 emits them); the seam is documented, not hidden.
+# Scale story: frames are independently decodable units (each header
+# restates everything and is CRC-8'd precisely so decoders can seek),
+# the same intra-file grain as JPEG restart segments and ADPCM blocks.
+
+
+def _crc8(data: bytes) -> int:
+    """CRC-8, poly 0x07, init 0 (FLAC frame header CRC)."""
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _crc16(data: bytes) -> int:
+    """CRC-16, poly 0x8005, init 0 (FLAC frame footer CRC)."""
+    crc = 0
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
+    return crc
+
+
+class _MSBWriter:
+    """Plain MSB-first bit writer (no JPEG byte stuffing)."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, value: int, nbits: int) -> None:
+        self.acc = (self.acc << nbits) | (value & ((1 << nbits) - 1))
+        self.n += nbits
+        while self.n >= 8:
+            self.out.append((self.acc >> (self.n - 8)) & 0xFF)
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def align(self) -> None:
+        if self.n:
+            self.put(0, 8 - self.n)
+
+    def bytes(self) -> bytes:
+        assert self.n == 0
+        return bytes(self.out)
+
+
+class _MSBReader:
+    """Plain MSB-first bit reader; ValueError past the end."""
+
+    def __init__(self, data: bytes, pos: int = 0) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def take(self, nbits: int) -> int:
+        while self.n < nbits:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated FLAC bitstream")
+            self.acc = (self.acc << 8) | self.data[self.pos]
+            self.pos += 1
+            self.n += 8
+        v = (self.acc >> (self.n - nbits)) & ((1 << nbits) - 1)
+        self.n -= nbits
+        self.acc &= (1 << self.n) - 1
+        return v
+
+    def unary(self) -> int:
+        q = 0
+        while self.take(1) == 0:
+            q += 1
+            if q > 1 << 24:
+                raise ValueError("runaway unary code")
+        return q
+
+    def align(self) -> None:
+        self.n = 0
+        self.acc = 0
+
+
+_FLAC_FIXED_COEFS = ([], [1], [2, -1], [3, -3, 1], [4, -6, 4, -1])
+
+
+def _utf8_number(n: int) -> bytes:
+    """FLAC frame numbers use UTF-8 style coding of the integer."""
+    return chr(n).encode("utf-8")
+
+
+def _read_utf8_number(br: "_MSBReader") -> int:
+    b0 = br.take(8)
+    if b0 < 0x80:
+        return b0
+    ones = 0
+    while (b0 << ones) & 0x80:
+        ones += 1
+    if ones < 2 or ones > 7:
+        raise ValueError("bad UTF-8 coded number")
+    v = b0 & (0x7F >> ones)
+    for _ in range(ones - 1):
+        b = br.take(8)
+        if (b & 0xC0) != 0x80:
+            raise ValueError("bad UTF-8 continuation")
+        v = (v << 6) | (b & 0x3F)
+    return v
+
+
+def flac_encode(samples, sample_rate: int, *, block_size: int = 4096) -> bytes:
+    """REAL FLAC encoder (fixed-predictor subset, RFC 9639): 16-bit
+    mono; per frame picks the fixed predictor order 0-4 minimizing
+    total residual magnitude, rice-codes the residuals (partition
+    order 0, escape-free parameter), writes spec CRC-8/CRC-16, and
+    stamps STREAMINFO with the MD5 of the raw PCM so any decoder can
+    verify the decode end-to-end."""
+    import hashlib
+    import struct
+
+    import numpy as np
+
+    x = np.asarray(samples, dtype=np.int64)
+    n_total = int(x.size)
+    md5 = hashlib.md5(x.astype("<i2").tobytes()).digest()
+    info = _MSBWriter()
+    info.put(block_size, 16)  # min block size
+    info.put(block_size, 16)  # max block size
+    info.put(0, 24)  # min frame size unknown
+    info.put(0, 24)  # max frame size unknown
+    info.put(sample_rate, 20)
+    info.put(0, 3)  # channels - 1 (mono)
+    info.put(15, 5)  # bits per sample - 1
+    info.put(n_total, 36)
+    streaminfo = info.bytes() + md5
+    out = bytearray(b"fLaC")
+    out.append(0x80)  # last metadata block, type 0 = STREAMINFO
+    out += len(streaminfo).to_bytes(3, "big") + streaminfo
+
+    for fi, off in enumerate(range(0, max(n_total, 1), block_size)):
+        blk = x[off : off + block_size]
+        if blk.size == 0:
+            break
+        # pick the fixed order with the smallest residual magnitude
+        # (residual for order k is diff^k(x), length n-k; x[:k] warm up)
+        residuals = {0: blk}
+        cur = blk
+        for o in range(1, 5):
+            if blk.size <= o:
+                break
+            cur = np.diff(cur)
+            residuals[o] = cur
+        order = min(residuals, key=lambda o: (int(np.abs(residuals[o]).sum()), o))
+        warmup = blk[:order]
+        resid = residuals[order]
+        # rice parameter from the mean magnitude (capped below escape)
+        mean = int(np.abs(resid).sum()) // max(resid.size, 1)
+        param = 0
+        while (1 << param) < mean + 1 and param < 14:
+            param += 1
+
+        bw = _MSBWriter()
+        bw.put(0b11111111111110, 14)  # sync
+        bw.put(0, 1)  # reserved
+        bw.put(0, 1)  # fixed blocking strategy -> frame number
+        bw.put(0b0111, 4)  # block size: 16 bits at header end
+        bw.put(0, 4)  # sample rate: from STREAMINFO
+        bw.put(0, 4)  # channels: mono
+        bw.put(0b100, 3)  # 16 bits per sample
+        bw.put(0, 1)  # reserved
+        bw.align()
+        header = bytearray(bw.bytes())
+        header += _utf8_number(fi)
+        header += struct.pack(">H", blk.size - 1)
+        header.append(_crc8(bytes(header)))
+
+        sub = _MSBWriter()
+        sub.put(0, 1)  # reserved
+        sub.put(0b001000 | order, 6)  # fixed subframe, given order
+        sub.put(0, 1)  # no wasted bits
+        for w in warmup:
+            sub.put(int(w) & 0xFFFF, 16)
+        sub.put(0, 2)  # residual method: 4-bit rice
+        sub.put(0, 4)  # partition order 0
+        sub.put(param, 4)
+        for v in resid.tolist():
+            u = (v << 1) ^ (v >> 63)  # zigzag
+            q, r = u >> param, u & ((1 << param) - 1)
+            for _ in range(q):
+                sub.put(0, 1)
+            sub.put(1, 1)
+            if param:
+                sub.put(r, param)
+        sub.align()
+        frame = bytes(header) + sub.bytes()
+        out += frame + struct.pack(">H", _crc16(frame))
+    return bytes(out)
+
+
+def flac_decode(data: bytes):
+    """REAL FLAC decoder (fixed-predictor subset): parses fLaC +
+    STREAMINFO (skipping other metadata blocks), walks frames —
+    sync + CRC-8-verified headers, UTF-8 frame numbers, constant /
+    verbatim / fixed subframes, rice residuals (any partition order),
+    CRC-16 footers — reconstructs via the fixed-predictor
+    recurrences, and VERIFIES the decoded PCM against STREAMINFO's
+    MD5.  Returns ``(samples int16 ndarray, sample_rate)``.  LPC
+    subframes raise NotImplementedError (the documented subset seam);
+    malformed input raises ValueError."""
+    import hashlib
+    import struct
+
+    import numpy as np
+
+    if data[:4] != b"fLaC":
+        raise ValueError("not a FLAC stream")
+    pos = 4
+    streaminfo = None
+    while True:
+        if pos + 4 > len(data):
+            raise ValueError("truncated metadata block")
+        last = bool(data[pos] & 0x80)
+        btype = data[pos] & 0x7F
+        blen = int.from_bytes(data[pos + 1 : pos + 4], "big")
+        body = data[pos + 4 : pos + 4 + blen]
+        if len(body) < blen:
+            raise ValueError("truncated metadata block")
+        if btype == 0:
+            streaminfo = body
+        pos += 4 + blen
+        if last:
+            break
+    if streaminfo is None or len(streaminfo) != 34:
+        raise ValueError("missing/odd STREAMINFO")
+    si = _MSBReader(streaminfo)
+    si.take(16)
+    si.take(16)
+    si.take(24)
+    si.take(24)
+    sample_rate = si.take(20)
+    channels = si.take(3) + 1
+    bits = si.take(5) + 1
+    n_total = si.take(36)
+    md5_expect = streaminfo[18:34]
+    if channels != 1 or bits != 16:
+        raise NotImplementedError("decoder covers 16-bit mono FLAC")
+
+    out: list[int] = []
+    while pos < len(data) and len(out) < n_total:
+        br = _MSBReader(data, pos)
+        if br.take(14) != 0b11111111111110:
+            raise ValueError("lost frame sync")
+        br.take(1)  # reserved
+        br.take(1)  # blocking strategy
+        bs_code = br.take(4)
+        sr_code = br.take(4)
+        ch_code = br.take(4)
+        ss_code = br.take(3)
+        br.take(1)
+        if ch_code != 0:
+            raise NotImplementedError("decoder covers mono frames")
+        if ss_code != 0b100:
+            raise NotImplementedError("decoder covers 16-bit frames")
+        _read_utf8_number(br)
+        if bs_code == 0b0110:
+            bsize = br.take(8) + 1
+        elif bs_code == 0b0111:
+            bsize = br.take(16) + 1
+        elif bs_code >= 0b1000:
+            bsize = 256 << (bs_code - 8)
+        elif bs_code == 0b0001:
+            bsize = 192
+        elif 0b0010 <= bs_code <= 0b0101:
+            bsize = 576 << (bs_code - 2)
+        else:
+            raise ValueError("reserved block size code")
+        if sr_code in (0b1100,):
+            br.take(8)
+        elif sr_code in (0b1101, 0b1110):
+            br.take(16)
+        elif sr_code == 0b1111:
+            raise ValueError("invalid sample rate code")
+        assert br.n == 0  # header fields are byte-aligned here
+        if _crc8(data[pos : br.pos]) != br.take(8):
+            raise ValueError("frame header CRC-8 mismatch")
+
+        br.take(1)  # subframe reserved bit
+        stype = br.take(6)
+        wasted = 0
+        if br.take(1):  # wasted-bits flag: unary count - 1
+            wasted = br.unary() + 1
+        eff_bits = 16 - wasted
+        if stype == 0b000000:  # CONSTANT
+            v = br.take(eff_bits)
+            if v >= 1 << (eff_bits - 1):
+                v -= 1 << eff_bits
+            blk = [v << wasted] * bsize
+        elif stype == 0b000001:  # VERBATIM
+            blk = []
+            for _ in range(bsize):
+                v = br.take(eff_bits)
+                if v >= 1 << (eff_bits - 1):
+                    v -= 1 << eff_bits
+                blk.append(v << wasted)
+        elif 0b001000 <= stype <= 0b001100:  # FIXED order 0-4
+            order = stype & 0x07
+            warm = []
+            for _ in range(order):
+                v = br.take(eff_bits)
+                if v >= 1 << (eff_bits - 1):
+                    v -= 1 << eff_bits
+                warm.append(v)
+            method = br.take(2)
+            if method not in (0, 1):
+                raise ValueError("reserved residual method")
+            pbits = 4 if method == 0 else 5
+            porder = br.take(4)
+            resid: list[int] = []
+            nparts = 1 << porder
+            if bsize % nparts:
+                raise ValueError("partition order does not divide block size")
+            for p in range(nparts):
+                param = br.take(pbits)
+                if param == (1 << pbits) - 1:  # escape: raw bits
+                    raw = br.take(5)
+                    count = bsize // nparts - (order if p == 0 else 0)
+                    for _ in range(count):
+                        v = br.take(raw) if raw else 0
+                        if raw and v >= 1 << (raw - 1):
+                            v -= 1 << raw
+                        resid.append(v)
+                    continue
+                count = bsize // nparts - (order if p == 0 else 0)
+                for _ in range(count):
+                    q = br.unary()
+                    u = (q << param) | (br.take(param) if param else 0)
+                    resid.append((u >> 1) ^ -(u & 1))  # un-zigzag
+            coefs = _FLAC_FIXED_COEFS[order]
+            blk = list(warm)
+            for r in resid:
+                v = r + sum(c * blk[-1 - j] for j, c in enumerate(coefs))
+                blk.append(v)
+            if wasted:
+                blk = [v << wasted for v in blk]
+        elif 0b100000 <= stype:
+            raise NotImplementedError("LPC subframes (fixed-predictor subset)")
+        else:
+            raise ValueError("reserved subframe type")
+        br.align()
+        if _crc16(data[pos : br.pos]) != br.take(16):
+            raise ValueError("frame CRC-16 mismatch")
+        out.extend(blk)
+        pos = br.pos
+    samples = np.asarray(out[: int(n_total)], dtype=np.int64)
+    if hashlib.md5(samples.astype("<i2").tobytes()).digest() != md5_expect:
+        raise ValueError("decoded PCM fails the STREAMINFO MD5 self-check")
+    return samples.astype(np.int16), sample_rate
+
+
+def plant_flac_audio(documents: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """Planted FLAC fixtures: the q_audio_features arithmetic signal,
+    mono — ``n = 100 + (37*id) % 900`` samples, sample k =
+    ``((37k + 11*id) % 4001) - 2000``, rate ``8000 + (id % 5) * 4000``
+    — losslessly FLAC-encoded, so the decoded features replay the
+    exact same closed forms through a real compressed container."""
+    import numpy as np
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for i in pdf[id_col]:
+                i = int(i)
+                n = 100 + (37 * i) % 900
+                k = np.arange(n, dtype=np.int64)
+                x = ((37 * k + 11 * i) % 4001) - 2000
+                ids.append(i)
+                payloads.append(flac_encode(x, 8000 + (i % 5) * 4000))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "media_type": ["audio"] * len(ids),
+                    "media": payloads,
+                    "source": ["planted"] * len(ids),
+                }
+            )
+
+    return _spread(documents.select(id_col)).mapInPandas(build, schema=MEDIA_SCHEMA)
+
+
+FLAC_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("sample_rate", LongType(), False),
+        StructField("n_samples", LongType(), False),
+        StructField("peak", LongType(), False),
+        StructField("sum_abs", LongType(), False),
+        StructField("sum_sq", LongType(), False),
+    ]
+)
+
+
+def flac_audio_features(media: DataFrame) -> DataFrame:
+    """Signal features from DECODED FLAC: full parse (CRC-8/CRC-16
+    verified per frame, STREAMINFO MD5 verified over the whole decode)
+    then the exact-integer reductions — the lossless-codec twin of the
+    PCM/G.711/ADPCM feature paths."""
+    import numpy as np
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                k: []
+                for k in ("media_id", "sample_rate", "n_samples", "peak", "sum_abs", "sum_sq")
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["media"]):
+                s, rate = flac_decode(bytes(payload))
+                s = s.astype(np.int64)
+                a = np.abs(s)
+                rows["media_id"].append(int(mid))
+                rows["sample_rate"].append(int(rate))
+                rows["n_samples"].append(int(s.size))
+                rows["peak"].append(int(a.max(initial=0)))
+                rows["sum_abs"].append(int(a.sum(dtype=np.int64)))
+                rows["sum_sq"].append(int((s * s).sum(dtype=np.int64)))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(process, schema=FLAC_FEATURES_SCHEMA)
+
+
 # ---------------------------------------------------------------------------
 # MJPEG-in-AVI video (round 9) — a REAL video format decoded with no
 # codec libraries: Motion JPEG stores each frame as an independent

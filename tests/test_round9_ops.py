@@ -118,6 +118,70 @@ def test_round9_decoders_never_crash_on_corrupted_headers(data, which):
         pass
 
 
+@given(st.data())
+@settings(max_examples=60, deadline=None)
+def test_flac_roundtrips_losslessly(data):
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.multimodal import (
+        flac_decode,
+        flac_encode,
+    )
+
+    kind = data.draw(st.integers(0, 3))
+    n = data.draw(st.integers(1, 3000))
+    seed = data.draw(st.integers(0, 2**31))
+    rng = np.random.default_rng(seed)
+    if kind == 0:
+        x = rng.integers(-32768, 32768, size=n)  # noise -> verbatim/order0
+    elif kind == 1:
+        x = np.clip(np.cumsum(rng.integers(-50, 51, size=n)), -32768, 32767)
+    elif kind == 2:
+        x = (1000 * np.sin(np.arange(n) / 10)).astype(np.int64)  # smooth
+    else:
+        x = np.full(n, int(rng.integers(-32768, 32768)))  # constant
+    dec, sr = flac_decode(flac_encode(x, 44100))
+    assert sr == 44100
+    assert (dec.astype(np.int64) == x).all()
+
+
+def test_flac_detects_corruption_via_crc_and_md5():
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.multimodal import (
+        flac_decode,
+        flac_encode,
+    )
+
+    x = np.clip(np.cumsum(np.arange(500) % 7 - 3), -32768, 32767)
+    enc = bytearray(flac_encode(x, 8000))
+    # flip a bit in the entropy region: CRC-16 (or header CRC-8) must
+    # catch it — never a silent wrong decode
+    for off in (len(enc) // 2, len(enc) - 3, 60):
+        bad = bytearray(enc)
+        bad[off] ^= 0x10
+        with pytest.raises((ValueError, NotImplementedError)):
+            flac_decode(bytes(bad))
+    # flip a bit in the STREAMINFO MD5 itself: frames decode fine, the
+    # final self-check must reject
+    bad = bytearray(enc)
+    # file layout: 'fLaC'(4) + block header(4) + STREAMINFO; md5 is
+    # STREAMINFO[18:34] -> file bytes 26..41
+    bad[30] ^= 0x01
+    with pytest.raises(ValueError, match="MD5"):
+        flac_decode(bytes(bad))
+
+
+@given(st.binary(max_size=80))
+@settings(max_examples=200, deadline=None)
+def test_flac_decode_never_crashes_on_garbage(data):
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.multimodal import (
+        flac_decode,
+    )
+
+    for payload in (data, b"fLaC" + data):
+        try:
+            flac_decode(payload)
+        except (ValueError, NotImplementedError):
+            pass
+
+
 def test_xxh32_matches_public_vectors():
     from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.sources.warc import (
         _xxh32,
