@@ -159,7 +159,14 @@ def image_dims(data: bytes) -> tuple[int, int] | None:
     return None
 
 def decode_audio(data: bytes) -> Any:
-    """STUB — audio decode (soundfile/ffmpeg not available)."""
+    """STUB — audio decode for PERCEPTUAL codecs only (mp3/aac/opus
+    need DSP libraries absent from this container).  Everything else
+    is real as of round 9: 16-bit PCM (``wav_pcm_decode``), G.711
+    mu-law/A-law companding (``g711_decode``), stateful IMA ADPCM
+    (``ima_adpcm_decode``), and LOSSLESS FLAC with CRC + MD5
+    verification (``flac_decode``) — each value-oracle-checked by its
+    own query (q_audio_features / q_g711_audio / q_adpcm_audio /
+    q_flac_audio)."""
     raise NotImplementedError("audio decode requires soundfile/ffmpeg; stubbed by design")
 
 def fake_decode_meta(data: bytes) -> tuple[int, int]:
