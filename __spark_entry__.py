@@ -2611,7 +2611,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             plant_flac_audio,
         )
 
-        return flac_audio_features(plant_flac_audio(load_table(spark, sf_dir, "documents")))
+        # _shared_result: the pure-python per-sample encoder makes this
+        # the costliest fixture build; one materialization per session,
+        # the media-family convention (q_jpeg_*/q_gif_frames).
+        return _shared_result(
+            spark, sf_dir, "media_flac",
+            lambda: flac_audio_features(
+                plant_flac_audio(load_table(spark, sf_dir, "documents"))
+            ),
+        )
 
     def q_adpcm_audio(spark, sf_dir):
         # REAL stateful compressed-audio decode (IMA/DVI ADPCM, WAV
