@@ -2103,6 +2103,10 @@ def jpeg_gray_decode_parallel(data: bytes):
     import numpy as np
 
     qt, huff, (h, w, comps), scan, pos, dri = _jpeg_headers(data)
+    if len(comps) != 1 or (comps[0][1], comps[0][2]) != (1, 1):
+        raise NotImplementedError(
+            "only 8-bit single-component unsubsampled baseline"
+        )
     cid, _, _, comp_q = comps[0]
     q = qt[comp_q]
     dc_tab = huff[(0, scan[cid][0])]
@@ -2481,8 +2485,24 @@ _FLAC_FIXED_COEFS = ([], [1], [2, -1], [3, -3, 1], [4, -6, 4, -1])
 
 
 def _utf8_number(n: int) -> bytes:
-    """FLAC frame numbers use UTF-8 style coding of the integer."""
-    return chr(n).encode("utf-8")
+    """FLAC frame numbers use extended UTF-8-STYLE coding of the
+    integer (RFC 9639 §9.1.5): same bit layout as UTF-8 but extended
+    to 7 bytes / 36 bits and with no surrogate hole, so Python's
+    Unicode encoder cannot be used (it raises on 0xD800-0xDFFF and
+    stops at 0x10FFFF).  Implemented with direct bit arithmetic; a
+    k-byte encoding carries 5k+1 payload bits."""
+    if n < 0:
+        raise ValueError("negative frame number")
+    if n < 0x80:
+        return bytes([n])
+    for k in range(2, 8):
+        if n < 1 << (5 * k + 1):
+            lead = (0xFF00 >> k) & 0xFF  # k leading ones then a zero
+            out = [lead | (n >> (6 * (k - 1)))]
+            for j in range(k - 2, -1, -1):
+                out.append(0x80 | ((n >> (6 * j)) & 0x3F))
+            return bytes(out)
+    raise ValueError("frame number exceeds 36 bits")
 
 
 def _read_utf8_number(br: "_MSBReader") -> int:
@@ -2877,11 +2897,15 @@ def mjpeg_avi_frames(data: bytes) -> list[bytes]:
 
     if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
         raise ValueError("not an AVI")
+    # '00dc' chunks belong to STREAM 0 by AVI naming, so the MJPG
+    # check must bind to the FIRST strh (header declaration order =
+    # stream index), not whichever vids strh happens to come last.
     is_mjpg = False
+    streams_seen = 0
     frames: list[bytes] = []
 
     def walk(buf: bytes) -> None:
-        nonlocal is_mjpg
+        nonlocal is_mjpg, streams_seen
         pos = 0
         while pos + 8 <= len(buf):
             cc = buf[pos : pos + 4]
@@ -2891,15 +2915,17 @@ def mjpeg_avi_frames(data: bytes) -> list[bytes]:
                 raise ValueError("truncated AVI chunk")
             if cc == b"LIST":
                 walk(body[4:])  # body[:4] is the list type
-            elif cc == b"strh" and body[:4] == b"vids":
-                is_mjpg = body[4:8] == b"MJPG"
+            elif cc == b"strh":
+                if streams_seen == 0:
+                    is_mjpg = body[:4] == b"vids" and body[4:8] == b"MJPG"
+                streams_seen += 1
             elif cc == b"00dc":
                 frames.append(body)
             pos += 8 + size + (size & 1)
 
     walk(data[12:])
     if not is_mjpg:
-        raise ValueError("AVI video stream is not MJPG")
+        raise ValueError("AVI stream 0 is not an MJPG video stream")
     return frames
 
 

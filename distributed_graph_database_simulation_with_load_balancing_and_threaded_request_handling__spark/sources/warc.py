@@ -328,12 +328,25 @@ def lz4_block_decompress(data: bytes, max_size: int = 1 << 22) -> bytes:
 _LZ4_MAGIC = (0x184D2204).to_bytes(4, "little")
 
 
-def lz4_frame_compress(data: bytes, *, block_size: int = 1 << 16) -> bytes:
+def lz4_frame_compress(
+    data: bytes,
+    *,
+    block_size: int = 1 << 16,
+    block_checksums: bool = False,
+    content_checksum: bool = False,
+) -> bytes:
     """LZ4 FRAME writer: magic, FLG (version 01, block-independence
-    set), BD (64 KB max block), xxh32 header-checksum byte, then
-    independently-compressed blocks (stored uncompressed with the
-    high-bit size flag when compression does not shrink), end mark."""
-    flg = 0x60  # version 01 + block-independence; no checksums/size
+    set, optional B.Checksum / C.Checksum flags), BD (64 KB max
+    block), xxh32 header-checksum byte, then independently-compressed
+    blocks (stored uncompressed with the high-bit size flag when
+    compression does not shrink), end mark, and — when enabled — a
+    per-block xxh32 over the stored block bytes and a trailing xxh32
+    over the original content."""
+    flg = 0x60  # version 01 + block-independence; no content size
+    if block_checksums:
+        flg |= 0x10
+    if content_checksum:
+        flg |= 0x04
     bd = 0x40  # 64 KB max block size
     header = bytes([flg, bd])
     out = bytearray(_LZ4_MAGIC + header)
@@ -344,10 +357,16 @@ def lz4_frame_compress(data: bytes, *, block_size: int = 1 << 16) -> bytes:
             break
         comp = lz4_block_compress(raw)
         if len(comp) < len(raw):
+            stored = comp
             out.extend(len(comp).to_bytes(4, "little") + comp)
         else:
+            stored = raw
             out.extend((len(raw) | 0x80000000).to_bytes(4, "little") + raw)
+        if block_checksums:
+            out.extend(_xxh32(stored).to_bytes(4, "little"))
     out.extend((0).to_bytes(4, "little"))  # EndMark
+    if content_checksum:
+        out.extend(_xxh32(data).to_bytes(4, "little"))
     return bytes(out)
 
 
@@ -362,6 +381,8 @@ def lz4_frame_decompress(data: bytes) -> bytes:
     flg, bd = data[4], data[5]
     if (flg >> 6) != 0b01:
         raise ValueError("unsupported LZ4 frame version")
+    if flg & 0x01:  # dictionary-ID flag — explicit, not incidental
+        raise ValueError("LZ4 frames with a dictionary ID are not supported")
     if flg & 0x08:  # content-size field present
         if len(data) < 15:
             raise ValueError("truncated frame header")
@@ -386,9 +407,18 @@ def lz4_frame_decompress(data: bytes) -> bytes:
             raise ValueError("truncated block")
         block = data[pos : pos + size]
         pos += size
-        out.extend(block if uncompressed else lz4_block_decompress(block))
-        if flg & 0x10:  # per-block checksum flag
+        if flg & 0x10:  # per-block checksum: xxh32 over stored bytes
+            if pos + 4 > len(data):
+                raise ValueError("truncated block checksum")
+            if int.from_bytes(data[pos : pos + 4], "little") != _xxh32(block):
+                raise ValueError("block checksum mismatch")
             pos += 4
+        out.extend(block if uncompressed else lz4_block_decompress(block))
+    if flg & 0x04:  # content checksum: xxh32 over the decoded content
+        if pos + 4 > len(data):
+            raise ValueError("truncated content checksum")
+        if int.from_bytes(data[pos : pos + 4], "little") != _xxh32(bytes(out)):
+            raise ValueError("content checksum mismatch")
     return bytes(out)
 
 
