@@ -7,6 +7,7 @@ they land (zstd RFC 8878, FLAC LPC subframes, WebP VP8L).
 """
 
 import numpy as np
+import os
 import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
@@ -158,3 +159,185 @@ def test_jpeg_parallel_rejects_multi_component_streams():
     color = jpeg_ycbcr_encode(y, cb, cr)
     with pytest.raises(NotImplementedError):
         jpeg_gray_decode_parallel(color)
+
+
+# ----------------------------------------------------------- zstd RFC 8878
+
+
+def _zc():
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.sources import (
+        zstdcodec,
+    )
+
+    return zstdcodec
+
+
+def test_xxh64_public_vectors():
+    """Published xxHash reference vectors (seed 0 and nonzero seed)."""
+    Z = _zc()
+    assert Z.xxh64(b"") == 0xEF46DB3751D8E999
+    assert Z.xxh64(b"a") == 0xD24EC4F1A98C6E5B
+    assert Z.xxh64(b"abc") == 0x44BC2CF5AD770999
+    assert Z.xxh64(b"", seed=1) != Z.xxh64(b"")
+    # >32-byte input exercises the 4-lane path
+    assert Z.xxh64(b"0123456789abcdef" * 4) == Z.xxh64(b"0123456789abcdef" * 4)
+
+
+def test_zstd_predefined_fse_tables_sum_to_table_size():
+    Z = _zc()
+    for norm, acc in (
+        (Z.LL_DEFAULT_NORM, Z.LL_DEFAULT_ACC),
+        (Z.OF_DEFAULT_NORM, Z.OF_DEFAULT_ACC),
+        (Z.ML_DEFAULT_NORM, Z.ML_DEFAULT_ACC),
+    ):
+        states = sum(1 if c == -1 else max(c, 0) for c in norm)
+        assert states == 1 << acc
+        # table build must succeed and fill every cell
+        sym, nbb, base = Z.fse_build_dtable(norm, acc)
+        assert len(sym) == 1 << acc
+        assert all(0 <= b < (1 << acc) for b in base)
+
+
+@given(st.lists(st.integers(min_value=0, max_value=35), min_size=1, max_size=60))
+@settings(max_examples=150, deadline=None)
+def test_zstd_fse_encode_decode_roundtrip(syms):
+    """Isolated tANS duality: encode symbols in reverse with the
+    predefined LL table, decode forward, bit-exact (this is the pair
+    the whole sequences section stands on)."""
+    Z = _zc()
+    enc = Z._FseEncoder(Z.LL_DEFAULT_NORM, Z.LL_DEFAULT_ACC)
+    bw = Z._BackBitWriter()
+    enc.init(syms[-1])
+    for s in reversed(syms[:-1]):
+        enc.encode(bw, s)
+    enc.flush(bw)
+    dec = Z._FseDecoder(Z.LL_DEFAULT_NORM, Z.LL_DEFAULT_ACC)
+    br = Z._BackBits(bw.close())
+    dec.init(br)
+    got = []
+    for i in range(len(syms)):
+        got.append(dec.symbol())
+        if i != len(syms) - 1:
+            dec.update(br)
+    assert got == syms
+    assert br.pos == 0  # fully consumed, like the format requires
+
+
+@given(st.binary(max_size=4000))
+@settings(max_examples=100, deadline=None)
+def test_zstd_roundtrips_arbitrary_bytes(data):
+    Z = _zc()
+    assert Z.zstd_decompress(Z.zstd_compress(data)) == data
+    assert Z.zstd_decompress(Z.zstd_compress(data, checksum=False)) == data
+
+
+def test_zstd_multiblock_and_compression():
+    Z = _zc()
+    big = ('{"doc": %d, "body": "some repeated corpus text"}\n' * 1
+           ).join("") or ""
+    big = "".join(f'{{"doc": {i}, "body": "some repeated corpus text"}}\n'
+                  for i in range(9000)).encode()  # > 3 blocks of 128 KB
+    enc = Z.zstd_compress(big)
+    assert Z.zstd_decompress(enc, max_size=1 << 24) == big
+    assert len(enc) < len(big) // 4  # actually compresses
+
+
+def test_zstd_bitflip_corruption_is_caught():
+    """Flipping any of a sample of bits must raise ValueError, never
+    return wrong bytes silently (checksummed frame)."""
+    Z = _zc()
+    data = "".join(f"line {i} of the corpus shard\n" for i in range(2000)).encode()
+    enc = bytearray(Z.zstd_compress(data))
+    flips = range(4, len(enc), max(1, len(enc) // 60))
+    silent = []
+    for byte_i in flips:
+        bad = bytearray(enc)
+        bad[byte_i] ^= 0x10
+        try:
+            got = Z.zstd_decompress(bytes(bad), max_size=1 << 24)
+            if got != data:
+                silent.append(byte_i)
+        except ValueError:
+            pass
+    assert not silent, f"silent corruption at bytes {silent}"
+
+
+def test_zstd_rejects_dictionary_and_garbage():
+    Z = _zc()
+    with pytest.raises(ValueError, match="dictionary"):
+        # FHD with DID flag bit 0 set
+        Z.zstd_decompress(Z.ZSTD_MAGIC + bytes([0x01, 0x07, 0x00, 0x00, 0x00]))
+    with pytest.raises(ValueError):
+        Z.zstd_decompress(b"not zstd at all")
+    with pytest.raises(ValueError):
+        Z.zstd_decompress(b"")
+
+
+@given(st.binary(max_size=60))
+@settings(max_examples=200, deadline=None)
+def test_zstd_decompress_never_crashes_on_garbage(data):
+    Z = _zc()
+    for payload in (data, Z.ZSTD_MAGIC + data):
+        try:
+            Z.zstd_decompress(payload)
+        except ValueError:
+            pass  # only the typed error, never IndexError/struct junk
+
+
+def _zstd_fixture_plaintexts():
+    import sys as _sys
+
+    sys_path_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    _sys.path.insert(0, os.path.join(sys_path_root, "scripts"))
+    try:
+        from gen_zstd_fixtures import lcg_bytes, plaintexts
+    finally:
+        _sys.path.pop(0)
+    return plaintexts()
+
+
+def test_zstd_decodes_committed_real_cli_fixtures():
+    """The interop gate: committed frames produced by the REFERENCE
+    zstd CLI (levels 1/3/12/19, checksummed and not, incompressible,
+    multi-frame) must decode byte-exact against the re-derived
+    plaintexts — this exercises FSE-compressed tables, 4-stream
+    Huffman literals, treeless blocks, and repeat modes that the
+    from-scratch compressor alone would never emit."""
+    Z = _zc()
+    texts = _zstd_fixture_plaintexts()
+    data_dir = os.path.join(os.path.dirname(__file__), "data", "zstd")
+    expect = {
+        "jsonl_l1.zst": texts["jsonl"],
+        "jsonl_l19.zst": texts["jsonl"],
+        "binary_l3.zst": texts["binary"],
+        "runs_l3.zst": texts["runs"],
+        "mixed_l12.zst": texts["mixed"],
+        "jsonl_l3_nocheck.zst": texts["jsonl"],
+        "concat_2frames.zst": texts["runs"] + texts["jsonl"][:5000],
+    }
+    for name, want in expect.items():
+        with open(os.path.join(data_dir, name), "rb") as f:
+            comp = f.read()
+        assert Z.zstd_decompress(comp, max_size=1 << 24) == want, name
+
+
+def test_zstd_cli_decodes_our_frames_live():
+    """Reverse interop, run live when a zstd CLI is present (skipped
+    otherwise — the committed-fixture test above stays hermetic)."""
+    import shutil
+    import subprocess
+
+    cli = shutil.which("unzstd") or (
+        "/root/miniconda/bin/unzstd"
+        if os.path.exists("/root/miniconda/bin/unzstd")
+        else None
+    )
+    if cli is None:
+        pytest.skip("no zstd CLI available")
+    Z = _zc()
+    texts = _zstd_fixture_plaintexts()
+    for name, payload in texts.items():
+        enc = Z.zstd_compress(payload)
+        p = subprocess.run([cli, "-c"], input=enc, capture_output=True)
+        assert p.returncode == 0, (name, p.stderr[:200])
+        assert p.stdout == payload, name
