@@ -2516,6 +2516,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return lz4_corpus_stats(plant_lz4_shards(load_table(spark, sf_dir, "documents")))
 
+    def q_zstd_corpus(spark, sf_dir):
+        # REAL zstd frame decode (round 10, RFC 8878 from spec):
+        # .jsonl.zst is the shard format The Pile / RedPajama / Dolma
+        # publish in.  Shards are compressed by the module's own
+        # writer (Huffman literals + predefined-FSE sequences + xxh64
+        # content checksum, CLI-interop-pinned in tests/data/zstd/)
+        # and decoded by the full FSE/Huffman/sequences decoder in one
+        # Arrow stage; the 'c'-count value-checks the reconstructed
+        # bytes and the frame checksum is verified inside the decode.
+        # One frame per record = the record-level split grain at
+        # 100 TB (the WARC gzip-member / LZ4-block story).
+        from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.sources.zstdcodec import (
+            plant_zstd_shards,
+            zstd_corpus_stats,
+        )
+
+        return zstd_corpus_stats(plant_zstd_shards(load_table(spark, sf_dir, "documents")))
+
     def q_warc_parse(spark, sf_dir):
         # REAL WARC ingestion (round 9): Common Crawl's wire format —
         # multi-member gzip (one member per record, the layout that
@@ -4884,6 +4902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_url_parse": q_url_parse,  # new round 9
         "q_xpath_extract": q_xpath_extract,  # new round 9
         "q_lz4_corpus": q_lz4_corpus,  # new round 9
+        "q_zstd_corpus": q_zstd_corpus,  # new round 10
         "q_clustering_coeff": q_clustering_coeff,
         "q_link_pred": q_link_pred,
         "q_stream_attrib": q_stream_attrib,
@@ -8648,6 +8667,11 @@ def oracle_sql() -> dict[str, str]:
                CAST(20 + doc_id % 30 AS BIGINT) AS c_count
         FROM documents
     """
+
+    # zstd shards: same closed-form corpus as the LZ4 shards (the two
+    # wire formats are directly comparable), so the oracle is
+    # identical — the value check is on the INFLATED text either way.
+    oracles["q_zstd_corpus"] = oracles["q_lz4_corpus"]
 
     # XML: the oracle rebuilds title/views/tag fields from the id
     # arithmetic (n_tags = 2 by construction), value-checking the

@@ -1108,3 +1108,67 @@ def zstd_compress(data: bytes, *, block_size: int = 1 << 17, checksum: bool = Tr
     if checksum:
         out += (xxh64(data) & 0xFFFFFFFF).to_bytes(4, "little")
     return bytes(out)
+
+
+# ------------------------------------------------------------ Spark surface
+
+
+def plant_zstd_shards(documents, *, id_col: str = "doc_id"):
+    """Planted .zst text shards: file ``id`` is the zstd-frame
+    compression (this module's own writer: Huffman literals +
+    predefined-FSE sequences + xxh64 content checksum) of
+    ``m = 20 + id % 30`` lines ``'doc {id} line {l}\\n'`` — the same
+    closed-form corpus the LZ4 shards use, so decompressed byte/line/
+    char counts replay in SQL and the two wire formats are directly
+    comparable.  CLI interop for foreign frames is pinned separately
+    in tests/data/zstd/."""
+    import pandas as pd
+
+    from ..operators.multimodal import _spread
+    from .warc import WARC_FILE_SCHEMA
+
+    def build(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for i in pdf[id_col]:
+                i = int(i)
+                m = 20 + i % 30
+                text = "".join(f"doc {i} line {l}\n" for l in range(m)).encode()
+                ids.append(i)
+                payloads.append(zstd_compress(text))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "media_type": ["zstd"] * len(ids),
+                    "media": payloads,
+                    "source": ["planted"] * len(ids),
+                }
+            )
+
+    return _spread(documents.select(id_col)).mapInPandas(build, schema=WARC_FILE_SCHEMA)
+
+
+def zstd_corpus_stats(media):
+    """Decompress .zst shards in one Arrow map stage and emit exact
+    integers over the INFLATED text (bytes, lines, 'c' count): the
+    character count value-checks the reconstructed bytes (a garbage
+    inflater that only got sizes right fails), and the frame's own
+    xxh64 content checksum is verified inside ``zstd_decompress``.
+    Scale: one frame per record = the record-level split grain;
+    compressed bytes never leave the stage."""
+    import pandas as pd
+
+    from .warc import LZ4_STATS_SCHEMA
+
+    def process(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = {k: [] for k in ("media_id", "n_bytes", "n_lines", "c_count")}
+            for mid, payload in zip(pdf["media_id"], pdf["media"]):
+                raw = zstd_decompress(bytes(payload))
+                rows["media_id"].append(int(mid))
+                rows["n_bytes"].append(len(raw))
+                rows["n_lines"].append(raw.count(b"\n"))
+                rows["c_count"].append(raw.count(b"c"))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(process, schema=LZ4_STATS_SCHEMA)
