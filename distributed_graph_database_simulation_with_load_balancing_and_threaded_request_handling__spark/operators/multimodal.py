@@ -2523,13 +2523,63 @@ def _read_utf8_number(br: "_MSBReader") -> int:
     return v
 
 
+def _flac_lpc_analyze(blk, order: int = 8, precision: int = 12):
+    """Quantized-LPC analysis for one block (RFC 9639 §9.2.3):
+    autocorrelation -> Levinson-Durbin -> coefficient quantization to
+    ``precision`` bits with a non-negative shift, then the EXACT
+    integer residual (prediction uses the same floor-shift arithmetic
+    the decoder replays, so the codec stays lossless regardless of
+    how good the float model was).  Returns (order, coefs, shift,
+    residual) or None when the block is degenerate (too short, zero
+    energy, unstable recursion) — callers fall back to the fixed
+    predictors."""
+    import numpy as np
+
+    n = int(blk.size)
+    order = min(order, n - 1)
+    if order < 1:
+        return None
+    x = blk.astype(np.float64)
+    r = np.array([float(np.dot(x[: n - k], x[k:])) for k in range(order + 1)])
+    if r[0] <= 0:
+        return None
+    a: list[float] = []
+    err = r[0]
+    for i in range(1, order + 1):
+        acc = r[i] - sum(a[j] * r[i - 1 - j] for j in range(len(a)))
+        if err <= 0:
+            return None
+        k = acc / err
+        a = [a[j] - k * a[i - 2 - j] for j in range(i - 1)] + [k]
+        err *= 1.0 - k * k
+    af = np.asarray(a)
+    shift = 14
+    while shift >= 0:
+        q = np.rint(af * (1 << shift)).astype(np.int64)
+        if np.all(np.abs(q) < (1 << (precision - 1))):
+            break
+        shift -= 1
+    else:
+        return None
+    if not q.any() or shift < 0:
+        return None
+    # exact integer residual with the decoder's floor-shift semantics
+    dots = np.correlate(blk, q[::-1], mode="valid")[: n - order]
+    resid = blk[order:] - (dots >> shift)
+    return order, q, shift, resid
+
+
 def flac_encode(samples, sample_rate: int, *, block_size: int = 4096) -> bytes:
-    """REAL FLAC encoder (fixed-predictor subset, RFC 9639): 16-bit
-    mono; per frame picks the fixed predictor order 0-4 minimizing
-    total residual magnitude, rice-codes the residuals (partition
-    order 0, escape-free parameter), writes spec CRC-8/CRC-16, and
-    stamps STREAMINFO with the MD5 of the raw PCM so any decoder can
-    verify the decode end-to-end."""
+    """REAL FLAC encoder (RFC 9639): 16-bit mono; even frames pick
+    the fixed predictor order 0-4 minimizing total residual
+    magnitude, odd frames use quantized LPC (order <=8, 12-bit
+    coefficients via Levinson-Durbin — round 10; the alternation is a
+    deliberate coverage choice so every multi-frame fixture exercises
+    BOTH subframe families, with automatic fixed fallback on
+    degenerate blocks).  Residuals are rice-coded (partition order 0,
+    escape-free parameter), frames carry spec CRC-8/CRC-16, and
+    STREAMINFO is stamped with the MD5 of the raw PCM so any decoder
+    can verify the decode end-to-end."""
     import hashlib
     import struct
 
@@ -2556,18 +2606,23 @@ def flac_encode(samples, sample_rate: int, *, block_size: int = 4096) -> bytes:
         blk = x[off : off + block_size]
         if blk.size == 0:
             break
-        # pick the fixed order with the smallest residual magnitude
-        # (residual for order k is diff^k(x), length n-k; x[:k] warm up)
-        residuals = {0: blk}
-        cur = blk
-        for o in range(1, 5):
-            if blk.size <= o:
-                break
-            cur = np.diff(cur)
-            residuals[o] = cur
-        order = min(residuals, key=lambda o: (int(np.abs(residuals[o]).sum()), o))
-        warmup = blk[:order]
-        resid = residuals[order]
+        lpc = _flac_lpc_analyze(blk) if (fi % 2 == 1 and blk.size > 16) else None
+        if lpc is not None:
+            order, lpc_coefs, lpc_shift, resid = lpc
+            warmup = blk[:order]
+        else:
+            # pick the fixed order with the smallest residual magnitude
+            # (residual for order k is diff^k(x), length n-k; x[:k] warm up)
+            residuals = {0: blk}
+            cur = blk
+            for o in range(1, 5):
+                if blk.size <= o:
+                    break
+                cur = np.diff(cur)
+                residuals[o] = cur
+            order = min(residuals, key=lambda o: (int(np.abs(residuals[o]).sum()), o))
+            warmup = blk[:order]
+            resid = residuals[order]
         # rice parameter from the mean magnitude (capped below escape)
         mean = int(np.abs(resid).sum()) // max(resid.size, 1)
         param = 0
@@ -2591,10 +2646,18 @@ def flac_encode(samples, sample_rate: int, *, block_size: int = 4096) -> bytes:
 
         sub = _MSBWriter()
         sub.put(0, 1)  # reserved
-        sub.put(0b001000 | order, 6)  # fixed subframe, given order
+        if lpc is not None:
+            sub.put(0b100000 | (order - 1), 6)  # LPC subframe
+        else:
+            sub.put(0b001000 | order, 6)  # fixed subframe, given order
         sub.put(0, 1)  # no wasted bits
         for w in warmup:
             sub.put(int(w) & 0xFFFF, 16)
+        if lpc is not None:
+            sub.put(12 - 1, 4)  # coefficient precision - 1
+            sub.put(lpc_shift, 5)
+            for c in lpc_coefs.tolist():
+                sub.put(c & 0xFFF, 12)
         sub.put(0, 2)  # residual method: 4-bit rice
         sub.put(0, 4)  # partition order 0
         sub.put(param, 4)
@@ -2613,14 +2676,14 @@ def flac_encode(samples, sample_rate: int, *, block_size: int = 4096) -> bytes:
 
 
 def flac_decode(data: bytes):
-    """REAL FLAC decoder (fixed-predictor subset): parses fLaC +
-    STREAMINFO (skipping other metadata blocks), walks frames —
-    sync + CRC-8-verified headers, UTF-8 frame numbers, constant /
-    verbatim / fixed subframes, rice residuals (any partition order),
-    CRC-16 footers — reconstructs via the fixed-predictor
+    """REAL FLAC decoder: parses fLaC + STREAMINFO (skipping other
+    metadata blocks), walks frames — sync + CRC-8-verified headers,
+    UTF-8 frame numbers, constant / verbatim / fixed / quantized-LPC
+    subframes (LPC orders 1-32, any precision — round 10 closed the
+    former fixed-predictor seam), rice residuals (any partition
+    order), CRC-16 footers — reconstructs via the predictor
     recurrences, and VERIFIES the decoded PCM against STREAMINFO's
-    MD5.  Returns ``(samples int16 ndarray, sample_rate)``.  LPC
-    subframes raise NotImplementedError (the documented subset seam);
+    MD5.  Returns ``(samples int16 ndarray, sample_rate)``;
     malformed input raises ValueError."""
     import hashlib
     import struct
@@ -2717,14 +2780,37 @@ def flac_decode(data: bytes):
                 if v >= 1 << (eff_bits - 1):
                     v -= 1 << eff_bits
                 blk.append(v << wasted)
-        elif 0b001000 <= stype <= 0b001100:  # FIXED order 0-4
-            order = stype & 0x07
+        elif 0b001000 <= stype <= 0b001100 or stype >= 0b100000:
+            # FIXED order 0-4, or LPC order 1-32 (round 10, RFC 9639
+            # §9.2.3): both share the warmup + rice-residual layout;
+            # LPC adds a quantized-coefficient header and predicts
+            # with an arithmetic right shift of the signed dot product
+            # (Python's ``>>`` floors, which IS the spec semantics).
+            is_lpc = stype >= 0b100000
+            order = ((stype & 0x1F) + 1) if is_lpc else (stype & 0x07)
             warm = []
             for _ in range(order):
                 v = br.take(eff_bits)
                 if v >= 1 << (eff_bits - 1):
                     v -= 1 << eff_bits
                 warm.append(v)
+            if is_lpc:
+                prec_code = br.take(4)
+                if prec_code == 15:
+                    raise ValueError("invalid LPC precision code")
+                precision = prec_code + 1
+                shift = br.take(5)
+                if shift >= 16:  # 5-bit two's complement: negative
+                    raise ValueError("negative LPC shift is invalid")
+                coefs = []
+                for _ in range(order):
+                    c = br.take(precision)
+                    if c >= 1 << (precision - 1):
+                        c -= 1 << precision
+                    coefs.append(c)
+            else:
+                shift = 0
+                coefs = _FLAC_FIXED_COEFS[order]
             method = br.take(2)
             if method not in (0, 1):
                 raise ValueError("reserved residual method")
@@ -2750,15 +2836,12 @@ def flac_decode(data: bytes):
                     q = br.unary()
                     u = (q << param) | (br.take(param) if param else 0)
                     resid.append((u >> 1) ^ -(u & 1))  # un-zigzag
-            coefs = _FLAC_FIXED_COEFS[order]
             blk = list(warm)
             for r in resid:
-                v = r + sum(c * blk[-1 - j] for j, c in enumerate(coefs))
-                blk.append(v)
+                pred = sum(c * blk[-1 - j] for j, c in enumerate(coefs)) >> shift
+                blk.append(r + pred)
             if wasted:
                 blk = [v << wasted for v in blk]
-        elif 0b100000 <= stype:
-            raise NotImplementedError("LPC subframes (fixed-predictor subset)")
         else:
             raise ValueError("reserved subframe type")
         br.align()
@@ -2789,7 +2872,12 @@ def plant_flac_audio(documents: DataFrame, *, id_col: str = "doc_id") -> DataFra
                 k = np.arange(n, dtype=np.int64)
                 x = ((37 * k + 11 * i) % 4001) - 2000
                 ids.append(i)
-                payloads.append(flac_encode(x, 8000 + (i % 5) * 4000))
+                # block_size 256 -> multi-frame fixtures, so the odd
+                # frames exercise LPC subframes and the even ones the
+                # fixed predictors (flac_encode's alternation)
+                payloads.append(
+                    flac_encode(x, 8000 + (i % 5) * 4000, block_size=256)
+                )
             yield pd.DataFrame(
                 {
                     "media_id": ids,
