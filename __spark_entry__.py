@@ -2534,6 +2534,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return zstd_corpus_stats(plant_zstd_shards(load_table(spark, sf_dir, "documents")))
 
+    def q_webp_decode(spark, sf_dir):
+        # REAL WebP-lossless decode (round 10, VP8L from the public
+        # spec): canonical prefix codes, LZ77 through the plane-code
+        # distance map, color cache, meta groups, and all four
+        # transforms; interop pinned BOTH directions against the
+        # system libwebp (committed fixtures + live ctypes test).
+        # Planted arithmetic images decode in one Arrow stage; the
+        # position-weighted sum catches any scrambled pixel.  Each
+        # file decodes independently — the multimodal shard grain.
+        from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.vp8l import (
+            plant_webp_images,
+            webp_pixel_stats,
+        )
+
+        return webp_pixel_stats(plant_webp_images(load_table(spark, sf_dir, "documents")))
+
     def q_warc_parse(spark, sf_dir):
         # REAL WARC ingestion (round 9): Common Crawl's wire format —
         # multi-member gzip (one member per record, the layout that
@@ -4903,6 +4919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_xpath_extract": q_xpath_extract,  # new round 9
         "q_lz4_corpus": q_lz4_corpus,  # new round 9
         "q_zstd_corpus": q_zstd_corpus,  # new round 10
+        "q_webp_decode": q_webp_decode,  # new round 10
         "q_clustering_coeff": q_clustering_coeff,
         "q_link_pred": q_link_pred,
         "q_stream_attrib": q_stream_attrib,
@@ -8672,6 +8689,27 @@ def oracle_sql() -> dict[str, str]:
     # wire formats are directly comparable), so the oracle is
     # identical — the value check is on the INFLATED text either way.
     oracles["q_zstd_corpus"] = oracles["q_lz4_corpus"]
+
+    # WebP: per-pixel channel arithmetic replayed over a lateral
+    # (x, y) grid; wsum is position-weighted so any scrambled pixel
+    # breaks the hash even where the plain channel sums collide.
+    oracles["q_webp_decode"] = """
+        SELECT d.doc_id AS media_id,
+               CAST(8 + d.doc_id % 9 AS BIGINT) AS width,
+               CAST(8 + d.doc_id % 7 AS BIGINT) AS height,
+               CAST(SUM((3 * g.x + 5 * g.y + d.doc_id) % 256) AS BIGINT) AS r_sum,
+               CAST(SUM((7 * g.x + 2 * g.y + 11 * d.doc_id) % 256) AS BIGINT) AS g_sum,
+               CAST(SUM((g.x * g.y + 13 * d.doc_id) % 256) AS BIGINT) AS b_sum,
+               CAST(SUM(((3 * g.x + 5 * g.y + d.doc_id) % 256
+                         + 2 * ((7 * g.x + 2 * g.y + 11 * d.doc_id) % 256)
+                         + 3 * ((g.x * g.y + 13 * d.doc_id) % 256))
+                        * (31 * g.y + 17 * g.x + 1)) AS BIGINT) AS wsum
+        FROM documents d,
+             (SELECT gx.x, gy.y
+              FROM range(0, 17) AS gx(x), range(0, 15) AS gy(y)) AS g
+        WHERE g.x < 8 + d.doc_id % 9 AND g.y < 8 + d.doc_id % 7
+        GROUP BY d.doc_id
+    """
 
     # XML: the oracle rebuilds title/views/tag fields from the id
     # arithmetic (n_tags = 2 by construction), value-checking the

@@ -417,3 +417,148 @@ def test_flac_lpc_random_signals_roundtrip(seed):
     enc = flac_encode(x, 8000, block_size=256)
     dec, _ = flac_decode(enc)
     assert np.array_equal(dec.astype(np.int64), x)
+
+
+# ----------------------------------------------------------- WebP VP8L
+
+
+def _vp8l():
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators import (
+        vp8l,
+    )
+
+    return vp8l
+
+
+def _libwebp():
+    import ctypes
+    import ctypes.util
+
+    path = ctypes.util.find_library("webp")
+    if path is None and os.path.exists("/usr/lib/x86_64-linux-gnu/libwebp.so.7"):
+        path = "/usr/lib/x86_64-linux-gnu/libwebp.so.7"
+    if path is None:
+        return None
+    lib = ctypes.CDLL(path)
+    lib.WebPEncodeLosslessRGBA.restype = ctypes.c_size_t
+    lib.WebPEncodeLosslessRGBA.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+    ]
+    lib.WebPDecodeRGBA.restype = ctypes.POINTER(ctypes.c_uint8)
+    lib.WebPDecodeRGBA.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+    ]
+    return lib
+
+
+def test_vp8l_code_to_plane_table_is_a_valid_window():
+    """120 unique (dx, dy) offsets inside the spec's 8-neighborhood
+    window (the table bytes are pinned from the public spec; this
+    asserts their structural invariants)."""
+    V = _vp8l()
+    seen = set()
+    for b in V._CODE_TO_PLANE:
+        dy, dx = b >> 4, 8 - (b & 0xF)
+        assert 0 <= dy <= 7 and -7 <= dx <= 8
+        assert (dx, dy) not in seen
+        seen.add((dx, dy))
+    assert len(seen) == 120
+
+
+@given(st.integers(min_value=0, max_value=2**31 - 1))
+@settings(max_examples=40, deadline=None)
+def test_vp8l_self_roundtrip(seed):
+    import numpy as np
+
+    V = _vp8l()
+    rng = np.random.default_rng(seed)
+    w, h = int(rng.integers(1, 33)), int(rng.integers(1, 33))
+    kind = seed % 3
+    if kind == 0:
+        img = rng.integers(0, 256, (h, w, 4), dtype=np.uint8)
+    elif kind == 1:
+        img = np.full((h, w, 4), int(rng.integers(0, 256)), dtype=np.uint8)
+    else:
+        pal = rng.integers(0, 256, (3, 4), dtype=np.uint8)
+        img = pal[rng.integers(0, 3, (h, w))]
+    assert np.array_equal(V.vp8l_decode(V.vp8l_encode(img)), img)
+
+
+def test_vp8l_decodes_committed_real_libwebp_fixtures():
+    """The interop gate: committed files produced by the REAL
+    libwebp lossless encoder (predictor/color transforms, bundled
+    palettes, LZ77, color cache — paths our own encoder never emits)
+    must decode byte-exact against the re-derived closed-form
+    images."""
+    import sys as _sys
+
+    V = _vp8l()
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    _sys.path.insert(0, os.path.join(root, "scripts"))
+    try:
+        from gen_webp_fixtures import fixture_images
+    finally:
+        _sys.path.pop(0)
+    import numpy as np
+
+    data_dir = os.path.join(os.path.dirname(__file__), "data", "webp")
+    for name, want in fixture_images().items():
+        with open(os.path.join(data_dir, f"{name}.webp"), "rb") as f:
+            enc = f.read()
+        got = V.vp8l_decode(enc)
+        assert np.array_equal(got, want), name
+
+
+def test_vp8l_live_interop_both_directions():
+    lib = _libwebp()
+    if lib is None:
+        pytest.skip("no libwebp available")
+    import ctypes
+
+    import numpy as np
+
+    V = _vp8l()
+    rng = np.random.default_rng(23)
+    for t in range(6):
+        w, h = int(rng.integers(2, 50)), int(rng.integers(2, 50))
+        img = rng.integers(0, 256, (h, w, 4), dtype=np.uint8)
+        if t % 2:
+            img[..., 3] = 255
+        # ours -> libwebp
+        enc = V.vp8l_encode(img)
+        ww, hh = ctypes.c_int(), ctypes.c_int()
+        p = lib.WebPDecodeRGBA(enc, len(enc), ctypes.byref(ww), ctypes.byref(hh))
+        assert p, "libwebp rejected our stream"
+        ref = np.frombuffer(
+            ctypes.string_at(p, ww.value * hh.value * 4), dtype=np.uint8
+        ).reshape(hh.value, ww.value, 4)
+        assert np.array_equal(ref, img)
+        # libwebp -> ours.  Compare against libwebp's OWN decode of
+        # the same stream: the simple encode API runs with exact=0,
+        # which may rewrite RGB under fully-transparent pixels, so
+        # the original image is not the reference — the bitstream is.
+        out = ctypes.POINTER(ctypes.c_uint8)()
+        size = lib.WebPEncodeLosslessRGBA(
+            img.tobytes(), w, h, w * 4, ctypes.byref(out)
+        )
+        enc2 = ctypes.string_at(out, size)
+        p2 = lib.WebPDecodeRGBA(enc2, len(enc2), ctypes.byref(ww), ctypes.byref(hh))
+        ref2 = np.frombuffer(
+            ctypes.string_at(p2, ww.value * hh.value * 4), dtype=np.uint8
+        ).reshape(hh.value, ww.value, 4)
+        assert np.array_equal(V.vp8l_decode(enc2), ref2)
+        opaque = img[..., 3] == 255
+        assert np.array_equal(ref2[opaque], img[opaque])
+
+
+@given(st.binary(max_size=60))
+@settings(max_examples=150, deadline=None)
+def test_vp8l_never_crashes_on_garbage(data):
+    V = _vp8l()
+    for payload in (data, b"RIFF" + data, b"\x2f" + data):
+        try:
+            V.vp8l_decode(payload)
+        except ValueError:
+            pass
