@@ -58,11 +58,17 @@ def main() -> None:
     # them crowd the block manager.
     import gc
 
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators import (
+        graphalgs,
+    )
+
     timings: dict[str, float] = {}
+    rounds: dict[str, dict] = {}
     for name, fn in entrymod.queries().items():
         runs: list[float] = []
         n = -1
         for i in range(3):
+            graphalgs.LOOP_STATS.clear()
             t0 = time.time()
             df = fn(spark, sf_dir)
             n = df.count()
@@ -72,16 +78,52 @@ def main() -> None:
             if i == 1 and max(runs) <= 1.5 * min(runs):
                 break
         timings[name] = min(runs)
+        # measured superstep counts (round-9 verdict #8): the
+        # iteration-floor evidence, straight from the engine's own
+        # loop instrumentation, embedded per iterative query
+        stats = dict(next(iter(graphalgs.LOOP_STATS.values()), {}))
+        if stats:
+            rounds[name] = stats
         print(f"# {name}: {n} rows in {timings[name]}s {runs}", file=sys.stderr)
 
-    full_line, compact_line = summary_lines(timings, sf)
+    full_line, compact_line = summary_lines(timings, sf, rounds=rounds, ab=load_ab())
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"), "w") as fh:
         fh.write(full_line + "\n")
     print(full_line)
     print(compact_line)
 
 
-def summary_lines(timings: dict[str, float], sf: float) -> tuple[str, str]:
+def load_ab() -> dict | None:
+    """Controlled same-boot A/B context (round-9 verdict #5): when
+    scripts/bench_ab.py has produced .scratch/bench_ab.json with a
+    meta block, embed its code-vs-code ratio into the bench record so
+    an official number landing in a slow host window can be read
+    against the controlled measurement instead of poisoning the
+    round-over-round comparison."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        ".scratch", "bench_ab.json")
+    try:
+        with open(path) as fh:
+            data = json.load(fh)
+        meta = data["meta"]
+        return {
+            "ratio": meta["ratio"],
+            "base": meta["base_commit"][:9],
+            "base_s": meta["base_total_s"],
+            "head_s": meta["head_total_s"],
+            "at": meta["at"],
+        }
+    except (OSError, KeyError, ValueError):
+        return None
+
+
+def summary_lines(
+    timings: dict[str, float],
+    sf: float,
+    *,
+    rounds: dict[str, dict] | None = None,
+    ab: dict | None = None,
+) -> tuple[str, str]:
     """(full_record_json, compact_record_json).  The COMPACT line is
     printed LAST so a bounded stdout-tail capture always holds one
     complete, parseable record — its size is bounded (slowest-10 map
@@ -89,28 +131,38 @@ def summary_lines(timings: dict[str, float], sf: float) -> tuple[str, str]:
     full per-query map goes on the first line and to BENCH_FULL.json.
     Pinned by tests/test_entry_parses.py::test_bench_compact_line_fits_tail."""
     total = round(sum(timings.values()), 3)
-    full = json.dumps(
-        {
-            "metric": "declared_query_set_total_wall",
-            "value": total,
-            "unit": "sec",
-            "queries": timings,
-            "sf": sf,
-        }
-    )
+    try:
+        load1 = round(os.getloadavg()[0], 2)
+    except OSError:
+        load1 = -1.0
+    full_rec = {
+        "metric": "declared_query_set_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "loadavg_1m": load1,
+    }
+    if rounds:
+        full_rec["rounds"] = rounds
+    if ab:
+        full_rec["ab"] = ab
+    full = json.dumps(full_rec)
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
-    compact = json.dumps(
-        {
-            "metric": "declared_query_set_total_wall",
-            "value": total,
-            "unit": "sec",
-            "sf": sf,
-            "n_queries": len(timings),
-            "sec_per_query": round(total / max(len(timings), 1), 3),
-            "slowest": slowest,
-            "full": "BENCH_FULL.json",
-        }
-    )
+    compact_rec = {
+        "metric": "declared_query_set_total_wall",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "sec_per_query": round(total / max(len(timings), 1), 3),
+        "loadavg_1m": load1,
+        "slowest": slowest,
+        "full": "BENCH_FULL.json",
+    }
+    if ab:
+        compact_rec["ab"] = ab
+    compact = json.dumps(compact_rec)
     return full, compact
 
 if __name__ == "__main__":

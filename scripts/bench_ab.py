@@ -118,8 +118,33 @@ def main() -> None:
         print(f"  {q}: {best['r7'][q]:.2f} -> {best['r8'][q]:.2f} ({d:+.2f})")
 
     os.makedirs(os.path.join(REPO, ".scratch"), exist_ok=True)
+    head_commit = subprocess.run(
+        ["git", "rev-parse", "HEAD"], cwd=REPO, capture_output=True, text=True
+    ).stdout.strip()
+    try:
+        load1 = round(os.getloadavg()[0], 2)
+    except OSError:
+        load1 = -1.0
+    # meta block consumed by bench.py (round-9 verdict #5): the
+    # controlled code-vs-code ratio travels WITH the official record
+    # so a slow host window can't masquerade as a code regression
+    meta = {
+        "base_commit": r7_commit,
+        "head_commit": head_commit,
+        "base_total_s": round(t7, 1),
+        "head_total_s": round(t8, 1),
+        "ratio": round(t8 / t7, 3),
+        "n_common": len(common),
+        "passes": passes,
+        "loadavg_1m": load1,
+        "at": time.strftime("%Y-%m-%dT%H:%M:%S"),
+    }
     with open(os.path.join(REPO, ".scratch", "bench_ab.json"), "w") as fh:
-        json.dump({"r7": best["r7"], "r8": best["r8"], "passes": passes}, fh, indent=1)
+        json.dump(
+            {"r7": best["r7"], "r8": best["r8"], "passes": passes, "meta": meta},
+            fh,
+            indent=1,
+        )
     spark.stop()
 
 
