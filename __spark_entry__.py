@@ -22,6 +22,59 @@ from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+_ASSIGNMENT_TREE_DIR = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "tests", "data", "assignment_trees"
+)
+
+
+def _assignment_tree_path(name: str) -> str:
+    return os.path.join(_ASSIGNMENT_TREE_DIR, f"{name}.txt")
+
+
+def _assignment_trees():
+    """(graph_id, name, n, matrix) for the 14 committed evaluation
+    trees (the reference's graded docx corpus; see
+    scripts/extract_assignment_trees.py for provenance)."""
+    out = []
+    for gid in range(1, 15):
+        name = f"G{gid}"
+        with open(_assignment_tree_path(name)) as f:
+            tokens = f.read().split()
+        n = int(tokens[0])
+        cells = [int(x) for x in tokens[1:]]
+        out.append((gid, name, n, [cells[r * n : (r + 1) * n] for r in range(n)]))
+    return out
+
+
+def _assignment_bfs_values() -> str:
+    """Independent pure-Python BFS over the raw matrices, rendered as
+    a VALUES literal — the golden oracle for q_assignment_replay."""
+    from collections import deque
+
+    rows = []
+    for gid, _name, n, mat in _assignment_trees():
+        for root0 in range(n):
+            level = {root0: 0}
+            q = deque([root0])
+            while q:
+                u = q.popleft()
+                for v in range(n):
+                    if mat[u][v] and v not in level:
+                        level[v] = level[u] + 1
+                        q.append(v)
+            rows.extend(
+                (gid, root0 + 1, v0 + 1, lvl) for v0, lvl in level.items()
+            )
+    values = ", ".join(f"({g}, {s}, {v}, {l})" for g, s, v, l in rows)
+    return (
+        "SELECT CAST(graph_id AS INTEGER) AS graph_id, "
+        "CAST(start AS BIGINT) AS start, "
+        "CAST(vertex AS BIGINT) AS vertex, "
+        "CAST(level AS INTEGER) AS level "
+        f"FROM (VALUES {values}) AS t(graph_id, start, vertex, level)"
+    )
+
+
 from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.catalog import (
     add_graph as _add_graph,
     merge_edges as _merge_edges,
@@ -2825,6 +2878,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         write_adjacency_text(edges, path)
         return read_adjacency_text(spark, path, graph_id=3)
 
+    def q_assignment_replay(spark, sf_dir):
+        # Round 10: the reference's GRADED evaluation corpus ('Trees
+        # for OS Assignment-2.docx', extracted byte-for-byte into
+        # tests/data/assignment_trees by scripts/
+        # extract_assignment_trees.py) replayed as driver-oracle
+        # surface: all 14 matrices parsed by the O8 text scan, EVERY
+        # (graph, root) pair — 152 traversals — in ONE
+        # bfs_levels_multi loop (supersteps = deepest tree, not the
+        # request count).  The oracle is an independent pure-Python
+        # queue BFS over the raw matrices, inlined as VALUES.
+        from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.traverse import (
+            bfs_levels_multi,
+        )
+        from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.sources.matrix_io import (
+            GRAPH_EDGES_SCHEMA,
+            parse_adjacency_text,
+        )
+
+        # One relation for all 14 graphs (a 14-way union of tiny
+        # local scans costs more in plan nodes than data): each file
+        # still goes through the O8 text parser, only the Spark-side
+        # assembly is consolidated.
+        rows = []
+        sources = []
+        for gid, name, n, _mat in _assignment_trees():
+            rows.extend(
+                parse_adjacency_text(_assignment_tree_path(name), graph_id=gid)
+            )
+            sources.extend((gid, v) for v in range(1, n + 1))
+        edges = spark.createDataFrame(rows, schema=GRAPH_EDGES_SCHEMA)
+        src_df = spark.createDataFrame(sources, "graph_id int, start long")
+        return bfs_levels_multi(edges, src_df).select(
+            "graph_id", "start", "vertex", "level"
+        )
+
     def q_repetition(spark, sf_dir):
         # Gopher-style repetition quality signals per document.
         return repetition_features(load_table(spark, sf_dir, "documents"))
@@ -4920,6 +5008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lz4_corpus": q_lz4_corpus,  # new round 9
         "q_zstd_corpus": q_zstd_corpus,  # new round 10
         "q_webp_decode": q_webp_decode,  # new round 10
+        "q_assignment_replay": q_assignment_replay,  # new round 10
         "q_clustering_coeff": q_clustering_coeff,
         "q_link_pred": q_link_pred,
         "q_stream_attrib": q_stream_attrib,
@@ -8689,6 +8778,11 @@ def oracle_sql() -> dict[str, str]:
     # wire formats are directly comparable), so the oracle is
     # identical — the value check is on the INFLATED text either way.
     oracles["q_zstd_corpus"] = oracles["q_lz4_corpus"]
+
+    # Assignment-tree replay: golden VALUES from an independent
+    # pure-Python BFS over the committed docx matrices (all 152
+    # (graph, root) traversals of the reference's graded corpus).
+    oracles["q_assignment_replay"] = _assignment_bfs_values()
 
     # WebP: per-pixel channel arithmetic replayed over a lateral
     # (x, y) grid; wsum is position-weighted so any scrambled pixel

@@ -48,6 +48,25 @@ def read_adjacency_text(
     weighted matrix.  The divergence fixture is pinned in
     tests/test_matrix_io.py.
     """
+    return spark.createDataFrame(
+        parse_adjacency_text(
+            path, graph_id=graph_id, one_indexed=one_indexed, cell_rule=cell_rule
+        ),
+        schema=GRAPH_EDGES_SCHEMA,
+    )
+
+
+def parse_adjacency_text(
+    path: str,
+    *,
+    graph_id: int = 1,
+    one_indexed: bool = True,
+    cell_rule: str = "nonzero",
+) -> list[tuple[int, int, int]]:
+    """The O8 parse itself (driver-side, pure Python): the row list
+    behind ``read_adjacency_text``, exposed so multi-file loads (e.g.
+    q_assignment_replay's 14-graph corpus) can assemble ONE local
+    relation instead of unioning per-file DataFrames."""
     if cell_rule not in ("nonzero", "eq1"):
         raise ValueError(f"cell_rule must be 'nonzero' or 'eq1', got {cell_rule!r}")
     with open(path) as f:
@@ -58,13 +77,12 @@ def read_adjacency_text(
         raise ValueError(f"{path}: expected {n * n} matrix cells, found {len(cells)}")
     shift = 1 if one_indexed else 0
     keep = (lambda v: v != 0) if cell_rule == "nonzero" else (lambda v: v == 1)
-    rows = [
+    return [
         (graph_id, r + shift, c + shift)
         for r in range(n)
         for c in range(n)
         if keep(int(cells[r * n + c]))
     ]
-    return spark.createDataFrame(rows, schema=GRAPH_EDGES_SCHEMA)
 
 def write_adjacency_text(edges: DataFrame, path: str, *, one_indexed: bool = True) -> None:
     """Serialize one graph's edge list back to the reference text
