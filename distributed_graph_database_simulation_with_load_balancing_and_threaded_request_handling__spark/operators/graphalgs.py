@@ -28,7 +28,7 @@ from .traverse import _edges_only
 # invocation, so scale sweeps can REPORT the measured superstep count
 # next to wall time instead of extrapolating the O(log n) claims.
 # Driver-side only, one tiny dict write per query — no plan impact.
-LOOP_STATS: dict[str, dict] = {}
+from .loopstats import LOOP_STATS  # noqa: F401  (shared superstep instrumentation)
 
 def canonical_edges(edges: DataFrame, *, graph_id: int | None = None) -> DataFrame:
     """Undirected edge set as canonical ``src < dst`` pairs (one row
@@ -457,6 +457,7 @@ def pagerank_fixed_both(
             F.col("rw").alias("rank_scaled_w"),
             (F.col("rw") / F.lit(float(scale))).alias("rank_w"),
         )
+        LOOP_STATS["pagerank_fixed_both"] = {"iters": iters}
         if loop_shuffle_partitions is not None:
             out = out.localCheckpoint(eager=True)
         return out
@@ -680,6 +681,7 @@ def kcore(
             raise RuntimeError(
                 f"kcore(k={k}) did not converge in {max_iters} peeling rounds"
             )
+        LOOP_STATS["kcore"] = {"peel_rounds": i + 1}
         # At the fixpoint the final round's degrees were counted against
         # an alive set equal to the surviving set, so they ARE the
         # in-core degrees — no extra degree pass needed.
@@ -1021,6 +1023,7 @@ def personalized_pagerank_fixed(
             F.col("r").alias("rank_scaled"),
             (F.col("r") / F.lit(float(scale))).alias("rank"),
         )
+        LOOP_STATS["personalized_pagerank_fixed"] = {"iters": iters}
         if loop_shuffle_partitions is not None:
             out = out.localCheckpoint(eager=True)
         return out
@@ -1583,6 +1586,7 @@ def maximal_independent_set(
             raise RuntimeError(
                 f"maximal_independent_set did not converge in {max_iters} rounds"
             )
+        LOOP_STATS["maximal_independent_set"] = {"luby_rounds": rnd}
         out = rounds[0]
         for r in rounds[1:]:
             out = out.unionAll(r)
@@ -1647,6 +1651,7 @@ def label_propagation(
                 .select("v", (-F.col("m.nl")).cast("long").alias("label"))
                 .localCheckpoint(eager=False)
             )
+        LOOP_STATS["label_propagation"] = {"rounds": int(rounds)}
         return labels.select(F.col("v").cast("long").alias("vertex"), "label")
     finally:
         if loop_shuffle_partitions is not None:
@@ -1716,7 +1721,7 @@ def ktruss(
         cur = cur.localCheckpoint(eager=False)
         prev = cur.count()
         converged = False
-        for _ in range(max_iters):
+        for peel_i in range(max_iters):
             nxt = (
                 _support(cur)
                 .where(F.col("support") >= min_support)
@@ -1731,6 +1736,7 @@ def ktruss(
             prev = n
         if not converged:
             raise RuntimeError(f"ktruss did not converge in {max_iters} rounds")
+        LOOP_STATS["ktruss"] = {"peel_rounds": peel_i + 1}
         # One more support pass over the fixpoint set for the output
         # column (at the fixpoint the filter is a no-op by definition).
         return (

@@ -45,6 +45,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .loopstats import LOOP_STATS
+
 def _edges_only(edges: DataFrame, graph_id: int | None) -> DataFrame:
     e = edges
     if graph_id is not None and "graph_id" in e.columns:
@@ -153,6 +155,7 @@ def bfs_levels(
                 ).localCheckpoint(eager=False)
             frontier = new
 
+        LOOP_STATS["bfs_levels"] = {"supersteps": level}
         out = visited_levels[0]
         for v in visited_levels[1:]:
             out = out.unionAll(v)
@@ -252,6 +255,7 @@ def bfs_levels_multi(
                     new.select(*keys)
                 ).localCheckpoint(eager=False)
             frontier = new
+        LOOP_STATS["bfs_levels_multi"] = {"supersteps": level}
         out = visited_levels[0]
         for v in visited_levels[1:]:
             out = out.unionAll(v)
@@ -590,6 +594,7 @@ def connected_components(
                 f"connected_components did not converge in {max_iters} rounds "
                 "(graph diameter exceeds max_iters); raise max_iters"
             )
+        LOOP_STATS["connected_components"] = {"rounds": i + 1}
         return labels
     finally:
         e.unpersist(blocking=False)
