@@ -562,3 +562,51 @@ def test_vp8l_never_crashes_on_garbage(data):
             V.vp8l_decode(payload)
         except ValueError:
             pass
+
+
+# --------------------------------------------------- decoder crash hygiene
+
+
+def test_vp8l_mutations_of_real_streams_raise_typed_errors_only():
+    """A pipeline decoder sees corrupted bytes: mutations of REAL
+    libwebp streams must produce ValueError (or a correct decode of a
+    benign flip), never IndexError/KeyError-class crashes."""
+    import random
+
+    V = _vp8l()
+    base = open(
+        os.path.join(os.path.dirname(__file__), "data", "webp", "grad_48x64.webp"),
+        "rb",
+    ).read()
+    rng = random.Random(5)
+    for _ in range(300):
+        bad = bytearray(base)
+        for _ in range(rng.randrange(1, 5)):
+            bad[rng.randrange(len(bad))] ^= 1 << rng.randrange(8)
+        try:
+            V.vp8l_decode(bytes(bad))
+        except ValueError:
+            pass
+
+
+def test_flac_lpc_stream_mutations_raise_typed_errors_only():
+    import random
+
+    import numpy as np
+
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.multimodal import (
+        flac_decode,
+        flac_encode,
+    )
+
+    x = (9000 * np.sin(np.arange(1500) * 0.07)).astype(np.int64)
+    base = flac_encode(x, 16000, block_size=256)  # contains LPC frames
+    rng = random.Random(8)
+    for _ in range(300):
+        bad = bytearray(base)
+        for _ in range(rng.randrange(1, 4)):
+            bad[rng.randrange(len(bad))] ^= 1 << rng.randrange(8)
+        try:
+            flac_decode(bytes(bad))
+        except (ValueError, NotImplementedError):
+            pass
