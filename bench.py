@@ -80,9 +80,15 @@ def main() -> None:
         timings[name] = min(runs)
         # measured superstep counts (round-9 verdict #8): the
         # iteration-floor evidence, straight from the engine's own
-        # loop instrumentation, embedded per iterative query
-        stats = dict(next(iter(graphalgs.LOOP_STATS.values()), {}))
-        if stats:
+        # loop instrumentation, embedded per iterative query.  ALL
+        # instrumented loops are recorded, keyed by operator name
+        # (r10 ADVICE: a query composing two loops — BFS feeding
+        # connected_components — previously kept whichever wrote
+        # first and dropped the rest).
+        stats = {op: dict(s) for op, s in graphalgs.LOOP_STATS.items()}
+        if len(stats) == 1:
+            rounds[name] = next(iter(stats.values()))
+        elif stats:
             rounds[name] = stats
         print(f"# {name}: {n} rows in {timings[name]}s {runs}", file=sys.stderr)
 

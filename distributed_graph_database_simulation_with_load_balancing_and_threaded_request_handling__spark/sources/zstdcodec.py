@@ -744,6 +744,8 @@ def zstd_decompress(data: bytes, max_size: int = 1 << 26) -> bytes:
             if pos + 8 > n:
                 raise ValueError("zstd: truncated skippable frame")
             size = int.from_bytes(data[pos + 4 : pos + 8], "little")
+            if pos + 8 + size > n:
+                raise ValueError("zstd: truncated skippable frame")
             pos += 8 + size
             continue
         if data[pos : pos + 4] != ZSTD_MAGIC:
@@ -792,14 +794,17 @@ def zstd_decompress(data: bytes, max_size: int = 1 << 26) -> bytes:
             bsize = hdr >> 3
             if btype == 3:
                 raise ValueError("zstd: reserved block type")
+            if bsize > _BLOCK_MAX:
+                # RFC 8878 §3.1.1.2.3: Block_Size <= Block_Maximum_Size
+                # for EVERY block type — RLE's 21-bit regenerated size
+                # must be bounded too, not just raw/compressed payloads.
+                raise ValueError("zstd: block exceeds maximum size")
             if btype == 1:  # RLE
                 if pos >= n:
                     raise ValueError("zstd: truncated RLE block")
                 out += bytes([data[pos]]) * bsize
                 pos += 1
             else:
-                if bsize > _BLOCK_MAX:
-                    raise ValueError("zstd: block exceeds maximum size")
                 block = data[pos : pos + bsize]
                 if len(block) != bsize:
                     raise ValueError("zstd: truncated block")
