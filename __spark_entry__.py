@@ -2708,6 +2708,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ),
         )
 
+    def q_flac_stereo(spark, sf_dir):
+        # STEREO FLAC (round 11): RFC 9639 §9.1.3 channel
+        # decorrelation — each doc's frames cycle the four channel
+        # assignments (independent, left/side, right/side, mid/side,
+        # phase id % 4, so all four appear even on one-frame docs),
+        # the side channel decodes at 17-bit depth, and STREAMINFO's
+        # MD5 is verified over the INTERLEAVED decode — a channel
+        # swap, bad decorrelation, or interleaving bug breaks the
+        # signature before the oracle looks.  Features are exact
+        # per-channel integers plus the Σ L·R cross term (catches
+        # channel swaps that symmetric stats would miss); the oracle
+        # replays both closed-form channels.
+        from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.multimodal import (
+            flac_stereo_features,
+            plant_flac_stereo,
+        )
+
+        return _shared_result(
+            spark, sf_dir, "media_flac_stereo",
+            lambda: flac_stereo_features(
+                plant_flac_stereo(load_table(spark, sf_dir, "documents"))
+            ),
+        )
+
     def q_adpcm_audio(spark, sf_dir):
         # REAL stateful compressed-audio decode (IMA/DVI ADPCM, WAV
         # format 0x11): each 4-bit code advances a predictor + step-
@@ -4971,6 +4995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_g711_audio": q_g711_audio,
         "q_adpcm_audio": q_adpcm_audio,
         "q_flac_audio": q_flac_audio,
+        "q_flac_stereo": q_flac_stereo,
         "q_kmeans": q_kmeans,
         "q_cluster_labels": q_cluster_labels,
         "q_semantic_dedup": q_semantic_dedup,
@@ -6878,6 +6903,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(ABS(v)) AS BIGINT) AS peak,
                    CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs,
                    CAST(SUM(v * v) AS BIGINT) AS sum_sq
+            FROM s GROUP BY media_id, sample_rate, n
+        """,
+        # plant_flac_stereo: two arithmetic channels (L the q_flac_audio
+        # signal, R a second congruence ((53k + 7*id) % 4001) - 2000)
+        # through a REAL stereo FLAC container whose frames cycle all
+        # four RFC 9639 channel assignments; the oracle replays both
+        # closed forms per channel plus the L*R cross term.
+        "q_flac_stereo": """
+            WITH ks AS (SELECT range AS k FROM range(0, 999)),
+            d AS (
+              SELECT CAST(doc_id AS BIGINT) AS media_id,
+                     CAST(8000 + (doc_id % 5) * 4000 AS BIGINT) AS sample_rate,
+                     CAST(100 + (37 * doc_id) % 900 AS BIGINT) AS n
+              FROM documents
+            ),
+            s AS (
+              SELECT media_id, sample_rate, n,
+                     ((37 * k + 11 * media_id) % 4001) - 2000 AS l,
+                     ((53 * k + 7 * media_id) % 4001) - 2000 AS r
+              FROM d JOIN ks ON k < n
+            )
+            SELECT media_id, sample_rate, n AS n_samples,
+                   CAST(MAX(ABS(l)) AS BIGINT) AS peak_l,
+                   CAST(MAX(ABS(r)) AS BIGINT) AS peak_r,
+                   CAST(SUM(ABS(l)) AS BIGINT) AS sum_abs_l,
+                   CAST(SUM(ABS(r)) AS BIGINT) AS sum_abs_r,
+                   CAST(SUM(l * l) AS BIGINT) AS sum_sq_l,
+                   CAST(SUM(r * r) AS BIGINT) AS sum_sq_r,
+                   CAST(SUM(l * r) AS BIGINT) AS sum_lr
             FROM s GROUP BY media_id, sample_rate, n
         """,
         # plant_ima_adpcm_audio: 1 + id%2 blocks of 64 nibbles; block b

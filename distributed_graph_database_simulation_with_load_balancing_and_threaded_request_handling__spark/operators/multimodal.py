@@ -163,10 +163,11 @@ def decode_audio(data: bytes) -> Any:
     need DSP libraries absent from this container).  Everything else
     is real as of round 9: 16-bit PCM (``wav_pcm_decode``), G.711
     mu-law/A-law companding (``g711_decode``), stateful IMA ADPCM
-    (``ima_adpcm_decode``), and LOSSLESS FLAC with CRC + MD5
-    verification (``flac_decode``) — each value-oracle-checked by its
-    own query (q_audio_features / q_g711_audio / q_adpcm_audio /
-    q_flac_audio)."""
+    (``ima_adpcm_decode``), and LOSSLESS FLAC — mono and stereo with
+    all four channel assignments — with CRC + MD5 verification
+    (``flac_decode``) — each value-oracle-checked by its own query
+    (q_audio_features / q_g711_audio / q_adpcm_audio / q_flac_audio /
+    q_flac_stereo)."""
     raise NotImplementedError("audio decode requires soundfile/ffmpeg; stubbed by design")
 
 def fake_decode_meta(data: bytes) -> tuple[int, int]:
@@ -2393,10 +2394,12 @@ def jpeg_decode_stats(
 # coded frame numbers, and the STREAMINFO MD5 of the decoded PCM that
 # the decoder VERIFIES (the format's own end-to-end self-check: a
 # decode bug anywhere breaks the signature).  Encoder and decoder both
-# from the public spec (RFC 9639), stdlib + numpy.  The LPC subframe
-# type is not emitted by this encoder and raises NotImplementedError
-# in the decoder — fixed predictors are a fully legal FLAC subset
-# (flac -0 emits them); the seam is documented, not hidden.
+# from the public spec (RFC 9639), stdlib + numpy.  Round 10 added
+# quantized-LPC subframes (orders 1-32); round 11 added STEREO —
+# all four channel assignments (independent, left/side, right/side,
+# mid/side per §9.1.3, side channel at 17-bit depth) both directions,
+# with the MD5 verified over the interleaved decode.  Remaining depth
+# guard: bits-per-sample other than 16 (24-bit studio masters).
 # Scale story: frames are independently decodable units (each header
 # restates everything and is CRC-8'd precisely so decoders can seek),
 # the same intra-file grain as JPEG restart segments and ADPCM blocks.
@@ -2569,32 +2572,121 @@ def _flac_lpc_analyze(blk, order: int = 8, precision: int = 12):
     return order, q, shift, resid
 
 
-def flac_encode(samples, sample_rate: int, *, block_size: int = 4096) -> bytes:
-    """REAL FLAC encoder (RFC 9639): 16-bit mono; even frames pick
-    the fixed predictor order 0-4 minimizing total residual
-    magnitude, odd frames use quantized LPC (order <=8, 12-bit
-    coefficients via Levinson-Durbin — round 10; the alternation is a
-    deliberate coverage choice so every multi-frame fixture exercises
-    BOTH subframe families, with automatic fixed fallback on
-    degenerate blocks).  Residuals are rice-coded (partition order 0,
+def _flac_write_subframe(sub: "_MSBWriter", blk, bits: int, try_lpc: bool) -> None:
+    """Encode ONE channel's subframe (header + warmup + rice residual)
+    into ``sub``.  ``bits`` is the subframe sample depth — 16 for a
+    plain channel, 17 for the side channel of a decorrelated stereo
+    frame (RFC 9639 §9.1.3 gives the difference channel one extra
+    bit).  ``try_lpc`` picks quantized LPC when the block supports it,
+    else the best fixed predictor — the same alternating coverage the
+    mono encoder has always used."""
+    import numpy as np
+
+    lpc = _flac_lpc_analyze(blk) if (try_lpc and blk.size > 16) else None
+    if lpc is not None:
+        order, lpc_coefs, lpc_shift, resid = lpc
+        warmup = blk[:order]
+    else:
+        # pick the fixed order with the smallest residual magnitude
+        # (residual for order k is diff^k(x), length n-k; x[:k] warm up)
+        residuals = {0: blk}
+        cur = blk
+        for o in range(1, 5):
+            if blk.size <= o:
+                break
+            cur = np.diff(cur)
+            residuals[o] = cur
+        order = min(residuals, key=lambda o: (int(np.abs(residuals[o]).sum()), o))
+        warmup = blk[:order]
+        resid = residuals[order]
+    # rice parameter from the mean magnitude (capped below escape)
+    mean = int(np.abs(resid).sum()) // max(resid.size, 1)
+    param = 0
+    while (1 << param) < mean + 1 and param < 14:
+        param += 1
+
+    sub.put(0, 1)  # reserved
+    if lpc is not None:
+        sub.put(0b100000 | (order - 1), 6)  # LPC subframe
+    else:
+        sub.put(0b001000 | order, 6)  # fixed subframe, given order
+    sub.put(0, 1)  # no wasted bits
+    mask = (1 << bits) - 1
+    for w in warmup:
+        sub.put(int(w) & mask, bits)
+    if lpc is not None:
+        sub.put(12 - 1, 4)  # coefficient precision - 1
+        sub.put(lpc_shift, 5)
+        for c in lpc_coefs.tolist():
+            sub.put(c & 0xFFF, 12)
+    sub.put(0, 2)  # residual method: 4-bit rice
+    sub.put(0, 4)  # partition order 0
+    sub.put(param, 4)
+    for v in resid.tolist():
+        u = (v << 1) ^ (v >> 63)  # zigzag
+        q, r = u >> param, u & ((1 << param) - 1)
+        for _ in range(q):
+            sub.put(0, 1)
+        sub.put(1, 1)
+        if param:
+            sub.put(r, param)
+
+
+# frame-header channel codes (RFC 9639 §9.1.3): 2-channel independent,
+# then the three decorrelated assignments.  The side (difference)
+# channel carries one extra bit of depth; which subframe is the side
+# channel follows from the assignment itself.
+_FLAC_STEREO_MODES = ("independent", "left_side", "right_side", "mid_side")
+_FLAC_STEREO_CODES = {
+    "independent": 0b0001,
+    "left_side": 0b1000,
+    "right_side": 0b1001,
+    "mid_side": 0b1010,
+}
+
+
+def flac_encode(
+    samples,
+    sample_rate: int,
+    *,
+    block_size: int = 4096,
+    stereo_modes: tuple = _FLAC_STEREO_MODES,
+) -> bytes:
+    """REAL FLAC encoder (RFC 9639): 16-bit, mono (1-D input) or
+    stereo ((n, 2) input — round 11).  Even frames pick the fixed
+    predictor order 0-4 minimizing total residual magnitude, odd
+    frames use quantized LPC (order <=8, 12-bit coefficients via
+    Levinson-Durbin; the alternation is a deliberate coverage choice
+    so every multi-frame fixture exercises BOTH subframe families,
+    with automatic fixed fallback on degenerate blocks).  Stereo
+    frames cycle through ``stereo_modes`` — independent, left/side,
+    right/side, mid/side — so a multi-frame fixture exercises every
+    channel assignment; the side channel is written at 17-bit depth
+    per the spec.  Residuals are rice-coded (partition order 0,
     escape-free parameter), frames carry spec CRC-8/CRC-16, and
-    STREAMINFO is stamped with the MD5 of the raw PCM so any decoder
-    can verify the decode end-to-end."""
+    STREAMINFO is stamped with the MD5 of the raw interleaved PCM so
+    any decoder can verify the decode end-to-end."""
     import hashlib
     import struct
 
     import numpy as np
 
     x = np.asarray(samples, dtype=np.int64)
-    n_total = int(x.size)
-    md5 = hashlib.md5(x.astype("<i2").tobytes()).digest()
+    if x.ndim == 1:
+        channels = 1
+    elif x.ndim == 2 and x.shape[1] == 2:
+        channels = 2
+    else:
+        raise ValueError("flac_encode takes 1-D mono or (n, 2) stereo samples")
+    n_total = int(x.shape[0])
+    md5 = hashlib.md5(x.astype("<i2").tobytes()).digest()  # interleaved
     info = _MSBWriter()
     info.put(block_size, 16)  # min block size
     info.put(block_size, 16)  # max block size
     info.put(0, 24)  # min frame size unknown
     info.put(0, 24)  # max frame size unknown
     info.put(sample_rate, 20)
-    info.put(0, 3)  # channels - 1 (mono)
+    info.put(channels - 1, 3)
     info.put(15, 5)  # bits per sample - 1
     info.put(n_total, 36)
     streaminfo = info.bytes() + md5
@@ -2604,30 +2696,23 @@ def flac_encode(samples, sample_rate: int, *, block_size: int = 4096) -> bytes:
 
     for fi, off in enumerate(range(0, max(n_total, 1), block_size)):
         blk = x[off : off + block_size]
-        if blk.size == 0:
+        if blk.shape[0] == 0:
             break
-        lpc = _flac_lpc_analyze(blk) if (fi % 2 == 1 and blk.size > 16) else None
-        if lpc is not None:
-            order, lpc_coefs, lpc_shift, resid = lpc
-            warmup = blk[:order]
+        if channels == 1:
+            ch_code = 0
+            subblocks = [(blk, 16)]
         else:
-            # pick the fixed order with the smallest residual magnitude
-            # (residual for order k is diff^k(x), length n-k; x[:k] warm up)
-            residuals = {0: blk}
-            cur = blk
-            for o in range(1, 5):
-                if blk.size <= o:
-                    break
-                cur = np.diff(cur)
-                residuals[o] = cur
-            order = min(residuals, key=lambda o: (int(np.abs(residuals[o]).sum()), o))
-            warmup = blk[:order]
-            resid = residuals[order]
-        # rice parameter from the mean magnitude (capped below escape)
-        mean = int(np.abs(resid).sum()) // max(resid.size, 1)
-        param = 0
-        while (1 << param) < mean + 1 and param < 14:
-            param += 1
+            mode = stereo_modes[fi % len(stereo_modes)]
+            ch_code = _FLAC_STEREO_CODES[mode]
+            L, R = blk[:, 0], blk[:, 1]
+            if mode == "independent":
+                subblocks = [(L, 16), (R, 16)]
+            elif mode == "left_side":
+                subblocks = [(L, 16), (L - R, 17)]
+            elif mode == "right_side":
+                subblocks = [(L - R, 17), (R, 16)]
+            else:  # mid_side: mid keeps 16 bits (floor average), side 17
+                subblocks = [((L + R) >> 1, 16), (L - R, 17)]
 
         bw = _MSBWriter()
         bw.put(0b11111111111110, 14)  # sync
@@ -2635,44 +2720,112 @@ def flac_encode(samples, sample_rate: int, *, block_size: int = 4096) -> bytes:
         bw.put(0, 1)  # fixed blocking strategy -> frame number
         bw.put(0b0111, 4)  # block size: 16 bits at header end
         bw.put(0, 4)  # sample rate: from STREAMINFO
-        bw.put(0, 4)  # channels: mono
+        bw.put(ch_code, 4)  # channel assignment
         bw.put(0b100, 3)  # 16 bits per sample
         bw.put(0, 1)  # reserved
         bw.align()
         header = bytearray(bw.bytes())
         header += _utf8_number(fi)
-        header += struct.pack(">H", blk.size - 1)
+        header += struct.pack(">H", blk.shape[0] - 1)
         header.append(_crc8(bytes(header)))
 
         sub = _MSBWriter()
-        sub.put(0, 1)  # reserved
-        if lpc is not None:
-            sub.put(0b100000 | (order - 1), 6)  # LPC subframe
-        else:
-            sub.put(0b001000 | order, 6)  # fixed subframe, given order
-        sub.put(0, 1)  # no wasted bits
-        for w in warmup:
-            sub.put(int(w) & 0xFFFF, 16)
-        if lpc is not None:
-            sub.put(12 - 1, 4)  # coefficient precision - 1
-            sub.put(lpc_shift, 5)
-            for c in lpc_coefs.tolist():
-                sub.put(c & 0xFFF, 12)
-        sub.put(0, 2)  # residual method: 4-bit rice
-        sub.put(0, 4)  # partition order 0
-        sub.put(param, 4)
-        for v in resid.tolist():
-            u = (v << 1) ^ (v >> 63)  # zigzag
-            q, r = u >> param, u & ((1 << param) - 1)
-            for _ in range(q):
-                sub.put(0, 1)
-            sub.put(1, 1)
-            if param:
-                sub.put(r, param)
+        for sblk, bits in subblocks:
+            _flac_write_subframe(sub, sblk, bits, try_lpc=(fi % 2 == 1))
         sub.align()
         frame = bytes(header) + sub.bytes()
         out += frame + struct.pack(">H", _crc16(frame))
     return bytes(out)
+
+
+def _flac_read_subframe(br: "_MSBReader", bsize: int, bits: int) -> list:
+    """Decode ONE subframe (constant / verbatim / fixed / LPC) of
+    ``bsize`` samples at ``bits`` depth from the frame's continuous
+    bitstream; returns the reconstructed sample list.  ``bits`` is
+    16 + 1 for the side channel of a decorrelated stereo frame."""
+    br.take(1)  # subframe reserved bit
+    stype = br.take(6)
+    wasted = 0
+    if br.take(1):  # wasted-bits flag: unary count - 1
+        wasted = br.unary() + 1
+    eff_bits = bits - wasted
+    if stype == 0b000000:  # CONSTANT
+        v = br.take(eff_bits)
+        if v >= 1 << (eff_bits - 1):
+            v -= 1 << eff_bits
+        return [v << wasted] * bsize
+    if stype == 0b000001:  # VERBATIM
+        blk = []
+        for _ in range(bsize):
+            v = br.take(eff_bits)
+            if v >= 1 << (eff_bits - 1):
+                v -= 1 << eff_bits
+            blk.append(v << wasted)
+        return blk
+    if 0b001000 <= stype <= 0b001100 or stype >= 0b100000:
+        # FIXED order 0-4, or LPC order 1-32 (round 10, RFC 9639
+        # §9.2.3): both share the warmup + rice-residual layout;
+        # LPC adds a quantized-coefficient header and predicts
+        # with an arithmetic right shift of the signed dot product
+        # (Python's ``>>`` floors, which IS the spec semantics).
+        is_lpc = stype >= 0b100000
+        order = ((stype & 0x1F) + 1) if is_lpc else (stype & 0x07)
+        warm = []
+        for _ in range(order):
+            v = br.take(eff_bits)
+            if v >= 1 << (eff_bits - 1):
+                v -= 1 << eff_bits
+            warm.append(v)
+        if is_lpc:
+            prec_code = br.take(4)
+            if prec_code == 15:
+                raise ValueError("invalid LPC precision code")
+            precision = prec_code + 1
+            shift = br.take(5)
+            if shift >= 16:  # 5-bit two's complement: negative
+                raise ValueError("negative LPC shift is invalid")
+            coefs = []
+            for _ in range(order):
+                c = br.take(precision)
+                if c >= 1 << (precision - 1):
+                    c -= 1 << precision
+                coefs.append(c)
+        else:
+            shift = 0
+            coefs = _FLAC_FIXED_COEFS[order]
+        method = br.take(2)
+        if method not in (0, 1):
+            raise ValueError("reserved residual method")
+        pbits = 4 if method == 0 else 5
+        porder = br.take(4)
+        resid: list[int] = []
+        nparts = 1 << porder
+        if bsize % nparts:
+            raise ValueError("partition order does not divide block size")
+        for p in range(nparts):
+            param = br.take(pbits)
+            if param == (1 << pbits) - 1:  # escape: raw bits
+                raw = br.take(5)
+                count = bsize // nparts - (order if p == 0 else 0)
+                for _ in range(count):
+                    v = br.take(raw) if raw else 0
+                    if raw and v >= 1 << (raw - 1):
+                        v -= 1 << raw
+                    resid.append(v)
+                continue
+            count = bsize // nparts - (order if p == 0 else 0)
+            for _ in range(count):
+                q = br.unary()
+                u = (q << param) | (br.take(param) if param else 0)
+                resid.append((u >> 1) ^ -(u & 1))  # un-zigzag
+        blk = list(warm)
+        for r in resid:
+            pred = sum(c * blk[-1 - j] for j, c in enumerate(coefs)) >> shift
+            blk.append(r + pred)
+        if wasted:
+            blk = [v << wasted for v in blk]
+        return blk
+    raise ValueError("reserved subframe type")
 
 
 def flac_decode(data: bytes):
@@ -2682,8 +2835,11 @@ def flac_decode(data: bytes):
     subframes (LPC orders 1-32, any precision — round 10 closed the
     former fixed-predictor seam), rice residuals (any partition
     order), CRC-16 footers — reconstructs via the predictor
-    recurrences, and VERIFIES the decoded PCM against STREAMINFO's
-    MD5.  Returns ``(samples int16 ndarray, sample_rate)``;
+    recurrences, undoes stereo decorrelation (round 11: left/side,
+    right/side, mid/side per RFC 9639 §9.1.3, plus independent
+    multi-channel frames), and VERIFIES the decoded interleaved PCM
+    against STREAMINFO's MD5.  Returns ``(samples int16 ndarray,
+    sample_rate)`` — 1-D for mono, (n, channels) for multi-channel;
     malformed input raises ValueError."""
     import hashlib
     import struct
@@ -2720,11 +2876,14 @@ def flac_decode(data: bytes):
     bits = si.take(5) + 1
     n_total = si.take(36)
     md5_expect = streaminfo[18:34]
-    if channels != 1 or bits != 16:
-        raise NotImplementedError("decoder covers 16-bit mono FLAC")
+    if bits != 16:
+        raise NotImplementedError("decoder covers 16-bit FLAC")
+    if channels > 8:
+        raise ValueError("FLAC allows at most 8 channels")
 
-    out: list[int] = []
-    while pos < len(data) and len(out) < n_total:
+    chans_out: list[list[int]] = [[] for _ in range(channels)]
+    got = 0
+    while pos < len(data) and got < n_total:
         br = _MSBReader(data, pos)
         if br.take(14) != 0b11111111111110:
             raise ValueError("lost frame sync")
@@ -2735,8 +2894,14 @@ def flac_decode(data: bytes):
         ch_code = br.take(4)
         ss_code = br.take(3)
         br.take(1)
-        if ch_code != 0:
-            raise NotImplementedError("decoder covers mono frames")
+        if ch_code <= 7:
+            nch, assign = ch_code + 1, None
+        elif ch_code <= 10:
+            nch, assign = 2, ch_code  # 8/9/10: left/side, right/side, mid/side
+        else:
+            raise ValueError("reserved channel assignment")
+        if nch != channels:
+            raise ValueError("frame channel count contradicts STREAMINFO")
         if ss_code != 0b100:
             raise NotImplementedError("decoder covers 16-bit frames")
         _read_utf8_number(br)
@@ -2762,94 +2927,41 @@ def flac_decode(data: bytes):
         if _crc8(data[pos : br.pos]) != br.take(8):
             raise ValueError("frame header CRC-8 mismatch")
 
-        br.take(1)  # subframe reserved bit
-        stype = br.take(6)
-        wasted = 0
-        if br.take(1):  # wasted-bits flag: unary count - 1
-            wasted = br.unary() + 1
-        eff_bits = 16 - wasted
-        if stype == 0b000000:  # CONSTANT
-            v = br.take(eff_bits)
-            if v >= 1 << (eff_bits - 1):
-                v -= 1 << eff_bits
-            blk = [v << wasted] * bsize
-        elif stype == 0b000001:  # VERBATIM
-            blk = []
-            for _ in range(bsize):
-                v = br.take(eff_bits)
-                if v >= 1 << (eff_bits - 1):
-                    v -= 1 << eff_bits
-                blk.append(v << wasted)
-        elif 0b001000 <= stype <= 0b001100 or stype >= 0b100000:
-            # FIXED order 0-4, or LPC order 1-32 (round 10, RFC 9639
-            # §9.2.3): both share the warmup + rice-residual layout;
-            # LPC adds a quantized-coefficient header and predicts
-            # with an arithmetic right shift of the signed dot product
-            # (Python's ``>>`` floors, which IS the spec semantics).
-            is_lpc = stype >= 0b100000
-            order = ((stype & 0x1F) + 1) if is_lpc else (stype & 0x07)
-            warm = []
-            for _ in range(order):
-                v = br.take(eff_bits)
-                if v >= 1 << (eff_bits - 1):
-                    v -= 1 << eff_bits
-                warm.append(v)
-            if is_lpc:
-                prec_code = br.take(4)
-                if prec_code == 15:
-                    raise ValueError("invalid LPC precision code")
-                precision = prec_code + 1
-                shift = br.take(5)
-                if shift >= 16:  # 5-bit two's complement: negative
-                    raise ValueError("negative LPC shift is invalid")
-                coefs = []
-                for _ in range(order):
-                    c = br.take(precision)
-                    if c >= 1 << (precision - 1):
-                        c -= 1 << precision
-                    coefs.append(c)
-            else:
-                shift = 0
-                coefs = _FLAC_FIXED_COEFS[order]
-            method = br.take(2)
-            if method not in (0, 1):
-                raise ValueError("reserved residual method")
-            pbits = 4 if method == 0 else 5
-            porder = br.take(4)
-            resid: list[int] = []
-            nparts = 1 << porder
-            if bsize % nparts:
-                raise ValueError("partition order does not divide block size")
-            for p in range(nparts):
-                param = br.take(pbits)
-                if param == (1 << pbits) - 1:  # escape: raw bits
-                    raw = br.take(5)
-                    count = bsize // nparts - (order if p == 0 else 0)
-                    for _ in range(count):
-                        v = br.take(raw) if raw else 0
-                        if raw and v >= 1 << (raw - 1):
-                            v -= 1 << raw
-                        resid.append(v)
-                    continue
-                count = bsize // nparts - (order if p == 0 else 0)
-                for _ in range(count):
-                    q = br.unary()
-                    u = (q << param) | (br.take(param) if param else 0)
-                    resid.append((u >> 1) ^ -(u & 1))  # un-zigzag
-            blk = list(warm)
-            for r in resid:
-                pred = sum(c * blk[-1 - j] for j, c in enumerate(coefs)) >> shift
-                blk.append(r + pred)
-            if wasted:
-                blk = [v << wasted for v in blk]
-        else:
-            raise ValueError("reserved subframe type")
+        subs = []
+        for ci in range(nch):
+            extra = 1 if (
+                (assign == 8 and ci == 1)
+                or (assign == 9 and ci == 0)
+                or (assign == 10 and ci == 1)
+            ) else 0  # the side channel carries one extra bit (RFC 9639)
+            subs.append(_flac_read_subframe(br, bsize, bits + extra))
         br.align()
         if _crc16(data[pos : br.pos]) != br.take(16):
             raise ValueError("frame CRC-16 mismatch")
-        out.extend(blk)
+        if assign == 8:  # left/side: R = L - side
+            chans_blk = [subs[0], [l - s for l, s in zip(subs[0], subs[1])]]
+        elif assign == 9:  # right/side: L = side + R
+            chans_blk = [[s + r for s, r in zip(subs[0], subs[1])], subs[1]]
+        elif assign == 10:  # mid/side: side's low bit restores the
+            # floor-halved sum: sum = (mid<<1)|(side&1); L,R = (sum+-side)/2
+            chans_blk = [[], []]
+            for m, s in zip(subs[0], subs[1]):
+                total = (m << 1) | (s & 1)
+                chans_blk[0].append((total + s) >> 1)
+                chans_blk[1].append((total - s) >> 1)
+        else:
+            chans_blk = subs
+        for ci in range(channels):
+            chans_out[ci].extend(chans_blk[ci])
+        got += bsize
         pos = br.pos
-    samples = np.asarray(out[: int(n_total)], dtype=np.int64)
+    if channels == 1:
+        samples = np.asarray(chans_out[0][: int(n_total)], dtype=np.int64)
+    else:
+        n_keep = min(int(n_total), min(len(c) for c in chans_out))
+        samples = np.column_stack(
+            [np.asarray(c[:n_keep], dtype=np.int64) for c in chans_out]
+        )
     if hashlib.md5(samples.astype("<i2").tobytes()).digest() != md5_expect:
         raise ValueError("decoded PCM fails the STREAMINFO MD5 self-check")
     return samples.astype(np.int16), sample_rate
@@ -2888,6 +3000,105 @@ def plant_flac_audio(documents: DataFrame, *, id_col: str = "doc_id") -> DataFra
             )
 
     return _spread(documents.select(id_col)).mapInPandas(build, schema=MEDIA_SCHEMA)
+
+
+def plant_flac_stereo(documents: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """Planted STEREO FLAC fixtures (round 11): two arithmetic
+    channels — left is the q_flac_audio signal, right a second
+    congruence — ``n = 100 + (37*id) % 900`` samples, L[k] = ((37k +
+    11*id) % 4001) - 2000, R[k] = ((53k + 7*id) % 4001) - 2000, rate
+    ``8000 + (id % 5) * 4000``.  Each doc's encoder cycles the four
+    channel assignments starting at ``id % 4``, so the corpus covers
+    independent, left/side, right/side, AND mid/side frames even for
+    single-frame docs, and the STREAMINFO MD5 is verified over the
+    interleaved decode."""
+    import numpy as np
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for i in pdf[id_col]:
+                i = int(i)
+                n = 100 + (37 * i) % 900
+                k = np.arange(n, dtype=np.int64)
+                left = ((37 * k + 11 * i) % 4001) - 2000
+                right = ((53 * k + 7 * i) % 4001) - 2000
+                modes = tuple(
+                    _FLAC_STEREO_MODES[(j + i) % 4] for j in range(4)
+                )
+                ids.append(i)
+                payloads.append(
+                    flac_encode(
+                        np.column_stack([left, right]),
+                        8000 + (i % 5) * 4000,
+                        block_size=256,
+                        stereo_modes=modes,
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "media_type": ["audio"] * len(ids),
+                    "media": payloads,
+                    "source": ["planted"] * len(ids),
+                }
+            )
+
+    return _spread(documents.select(id_col)).mapInPandas(build, schema=MEDIA_SCHEMA)
+
+
+FLAC_STEREO_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("sample_rate", LongType(), False),
+        StructField("n_samples", LongType(), False),
+        StructField("peak_l", LongType(), False),
+        StructField("peak_r", LongType(), False),
+        StructField("sum_abs_l", LongType(), False),
+        StructField("sum_abs_r", LongType(), False),
+        StructField("sum_sq_l", LongType(), False),
+        StructField("sum_sq_r", LongType(), False),
+        StructField("sum_lr", LongType(), False),
+    ]
+)
+
+
+def flac_stereo_features(media: DataFrame) -> DataFrame:
+    """Per-channel signal features from DECODED stereo FLAC: full
+    parse (CRC-8/CRC-16 per frame, channel decorrelation undone,
+    STREAMINFO MD5 verified over the interleaved decode) then exact
+    integer reductions per channel plus the Σ L·R cross term — the
+    cross term catches any channel-swap or interleaving bug that
+    per-channel stats alone would miss."""
+    import numpy as np
+
+    cols = (
+        "media_id", "sample_rate", "n_samples", "peak_l", "peak_r",
+        "sum_abs_l", "sum_abs_r", "sum_sq_l", "sum_sq_r", "sum_lr",
+    )
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in cols}
+            for mid, payload in zip(pdf["media_id"], pdf["media"]):
+                s, rate = flac_decode(bytes(payload))
+                if s.ndim != 2 or s.shape[1] != 2:
+                    raise ValueError("expected a stereo FLAC fixture")
+                ch = s.astype(np.int64)
+                left, right = ch[:, 0], ch[:, 1]
+                rows["media_id"].append(int(mid))
+                rows["sample_rate"].append(int(rate))
+                rows["n_samples"].append(int(ch.shape[0]))
+                rows["peak_l"].append(int(np.abs(left).max(initial=0)))
+                rows["peak_r"].append(int(np.abs(right).max(initial=0)))
+                rows["sum_abs_l"].append(int(np.abs(left).sum(dtype=np.int64)))
+                rows["sum_abs_r"].append(int(np.abs(right).sum(dtype=np.int64)))
+                rows["sum_sq_l"].append(int((left * left).sum(dtype=np.int64)))
+                rows["sum_sq_r"].append(int((right * right).sum(dtype=np.int64)))
+                rows["sum_lr"].append(int((left * right).sum(dtype=np.int64)))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(process, schema=FLAC_STEREO_SCHEMA)
 
 
 FLAC_FEATURES_SCHEMA = StructType(

@@ -56,3 +56,104 @@ def test_zstd_truncated_trailing_skippable_frame_raises():
     # a complete trailing skippable frame still decodes cleanly
     whole = (0x184D2A50).to_bytes(4, "little") + (4).to_bytes(4, "little") + b"abcd"
     assert Z.zstd_decompress(good + whole) == b"payload bytes"
+
+
+# ------------------------------------------------- stereo FLAC (RFC 9639)
+
+
+def _stereo_signal(seed: int, n: int):
+    rng = np.random.default_rng(seed)
+    return rng.integers(-32768, 32768, size=(n, 2), dtype=np.int64)
+
+
+@pytest.mark.parametrize("mode", ["independent", "left_side", "right_side", "mid_side"])
+def test_flac_stereo_each_assignment_roundtrips(mode):
+    mm = _mm()
+    st_sig = _stereo_signal(11, 700)
+    enc = mm.flac_encode(st_sig, 44100, block_size=192, stereo_modes=(mode,))
+    dec, rate = mm.flac_decode(enc)
+    assert rate == 44100 and dec.shape == (700, 2)
+    assert np.array_equal(dec.astype(np.int64), st_sig)
+
+
+@given(st.integers(min_value=0, max_value=2**32 - 1))
+@settings(max_examples=25, deadline=None)
+def test_flac_stereo_cycling_roundtrips_random_signals(seed):
+    """Multi-frame streams cycling all four channel assignments decode
+    back bit-exactly, including extreme int16 values through the
+    17-bit side channel."""
+    mm = _mm()
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(10, 900))
+    sig = rng.integers(-32768, 32768, size=(n, 2), dtype=np.int64)
+    # force a few pathological rows: max |side| = 65535 needs bit 17
+    if n >= 4:
+        sig[0] = (-32768, 32767)
+        sig[1] = (32767, -32768)
+        sig[2] = (-32768, -32768)
+        sig[3] = (32767, 32767)
+    dec, _ = mm.flac_decode(mm.flac_encode(sig, 8000, block_size=256))
+    assert np.array_equal(dec.astype(np.int64), sig)
+
+
+def test_flac_stereo_md5_is_over_interleaved_pcm():
+    """The STREAMINFO MD5 self-check covers the interleaved stream: a
+    hand-corrupted MD5 fails the decode even when every frame CRC is
+    intact (signature != per-frame checks)."""
+    mm = _mm()
+    sig = _stereo_signal(3, 300)
+    enc = bytearray(mm.flac_encode(sig, 16000, block_size=256))
+    # STREAMINFO MD5 sits at bytes 8+18 .. 8+34 of the metadata block
+    enc[8 + 18] ^= 0xFF
+    with pytest.raises(ValueError, match="MD5"):
+        mm.flac_decode(bytes(enc))
+
+
+def test_flac_stereo_downmix_matches_mono_encode():
+    """Mono-downmix property (r10 verdict #1): decoding the stereo
+    stream and floor-averaging the channels equals the mono pipeline
+    run on the same downmix — cross-checks channel order, the
+    mid/side reconstruction, and interleaving in one equation."""
+    mm = _mm()
+    sig = _stereo_signal(17, 800)
+    dec, _ = mm.flac_decode(mm.flac_encode(sig, 32000, block_size=256))
+    down = (dec[:, 0].astype(np.int64) + dec[:, 1].astype(np.int64)) >> 1
+    mono_dec, _ = mm.flac_decode(mm.flac_encode(down, 32000, block_size=256))
+    assert np.array_equal(mono_dec.astype(np.int64), down)
+    assert np.array_equal(
+        down, (sig[:, 0] + sig[:, 1]) >> 1
+    )
+
+
+def test_flac_stereo_frame_channel_mismatch_raises():
+    """A frame whose channel assignment contradicts STREAMINFO must be
+    rejected, not silently mixed in."""
+    mm = _mm()
+    sig = _stereo_signal(5, 200)
+    enc = mm.flac_encode(sig, 8000, block_size=256, stereo_modes=("independent",))
+    mono = mm.flac_encode(sig[:, 0], 8000, block_size=256)
+    # graft the mono stream's frames after the stereo STREAMINFO
+    meta_end = 8 + 34  # fLaC + header + 34-byte STREAMINFO
+    hybrid = enc[:meta_end] + mono[meta_end:]
+    with pytest.raises(ValueError):
+        mm.flac_decode(hybrid)
+
+
+def test_flac_stereo_mutations_raise_typed_errors_only():
+    """Bit-flip hygiene over the stereo stream: every mutation either
+    raises ValueError/NotImplementedError or decodes to the original
+    (flips in padding); silent wrong output is the only failure."""
+    mm = _mm()
+    sig = _stereo_signal(23, 500)
+    enc = mm.flac_encode(sig, 8000, block_size=256)
+    silent = []
+    for pos in range(4, len(enc), max(1, len(enc) // 80)):
+        bad = bytearray(enc)
+        bad[pos] ^= 0x08
+        try:
+            dec, _ = mm.flac_decode(bytes(bad))
+            if not np.array_equal(dec.astype(np.int64), sig):
+                silent.append(pos)
+        except (ValueError, NotImplementedError):
+            pass
+    assert not silent, f"silent corruption at byte offsets {silent}"
