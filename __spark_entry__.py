@@ -2356,6 +2356,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ),
         )
 
+    def q_jpeg_sampling(spark, sf_dir):
+        # JPEG sampling grids beyond 4:2:0 (round 11): the MCU walk
+        # generalized to per-component (h, v) factors — doc_id % 3
+        # picks 4:2:0 / 4:2:2 / 4:4:4, so one query proves the
+        # interleave order, chroma resolution, and per-grid
+        # box-upsample factors all at once.  Planes ride the DCT
+        # subspace per coded resolution (lossless-on-subspace), so
+        # the oracle replays every decoded component sum AND the
+        # BT.601 floor(x+0.5) RGB conversion at each grid's own
+        # upsample factors; the emitted `chroma` label is derived
+        # from the DECODED plane shapes, value-checking the factor
+        # parse itself.
+        from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.multimodal import (
+            jpeg_sampling_stats,
+            plant_sampling_jpegs,
+        )
+
+        return _shared_result(
+            spark, sf_dir, "media_jpegsampling",
+            lambda: jpeg_sampling_stats(
+                plant_sampling_jpegs(load_table(spark, sf_dir, "documents"))
+            ),
+        )
+
     def q_jpeg_prog_color(spark, sf_dir):
         # REAL progressive COLOR JPEG decode (round 9 — the last JPEG
         # shape, what `cjpeg -progressive` emits for photos): SOF2 +
@@ -5021,6 +5045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_jpeg_decode": q_jpeg_decode,
         "q_gif_frames": q_gif_frames,  # new round 9 (never-recorded -> heads the window)
         "q_jpeg_color": q_jpeg_color,  # new round 9
+        "q_jpeg_sampling": q_jpeg_sampling,  # new round 11
         "q_jpeg_prog_color": q_jpeg_prog_color,  # new round 9
         "q_jpeg_progressive": q_jpeg_progressive,  # new round 9
         "q_jpeg_restart": q_jpeg_restart,  # new round 9
@@ -6712,6 +6737,77 @@ def oracle_sql() -> dict[str, str]:
            CAST(SUM(LEAST(255, GREATEST(0, FLOOR(
                y + 1.772 * (cb - 128) + 0.5)))) AS BIGINT) AS b_sum
     FROM px GROUP BY media_id
+""",
+        # JPEG sampling grids: doc_id % 3 picks 4:2:0 / 4:2:2 / 4:4:4.
+        # Y is the q_jpeg_color plane; chroma is tiled from 8x8
+        # subspace blocks ON ITS CODED RESOLUTION (16/v x 16/h), block
+        # b = (R//8)*2 + (C//8) in plane coords, sampled per pixel at
+        # (r//v, c//h) — box upsampling at each grid's own factors.
+        # cb_sum/cr_sum sum the coded plane (pixels with r%v=0, c%h=0).
+        "q_jpeg_sampling": """
+    WITH grid AS (
+      SELECT r.r, c.c FROM range(0, 16) r(r) CROSS JOIN range(0, 16) c(c)
+    ),
+    docs AS (
+      SELECT CAST(doc_id AS BIGINT) AS media_id,
+             CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS vs,
+             CASE WHEN doc_id % 3 = 2 THEN 1 ELSE 2 END AS hs,
+             CASE doc_id % 3 WHEN 0 THEN '420' WHEN 1 THEN '422'
+                  ELSE '444' END AS chroma
+      FROM documents
+    ),
+    coords AS (
+      SELECT d.media_id, d.vs, d.hs, d.chroma, g.r, g.c,
+             (g.r // d.vs) AS pr, (g.c // d.hs) AS pc,
+             ((g.r // d.vs) // 8) * 2 + ((g.c // d.hs) // 8) AS b
+      FROM docs d CROSS JOIN grid g
+    ),
+    px AS (
+      SELECT media_id, vs, hs, chroma, r, c,
+             (64 + (17 * (2 * (r // 8) + (c // 8)) + 5 * media_id) % 128)
+             + ((3 * (2 * (r // 8) + (c // 8)) + media_id) % 9 - 4)
+               * (CASE WHEN (r % 8) IN (0, 3, 4, 7) THEN 1 ELSE -1 END)
+             + ((3 * (2 * (r // 8) + (c // 8)) + media_id + 1) % 9 - 4)
+               * (CASE WHEN (c % 8) IN (0, 3, 4, 7) THEN 1 ELSE -1 END)
+             + ((3 * (2 * (r // 8) + (c // 8)) + media_id + 2) % 9 - 4)
+               * (CASE WHEN (r % 8) IN (0, 3, 4, 7) THEN 1 ELSE -1 END)
+               * (CASE WHEN (c % 8) IN (0, 3, 4, 7) THEN 1 ELSE -1 END)
+             AS yv,
+             (96 + (7 * media_id + 13 * b) % 64)
+             + ((media_id + b) % 9 - 4)
+               * (CASE WHEN (pr % 8) IN (0, 3, 4, 7) THEN 1 ELSE -1 END)
+             + ((media_id + b + 1) % 9 - 4)
+               * (CASE WHEN (pc % 8) IN (0, 3, 4, 7) THEN 1 ELSE -1 END)
+             + ((media_id + b + 2) % 9 - 4)
+               * (CASE WHEN (pr % 8) IN (0, 3, 4, 7) THEN 1 ELSE -1 END)
+               * (CASE WHEN (pc % 8) IN (0, 3, 4, 7) THEN 1 ELSE -1 END)
+             AS cbv,
+             (96 + (11 * media_id + 13 * b) % 64)
+             + ((media_id + b) % 9 - 4)
+               * (CASE WHEN (pr % 8) IN (0, 3, 4, 7) THEN 1 ELSE -1 END)
+             + ((media_id + b + 1) % 9 - 4)
+               * (CASE WHEN (pc % 8) IN (0, 3, 4, 7) THEN 1 ELSE -1 END)
+             + ((media_id + b + 2) % 9 - 4)
+               * (CASE WHEN (pr % 8) IN (0, 3, 4, 7) THEN 1 ELSE -1 END)
+               * (CASE WHEN (pc % 8) IN (0, 3, 4, 7) THEN 1 ELSE -1 END)
+             AS crv
+      FROM coords
+    )
+    SELECT media_id, chroma,
+           CAST(16 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
+           CAST(SUM(yv) AS BIGINT) AS y_sum,
+           CAST(SUM(CASE WHEN r % vs = 0 AND c % hs = 0 THEN cbv END)
+                AS BIGINT) AS cb_sum,
+           CAST(SUM(CASE WHEN r % vs = 0 AND c % hs = 0 THEN crv END)
+                AS BIGINT) AS cr_sum,
+           CAST(SUM(LEAST(255, GREATEST(0, FLOOR(
+               yv + 1.402 * (crv - 128) + 0.5)))) AS BIGINT) AS r_sum,
+           CAST(SUM(LEAST(255, GREATEST(0, FLOOR(
+               yv - 0.344136 * (cbv - 128) - 0.714136 * (crv - 128) + 0.5))))
+               AS BIGINT) AS g_sum,
+           CAST(SUM(LEAST(255, GREATEST(0, FLOOR(
+               yv + 1.772 * (cbv - 128) + 0.5)))) AS BIGINT) AS b_sum
+    FROM px GROUP BY media_id, chroma
 """,
         # Animated-GIF decoded-frame sampler: n_frames = 2 + id % 4,
         # kept frames 0, 2 (every 2nd, cap 2), pixel(f, r, c) =

@@ -2126,40 +2126,48 @@ def jpeg_gray_decode_parallel(data: bytes):
     return out[:h, :w]
 
 
-def jpeg_ycbcr_encode(y, cb, cr) -> bytes:
-    """REAL baseline MULTI-COMPONENT JPEG encoder (round 9): YCbCr
-    with 4:2:0 chroma subsampling — the dominant real-world JPEG
-    shape.  Takes the three planes directly (``y`` (H, W), ``cb``/
-    ``cr`` (H/2, W/2), H and W multiples of 16 = whole MCUs), writes
-    SOF0 with sampling factors Y=2x2 / Cb=Cr=1x1, one all-ones quant
-    table, the Annex K luma Huffman pair shared by all components
-    (legal per T.81), and interleaves each MCU as 4 Y blocks (2x2
-    raster) + Cb + Cr with per-COMPONENT DC prediction."""
+def jpeg_ycbcr_encode(y, cb, cr, *, sampling: tuple = (2, 2)) -> bytes:
+    """REAL baseline MULTI-COMPONENT JPEG encoder: YCbCr with any
+    {1,2}x{1,2} luma sampling grid (round 11) — ``sampling`` is Y's
+    (h, v) factor pair: (2,2) = 4:2:0 (the dominant crawl shape),
+    (2,1) = 4:2:2, (1,1) = 4:4:4 (quality exports / re-encoded
+    screenshots), (1,2) = 4:4:0; chroma is always 1x1.  Takes the
+    three planes directly (``y`` (H, W), ``cb``/``cr`` (H/v, W/h),
+    H/W multiples of the 8v x 8h MCU), writes SOF0 with the factors,
+    one all-ones quant table, the Annex K luma Huffman pair shared by
+    all components (legal per T.81), and interleaves each MCU as
+    h*v Y blocks (raster) + Cb + Cr with per-COMPONENT DC
+    prediction."""
     import struct
 
     import numpy as np
 
+    hs, vs = sampling
+    if hs not in (1, 2) or vs not in (1, 2):
+        raise ValueError("sampling factors must each be 1 or 2")
+    mcu_h, mcu_w = 8 * vs, 8 * hs
     Y = np.asarray(y, dtype=np.float64)
     Cb = np.asarray(cb, dtype=np.float64)
     Cr = np.asarray(cr, dtype=np.float64)
     h, w = Y.shape
-    if h % 16 or w % 16:
-        raise ValueError("jpeg_ycbcr_encode needs whole 16x16 MCUs")
-    if Cb.shape != (h // 2, w // 2) or Cr.shape != (h // 2, w // 2):
-        raise ValueError("chroma planes must be half-size (4:2:0)")
+    if h % mcu_h or w % mcu_w:
+        raise ValueError(f"jpeg_ycbcr_encode needs whole {mcu_h}x{mcu_w} MCUs")
+    if Cb.shape != (h // vs, w // hs) or Cr.shape != (h // vs, w // hs):
+        raise ValueError("chroma planes must be (H/v, W/h) for the sampling grid")
     dc_codes = _huff_codes(_DC_LUMA_BITS, _DC_LUMA_VALS)
     ac_codes = _huff_codes(_AC_LUMA_BITS, _AC_LUMA_VALS)
     bw = _BitWriter()
     dcs = {"y": 0, "cb": 0, "cr": 0}
-    for my in range(0, h, 16):
-        for mx in range(0, w, 16):
-            for by, bx in ((0, 0), (0, 8), (8, 0), (8, 8)):
-                dcs["y"] = _jpeg_encode_block(
-                    bw,
-                    Y[my + by : my + by + 8, mx + bx : mx + bx + 8],
-                    dcs["y"], dc_codes, ac_codes,
-                )
-            cy, cx = my // 2, mx // 2
+    for my in range(0, h, mcu_h):
+        for mx in range(0, w, mcu_w):
+            for by in range(0, mcu_h, 8):
+                for bx in range(0, mcu_w, 8):
+                    dcs["y"] = _jpeg_encode_block(
+                        bw,
+                        Y[my + by : my + by + 8, mx + bx : mx + bx + 8],
+                        dcs["y"], dc_codes, ac_codes,
+                    )
+            cy, cx = my // vs, mx // hs
             dcs["cb"] = _jpeg_encode_block(
                 bw, Cb[cy : cy + 8, cx : cx + 8], dcs["cb"], dc_codes, ac_codes
             )
@@ -2175,7 +2183,7 @@ def jpeg_ycbcr_encode(y, cb, cr) -> bytes:
     sof = seg(
         0xFFC0,
         struct.pack(">BHHB", 8, h, w, 3)
-        + bytes([1, 0x22, 0])  # Y: 2x2 sampling, qtable 0
+        + bytes([1, (hs << 4) | vs, 0])  # Y sampling factors, qtable 0
         + bytes([2, 0x11, 0])  # Cb
         + bytes([3, 0x11, 0]),  # Cr
     )
@@ -2189,14 +2197,16 @@ def jpeg_ycbcr_encode(y, cb, cr) -> bytes:
 
 
 def jpeg_ycbcr_decode(data: bytes):
-    """REAL baseline multi-component JPEG decoder: 4:2:0 YCbCr SOF0
-    streams (Y=2x2, Cb=Cr=1x1 sampling) via the shared header walk,
-    interleaved-MCU entropy decode with per-component DC predictors
-    and per-component quant/Huffman tables from the file itself.
-    Returns ``(Y, Cb, Cr)`` int64 planes (chroma at half resolution —
-    the exact decoded components, before any upsampling policy).
-    Other sampling grids raise NotImplementedError (the seam);
-    single-component streams belong to ``jpeg_gray_decode``."""
+    """REAL baseline multi-component JPEG decoder: YCbCr SOF0 streams
+    with any {1,2}x{1,2} luma sampling — 4:2:0, 4:2:2, 4:4:4, 4:4:0
+    (round 11 generalized the MCU loop to per-component (h, v)
+    factors) — via the shared header walk, interleaved-MCU entropy
+    decode with per-component DC predictors and per-component
+    quant/Huffman tables from the file itself.  Returns ``(Y, Cb,
+    Cr)`` int64 planes (chroma at its coded resolution — the exact
+    decoded components, before any upsampling policy).  Factors above
+    2 raise NotImplementedError; single-component streams belong to
+    ``jpeg_gray_decode``."""
     import numpy as np
 
     qt, huff, (h, w, comps), scan, pos, dri = _jpeg_headers(data)
@@ -2207,11 +2217,15 @@ def jpeg_ycbcr_decode(data: bytes):
     if len(comps) != 3:
         raise NotImplementedError("jpeg_ycbcr_decode expects 3 components")
     samps = [(hs, vs) for _, hs, vs, _ in comps]
-    if samps != [(2, 2), (1, 1), (1, 1)]:
-        raise NotImplementedError("only 4:2:0 (Y 2x2, chroma 1x1) sampling")
-    mcus_y = -(-h // 16)
-    mcus_x = -(-w // 16)
-    Y = np.zeros((mcus_y * 16, mcus_x * 16), dtype=np.int64)
+    hs, vs = samps[0]
+    if hs not in (1, 2) or vs not in (1, 2) or samps[1:] != [(1, 1), (1, 1)]:
+        raise NotImplementedError(
+            "luma sampling factors above 2 or subsampled chroma pairs"
+        )
+    mcu_h, mcu_w = 8 * vs, 8 * hs
+    mcus_y = -(-h // mcu_h)
+    mcus_x = -(-w // mcu_w)
+    Y = np.zeros((mcus_y * mcu_h, mcus_x * mcu_w), dtype=np.int64)
     C = [np.zeros((mcus_y * 8, mcus_x * 8), dtype=np.int64) for _ in range(2)]
     tabs = []
     for cid, _, _, tq in comps:
@@ -2222,14 +2236,15 @@ def jpeg_ycbcr_decode(data: bytes):
     dcs = [0, 0, 0]
     for my in range(mcus_y):
         for mx in range(mcus_x):
-            for by, bx in ((0, 0), (0, 8), (8, 0), (8, 8)):
-                block, dcs[0] = _jpeg_decode_block(br, *tabs[0], dcs[0])
-                Y[my * 16 + by : my * 16 + by + 8,
-                  mx * 16 + bx : mx * 16 + bx + 8] = block
+            for by in range(0, mcu_h, 8):
+                for bx in range(0, mcu_w, 8):
+                    block, dcs[0] = _jpeg_decode_block(br, *tabs[0], dcs[0])
+                    Y[my * mcu_h + by : my * mcu_h + by + 8,
+                      mx * mcu_w + bx : mx * mcu_w + bx + 8] = block
             for ci in (1, 2):
                 block, dcs[ci] = _jpeg_decode_block(br, *tabs[ci], dcs[ci])
                 C[ci - 1][my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = block
-    ch, cw = -(-h // 2), -(-w // 2)
+    ch, cw = -(-h // vs), -(-w // hs)
     return Y[:h, :w], C[0][:ch, :cw], C[1][:ch, :cw]
 
 
@@ -2252,7 +2267,11 @@ def _ycbcr_to_rgb(Y, Cb, Cr):
     import numpy as np
 
     Yf = Y.astype(np.float64)
-    up = lambda p: p.astype(np.float64).repeat(2, axis=0).repeat(2, axis=1)[  # noqa: E731
+    # upsample factors follow from the plane shapes (4:4:4 -> 1x1,
+    # 4:2:2 -> 1x2, 4:2:0 -> 2x2): ceil-ratio of luma to chroma dims
+    fy = -(-Y.shape[0] // Cb.shape[0])
+    fx = -(-Y.shape[1] // Cb.shape[1])
+    up = lambda p: p.astype(np.float64).repeat(fy, axis=0).repeat(fx, axis=1)[  # noqa: E731
         : Y.shape[0], : Y.shape[1]
     ]
     cb = up(Cb) - 128.0
@@ -3734,6 +3753,124 @@ def plant_encoded_color_jpegs(
             )
 
     return _spread(documents.select(id_col)).mapInPandas(build, schema=MEDIA_SCHEMA)
+
+
+def plant_sampling_jpegs(documents: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """Fully-encoded YCbCr JPEG fixtures across sampling grids (round
+    11): ``doc_id % 3`` picks 4:2:0 / 4:2:2 / 4:4:4.  The Y plane is
+    the q_jpeg_decode 16x16 arithmetic; each chroma plane is tiled
+    from 8x8 DCT-subspace blocks on its CODED resolution (16/v x
+    16/h), block index ``b = (R//8)*2 + (C//8)`` in plane coords:
+
+        m = 96 + (mul*id + 13*b) % 64      (mul 7 for Cb, 11 for Cr)
+        a_k = ((id + b + k) % 9) - 4,  k = 0,1,2
+        plane(R, C) = m + a0*_S4[R%8] + a1*_S4[C%8] + a2*_S4[R%8]*_S4[C%8]
+
+    Lossless-on-subspace holds per grid, so the oracle replays every
+    decoded component and the box-upsample + BT.601 RGB conversion at
+    each grid's own upsample factors."""
+    import numpy as np
+
+    r_idx = np.asarray(_S4)[:, None]
+    c_idx = np.asarray(_S4)[None, :]
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for i in pdf[id_col]:
+                i = int(i)
+                hs, vs = ((2, 2), (2, 1), (1, 1))[i % 3]
+                y = np.zeros((16, 16), dtype=np.int64)
+                for b in range(4):
+                    m = 64 + (17 * b + 5 * i) % 128
+                    y[(b // 2) * 8 : (b // 2) * 8 + 8,
+                      (b % 2) * 8 : (b % 2) * 8 + 8] = (
+                        m
+                        + ((3 * b + i) % 9 - 4) * r_idx
+                        + ((3 * b + i + 1) % 9 - 4) * c_idx
+                        + ((3 * b + i + 2) % 9 - 4) * r_idx * c_idx
+                    )
+
+                def chroma(mul):
+                    p = np.zeros((16 // vs, 16 // hs), dtype=np.int64)
+                    for R in range(p.shape[0] // 8):
+                        for Cc in range(p.shape[1] // 8):
+                            b = R * 2 + Cc
+                            m = 96 + (mul * i + 13 * b) % 64
+                            p[R * 8 : R * 8 + 8, Cc * 8 : Cc * 8 + 8] = (
+                                m
+                                + ((i + b) % 9 - 4) * r_idx
+                                + ((i + b + 1) % 9 - 4) * c_idx
+                                + ((i + b + 2) % 9 - 4) * r_idx * c_idx
+                            )
+                    return p
+
+                ids.append(i)
+                payloads.append(
+                    jpeg_ycbcr_encode(y, chroma(7), chroma(11), sampling=(hs, vs))
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "media_type": ["image"] * len(ids),
+                    "media": payloads,
+                    "source": ["planted"] * len(ids),
+                }
+            )
+
+    return _spread(documents.select(id_col)).mapInPandas(build, schema=MEDIA_SCHEMA)
+
+
+SAMPLING_JPEG_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("chroma", StringType(), False),
+        StructField("width", LongType(), False),
+        StructField("height", LongType(), False),
+        StructField("y_sum", LongType(), False),
+        StructField("cb_sum", LongType(), False),
+        StructField("cr_sum", LongType(), False),
+        StructField("r_sum", LongType(), False),
+        StructField("g_sum", LongType(), False),
+        StructField("b_sum", LongType(), False),
+    ]
+)
+
+
+def jpeg_sampling_stats(media: DataFrame) -> DataFrame:
+    """``jpeg_color_stats`` across sampling grids: decode, name the
+    grid from the coded plane shapes (420/422/444 — the decode proves
+    the MCU walk read the factors right), and emit exact component
+    sums plus RGB sums after each grid's own box-upsample + BT.601
+    floor(x+0.5) conversion."""
+    import numpy as np
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "media_id", "chroma", "width", "height",
+                "y_sum", "cb_sum", "cr_sum", "r_sum", "g_sum", "b_sum",
+            )}
+            for mid, payload in zip(pdf["media_id"], pdf["media"]):
+                Y, Cb, Cr = jpeg_ycbcr_decode(bytes(payload))
+                fy = -(-Y.shape[0] // Cb.shape[0])
+                fx = -(-Y.shape[1] // Cb.shape[1])
+                grid = {(2, 2): "420", (1, 2): "422", (1, 1): "444",
+                        (2, 1): "440"}[(fy, fx)]
+                rgb = _ycbcr_to_rgb(Y, Cb, Cr)
+                rows["media_id"].append(int(mid))
+                rows["chroma"].append(grid)
+                rows["height"].append(Y.shape[0])
+                rows["width"].append(Y.shape[1])
+                rows["y_sum"].append(int(Y.sum(dtype=np.int64)))
+                rows["cb_sum"].append(int(Cb.sum(dtype=np.int64)))
+                rows["cr_sum"].append(int(Cr.sum(dtype=np.int64)))
+                rows["r_sum"].append(int(rgb[:, :, 0].sum(dtype=np.int64)))
+                rows["g_sum"].append(int(rgb[:, :, 1].sum(dtype=np.int64)))
+                rows["b_sum"].append(int(rgb[:, :, 2].sum(dtype=np.int64)))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(process, schema=SAMPLING_JPEG_SCHEMA)
 
 
 COLOR_JPEG_SCHEMA = StructType(

@@ -157,3 +157,79 @@ def test_flac_stereo_mutations_raise_typed_errors_only():
         except (ValueError, NotImplementedError):
             pass
     assert not silent, f"silent corruption at byte offsets {silent}"
+
+
+# ------------------------------------------- JPEG sampling grids (round 11)
+
+
+def _subspace_plane(blocks_y: int, blocks_x: int, seed: int):
+    """Random-ish plane tiled from 8x8 blocks on the exact
+    {DC,(4,0),(0,4),(4,4)} DCT subspace — the lossless-on-subspace
+    contract that makes bit-exact JPEG assertions possible."""
+    mm = _mm()
+    s4 = np.asarray(mm._S4)
+    r_idx, c_idx = s4[:, None], s4[None, :]
+    rng = np.random.default_rng(seed)
+    p = np.zeros((blocks_y * 8, blocks_x * 8), dtype=np.int64)
+    for R in range(blocks_y):
+        for C in range(blocks_x):
+            m = int(rng.integers(64, 192))
+            a1, a2, a3 = (int(v) for v in rng.integers(-4, 5, 3))
+            p[R * 8 : R * 8 + 8, C * 8 : C * 8 + 8] = (
+                m + a1 * r_idx + a2 * c_idx + a3 * r_idx * c_idx
+            )
+    return p
+
+
+@pytest.mark.parametrize("hs,vs,name", [(2, 2, "420"), (2, 1, "422"),
+                                        (1, 1, "444"), (1, 2, "440")])
+def test_jpeg_sampling_grids_roundtrip_exactly(hs, vs, name):
+    mm = _mm()
+    for seed in range(5):
+        y = _subspace_plane(4 // 1, 4, seed)  # 32x32 luma
+        cb = _subspace_plane(32 // vs // 8, 32 // hs // 8, seed + 100)
+        cr = _subspace_plane(32 // vs // 8, 32 // hs // 8, seed + 200)
+        enc = mm.jpeg_ycbcr_encode(y, cb, cr, sampling=(hs, vs))
+        Y, CB, CR = mm.jpeg_ycbcr_decode(enc)
+        assert np.array_equal(Y, y), name
+        assert np.array_equal(CB, cb), name
+        assert np.array_equal(CR, cr), name
+        rgb = mm._ycbcr_to_rgb(Y, CB, CR)
+        assert rgb.shape == (32, 32, 3)
+
+
+def test_jpeg_sampling_444_needs_no_upsampling():
+    """At 4:4:4 the chroma planes come back full-resolution, so the
+    RGB conversion must not replicate anything."""
+    mm = _mm()
+    y = _subspace_plane(2, 2, 1)
+    cb = _subspace_plane(2, 2, 2)
+    cr = _subspace_plane(2, 2, 3)
+    Y, CB, CR = mm.jpeg_ycbcr_decode(mm.jpeg_ycbcr_encode(y, cb, cr, sampling=(1, 1)))
+    assert CB.shape == Y.shape == (16, 16)
+    rgb = mm._ycbcr_to_rgb(Y, CB, CR)
+    exp_r = np.clip(np.floor(Y + 1.402 * (CR - 128.0) + 0.5), 0, 255)
+    assert np.array_equal(rgb[:, :, 0], exp_r.astype(np.int64))
+
+
+def test_jpeg_sampling_factor_above_two_raises():
+    mm = _mm()
+    y = _subspace_plane(2, 2, 4)
+    cb = _subspace_plane(2, 2, 5)
+    cr = _subspace_plane(2, 2, 6)
+    enc = bytearray(mm.jpeg_ycbcr_encode(y, cb, cr, sampling=(1, 1)))
+    sof = enc.find(b"\xff\xc0")
+    assert enc[sof + 11] == 0x11  # Y sampling byte for 4:4:4
+    enc[sof + 11] = 0x33
+    with pytest.raises(NotImplementedError):
+        mm.jpeg_ycbcr_decode(bytes(enc))
+    with pytest.raises(ValueError):
+        mm.jpeg_ycbcr_encode(y, cb, cr, sampling=(3, 1))
+
+
+def test_jpeg_sampling_chroma_shape_validated():
+    mm = _mm()
+    y = _subspace_plane(2, 2, 7)
+    half = _subspace_plane(1, 1, 8)
+    with pytest.raises(ValueError, match="chroma"):
+        mm.jpeg_ycbcr_encode(y, half, half, sampling=(1, 1))  # needs full-size
