@@ -6811,7 +6811,13 @@ def oracle_sql() -> dict[str, str]:
 """,
         # Animated-GIF decoded-frame sampler: n_frames = 2 + id % 4,
         # kept frames 0, 2 (every 2nd, cap 2), pixel(f, r, c) =
-        # (7*id + 13*f + 31*r + 17*c) % 256 on the 16x16 grid.
+        # (7*id + 13*f_eff + 31*r + 17*c) % 256 on the 16x16 grid,
+        # where f_eff = f - 1 for rows r < 8 when f > 0 and f even
+        # (round 11: even frames repeat the previous top half, so the
+        # fixture's transparency delta-encoding leaves real skip-draw
+        # holes IN KEPT FRAME 2 — these sums only come out right if
+        # the decoder composites through the GCE transparent index;
+        # odd frames are also interlaced).
         "q_gif_frames": """
     WITH grid AS (
       SELECT r.r, c.c FROM range(0, 16) r(r) CROSS JOIN range(0, 16) c(c)
@@ -6828,7 +6834,13 @@ def oracle_sql() -> dict[str, str]:
     )
     SELECT k.media_id, k.frame_no, k.n_frames,
            CAST(16 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
-           CAST(SUM((7 * k.media_id + 13 * k.frame_no + 31 * g.r + 17 * g.c)
+           CAST(SUM((7 * k.media_id
+                     + 13 * (k.frame_no
+                             - (CASE WHEN k.frame_no > 0
+                                      AND k.frame_no % 2 = 0
+                                      AND g.r < 8
+                                     THEN 1 ELSE 0 END))
+                     + 31 * g.r + 17 * g.c)
                     % 256) AS BIGINT) AS pix_sum
     FROM kept k CROSS JOIN grid g
     GROUP BY k.media_id, k.frame_no, k.n_frames

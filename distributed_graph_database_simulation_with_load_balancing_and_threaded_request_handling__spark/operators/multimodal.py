@@ -3465,13 +3465,37 @@ def _lzw_decompress(data: bytes, min_code_size: int) -> bytes:
 _GIF_GRAY_PALETTE = bytes(v for i in range(256) for v in (i, i, i))
 
 
-def gif_encode_frames(frames, *, delay_cs: int = 4) -> bytes:
+def _gif_interlace_order(h: int) -> list:
+    """GIF89a interlace row sequence: pass 1 rows 0,8,16…, pass 2
+    4,12…, pass 3 2,6,10…, pass 4 1,3,5…"""
+    return [r for start, step in ((0, 8), (4, 8), (2, 4), (1, 2))
+            for r in range(start, h, step)]
+
+
+def gif_encode_frames(
+    frames,
+    *,
+    delay_cs: int = 4,
+    transparency: bool = False,
+    interlace: bool = False,
+) -> bytes:
     """REAL animated GIF89a encoder: logical screen = frame dims,
     256-entry grayscale global color table (palette[i] = (i,i,i), so
     pixel value == palette index), NETSCAPE2.0 loop extension, and per
-    frame a graphic-control extension (draw-over disposal, no
-    transparency) + full-screen image descriptor + LZW-compressed
-    indices in 255-byte sub-blocks."""
+    frame a graphic-control extension + full-screen image descriptor +
+    LZW-compressed indices in 255-byte sub-blocks.
+
+    Round 11 options (both decode back to the SAME pixels, so any
+    oracle over decoded frames is unchanged):
+    - ``transparency``: frames after the first are DELTA-encoded —
+      pixels equal to the previous frame become a transparent index
+      chosen per frame from the values that need no literal draw
+      (the transparent index hides its own palette entry, so it must
+      avoid every drawn value), with the GCE transparency flag set —
+      the standard inter-frame GIF optimization; the decoder must
+      composite through the holes to reproduce the full frame.
+    - ``interlace``: odd frames set the interlace flag and store rows
+      in the 4-pass GIF order; the decoder must de-interlace."""
     import struct
 
     import numpy as np
@@ -3486,15 +3510,33 @@ def gif_encode_frames(frames, *, delay_cs: int = 4) -> bytes:
     out += _GIF_GRAY_PALETTE
     # NETSCAPE loop-forever application extension
     out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
-    for a in arrs:
+    for fi, a in enumerate(arrs):
+        idx = a.astype(np.uint8)
+        transp = transparency and fi > 0
+        tv = 0
+        if transp:
+            prev = arrs[fi - 1].astype(np.uint8)
+            drawn_vals = np.unique(idx[idx != prev])
+            if drawn_vals.size >= 256:
+                transp = False  # every index needs a literal draw
+            else:
+                tv = int(
+                    np.setdiff1d(np.arange(256), drawn_vals)[-1]
+                )
+                idx = np.where(idx == prev, np.uint8(tv), idx)
         out += b"\x21\xf9\x04"  # graphic control extension
-        out += struct.pack("<BHB", 0x04, delay_cs, 0)  # disposal 1, no transp
+        # packed: disposal 1 (keep), transparency flag in bit 0
+        out += struct.pack("<BHB", 0x04 | (0x01 if transp else 0x00),
+                           delay_cs, tv)
         out += b"\x00"
-        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
-        out += b"\x08"  # LZW min code size (8-bit palette)
-        comp = _lzw_compress(
-            a.astype(np.uint8).tobytes(), 8
+        ilace = interlace and fi % 2 == 1
+        out += b"\x2c" + struct.pack(
+            "<HHHHB", 0, 0, w, h, 0x40 if ilace else 0
         )
+        if ilace:
+            idx = idx[np.asarray(_gif_interlace_order(h))]
+        out += b"\x08"  # LZW min code size (8-bit palette)
+        comp = _lzw_compress(idx.tobytes(), 8)
         for i in range(0, len(comp), 255):
             blk = comp[i : i + 255]
             out += bytes([len(blk)]) + blk
@@ -3506,13 +3548,19 @@ def gif_encode_frames(frames, *, delay_cs: int = 4) -> bytes:
 def gif_decode_frames(data: bytes):
     """REAL animated GIF decoder (stdlib + numpy): walks the block
     stream (extensions skipped by their declared sub-block lengths),
-    LZW-decompresses each image, maps indices through the active
-    color table (red channel — grayscale palettes make value ==
-    index), and composites sub-rectangle frames over the running
-    canvas (disposal none/keep).  Returns a list of (h, w) int64
-    arrays, one per image descriptor.  Raises ValueError on malformed
-    bytes and NotImplementedError for interlaced or transparent
-    frames (the encoder never emits either)."""
+    LZW-decompresses each image, de-interlaces the 4-pass row order
+    when flagged (round 11), maps indices through the active color
+    table (red channel — grayscale palettes make value == index), and
+    composites sub-rectangle frames over the running canvas —
+    transparent-index pixels are SKIPPED so the prior canvas shows
+    through (round 11), per-frame GCE state resets after its image as
+    the spec requires.  Disposal methods: 0/1 keep the canvas, 2
+    restores the frame rectangle to the background color (background
+    index through the global palette — the declared value-canvas
+    policy; a transparency-aware alpha canvas is the viewer's
+    concern); 3 (restore-previous) raises — it is rare and needs
+    frame history.  Returns a list of (h, w) int64 arrays, one per
+    image descriptor.  Raises ValueError on malformed bytes."""
     import struct
 
     import numpy as np
@@ -3521,7 +3569,7 @@ def gif_decode_frames(data: bytes):
         raise ValueError("not a GIF")
     if len(data) < 13:
         raise ValueError("truncated GIF header")
-    W, H, flags, _bg, _ar = struct.unpack("<HHBBB", data[6:13])
+    W, H, flags, bg_idx, _ar = struct.unpack("<HHBBB", data[6:13])
     pos = 13
     global_pal = None
     if flags & 0x80:
@@ -3532,7 +3580,8 @@ def gif_decode_frames(data: bytes):
         pos += 3 * n
     canvas = np.zeros((H, W), dtype=np.int64)
     frames: list = []
-    transparent = False
+    transp_idx = None  # GCE transparency, applies to the NEXT image only
+    disposal = 0
     while True:
         if pos >= len(data):
             raise ValueError("missing GIF trailer")
@@ -3555,7 +3604,9 @@ def gif_decode_frames(data: bytes):
                     break
                 pos += n
             if label == 0xF9 and pos - sub_start >= 5:
-                transparent = bool(data[sub_start + 1] & 0x01)
+                packed = data[sub_start + 1]
+                disposal = (packed >> 2) & 0x07
+                transp_idx = data[sub_start + 4] if packed & 0x01 else None
             continue
         if block != 0x2C:
             raise ValueError(f"unknown GIF block 0x{block:02x}")
@@ -3563,10 +3614,6 @@ def gif_decode_frames(data: bytes):
             raise ValueError("truncated image descriptor")
         left, top, w, h, iflags = struct.unpack("<HHHHB", data[pos : pos + 9])
         pos += 9
-        if iflags & 0x40:
-            raise NotImplementedError("interlaced GIF frames")
-        if transparent:
-            raise NotImplementedError("transparent GIF frames")
         pal = global_pal
         if iflags & 0x80:
             n = 2 << (iflags & 0x07)
@@ -3598,11 +3645,31 @@ def gif_decode_frames(data: bytes):
         if len(idx) < w * h:
             raise ValueError("LZW output shorter than frame")
         arr = np.frombuffer(bytes(idx[: w * h]), dtype=np.uint8).reshape(h, w)
+        if iflags & 0x40:  # de-interlace: invert the 4-pass row order
+            rows = np.asarray(_gif_interlace_order(h))
+            deinterlaced = np.empty_like(arr)
+            deinterlaced[rows] = arr
+            arr = deinterlaced
         if arr.max(initial=0) * 3 >= len(pal):
             raise ValueError("palette index out of range")
         red = np.frombuffer(pal, dtype=np.uint8)[::3]
-        canvas[top : top + h, left : left + w] = red[arr].astype(np.int64)
+        rect = canvas[top : top + h, left : left + w]
+        if transp_idx is None:
+            rect[:, :] = red[arr].astype(np.int64)
+        else:
+            opaque = arr != transp_idx
+            rect[opaque] = red[arr[opaque]].astype(np.int64)
         frames.append(canvas.copy())
+        if disposal == 2:  # restore rectangle to background color
+            if global_pal is None or bg_idx * 3 >= len(global_pal):
+                raise ValueError("disposal-to-background without a background")
+            rect[:, :] = int(global_pal[bg_idx * 3])
+        elif disposal == 3:
+            raise NotImplementedError(
+                "disposal method 3 (restore previous) — rare; needs history"
+            )
+        transp_idx = None  # GCE applies to one image only
+        disposal = 0
 
 
 def plant_encoded_gifs(documents: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
@@ -3614,7 +3681,15 @@ def plant_encoded_gifs(documents: DataFrame, *, id_col: str = "doc_id") -> DataF
     — arithmetic in (id, frame, r, c), so the SQL oracle replays every
     decoded frame sum without touching bytes.  The payload is a real
     GIF89a stream (global gray palette, per-frame GCE + LZW image
-    blocks) that any standards-compliant viewer plays."""
+    blocks) that any standards-compliant viewer plays.  Round 11:
+    EVEN frames after the first repeat the previous frame's top half
+    (effective frame index ``f - 1`` for rows r < 8 when f > 0 and
+    f even), so the transparency delta-encoder leaves 128 genuinely
+    transparent skip-draw pixels in each such frame — and frame 2 is
+    a KEPT frame, so the oracle's pixel sums value-check the
+    composite itself, not just the tests; odd frames are additionally
+    interlaced (4-pass row order).  A decoder that ignored either
+    flag fails the sums."""
     import numpy as np
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -3625,11 +3700,16 @@ def plant_encoded_gifs(documents: DataFrame, *, id_col: str = "doc_id") -> DataF
             for i in pdf[id_col]:
                 i = int(i)
                 frames = [
-                    (7 * i + 13 * f + 31 * r + 17 * c) % 256
+                    (7 * i
+                     + 13 * (f - (1 if f > 0 and f % 2 == 0 else 0) * (r < 8))
+                     + 31 * r + 17 * c)
+                    % 256
                     for f in range(2 + i % 4)
                 ]
                 ids.append(i)
-                payloads.append(gif_encode_frames(frames))
+                payloads.append(
+                    gif_encode_frames(frames, transparency=True, interlace=True)
+                )
             yield pd.DataFrame(
                 {
                     "media_id": ids,

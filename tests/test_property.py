@@ -731,12 +731,15 @@ def test_winsorized_spend_matches_python_oracle(sess, prices):
 def test_gif_codec_roundtrips_random_frames(n_frames, w, h, seed):
     """Round-9 GIF codec: encode/decode round-trips ANY uint8 frame
     stack bit-exactly (GIF is lossless), across LZW width growth and
-    the 4096 dictionary reset; truncation raises ValueError and the
-    undeclared interlace bit raises the documented seam error."""
+    the 4096 dictionary reset; truncation raises ValueError; and a
+    hand-flipped interlace bit de-interlaces (round 11 made the flag
+    real): the decoder scatters the sequentially-stored rows through
+    the 4-pass order, so the result is exactly that permutation."""
     import numpy as np
     import pytest
 
     from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.multimodal import (
+        _gif_interlace_order,
         gif_decode_frames,
         gif_encode_frames,
         image_dims,
@@ -760,5 +763,7 @@ def test_gif_codec_roundtrips_random_frames(n_frames, w, h, seed):
     idx = 13 + 768 + 19 + 8
     assert enc[idx] == 0x2C
     flipped = enc[: idx + 9] + bytes([enc[idx + 9] | 0x40]) + enc[idx + 10 :]
-    with pytest.raises(NotImplementedError):
-        gif_decode_frames(flipped)
+    dec_flipped = gif_decode_frames(flipped)
+    expected = np.empty_like(frames[0])
+    expected[np.asarray(_gif_interlace_order(h))] = frames[0]
+    assert np.array_equal(dec_flipped[0], expected)

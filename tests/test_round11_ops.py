@@ -233,3 +233,127 @@ def test_jpeg_sampling_chroma_shape_validated():
     half = _subspace_plane(1, 1, 8)
     with pytest.raises(ValueError, match="chroma"):
         mm.jpeg_ycbcr_encode(y, half, half, sampling=(1, 1))  # needs full-size
+
+
+# ------------------------------------- GIF transparency / interlace (r11)
+
+
+def test_gif_transparency_delta_composites_through_holes():
+    """A delta-encoded frame draws only changed pixels; the decoder
+    must show the prior canvas through the transparent index."""
+    mm = _mm()
+    f0 = np.full((8, 8), 10, dtype=np.int64)
+    f1 = f0.copy()
+    f1[2:4, 2:4] = 200
+    enc = mm.gif_encode_frames([f0, f1], transparency=True)
+    # the stream genuinely contains a transparency-flagged GCE
+    gces = [i for i in range(len(enc) - 2) if enc[i:i+2] == b"\x21\xf9"]
+    assert any(enc[i + 3] & 0x01 for i in gces), "no transparent frame emitted"
+    d = mm.gif_decode_frames(enc)
+    assert np.array_equal(d[0], f0) and np.array_equal(d[1], f1)
+
+
+def test_gif_transparent_index_avoids_drawn_values():
+    """Pathological delta frame: the changed pixels cover value 255,
+    so the encoder must pick a different transparent index (a fixed
+    255 would make those pixels undrawable)."""
+    mm = _mm()
+    f0 = np.zeros((4, 4), dtype=np.int64)
+    f1 = f0.copy()
+    f1[0, 0] = 255  # genuine 255 differing from prev
+    enc = mm.gif_encode_frames([f0, f1], transparency=True)
+    d = mm.gif_decode_frames(enc)
+    assert np.array_equal(d[1], f1)
+
+
+def test_gif_interlaced_frames_deinterlace_exactly():
+    mm = _mm()
+    rng = np.random.default_rng(9)
+    frames = [rng.integers(0, 256, size=(17, 5)).astype(np.int64)
+              for _ in range(3)]  # odd height exercises pass boundaries
+    enc = mm.gif_encode_frames(frames, interlace=True)
+    d = mm.gif_decode_frames(enc)
+    for got, want in zip(d, frames):
+        assert np.array_equal(got, want)
+
+
+def test_gif_interlace_order_is_a_permutation():
+    mm = _mm()
+    for h in (1, 2, 7, 8, 16, 17, 33):
+        order = mm._gif_interlace_order(h)
+        assert sorted(order) == list(range(h)), h
+    assert mm._gif_interlace_order(16)[:4] == [0, 8, 4, 12]
+
+
+def test_gif_disposal_background_restores_rect():
+    """Disposal 2: after the frame is emitted, its rectangle resets to
+    the background color, so the NEXT frame composites over the
+    background, not over the old pixels."""
+    mm = _mm()
+    import struct
+    f0 = np.full((4, 4), 7, dtype=np.uint8)
+    base = mm.gif_encode_frames([f0.astype(np.int64)] )
+    # rebuild by hand: frame 0 with disposal 2 + bg index 99, then a
+    # transparent full-frame image -> shows background everywhere
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", 4, 4, 0xF7, 99, 0)
+    out += mm._GIF_GRAY_PALETTE
+    def frame(idx_arr, packed, tv):
+        b = bytearray(b"\x21\xf9\x04")
+        b += struct.pack("<BHB", packed, 1, tv) + b"\x00"
+        b += b"\x2c" + struct.pack("<HHHHB", 0, 0, 4, 4, 0) + b"\x08"
+        comp = mm._lzw_compress(idx_arr.tobytes(), 8)
+        for i in range(0, len(comp), 255):
+            blk = comp[i:i+255]
+            b += bytes([len(blk)]) + blk
+        b += b"\x00"
+        return b
+    out += frame(f0, 0x08, 0)                      # disposal 2, opaque
+    out += frame(np.full((4, 4), 5, np.uint8), 0x05, 5)  # all-transparent
+    out += b"\x3b"
+    d = mm.gif_decode_frames(bytes(out))
+    assert np.array_equal(d[0], np.full((4, 4), 7))
+    assert np.array_equal(d[1], np.full((4, 4), 99))  # background shows
+
+
+def test_gif_gce_state_resets_after_each_image():
+    """A GCE applies to exactly one image: a transparent frame
+    followed by a GCE-less frame must decode the second fully
+    opaque even when it reuses the old transparent index."""
+    mm = _mm()
+    import struct
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", 2, 2, 0xF7, 0, 0)
+    out += mm._GIF_GRAY_PALETTE
+    gce = bytearray(b"\x21\xf9\x04") + struct.pack("<BHB", 0x05, 1, 9) + b"\x00"
+    def img(idx_arr):
+        b = bytearray(b"\x2c") + struct.pack("<HHHHB", 0, 0, 2, 2, 0) + b"\x08"
+        comp = mm._lzw_compress(idx_arr.tobytes(), 8)
+        b += bytes([len(comp)]) + comp + b"\x00"
+        return b
+    out += img(np.full((2, 2), 3, np.uint8))          # opaque base
+    out += gce + img(np.full((2, 2), 9, np.uint8))    # all-transparent
+    out += img(np.full((2, 2), 9, np.uint8))          # NO GCE: opaque 9s
+    out += b"\x3b"
+    d = mm.gif_decode_frames(bytes(out))
+    assert np.array_equal(d[1], np.full((2, 2), 3))   # holes show base
+    assert np.array_equal(d[2], np.full((2, 2), 9))   # state was reset
+
+
+def test_gif_planted_fixture_frame2_has_real_holes():
+    """The q_gif_frames fixture's frame 2 must actually be
+    delta-encoded (transparent GCE + holes), not merely flagged."""
+    mm = _mm()
+    r = np.arange(16, dtype=np.int64)[:, None]
+    c = np.arange(16, dtype=np.int64)[None, :]
+    i = 1  # n_frames = 3
+    frames = [
+        (7 * i + 13 * (f - (1 if f > 0 and f % 2 == 0 else 0) * (r < 8))
+         + 31 * r + 17 * c) % 256
+        for f in range(3)
+    ]
+    assert np.array_equal(frames[2][:8], frames[1][:8])  # the delta source
+    enc = mm.gif_encode_frames(frames, transparency=True, interlace=True)
+    d = mm.gif_decode_frames(enc)
+    for got, want in zip(d, frames):
+        assert np.array_equal(got, want)
