@@ -12,7 +12,11 @@ per-session caches (_shared_result families) are rebuilt inside
 every pass — both arms pay their own protocol's build cost, exactly
 as a fresh official bench run would.
 
-Usage: python scripts/bench_ab.py [r7_commit] [sf_dir] [passes_per_arm]
+Usage: python scripts/bench_ab.py [base_commit] [sf_dir] [passes_per_arm]
+           [--queries q_a,q_b,...]
+``--queries`` (round-10 verdict #4) restricts both arms to the named
+queries — the per-query drill-down for apparent official-record
+regressions the aggregate ratio attributes to host noise.
 Writes .scratch/bench_ab.json and prints the comparison table.
 """
 
@@ -49,8 +53,10 @@ def _load_queries(tree: str):
         sys.path.remove(tree)
 
 
-def _bench_pass(spark, tree: str, sf_dir: str) -> dict[str, float]:
+def _bench_pass(spark, tree: str, sf_dir: str, only: set | None = None) -> dict[str, float]:
     qs = _load_queries(tree)
+    if only is not None:
+        qs = {n: f for n, f in qs.items() if n in only}
     out: dict[str, float] = {}
     for name, fn in qs.items():
         t0 = time.time()
@@ -61,9 +67,15 @@ def _bench_pass(spark, tree: str, sf_dir: str) -> dict[str, float]:
 
 
 def main() -> None:
-    r7_commit = sys.argv[1] if len(sys.argv) > 1 else "b03926e"
-    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
-    passes = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    argv = list(sys.argv[1:])
+    only: set | None = None
+    if "--queries" in argv:
+        qi = argv.index("--queries")
+        only = set(argv[qi + 1].split(","))
+        del argv[qi : qi + 2]
+    r7_commit = argv[0] if len(argv) > 0 else "b03926e"
+    sf_dir = argv[1] if len(argv) > 1 else "/root/testdata/sf0.1"
+    passes = int(argv[2]) if len(argv) > 2 else 2
     r7_tree = os.path.join(REPO, ".scratch", "r7tree")
     if not os.path.isdir(r7_tree):
         subprocess.run(
@@ -85,7 +97,7 @@ def main() -> None:
     for i in range(passes):
         for arm, tree in (("r7", r7_tree), ("r8", REPO)):
             t0 = time.time()
-            arms[arm].append(_bench_pass(spark, tree, sf_dir))
+            arms[arm].append(_bench_pass(spark, tree, sf_dir, only))
             print(
                 f"pass {i + 1}/{passes} {arm}: "
                 f"{sum(arms[arm][-1].values()):.1f}s plan-sum, "
@@ -139,7 +151,12 @@ def main() -> None:
         "loadavg_1m": load1,
         "at": time.strftime("%Y-%m-%dT%H:%M:%S"),
     }
-    with open(os.path.join(REPO, ".scratch", "bench_ab.json"), "w") as fh:
+    if only is not None:
+        meta["queries"] = sorted(only)
+    # a --queries drill-down goes to its own file so bench.py's
+    # load_ab() never mistakes a 4-query ratio for the full A/B
+    out_name = "bench_ab.json" if only is None else "bench_ab_queries.json"
+    with open(os.path.join(REPO, ".scratch", out_name), "w") as fh:
         json.dump(
             {"r7": best["r7"], "r8": best["r8"], "passes": passes, "meta": meta},
             fh,

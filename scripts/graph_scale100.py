@@ -38,6 +38,10 @@ QUERIES = ("q_sssp", "q_scc", "q_msf", "q_betweenness")
 # same-boot 10x-vs-100x treatment — with the blocking evidence (max
 # LSH bucket size, per-cell code counts) recorded next to wall
 DEDUP_ANN_QUERIES = ("q_minhash_dedup", "q_ivfpq_topk")
+# round-10 verdict #7: the text-dedup self-join shapes too — edit
+# dedup's gram-bucket cap and prefix join's posting bounds are the
+# caps whose behavior at 100x IS the scale story
+TEXT_DEDUP_QUERIES = ("q_edit_dedup", "q_prefix_join")
 BEGIN = "<!-- GRAPH100_GATE:BEGIN (maintained by scripts/graph_scale100.py) -->"
 END = "<!-- GRAPH100_GATE:END -->"
 
@@ -129,6 +133,95 @@ def _ivf_cell_stats(spark, sf_dir: str) -> dict:
     }
 
 
+def _edit_gram_stats(spark, sf_dir: str) -> dict:
+    """Gram-bucket distribution for q_edit_dedup's exact blocking
+    (token 5-grams, bucket cap 16): on the mirror-replicated scaled
+    corpora every family gram's bucket hits the family size, so the
+    cap drops them BEFORE the self-join — the measured demonstration
+    that the cap defends the join against degenerate corpora.
+    ``cand_bound`` is Σ C(k,2) over surviving buckets — the hard
+    upper bound on candidate pairs entering verification."""
+    from pyspark.sql import functions as F
+
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators import (
+        dedup,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    grams = dedup.token_ngrams(docs, ngram_len=5).where(F.col("g") != "")
+    row = (
+        grams.groupBy("g")
+        .count()
+        .agg(
+            F.max("count").alias("mx"),
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("count") > 16, 1).otherwise(0)).alias("dropped"),
+            F.sum(
+                F.when(
+                    F.col("count") <= 16,
+                    F.col("count") * (F.col("count") - 1) / 2,
+                ).otherwise(0)
+            ).cast("long").alias("cand_bound"),
+        )
+        .first()
+    )
+    return {
+        "max_gram_bucket": int(row["mx"]),
+        "dropped_grams": int(row["dropped"]),
+        "cand_bound": int(row["cand_bound"]),
+    }
+
+
+def _prefix_posting_stats(spark, sf_dir: str) -> dict:
+    """FULL-corpus prefix-index posting bounds for q_prefix_join's
+    blocking theorem (prefix tokens are each doc's globally RAREST,
+    so postings stay small): max posting length and Σ C(k,2) (the
+    exact candidate-pair count the index join would emit).  The
+    registered query verifies a bounded slice by contract — the
+    synthetic corpus is 100%-mirrored so the exact-join OUTPUT is
+    quadratic by construction (documented degenerate case); these
+    bounds are the part of the claim that must hold corpus-wide."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window as W
+
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.dedup import (
+        normalize_text,
+        tokens,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    toks = (
+        docs.select(
+            F.col("doc_id").alias("id"),
+            F.explode(F.array_distinct(tokens(normalize_text(F.col("text"))))).alias("tk"),
+        )
+        .where(F.col("tk") != "")
+    )
+    freq = toks.groupBy("tk").agg(F.count("*").alias("f"))
+    sizes = toks.groupBy("id").agg(F.count("*").alias("n"))
+    ranked = toks.join(freq, "tk").select(
+        "id", "tk",
+        F.row_number().over(W.partitionBy("id").orderBy("f", "tk")).alias("rn"),
+    )
+    prefix_len = F.expr("n - ((4 * n + 4) div 5) + 1")
+    pre = ranked.join(sizes, "id").where(F.col("rn") <= prefix_len)
+    row = (
+        pre.groupBy("tk")
+        .count()
+        .agg(
+            F.max("count").alias("mx"),
+            F.count("*").alias("n"),
+            F.sum(F.col("count") * (F.col("count") - 1) / 2).cast("long").alias("cand"),
+        )
+        .first()
+    )
+    return {
+        "max_posting": int(row["mx"]),
+        "n_postings": int(row["n"]),
+        "cand_pairs": int(row["cand"]),
+    }
+
+
 def main() -> int:
     if not os.path.isdir(SCALED100) and "--skip-gen" not in sys.argv:
         print(f"== generating {SCALED100} (graph tables only)", flush=True)
@@ -207,6 +300,26 @@ def main() -> int:
                 flush=True,
             )
 
+    td_results: dict[str, dict] = {}
+    for sf_label, sf_dir in (("10x", SCALED10), ("100x", SCALED100_DOCS)):
+        for name in TEXT_DEDUP_QUERIES:
+            t0 = time.time()
+            n_rows = qs[name](spark, sf_dir).count()
+            wall = time.time() - t0
+            if name == "q_edit_dedup":
+                stats = _edit_gram_stats(spark, sf_dir)
+            else:
+                stats = _prefix_posting_stats(spark, sf_dir)
+            td_results.setdefault(name, {})[sf_label] = {
+                "wall_s": round(wall, 1),
+                "rows": n_rows,
+                **stats,
+            }
+            print(
+                f"   {sf_label:>4} {name}: {wall:6.1f}s, {n_rows} rows, {stats}",
+                flush=True,
+            )
+
     lines = [
         BEGIN,
         "",
@@ -263,10 +376,41 @@ def main() -> int:
             f"| {r100['wall_s']}s | {r100['rows']} | {fmt_blocking(r100)} "
             f"| {ratio}x |"
         )
+    lines += [
+        "",
+        "Text-dedup self-join rows (round 11): the two shapes whose",
+        "caps ARE the scale story.  q_edit_dedup runs FULL-corpus at",
+        "both scales — on the mirror-replicated corpora every family",
+        "gram bucket exceeds the 16-cap and is dropped BEFORE the",
+        "self-join (cand_bound = sum C(k,2) over surviving buckets is",
+        "the hard candidate ceiling).  q_prefix_join's wall is its",
+        "REGISTERED bounded-verification contract (the 100%-mirrored",
+        "synthetic corpus makes the exact join's OUTPUT quadratic by",
+        "construction — documented degenerate case); its blocking",
+        "columns are FULL-corpus prefix-index posting bounds, the part",
+        "of the PPJoin claim that must hold corpus-wide.",
+        "",
+        "| query | 10x wall | 10x rows | 10x blocking | 100x wall | 100x rows | 100x blocking | wall ratio |",
+        "|---|---|---|---|---|---|---|---|",
+    ]
+    for name in TEXT_DEDUP_QUERIES:
+        r10, r100 = td_results[name]["10x"], td_results[name]["100x"]
+
+        def fmt_blocking(r):
+            return "/".join(
+                f"{k}={v}" for k, v in r.items() if k not in ("wall_s", "rows")
+            )
+
+        ratio = round(r100["wall_s"] / max(r10["wall_s"], 0.1), 1)
+        lines.append(
+            f"| {name} | {r10['wall_s']}s | {r10['rows']} | {fmt_blocking(r10)} "
+            f"| {r100['wall_s']}s | {r100['rows']} | {fmt_blocking(r100)} "
+            f"| {ratio}x |"
+        )
     lines += ["", END]
     block = "\n".join(lines)
     print(block)
-    print(json.dumps({**results, **da_results}))
+    print(json.dumps({**results, **da_results, **td_results}))
 
     if "--no-baseline" not in sys.argv:
         path = os.path.join(REPO, "BASELINE.md")
