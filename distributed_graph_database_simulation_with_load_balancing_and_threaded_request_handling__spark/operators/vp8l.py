@@ -709,28 +709,9 @@ def _write_prefix_code(bw: _LsbWriter, values: list[int], alphabet: int):
     return _canon_codes(lengths)
 
 
-def vp8l_encode(rgba) -> bytes:
-    """Encode an (h, w, 4) uint8 RGBA array as a lossless WebP file:
-    no transforms, no color cache, no meta groups, literal-only —
-    a fully valid (if unambitious) VP8L stream wrapped in RIFF."""
-    import numpy as np
-
-    rgba = np.asarray(rgba, dtype=np.uint8)
-    h, w, _ = rgba.shape
-    if not (1 <= w <= 1 << 14 and 1 <= h <= 1 << 14):
-        raise ValueError("vp8l: dimensions out of range")
-    bw = _LsbWriter()
-    bw.write(w - 1, 14)
-    bw.write(h - 1, 14)
-    bw.write(int(np.any(rgba[..., 3] != 255)), 1)
-    bw.write(0, 3)  # version
-    bw.write(0, 1)  # no transforms
-    bw.write(0, 1)  # no color cache
-    bw.write(0, 1)  # no meta prefix image
-    greens = rgba[..., 1].ravel().tolist()
-    reds = rgba[..., 0].ravel().tolist()
-    blues = rgba[..., 2].ravel().tolist()
-    alphas = rgba[..., 3].ravel().tolist()
+def _write_literal_image(bw: _LsbWriter, greens, reds, blues, alphas) -> None:
+    """Five prefix codes + the literal pixel stream — the shared body
+    of the main image and (round 11) transform tile sub-images."""
     g_codes = _write_prefix_code(bw, greens, 256 + 24)
     r_codes = _write_prefix_code(bw, reds, 256)
     b_codes = _write_prefix_code(bw, blues, 256)
@@ -742,6 +723,79 @@ def vp8l_encode(rgba) -> bytes:
             code, length = codes[v]
             if length:
                 _write_code_msb(bw, code, length)
+
+
+def vp8l_encode(rgba, *, transforms: tuple = ()) -> bytes:
+    """Encode an (h, w, 4) uint8 RGBA array as a lossless WebP file:
+    literal-only entropy coding, no color cache, no meta groups — a
+    fully valid (if unambitious) VP8L stream wrapped in RIFF.
+
+    ``transforms`` (round 11) may list ``"subtract_green"`` and/or
+    ``"predictor"`` in write order; forward transforms are applied in
+    that order (the decoder inverts in reverse read order, so this is
+    the spec pairing).  The predictor transform signals mode 1 (left)
+    for every 16x16 tile via a real entropy-coded tile sub-image;
+    border pixels follow the spec rules the decoder replays (top-left
+    predicts from opaque black, row 0 from left, column 0 from top).
+    Exercises the decoder's transform machinery on self-made streams;
+    the committed libwebp fixtures stay the foreign-stream check."""
+    import numpy as np
+
+    rgba = np.asarray(rgba, dtype=np.uint8)
+    h, w, _ = rgba.shape
+    if not (1 <= w <= 1 << 14 and 1 <= h <= 1 << 14):
+        raise ValueError("vp8l: dimensions out of range")
+    bw = _LsbWriter()
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(int(np.any(rgba[..., 3] != 255)), 1)
+    bw.write(0, 3)  # version
+
+    A = rgba[..., 3].astype(np.int32)
+    R = rgba[..., 0].astype(np.int32)
+    G = rgba[..., 1].astype(np.int32)
+    B = rgba[..., 2].astype(np.int32)
+    for t in transforms:
+        if t == "subtract_green":
+            bw.write(1, 1)
+            bw.write(2, 2)
+            R = (R - G) % 256
+            B = (B - G) % 256
+        elif t == "predictor":
+            bw.write(1, 1)
+            bw.write(0, 2)
+            bits = 4  # 16x16 tiles
+            bw.write(bits - 2, 3)
+            tw, th = -(-w // (1 << bits)), -(-h // (1 << bits))
+            bw.write(0, 1)  # tile sub-image: no color cache
+            n = tw * th
+            # mode 1 (left) in the green channel of every tile pixel
+            _write_literal_image(bw, [1] * n, [0] * n, [0] * n, [0] * n)
+
+            def resid(C, black):
+                out = np.empty_like(C)
+                out[0, 0] = (C[0, 0] - black) % 256
+                if w > 1:
+                    out[0, 1:] = (C[0, 1:] - C[0, :-1]) % 256  # row 0: left
+                if h > 1:
+                    out[1:, 0] = (C[1:, 0] - C[:-1, 0]) % 256  # col 0: top
+                if w > 1 and h > 1:
+                    out[1:, 1:] = (C[1:, 1:] - C[1:, :-1]) % 256  # mode 1
+                return out
+
+            A, R, G, B = resid(A, 0xFF), resid(R, 0), resid(G, 0), resid(B, 0)
+        else:
+            raise ValueError(f"vp8l: unknown encoder transform {t!r}")
+    bw.write(0, 1)  # end of transforms
+    bw.write(0, 1)  # no color cache
+    bw.write(0, 1)  # no meta prefix image
+    _write_literal_image(
+        bw,
+        G.ravel().tolist(),
+        R.ravel().tolist(),
+        B.ravel().tolist(),
+        A.ravel().tolist(),
+    )
     payload = b"\x2f" + bw.bytes()
     chunk = b"VP8L" + len(payload).to_bytes(4, "little") + payload
     if len(payload) & 1:
@@ -762,8 +816,12 @@ def plant_webp_images(documents, *, id_col: str = "doc_id"):
         b = (x y + 13 id) % 256      (alpha 255)
 
     VP8L-encoded by this module's writer, so every decoded pixel
-    replays in SQL; foreign-stream interop (transform/cache/meta
-    paths) is pinned separately by the committed libwebp fixtures."""
+    replays in SQL — odd ids through the subtract-green + predictor
+    transform pipeline (round 11; same pixels, so the oracle is
+    unchanged while the query exercises the decoder's transform
+    path on self-made streams too); foreign-stream interop
+    (cache/meta paths) stays pinned by the committed libwebp
+    fixtures."""
     import numpy as np
     import pandas as pd
 
@@ -783,7 +841,8 @@ def plant_webp_images(documents, *, id_col: str = "doc_id"):
                 img[..., 2] = (xx * yy + 13 * i) % 256
                 img[..., 3] = 255
                 ids.append(i)
-                payloads.append(vp8l_encode(img))
+                tf = ("subtract_green", "predictor") if i % 2 else ()
+                payloads.append(vp8l_encode(img, transforms=tf))
             yield pd.DataFrame(
                 {
                     "media_id": ids,

@@ -357,3 +357,83 @@ def test_gif_planted_fixture_frame2_has_real_holes():
     d = mm.gif_decode_frames(enc)
     for got, want in zip(d, frames):
         assert np.array_equal(got, want)
+
+
+# --------------------------------------- WebP encoder transforms (r11)
+
+
+def _vp8l():
+    return importlib.import_module(f"{PKG}.operators.vp8l")
+
+
+@pytest.mark.parametrize("tf", [
+    ("subtract_green",),
+    ("predictor",),
+    ("subtract_green", "predictor"),
+])
+def test_vp8l_encoder_transforms_roundtrip(tf):
+    V = _vp8l()
+    rng = np.random.default_rng(31)
+    for _ in range(4):
+        w, h = int(rng.integers(1, 40)), int(rng.integers(1, 40))
+        img = rng.integers(0, 256, (h, w, 4), dtype=np.uint8)
+        assert np.array_equal(V.vp8l_decode(V.vp8l_encode(img, transforms=tf)), img)
+
+
+@given(st.integers(min_value=0, max_value=2**32 - 1))
+@settings(max_examples=30, deadline=None)
+def test_vp8l_two_transform_pipeline_roundtrips_random(seed):
+    """Round-trip property through BOTH transforms (r10 verdict #8):
+    forward subtract-green + mode-1 predictor at encode, the decoder's
+    real inverse-transform machinery at decode — including dimensions
+    that are not tile multiples."""
+    V = _vp8l()
+    rng = np.random.default_rng(seed)
+    w, h = int(rng.integers(1, 70)), int(rng.integers(1, 70))
+    img = rng.integers(0, 256, (h, w, 4), dtype=np.uint8)
+    enc = V.vp8l_encode(img, transforms=("subtract_green", "predictor"))
+    assert np.array_equal(V.vp8l_decode(enc), img)
+
+
+def test_vp8l_transforms_actually_compress_smooth_images():
+    """The point of the transforms: a gradient image should get
+    materially smaller, proving the residuals really flow through the
+    predictor (identical sizes would suggest a no-op)."""
+    V = _vp8l()
+    yy, xx = np.mgrid[0:48, 0:48]
+    img = np.zeros((48, 48, 4), np.uint8)
+    img[..., 0] = (3 * xx) % 256
+    img[..., 1] = (2 * yy + xx) % 256
+    img[..., 2] = (xx + yy) % 256
+    img[..., 3] = 255
+    plain = len(V.vp8l_encode(img))
+    xf = len(V.vp8l_encode(img, transforms=("subtract_green", "predictor")))
+    assert xf < plain / 2, (plain, xf)
+    assert np.array_equal(V.vp8l_decode(V.vp8l_encode(img, transforms=("subtract_green", "predictor"))), img)
+
+
+def test_vp8l_transformed_streams_accepted_by_libwebp():
+    """Strongest transform check: the REAL libwebp decodes our
+    transformed streams to the same pixels (skips if absent)."""
+    import sys as _sys, os as _os
+    _sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.dirname(
+        _os.path.abspath(__file__))), "tests"))
+    from test_round10_ops import _libwebp
+    lib = _libwebp()
+    if lib is None:
+        pytest.skip("no libwebp available")
+    import ctypes
+    V = _vp8l()
+    rng = np.random.default_rng(41)
+    for tf in (("subtract_green",), ("predictor",),
+               ("subtract_green", "predictor")):
+        w, h = int(rng.integers(2, 50)), int(rng.integers(2, 50))
+        img = rng.integers(0, 256, (h, w, 4), dtype=np.uint8)
+        enc = V.vp8l_encode(img, transforms=tf)
+        ww, hh = ctypes.c_int(), ctypes.c_int()
+        p = lib.WebPDecodeRGBA(enc, len(enc), ctypes.byref(ww), ctypes.byref(hh))
+        assert p, f"libwebp rejected our {tf} stream"
+        ref = np.frombuffer(
+            ctypes.string_at(p, ww.value * hh.value * 4), dtype=np.uint8
+        ).reshape(hh.value, ww.value, 4)
+        assert np.array_equal(ref, img), tf
