@@ -2756,6 +2756,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ),
         )
 
+    def q_flac_24bit(spark, sf_dir):
+        # 24-BIT stereo FLAC (round 11): the studio-master depth
+        # through the full decorrelation pipeline — side channel at
+        # 25 bits, residual magnitudes past the 4-bit rice parameter
+        # space exercising the spec's 5-bit method, STREAMINFO MD5
+        # over 3-byte little-endian packed interleaved samples.  Same
+        # per-channel + cross-term feature contract as q_flac_stereo;
+        # the oracle replays both 24-bit closed forms (all sums fit
+        # int64 with 2 decimal orders to spare).
+        from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.multimodal import (
+            flac_stereo_features,
+            plant_flac_24bit,
+        )
+
+        return _shared_result(
+            spark, sf_dir, "media_flac_24bit",
+            lambda: flac_stereo_features(
+                plant_flac_24bit(load_table(spark, sf_dir, "documents"))
+            ),
+        )
+
     def q_adpcm_audio(spark, sf_dir):
         # REAL stateful compressed-audio decode (IMA/DVI ADPCM, WAV
         # format 0x11): each 4-bit code advances a predictor + step-
@@ -5020,6 +5041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_adpcm_audio": q_adpcm_audio,
         "q_flac_audio": q_flac_audio,
         "q_flac_stereo": q_flac_stereo,
+        "q_flac_24bit": q_flac_24bit,
         "q_kmeans": q_kmeans,
         "q_cluster_labels": q_cluster_labels,
         "q_semantic_dedup": q_semantic_dedup,
@@ -7030,6 +7052,33 @@ def oracle_sql() -> dict[str, str]:
               SELECT media_id, sample_rate, n,
                      ((37 * k + 11 * media_id) % 4001) - 2000 AS l,
                      ((53 * k + 7 * media_id) % 4001) - 2000 AS r
+              FROM d JOIN ks ON k < n
+            )
+            SELECT media_id, sample_rate, n AS n_samples,
+                   CAST(MAX(ABS(l)) AS BIGINT) AS peak_l,
+                   CAST(MAX(ABS(r)) AS BIGINT) AS peak_r,
+                   CAST(SUM(ABS(l)) AS BIGINT) AS sum_abs_l,
+                   CAST(SUM(ABS(r)) AS BIGINT) AS sum_abs_r,
+                   CAST(SUM(l * l) AS BIGINT) AS sum_sq_l,
+                   CAST(SUM(r * r) AS BIGINT) AS sum_sq_r,
+                   CAST(SUM(l * r) AS BIGINT) AS sum_lr
+            FROM s GROUP BY media_id, sample_rate, n
+        """,
+        # plant_flac_24bit: the same stereo feature contract at the
+        # studio-master depth — L/R are 24-bit congruences, rate fixed
+        # 96000; every sum fits int64 (peak 8e6, sum_sq <= 7e16).
+        "q_flac_24bit": """
+            WITH ks AS (SELECT range AS k FROM range(0, 999)),
+            d AS (
+              SELECT CAST(doc_id AS BIGINT) AS media_id,
+                     CAST(96000 AS BIGINT) AS sample_rate,
+                     CAST(100 + (37 * doc_id) % 900 AS BIGINT) AS n
+              FROM documents
+            ),
+            s AS (
+              SELECT media_id, sample_rate, n,
+                     ((9241 * k + 11 * media_id) % 16000001) - 8000000 AS l,
+                     ((7919 * k + 5 * media_id) % 16000001) - 8000000 AS r
               FROM d JOIN ks ON k < n
             )
             SELECT media_id, sample_rate, n AS n_samples,

@@ -2618,11 +2618,14 @@ def _flac_write_subframe(sub: "_MSBWriter", blk, bits: int, try_lpc: bool) -> No
         order = min(residuals, key=lambda o: (int(np.abs(residuals[o]).sum()), o))
         warmup = blk[:order]
         resid = residuals[order]
-    # rice parameter from the mean magnitude (capped below escape)
+    # rice parameter from the mean magnitude (capped below escape);
+    # depths past 16 bits overflow the 4-bit parameter space, so the
+    # writer switches to the spec's 5-bit rice method (round 11)
     mean = int(np.abs(resid).sum()) // max(resid.size, 1)
     param = 0
-    while (1 << param) < mean + 1 and param < 14:
+    while (1 << param) < mean + 1 and param < 30:
         param += 1
+    method = 0 if param <= 14 else 1
 
     sub.put(0, 1)  # reserved
     if lpc is not None:
@@ -2638,9 +2641,9 @@ def _flac_write_subframe(sub: "_MSBWriter", blk, bits: int, try_lpc: bool) -> No
         sub.put(lpc_shift, 5)
         for c in lpc_coefs.tolist():
             sub.put(c & 0xFFF, 12)
-    sub.put(0, 2)  # residual method: 4-bit rice
+    sub.put(method, 2)  # residual method: 4-bit (0) or 5-bit (1) rice
     sub.put(0, 4)  # partition order 0
-    sub.put(param, 4)
+    sub.put(param, 4 if method == 0 else 5)
     for v in resid.tolist():
         u = (v << 1) ^ (v >> 63)  # zigzag
         q, r = u >> param, u & ((1 << param) - 1)
@@ -2662,6 +2665,26 @@ _FLAC_STEREO_CODES = {
     "right_side": 0b1001,
     "mid_side": 0b1010,
 }
+# frame-header sample-size codes (RFC 9639 §9.1.4) for the supported
+# depths; the STREAMINFO MD5 is over samples packed at ceil(bits/8)
+# little-endian signed bytes, interleaved
+_FLAC_SS_CODES = {8: 0b001, 16: 0b100, 24: 0b110}
+
+
+def _flac_pack_pcm(x, bits: int) -> bytes:
+    """Pack an int sample array (1-D mono or (n, ch) interleaved) the
+    way FLAC's STREAMINFO MD5 is defined: little-endian signed,
+    ceil(bits/8) bytes per sample."""
+    import numpy as np
+
+    if bits == 8:
+        return x.astype("<i1").tobytes()
+    if bits == 16:
+        return x.astype("<i2").tobytes()
+    if bits == 24:
+        quads = np.frombuffer(x.astype("<i4").tobytes(), dtype=np.uint8)
+        return quads.reshape(-1, 4)[:, :3].tobytes()
+    raise NotImplementedError(f"unsupported FLAC bit depth {bits}")
 
 
 def flac_encode(
@@ -2670,9 +2693,13 @@ def flac_encode(
     *,
     block_size: int = 4096,
     stereo_modes: tuple = _FLAC_STEREO_MODES,
+    bits: int = 16,
 ) -> bytes:
-    """REAL FLAC encoder (RFC 9639): 16-bit, mono (1-D input) or
-    stereo ((n, 2) input — round 11).  Even frames pick the fixed
+    """REAL FLAC encoder (RFC 9639): 8/16/24-bit (round 11 added the
+    non-16 depths — 24-bit is the studio-master norm; residuals past
+    the 4-bit rice parameter space switch to the spec's 5-bit method),
+    mono (1-D input) or stereo ((n, 2) input — round 11).  Even
+    frames pick the fixed
     predictor order 0-4 minimizing total residual magnitude, odd
     frames use quantized LPC (order <=8, 12-bit coefficients via
     Levinson-Durbin; the alternation is a deliberate coverage choice
@@ -2697,8 +2724,10 @@ def flac_encode(
         channels = 2
     else:
         raise ValueError("flac_encode takes 1-D mono or (n, 2) stereo samples")
+    if bits not in _FLAC_SS_CODES:
+        raise NotImplementedError(f"flac_encode supports 8/16/24-bit, not {bits}")
     n_total = int(x.shape[0])
-    md5 = hashlib.md5(x.astype("<i2").tobytes()).digest()  # interleaved
+    md5 = hashlib.md5(_flac_pack_pcm(x, bits)).digest()  # interleaved
     info = _MSBWriter()
     info.put(block_size, 16)  # min block size
     info.put(block_size, 16)  # max block size
@@ -2706,7 +2735,7 @@ def flac_encode(
     info.put(0, 24)  # max frame size unknown
     info.put(sample_rate, 20)
     info.put(channels - 1, 3)
-    info.put(15, 5)  # bits per sample - 1
+    info.put(bits - 1, 5)  # bits per sample - 1
     info.put(n_total, 36)
     streaminfo = info.bytes() + md5
     out = bytearray(b"fLaC")
@@ -2719,19 +2748,19 @@ def flac_encode(
             break
         if channels == 1:
             ch_code = 0
-            subblocks = [(blk, 16)]
+            subblocks = [(blk, bits)]
         else:
             mode = stereo_modes[fi % len(stereo_modes)]
             ch_code = _FLAC_STEREO_CODES[mode]
             L, R = blk[:, 0], blk[:, 1]
             if mode == "independent":
-                subblocks = [(L, 16), (R, 16)]
+                subblocks = [(L, bits), (R, bits)]
             elif mode == "left_side":
-                subblocks = [(L, 16), (L - R, 17)]
+                subblocks = [(L, bits), (L - R, bits + 1)]
             elif mode == "right_side":
-                subblocks = [(L - R, 17), (R, 16)]
-            else:  # mid_side: mid keeps 16 bits (floor average), side 17
-                subblocks = [((L + R) >> 1, 16), (L - R, 17)]
+                subblocks = [(L - R, bits + 1), (R, bits)]
+            else:  # mid_side: mid keeps `bits` (floor average), side +1
+                subblocks = [((L + R) >> 1, bits), (L - R, bits + 1)]
 
         bw = _MSBWriter()
         bw.put(0b11111111111110, 14)  # sync
@@ -2740,7 +2769,7 @@ def flac_encode(
         bw.put(0b0111, 4)  # block size: 16 bits at header end
         bw.put(0, 4)  # sample rate: from STREAMINFO
         bw.put(ch_code, 4)  # channel assignment
-        bw.put(0b100, 3)  # 16 bits per sample
+        bw.put(_FLAC_SS_CODES[bits], 3)  # sample size
         bw.put(0, 1)  # reserved
         bw.align()
         header = bytearray(bw.bytes())
@@ -2749,8 +2778,8 @@ def flac_encode(
         header.append(_crc8(bytes(header)))
 
         sub = _MSBWriter()
-        for sblk, bits in subblocks:
-            _flac_write_subframe(sub, sblk, bits, try_lpc=(fi % 2 == 1))
+        for sblk, sub_bits in subblocks:
+            _flac_write_subframe(sub, sblk, sub_bits, try_lpc=(fi % 2 == 1))
         sub.align()
         frame = bytes(header) + sub.bytes()
         out += frame + struct.pack(">H", _crc16(frame))
@@ -2895,8 +2924,8 @@ def flac_decode(data: bytes):
     bits = si.take(5) + 1
     n_total = si.take(36)
     md5_expect = streaminfo[18:34]
-    if bits != 16:
-        raise NotImplementedError("decoder covers 16-bit FLAC")
+    if bits not in _FLAC_SS_CODES:
+        raise NotImplementedError("decoder covers 8/16/24-bit FLAC")
     if channels > 8:
         raise ValueError("FLAC allows at most 8 channels")
 
@@ -2921,8 +2950,10 @@ def flac_decode(data: bytes):
             raise ValueError("reserved channel assignment")
         if nch != channels:
             raise ValueError("frame channel count contradicts STREAMINFO")
-        if ss_code != 0b100:
-            raise NotImplementedError("decoder covers 16-bit frames")
+        if ss_code not in (0, _FLAC_SS_CODES[bits]):  # 0 = from STREAMINFO
+            raise NotImplementedError(
+                "frame sample size contradicts the supported STREAMINFO depth"
+            )
         _read_utf8_number(br)
         if bs_code == 0b0110:
             bsize = br.take(8) + 1
@@ -2981,9 +3012,10 @@ def flac_decode(data: bytes):
         samples = np.column_stack(
             [np.asarray(c[:n_keep], dtype=np.int64) for c in chans_out]
         )
-    if hashlib.md5(samples.astype("<i2").tobytes()).digest() != md5_expect:
+    if hashlib.md5(_flac_pack_pcm(samples, bits)).digest() != md5_expect:
         raise ValueError("decoded PCM fails the STREAMINFO MD5 self-check")
-    return samples.astype(np.int16), sample_rate
+    out_dtype = np.int16 if bits <= 16 else np.int32
+    return samples.astype(out_dtype), sample_rate
 
 
 def plant_flac_audio(documents: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
@@ -3052,6 +3084,51 @@ def plant_flac_stereo(documents: DataFrame, *, id_col: str = "doc_id") -> DataFr
                         8000 + (i % 5) * 4000,
                         block_size=256,
                         stereo_modes=modes,
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "media_type": ["audio"] * len(ids),
+                    "media": payloads,
+                    "source": ["planted"] * len(ids),
+                }
+            )
+
+    return _spread(documents.select(id_col)).mapInPandas(build, schema=MEDIA_SCHEMA)
+
+
+def plant_flac_24bit(documents: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """Planted 24-BIT STEREO FLAC fixtures (round 11): the studio-
+    master depth through the full decorrelation pipeline — the side
+    channel runs at 25 bits, residuals overflow the 4-bit rice
+    parameter space so the 5-bit method is exercised, and the
+    STREAMINFO MD5 is over 3-byte little-endian packed samples.
+    Channels: L[k] = ((9241k + 11 id) % 16000001) - 8000000,
+    R[k] = ((7919k + 5 id) % 16000001) - 8000000, n = 100 +
+    (37 id) % 900, rate 96000; assignments cycle with phase id % 4."""
+    import numpy as np
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for i in pdf[id_col]:
+                i = int(i)
+                n = 100 + (37 * i) % 900
+                k = np.arange(n, dtype=np.int64)
+                left = ((9241 * k + 11 * i) % 16000001) - 8000000
+                right = ((7919 * k + 5 * i) % 16000001) - 8000000
+                modes = tuple(
+                    _FLAC_STEREO_MODES[(j + i) % 4] for j in range(4)
+                )
+                ids.append(i)
+                payloads.append(
+                    flac_encode(
+                        np.column_stack([left, right]),
+                        96000,
+                        block_size=256,
+                        stereo_modes=modes,
+                        bits=24,
                     )
                 )
             yield pd.DataFrame(

@@ -437,3 +437,68 @@ def test_vp8l_transformed_streams_accepted_by_libwebp():
             ctypes.string_at(p, ww.value * hh.value * 4), dtype=np.uint8
         ).reshape(hh.value, ww.value, 4)
         assert np.array_equal(ref, img), tf
+
+
+# ------------------------------------------- FLAC bit depths (round 11)
+
+
+@pytest.mark.parametrize("bits,lo,hi", [(8, -128, 128),
+                                        (16, -32768, 32768),
+                                        (24, -(1 << 23), 1 << 23)])
+def test_flac_depths_roundtrip_mono_and_stereo(bits, lo, hi):
+    mm = _mm()
+    rng = np.random.default_rng(bits)
+    x = rng.integers(lo, hi, size=700, dtype=np.int64)
+    d, _ = mm.flac_decode(mm.flac_encode(x, 48000, block_size=256, bits=bits))
+    assert np.array_equal(d.astype(np.int64), x)
+    s = rng.integers(lo, hi, size=(700, 2), dtype=np.int64)
+    s[0] = (lo, hi - 1)
+    s[1] = (hi - 1, lo)  # max |side| needs bits+1
+    ds, _ = mm.flac_decode(mm.flac_encode(s, 48000, block_size=256, bits=bits))
+    assert np.array_equal(ds.astype(np.int64), s)
+    assert ds.dtype == (np.int32 if bits > 16 else np.int16)
+
+
+def test_flac_24bit_md5_is_over_3_byte_packed_pcm():
+    """The 24-bit MD5 covers 3-byte little-endian packing, not int32:
+    corrupting the stored MD5 must fail the decode."""
+    mm = _mm()
+    rng = np.random.default_rng(5)
+    x = rng.integers(-(1 << 23), 1 << 23, size=300, dtype=np.int64)
+    enc = bytearray(mm.flac_encode(x, 96000, block_size=128, bits=24))
+    enc[8 + 18] ^= 0xFF
+    with pytest.raises(ValueError, match="MD5"):
+        mm.flac_decode(bytes(enc))
+    import hashlib
+    packed = mm._flac_pack_pcm(x, 24)
+    assert len(packed) == 300 * 3
+    assert bytes(mm.flac_encode(x, 96000, block_size=128, bits=24))[8 + 18 : 8 + 34] \
+        == hashlib.md5(packed).digest()
+
+
+def test_flac_24bit_uses_5_bit_rice_method():
+    """24-bit residual magnitudes overflow the 4-bit rice parameter
+    space; the writer must emit the spec's 5-bit method (and the
+    decoder read it back) rather than degrade into giant unary runs."""
+    mm = _mm()
+    rng = np.random.default_rng(11)
+    x = rng.integers(-(1 << 23), 1 << 23, size=256, dtype=np.int64)
+    enc = mm.flac_encode(x, 96000, block_size=256, bits=24)
+    # a stream stuck on 4-bit rice (param cap 14) would explode:
+    # mean |resid| ~ 2^22 -> ~2^8 unary bits per sample
+    assert len(enc) < 256 * 8, len(enc)
+    d, _ = mm.flac_decode(enc)
+    assert np.array_equal(d.astype(np.int64), x)
+
+
+def test_flac_unsupported_depth_raises():
+    mm = _mm()
+    with pytest.raises(NotImplementedError):
+        mm.flac_encode(np.zeros(10, np.int64), 8000, bits=20)
+    enc = bytearray(mm.flac_encode(np.zeros(100, np.int64), 8000, block_size=128))
+    # STREAMINFO body starts at byte 8 (fLaC + 4-byte block header);
+    # bits-1 occupies bits 103..107: its top bit is byte 12's LSB.
+    # Setting it turns 16-bit (bits-1 = 01111) into 32-bit (11111).
+    enc[8 + 12] |= 0x01
+    with pytest.raises((ValueError, NotImplementedError)):
+        mm.flac_decode(bytes(enc))
