@@ -2126,7 +2126,9 @@ def jpeg_gray_decode_parallel(data: bytes):
     return out[:h, :w]
 
 
-def jpeg_ycbcr_encode(y, cb, cr, *, sampling: tuple = (2, 2)) -> bytes:
+def jpeg_ycbcr_encode(
+    y, cb, cr, *, sampling: tuple = (2, 2), restart_interval: int = 0
+) -> bytes:
     """REAL baseline MULTI-COMPONENT JPEG encoder: YCbCr with any
     {1,2}x{1,2} luma sampling grid (round 11) — ``sampling`` is Y's
     (h, v) factor pair: (2,2) = 4:2:0 (the dominant crawl shape),
@@ -2137,7 +2139,10 @@ def jpeg_ycbcr_encode(y, cb, cr, *, sampling: tuple = (2, 2)) -> bytes:
     one all-ones quant table, the Annex K luma Huffman pair shared by
     all components (legal per T.81), and interleaves each MCU as
     h*v Y blocks (raster) + Cb + Cr with per-COMPONENT DC
-    prediction."""
+    prediction.  ``restart_interval`` (round 11) emits a DRI segment
+    and RST0..7 markers every that-many MCUs, every predictor reset —
+    the same independently-decodable chunk grain as the gray path,
+    now composed with multi-component interleave."""
     import struct
 
     import numpy as np
@@ -2156,10 +2161,17 @@ def jpeg_ycbcr_encode(y, cb, cr, *, sampling: tuple = (2, 2)) -> bytes:
         raise ValueError("chroma planes must be (H/v, W/h) for the sampling grid")
     dc_codes = _huff_codes(_DC_LUMA_BITS, _DC_LUMA_VALS)
     ac_codes = _huff_codes(_AC_LUMA_BITS, _AC_LUMA_VALS)
-    bw = _BitWriter()
-    dcs = {"y": 0, "cb": 0, "cr": 0}
-    for my in range(0, h, mcu_h):
-        for mx in range(0, w, mcu_w):
+    mcus = [
+        (my, mx)
+        for my in range(0, h, mcu_h)
+        for mx in range(0, w, mcu_w)
+    ]
+    ri = restart_interval or len(mcus)
+    chunks = []
+    for s0 in range(0, len(mcus), ri):
+        bw = _BitWriter()
+        dcs = {"y": 0, "cb": 0, "cr": 0}  # all predictors reset per chunk
+        for my, mx in mcus[s0 : s0 + ri]:
             for by in range(0, mcu_h, 8):
                 for bx in range(0, mcu_w, 8):
                     dcs["y"] = _jpeg_encode_block(
@@ -2174,7 +2186,11 @@ def jpeg_ycbcr_encode(y, cb, cr, *, sampling: tuple = (2, 2)) -> bytes:
             dcs["cr"] = _jpeg_encode_block(
                 bw, Cr[cy : cy + 8, cx : cx + 8], dcs["cr"], dc_codes, ac_codes
             )
-    scan = bw.flush()
+        chunks.append(bw.flush())
+    scan = bytearray(chunks[0])
+    for n, chunk in enumerate(chunks[1:]):
+        scan += bytes([0xFF, 0xD0 + n % 8]) + chunk
+    scan = bytes(scan)
 
     def seg(marker: int, body: bytes) -> bytes:
         return struct.pack(">HH", marker, len(body) + 2) + body
@@ -2187,13 +2203,18 @@ def jpeg_ycbcr_encode(y, cb, cr, *, sampling: tuple = (2, 2)) -> bytes:
         + bytes([2, 0x11, 0])  # Cb
         + bytes([3, 0x11, 0]),  # Cr
     )
+    dri_seg = (
+        seg(0xFFDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
     dht = seg(
         0xFFC4,
         bytes([0x00]) + bytes(_DC_LUMA_BITS) + bytes(_DC_LUMA_VALS)
         + bytes([0x10]) + bytes(_AC_LUMA_BITS) + bytes(_AC_LUMA_VALS),
     )
     sos = seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
-    return b"\xff\xd8" + dqt + sof + dht + sos + scan + b"\xff\xd9"
+    return b"\xff\xd8" + dqt + sof + dht + dri_seg + sos + scan + b"\xff\xd9"
 
 
 def jpeg_ycbcr_decode(data: bytes):
@@ -2204,16 +2225,13 @@ def jpeg_ycbcr_decode(data: bytes):
     decode with per-component DC predictors and per-component
     quant/Huffman tables from the file itself.  Returns ``(Y, Cb,
     Cr)`` int64 planes (chroma at its coded resolution — the exact
-    decoded components, before any upsampling policy).  Factors above
-    2 raise NotImplementedError; single-component streams belong to
-    ``jpeg_gray_decode``."""
+    decoded components, before any upsampling policy).  DRI/RSTn
+    restart streams decode with per-chunk predictor resets (round
+    11).  Factors above 2 raise NotImplementedError; single-component
+    streams belong to ``jpeg_gray_decode``."""
     import numpy as np
 
     qt, huff, (h, w, comps), scan, pos, dri = _jpeg_headers(data)
-    if dri:
-        raise NotImplementedError(
-            "restart intervals in multi-component streams (gray path is real)"
-        )
     if len(comps) != 3:
         raise NotImplementedError("jpeg_ycbcr_decode expects 3 components")
     samps = [(hs, vs) for _, hs, vs, _ in comps]
@@ -2234,8 +2252,22 @@ def jpeg_ycbcr_decode(data: bytes):
         tabs.append((huff[(0, scan[cid][0])], huff[(1, scan[cid][1])], qt[tq]))
     br = _BitReader(data, pos)
     dcs = [0, 0, 0]
+    mcu = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
+            if dri and mcu and mcu % dri == 0:
+                # byte-align, swallow RSTn, reset EVERY predictor
+                # (round 11 — same grain as the gray restart path)
+                br.n = 0
+                br.acc = 0
+                if (
+                    br.pos + 2 > len(br.data)
+                    or br.data[br.pos] != 0xFF
+                    or not 0xD0 <= br.data[br.pos + 1] <= 0xD7
+                ):
+                    raise ValueError("expected restart marker")
+                br.pos += 2
+                dcs = [0, 0, 0]
             for by in range(0, mcu_h, 8):
                 for bx in range(0, mcu_w, 8):
                     block, dcs[0] = _jpeg_decode_block(br, *tabs[0], dcs[0])
@@ -2244,6 +2276,7 @@ def jpeg_ycbcr_decode(data: bytes):
             for ci in (1, 2):
                 block, dcs[ci] = _jpeg_decode_block(br, *tabs[ci], dcs[ci])
                 C[ci - 1][my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = block
+            mcu += 1
     ch, cw = -(-h // vs), -(-w // hs)
     return Y[:h, :w], C[0][:ch, :cw], C[1][:ch, :cw]
 
@@ -3963,8 +3996,14 @@ def plant_sampling_jpegs(documents: DataFrame, *, id_col: str = "doc_id") -> Dat
                     return p
 
                 ids.append(i)
+                # odd ids add DRI/RSTn restart structure (round 11):
+                # an encoding detail the decode must erase, composed
+                # with the sampling grids — the oracle is unchanged
                 payloads.append(
-                    jpeg_ycbcr_encode(y, chroma(7), chroma(11), sampling=(hs, vs))
+                    jpeg_ycbcr_encode(
+                        y, chroma(7), chroma(11), sampling=(hs, vs),
+                        restart_interval=2 if i % 2 else 0,
+                    )
                 )
             yield pd.DataFrame(
                 {

@@ -502,3 +502,38 @@ def test_flac_unsupported_depth_raises():
     enc[8 + 12] |= 0x01
     with pytest.raises((ValueError, NotImplementedError)):
         mm.flac_decode(bytes(enc))
+
+
+# ------------------------------- multi-component JPEG restarts (r11)
+
+
+@pytest.mark.parametrize("hs,vs", [(2, 2), (2, 1), (1, 1)])
+def test_jpeg_color_restart_intervals_roundtrip(hs, vs):
+    """DRI/RSTn in interleaved multi-component streams: chunked
+    entropy segments, every predictor reset per chunk, byte-aligned
+    markers — decode must be bit-identical to the unrestarted one."""
+    mm = _mm()
+    y = _subspace_plane(4, 4, 50)
+    cb = _subspace_plane(32 // vs // 8, 32 // hs // 8, 51)
+    cr = _subspace_plane(32 // vs // 8, 32 // hs // 8, 52)
+    plain = mm.jpeg_ycbcr_encode(y, cb, cr, sampling=(hs, vs))
+    for ri in (1, 2, 3):
+        enc = mm.jpeg_ycbcr_encode(y, cb, cr, sampling=(hs, vs),
+                                   restart_interval=ri)
+        assert b"\xff\xdd" in enc and enc != plain
+        Y, CB, CR = mm.jpeg_ycbcr_decode(enc)
+        assert np.array_equal(Y, y) and np.array_equal(CB, cb) \
+            and np.array_equal(CR, cr), ri
+
+
+def test_jpeg_color_restart_marker_corruption_raises():
+    mm = _mm()
+    y = _subspace_plane(4, 4, 60)
+    cb = _subspace_plane(2, 2, 61)
+    cr = _subspace_plane(2, 2, 62)
+    enc = bytearray(mm.jpeg_ycbcr_encode(y, cb, cr, restart_interval=1))
+    i = enc.find(b"\xff\xd0")
+    assert i > 0
+    enc[i + 1] = 0xC8  # not a restart marker
+    with pytest.raises(ValueError, match="restart"):
+        mm.jpeg_ycbcr_decode(bytes(enc))
