@@ -3668,9 +3668,11 @@ def gif_decode_frames(data: bytes):
     restores the frame rectangle to the background color (background
     index through the global palette — the declared value-canvas
     policy; a transparency-aware alpha canvas is the viewer's
-    concern); 3 (restore-previous) raises — it is rare and needs
-    frame history.  Returns a list of (h, w) int64 arrays, one per
-    image descriptor.  Raises ValueError on malformed bytes."""
+    concern), 3 restores the rectangle to the canvas as it was before
+    the frame drew (one saved copy — no deeper history is ever needed
+    because disposal applies to the IMMEDIATELY previous image).
+    Returns a list of (h, w) int64 arrays, one per image descriptor.
+    Raises ValueError on malformed bytes."""
     import struct
 
     import numpy as np
@@ -3764,6 +3766,7 @@ def gif_decode_frames(data: bytes):
             raise ValueError("palette index out of range")
         red = np.frombuffer(pal, dtype=np.uint8)[::3]
         rect = canvas[top : top + h, left : left + w]
+        before = rect.copy() if disposal == 3 else None
         if transp_idx is None:
             rect[:, :] = red[arr].astype(np.int64)
         else:
@@ -3774,10 +3777,8 @@ def gif_decode_frames(data: bytes):
             if global_pal is None or bg_idx * 3 >= len(global_pal):
                 raise ValueError("disposal-to-background without a background")
             rect[:, :] = int(global_pal[bg_idx * 3])
-        elif disposal == 3:
-            raise NotImplementedError(
-                "disposal method 3 (restore previous) — rare; needs history"
-            )
+        elif disposal == 3:  # restore rectangle to the pre-frame canvas
+            rect[:, :] = before
         transp_idx = None  # GCE applies to one image only
         disposal = 0
 

@@ -537,3 +537,29 @@ def test_jpeg_color_restart_marker_corruption_raises():
     enc[i + 1] = 0xC8  # not a restart marker
     with pytest.raises(ValueError, match="restart"):
         mm.jpeg_ycbcr_decode(bytes(enc))
+
+
+def test_gif_disposal_restore_previous():
+    """Disposal 3: the frame's rectangle reverts to the pre-frame
+    canvas after emission, so the NEXT frame composites over what was
+    there before — one saved copy, no deeper history (disposal always
+    refers to the immediately previous image)."""
+    mm = _mm()
+    import struct
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", 4, 4, 0xF7, 0, 0)
+    out += mm._GIF_GRAY_PALETTE
+    def frame(val, packed, tv=0):
+        b = bytearray(b"\x21\xf9\x04") + struct.pack("<BHB", packed, 1, tv) + b"\x00"
+        b += b"\x2c" + struct.pack("<HHHHB", 0, 0, 4, 4, 0) + b"\x08"
+        comp = mm._lzw_compress(np.full((4, 4), val, np.uint8).tobytes(), 8)
+        b += bytes([len(comp)]) + comp + b"\x00"
+        return b
+    out += frame(7, 0x04)          # keep
+    out += frame(50, 0x0C)         # disposal 3: revert after emission
+    out += frame(9, 0x05, tv=9)    # all-transparent: shows REVERTED canvas
+    out += b"\x3b"
+    d = mm.gif_decode_frames(bytes(out))
+    assert np.array_equal(d[0], np.full((4, 4), 7))
+    assert np.array_equal(d[1], np.full((4, 4), 50))
+    assert np.array_equal(d[2], np.full((4, 4), 7))  # 50s were reverted
