@@ -2753,10 +2753,13 @@ def flac_encode(
     x = np.asarray(samples, dtype=np.int64)
     if x.ndim == 1:
         channels = 1
-    elif x.ndim == 2 and x.shape[1] == 2:
-        channels = 2
+    elif x.ndim == 2 and 2 <= x.shape[1] <= 8:
+        # 2 channels: decorrelated per stereo_modes; 3-8 channels:
+        # independent subframes (the spec defines decorrelation for
+        # stereo only — surround layouts code each channel plain)
+        channels = int(x.shape[1])
     else:
-        raise ValueError("flac_encode takes 1-D mono or (n, 2) stereo samples")
+        raise ValueError("flac_encode takes 1-D mono or (n, 2..8) samples")
     if bits not in _FLAC_SS_CODES:
         raise NotImplementedError(f"flac_encode supports 8/16/24-bit, not {bits}")
     n_total = int(x.shape[0])
@@ -2782,6 +2785,9 @@ def flac_encode(
         if channels == 1:
             ch_code = 0
             subblocks = [(blk, bits)]
+        elif channels > 2:
+            ch_code = channels - 1
+            subblocks = [(blk[:, ci], bits) for ci in range(channels)]
         else:
             mode = stereo_modes[fi % len(stereo_modes)]
             ch_code = _FLAC_STEREO_CODES[mode]

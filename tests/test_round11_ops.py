@@ -563,3 +563,18 @@ def test_gif_disposal_restore_previous():
     assert np.array_equal(d[0], np.full((4, 4), 7))
     assert np.array_equal(d[1], np.full((4, 4), 50))
     assert np.array_equal(d[2], np.full((4, 4), 7))  # 50s were reverted
+
+
+@pytest.mark.parametrize("nch", [3, 6, 8])
+def test_flac_multichannel_independent_roundtrips(nch):
+    """Surround layouts (3-8 channels) code each channel as an
+    independent subframe (the spec decorrelates stereo only); the
+    MD5 covers the fully interleaved stream."""
+    mm = _mm()
+    rng = np.random.default_rng(nch)
+    sig = rng.integers(-32768, 32768, size=(500, nch), dtype=np.int64)
+    dec, rate = mm.flac_decode(mm.flac_encode(sig, 48000, block_size=192))
+    assert rate == 48000 and dec.shape == (500, nch)
+    assert np.array_equal(dec.astype(np.int64), sig)
+    with pytest.raises(ValueError):
+        mm.flac_encode(rng.integers(0, 2, size=(10, 9)), 8000)
