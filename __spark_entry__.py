@@ -2460,6 +2460,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ),
         )
 
+    def q_png_alpha(spark, sf_dir):
+        # ALPHA-channel PNGs (round 11): even ids RGBA (color type 6
+        # — the web's dominant PNG shape), odd ids gray+alpha (type
+        # 4), per-row filters cycling so unfilter runs at bpp 4 and 2.
+        # Channel sums plus the Σ r·a premultiply cross term replay
+        # closed-form; the ctype column comes from the DECODED plane
+        # count, value-checking the color-type parse itself.
+        from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.multimodal import (
+            plant_alpha_pngs,
+            png_alpha_stats,
+        )
+
+        return _shared_result(
+            spark, sf_dir, "media_pngalpha",
+            lambda: png_alpha_stats(
+                plant_alpha_pngs(load_table(spark, sf_dir, "documents"))
+            ),
+        )
+
     def q_rgb_decode(spark, sf_dir):
         # Truecolor twin of q_png_decode: bpp=3 unfilter over encoded
         # RGB PNGs; per-channel pixel sums replay from the planting
@@ -5036,6 +5055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_local_supplier": q_local_supplier,
         "q_request_replies": q_request_replies,
         "q_png_decode": q_png_decode,
+        "q_png_alpha": q_png_alpha,  # new round 11
         "q_audio_features": q_audio_features,
         "q_g711_audio": q_g711_audio,
         "q_adpcm_audio": q_adpcm_audio,
@@ -6676,6 +6696,39 @@ def oracle_sql() -> dict[str, str]:
         # through the real PNG encoder; the decoded-pixel sum and the
         # 8x8 nearest-neighbor resize checksum replay exactly.
         "q_png_decode": _SQL_PNG_STATS,
+        # plant_alpha_pngs: even ids RGBA (ctype 6), odd gray+alpha
+        # (ctype 4, gray reported as r=g=b); channels are arithmetic
+        # in (i, j, id) and the r*a cross term pins channel order.
+        "q_png_alpha": """
+    WITH docs AS (
+      SELECT CAST(doc_id AS BIGINT) AS media_id,
+             CAST(8 + doc_id % 9 AS BIGINT) AS w,
+             CAST(8 + doc_id % 7 AS BIGINT) AS h,
+             CASE WHEN doc_id % 2 = 0 THEN 6 ELSE 4 END AS ctype
+      FROM documents
+    ),
+    px AS (
+      SELECT d.media_id, d.ctype, d.w, d.h,
+             (31 * i.i + 17 * j.j + d.media_id) % 256 AS r,
+             CASE WHEN d.ctype = 6
+                  THEN (29 * i.i + 19 * j.j + 3 * d.media_id) % 256
+                  ELSE (31 * i.i + 17 * j.j + d.media_id) % 256 END AS g,
+             CASE WHEN d.ctype = 6
+                  THEN (23 * i.i + 13 * j.j + 7 * d.media_id) % 256
+                  ELSE (31 * i.i + 17 * j.j + d.media_id) % 256 END AS b,
+             (5 * i.i + 3 * j.j + 11 * d.media_id) % 256 AS a
+      FROM docs d
+      JOIN range(0, 14) i(i) ON i.i < d.h
+      JOIN range(0, 16) j(j) ON j.j < d.w
+    )
+    SELECT media_id, CAST(ctype AS BIGINT) AS ctype, w AS width, h AS height,
+           CAST(SUM(r) AS BIGINT) AS r_sum,
+           CAST(SUM(g) AS BIGINT) AS g_sum,
+           CAST(SUM(b) AS BIGINT) AS b_sum,
+           CAST(SUM(a) AS BIGINT) AS a_sum,
+           CAST(SUM(r * a) AS BIGINT) AS ra_sum
+    FROM px GROUP BY media_id, ctype, w, h
+""",
         # Interlacing is an encoding detail the decode must erase:
         # same pixel contract, same oracle, different byte layout.
         "q_png_adam7": _SQL_PNG_STATS,

@@ -945,6 +945,47 @@ def png_rgb_encode(pixels, *, filter_seed: int = 0) -> bytes:
     )
 
 
+def png_rgba_encode(pixels, *, filter_seed: int = 0) -> bytes:
+    """COMPLETE 8-bit RGBA (color type 6) PNG encoder — the web's
+    dominant PNG shape (round 11); same per-row filter cycle at
+    bpp=4."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    arr = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = arr.shape
+    raw = _filter_scanlines(arr.reshape(h, w * 4), 4, filter_seed)
+    ihdr = struct.pack(">II", w, h) + b"\x08\x06\x00\x00\x00"  # 8-bit RGBA
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def png_gray_alpha_encode(pixels, *, filter_seed: int = 0) -> bytes:
+    """COMPLETE 8-bit grayscale+alpha (color type 4) PNG encoder
+    (round 11); same per-row filter cycle at bpp=2."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    arr = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = arr.shape
+    raw = _filter_scanlines(arr.reshape(h, w * 2), 2, filter_seed)
+    ihdr = struct.pack(">II", w, h) + b"\x08\x04\x00\x00\x00"  # 8-bit gray+alpha
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 def _filter_scanlines(flat, bpp: int, filter_seed: int) -> bytearray:
     """Apply the per-row PNG filter cycle ``(filter_seed + r) % 5`` to
     a (rows, stride) uint8 matrix — the shared forward-filter core of
@@ -1097,17 +1138,17 @@ def _unfilter_scanlines(raw: bytes, n_rows: int, stride: int, bpp: int):
 
 def png_decode(data: bytes):
     """REAL stdlib PNG pixel decode for 8-bit grayscale (color type
-    0), truecolor RGB (color type 2), and palette-indexed (color type
-    3, PLTE lookup), sequential OR Adam7-interlaced: chunk walk ->
-    concatenated-IDAT zlib inflate -> per-segment unfilter for ALL
-    five filter types with the correct bytes-per-pixel offset (one
+    0), truecolor RGB (2), palette-indexed (3, PLTE lookup),
+    grayscale+alpha (4) and RGBA (6 — the web's dominant PNG shape;
+    both alpha types round 11), sequential OR Adam7-interlaced: chunk
+    walk -> concatenated-IDAT zlib inflate -> per-segment unfilter for
+    ALL five filter types with the correct bytes-per-pixel offset (one
     segment for interlace 0; the seven RFC 2083 §8.2 passes, each an
     independently-filtered sub-image scattered back by its stride, for
-    interlace 1) -> uint8 array of shape (h, w) for grayscale or
-    (h, w, 3) for RGB/palette.  This closes the image-decode seam for
-    every PNG shape the fixtures plant; ``decode_image`` remains the
-    documented stub for formats that genuinely need a codec library
-    (JPEG entropy decode etc.)."""
+    interlace 1) -> uint8 array of shape (h, w) for grayscale,
+    (h, w, 2) for gray+alpha, (h, w, 3) for RGB/palette, (h, w, 4)
+    for RGBA.  ``decode_image`` remains the documented stub for
+    formats that genuinely need a codec library."""
     import struct
     import zlib
 
@@ -1126,11 +1167,15 @@ def png_decode(data: bytes):
         if tag == b"IHDR":
             w, h = struct.unpack(">II", body[:8])
             bit_depth, color_type, _, _, interlace = struct.unpack(">BBBBB", body[8:13])
-            if bit_depth != 8 or color_type not in (0, 2, 3) or interlace not in (0, 1):
+            if (
+                bit_depth != 8
+                or color_type not in (0, 2, 3, 4, 6)
+                or interlace not in (0, 1)
+            ):
                 raise ValueError(
                     f"unsupported PNG shape: depth={bit_depth} color={color_type} "
                     f"interlace={interlace} (stdlib decoder covers 8-bit "
-                    f"gray/RGB/palette, sequential or Adam7)"
+                    f"gray/RGB/palette/gray+alpha/RGBA, sequential or Adam7)"
                 )
         elif tag == b"PLTE":
             if length % 3:
@@ -1145,7 +1190,7 @@ def png_decode(data: bytes):
         raise ValueError("PNG missing IHDR")
     if color_type == 3 and palette is None:
         raise ValueError("palette PNG missing PLTE")
-    bpp = 3 if color_type == 2 else 1
+    bpp = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
     raw = zlib.decompress(bytes(idat))
     if interlace == 0:
         flat = _unfilter_scanlines(raw, h, w * bpp, bpp)
@@ -1164,14 +1209,109 @@ def png_decode(data: bytes):
         if off != len(raw):
             raise ValueError("PNG interlaced payload length mismatch")
     arr = flat.astype(np.uint8)
-    if color_type == 2:
-        return arr.reshape(h, w, 3)
+    if color_type in (2, 4, 6):
+        return arr.reshape(h, w, bpp)
     if color_type == 3:
         idx = arr.reshape(h, w)
         if int(idx.max(initial=0)) >= len(palette):
             raise ValueError("palette index out of range")
         return palette[idx]
     return arr.reshape(h, w)
+
+
+def plant_alpha_pngs(documents: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """Planted ALPHA-channel PNG fixtures (round 11): even ids are
+    RGBA (color type 6 — the web's dominant PNG shape), odd ids
+    grayscale+alpha (type 4).  W = 8 + id%9, H = 8 + id%7, per-row
+    filters cycling on ``(id + r) % 5``; closed-form channels:
+
+        r = (31i + 17j + id) % 256        (also the type-4 gray)
+        g = (29i + 19j + 3 id) % 256
+        b = (23i + 13j + 7 id) % 256
+        a = (5i + 3j + 11 id) % 256
+    """
+    import numpy as np
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for i in pdf[id_col]:
+                i = int(i)
+                w, h = 8 + i % 9, 8 + i % 7
+                ii = np.arange(h, dtype=np.int64)[:, None]
+                jj = np.arange(w, dtype=np.int64)[None, :]
+                r = (31 * ii + 17 * jj + i) % 256
+                a = (5 * ii + 3 * jj + 11 * i) % 256
+                if i % 2 == 0:
+                    g = (29 * ii + 19 * jj + 3 * i) % 256
+                    b = (23 * ii + 13 * jj + 7 * i) % 256
+                    img = np.stack([r, g, b, a], axis=2).astype(np.uint8)
+                    payloads.append(png_rgba_encode(img, filter_seed=i))
+                else:
+                    img = np.stack([r, a], axis=2).astype(np.uint8)
+                    payloads.append(png_gray_alpha_encode(img, filter_seed=i))
+                ids.append(i)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "media_type": ["image"] * len(ids),
+                    "media": payloads,
+                    "source": ["planted"] * len(ids),
+                }
+            )
+
+    return _spread(documents.select(id_col)).mapInPandas(build, schema=MEDIA_SCHEMA)
+
+
+ALPHA_PNG_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("ctype", LongType(), False),
+        StructField("width", LongType(), False),
+        StructField("height", LongType(), False),
+        StructField("r_sum", LongType(), False),
+        StructField("g_sum", LongType(), False),
+        StructField("b_sum", LongType(), False),
+        StructField("a_sum", LongType(), False),
+        StructField("ra_sum", LongType(), False),
+    ]
+)
+
+
+def png_alpha_stats(media: DataFrame) -> DataFrame:
+    """Decode alpha-channel PNGs (RGBA / gray+alpha) in ONE Arrow map
+    stage and emit exact channel sums plus the Σ r·a cross term (the
+    premultiply ingredient — catches channel-order bugs symmetric sums
+    miss).  Gray+alpha rows report the gray plane as r=g=b."""
+    import numpy as np
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "media_id", "ctype", "width", "height",
+                "r_sum", "g_sum", "b_sum", "a_sum", "ra_sum",
+            )}
+            for mid, payload in zip(pdf["media_id"], pdf["media"]):
+                arr = png_decode(bytes(payload)).astype(np.int64)
+                if arr.ndim != 3 or arr.shape[2] not in (2, 4):
+                    raise ValueError("expected an alpha-channel PNG fixture")
+                if arr.shape[2] == 4:
+                    ctype, (r, g, b, a) = 6, np.moveaxis(arr, 2, 0)
+                else:
+                    ctype, (r, a) = 4, np.moveaxis(arr, 2, 0)
+                    g = b = r
+                rows["media_id"].append(int(mid))
+                rows["ctype"].append(ctype)
+                rows["height"].append(arr.shape[0])
+                rows["width"].append(arr.shape[1])
+                rows["r_sum"].append(int(r.sum()))
+                rows["g_sum"].append(int(g.sum()))
+                rows["b_sum"].append(int(b.sum()))
+                rows["a_sum"].append(int(a.sum()))
+                rows["ra_sum"].append(int((r * a).sum()))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(process, schema=ALPHA_PNG_SCHEMA)
 
 
 def png_gray_decode(data: bytes):

@@ -578,3 +578,35 @@ def test_flac_multichannel_independent_roundtrips(nch):
     assert np.array_equal(dec.astype(np.int64), sig)
     with pytest.raises(ValueError):
         mm.flac_encode(rng.integers(0, 2, size=(10, 9)), 8000)
+
+
+# ---------------------------------------------- PNG alpha types (r11)
+
+
+@pytest.mark.parametrize("ctype", [4, 6])
+def test_png_alpha_types_roundtrip_all_filters(ctype):
+    mm = _mm()
+    rng = np.random.default_rng(ctype)
+    for seed in range(5):
+        h, w = int(rng.integers(1, 20)), int(rng.integers(1, 20))
+        nch = 2 if ctype == 4 else 4
+        img = rng.integers(0, 256, (h, w, nch)).astype(np.uint8)
+        enc = (mm.png_gray_alpha_encode if ctype == 4 else mm.png_rgba_encode)(
+            img, filter_seed=seed
+        )
+        dec = mm.png_decode(enc)
+        assert dec.shape == (h, w, nch) and np.array_equal(dec, img)
+
+
+def test_png_alpha_sixteen_bit_still_rejected():
+    mm = _mm()
+    rng = np.random.default_rng(1)
+    enc = bytearray(mm.png_rgba_encode(rng.integers(0, 256, (4, 4, 4)).astype(np.uint8)))
+    # IHDR bit-depth byte: 8(sig) + 8(len+tag) + 8(w+h) = offset 24
+    assert enc[24] == 8
+    enc[24] = 16
+    import struct, zlib
+    body = bytes(enc[16 : 16 + 13])
+    enc[29 : 33] = struct.pack(">I", zlib.crc32(b"IHDR" + body) & 0xFFFFFFFF)
+    with pytest.raises(ValueError, match="unsupported PNG shape"):
+        mm.png_decode(bytes(enc))
