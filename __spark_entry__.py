@@ -2479,6 +2479,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ),
         )
 
+    def q_png_16bit(spark, sf_dir):
+        # 16-BIT PNGs (round 11, the scientific/medical-imagery
+        # depth): big-endian sample pairs recombined after the
+        # BYTE-level unfilter (RFC 2083 filters never split samples —
+        # they offset by the full pixel's byte width).  Even ids
+        # gray16, odd RGB16; the max-sample column fails any decoder
+        # that truncates to 8 bits, the sums fail any byte-swap.
+        from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.multimodal import (
+            plant_16bit_pngs,
+            png_16bit_stats,
+        )
+
+        return _shared_result(
+            spark, sf_dir, "media_png16",
+            lambda: png_16bit_stats(
+                plant_16bit_pngs(load_table(spark, sf_dir, "documents"))
+            ),
+        )
+
     def q_rgb_decode(spark, sf_dir):
         # Truecolor twin of q_png_decode: bpp=3 unfilter over encoded
         # RGB PNGs; per-channel pixel sums replay from the planting
@@ -5056,6 +5075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_request_replies": q_request_replies,
         "q_png_decode": q_png_decode,
         "q_png_alpha": q_png_alpha,  # new round 11
+        "q_png_16bit": q_png_16bit,  # new round 11
         "q_audio_features": q_audio_features,
         "q_g711_audio": q_g711_audio,
         "q_adpcm_audio": q_adpcm_audio,
@@ -6727,6 +6747,37 @@ def oracle_sql() -> dict[str, str]:
            CAST(SUM(b) AS BIGINT) AS b_sum,
            CAST(SUM(a) AS BIGINT) AS a_sum,
            CAST(SUM(r * a) AS BIGINT) AS ra_sum
+    FROM px GROUP BY media_id, ctype, w, h
+""",
+        # plant_16bit_pngs: even ids gray16 (ctype 0, reported r=g=b),
+        # odd RGB16 (ctype 2); samples arithmetic mod 65536 — max_val
+        # fails 8-bit truncation, sums fail big-endian byte swaps.
+        "q_png_16bit": """
+    WITH docs AS (
+      SELECT CAST(doc_id AS BIGINT) AS media_id,
+             CAST(8 + doc_id % 9 AS BIGINT) AS w,
+             CAST(8 + doc_id % 7 AS BIGINT) AS h,
+             CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 2 END AS ctype
+      FROM documents
+    ),
+    px AS (
+      SELECT d.media_id, d.ctype, d.w, d.h,
+             (4099 * i.i + 2053 * j.j + 257 * d.media_id) % 65536 AS r,
+             (4099 * i.i + 2053 * j.j
+              + CASE WHEN d.ctype = 2 THEN 769 ELSE 0 END
+              + 257 * d.media_id) % 65536 AS g,
+             (4099 * i.i + 2053 * j.j
+              + CASE WHEN d.ctype = 2 THEN 1538 ELSE 0 END
+              + 257 * d.media_id) % 65536 AS b
+      FROM docs d
+      JOIN range(0, 14) i(i) ON i.i < d.h
+      JOIN range(0, 16) j(j) ON j.j < d.w
+    )
+    SELECT media_id, CAST(ctype AS BIGINT) AS ctype, w AS width, h AS height,
+           CAST(SUM(r) AS BIGINT) AS r_sum,
+           CAST(SUM(g) AS BIGINT) AS g_sum,
+           CAST(SUM(b) AS BIGINT) AS b_sum,
+           CAST(MAX(GREATEST(r, g, b)) AS BIGINT) AS max_val
     FROM px GROUP BY media_id, ctype, w, h
 """,
         # Interlacing is an encoding detail the decode must erase:

@@ -986,6 +986,39 @@ def png_gray_alpha_encode(pixels, *, filter_seed: int = 0) -> bytes:
     )
 
 
+def png_encode16(pixels, *, color_type: int = 0, filter_seed: int = 0) -> bytes:
+    """16-BIT PNG encoder (round 11): grayscale (color type 0) or
+    truecolor RGB (2) from a uint16 array — big-endian sample bytes,
+    the per-row filter cycle running on BYTES with the spec's
+    byte-unit bpp (filters never split samples; they just offset by
+    the full pixel's byte width)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    arr = np.asarray(pixels, dtype=np.uint16)
+    if color_type == 0:
+        h, w = arr.shape
+        channels = 1
+    elif color_type == 2:
+        h, w, channels = arr.shape
+        if channels != 3:
+            raise ValueError("color type 2 needs (h, w, 3)")
+    else:
+        raise ValueError("png_encode16 covers gray (0) and RGB (2)")
+    be = arr.reshape(h, w * channels).astype(">u2").tobytes()
+    mat = np.frombuffer(be, dtype=np.uint8).reshape(h, w * channels * 2)
+    raw = _filter_scanlines(mat, channels * 2, filter_seed)
+    ihdr = struct.pack(">II", w, h) + bytes([16, color_type, 0, 0, 0])
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 def _filter_scanlines(flat, bpp: int, filter_seed: int) -> bytearray:
     """Apply the per-row PNG filter cycle ``(filter_seed + r) % 5`` to
     a (rows, stride) uint8 matrix — the shared forward-filter core of
@@ -1167,15 +1200,17 @@ def png_decode(data: bytes):
         if tag == b"IHDR":
             w, h = struct.unpack(">II", body[:8])
             bit_depth, color_type, _, _, interlace = struct.unpack(">BBBBB", body[8:13])
-            if (
-                bit_depth != 8
-                or color_type not in (0, 2, 3, 4, 6)
-                or interlace not in (0, 1)
-            ):
+            ok = (
+                (bit_depth == 8 and color_type in (0, 2, 3, 4, 6))
+                # 16-bit (round 11): every color type except palette
+                # (PLTE indices are always <= 8 bits per the spec)
+                or (bit_depth == 16 and color_type in (0, 2, 4, 6))
+            ) and interlace in (0, 1)
+            if not ok:
                 raise ValueError(
                     f"unsupported PNG shape: depth={bit_depth} color={color_type} "
-                    f"interlace={interlace} (stdlib decoder covers 8-bit "
-                    f"gray/RGB/palette/gray+alpha/RGBA, sequential or Adam7)"
+                    f"interlace={interlace} (stdlib decoder covers 8/16-bit "
+                    f"gray/RGB/gray+alpha/RGBA + 8-bit palette, sequential or Adam7)"
                 )
         elif tag == b"PLTE":
             if length % 3:
@@ -1190,7 +1225,11 @@ def png_decode(data: bytes):
         raise ValueError("PNG missing IHDR")
     if color_type == 3 and palette is None:
         raise ValueError("palette PNG missing PLTE")
-    bpp = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    # PNG filters operate on BYTES regardless of depth (RFC 2083
+    # §6.1: "bpp is rounded up to one" byte-unit); 16-bit samples are
+    # big-endian pairs recombined after unfiltering
+    bpp = channels * (bit_depth // 8)
     raw = zlib.decompress(bytes(idat))
     if interlace == 0:
         flat = _unfilter_scanlines(raw, h, w * bpp, bpp)
@@ -1209,6 +1248,10 @@ def png_decode(data: bytes):
         if off != len(raw):
             raise ValueError("PNG interlaced payload length mismatch")
     arr = flat.astype(np.uint8)
+    if bit_depth == 16:
+        bytes2 = arr.reshape(h, w * channels, 2).astype(np.uint16)
+        wide = (bytes2[..., 0] << 8) | bytes2[..., 1]  # big-endian pairs
+        return wide.reshape(h, w, channels) if channels > 1 else wide.reshape(h, w)
     if color_type in (2, 4, 6):
         return arr.reshape(h, w, bpp)
     if color_type == 3:
@@ -1312,6 +1355,95 @@ def png_alpha_stats(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(process, schema=ALPHA_PNG_SCHEMA)
+
+
+def plant_16bit_pngs(documents: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """Planted 16-BIT PNG fixtures (round 11): even ids grayscale
+    (color type 0), odd ids truecolor RGB (2) — the scientific/
+    medical-imagery depth.  W = 8 + id%9, H = 8 + id%7, filters
+    cycling on ``(id + r) % 5``; closed-form samples:
+
+        gray(i, j)  = (4099 i + 2053 j + 257 id) % 65536
+        rgb(i,j,c)  = (4099 i + 2053 j + 769 c + 257 id) % 65536
+    """
+    import numpy as np
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for i in pdf[id_col]:
+                i = int(i)
+                w, h = 8 + i % 9, 8 + i % 7
+                ii = np.arange(h, dtype=np.int64)[:, None]
+                jj = np.arange(w, dtype=np.int64)[None, :]
+                base = 4099 * ii + 2053 * jj + 257 * i
+                if i % 2 == 0:
+                    img = (base % 65536).astype(np.uint16)
+                    payloads.append(png_encode16(img, color_type=0, filter_seed=i))
+                else:
+                    img = np.stack(
+                        [(base + 769 * c) % 65536 for c in range(3)], axis=2
+                    ).astype(np.uint16)
+                    payloads.append(png_encode16(img, color_type=2, filter_seed=i))
+                ids.append(i)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "media_type": ["image"] * len(ids),
+                    "media": payloads,
+                    "source": ["planted"] * len(ids),
+                }
+            )
+
+    return _spread(documents.select(id_col)).mapInPandas(build, schema=MEDIA_SCHEMA)
+
+
+PNG16_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("ctype", LongType(), False),
+        StructField("width", LongType(), False),
+        StructField("height", LongType(), False),
+        StructField("r_sum", LongType(), False),
+        StructField("g_sum", LongType(), False),
+        StructField("b_sum", LongType(), False),
+        StructField("max_val", LongType(), False),
+    ]
+)
+
+
+def png_16bit_stats(media: DataFrame) -> DataFrame:
+    """Decode 16-bit PNGs in ONE Arrow map stage: exact channel sums
+    (gray reported as r=g=b) plus the max sample — a decoder that
+    truncates to 8 bits or byte-swaps the big-endian pairs fails the
+    max and the sums respectively."""
+    import numpy as np
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "media_id", "ctype", "width", "height",
+                "r_sum", "g_sum", "b_sum", "max_val",
+            )}
+            for mid, payload in zip(pdf["media_id"], pdf["media"]):
+                arr = png_decode(bytes(payload)).astype(np.int64)
+                if arr.ndim == 2:
+                    ctype, (r, g, b) = 0, (arr, arr, arr)
+                elif arr.ndim == 3 and arr.shape[2] == 3:
+                    ctype, (r, g, b) = 2, np.moveaxis(arr, 2, 0)
+                else:
+                    raise ValueError("expected a 16-bit gray/RGB PNG fixture")
+                rows["media_id"].append(int(mid))
+                rows["ctype"].append(ctype)
+                rows["height"].append(arr.shape[0])
+                rows["width"].append(arr.shape[1] if arr.ndim == 2 else arr.shape[1])
+                rows["r_sum"].append(int(r.sum()))
+                rows["g_sum"].append(int(g.sum()))
+                rows["b_sum"].append(int(b.sum()))
+                rows["max_val"].append(int(arr.max(initial=0)))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(process, schema=PNG16_SCHEMA)
 
 
 def png_gray_decode(data: bytes):

@@ -598,7 +598,10 @@ def test_png_alpha_types_roundtrip_all_filters(ctype):
         assert dec.shape == (h, w, nch) and np.array_equal(dec, img)
 
 
-def test_png_alpha_sixteen_bit_still_rejected():
+def test_png_alpha_depth_flip_caught_not_misdecoded():
+    """Flipping an 8-bit RGBA stream's declared depth to 16 (a legal
+    shape since 16-bit support landed) must fail the payload-length
+    check — a typed ValueError, never a silently half-sized decode."""
     mm = _mm()
     rng = np.random.default_rng(1)
     enc = bytearray(mm.png_rgba_encode(rng.integers(0, 256, (4, 4, 4)).astype(np.uint8)))
@@ -608,5 +611,33 @@ def test_png_alpha_sixteen_bit_still_rejected():
     import struct, zlib
     body = bytes(enc[16 : 16 + 13])
     enc[29 : 33] = struct.pack(">I", zlib.crc32(b"IHDR" + body) & 0xFFFFFFFF)
-    with pytest.raises(ValueError, match="unsupported PNG shape"):
+    with pytest.raises(ValueError):
         mm.png_decode(bytes(enc))
+
+
+@pytest.mark.parametrize("ctype", [0, 2])
+def test_png_16bit_roundtrips_all_filters(ctype):
+    """16-bit PNG: big-endian pairs recombined after the byte-level
+    unfilter (filters offset by the full pixel's byte width, never
+    splitting samples)."""
+    mm = _mm()
+    rng = np.random.default_rng(16 + ctype)
+    for seed in range(5):
+        h, w = int(rng.integers(1, 18)), int(rng.integers(1, 18))
+        shape = (h, w) if ctype == 0 else (h, w, 3)
+        img = rng.integers(0, 65536, shape).astype(np.uint16)
+        dec = mm.png_decode(mm.png_encode16(img, color_type=ctype, filter_seed=seed))
+        assert dec.dtype == np.uint16 and np.array_equal(dec, img)
+        assert int(dec.max()) == int(img.max())  # no 8-bit truncation
+
+
+def test_png_16bit_palette_rejected():
+    """16-bit palette is illegal per the spec (PLTE indices are at
+    most 8 bits) — the guard must hold."""
+    mm = _mm()
+    import struct, zlib
+    ihdr = struct.pack(">II", 2, 2) + bytes([16, 3, 0, 0, 0])
+    enc = (b"\x89PNG\r\n\x1a\n" + mm._png_chunk(b"IHDR", ihdr)
+           + mm._png_chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="unsupported PNG shape"):
+        mm.png_decode(enc)
