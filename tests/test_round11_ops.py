@@ -641,3 +641,57 @@ def test_png_16bit_palette_rejected():
            + mm._png_chunk(b"IEND", b""))
     with pytest.raises(ValueError, match="unsupported PNG shape"):
         mm.png_decode(enc)
+
+
+# ------------------------------------------------ round-11 edge pins
+
+
+def test_round11_edges_pinned():
+    """Compact regression pins for the edges probed at review time:
+    tiny/constant/ragged stereo FLAC, degenerate GIF delta frames,
+    DRI >= MCU count, 1x1/extreme 16-bit PNGs, width-1 RGBA, and
+    interlace heights crossing every Adam-pass boundary."""
+    mm = _mm()
+    # FLAC: n < block, n==1, constant channels, ragged tail
+    for n in (1, 3, 777):
+        sig = (np.arange(2 * n, dtype=np.int64).reshape(n, 2) * 37) % 4001 - 2000
+        d, _ = mm.flac_decode(mm.flac_encode(sig, 8000, block_size=256))
+        assert np.array_equal(d.astype(np.int64), sig), n
+    const = np.full((600, 2), 5, np.int64)
+    d, _ = mm.flac_decode(mm.flac_encode(const, 8000, block_size=128))
+    assert np.array_equal(d.astype(np.int64), const)
+    # GIF: 1x1 fancy frame; fully-delta-transparent second frame
+    one = [np.array([[3]], dtype=np.int64)]
+    got = mm.gif_decode_frames(
+        mm.gif_encode_frames(one, transparency=True, interlace=True)
+    )
+    assert np.array_equal(got[0], one[0])
+    same = [np.full((5, 5), 9, np.int64)] * 2
+    assert np.array_equal(
+        mm.gif_decode_frames(mm.gif_encode_frames(same, transparency=True))[1],
+        same[1],
+    )
+    # GIF interlace: heights crossing every pass boundary
+    for h in (1, 2, 3, 4, 5, 8, 9):
+        fr = [np.arange(h * 3, dtype=np.int64).reshape(h, 3) % 256] * 2
+        dec = mm.gif_decode_frames(mm.gif_encode_frames(fr, interlace=True))
+        assert np.array_equal(dec[1], fr[1]), h
+    # JPEG: DRI of 1, exact MCU count, and past-the-end
+    y = _subspace_plane(2, 2, 1)
+    cb = _subspace_plane(1, 1, 2)
+    cr = _subspace_plane(1, 1, 3)
+    for ri in (1, 4, 99):
+        Y, CB, CR = mm.jpeg_ycbcr_decode(
+            mm.jpeg_ycbcr_encode(y, cb, cr, restart_interval=ri)
+        )
+        assert np.array_equal(Y, y) and np.array_equal(CB, cb) \
+            and np.array_equal(CR, cr), ri
+    # PNG16 1x1 max value / zeros; RGBA at width 1 (Sub at bpp edge)
+    one16 = np.array([[65535]], dtype=np.uint16)
+    assert np.array_equal(mm.png_decode(mm.png_encode16(one16)), one16)
+    rng = np.random.default_rng(3)
+    for shape in ((1, 1, 4), (7, 1, 4), (1, 9, 4)):
+        img = rng.integers(0, 256, shape).astype(np.uint8)
+        assert np.array_equal(
+            mm.png_decode(mm.png_rgba_encode(img, filter_seed=1)), img
+        ), shape
