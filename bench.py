@@ -85,10 +85,11 @@ def main() -> None:
         # (r10 ADVICE: a query composing two loops — BFS feeding
         # connected_components — previously kept whichever wrote
         # first and dropped the rest).
+        # Always the op-keyed nested form {op: {metric: v}} — even for
+        # a single loop — so the BENCH_FULL.json schema is stable when
+        # a query gains a second instrumented loop (r11 ADVICE).
         stats = {op: dict(s) for op, s in graphalgs.LOOP_STATS.items()}
-        if len(stats) == 1:
-            rounds[name] = next(iter(stats.values()))
-        elif stats:
+        if stats:
             rounds[name] = stats
         print(f"# {name}: {n} rows in {timings[name]}s {runs}", file=sys.stderr)
 

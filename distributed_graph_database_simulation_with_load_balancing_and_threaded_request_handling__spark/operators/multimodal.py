@@ -1436,7 +1436,7 @@ def png_16bit_stats(media: DataFrame) -> DataFrame:
                 rows["media_id"].append(int(mid))
                 rows["ctype"].append(ctype)
                 rows["height"].append(arr.shape[0])
-                rows["width"].append(arr.shape[1] if arr.ndim == 2 else arr.shape[1])
+                rows["width"].append(arr.shape[1])
                 rows["r_sum"].append(int(r.sum()))
                 rows["g_sum"].append(int(g.sum()))
                 rows["b_sum"].append(int(b.sum()))
@@ -4040,15 +4040,21 @@ def gif_decode_frames(data: bytes):
             deinterlaced = np.empty_like(arr)
             deinterlaced[rows] = arr
             arr = deinterlaced
-        if arr.max(initial=0) * 3 >= len(pal):
-            raise ValueError("palette index out of range")
         red = np.frombuffer(pal, dtype=np.uint8)[::3]
         rect = canvas[top : top + h, left : left + w]
         before = rect.copy() if disposal == 3 else None
         if transp_idx is None:
+            if arr.max(initial=0) * 3 >= len(pal):
+                raise ValueError("palette index out of range")
             rect[:, :] = red[arr].astype(np.int64)
         else:
+            # Bounds-check only OPAQUE indices: a transparent index may
+            # legally lie beyond a small local color table because it is
+            # never mapped through the palette (GIF89a spec permits this;
+            # foreign encoders emit it).
             opaque = arr != transp_idx
+            if arr[opaque].max(initial=0) * 3 >= len(pal):
+                raise ValueError("palette index out of range")
             rect[opaque] = red[arr[opaque]].astype(np.int64)
         frames.append(canvas.copy())
         if disposal == 2:  # restore rectangle to background color
