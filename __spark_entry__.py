@@ -2498,6 +2498,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ),
         )
 
+    def q_png_lowbit(spark, sf_dir):
+        # SUB-BYTE PNGs + tRNS (round 12): 1/2/4-bit gray (even ids)
+        # and palette (odd ids), every 5th Adam7-interlaced, half
+        # carrying a tRNS chunk (keyed gray transparency / per-entry
+        # palette alphas).  Channel sums fail any bit-order or
+        # packing-stride mistake; a_sum + n_transp fail a decoder that
+        # drops or misapplies tRNS; depth/ctype value-check the header
+        # parse.
+        from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.multimodal import (
+            plant_lowbit_pngs,
+            png_lowbit_stats,
+        )
+
+        return _shared_result(
+            spark, sf_dir, "media_pnglowbit",
+            lambda: png_lowbit_stats(
+                plant_lowbit_pngs(load_table(spark, sf_dir, "documents"))
+            ),
+        )
+
     def q_rgb_decode(spark, sf_dir):
         # Truecolor twin of q_png_decode: bpp=3 unfilter over encoded
         # RGB PNGs; per-channel pixel sums replay from the planting
@@ -5076,6 +5096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_png_decode": q_png_decode,
         "q_png_alpha": q_png_alpha,  # new round 11
         "q_png_16bit": q_png_16bit,  # new round 11
+        "q_png_lowbit": q_png_lowbit,  # new round 12
         "q_audio_features": q_audio_features,
         "q_g711_audio": q_g711_audio,
         "q_adpcm_audio": q_adpcm_audio,
@@ -6779,6 +6800,53 @@ def oracle_sql() -> dict[str, str]:
            CAST(SUM(b) AS BIGINT) AS b_sum,
            CAST(MAX(GREATEST(r, g, b)) AS BIGINT) AS max_val
     FROM px GROUP BY media_id, ctype, w, h
+""",
+        # plant_lowbit_pngs: 1/2/4-bit samples v=(3i+5j+id)%2^d; gray
+        # bit-replicates to 8 bits (255/(2^d-1) = 255/85/17 exactly),
+        # palette maps v through the congruence PLTE; tRNS (id%4<2)
+        # keys gray on id%2^d and gives palette entry k alpha
+        # 1+(37k+11id)%255 with entry id%2^d forced 0.
+        "q_png_lowbit": """
+    WITH docs AS (
+      SELECT CAST(doc_id AS BIGINT) AS media_id,
+             CAST(8 + doc_id % 9 AS BIGINT) AS w,
+             CAST(8 + doc_id % 7 AS BIGINT) AS h,
+             CAST(CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 4 END
+                  AS BIGINT) AS d,
+             CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 3 END AS ctype,
+             CASE WHEN doc_id % 4 < 2 THEN 1 ELSE 0 END AS has_trns
+      FROM documents
+    ),
+    px AS (
+      SELECT dd.media_id, dd.ctype, dd.d, dd.w, dd.h, dd.has_trns,
+             (3 * i.i + 5 * j.j + dd.media_id) % (1 << dd.d) AS v,
+             CASE dd.d WHEN 1 THEN 255 WHEN 2 THEN 85 ELSE 17 END AS scale
+      FROM docs dd
+      JOIN range(0, 14) i(i) ON i.i < dd.h
+      JOIN range(0, 16) j(j) ON j.j < dd.w
+    ),
+    ch AS (
+      SELECT media_id, ctype, d, w, h,
+             CASE WHEN ctype = 0 THEN v * scale
+                  ELSE (11 * v + media_id) % 256 END AS r,
+             CASE WHEN ctype = 0 THEN v * scale
+                  ELSE (13 * v + 2 * media_id) % 256 END AS g,
+             CASE WHEN ctype = 0 THEN v * scale
+                  ELSE (17 * v + 3 * media_id) % 256 END AS b,
+             CASE WHEN has_trns = 0 THEN 255
+                  WHEN v = media_id % (1 << d) THEN 0
+                  WHEN ctype = 0 THEN 255
+                  ELSE 1 + (37 * v + 11 * media_id) % 255 END AS a
+      FROM px
+    )
+    SELECT media_id, CAST(ctype AS BIGINT) AS ctype, d AS depth,
+           w AS width, h AS height,
+           CAST(SUM(r) AS BIGINT) AS r_sum,
+           CAST(SUM(g) AS BIGINT) AS g_sum,
+           CAST(SUM(b) AS BIGINT) AS b_sum,
+           CAST(SUM(a) AS BIGINT) AS a_sum,
+           CAST(SUM(CASE WHEN a = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_transp
+    FROM ch GROUP BY media_id, ctype, d, w, h
 """,
         # Interlacing is an encoding detail the decode must erase:
         # same pixel contract, same oracle, different byte layout.

@@ -924,10 +924,12 @@ def png_gray_encode(pixels, *, filter_seed: int = 0) -> bytes:
     )
 
 
-def png_rgb_encode(pixels, *, filter_seed: int = 0) -> bytes:
+def png_rgb_encode(pixels, *, filter_seed: int = 0, trns_rgb=None) -> bytes:
     """COMPLETE 8-bit truecolor (RGB, color type 2) PNG encoder — the
     3-bytes-per-pixel sibling of ``png_gray_encode``, same per-row
-    filter cycle so a decoder must handle every filter at bpp=3."""
+    filter cycle so a decoder must handle every filter at bpp=3.
+    ``trns_rgb`` (round 12) emits the keyed-transparency tRNS chunk:
+    an (r, g, b) triple stored as three 2-byte samples."""
     import struct
     import zlib
 
@@ -937,9 +939,11 @@ def png_rgb_encode(pixels, *, filter_seed: int = 0) -> bytes:
     h, w, _ = arr.shape
     raw = _filter_scanlines(arr.reshape(h, w * 3), 3, filter_seed)
     ihdr = struct.pack(">II", w, h) + b"\x08\x02\x00\x00\x00"  # 8-bit RGB
+    out = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+    if trns_rgb is not None:
+        out += _png_chunk(b"tRNS", struct.pack(">HHH", *trns_rgb))
     return (
-        b"\x89PNG\r\n\x1a\n"
-        + _png_chunk(b"IHDR", ihdr)
+        out
         + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
         + _png_chunk(b"IEND", b"")
     )
@@ -1107,6 +1111,60 @@ def png_palette_encode(indices, palette, *, filter_seed: int = 0) -> bytes:
     )
 
 
+def png_lowbit_encode(
+    samples,
+    bit_depth: int,
+    *,
+    color_type: int = 0,
+    palette=None,
+    trns: bytes | None = None,
+    filter_seed: int = 0,
+    interlace: bool = False,
+) -> bytes:
+    """SUB-BYTE (1/2/4-bit) PNG encoder (round 12): gray (color type
+    0) or palette-indexed (3) from RAW samples 0..2^d-1.  Samples pack
+    MSB-first into ceil(w*d/8)-byte scanlines (each Adam7 pass packs
+    its own sub-image independently when ``interlace``); the filter
+    cycle then runs on the PACKED BYTES with bpp=1, exactly the layout
+    RFC 2083 §6.1 prescribes.  ``trns`` emits a tRNS chunk verbatim
+    (2-byte gray key, or per-palette-entry alphas)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    arr = np.asarray(samples, dtype=np.int64)
+    h, w = arr.shape
+    if int(arr.max(initial=0)) >= (1 << bit_depth):
+        raise ValueError("sample exceeds bit depth")
+
+    def pack(sub):
+        sh, sw = sub.shape
+        bits = (
+            (sub[:, :, None] >> np.arange(bit_depth - 1, -1, -1)[None, None, :]) & 1
+        ).reshape(sh, sw * bit_depth)
+        return np.packbits(bits.astype(np.uint8), axis=1)
+
+    raw = bytearray()
+    if interlace:
+        for x0, y0, dx, dy in _ADAM7:
+            sub = arr[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            raw.extend(_filter_scanlines(pack(sub), 1, filter_seed))
+    else:
+        raw.extend(_filter_scanlines(pack(arr), 1, filter_seed))
+    ihdr = struct.pack(">II", w, h) + bytes(
+        [bit_depth, color_type, 0, 0, 1 if interlace else 0]
+    )
+    out = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+    if color_type == 3:
+        out += _png_chunk(b"PLTE", np.asarray(palette, dtype=np.uint8).tobytes())
+    if trns is not None:
+        out += _png_chunk(b"tRNS", trns)
+    return out + _png_chunk(b"IDAT", zlib.compress(bytes(raw))) + _png_chunk(b"IEND", b"")
+
+
 # Adam7 interlace passes (x0, y0, dx, dy) — RFC 2083 §8.2: each pass
 # is the sub-image of pixels at (x0 + i*dx, y0 + j*dy), filtered as an
 # independent image (prior scanline resets per pass; empty passes
@@ -1173,15 +1231,21 @@ def png_decode(data: bytes):
     """REAL stdlib PNG pixel decode for 8-bit grayscale (color type
     0), truecolor RGB (2), palette-indexed (3, PLTE lookup),
     grayscale+alpha (4) and RGBA (6 — the web's dominant PNG shape;
-    both alpha types round 11), sequential OR Adam7-interlaced: chunk
+    both alpha types round 11), 1/2/4-bit gray and palette (round 12 —
+    icons/screenshots/scans), sequential OR Adam7-interlaced: chunk
     walk -> concatenated-IDAT zlib inflate -> per-segment unfilter for
     ALL five filter types with the correct bytes-per-pixel offset (one
     segment for interlace 0; the seven RFC 2083 §8.2 passes, each an
     independently-filtered sub-image scattered back by its stride, for
     interlace 1) -> uint8 array of shape (h, w) for grayscale,
     (h, w, 2) for gray+alpha, (h, w, 3) for RGB/palette, (h, w, 4)
-    for RGBA.  ``decode_image`` remains the documented stub for
-    formats that genuinely need a codec library."""
+    for RGBA.  Sub-byte gray samples scale to 8 bits by exact bit
+    replication (255 divides evenly by 1/3/15).  A tRNS chunk (round
+    12) adds an alpha plane: per-entry alphas for palette, a keyed
+    fully-transparent sample value for gray/RGB (alpha 0/255, or
+    0/65535 at 16-bit) — so gray->(h,w,2), RGB->(h,w,4),
+    palette->(h,w,4).  ``decode_image`` remains the documented stub
+    for formats that genuinely need a codec library."""
     import struct
     import zlib
 
@@ -1192,6 +1256,7 @@ def png_decode(data: bytes):
     pos = 8
     w = h = color_type = interlace = None
     palette = None
+    trns = None
     idat = bytearray()
     while pos + 8 <= len(data):
         (length,) = struct.unpack(">I", data[pos : pos + 4])
@@ -1205,17 +1270,23 @@ def png_decode(data: bytes):
                 # 16-bit (round 11): every color type except palette
                 # (PLTE indices are always <= 8 bits per the spec)
                 or (bit_depth == 16 and color_type in (0, 2, 4, 6))
+                # sub-byte depths (round 12): gray and palette only,
+                # exactly the combinations RFC 2083 §4.1.1 permits
+                or (bit_depth in (1, 2, 4) and color_type in (0, 3))
             ) and interlace in (0, 1)
             if not ok:
                 raise ValueError(
                     f"unsupported PNG shape: depth={bit_depth} color={color_type} "
-                    f"interlace={interlace} (stdlib decoder covers 8/16-bit "
-                    f"gray/RGB/gray+alpha/RGBA + 8-bit palette, sequential or Adam7)"
+                    f"interlace={interlace} (stdlib decoder covers 1/2/4-bit "
+                    f"gray/palette + 8/16-bit gray/RGB/gray+alpha/RGBA + 8-bit "
+                    f"palette, sequential or Adam7)"
                 )
         elif tag == b"PLTE":
             if length % 3:
                 raise ValueError("PLTE length not a multiple of 3")
             palette = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif tag == b"tRNS":
+            trns = bytes(body)
         elif tag == b"IDAT":
             idat.extend(body)
         elif tag == b"IEND":
@@ -1225,12 +1296,27 @@ def png_decode(data: bytes):
         raise ValueError("PNG missing IHDR")
     if color_type == 3 and palette is None:
         raise ValueError("palette PNG missing PLTE")
+    if trns is not None and color_type in (4, 6):
+        raise ValueError("tRNS is illegal with an alpha color type")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    raw = zlib.decompress(bytes(idat))
+    if bit_depth < 8:
+        flat = _png_subbyte_samples(raw, w, h, bit_depth, interlace)
+        if color_type == 0:
+            # sample scaling to 8 bits = exact bit replication (255 is
+            # divisible by 1, 3 and 15)
+            gray = flat * (255 // ((1 << bit_depth) - 1))
+            if trns is not None:
+                # gray tRNS: one 2-byte sample value IN RAW UNITS
+                key = int.from_bytes(trns[:2], "big")
+                alpha = np.where(flat == key, 0, 255)
+                return np.stack([gray, alpha], axis=2).astype(np.uint8)
+            return gray.astype(np.uint8)
+        return _apply_palette(flat, palette, trns)
     # PNG filters operate on BYTES regardless of depth (RFC 2083
     # §6.1: "bpp is rounded up to one" byte-unit); 16-bit samples are
     # big-endian pairs recombined after unfiltering
     bpp = channels * (bit_depth // 8)
-    raw = zlib.decompress(bytes(idat))
     if interlace == 0:
         flat = _unfilter_scanlines(raw, h, w * bpp, bpp)
     else:
@@ -1251,15 +1337,93 @@ def png_decode(data: bytes):
     if bit_depth == 16:
         bytes2 = arr.reshape(h, w * channels, 2).astype(np.uint16)
         wide = (bytes2[..., 0] << 8) | bytes2[..., 1]  # big-endian pairs
-        return wide.reshape(h, w, channels) if channels > 1 else wide.reshape(h, w)
-    if color_type in (2, 4, 6):
+        img16 = wide.reshape(h, w, channels) if channels > 1 else wide.reshape(h, w)
+        if trns is not None and color_type == 0:
+            key = int.from_bytes(trns[:2], "big")
+            alpha = np.where(img16 == key, 0, 65535).astype(np.uint16)
+            return np.stack([img16, alpha], axis=2)
+        if trns is not None and color_type == 2:
+            kr, kg, kb = struct.unpack(">HHH", trns[:6])
+            m = (img16[..., 0] == kr) & (img16[..., 1] == kg) & (img16[..., 2] == kb)
+            alpha = np.where(m, 0, 65535).astype(np.uint16)
+            return np.concatenate([img16, alpha[..., None]], axis=2)
+        return img16
+    if color_type in (4, 6):
         return arr.reshape(h, w, bpp)
+    if color_type == 2:
+        rgb = arr.reshape(h, w, 3)
+        if trns is not None:
+            # RGB tRNS: one fully-transparent color as 2-byte samples
+            kr, kg, kb = struct.unpack(">HHH", trns[:6])
+            m = (rgb[..., 0] == kr) & (rgb[..., 1] == kg) & (rgb[..., 2] == kb)
+            alpha = np.where(m, 0, 255).astype(np.uint8)
+            return np.concatenate([rgb, alpha[..., None]], axis=2)
+        return rgb
     if color_type == 3:
-        idx = arr.reshape(h, w)
-        if int(idx.max(initial=0)) >= len(palette):
-            raise ValueError("palette index out of range")
-        return palette[idx]
-    return arr.reshape(h, w)
+        return _apply_palette(arr.reshape(h, w).astype(np.int64), palette, trns)
+    gray = arr.reshape(h, w)
+    if trns is not None:
+        key = int.from_bytes(trns[:2], "big")
+        alpha = np.where(gray == key, 0, 255).astype(np.uint8)
+        return np.stack([gray, alpha], axis=2)
+    return gray
+
+
+def _apply_palette(idx, palette, trns):
+    """Map decoded palette indices through PLTE (+ the optional tRNS
+    per-entry alpha table — entries past the table default to opaque
+    255, RFC 2083 §4.2.1): (h, w, 3) RGB, or (h, w, 4) RGBA when a
+    tRNS chunk is present."""
+    import numpy as np
+
+    if int(idx.max(initial=0)) >= len(palette):
+        raise ValueError("palette index out of range")
+    rgb = palette[idx]
+    if trns is None:
+        return rgb
+    pal_alpha = np.full(len(palette), 255, dtype=np.uint8)
+    n = min(len(trns), len(palette))
+    pal_alpha[:n] = np.frombuffer(trns[:n], dtype=np.uint8)
+    return np.concatenate([rgb, pal_alpha[idx][..., None]], axis=2)
+
+
+def _png_subbyte_samples(raw: bytes, w: int, h: int, depth: int, interlace: int):
+    """Sub-byte (1/2/4-bit) scanline decode: PNG filters operate on the
+    PACKED BYTES with bpp=1 (RFC 2083 §6.1 rounds bpp up to one byte),
+    so each scanline is unfiltered as ceil(w*d/8) bytes and THEN
+    unpacked MSB-first into w raw samples (0..2^d-1).  Adam7 passes
+    pack their own sub-image rows independently — each pass has its
+    own ceil(sw*d/8) stride, exactly like the byte-depth path."""
+    import numpy as np
+
+    def unpack(mat, sw: int):
+        bits = np.unpackbits(mat.astype(np.uint8), axis=1)
+        groups = bits[:, : (bits.shape[1] // depth) * depth].reshape(
+            mat.shape[0], -1, depth
+        )
+        vals = np.zeros(groups.shape[:2], dtype=np.int64)
+        for b in range(depth):
+            vals = (vals << 1) | groups[:, :, b]
+        return vals[:, :sw]
+
+    if interlace == 0:
+        rb = (w * depth + 7) // 8
+        return unpack(_unfilter_scanlines(raw, h, rb, 1), w)
+    flat = np.zeros((h, w), dtype=np.int64)
+    off = 0
+    for x0, y0, dx, dy in _ADAM7:
+        sh = len(range(y0, h, dy))
+        sw = len(range(x0, w, dx))
+        if sh == 0 or sw == 0:
+            continue
+        rb = (sw * depth + 7) // 8
+        seg_len = sh * (rb + 1)
+        sub = unpack(_unfilter_scanlines(raw[off : off + seg_len], sh, rb, 1), sw)
+        off += seg_len
+        flat[y0::dy, x0::dx] = sub
+    if off != len(raw):
+        raise ValueError("PNG interlaced payload length mismatch")
+    return flat
 
 
 def plant_alpha_pngs(documents: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
@@ -1444,6 +1608,137 @@ def png_16bit_stats(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(process, schema=PNG16_SCHEMA)
+
+
+def plant_lowbit_pngs(documents: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """Planted SUB-BYTE PNG fixtures (round 12): 1/2/4-bit gray (even
+    ids, color type 0) and palette (odd ids, type 3) — the icon/
+    screenshot/scan depths the 8-bit-only guard used to reject.  Every
+    id%5==0 image is Adam7-interlaced (sub-byte passes pack their own
+    strides); ids with id%4<2 carry a tRNS chunk.  Closed-form:
+
+        d             = 1 << (id % 3)                 # depth 1/2/4
+        sample v(i,j) = (3 i + 5 j + id) % 2^d
+        palette[k]    = ((11k + id) % 256, (13k + 2 id) % 256,
+                         (17k + 3 id) % 256)          # 2^d entries
+        gray tRNS key = id % 2^d
+        pal  tRNS[k]  = 0 if k == id % 2^d else 1 + (37k + 11 id) % 255
+
+    W = 8 + id%9, H = 8 + id%7, filters cycling on ``(id + r) % 5``.
+    """
+    import numpy as np
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for i in pdf[id_col]:
+                i = int(i)
+                d = 1 << (i % 3)
+                n_vals = 1 << d
+                w, h = 8 + i % 9, 8 + i % 7
+                ii = np.arange(h, dtype=np.int64)[:, None]
+                jj = np.arange(w, dtype=np.int64)[None, :]
+                v = (3 * ii + 5 * jj + i) % n_vals
+                interlace = i % 5 == 0
+                has_trns = i % 4 < 2
+                if i % 2 == 0:
+                    trns = (i % n_vals).to_bytes(2, "big") if has_trns else None
+                    payloads.append(
+                        png_lowbit_encode(
+                            v, d, color_type=0, trns=trns,
+                            filter_seed=i, interlace=interlace,
+                        )
+                    )
+                else:
+                    kk = np.arange(n_vals, dtype=np.int64)
+                    pal = np.stack(
+                        [(11 * kk + i) % 256, (13 * kk + 2 * i) % 256,
+                         (17 * kk + 3 * i) % 256],
+                        axis=1,
+                    ).astype(np.uint8)
+                    trns = None
+                    if has_trns:
+                        alphas = 1 + (37 * kk + 11 * i) % 255
+                        alphas[i % n_vals] = 0
+                        trns = bytes(alphas.astype(np.uint8))
+                    payloads.append(
+                        png_lowbit_encode(
+                            v, d, color_type=3, palette=pal, trns=trns,
+                            filter_seed=i, interlace=interlace,
+                        )
+                    )
+                ids.append(i)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "media_type": ["image"] * len(ids),
+                    "media": payloads,
+                    "source": ["planted"] * len(ids),
+                }
+            )
+
+    return _spread(documents.select(id_col)).mapInPandas(build, schema=MEDIA_SCHEMA)
+
+
+PNG_LOWBIT_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("ctype", LongType(), False),
+        StructField("depth", LongType(), False),
+        StructField("width", LongType(), False),
+        StructField("height", LongType(), False),
+        StructField("r_sum", LongType(), False),
+        StructField("g_sum", LongType(), False),
+        StructField("b_sum", LongType(), False),
+        StructField("a_sum", LongType(), False),
+        StructField("n_transp", LongType(), False),
+    ]
+)
+
+
+def png_lowbit_stats(media: DataFrame) -> DataFrame:
+    """Decode sub-byte PNGs in ONE Arrow map stage: per-channel sums
+    (gray reported as r=g=b of the bit-replicated 8-bit value), the
+    alpha sum, and the transparent-pixel count.  depth/ctype come from
+    the IHDR header bytes (offsets 24/25 after the fixed signature +
+    length + tag + w/h layout) — value-checking the header parse; the
+    sums fail any bit-order, packing-stride, or tRNS mistake."""
+    import numpy as np
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "media_id", "ctype", "depth", "width", "height",
+                "r_sum", "g_sum", "b_sum", "a_sum", "n_transp",
+            )}
+            for mid, payload in zip(pdf["media_id"], pdf["media"]):
+                payload = bytes(payload)
+                depth, ctype = payload[24], payload[25]
+                arr = png_decode(payload).astype(np.int64)
+                if arr.ndim == 2:
+                    r, g, b = arr, arr, arr
+                    a = np.full_like(arr, 255)
+                elif arr.shape[2] == 2:
+                    r, g, b = arr[..., 0], arr[..., 0], arr[..., 0]
+                    a = arr[..., 1]
+                elif arr.shape[2] == 3:
+                    r, g, b = np.moveaxis(arr, 2, 0)
+                    a = np.full_like(r, 255)
+                else:
+                    r, g, b, a = np.moveaxis(arr, 2, 0)
+                rows["media_id"].append(int(mid))
+                rows["ctype"].append(int(ctype))
+                rows["depth"].append(int(depth))
+                rows["height"].append(r.shape[0])
+                rows["width"].append(r.shape[1])
+                rows["r_sum"].append(int(r.sum()))
+                rows["g_sum"].append(int(g.sum()))
+                rows["b_sum"].append(int(b.sum()))
+                rows["a_sum"].append(int(a.sum()))
+                rows["n_transp"].append(int((a == 0).sum()))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(process, schema=PNG_LOWBIT_SCHEMA)
 
 
 def png_gray_decode(data: bytes):

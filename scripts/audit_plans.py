@@ -16,6 +16,9 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as entry  # noqa: E402
+from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.plans.audit import (  # noqa: E402
+    global_windows,
+)
 
 
 def plan_of(df) -> str:
@@ -23,7 +26,11 @@ def plan_of(df) -> str:
 
 
 def audit(name: str, plan: str) -> dict:
+    gws = global_windows(plan)
     return {
+        "gwin": len(gws),
+        "gwin_bounded": sum(1 for g in gws if g["bounded"]),
+        "BAD_unbounded_gwin": sum(1 for g in gws if not g["bounded"]),
         "query": name,
         "exchanges": plan.count("Exchange hashpartitioning"),
         "bhj": plan.count("BroadcastHashJoin"),
@@ -153,23 +160,36 @@ def main() -> None:
     print("PushedFilters (strict, round-6 semantics after the round-5")
     print("advice fix); blank = at least one scan reads unfiltered —")
     print("expected for full-corpus operators (dedup, features, decode)")
-    print("whose semantics consume every row by design.\n")
-    print("| query | exchanges | BHJ | SMJ | SHJ | top-k | pushdown | arrow | anti-patterns |")
-    print("|---|---|---|---|---|---|---|---|---|")
+    print("whose semantics consume every row by design.  gwin 'n/b' =")
+    print("n GLOBAL (empty-partition-spec) windows, b judged bounded by")
+    print("their child subtree (limit/top-k/agg/local relation — r11")
+    print("verdict #6); an unbounded global window (n > b) is an")
+    print("anti-pattern hit.\n")
+    print("| query | exchanges | BHJ | SMJ | SHJ | top-k | pushdown | arrow | gwin | anti-patterns |")
+    print("|---|---|---|---|---|---|---|---|---|---|")
     for r in rows:
         if "error" in r:
-            print(f"| {r['query']} | ERROR: {r['error']} | | | | | | | |")
+            print(f"| {r['query']} | ERROR: {r['error']} | | | | | | | | |")
             continue
         bad = ", ".join(
-            k[4:] for k in ("BAD_cartesian", "BAD_row_udf") if r[k]
+            k[4:]
+            for k in ("BAD_cartesian", "BAD_row_udf", "BAD_unbounded_gwin")
+            if r[k]
         ) or "—"
+        # gwin column: "n/b" = n global windows, b of them judged
+        # bounded by their child subtree (r11 verdict #6); blank = none.
+        gwin = f"{r['gwin']}/{r['gwin_bounded']}" if r["gwin"] else ""
         print(
             f"| {r['query']} | {r['exchanges']} | {r['bhj']} | {r['smj']} "
             f"| {r['shj']} | {'y' if r['topk'] else ''} "
             f"| {'y' if r['pushed'] else ''} | {'y' if r['arrow'] else ''} "
-            f"| {bad} |"
+            f"| {gwin} | {bad} |"
         )
-    n_bad = sum(1 for r in rows if r.get("BAD_cartesian") or r.get("BAD_row_udf"))
+    n_bad = sum(
+        1
+        for r in rows
+        if r.get("BAD_cartesian") or r.get("BAD_row_udf") or r.get("BAD_unbounded_gwin")
+    )
     n_err = sum(1 for r in rows if "error" in r)
     print(f"\n{len(rows)} queries audited; {n_bad} anti-pattern hits; {n_err} errors.")
 

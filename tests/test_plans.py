@@ -317,6 +317,57 @@ def test_no_query_plan_has_cartesian_or_row_udf(spark):
     assert not offenders, f"plan lint failures: {offenders}"
 
 
+def test_no_query_plan_has_unbounded_global_window(spark):
+    """Round-11 verdict #6: every GLOBAL (empty-partition-spec) window
+    must be bounded by its child subtree — a limit/top-k, an
+    aggregate, or a literal relation below it.  A global window whose
+    subtree reaches a data scan with no bounding node serializes the
+    whole relation through one task at 100 TB; this lint makes the
+    by-construction boundedness argument a checked property."""
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.plans.audit import (
+        global_windows,
+    )
+
+    offenders = {}
+    skip = {
+        # eagerly-driven streaming queries: memory-sink result tables
+        # (vacuous LocalTableScan plans); their transformations are
+        # linted via batch twins in the cartesian/row-udf lint above.
+        "q_stream_rollup", "q_stream_corpus", "q_stream_attrib",
+        "q_stream_requests", "q_stream_sessions",
+    }
+    for name, fn in entry.queries().items():
+        if name in skip:
+            continue
+        gws = global_windows(_plan(fn(spark, SF_DIR)))
+        bad = [g for g in gws if not g["bounded"]]
+        if bad:
+            offenders[name] = [g["reason"] for g in bad]
+    assert not offenders, f"unbounded global windows: {offenders}"
+
+
+def test_global_window_guard_flags_the_bad_shape(spark):
+    """The guard itself must FIRE on the shape it exists to catch: a
+    global rank directly over a raw file scan."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.plans.audit import (
+        global_windows,
+    )
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    bad = docs.withColumn("r", F.row_number().over(Window.orderBy("doc_id")))
+    gws = global_windows(_plan(bad))
+    assert gws and not gws[0]["bounded"], gws
+    # ...and stay quiet once a limit bounds the input
+    ok = docs.limit(10).withColumn(
+        "r", F.row_number().over(Window.orderBy("doc_id"))
+    )
+    gws_ok = global_windows(_plan(ok))
+    assert gws_ok and gws_ok[0]["bounded"], gws_ok
+
+
 def test_exact_dedup_on_digest_bucketed_table_no_exchange(spark, tmp_path):
     """SCALE.md's dedup layout claim, demonstrated: with the corpus
     saved ``bucketBy(n, text_hash)`` (digest precomputed at ingest),
