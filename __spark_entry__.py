@@ -2669,6 +2669,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return zstd_corpus_stats(plant_zstd_shards(load_table(spark, sf_dir, "documents")))
 
+    def q_zstd_dict(spark, sf_dir):
+        # RFC 8878 DICTIONARY frames (round 12): shards are the fixed
+        # ~260-byte corpus template + a unique tail, compressed
+        # against the committed trained dictionary (4-byte DID,
+        # window descriptor spanning dict content + payload, first
+        # block matching into the dictionary's virtual past — dict
+        # frame ~36 B vs ~235 B plain).  Decode gates the DID,
+        # preloads the dict entropy tables / recent offsets, seeds
+        # the window with dict content, and verifies the frame
+        # checksum; the 'c' count value-checks the reconstruction.
+        # CLI interop both directions pinned in tests (zstd --train
+        # dict committed; zstd -D output decodes here, our dict
+        # frames decode under zstd -d -D).
+        from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.sources.zstdcodec import (
+            plant_zstd_dict_shards,
+            zstd_dict_corpus_stats,
+        )
+
+        return zstd_dict_corpus_stats(
+            plant_zstd_dict_shards(load_table(spark, sf_dir, "documents"))
+        )
+
     def q_webp_decode(spark, sf_dir):
         # REAL WebP-lossless decode (round 10, VP8L from the public
         # spec): canonical prefix codes, LZ77 through the plane-code
@@ -5140,6 +5162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_xpath_extract": q_xpath_extract,  # new round 9
         "q_lz4_corpus": q_lz4_corpus,  # new round 9
         "q_zstd_corpus": q_zstd_corpus,  # new round 10
+        "q_zstd_dict": q_zstd_dict,  # new round 12
         "q_webp_decode": q_webp_decode,  # new round 10
         "q_assignment_replay": q_assignment_replay,  # new round 10
         "q_clustering_coeff": q_clustering_coeff,
@@ -9161,6 +9184,23 @@ def oracle_sql() -> dict[str, str]:
     # wire formats are directly comparable), so the oracle is
     # identical — the value check is on the INFLATED text either way.
     oracles["q_zstd_corpus"] = oracles["q_lz4_corpus"]
+
+    # Dictionary shards: TEMPLATE + 'doc {id} tail {(id*id)%9973}\n'
+    # — template length / 'c' count are Python-computed constants
+    # interpolated below, the tail replays via VARCHAR lengths.
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.sources.zstdcodec import (
+        ZSTD_DICT_TEMPLATE as _ZT,
+    )
+
+    oracles["q_zstd_dict"] = f"""
+        SELECT CAST(doc_id AS BIGINT) AS media_id,
+               CAST({len(_ZT)} + 11 + len(CAST(doc_id AS VARCHAR))
+                    + len(CAST((doc_id * doc_id) % 9973 AS VARCHAR))
+                    AS BIGINT) AS n_bytes,
+               CAST(1 AS BIGINT) AS n_lines,
+               CAST({_ZT.count('c') + 1} AS BIGINT) AS c_count
+        FROM documents
+    """
 
     # Assignment-tree replay: golden VALUES from an independent
     # pure-Python BFS over the committed docx matrices (all 152

@@ -727,12 +727,73 @@ def _decode_block(block: bytes, out: bytearray, state: dict) -> None:
     out += lits[lit_pos:]
 
 
-def zstd_decompress(data: bytes, max_size: int = 1 << 26) -> bytes:
+_DICT_MAGIC = (0xEC30A437).to_bytes(4, "little")
+
+
+class ZstdDictionary:
+    """Parsed RFC 8878 §5 dictionary: the ID the frame header must
+    match, the entropy tables that preload Repeat/Treeless modes for
+    the frame's FIRST block, the three initial recent offsets, and
+    the content bytes that act as the window's virtual past."""
+
+    __slots__ = (
+        "dict_id", "huf", "ll_norm", "ll_acc", "of_norm", "of_acc",
+        "ml_norm", "ml_acc", "rep", "content",
+    )
+
+
+def zstd_parse_dictionary(data: bytes) -> ZstdDictionary:
+    """Parse a structured zstd dictionary (the ``zstd --train`` /
+    zdict output format, RFC 8878 §5): magic 0xEC30A437, 4-byte LE
+    dictionary ID, entropy tables in the block wire format (Huffman
+    literals table, then FSE offsets / match-lengths / literal-lengths
+    tables), 3x4-byte LE initial recent offsets (each nonzero and
+    <= content size), then the raw content."""
+    if data[:4] != _DICT_MAGIC:
+        raise ValueError("zstd: bad dictionary magic")
+    d = ZstdDictionary()
+    d.dict_id = int.from_bytes(data[4:8], "little")
+    pos = 8
+    weights, table_log, used = huf_read_weights(data[pos:])
+    d.huf = (huf_build_dtable(weights, table_log), table_log)
+    pos += used
+    d.of_norm, d.of_acc, used = fse_read_ncount(data[pos:], MAX_OF_CODE, 8)
+    pos += used
+    d.ml_norm, d.ml_acc, used = fse_read_ncount(data[pos:], MAX_ML_CODE, 9)
+    pos += used
+    d.ll_norm, d.ll_acc, used = fse_read_ncount(data[pos:], MAX_LL_CODE, 9)
+    pos += used
+    if pos + 12 > len(data):
+        raise ValueError("zstd: truncated dictionary offset history")
+    rep = [
+        int.from_bytes(data[pos + 4 * i : pos + 4 * i + 4], "little")
+        for i in range(3)
+    ]
+    pos += 12
+    d.content = bytes(data[pos:])
+    for r in rep:
+        if r == 0 or r > len(d.content):
+            raise ValueError("zstd: dictionary recent offset out of range")
+    d.rep = rep
+    return d
+
+
+def zstd_decompress(
+    data: bytes,
+    max_size: int = 1 << 26,
+    *,
+    dictionary: ZstdDictionary | None = None,
+) -> bytes:
     """Decompress a zstd stream: one or more concatenated frames
     (skippable frames are skipped), each validated end-to-end —
     magic, reserved bits, block sizes, sequence/bitstream exactness,
     frame-content size, and the xxh64-low32 content checksum when
-    present.  Dictionary IDs are rejected explicitly."""
+    present.  A frame carrying a Dictionary_ID requires ``dictionary``
+    (round 12): the ID must match, the dictionary's entropy tables
+    preload Treeless/Repeat modes for the first block, its recent
+    offsets replace {1,4,8}, and its content seeds the match window
+    as virtual past (never emitted).  Frames without a DID ignore
+    ``dictionary`` entirely, per the RFC."""
     out = bytearray()
     pos = 0
     n = len(data)
@@ -763,8 +824,23 @@ def zstd_decompress(data: bytes, max_size: int = 1 << 26) -> bytes:
         fcs_code = fhd >> 6
         if not single_segment:
             pos += 1  # window descriptor (full buffer kept; no clamp)
+        frame_dict = None
         if did_code:
-            raise ValueError("zstd: frames with a dictionary ID are not supported")
+            did_len = (0, 1, 2, 4)[did_code]
+            if pos + did_len > n:
+                raise ValueError("zstd: truncated dictionary ID")
+            did = int.from_bytes(data[pos : pos + did_len], "little")
+            pos += did_len
+            if dictionary is None:
+                raise ValueError(
+                    f"zstd: frame requires dictionary {did} (pass dictionary=)"
+                )
+            if dictionary.dict_id != did:
+                raise ValueError(
+                    f"zstd: dictionary ID mismatch (frame {did}, "
+                    f"dictionary {dictionary.dict_id})"
+                )
+            frame_dict = dictionary
         fcs = None
         fcs_len = (0, 2, 4, 8)[fcs_code] if not (fcs_code == 0 and single_segment) else 1
         if pos + fcs_len > n:
@@ -782,8 +858,23 @@ def zstd_decompress(data: bytes, max_size: int = 1 << 26) -> bytes:
         else:
             fcs = int.from_bytes(data[pos : pos + 8], "little")
             pos += 8
-        frame_start = len(out)
-        state = {"huf": None, "ll": None, "of": None, "ml": None, "rep": [1, 4, 8]}
+        # Dictionary frames decode into their own buffer seeded with
+        # the dict content (the window's virtual past — matches may
+        # copy from it, output excludes it); plain frames keep the
+        # shared buffer.
+        if frame_dict is not None:
+            fbuf = bytearray(frame_dict.content)
+            state = {
+                "huf": frame_dict.huf,
+                "ll": _FseDecoder(frame_dict.ll_norm, frame_dict.ll_acc),
+                "of": _FseDecoder(frame_dict.of_norm, frame_dict.of_acc),
+                "ml": _FseDecoder(frame_dict.ml_norm, frame_dict.ml_acc),
+                "rep": list(frame_dict.rep),
+            }
+        else:
+            fbuf = out
+            state = {"huf": None, "ll": None, "of": None, "ml": None, "rep": [1, 4, 8]}
+        frame_start = len(fbuf)
         while True:
             if pos + 3 > n:
                 raise ValueError("zstd: truncated block header")
@@ -802,7 +893,7 @@ def zstd_decompress(data: bytes, max_size: int = 1 << 26) -> bytes:
             if btype == 1:  # RLE
                 if pos >= n:
                     raise ValueError("zstd: truncated RLE block")
-                out += bytes([data[pos]]) * bsize
+                fbuf += bytes([data[pos]]) * bsize
                 pos += 1
             else:
                 block = data[pos : pos + bsize]
@@ -810,25 +901,27 @@ def zstd_decompress(data: bytes, max_size: int = 1 << 26) -> bytes:
                     raise ValueError("zstd: truncated block")
                 pos += bsize
                 if btype == 0:
-                    out += block
+                    fbuf += block
                 else:
                     try:
-                        _decode_block(block, out, state)
+                        _decode_block(block, fbuf, state)
                     except IndexError as exc:  # malformed block structure
                         raise ValueError("zstd: truncated block structure") from exc
-            if len(out) - frame_start > max_size:
+            if len(fbuf) - frame_start > max_size:
                 raise ValueError("zstd: output exceeds max_size")
             if last:
                 break
-        if fcs is not None and len(out) - frame_start != fcs:
+        if fcs is not None and len(fbuf) - frame_start != fcs:
             raise ValueError("zstd: frame content size mismatch")
         if checksum:
             if pos + 4 > n:
                 raise ValueError("zstd: truncated content checksum")
             want = int.from_bytes(data[pos : pos + 4], "little")
             pos += 4
-            if xxh64(bytes(out[frame_start:])) & 0xFFFFFFFF != want:
+            if xxh64(bytes(fbuf[frame_start:])) & 0xFFFFFFFF != want:
                 raise ValueError("zstd: content checksum mismatch")
+        if frame_dict is not None:
+            out += fbuf[frame_start:]
     return bytes(out)
 
 
@@ -969,31 +1062,40 @@ def _ml_code(v: int) -> int:
     return bisect.bisect_right(ML_BASE, v) - 1
 
 
-def _find_sequences(data: bytes):
+def _find_sequences(data: bytes, prefix: bytes = b""):
     """Greedy LZ77 over one block: hash-table match finder (4-byte
     keys, min match 3 via 4), returns (sequences, tail_literals) where
-    each sequence is (lit_len, offset, match_len) over ``data``."""
-    n = len(data)
+    each sequence is (lit_len, offset, match_len) over ``data``.
+    ``prefix`` (round 12, dictionary compression) is searchable
+    virtual past: matches may START in it (offsets reach beyond the
+    block's own output, into the dictionary content the decoder seeds
+    its window with) and extend forward across the boundary, but only
+    ``data`` positions emit sequences."""
+    comb = prefix + data if prefix else data
+    base = len(prefix)
+    n = len(comb)
     table: dict[bytes, int] = {}
+    for p in range(max(0, n - len(data) - 3)):  # seed prefix positions
+        table[comb[p : p + 4]] = p
     seqs = []
-    anchor = 0
-    i = 0
+    anchor = base
+    i = base
     while i + 4 <= n:
-        key = data[i : i + 4]
+        key = comb[i : i + 4]
         cand = table.get(key)
         table[key] = i
-        if cand is not None and data[cand : cand + 4] == key:
+        if cand is not None and comb[cand : cand + 4] == key:
             mlen = 4
-            while i + mlen < n and data[cand + mlen] == data[i + mlen]:
+            while i + mlen < n and comb[cand + mlen] == comb[i + mlen]:
                 mlen += 1
             seqs.append((i - anchor, i - cand, mlen))
             for j in range(i + 1, min(i + mlen, n - 3)):
-                table[data[j : j + 4]] = j
+                table[comb[j : j + 4]] = j
             i += mlen
             anchor = i
         else:
             i += 1
-    return seqs, data[anchor:]
+    return seqs, comb[anchor:]
 
 
 def _encode_sequences(seqs, lits_tail_unused=None) -> bytes:
@@ -1047,9 +1149,9 @@ def _encode_sequences(seqs, lits_tail_unused=None) -> bytes:
     return hdr + b"\x00" + bw.close()
 
 
-def _compress_block(chunk: bytes) -> bytes | None:
+def _compress_block(chunk: bytes, prefix: bytes = b"") -> bytes | None:
     """One Compressed_Block body, or None when it would not shrink."""
-    seqs, tail = _find_sequences(chunk)
+    seqs, tail = _find_sequences(chunk, prefix)
     if not seqs:
         lits = chunk
         body_seq = b"\x00"  # nbSeq = 0
@@ -1067,34 +1169,77 @@ def _compress_block(chunk: bytes) -> bytes | None:
     return body if len(body) < len(chunk) else None
 
 
-def zstd_compress(data: bytes, *, block_size: int = 1 << 17, checksum: bool = True) -> bytes:
+def _window_descriptor(need: int) -> int:
+    """Smallest RFC 8878 §3.1.1.1.2 Window_Descriptor byte whose
+    window size covers ``need`` bytes: upper 5 bits exponent
+    (windowLog = 10 + exp), lower 3 bits mantissa (size = base +
+    base/8 * mantissa)."""
+    for exp in range(0, 32):
+        base = 1 << (10 + exp)
+        for man in range(8):
+            if base + (base // 8) * man >= need:
+                return (exp << 3) | man
+    raise ValueError("zstd: window size out of range")
+
+
+def zstd_compress(
+    data: bytes,
+    *,
+    block_size: int = 1 << 17,
+    checksum: bool = True,
+    dictionary: ZstdDictionary | None = None,
+) -> bytes:
     """Single-frame zstd writer: single-segment header with exact
     frame-content size, 128 KB blocks (Compressed with predefined-FSE
     sequences + Huffman/raw literals; Raw or RLE when entropy does not
     pay), optional xxh64-low32 content checksum.  Output decodes with
     both this module's decoder and the reference zstd CLI (pinned in
-    tests)."""
+    tests).
+
+    With ``dictionary`` (round 12): the frame carries the 4-byte
+    Dictionary_ID and a Window_Descriptor sized to cover dictionary
+    content + payload (matches reach into the dictionary's virtual
+    past, so the window must span both — single-segment windows equal
+    FCS and could not), and the FIRST block's match finder searches
+    the dictionary content as prefix.  The encoder never emits
+    Repeat/Treeless modes, so the dictionary's entropy tables impose
+    nothing on the write path — exactly the liberty the RFC grants."""
     if block_size > _BLOCK_MAX:
         raise ValueError("zstd: block_size above format maximum")
     n = len(data)
-    # FHD: single-segment + checksum + FCS code by size
-    if n <= 255:
-        fhd = 0x20 | (0 << 6)
-        fcs = bytes([n])
-    elif n <= 65535 + 256:
-        fhd = 0x20 | (1 << 6)
-        fcs = (n - 256).to_bytes(2, "little")
-    elif n < 1 << 32:
-        fhd = 0x20 | (2 << 6)
-        fcs = n.to_bytes(4, "little")
-    else:
-        fhd = 0x20 | (3 << 6)
-        fcs = n.to_bytes(8, "little")
-    if checksum:
-        fhd |= 0x04
     out = bytearray(ZSTD_MAGIC)
-    out.append(fhd)
-    out += fcs
+    if dictionary is None:
+        # FHD: single-segment + checksum + FCS code by size
+        if n <= 255:
+            fhd = 0x20 | (0 << 6)
+            fcs = bytes([n])
+        elif n <= 65535 + 256:
+            fhd = 0x20 | (1 << 6)
+            fcs = (n - 256).to_bytes(2, "little")
+        elif n < 1 << 32:
+            fhd = 0x20 | (2 << 6)
+            fcs = n.to_bytes(4, "little")
+        else:
+            fhd = 0x20 | (3 << 6)
+            fcs = n.to_bytes(8, "little")
+        if checksum:
+            fhd |= 0x04
+        out.append(fhd)
+        out += fcs
+    else:
+        if 256 <= n <= 65535 + 256:
+            fcs_code, fcs = 1, (n - 256).to_bytes(2, "little")
+        elif n < 1 << 32:
+            fcs_code, fcs = 2, n.to_bytes(4, "little")
+        else:
+            fcs_code, fcs = 3, n.to_bytes(8, "little")
+        fhd = (fcs_code << 6) | 3  # did_code 3: 4-byte dictionary ID
+        if checksum:
+            fhd |= 0x04
+        out.append(fhd)
+        out.append(_window_descriptor(len(dictionary.content) + n))
+        out += dictionary.dict_id.to_bytes(4, "little")
+        out += fcs
     nblocks = max(1, -(-n // block_size))
     for bi in range(nblocks):
         chunk = data[bi * block_size : (bi + 1) * block_size]
@@ -1103,7 +1248,8 @@ def zstd_compress(data: bytes, *, block_size: int = 1 << 17, checksum: bool = Tr
             out += ((len(chunk) << 3) | (1 << 1) | last).to_bytes(3, "little")
             out.append(chunk[0])
             continue
-        body = _compress_block(chunk) if len(chunk) >= 16 else None
+        prefix = dictionary.content if (dictionary is not None and bi == 0) else b""
+        body = _compress_block(chunk, prefix) if len(chunk) >= 16 else None
         if body is None:
             out += ((len(chunk) << 3) | (0 << 1) | last).to_bytes(3, "little")
             out += chunk
@@ -1116,6 +1262,98 @@ def zstd_compress(data: bytes, *, block_size: int = 1 << 17, checksum: bool = Tr
 
 
 # ------------------------------------------------------------ Spark surface
+
+# Shared-dictionary corpus template (round 12): every q_zstd_dict
+# shard is this fixed preamble + a short unique tail, the layout
+# shared-dict corpora use (tiny records, common boilerplate — the
+# exact case RFC 8878 dictionaries exist for).  The committed
+# dictionary (data/zstd_shared.dict, trained by `zstd --train` over
+# this distribution; recipe in scripts/gen_zstd_fixtures.py) carries
+# the template in its content, so compressed shards genuinely
+# reference the dictionary window — decoding with the wrong dict
+# fails the frame checksum, with no dict fails the DID gate.
+ZSTD_DICT_TEMPLATE = (
+    "shared corpus preamble: the quick brown fox jumps over the lazy dog; "
+    "pack my box with five dozen liquor jugs; how vexingly quick daft "
+    "zebras jump; sphinx of black quartz judge my vow; jackdaws love my "
+    "big sphinx of quartz; the five boxing wizards jump quickly -- "
+)
+
+_SHARED_DICT_CACHE: list = []
+
+
+def shared_dictionary() -> "ZstdDictionary":
+    """The committed trained dictionary, parsed once per process.
+    Local mode reads it off the shared filesystem; on a real cluster
+    the file ships with the package (it lives in package data), so
+    executors resolve the same relative path."""
+    if not _SHARED_DICT_CACHE:
+        import os
+
+        path = os.path.join(os.path.dirname(__file__), "data", "zstd_shared.dict")
+        with open(path, "rb") as fh:
+            _SHARED_DICT_CACHE.append(zstd_parse_dictionary(fh.read()))
+    return _SHARED_DICT_CACHE[0]
+
+
+def plant_zstd_dict_shards(documents, *, id_col: str = "doc_id"):
+    """Planted shared-dictionary .zst shards: file ``id`` is the
+    dictionary-frame compression (4-byte DID + window descriptor
+    spanning dict content + payload; first-block matches reach into
+    the dictionary) of ``ZSTD_DICT_TEMPLATE + 'doc {id} tail
+    {(id*id) % 9973}\\n'``.  The dictionary turns the ~260-byte
+    template into one match (~3 bytes of sequence), so the dict frame
+    is a fraction of the plain frame — the measured point of shared
+    dictionaries on boilerplate-heavy small records."""
+    import pandas as pd
+
+    from ..operators.multimodal import _spread
+    from .warc import WARC_FILE_SCHEMA
+
+    def build(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        d = shared_dictionary()
+        for pdf in batches:
+            ids, payloads = [], []
+            for i in pdf[id_col]:
+                i = int(i)
+                text = f"{ZSTD_DICT_TEMPLATE}doc {i} tail {(i * i) % 9973}\n".encode()
+                ids.append(i)
+                payloads.append(zstd_compress(text, dictionary=d))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "media_type": ["zstd-dict"] * len(ids),
+                    "media": payloads,
+                    "source": ["planted"] * len(ids),
+                }
+            )
+
+    return _spread(documents.select(id_col)).mapInPandas(build, schema=WARC_FILE_SCHEMA)
+
+
+def zstd_dict_corpus_stats(media):
+    """``zstd_corpus_stats`` for dictionary frames: each record's DID
+    is gated against the shared dictionary inside the decode, the
+    dictionary content seeds the match window, and the frame checksum
+    verifies the reconstruction end-to-end — the 'c' count then
+    value-checks the bytes against the closed-form oracle."""
+    import pandas as pd
+
+    from .warc import LZ4_STATS_SCHEMA
+
+    def process(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        d = shared_dictionary()
+        for pdf in batches:
+            rows = {k: [] for k in ("media_id", "n_bytes", "n_lines", "c_count")}
+            for mid, payload in zip(pdf["media_id"], pdf["media"]):
+                raw = zstd_decompress(bytes(payload), dictionary=d)
+                rows["media_id"].append(int(mid))
+                rows["n_bytes"].append(len(raw))
+                rows["n_lines"].append(raw.count(b"\n"))
+                rows["c_count"].append(raw.count(b"c"))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(process, schema=LZ4_STATS_SCHEMA)
 
 
 def plant_zstd_shards(documents, *, id_col: str = "doc_id"):

@@ -72,6 +72,46 @@ def main() -> None:
         f.write(f1 + f2)
     print(f"wrote concat_2frames.zst: {len(f1) + len(f2)}")
 
+    # Shared dictionary (round 12): train over the exact q_zstd_dict
+    # shard distribution (ZSTD_DICT_TEMPLATE + unique tail) and commit
+    # the result as PACKAGE data (the query's plant/decode stages and
+    # the interop tests read the same file).  Also commit two
+    # CLI-compressed-with-dict shards for the decode-direction test.
+    import tempfile
+
+    sys.path.insert(0, os.path.dirname(OUT.rsplit("/tests", 1)[0]) or "/root/repo")
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.sources.zstdcodec import (
+        ZSTD_DICT_TEMPLATE,
+    )
+
+    pkg_data = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark",
+        "sources", "data",
+    )
+    os.makedirs(pkg_data, exist_ok=True)
+    dict_path = os.path.join(pkg_data, "zstd_shared.dict")
+    with tempfile.TemporaryDirectory() as td:
+        for i in range(240):
+            text = f"{ZSTD_DICT_TEMPLATE}doc {i} tail {(i * i) % 9973}\n"
+            with open(os.path.join(td, f"s{i}.txt"), "w") as f:
+                f.write(text)
+        subprocess.run(
+            [cli, "--train", *[os.path.join(td, f"s{i}.txt") for i in range(240)],
+             "-o", dict_path, "--maxdict=4096", "-f"],
+            check=True, capture_output=True,
+        )
+        print(f"wrote {dict_path}: {os.path.getsize(dict_path)} bytes")
+        for i in (7, 42):
+            out_zst = os.path.join(OUT, f"dict_shard{i}.zst")
+            subprocess.run(
+                [cli, "-q", "-19", "-D", dict_path,
+                 os.path.join(td, f"s{i}.txt"), "-o", out_zst, "-f"],
+                check=True,
+            )
+            print(f"wrote dict_shard{i}.zst: {os.path.getsize(out_zst)}")
+
 
 if __name__ == "__main__":
     sys.exit(main())

@@ -170,6 +170,121 @@ def test_png_lowbit_guards():
         mm.png_decode(hdr + mm._png_chunk(b"tRNS", b"\x00\x00") + rest)
 
 
+# ----------------------------------------- zstd dictionary frames (r12)
+
+
+def _zc():
+    return importlib.import_module(f"{PKG}.sources.zstdcodec")
+
+
+def _dict_text(i):
+    Z = _zc()
+    return f"{Z.ZSTD_DICT_TEMPLATE}doc {i} tail {(i * i) % 9973}\n".encode()
+
+
+def test_zstd_dict_parse_and_fixture_decode():
+    """The committed trained dictionary parses (RFC 8878 §5 layout)
+    and the committed `zstd -19 -D` shards decode to the re-derived
+    plaintext through the DID gate + dict window."""
+    import pathlib
+
+    Z = _zc()
+    d = Z.shared_dictionary()
+    assert d.dict_id != 0
+    assert Z.ZSTD_DICT_TEMPLATE.encode() in d.content
+    assert all(0 < r <= len(d.content) for r in d.rep)
+    data_dir = pathlib.Path(__file__).parent / "data" / "zstd"
+    for i in (7, 42):
+        comp = (data_dir / f"dict_shard{i}.zst").read_bytes()
+        assert Z.zstd_decompress(comp, dictionary=d) == _dict_text(i)
+
+
+def test_zstd_dict_roundtrip_and_compression_win():
+    """Our dictionary frames round-trip and genuinely use the dict:
+    the template collapses into matches, so the dict frame is a small
+    fraction of the plain frame."""
+    Z = _zc()
+    d = Z.shared_dictionary()
+    for i in (0, 3, 99, 1234):
+        text = _dict_text(i)
+        enc = Z.zstd_compress(text, dictionary=d)
+        assert Z.zstd_decompress(enc, dictionary=d) == text
+        assert len(enc) < 0.3 * len(Z.zstd_compress(text))
+
+
+def test_zstd_dict_cli_decodes_our_frames():
+    """Live interop, encode direction: the reference CLI accepts our
+    dictionary frames (DID + window descriptor + dict-prefix
+    matches)."""
+    import shutil
+    import subprocess
+
+    cli = shutil.which("zstd")
+    if cli is None:
+        pytest.skip("zstd CLI not available")
+    Z = _zc()
+    d = Z.shared_dictionary()
+    import os
+    dict_path = os.path.join(
+        os.path.dirname(Z.__file__), "data", "zstd_shared.dict"
+    )
+    text = _dict_text(77)
+    enc = Z.zstd_compress(text, dictionary=d)
+    got = subprocess.run(
+        [cli, "-d", "-q", "-D", dict_path, "-c"], input=enc, capture_output=True
+    )
+    assert got.returncode == 0, got.stderr
+    assert got.stdout == text
+
+
+def test_zstd_dict_guards():
+    """DID gate: a dict frame without a dictionary raises; a mismatched
+    dictionary ID raises; out-of-range dictionary recent offsets
+    raise at parse time."""
+    Z = _zc()
+    d = Z.shared_dictionary()
+    enc = Z.zstd_compress(_dict_text(5), dictionary=d)
+    with pytest.raises(ValueError, match="requires dictionary"):
+        Z.zstd_decompress(enc)
+    import copy
+    d2 = copy.copy(d)
+    d2.dict_id = d.dict_id + 1
+    with pytest.raises(ValueError, match="ID mismatch"):
+        Z.zstd_decompress(enc, dictionary=d2)
+    # rep offset beyond content size -> parse-time rejection: the 12
+    # recent-offset bytes sit immediately before the content
+    import os
+    raw = bytearray(
+        open(os.path.join(os.path.dirname(Z.__file__), "data",
+                          "zstd_shared.dict"), "rb").read()
+    )
+    rep_at = raw.rindex(d.content) - 12
+    raw[rep_at : rep_at + 4] = (len(d.content) + 1).to_bytes(4, "little")
+    with pytest.raises(ValueError, match="recent offset"):
+        Z.zstd_parse_dictionary(bytes(raw))
+    # bad magic
+    with pytest.raises(ValueError, match="dictionary magic"):
+        Z.zstd_parse_dictionary(b"\x00" * 32)
+
+
+def test_zstd_dict_frame_corruption_never_silent():
+    """Flipping any byte of a dictionary frame must raise or change
+    the output — the checksum + structural validation leave no silent
+    path back to the original text."""
+    Z = _zc()
+    d = Z.shared_dictionary()
+    text = _dict_text(11)
+    enc = bytearray(Z.zstd_compress(text, dictionary=d))
+    for pos in range(4, len(enc), max(1, len(enc) // 17)):
+        bad = bytearray(enc)
+        bad[pos] ^= 0x41
+        try:
+            got = Z.zstd_decompress(bytes(bad), dictionary=d)
+        except (ValueError, IndexError):
+            continue
+        assert got != text, f"silent corruption at byte {pos}"
+
+
 def test_bench_rounds_schema_always_op_keyed():
     """bench.py records LOOP_STATS in the op-keyed nested form even for
     a single instrumented loop (r11 ADVICE, bench.py:89)."""
