@@ -2786,6 +2786,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         media = plant_g711_audio(load_table(spark, sf_dir, "documents"))
         return g711_audio_features(media)
 
+    def q_ogg_flac(spark, sf_dir):
+        # Ogg-ENCAPSULATED FLAC (round 12, RFC 9639 §10.2): real
+        # corpora ship .oga/.ogg FLAC.  The decode walks the Ogg page
+        # layer (capture pattern, CRC-32/OGG page checksums, segment-
+        # lacing packet reassembly — fixtures alternate 1 and 2 frames
+        # per page), strips the 0x7F"FLAC" mapping header, and runs
+        # the native FLAC decoder (STREAMINFO MD5 still end-to-end).
+        # Same arithmetic signal as q_flac_audio: encapsulation is a
+        # wire detail the decode must erase, so the oracle is
+        # q_flac_audio's verbatim.  Pages are self-delimiting and
+        # CRC-checked — the page is the .oga split grain at 100 TB.
+        from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.multimodal import (
+            ogg_flac_audio_features,
+            plant_ogg_flac,
+        )
+
+        return _shared_result(
+            spark, sf_dir, "media_oggflac",
+            lambda: ogg_flac_audio_features(
+                plant_ogg_flac(load_table(spark, sf_dir, "documents"))
+            ),
+        )
+
     def q_flac_audio(spark, sf_dir):
         # REAL lossless compressed audio (round 9): FLAC with fixed
         # predictors — rice-coded residuals, CRC-8 headers, CRC-16
@@ -5123,6 +5146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_g711_audio": q_g711_audio,
         "q_adpcm_audio": q_adpcm_audio,
         "q_flac_audio": q_flac_audio,
+        "q_ogg_flac": q_ogg_flac,  # new round 12
         "q_flac_stereo": q_flac_stereo,
         "q_flac_24bit": q_flac_24bit,
         "q_kmeans": q_kmeans,
@@ -9184,6 +9208,11 @@ def oracle_sql() -> dict[str, str]:
     # wire formats are directly comparable), so the oracle is
     # identical — the value check is on the INFLATED text either way.
     oracles["q_zstd_corpus"] = oracles["q_lz4_corpus"]
+
+    # Ogg-FLAC: same planted signal as q_flac_audio — the Ogg page
+    # layer is an encoding detail the decode must erase, so the
+    # oracle is q_flac_audio's verbatim (the q_png_adam7 pattern).
+    oracles["q_ogg_flac"] = oracles["q_flac_audio"]
 
     # Dictionary shards: TEMPLATE + 'doc {id} tail {(id*id)%9973}\n'
     # — template length / 'c' count are Python-computed constants

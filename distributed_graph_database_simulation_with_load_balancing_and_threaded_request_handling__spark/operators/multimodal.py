@@ -3294,6 +3294,7 @@ def flac_encode(
     block_size: int = 4096,
     stereo_modes: tuple = _FLAC_STEREO_MODES,
     bits: int = 16,
+    _parts: list | None = None,
 ) -> bytes:
     """REAL FLAC encoder (RFC 9639): 8/16/24-bit (round 11 added the
     non-16 depths — 24-bit is the studio-master norm; residuals past
@@ -3311,7 +3312,12 @@ def flac_encode(
     per the spec.  Residuals are rice-coded (partition order 0,
     escape-free parameter), frames carry spec CRC-8/CRC-16, and
     STREAMINFO is stamped with the MD5 of the raw interleaved PCM so
-    any decoder can verify the decode end-to-end."""
+    any decoder can verify the decode end-to-end.
+
+    ``_parts`` (internal, round 12): when a list is passed, the
+    encoder additionally appends ``(streaminfo_block, frames,
+    frame_samples)`` so container encapsulations (Ogg, RFC 9639 §10.2)
+    can packetize on the native frame boundaries."""
     import hashlib
     import struct
 
@@ -3341,9 +3347,11 @@ def flac_encode(
     info.put(bits - 1, 5)  # bits per sample - 1
     info.put(n_total, 36)
     streaminfo = info.bytes() + md5
-    out = bytearray(b"fLaC")
-    out.append(0x80)  # last metadata block, type 0 = STREAMINFO
-    out += len(streaminfo).to_bytes(3, "big") + streaminfo
+    streaminfo_block = (
+        bytes([0x80]) + len(streaminfo).to_bytes(3, "big") + streaminfo
+    )  # last metadata block, type 0 = STREAMINFO
+    frames: list[bytes] = []
+    frame_samples: list[int] = []
 
     for fi, off in enumerate(range(0, max(n_total, 1), block_size)):
         blk = x[off : off + block_size]
@@ -3388,8 +3396,11 @@ def flac_encode(
             _flac_write_subframe(sub, sblk, sub_bits, try_lpc=(fi % 2 == 1))
         sub.align()
         frame = bytes(header) + sub.bytes()
-        out += frame + struct.pack(">H", _crc16(frame))
-    return bytes(out)
+        frames.append(frame + struct.pack(">H", _crc16(frame)))
+        frame_samples.append(int(blk.shape[0]))
+    if _parts is not None:
+        _parts.extend((streaminfo_block, frames, frame_samples))
+    return b"fLaC" + streaminfo_block + b"".join(frames)
 
 
 def _flac_read_subframe(br: "_MSBReader", bsize: int, bits: int) -> list:
@@ -3830,6 +3841,243 @@ def flac_audio_features(media: DataFrame) -> DataFrame:
             }
             for mid, payload in zip(pdf["media_id"], pdf["media"]):
                 s, rate = flac_decode(bytes(payload))
+                s = s.astype(np.int64)
+                a = np.abs(s)
+                rows["media_id"].append(int(mid))
+                rows["sample_rate"].append(int(rate))
+                rows["n_samples"].append(int(s.size))
+                rows["peak"].append(int(a.max(initial=0)))
+                rows["sum_abs"].append(int(a.sum(dtype=np.int64)))
+                rows["sum_sq"].append(int((s * s).sum(dtype=np.int64)))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(process, schema=FLAC_FEATURES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Ogg-encapsulated FLAC (round 12, RFC 9639 §10.2): real corpora ship
+# `.oga`/`.ogg` FLAC, so the engine walks the Ogg page layer — capture
+# pattern, CRC-32/OGG page checksums, segment-lacing packet
+# reassembly (incl. continued packets), BOS/EOS flags — strips the
+# FLAC-in-Ogg mapping header (0x7F "FLAC" + version + header-packet
+# count), and feeds the reassembled native stream to flac_decode.
+# Scale story: an Ogg PAGE is self-delimiting and CRC-checked, so
+# giant .oga files split at page granularity (the zstd-frame / WARC
+# gzip-member story for audio).
+# ---------------------------------------------------------------------------
+
+_OGG_CRC_TABLE: list = []
+
+
+def _ogg_crc(data: bytes) -> int:
+    """CRC-32/OGG (poly 0x04C11DB7, init 0, no reflection, xorout 0)
+    — NOT the zlib CRC; Ogg feeds bytes MSB-first."""
+    if not _OGG_CRC_TABLE:
+        for b in range(256):
+            r = b << 24
+            for _ in range(8):
+                r = ((r << 1) ^ 0x04C11DB7) if (r & 0x80000000) else (r << 1)
+            _OGG_CRC_TABLE.append(r & 0xFFFFFFFF)
+    crc = 0
+    for byte in data:
+        crc = ((crc << 8) & 0xFFFFFFFF) ^ _OGG_CRC_TABLE[((crc >> 24) & 0xFF) ^ byte]
+    return crc
+
+
+def _ogg_page(
+    packets: list, *, serial: int, seqno: int, granule: int, htype: int
+) -> bytes:
+    """One Ogg page holding whole ``packets`` (lacing 255-runs inside
+    the page; cross-page continuation is a decode-side concern — the
+    fixture encoder keeps packets within one page)."""
+    import struct
+
+    lac: list = []
+    for p in packets:
+        full, rem = divmod(len(p), 255)
+        lac += [255] * full + [rem]
+    if len(lac) > 255:
+        raise ValueError("ogg: packet set exceeds one page's segment table")
+    hdr = (
+        b"OggS\x00"
+        + bytes([htype])
+        + struct.pack("<q", granule)
+        + struct.pack("<I", serial)
+        + struct.pack("<I", seqno)
+        + b"\x00\x00\x00\x00"  # CRC placeholder
+        + bytes([len(lac)])
+        + bytes(lac)
+    )
+    page = bytearray(hdr + b"".join(packets))
+    page[22:26] = struct.pack("<I", _ogg_crc(bytes(page)))
+    return bytes(page)
+
+
+def ogg_packets(data: bytes) -> list:
+    """Walk an Ogg stream: verify every page's capture pattern,
+    version, and CRC; reassemble packets from the segment lacing
+    (a 255 lacing value continues the packet, < 255 ends it;
+    continuation across pages requires the next page's continued-
+    packet flag).  Returns the packet list."""
+    pos = 0
+    n = len(data)
+    packets: list = []
+    partial = bytearray()
+    while pos < n:
+        if data[pos : pos + 4] != b"OggS":
+            raise ValueError("ogg: lost page capture pattern")
+        if data[pos + 4] != 0:
+            raise ValueError("ogg: unsupported stream structure version")
+        htype = data[pos + 5]
+        nseg = data[pos + 26]
+        lac = data[pos + 27 : pos + 27 + nseg]
+        if len(lac) != nseg:
+            raise ValueError("ogg: truncated segment table")
+        body_at = pos + 27 + nseg
+        body = data[body_at : body_at + sum(lac)]
+        if len(body) != sum(lac):
+            raise ValueError("ogg: truncated page body")
+        page = bytearray(data[pos : body_at + len(body)])
+        want = int.from_bytes(page[22:26], "little")
+        page[22:26] = b"\x00\x00\x00\x00"
+        if _ogg_crc(bytes(page)) != want:
+            raise ValueError("ogg: page CRC mismatch")
+        if bool(htype & 1) != bool(partial):
+            raise ValueError("ogg: continued-packet flag contradicts lacing state")
+        off = 0
+        for v in lac:
+            partial += body[off : off + v]
+            off += v
+            if v < 255:
+                packets.append(bytes(partial))
+                partial = bytearray()
+        pos = body_at + len(body)
+    if partial:
+        raise ValueError("ogg: stream ends mid-packet")
+    return packets
+
+
+def ogg_flac_encode(
+    samples,
+    sample_rate: int,
+    *,
+    serial: int = 0x464C4143,
+    frames_per_page: int = 1,
+    **kw,
+) -> bytes:
+    """FLAC-in-Ogg writer (RFC 9639 §10.2): first page carries ONLY
+    the mapping packet (0x7F "FLAC", version 1.0, big-endian count of
+    extra header packets = 0, then the native fLaC signature +
+    STREAMINFO block) with the BOS flag; audio packets are one native
+    FLAC frame each, ``frames_per_page`` per page, granule position =
+    interleaved samples completed at page end; the final page sets
+    EOS."""
+    parts: list = []
+    flac_encode(samples, sample_rate, _parts=parts, **kw)
+    streaminfo_block, frames, frame_samples = parts
+    pkt0 = b"\x7fFLAC" + bytes([1, 0]) + (0).to_bytes(2, "big") + b"fLaC" + streaminfo_block
+    out = bytearray(_ogg_page([pkt0], serial=serial, seqno=0, granule=0, htype=0x02))
+    seqno = 1
+    done = 0
+    for at in range(0, len(frames), frames_per_page):
+        group = frames[at : at + frames_per_page]
+        done += sum(frame_samples[at : at + frames_per_page])
+        last = at + frames_per_page >= len(frames)
+        out += _ogg_page(
+            group,
+            serial=serial,
+            seqno=seqno,
+            granule=done,
+            htype=0x04 if last else 0x00,
+        )
+        seqno += 1
+    return bytes(out)
+
+
+def ogg_flac_decode(data: bytes):
+    """Decode FLAC-in-Ogg: page walk + packet reassembly
+    (``ogg_packets``), mapping-header validation, then the native
+    decoder over the reassembled stream (STREAMINFO MD5 still verifies
+    the PCM end-to-end).  Returns ``(samples, sample_rate)`` like
+    ``flac_decode``."""
+    packets = ogg_packets(data)
+    if not packets or packets[0][:5] != b"\x7fFLAC":
+        raise ValueError("ogg: first packet is not the FLAC mapping header")
+    first = packets[0]
+    if first[5] != 1:
+        raise ValueError("ogg: unsupported FLAC mapping major version")
+    n_headers = int.from_bytes(first[7:9], "big")
+    native = bytearray(first[9:])
+    if native[:4] != b"fLaC":
+        raise ValueError("ogg: mapping packet lacks the fLaC signature")
+    # Extra header packets (metadata blocks) are skipped; when the
+    # count is 0 ("unknown"), audio starts at the first packet whose
+    # leading byte is the frame-sync 0xFF (metadata block types are
+    # 0..126, never 0xFF).
+    body = packets[1:]
+    if n_headers:
+        body = body[n_headers:]
+    else:
+        while body and body[0][:1] != b"\xff":
+            body = body[1:]
+    native[4] |= 0x80  # dropped extra metadata -> STREAMINFO is last
+    return flac_decode(bytes(native) + b"".join(body))
+
+
+def plant_ogg_flac(documents: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """Planted .oga fixtures: the q_flac_audio arithmetic signal, Ogg-
+    encapsulated — ``n = 100 + (37*id) % 900`` samples, sample k =
+    ``((37k + 11*id) % 4001) - 2000``, rate ``8000 + (id % 5) * 4000``,
+    block_size 256 (multi-frame, multi-page), ``1 + id % 2`` frames
+    per page so the corpus exercises both single- and multi-packet
+    lacing.  Encapsulation is a wire detail the decode must erase:
+    the oracle is q_flac_audio's closed form verbatim."""
+    import numpy as np
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for i in pdf[id_col]:
+                i = int(i)
+                n = 100 + (37 * i) % 900
+                k = np.arange(n, dtype=np.int64)
+                x = ((37 * k + 11 * i) % 4001) - 2000
+                ids.append(i)
+                payloads.append(
+                    ogg_flac_encode(
+                        x,
+                        8000 + (i % 5) * 4000,
+                        block_size=256,
+                        frames_per_page=1 + i % 2,
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "media_type": ["audio"] * len(ids),
+                    "media": payloads,
+                    "source": ["planted"] * len(ids),
+                }
+            )
+
+    return _spread(documents.select(id_col)).mapInPandas(build, schema=MEDIA_SCHEMA)
+
+
+def ogg_flac_audio_features(media: DataFrame) -> DataFrame:
+    """``flac_audio_features`` for .oga shards: the Ogg page walk
+    (CRC-verified), packet reassembly, and mapping strip happen inside
+    the same Arrow stage; features are the identical exact-integer
+    reductions."""
+    import numpy as np
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                k: []
+                for k in ("media_id", "sample_rate", "n_samples", "peak", "sum_abs", "sum_sq")
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["media"]):
+                s, rate = ogg_flac_decode(bytes(payload))
                 s = s.astype(np.int64)
                 a = np.abs(s)
                 rows["media_id"].append(int(mid))

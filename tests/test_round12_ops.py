@@ -285,6 +285,88 @@ def test_zstd_dict_frame_corruption_never_silent():
         assert got != text, f"silent corruption at byte {pos}"
 
 
+# ------------------------------------------- Ogg-encapsulated FLAC (r12)
+
+
+def _ogg_signal(i):
+    n = 100 + (37 * i) % 900
+    k = np.arange(n, dtype=np.int64)
+    return ((37 * k + 11 * i) % 4001) - 2000, 8000 + (i % 5) * 4000
+
+
+@pytest.mark.parametrize("i", [0, 1, 4, 9])
+def test_ogg_flac_roundtrip(i):
+    """Ogg encapsulation must be transparent: page walk + lacing
+    reassembly + mapping strip reproduce the native decode exactly,
+    for both 1- and 2-frame pages."""
+    mm = _mm()
+    x, rate = _ogg_signal(i)
+    enc = mm.ogg_flac_encode(x, rate, block_size=256, frames_per_page=1 + i % 2)
+    s, r = mm.ogg_flac_decode(enc)
+    assert r == rate
+    assert np.array_equal(s.astype(np.int64), x)
+
+
+def test_ogg_flac_structure():
+    """BOS on the first page only; EOS on the last; the mapping packet
+    is alone on page 0 and carries version 1.0 + the native fLaC
+    signature; granules are cumulative interleaved sample counts."""
+    mm = _mm()
+    x, rate = _ogg_signal(3)
+    enc = mm.ogg_flac_encode(x, rate, block_size=256)
+    pages = []
+    pos = 0
+    while pos < len(enc):
+        assert enc[pos : pos + 4] == b"OggS"
+        nseg = enc[pos + 26]
+        lac = enc[pos + 27 : pos + 27 + nseg]
+        end = pos + 27 + nseg + sum(lac)
+        pages.append(enc[pos:end])
+        pos = end
+    assert pages[0][5] == 0x02 and all(p[5] != 0x02 for p in pages[1:])
+    assert pages[-1][5] == 0x04
+    packets = mm.ogg_packets(enc)
+    assert packets[0][:9] == b"\x7fFLAC\x01\x00\x00\x00"
+    assert packets[0][9:13] == b"fLaC"
+    last_granule = int.from_bytes(pages[-1][6:14], "little")
+    assert last_granule == len(x)
+
+
+def test_ogg_flac_page_crc_and_lacing_guards():
+    """A flipped body byte fails the page CRC; a continued-packet flag
+    contradiction fails; truncation mid-packet fails."""
+    mm = _mm()
+    x, rate = _ogg_signal(5)
+    enc = bytearray(mm.ogg_flac_encode(x, rate, block_size=256))
+    bad = bytearray(enc)
+    bad[-1] ^= 0x10
+    with pytest.raises(ValueError, match="CRC"):
+        mm.ogg_packets(bytes(bad))
+    with pytest.raises(ValueError, match="capture pattern"):
+        mm.ogg_packets(b"NotO" + bytes(enc[4:]))
+    # a packet split by a 255 lacing run with no terminator -> mid-packet
+    pkt = bytes(range(255))
+    page = mm._ogg_page([pkt], serial=1, seqno=0, granule=0, htype=0x02)
+    # _ogg_page terminates a 255-multiple packet with a 0 lacing value;
+    # strip that terminator to simulate truncation
+    assert page[26] == 2 and page[28] == 0
+    broken = bytearray(page[:28] + page[29:])
+    broken[26] = 1
+    import struct
+    broken[22:26] = b"\x00\x00\x00\x00"
+    broken[22:26] = struct.pack("<I", mm._ogg_crc(bytes(broken)))
+    with pytest.raises(ValueError, match="mid-packet"):
+        mm.ogg_packets(bytes(broken))
+
+
+def test_ogg_crc_known_vector():
+    """CRC-32/OGG check value: '123456789' -> 0x89A1897F (the
+    published CRC-32/OGG aka CRC-32/POSIX-like with init 0 /
+    xorout 0)."""
+    mm = _mm()
+    assert mm._ogg_crc(b"123456789") == 0x89A1897F
+
+
 def test_bench_rounds_schema_always_op_keyed():
     """bench.py records LOOP_STATS in the op-keyed nested form even for
     a single instrumented loop (r11 ADVICE, bench.py:89)."""
