@@ -2691,6 +2691,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             plant_zstd_dict_shards(load_table(spark, sf_dir, "documents"))
         )
 
+    def q_webp_lossy(spark, sf_dir):
+        # LOSSY WebP — VP8 keyframes (round 12, RFC 6386): the
+        # majority shape of real-world .webp, previously rejected at
+        # the container guard.  Fixtures are per-MB constant targets
+        # riding Y2/chroma DC coefficients at an exactly-dequantizable
+        # quantizer, encoded by the module's own boolean-coder writer
+        # (libwebp accepts the streams live; cwebp output decodes
+        # bit-exact vs WebPDecodeYUV — tests/test_round12_ops.py).
+        # The decode runs the full keyframe path: header/segmentation
+        # parse, kf mode trees, token decode, dequant, IWHT/IDCT,
+        # intra prediction, loop filter.  Plane sums + an MB-position-
+        # weighted luma sum replay closed-form.
+        from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.vp8 import (
+            plant_lossy_webps,
+            webp_lossy_stats,
+        )
+
+        return _shared_result(
+            spark, sf_dir, "media_webplossy",
+            lambda: webp_lossy_stats(
+                plant_lossy_webps(load_table(spark, sf_dir, "documents"))
+            ),
+        )
+
     def q_webp_decode(spark, sf_dir):
         # REAL WebP-lossless decode (round 10, VP8L from the public
         # spec): canonical prefix codes, LZ77 through the plane-code
@@ -5188,6 +5212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_zstd_corpus": q_zstd_corpus,  # new round 10
         "q_zstd_dict": q_zstd_dict,  # new round 12
         "q_webp_decode": q_webp_decode,  # new round 10
+        "q_webp_lossy": q_webp_lossy,  # new round 12
         "q_assignment_replay": q_assignment_replay,  # new round 10
         "q_clustering_coeff": q_clustering_coeff,
         "q_link_pred": q_link_pred,
@@ -9208,6 +9233,35 @@ def oracle_sql() -> dict[str, str]:
     # wire formats are directly comparable), so the oracle is
     # identical — the value check is on the INFLATED text either way.
     oracles["q_zstd_corpus"] = oracles["q_lz4_corpus"]
+
+    # Lossy WebP: per-MB constant targets (exact DC subspace) — plane
+    # sums over the 16x16 luma / 8x8 chroma macroblocks plus the
+    # MB-position-weighted luma sum.
+    oracles["q_webp_lossy"] = """
+    WITH docs AS (
+      SELECT CAST(doc_id AS BIGINT) AS media_id,
+             CAST(1 + doc_id % 3 AS BIGINT) AS mbw,
+             CAST(1 + doc_id % 2 AS BIGINT) AS mbh
+      FROM documents
+    ),
+    mb AS (
+      SELECT d.media_id, d.mbw, d.mbh, r.r, c.c,
+             (29 * r.r + 31 * c.c + d.media_id) % 256 AS yt,
+             (17 * r.r + 13 * c.c + 3 * d.media_id) % 256 AS ut,
+             (11 * r.r + 19 * c.c + 7 * d.media_id) % 256 AS vt
+      FROM docs d
+      JOIN range(0, 2) r(r) ON r.r < d.mbh
+      JOIN range(0, 3) c(c) ON c.c < d.mbw
+    )
+    SELECT media_id,
+           CAST(mbw * 16 AS BIGINT) AS width,
+           CAST(mbh * 16 AS BIGINT) AS height,
+           CAST(SUM(yt) * 256 AS BIGINT) AS y_sum,
+           CAST(SUM(ut) * 64 AS BIGINT) AS u_sum,
+           CAST(SUM(vt) * 64 AS BIGINT) AS v_sum,
+           CAST(SUM(yt * (r + 2 * c + 1)) * 256 AS BIGINT) AS y_wsum
+    FROM mb GROUP BY media_id, mbw, mbh
+"""
 
     # Ogg-FLAC: same planted signal as q_flac_audio — the Ogg page
     # layer is an encoding detail the decode must erase, so the

@@ -1041,3 +1041,245 @@ def webp_lossy_decode(data: bytes):
 
 
 _LAST_FRAME: dict = {}  # most recent decode's internal state (tests/debug)
+
+
+# -------------------------------------------------------------- encoder
+
+
+def _put_token(be, probs_row, v: int, ctx_start: int) -> None:
+    """Encode one coefficient value (nonzero) or EOB via the token
+    tree + category extra bits + sign."""
+    a = abs(v)
+    if a <= 4:
+        tok = a
+    elif a <= 6:
+        tok = 5
+    elif a <= 10:
+        tok = 6
+    elif a <= 18:
+        tok = 7
+    elif a <= 34:
+        tok = 8
+    elif a <= 66:
+        tok = 9
+    else:
+        tok = 10
+    be.tree(COEF_TREE, probs_row, tok, ctx_start)
+    if tok >= 5:
+        cat = tok - 5
+        extra = a - CAT_BASE[cat]
+        for bit_i, pr in enumerate(CAT_PROBS[cat]):
+            be.put((extra >> (len(CAT_PROBS[cat]) - 1 - bit_i)) & 1, pr)
+    if a:
+        be.put(1 if v < 0 else 0, 128)
+
+
+def _put_dc_block(be, probs, block_type: int, first: int, ctx: int, dc_coef: int) -> int:
+    """Encode a block holding only a DC coefficient (or nothing).
+    Returns the nonzero flag."""
+    p = probs[block_type]
+    if dc_coef == 0:
+        be.tree(COEF_TREE, p[COEF_BANDS[first]][ctx], TOK_EOB)
+        return 0
+    _put_token(be, p[COEF_BANDS[first]][ctx], dc_coef, 0)
+    nxt = first + 1
+    ctx2 = 2 if abs(dc_coef) > 1 else 1
+    be.tree(COEF_TREE, p[COEF_BANDS[nxt]][ctx2], TOK_EOB)
+    return 1
+
+
+def vp8_encode_dc(y_mb, u_mb, v_mb) -> bytes:
+    """Encode a keyframe of PER-MACROBLOCK CONSTANT colors — the
+    planted-arithmetic fixture writer.  ``y_mb`` is an (mb_h, mb_w)
+    array of target luma values (0..255); ``u_mb``/``v_mb`` the same
+    shape of chroma targets.  All MBs use DC prediction; the residual
+    rides the Y2 DC (coef 4·R at y2dc step 16 -> exactly R per pixel)
+    and the chroma DCs (coef R at uvdc step 8 -> exactly R), so the
+    decode reproduces the targets EXACTLY — closed-form pixels through
+    a real lossy-VP8 bitstream.  qindex 4 (dc step 8), loop filter
+    level 0, no segmentation, one token partition.  Output is the raw
+    VP8 payload; wrap with ``webp_container`` for a .webp file."""
+    import numpy as np
+
+    y_mb = np.asarray(y_mb, dtype=np.int64)
+    u_mb = np.asarray(u_mb, dtype=np.int64)
+    v_mb = np.asarray(v_mb, dtype=np.int64)
+    mb_h, mb_w = y_mb.shape
+    QI = 4  # dc_q = 8 -> y2dc 16, uvdc 8 (exact integer subspace)
+
+    # control partition: headers + modes
+    cb = _BoolEnc()
+    cb.put(0, 128)  # color space
+    cb.put(0, 128)  # clamping
+    cb.put(0, 128)  # segmentation disabled
+    cb.put(0, 128)  # filter type: normal
+    cb.literal(0, 6)  # filter level 0 (no deblocking)
+    cb.literal(0, 3)  # sharpness
+    cb.put(0, 128)  # lf delta disabled
+    cb.literal(0, 2)  # one token partition
+    cb.literal(QI, 7)  # y_ac qindex
+    for _ in range(5):
+        cb.put(0, 128)  # no quantizer deltas
+    cb.put(1, 128)  # refresh entropy probs
+    for t in range(4):
+        for b in range(8):
+            for c in range(3):
+                for p in range(11):
+                    cb.put(0, COEF_UPDATE_PROBS[t][b][c][p])
+    cb.put(0, 128)  # mb_no_coeff_skip = 0 (every MB codes tokens)
+    for _ in range(mb_h * mb_w):
+        cb.tree(KF_YMODE_TREE, KF_YMODE_PROBS, DC_PRED)
+        cb.tree(UV_MODE_TREE, KF_UV_PROBS, DC_PRED)
+    part0 = cb.finish()
+
+    # token partition with decoder-mirroring reconstruction + contexts
+    tb = _BoolEnc()
+    probs = COEF_PROBS
+    above_y = [0] * (mb_w * 4)
+    above_u = [0] * (mb_w * 2)
+    above_v = [0] * (mb_w * 2)
+    above_y2 = [0] * mb_w
+    recon = {}
+    for mby in range(mb_h):
+        left_y = [0] * 4
+        left_u = [0] * 2
+        left_v = [0] * 2
+        left_y2 = 0
+        for mbx in range(mb_w):
+            rs = []
+            for plane, tgt, n in (("y", y_mb, 16), ("u", u_mb, 8), ("v", v_mb, 8)):
+                up = recon.get((plane, mby - 1, mbx))
+                lf = recon.get((plane, mby, mbx - 1))
+                if up is not None and lf is not None:
+                    pred = (n * up + n * lf + n) >> (n.bit_length() + 0)
+                elif up is not None:
+                    pred = (n * up + (n >> 1)) >> (n.bit_length() - 1)
+                elif lf is not None:
+                    pred = (n * lf + (n >> 1)) >> (n.bit_length() - 1)
+                else:
+                    pred = 128
+                r = int(tgt[mby, mbx]) - pred
+                recon[(plane, mby, mbx)] = pred + r  # == target exactly
+                rs.append(r)
+            ry, ru, rv = rs
+            # Y2: coef 4*ry
+            ctx = above_y2[mbx] + left_y2
+            nz = _put_dc_block(tb, probs, 1, 0, ctx, 4 * ry)
+            above_y2[mbx] = left_y2 = nz
+            # 16 Y blocks: all zero (type 0, first coef 1)
+            for i in range(16):
+                r_, c_ = i >> 2, i & 3
+                ctx = above_y[mbx * 4 + c_] + left_y[r_]
+                tb.tree(COEF_TREE, probs[0][COEF_BANDS[1]][ctx], TOK_EOB)
+                above_y[mbx * 4 + c_] = left_y[r_] = 0
+            # chroma: DC = residual per subblock
+            for coef, above_c, left_c in ((ru, above_u, left_u), (rv, above_v, left_v)):
+                for i in range(4):
+                    r_, c_ = i >> 1, i & 1
+                    ctx = above_c[mbx * 2 + c_] + left_c[r_]
+                    nz = _put_dc_block(tb, probs, 2, 0, ctx, coef)
+                    above_c[mbx * 2 + c_] = left_c[r_] = nz
+    tokens = tb.finish()
+
+    w, h = mb_w * 16, mb_h * 16
+    tag = (len(part0) << 5) | (1 << 4) | 0  # keyframe, version 0, show
+    out = bytearray(tag.to_bytes(3, "little"))
+    out += b"\x9d\x01\x2a"
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += part0 + tokens
+    return bytes(out)
+
+
+def webp_container(vp8_payload: bytes) -> bytes:
+    """Wrap a raw VP8 frame in the RIFF WebP container."""
+    chunk = b"VP8 " + len(vp8_payload).to_bytes(4, "little") + vp8_payload
+    if len(vp8_payload) & 1:
+        chunk += b"\x00"
+    return b"RIFF" + (4 + len(chunk)).to_bytes(4, "little") + b"WEBP" + chunk
+
+
+# ------------------------------------------------------------ Spark surface
+
+
+def plant_lossy_webps(documents, *, id_col: str = "doc_id"):
+    """Planted LOSSY-WebP fixtures: per-macroblock constant targets
+    in closed form (mb grid ``(1 + id%2) x (1 + id%3)``,
+    y(r,c) = (29r + 31c + id) % 256, u = (17r + 13c + 3id) % 256,
+    v = (11r + 19c + 7id) % 256) encoded by ``vp8_encode_dc`` — real
+    RFC 6386 keyframes (boolean-coded headers/modes/tokens, Y2 +
+    chroma DC coefficients, DC intra prediction) that libwebp accepts
+    and that decode EXACTLY to the targets, so a DuckDB oracle replays
+    the decoded plane sums."""
+    import numpy as np
+    import pandas as pd
+
+    from .multimodal import MEDIA_SCHEMA, _spread
+
+    def build(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for i in pdf[id_col]:
+                i = int(i)
+                mbw, mbh = 1 + i % 3, 1 + i % 2
+                r = np.arange(mbh, dtype=np.int64)[:, None]
+                c = np.arange(mbw, dtype=np.int64)[None, :]
+                y_t = (29 * r + 31 * c + i) % 256
+                u_t = (17 * r + 13 * c + 3 * i) % 256
+                v_t = (11 * r + 19 * c + 7 * i) % 256
+                ids.append(i)
+                payloads.append(webp_container(vp8_encode_dc(y_t, u_t, v_t)))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "media_type": ["image"] * len(ids),
+                    "media": payloads,
+                    "source": ["planted"] * len(ids),
+                }
+            )
+
+    return _spread(documents.select(id_col)).mapInPandas(build, schema=MEDIA_SCHEMA)
+
+
+def webp_lossy_stats(media):
+    """Decode lossy WebP in ONE Arrow map stage and emit exact plane
+    sums over the native YUV 4:2:0 output plus an MB-position-weighted
+    luma sum (catches any scrambled macroblock).  A decoder that
+    mis-parses any header field, token, prediction, or transform fails
+    the sums; the per-file grain is the multimodal shard grain."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("width", LongType(), False),
+            StructField("height", LongType(), False),
+            StructField("y_sum", LongType(), False),
+            StructField("u_sum", LongType(), False),
+            StructField("v_sum", LongType(), False),
+            StructField("y_wsum", LongType(), False),
+        ]
+    )
+
+    def process(batches):
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "media_id", "width", "height", "y_sum", "u_sum", "v_sum", "y_wsum",
+            )}
+            for mid, payload in zip(pdf["media_id"], pdf["media"]):
+                y, u, v = webp_lossy_decode(bytes(payload))
+                h, w = y.shape
+                yi = y.astype(np.int64)
+                mb_r = np.arange(h, dtype=np.int64)[:, None] // 16
+                mb_c = np.arange(w, dtype=np.int64)[None, :] // 16
+                rows["media_id"].append(int(mid))
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["y_sum"].append(int(yi.sum()))
+                rows["u_sum"].append(int(u.astype(np.int64).sum()))
+                rows["v_sum"].append(int(v.astype(np.int64).sum()))
+                rows["y_wsum"].append(int((yi * (mb_r + 2 * mb_c + 1)).sum()))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(process, schema=schema)

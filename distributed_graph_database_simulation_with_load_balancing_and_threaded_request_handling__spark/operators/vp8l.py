@@ -511,6 +511,19 @@ def _inv_color_indexing(px: list[int], w: int, h: int, wbits: int,
 # ------------------------------------------------------------------ decode
 
 
+def _yuv420_to_rgba(y, u, v):
+    """YUV 4:2:0 -> (h, w, 4) uint8 RGBA via the engine's shared
+    BT.601 convention (multimodal._ycbcr_to_rgb: nearest-neighbor
+    chroma upsample, floor(x+0.5), clamp)."""
+    import numpy as np
+
+    from .multimodal import _ycbcr_to_rgb
+
+    rgb = _ycbcr_to_rgb(y.astype(np.int64), u.astype(np.int64), v.astype(np.int64))
+    alpha = np.full(rgb.shape[:2] + (1,), 255, dtype=np.int64)
+    return np.concatenate([rgb, alpha], axis=2).astype(np.uint8)
+
+
 def vp8l_decode(data: bytes):
     """Decode a lossless WebP file (RIFF container or bare VP8L
     stream) into an (h, w, 4) uint8 RGBA ndarray."""
@@ -527,8 +540,19 @@ def vp8l_decode(data: bytes):
             if cc == b"VP8L":
                 payload = data[pos + 8 : pos + 8 + size]
                 break
-            if cc in (b"VP8 ", b"VP8X"):
-                raise ValueError("vp8l: lossy/extended WebP not supported")
+            if cc == b"VP8 ":
+                # lossy VP8 keyframe (round 12): decode via the RFC
+                # 6386 codec and upsample YUV 4:2:0 back to RGBA so
+                # callers keep one return shape.  Nearest-neighbor
+                # chroma + BT.601 full-swing is the integer-exact
+                # convention of the engine's own YUV surface; callers
+                # needing the native planes use vp8.webp_lossy_decode.
+                from .vp8 import vp8_decode as _vp8_decode
+
+                y, u, v = _vp8_decode(data[pos + 8 : pos + 8 + size])
+                return _yuv420_to_rgba(y, u, v)
+            if cc == b"VP8X":
+                raise ValueError("vp8l: extended (VP8X) WebP not supported")
             pos += 8 + size + (size & 1)
         if payload is None:
             raise ValueError("vp8l: no VP8L chunk")

@@ -65,6 +65,61 @@ def main() -> None:
             f.write(ctypes.string_at(out, size))
         print(f"wrote {name}.webp: {img.nbytes} -> {size}")
 
+    # LOSSY fixtures (round 12): real cwebp/VP8 keyframes over the
+    # same closed-form images at several qualities, plus the
+    # libwebp-decoded YUV plane digests (VP8 decode is bit-exact
+    # normative, so the digests are the hermetic ground truth —
+    # tests/test_round12_ops.py re-derives nothing lossy-wise).
+    import hashlib
+    import json
+
+    lib.WebPEncodeRGBA.restype = ctypes.c_size_t
+    lib.WebPEncodeRGBA.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_float, ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+    ]
+    lib.WebPDecodeYUV.restype = ctypes.POINTER(ctypes.c_uint8)
+    lib.WebPDecodeYUV.argtypes = (
+        [ctypes.c_char_p, ctypes.c_size_t]
+        + [ctypes.POINTER(ctypes.c_int)] * 2
+        + [ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8))] * 2
+        + [ctypes.POINTER(ctypes.c_int)] * 2
+    )
+    digests = {}
+    imgs = fixture_images()
+    for name, q in (("grad_48x64", 75.0), ("tiled_64x64", 40.0), ("pal4_40x56", 92.0)):
+        img = imgs[name].copy()
+        img[..., 3] = 255  # lossy VP8 carries no alpha
+        h, w, _ = img.shape
+        out = ctypes.POINTER(ctypes.c_uint8)()
+        size = lib.WebPEncodeRGBA(img.tobytes(), w, h, w * 4, q, ctypes.byref(out))
+        assert size, name
+        webp = ctypes.string_at(out, size)
+        fname = f"lossy_{name}_q{int(q)}.webp"
+        with open(os.path.join(OUT, fname), "wb") as f:
+            f.write(webp)
+        ww, hh = ctypes.c_int(), ctypes.c_int()
+        up, vp = ctypes.POINTER(ctypes.c_uint8)(), ctypes.POINTER(ctypes.c_uint8)()
+        st, ust = ctypes.c_int(), ctypes.c_int()
+        yp = lib.WebPDecodeYUV(webp, size, ctypes.byref(ww), ctypes.byref(hh),
+                               ctypes.byref(up), ctypes.byref(vp),
+                               ctypes.byref(st), ctypes.byref(ust))
+        W, H, S, US = ww.value, hh.value, st.value, ust.value
+        cw, ch = (W + 1) // 2, (H + 1) // 2
+        y = bytes(bytearray(yp[r * S + c] for r in range(H) for c in range(W)))
+        u = bytes(bytearray(up[r * US + c] for r in range(ch) for c in range(cw)))
+        v = bytes(bytearray(vp[r * US + c] for r in range(ch) for c in range(cw)))
+        digests[fname] = {
+            "w": W, "h": H,
+            "y_sha": hashlib.sha256(y).hexdigest(),
+            "u_sha": hashlib.sha256(u).hexdigest(),
+            "v_sha": hashlib.sha256(v).hexdigest(),
+        }
+        print(f"wrote {fname}: {size} bytes")
+    with open(os.path.join(OUT, "lossy_digests.json"), "w") as f:
+        json.dump(digests, f, indent=1, sort_keys=True)
+    print("wrote lossy_digests.json")
+
 
 if __name__ == "__main__":
     sys.exit(main())

@@ -367,6 +367,186 @@ def test_ogg_crc_known_vector():
     assert mm._ogg_crc(b"123456789") == 0x89A1897F
 
 
+# --------------------------------------------- lossy WebP / VP8 (r12)
+
+
+def _vp8():
+    return importlib.import_module(f"{PKG}.operators.vp8")
+
+
+def _libwebp():
+    import ctypes
+    import ctypes.util
+    import os
+
+    path = ctypes.util.find_library("webp")
+    if path is None and os.path.exists("/usr/lib/x86_64-linux-gnu/libwebp.so.7"):
+        path = "/usr/lib/x86_64-linux-gnu/libwebp.so.7"
+    if path is None:
+        return None
+    lib = ctypes.CDLL(path)
+    lib.WebPEncodeRGBA.restype = ctypes.c_size_t
+    lib.WebPEncodeRGBA.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_float, ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+    ]
+    lib.WebPDecodeYUV.restype = ctypes.POINTER(ctypes.c_uint8)
+    lib.WebPDecodeYUV.argtypes = (
+        [ctypes.c_char_p, ctypes.c_size_t]
+        + [ctypes.POINTER(ctypes.c_int)] * 2
+        + [ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8))] * 2
+        + [ctypes.POINTER(ctypes.c_int)] * 2
+    )
+    return lib
+
+
+def _libwebp_yuv(lib, webp: bytes):
+    import ctypes
+
+    ww, hh = ctypes.c_int(), ctypes.c_int()
+    up, vp = ctypes.POINTER(ctypes.c_uint8)(), ctypes.POINTER(ctypes.c_uint8)()
+    st, ust = ctypes.c_int(), ctypes.c_int()
+    yp = lib.WebPDecodeYUV(webp, len(webp), ctypes.byref(ww), ctypes.byref(hh),
+                           ctypes.byref(up), ctypes.byref(vp),
+                           ctypes.byref(st), ctypes.byref(ust))
+    W, H, S, US = ww.value, hh.value, st.value, ust.value
+    cw, ch = (W + 1) // 2, (H + 1) // 2
+    y = np.array([[yp[r * S + c] for c in range(W)] for r in range(H)], np.uint8)
+    u = np.array([[up[r * US + c] for c in range(cw)] for r in range(ch)], np.uint8)
+    v = np.array([[vp[r * US + c] for c in range(cw)] for r in range(ch)], np.uint8)
+    return y, u, v
+
+
+def test_vp8_committed_cwebp_fixtures_decode_bit_exact():
+    """Real cwebp keyframes (committed, three qualities/images,
+    exercising B_PRED + all 16x16 modes, segmentation, prob updates,
+    the loop filter) must decode to byte-identical YUV planes vs the
+    committed libwebp digests — VP8 decode is bit-exact normative."""
+    import hashlib
+    import json
+    import pathlib
+
+    V = _vp8()
+    ddir = pathlib.Path(__file__).parent / "data" / "webp"
+    digests = json.loads((ddir / "lossy_digests.json").read_text())
+    assert len(digests) == 3
+    for fname, d in digests.items():
+        y, u, v = V.webp_lossy_decode((ddir / fname).read_bytes())
+        assert y.shape == (d["h"], d["w"]), fname
+        assert hashlib.sha256(y.tobytes()).hexdigest() == d["y_sha"], fname
+        assert hashlib.sha256(u.tobytes()).hexdigest() == d["u_sha"], fname
+        assert hashlib.sha256(v.tobytes()).hexdigest() == d["v_sha"], fname
+
+
+def test_vp8_dc_encoder_exact_and_self_roundtrip():
+    """The planted-fixture writer's decode is EXACT: per-MB constant
+    targets come back verbatim through the full lossy pipeline."""
+    V = _vp8()
+    rng = np.random.default_rng(11)
+    for _ in range(4):
+        mbh, mbw = int(rng.integers(1, 4)), int(rng.integers(1, 4))
+        y_t = rng.integers(0, 256, (mbh, mbw))
+        u_t = rng.integers(0, 256, (mbh, mbw))
+        v_t = rng.integers(0, 256, (mbh, mbw))
+        webp = V.webp_container(V.vp8_encode_dc(y_t, u_t, v_t))
+        y, u, v = V.webp_lossy_decode(webp)
+        assert np.array_equal(y, np.kron(y_t, np.ones((16, 16), np.int64)))
+        assert np.array_equal(u, np.kron(u_t, np.ones((8, 8), np.int64)))
+        assert np.array_equal(v, np.kron(v_t, np.ones((8, 8), np.int64)))
+
+
+def test_vp8_live_interop_both_directions():
+    """Live libwebp round-trip: (a) libwebp-encoded random images
+    decode here byte-identical to WebPDecodeYUV; (b) libwebp accepts
+    and exactly decodes our self-made VP8 streams."""
+    import ctypes
+
+    lib = _libwebp()
+    if lib is None:
+        pytest.skip("no libwebp available")
+    V = _vp8()
+    rng = np.random.default_rng(2)
+    # (a) cwebp -> us
+    h, w = 48, 36
+    i = np.arange(h)[:, None]
+    j = np.arange(w)[None, :]
+    rgba = np.stack(
+        [(i * 3 + j * 2) % 256, (i * 5 + j) % 256, (i + j * 7) % 256,
+         np.full((h, w), 255)], axis=2
+    ).astype(np.uint8)
+    rgba[10:20, 5:25] = rng.integers(0, 256, (10, 20, 4)).astype(np.uint8)
+    rgba[..., 3] = 255
+    out = ctypes.POINTER(ctypes.c_uint8)()
+    n = lib.WebPEncodeRGBA(rgba.tobytes(), w, h, w * 4, 68.0, ctypes.byref(out))
+    webp = bytes(bytearray(out[k] for k in range(n)))
+    ry, ru, rv = _libwebp_yuv(lib, webp)
+    y, u, v = V.webp_lossy_decode(webp)
+    assert np.array_equal(y, ry) and np.array_equal(u, ru) and np.array_equal(v, rv)
+    # (b) us -> libwebp
+    y_t = rng.integers(0, 256, (2, 3))
+    u_t = rng.integers(0, 256, (2, 3))
+    v_t = rng.integers(0, 256, (2, 3))
+    ours = V.webp_container(V.vp8_encode_dc(y_t, u_t, v_t))
+    ly, lu, lv = _libwebp_yuv(lib, ours)
+    assert np.array_equal(ly, np.kron(y_t, np.ones((16, 16), np.int64)))
+    assert np.array_equal(lu, np.kron(u_t, np.ones((8, 8), np.int64)))
+    assert np.array_equal(lv, np.kron(v_t, np.ones((8, 8), np.int64)))
+
+
+def test_vp8_guards_and_dispatch():
+    """Interframes, bad start codes, and VP8X reject cleanly; the
+    VP8L container dispatcher now routes lossy files to the VP8
+    decoder and returns RGBA through the shared BT.601 path."""
+    V = _vp8()
+    vp8l = importlib.import_module(f"{PKG}.operators.vp8l")
+    mm = _mm()
+    y_t = np.array([[100, 200]])
+    u_t = np.array([[60, 180]])
+    v_t = np.array([[90, 30]])
+    payload = V.vp8_encode_dc(y_t, u_t, v_t)
+    # interframe: flip the keyframe bit
+    bad = bytearray(payload)
+    bad[0] |= 1
+    with pytest.raises(ValueError, match="interframe"):
+        V.vp8_decode(bytes(bad))
+    bad = bytearray(payload)
+    bad[3] ^= 0xFF
+    with pytest.raises(ValueError, match="start code"):
+        V.vp8_decode(bytes(bad))
+    webp = V.webp_container(payload)
+    rgba = vp8l.vp8l_decode(webp)
+    y, u, v = V.vp8_decode(payload)
+    exp = mm._ycbcr_to_rgb(y.astype(np.int64), u.astype(np.int64), v.astype(np.int64))
+    assert rgba.shape == (16, 32, 4)
+    assert np.array_equal(rgba[..., :3].astype(np.int64), exp)
+    assert (rgba[..., 3] == 255).all()
+    with pytest.raises(ValueError, match="VP8X"):
+        vp8l.vp8l_decode(
+            b"RIFF" + (12).to_bytes(4, "little") + b"WEBP"
+            + b"VP8X" + (0).to_bytes(4, "little")
+        )
+
+
+def test_vp8_mutation_fuzz_never_silently_identical():
+    """Flipping bytes of a valid VP8 stream must raise or change the
+    output — no corruption path silently reproduces the original."""
+    V = _vp8()
+    y_t = np.array([[10, 250, 40], [130, 77, 200]])
+    u_t = (y_t * 3) % 256
+    v_t = (y_t * 7) % 256
+    payload = V.vp8_encode_dc(y_t, u_t, v_t)
+    ref = V.vp8_decode(payload)
+    for pos in range(3, len(payload), max(1, len(payload) // 23)):
+        bad = bytearray(payload)
+        bad[pos] ^= 0x55
+        try:
+            got = V.vp8_decode(bytes(bad))
+        except (ValueError, NotImplementedError, IndexError):
+            continue
+        same = all(np.array_equal(a, b) for a, b in zip(got, ref))
+        assert not same, f"silent corruption at byte {pos}"
+
+
 def test_bench_rounds_schema_always_op_keyed():
     """bench.py records LOOP_STATS in the op-keyed nested form even for
     a single instrumented loop (r11 ADVICE, bench.py:89)."""
