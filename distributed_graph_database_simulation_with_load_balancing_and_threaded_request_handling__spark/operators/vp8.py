@@ -1088,7 +1088,9 @@ def _put_dc_block(be, probs, block_type: int, first: int, ctx: int, dc_coef: int
     return 1
 
 
-def vp8_encode_dc(y_mb, u_mb, v_mb) -> bytes:
+def vp8_encode_dc(
+    y_mb, u_mb, v_mb, *, filter_level: int = 0, filter_type: int = 0, n_parts: int = 1
+) -> bytes:
     """Encode a keyframe of PER-MACROBLOCK CONSTANT colors — the
     planted-arithmetic fixture writer.  ``y_mb`` is an (mb_h, mb_w)
     array of target luma values (0..255); ``u_mb``/``v_mb`` the same
@@ -1096,15 +1098,24 @@ def vp8_encode_dc(y_mb, u_mb, v_mb) -> bytes:
     rides the Y2 DC (coef 4·R at y2dc step 16 -> exactly R per pixel)
     and the chroma DCs (coef R at uvdc step 8 -> exactly R), so the
     decode reproduces the targets EXACTLY — closed-form pixels through
-    a real lossy-VP8 bitstream.  qindex 4 (dc step 8), loop filter
-    level 0, no segmentation, one token partition.  Output is the raw
-    VP8 payload; wrap with ``webp_container`` for a .webp file."""
+    a real lossy-VP8 bitstream.  qindex 4 (dc step 8), no
+    segmentation.  Output is the raw VP8 payload; wrap with
+    ``webp_container`` for a .webp file.
+
+    ``filter_level``/``filter_type`` and ``n_parts`` (1/2/4/8 token
+    partitions, MB rows assigned round-robin) exist to exercise
+    decoder paths the simple libwebp encode API never emits — with a
+    nonzero filter level the output is deblocked and no longer the
+    exact targets, but any two conforming decoders still agree
+    bit-exactly."""
     import numpy as np
 
     y_mb = np.asarray(y_mb, dtype=np.int64)
     u_mb = np.asarray(u_mb, dtype=np.int64)
     v_mb = np.asarray(v_mb, dtype=np.int64)
     mb_h, mb_w = y_mb.shape
+    if n_parts not in (1, 2, 4, 8):
+        raise ValueError("vp8: token partition count must be 1/2/4/8")
     QI = 4  # dc_q = 8 -> y2dc 16, uvdc 8 (exact integer subspace)
 
     # control partition: headers + modes
@@ -1112,11 +1123,11 @@ def vp8_encode_dc(y_mb, u_mb, v_mb) -> bytes:
     cb.put(0, 128)  # color space
     cb.put(0, 128)  # clamping
     cb.put(0, 128)  # segmentation disabled
-    cb.put(0, 128)  # filter type: normal
-    cb.literal(0, 6)  # filter level 0 (no deblocking)
+    cb.put(filter_type & 1, 128)  # filter type: 0 normal / 1 simple
+    cb.literal(filter_level, 6)
     cb.literal(0, 3)  # sharpness
     cb.put(0, 128)  # lf delta disabled
-    cb.literal(0, 2)  # one token partition
+    cb.literal(n_parts.bit_length() - 1, 2)  # log2 token partitions
     cb.literal(QI, 7)  # y_ac qindex
     for _ in range(5):
         cb.put(0, 128)  # no quantizer deltas
@@ -1132,8 +1143,8 @@ def vp8_encode_dc(y_mb, u_mb, v_mb) -> bytes:
         cb.tree(UV_MODE_TREE, KF_UV_PROBS, DC_PRED)
     part0 = cb.finish()
 
-    # token partition with decoder-mirroring reconstruction + contexts
-    tb = _BoolEnc()
+    # token partitions with decoder-mirroring reconstruction + contexts
+    tbs = [_BoolEnc() for _ in range(n_parts)]
     probs = COEF_PROBS
     above_y = [0] * (mb_w * 4)
     above_u = [0] * (mb_w * 2)
@@ -1141,6 +1152,7 @@ def vp8_encode_dc(y_mb, u_mb, v_mb) -> bytes:
     above_y2 = [0] * mb_w
     recon = {}
     for mby in range(mb_h):
+        tb = tbs[mby % n_parts]
         left_y = [0] * 4
         left_u = [0] * 2
         left_v = [0] * 2
@@ -1179,14 +1191,18 @@ def vp8_encode_dc(y_mb, u_mb, v_mb) -> bytes:
                     ctx = above_c[mbx * 2 + c_] + left_c[r_]
                     nz = _put_dc_block(tb, probs, 2, 0, ctx, coef)
                     above_c[mbx * 2 + c_] = left_c[r_] = nz
-    tokens = tb.finish()
+    parts = [tb.finish() for tb in tbs]
 
     w, h = mb_w * 16, mb_h * 16
     tag = (len(part0) << 5) | (1 << 4) | 0  # keyframe, version 0, show
     out = bytearray(tag.to_bytes(3, "little"))
     out += b"\x9d\x01\x2a"
     out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
-    out += part0 + tokens
+    out += part0
+    for p in parts[:-1]:  # size table precedes all but the last
+        out += len(p).to_bytes(3, "little")
+    for p in parts:
+        out += p
     return bytes(out)
 
 

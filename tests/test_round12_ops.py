@@ -527,6 +527,33 @@ def test_vp8_guards_and_dispatch():
         )
 
 
+def test_vp8_multipartition_and_filter_paths_bit_exact():
+    """Decoder paths the simple libwebp encode API never emits —
+    2/4 token partitions, the SIMPLE loop filter, and high normal
+    filter levels — pinned bit-exact against libwebp on our own
+    streams (both decoders read the same bits; RFC 6386 decode is
+    normative)."""
+    lib = _libwebp()
+    if lib is None:
+        pytest.skip("no libwebp available")
+    V = _vp8()
+    rng = np.random.default_rng(42)
+    for fl, ft, nparts in [(0, 0, 4), (35, 1, 1), (50, 0, 2), (12, 1, 4)]:
+        y_t = rng.integers(0, 256, (5, 4))
+        u_t = rng.integers(0, 256, (5, 4))
+        v_t = rng.integers(0, 256, (5, 4))
+        webp = V.webp_container(
+            V.vp8_encode_dc(y_t, u_t, v_t, filter_level=fl,
+                            filter_type=ft, n_parts=nparts)
+        )
+        y, u, v = V.webp_lossy_decode(webp)
+        ry, ru, rv = _libwebp_yuv(lib, webp)
+        assert np.array_equal(y, ry), (fl, ft, nparts)
+        assert np.array_equal(u, ru) and np.array_equal(v, rv), (fl, ft, nparts)
+        if fl == 0:
+            assert np.array_equal(y, np.kron(y_t, np.ones((16, 16), np.int64)))
+
+
 def test_vp8_mutation_fuzz_never_silently_identical():
     """Flipping bytes of a valid VP8 stream must raise or change the
     output — no corruption path silently reproduces the original."""
