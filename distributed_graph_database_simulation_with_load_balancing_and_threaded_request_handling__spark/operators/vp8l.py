@@ -552,7 +552,12 @@ def vp8l_decode(data: bytes):
                 y, u, v = _vp8_decode(data[pos + 8 : pos + 8 + size])
                 return _yuv420_to_rgba(y, u, v)
             if cc == b"VP8X":
-                raise ValueError("vp8l: extended (VP8X) WebP not supported")
+                # extended WebP (round 12): STILL images only — walk
+                # the remaining chunks, decode the image chunk, and
+                # merge the ALPH alpha plane for lossy payloads;
+                # metadata chunks (ICCP/EXIF/XMP) are skipped;
+                # animation stays the documented library-gated seam.
+                return _vp8x_decode(data, pos, size)
             pos += 8 + size + (size & 1)
         if payload is None:
             raise ValueError("vp8l: no VP8L chunk")
@@ -565,6 +570,61 @@ def vp8l_decode(data: bytes):
     br.read(1)  # alpha hint
     if br.read(3) != 0:
         raise ValueError("vp8l: unsupported version")
+    return _vp8l_stream_decode(br, w, h)
+
+
+def _vp8x_decode(data: bytes, vp8x_pos: int, vp8x_size: int):
+    """Extended-WebP (VP8X) STILL image: flags + canvas size, then the
+    chunk walk collecting ALPH and the VP8/VP8L image chunk.  Lossy +
+    ALPH composes the decoded alpha plane over the BT.601 RGB;
+    lossless carries alpha natively.  Animated files (ANIM/ANMF)
+    raise — inter-frame reconstruction is the documented seam."""
+    import numpy as np
+
+    body = data[vp8x_pos + 8 : vp8x_pos + 8 + vp8x_size]
+    if len(body) < 10:
+        raise ValueError("webp: truncated VP8X header")
+    flags = body[0]
+    canvas_w = 1 + int.from_bytes(body[4:7], "little")
+    canvas_h = 1 + int.from_bytes(body[7:10], "little")
+    if flags & 0x02:  # animation
+        raise ValueError("webp: animated WebP not supported (library-gated seam)")
+    pos = vp8x_pos + 8 + vp8x_size + (vp8x_size & 1)
+    alph = None
+    while pos + 8 <= len(data):
+        cc = data[pos : pos + 4]
+        size = int.from_bytes(data[pos + 4 : pos + 8], "little")
+        payload = data[pos + 8 : pos + 8 + size]
+        if cc == b"ALPH":
+            alph = payload
+        elif cc == b"VP8L":
+            rgba = vp8l_decode(payload)  # lossless: alpha is native
+            break
+        elif cc == b"VP8 ":
+            from .vp8 import vp8_decode as _vp8_decode
+
+            y, u, v = _vp8_decode(payload)
+            rgba = _yuv420_to_rgba(y, u, v)
+            if alph is not None:
+                h, w = rgba.shape[:2]
+                rgba[..., 3] = _alpha_decode(alph, w, h).astype(np.uint8)
+            break
+        pos += 8 + size + (size & 1)
+    else:
+        raise ValueError("webp: VP8X file carries no image chunk")
+    if rgba.shape[:2] != (canvas_h, canvas_w):
+        raise ValueError("webp: VP8X canvas size contradicts the image chunk")
+    return rgba
+
+
+def _vp8l_stream_decode(br: "_LsbBits", w: int, h: int):
+    """The post-header VP8L image stream (DecodeImageStream level 0 +
+    inverse transforms) -> (h, w, 4) uint8 RGBA.  Shared by the
+    signed stream (``vp8l_decode``) and the HEADERLESS stream an
+    extended-WebP ALPH chunk embeds (dimensions come from the frame,
+    round 12)."""
+    import numpy as np
+
     transforms: list = []
     px = _read_entropy_coded(br, w, h, True, transforms)
     cur_w = w
@@ -590,6 +650,64 @@ def vp8l_decode(data: bytes):
     rgba[..., 2] = arr & 0xFF
     rgba[..., 3] = (arr >> 24) & 0xFF
     return rgba
+
+
+def _alpha_unfilter(plane, method: int):
+    """Invert the ALPH chunk's row filters (libwebp dsp/filters.c
+    semantics): horizontal (1) predicts from the left (row 0 of the
+    frame seeds with 0; later rows seed pixel 0 from the row above),
+    vertical (2) from above (row 0 falls back to horizontal), gradient
+    (3) from clip(left + above - above_left) (row 0 likewise
+    horizontal)."""
+    h, w = plane.shape
+    if method == 0:
+        return plane
+    out = plane.copy()
+    for y in range(h):
+        prev = out[y - 1] if y > 0 else None
+        if method == 1 or prev is None:  # horizontal (and any row-0)
+            pred = 0 if prev is None else int(prev[0])
+            for x in range(w):
+                out[y, x] = (int(plane[y, x]) + pred) & 0xFF
+                pred = int(out[y, x])
+        elif method == 2:  # vertical
+            out[y] = (plane[y] + prev) & 0xFF
+        else:  # gradient
+            left = int(prev[0])
+            for x in range(w):
+                top = int(prev[x])
+                top_left = int(prev[x - 1]) if x > 0 else int(prev[0])
+                g = left + top - top_left
+                g = 0 if g < 0 else (255 if g > 255 else g)
+                out[y, x] = (int(plane[y, x]) + g) & 0xFF
+                left = int(out[y, x])
+    return out
+
+
+def _alpha_decode(alph: bytes, w: int, h: int):
+    """Extended-WebP ALPH chunk -> (h, w) int64 alpha plane: 1-byte
+    header (compression method, filter, pre-processing), then raw
+    bytes or a HEADERLESS VP8L stream whose green channel carries the
+    alpha values; the row filter inverts last.  Pre-processing (level
+    reduction) needs no decode-side inverse."""
+    import numpy as np
+
+    if not alph:
+        raise ValueError("webp: empty ALPH chunk")
+    hdr = alph[0]
+    method = hdr & 3
+    filt = (hdr >> 2) & 3
+    if method == 0:
+        body = alph[1 : 1 + w * h]
+        if len(body) != w * h:
+            raise ValueError("webp: truncated raw ALPH payload")
+        plane = np.frombuffer(body, dtype=np.uint8).astype(np.int64).reshape(h, w)
+    elif method == 1:
+        rgba = _vp8l_stream_decode(_LsbBits(alph[1:]), w, h)
+        plane = rgba[..., 1].astype(np.int64)  # green channel
+    else:
+        raise ValueError("webp: reserved ALPH compression method")
+    return _alpha_unfilter(plane, filt)
 
 
 # ------------------------------------------------------------------ encode

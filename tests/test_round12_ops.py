@@ -554,6 +554,99 @@ def test_vp8_multipartition_and_filter_paths_bit_exact():
             assert np.array_equal(y, np.kron(y_t, np.ones((16, 16), np.int64)))
 
 
+def test_vp8x_alpha_matches_libwebp():
+    """Extended WebP (VP8X + ALPH over a lossy VP8 frame): the decoded
+    alpha plane must match libwebp's RGBA alpha exactly (alpha is
+    losslessly coded; the RGB path differs only by upsampling
+    convention, which the YUV-exactness tests already pin)."""
+    import ctypes
+
+    lib = _libwebp()
+    if lib is None:
+        pytest.skip("no libwebp available")
+    lib.WebPDecodeRGBA.restype = ctypes.POINTER(ctypes.c_uint8)
+    lib.WebPDecodeRGBA.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+    ]
+    vp8l = importlib.import_module(f"{PKG}.operators.vp8l")
+    h, w = 32, 48
+    i = np.arange(h)[:, None]
+    j = np.arange(w)[None, :]
+    for alpha in (
+        ((i * 5 + j * 3) % 200 + 40).astype(np.uint8),
+        np.where((i + j) % 7 < 3, 0, 255).astype(np.uint8),
+    ):
+        rgba = np.stack(
+            [(i * 3 + j * 2) % 256, (i * 5 + j) % 256, (i + j * 7) % 256, alpha],
+            axis=2,
+        ).astype(np.uint8)
+        out = ctypes.POINTER(ctypes.c_uint8)()
+        n = lib.WebPEncodeRGBA(rgba.tobytes(), w, h, w * 4, 75.0, ctypes.byref(out))
+        webp = bytes(bytearray(out[k] for k in range(n)))
+        assert webp[12:16] == b"VP8X"  # real alpha forces the extended container
+        got = vp8l.vp8l_decode(webp)
+        ww, hh = ctypes.c_int(), ctypes.c_int()
+        ptr = lib.WebPDecodeRGBA(webp, n, ctypes.byref(ww), ctypes.byref(hh))
+        ref_a = np.array(
+            [[ptr[(r * w + c) * 4 + 3] for c in range(w)] for r in range(h)], np.uint8
+        )
+        assert np.array_equal(got[..., 3], ref_a)
+
+
+def test_vp8x_raw_alpha_all_filters_roundtrip():
+    """Hand-built VP8X files with RAW-method ALPH chunks: each of the
+    four row filters forward-applied in the test must invert exactly;
+    animation flags raise the documented seam error."""
+    V = _vp8()
+    vp8l = importlib.import_module(f"{PKG}.operators.vp8l")
+    rng = np.random.default_rng(4)
+    h, w = 16, 16
+    alpha = rng.integers(0, 256, (h, w)).astype(np.int64)
+    payload = V.vp8_encode_dc(np.array([[128]]), np.array([[128]]), np.array([[128]]))
+
+    def fwd(plane, method):
+        out = plane.copy()
+        if method == 0:
+            return out
+        for y in range(h):
+            prev = plane[y - 1] if y > 0 else None
+            for x in range(w):
+                if method == 1 or prev is None:
+                    pred = (int(plane[y, x - 1]) if x > 0
+                            else (0 if prev is None else int(prev[0])))
+                elif method == 2:
+                    pred = int(prev[x])
+                else:
+                    left = int(plane[y, x - 1]) if x > 0 else int(prev[0])
+                    tl = int(prev[x - 1]) if x > 0 else int(prev[0])
+                    pred = max(0, min(255, left + int(prev[x]) - tl))
+                out[y, x] = (int(plane[y, x]) - pred) & 0xFF
+        return out
+
+    def vp8x_file(alph_body, anim=False):
+        flags = 0x10 | (0x02 if anim else 0)
+        vp8x = flags.to_bytes(1, "little") + b"\x00\x00\x00"
+        vp8x += (w - 1).to_bytes(3, "little") + (h - 1).to_bytes(3, "little")
+        chunks = b"VP8X" + len(vp8x).to_bytes(4, "little") + vp8x
+        chunks += b"ALPH" + len(alph_body).to_bytes(4, "little") + alph_body
+        if len(alph_body) & 1:
+            chunks += b"\x00"
+        chunks += b"VP8 " + len(payload).to_bytes(4, "little") + payload
+        if len(payload) & 1:
+            chunks += b"\x00"
+        return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WEBP" + chunks
+
+    for method in range(4):
+        body = bytes([method << 2]) + bytes(
+            fwd(alpha, method).astype(np.uint8).tobytes()
+        )
+        got = vp8l.vp8l_decode(vp8x_file(body))
+        assert np.array_equal(got[..., 3].astype(np.int64), alpha), method
+    with pytest.raises(ValueError, match="animated"):
+        vp8l.vp8l_decode(vp8x_file(bytes([0]) + alpha.astype(np.uint8).tobytes(), anim=True))
+
+
 def test_vp8_mutation_fuzz_never_silently_identical():
     """Flipping bytes of a valid VP8 stream must raise or change the
     output — no corruption path silently reproduces the original."""
