@@ -83,6 +83,23 @@ def main() -> None:
             cwd=REPO,
             check=True,
         )
+    else:
+        # The worktree persists across rounds: re-pin it to the
+        # REQUESTED base (round 12 — a stale tree silently benched the
+        # wrong baseline while meta claimed the requested commit).
+        head = subprocess.run(
+            ["git", "rev-parse", "HEAD"], cwd=r7_tree,
+            capture_output=True, text=True, check=True,
+        ).stdout.strip()
+        want = subprocess.run(
+            ["git", "rev-parse", r7_commit], cwd=REPO,
+            capture_output=True, text=True, check=True,
+        ).stdout.strip()
+        if head != want:
+            subprocess.run(
+                ["git", "checkout", "--detach", "--force", want],
+                cwd=r7_tree, check=True,
+            )
 
     sys.path.insert(0, REPO)
     from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.session import (  # noqa: PLC0415
