@@ -359,6 +359,60 @@ def test_ogg_flac_page_crc_and_lacing_guards():
         mm.ogg_packets(bytes(broken))
 
 
+def test_ogg_cross_page_packet_continuation():
+    """A packet whose lacing ends at 255 continues onto the next page
+    (continued-packet flag set): reassembly must splice it; a missing
+    flag must raise."""
+    mm = _mm()
+    import struct
+
+    pkt = bytes((i * 7) % 256 for i in range(300))  # 255 + 45 split
+
+    def page(body, lac, htype, seqno):
+        hdr = (
+            b"OggS\x00" + bytes([htype]) + struct.pack("<q", 0)
+            + struct.pack("<I", 9) + struct.pack("<I", seqno)
+            + b"\x00\x00\x00\x00" + bytes([len(lac)]) + bytes(lac)
+        )
+        pg = bytearray(hdr + body)
+        pg[22:26] = struct.pack("<I", mm._ogg_crc(bytes(pg)))
+        return bytes(pg)
+
+    p1 = page(pkt[:255], [255], 0x02, 0)           # BOS, packet continues
+    p2 = page(pkt[255:], [45], 0x01, 1)            # continued-packet flag
+    assert mm.ogg_packets(p1 + p2) == [pkt]
+    p2_noflag = page(pkt[255:], [45], 0x00, 1)
+    with pytest.raises(ValueError, match="continued-packet flag"):
+        mm.ogg_packets(p1 + p2_noflag)
+
+
+def test_vp8_bool_coder_roundtrip_property():
+    """The RFC 6386 boolean coder primitives: any (bit, prob) sequence
+    encodes and decodes identically (hypothesis-driven)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    V = _vp8()
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 1), st.integers(1, 254)),
+            min_size=1, max_size=300,
+        )
+    )
+    def check(seq):
+        enc = V._BoolEnc()
+        for bit, prob in seq:
+            enc.put(bit, prob)
+        data = enc.finish()
+        dec = V._BoolDec(data)
+        for bit, prob in seq:
+            assert dec.get(prob) == bit
+
+    check()
+
+
 def test_ogg_crc_known_vector():
     """CRC-32/OGG check value: '123456789' -> 0x89A1897F (the
     published CRC-32/OGG aka CRC-32/POSIX-like with init 0 /
