@@ -2715,6 +2715,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ),
         )
 
+    def q_webp_anim(spark, sf_dir):
+        # ANIMATED WebP (round 12): NOT inter-frame-predicted — each
+        # ANMF frame is a complete VP8L/VP8 image composited onto the
+        # canvas with blend/dispose flags, the GIF model.  Fixtures:
+        # 3 frames per file (full-canvas copy with dispose-to-
+        # background on odd ids; sub-rect copy; alpha-128 BLEND whose
+        # non-premultiplied compositor reduces to (src*128+dst*127)
+        # // 255 over the opaque canvas — exact integers).  Per-frame
+        # channel sums + duration + loop value-check demux, per-frame
+        # decode, blend arithmetic, and dispose in one pass.
+        from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.vp8l import (
+            plant_anim_webps,
+            webp_anim_stats,
+        )
+
+        return _shared_result(
+            spark, sf_dir, "media_webpanim",
+            lambda: webp_anim_stats(
+                plant_anim_webps(load_table(spark, sf_dir, "documents"))
+            ),
+        )
+
     def q_webp_decode(spark, sf_dir):
         # REAL WebP-lossless decode (round 10, VP8L from the public
         # spec): canonical prefix codes, LZ77 through the plane-code
@@ -5213,6 +5235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_zstd_dict": q_zstd_dict,  # new round 12
         "q_webp_decode": q_webp_decode,  # new round 10
         "q_webp_lossy": q_webp_lossy,  # new round 12
+        "q_webp_anim": q_webp_anim,  # new round 12
         "q_assignment_replay": q_assignment_replay,  # new round 10
         "q_clustering_coeff": q_clustering_coeff,
         "q_link_pred": q_link_pred,
@@ -9261,6 +9284,60 @@ def oracle_sql() -> dict[str, str]:
            CAST(SUM(vt) * 64 AS BIGINT) AS v_sum,
            CAST(SUM(yt * (r + 2 * c + 1)) * 256 AS BIGINT) AS y_wsum
     FROM mb GROUP BY media_id, mbw, mbh
+"""
+
+    # Animated WebP: three-frame compositing replay — frame 0 is the
+    # full-canvas arithmetic image, frame 1 a copied sub-rect over
+    # background (id odd, via dispose) or frame 0 (id even), frame 2
+    # an alpha-128 blend whose integer form over the opaque canvas is
+    # (src*128 + dst*127) // 255.
+    oracles["q_webp_anim"] = """
+    WITH docs AS (SELECT CAST(doc_id AS BIGINT) AS media_id FROM documents),
+    px AS (
+      SELECT d.media_id, i.i, j.j,
+             (3*i.i + 5*j.j + d.media_id) % 256 AS f0r,
+             (7*i.i + j.j + 2*d.media_id) % 256 AS f0g,
+             (i.i + j.j + 3*d.media_id) % 256 AS f0b,
+             (i.i BETWEEN 2 AND 7 AND j.j BETWEEN 4 AND 11) AS in1,
+             (i.i BETWEEN 4 AND 7 AND j.j BETWEEN 8 AND 13) AS in2,
+             (11*(i.i-2) + 13*(j.j-4) + d.media_id) % 256 AS f1r,
+             (2*(i.i-2) + (j.j-4) + 5*d.media_id) % 256 AS f1g,
+             ((i.i-2) + 4*(j.j-4) + 7*d.media_id) % 256 AS f1b,
+             (9*(i.i-4) + 4*(j.j-8) + 5*d.media_id) % 256 AS f2r,
+             ((i.i-4) + 2*(j.j-8) + d.media_id) % 256 AS f2g,
+             (5*(i.i-4) + (j.j-8) + 2*d.media_id) % 256 AS f2b
+      FROM docs d CROSS JOIN range(0, 12) i(i) CROSS JOIN range(0, 16) j(j)
+    ),
+    c1 AS (
+      SELECT media_id, f0r, f0g, f0b, in2, f2r, f2g, f2b,
+             CASE WHEN in1 THEN f1r WHEN media_id % 2 = 1 THEN 200 ELSE f0r END AS c1r,
+             CASE WHEN in1 THEN f1g WHEN media_id % 2 = 1 THEN 100 ELSE f0g END AS c1g,
+             CASE WHEN in1 THEN f1b WHEN media_id % 2 = 1 THEN 50  ELSE f0b END AS c1b
+      FROM px
+    ),
+    c2 AS (
+      SELECT media_id, f0r, f0g, f0b, c1r, c1g, c1b,
+             CASE WHEN in2 THEN (f2r*128 + c1r*127)//255 ELSE c1r END AS c2r,
+             CASE WHEN in2 THEN (f2g*128 + c1g*127)//255 ELSE c1g END AS c2g,
+             CASE WHEN in2 THEN (f2b*128 + c1b*127)//255 ELSE c1b END AS c2b
+      FROM c1
+    ),
+    frames AS (
+      SELECT media_id, 0 AS fi, SUM(f0r) r, SUM(f0g) g, SUM(f0b) b FROM c2 GROUP BY media_id
+      UNION ALL
+      SELECT media_id, 1, SUM(c1r), SUM(c1g), SUM(c1b) FROM c2 GROUP BY media_id
+      UNION ALL
+      SELECT media_id, 2, SUM(c2r), SUM(c2g), SUM(c2b) FROM c2 GROUP BY media_id
+    )
+    SELECT media_id, CAST(fi AS BIGINT) AS frame_idx,
+           CAST(CASE fi WHEN 0 THEN 40 + media_id % 10
+                        WHEN 1 THEN 50 ELSE 60 END AS BIGINT) AS duration,
+           CAST(media_id % 4 AS BIGINT) AS loop_count,
+           CAST(r AS BIGINT) AS r_sum,
+           CAST(g AS BIGINT) AS g_sum,
+           CAST(b AS BIGINT) AS b_sum,
+           CAST(192 * 255 AS BIGINT) AS a_sum
+    FROM frames
 """
 
     # Ogg-FLAC: same planted signal as q_flac_audio — the Ogg page

@@ -946,6 +946,172 @@ def vp8l_encode(rgba, *, transforms: tuple = ()) -> bytes:
     return b"RIFF" + len(riff).to_bytes(4, "little") + riff
 
 
+# --------------------------------------------------------- animated WebP
+#
+# Round 12 (late): ANIMATED WebP is NOT an inter-frame-predicted codec —
+# each ANMF frame is a complete VP8/VP8L image composited onto a canvas
+# with blend/dispose flags, exactly the GIF model.  The per-frame codec
+# layer is already externally pinned (VP8 bit-exact vs libwebp, VP8L
+# interop both directions); the mux layer below is spec arithmetic over
+# those decodes, fixture-tested the same way the GIF compositor is.
+# Only H.26x/VP9/AV1-class video remains the library-gated seam.
+
+
+def webp_anim_encode(
+    frames: list,
+    canvas_w: int,
+    canvas_h: int,
+    *,
+    bg=(255, 255, 255, 255),
+    loop: int = 0,
+) -> bytes:
+    """Mux an animated WebP: VP8X (animation flag) + ANIM (background
+    RGBA, loop count) + one ANMF per frame.  Each frame dict:
+    ``{x, y, rgba, duration, blend, dispose}`` — x/y are EVEN canvas
+    offsets (the wire stores them halved), ``rgba`` an (h, w, 4)
+    array encoded losslessly via ``vp8l_encode``, ``blend`` True for
+    alpha compositing (wire bit 0 MEANS do-not-blend), ``dispose``
+    1 to restore the frame rectangle to the background color after
+    rendering."""
+    import numpy as np
+
+    chunks = bytearray()
+    vp8x = bytes([0x12]) + b"\x00\x00\x00"  # alpha + animation flags
+    vp8x += (canvas_w - 1).to_bytes(3, "little")
+    vp8x += (canvas_h - 1).to_bytes(3, "little")
+    chunks += b"VP8X" + len(vp8x).to_bytes(4, "little") + vp8x
+    r, g, b, a = bg
+    anim = bytes([b, g, r, a]) + int(loop).to_bytes(2, "little")  # BGRA
+    chunks += b"ANIM" + len(anim).to_bytes(4, "little") + anim
+    for f in frames:
+        arr = np.asarray(f["rgba"], dtype=np.uint8)
+        fh, fw = arr.shape[:2]
+        x, y = int(f["x"]), int(f["y"])
+        if x % 2 or y % 2:
+            raise ValueError("webp: ANMF offsets must be even")
+        if x + fw > canvas_w or y + fh > canvas_h:
+            raise ValueError("webp: frame rectangle outside the canvas")
+        sub = vp8l_encode(arr)[12:]  # the VP8L chunk (+pad) sans RIFF/WEBP
+        hdr = (x // 2).to_bytes(3, "little") + (y // 2).to_bytes(3, "little")
+        hdr += (fw - 1).to_bytes(3, "little") + (fh - 1).to_bytes(3, "little")
+        hdr += int(f.get("duration", 100)).to_bytes(3, "little")
+        flags = (0x01 if not f.get("blend", True) else 0) | (
+            0x02 if f.get("dispose", 0) else 0
+        )
+        body = hdr + bytes([flags]) + sub
+        chunks += b"ANMF" + len(body).to_bytes(4, "little") + body
+        if len(body) & 1:
+            chunks += b"\x00"
+    riff = b"WEBP" + bytes(chunks)
+    return b"RIFF" + len(riff).to_bytes(4, "little") + riff
+
+
+def _blend_rect(canvas, frame, y0: int, x0: int) -> None:
+    """Alpha-compose ``frame`` over the canvas rectangle (the
+    non-premultiplied integer convention: blend_a = src_a + dst_a *
+    (255 - src_a) / 255, channel = (src*src_a + dst*dst_a*(255-src_a)
+    / 255) / blend_a; a zero blend alpha yields transparent black)."""
+    import numpy as np
+
+    fh, fw = frame.shape[:2]
+    dst = canvas[y0 : y0 + fh, x0 : x0 + fw].astype(np.int64)
+    src = frame.astype(np.int64)
+    src_a = src[..., 3:4]
+    dst_scale = dst[..., 3:4] * (255 - src_a) // 255
+    blend_a = src_a + dst_scale
+    rgb = src[..., :3] * src_a + dst[..., :3] * dst_scale
+    safe = np.maximum(blend_a, 1)
+    out = np.concatenate([rgb // safe, blend_a], axis=2)
+    out[np.broadcast_to(blend_a == 0, out.shape)] = 0
+    canvas[y0 : y0 + fh, x0 : x0 + fw] = out.astype(np.uint8)
+
+
+def webp_anim_decode(data: bytes):
+    """Demux + composite an animated WebP: returns ``(canvases,
+    durations, loop, bg_rgba)`` where ``canvases`` is one (canvas_h,
+    canvas_w, 4) uint8 array per ANMF frame (the canvas as displayed
+    after that frame).  The canvas starts transparent black; blend
+    composites per ``_blend_rect``; dispose=1 restores the frame
+    rectangle to the ANIM background color after the snapshot.  Frame
+    payloads route through the pinned VP8/VP8L decoders (ALPH merged
+    for lossy frames)."""
+    import numpy as np
+
+    if data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        raise ValueError("not a WebP file")
+    pos = 12
+    canvas = None
+    bg = (0, 0, 0, 0)
+    loop = 0
+    canvases: list = []
+    durations: list = []
+    seen_anim = False
+    while pos + 8 <= len(data):
+        cc = data[pos : pos + 4]
+        size = int.from_bytes(data[pos + 4 : pos + 8], "little")
+        body = data[pos + 8 : pos + 8 + size]
+        if cc == b"VP8X":
+            if not (body[0] & 0x02):
+                raise ValueError("webp: not an animated file (no ANIM flag)")
+            cw = 1 + int.from_bytes(body[4:7], "little")
+            ch = 1 + int.from_bytes(body[7:10], "little")
+            canvas = np.zeros((ch, cw, 4), dtype=np.uint8)
+        elif cc == b"ANIM":
+            bg = (body[2], body[1], body[0], body[3])  # BGRA wire order
+            loop = int.from_bytes(body[4:6], "little")
+            seen_anim = True
+        elif cc == b"ANMF":
+            if canvas is None or not seen_anim:
+                raise ValueError("webp: ANMF before VP8X/ANIM")
+            x = 2 * int.from_bytes(body[0:3], "little")
+            y = 2 * int.from_bytes(body[3:6], "little")
+            fw = 1 + int.from_bytes(body[6:9], "little")
+            fh = 1 + int.from_bytes(body[9:12], "little")
+            durations.append(int.from_bytes(body[12:15], "little"))
+            flags = body[15]
+            if y + fh > canvas.shape[0] or x + fw > canvas.shape[1]:
+                raise ValueError("webp: frame rectangle outside the canvas")
+            # frame payload: optional ALPH + VP8/VP8L chunk
+            fpos = 16
+            alph = None
+            frame = None
+            while fpos + 8 <= len(body):
+                fcc = body[fpos : fpos + 4]
+                fsz = int.from_bytes(body[fpos + 4 : fpos + 8], "little")
+                fbody = body[fpos + 8 : fpos + 8 + fsz]
+                if fcc == b"ALPH":
+                    alph = fbody
+                elif fcc == b"VP8L":
+                    frame = vp8l_decode(fbody)
+                    break
+                elif fcc == b"VP8 ":
+                    from .vp8 import vp8_decode as _vp8_decode
+
+                    yv, uv, vv = _vp8_decode(fbody)
+                    frame = _yuv420_to_rgba(yv, uv, vv)
+                    if alph is not None:
+                        frame[..., 3] = _alpha_decode(
+                            alph, frame.shape[1], frame.shape[0]
+                        ).astype(np.uint8)
+                    break
+                fpos += 8 + fsz + (fsz & 1)
+            if frame is None:
+                raise ValueError("webp: ANMF carries no image chunk")
+            if frame.shape[:2] != (fh, fw):
+                raise ValueError("webp: ANMF size contradicts the frame payload")
+            if flags & 0x01:  # do-not-blend: straight copy
+                canvas[y : y + fh, x : x + fw] = frame
+            else:
+                _blend_rect(canvas, frame, y, x)
+            canvases.append(canvas.copy())
+            if flags & 0x02:  # dispose to background color
+                canvas[y : y + fh, x : x + fw] = np.array(bg, dtype=np.uint8)
+        pos += 8 + size + (size & 1)
+    if not canvases:
+        raise ValueError("webp: no ANMF frames")
+    return canvases, durations, loop, bg
+
+
 # ------------------------------------------------------------ Spark surface
 
 
@@ -1038,6 +1204,121 @@ def webp_pixel_stats(media):
                 rows["wsum"].append(
                     int(((img[..., 0] + 2 * img[..., 1] + 3 * img[..., 2]) * weight).sum())
                 )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(process, schema=schema)
+
+
+def plant_anim_webps(documents, *, id_col: str = "doc_id"):
+    """Planted ANIMATED WebP fixtures (round 12): 16x12 canvas,
+    background (200,100,50,255), loop ``id % 4``; three VP8L frames
+    per file in the GIF-fixture style —
+
+      f0 full-canvas, opaque, copy; dispose-to-background iff id odd
+         (duration 40 + id%10)
+      f1 8x6 at (x=4, y=2), opaque, copy (duration 50)
+      f2 6x4 at (x=8, y=4), ALPHA 128, BLEND (duration 60) — over an
+         opaque canvas the non-premultiplied compositor reduces to
+         channel = (src*128 + dst*127) // 255 with alpha 255, exact
+         integers a SQL oracle replays.
+
+    Frame arithmetic (frame-local u, v):
+      f0: r=(3i+5j+id)%256  g=(7i+j+2id)%256  b=(i+j+3id)%256
+      f1: r=(11u+13v+id)%256 g=(2u+v+5id)%256 b=(u+4v+7id)%256
+      f2: r=(9u+4v+5id)%256  g=(u+2v+id)%256  b=(5u+v+2id)%256
+    """
+    import numpy as np
+    import pandas as pd
+
+    from .multimodal import MEDIA_SCHEMA, _spread
+
+    def build(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for did in pdf[id_col]:
+                did = int(did)
+                i = np.arange(12)[:, None]
+                j = np.arange(16)[None, :]
+                f0 = np.stack(
+                    [(3 * i + 5 * j + did) % 256, (7 * i + j + 2 * did) % 256,
+                     (i + j + 3 * did) % 256, np.full((12, 16), 255)], axis=2
+                ).astype(np.uint8)
+                u1 = np.arange(6)[:, None]
+                v1 = np.arange(8)[None, :]
+                f1 = np.stack(
+                    [(11 * u1 + 13 * v1 + did) % 256, (2 * u1 + v1 + 5 * did) % 256,
+                     (u1 + 4 * v1 + 7 * did) % 256, np.full((6, 8), 255)], axis=2
+                ).astype(np.uint8)
+                u2 = np.arange(4)[:, None]
+                v2 = np.arange(6)[None, :]
+                f2 = np.stack(
+                    [(9 * u2 + 4 * v2 + 5 * did) % 256, (u2 + 2 * v2 + did) % 256,
+                     (5 * u2 + v2 + 2 * did) % 256, np.full((4, 6), 128)], axis=2
+                ).astype(np.uint8)
+                payloads.append(
+                    webp_anim_encode(
+                        [
+                            dict(x=0, y=0, rgba=f0, duration=40 + did % 10,
+                                 blend=False, dispose=1 if did % 2 else 0),
+                            dict(x=4, y=2, rgba=f1, duration=50, blend=False),
+                            dict(x=8, y=4, rgba=f2, duration=60, blend=True),
+                        ],
+                        16, 12, bg=(200, 100, 50, 255), loop=did % 4,
+                    )
+                )
+                ids.append(did)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "media_type": ["image"] * len(ids),
+                    "media": payloads,
+                    "source": ["planted"] * len(ids),
+                }
+            )
+
+    return _spread(documents.select(id_col)).mapInPandas(build, schema=MEDIA_SCHEMA)
+
+
+def webp_anim_stats(media):
+    """Composite every animated-WebP file and emit per-displayed-frame
+    exact channel sums over the 16x12 canvas (plus duration and the
+    loop count) — value-checking the demux, per-frame VP8L decode,
+    blend arithmetic, and dispose-to-background in one pass."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("frame_idx", LongType(), False),
+            StructField("duration", LongType(), False),
+            StructField("loop_count", LongType(), False),
+            StructField("r_sum", LongType(), False),
+            StructField("g_sum", LongType(), False),
+            StructField("b_sum", LongType(), False),
+            StructField("a_sum", LongType(), False),
+        ]
+    )
+
+    def process(batches):
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "media_id", "frame_idx", "duration", "loop_count",
+                "r_sum", "g_sum", "b_sum", "a_sum",
+            )}
+            for mid, payload in zip(pdf["media_id"], pdf["media"]):
+                canvases, durs, loop, _bg = webp_anim_decode(bytes(payload))
+                for k, (canvas, dur) in enumerate(zip(canvases, durs)):
+                    c = canvas.astype(np.int64)
+                    rows["media_id"].append(int(mid))
+                    rows["frame_idx"].append(k)
+                    rows["duration"].append(int(dur))
+                    rows["loop_count"].append(int(loop))
+                    rows["r_sum"].append(int(c[..., 0].sum()))
+                    rows["g_sum"].append(int(c[..., 1].sum()))
+                    rows["b_sum"].append(int(c[..., 2].sum()))
+                    rows["a_sum"].append(int(c[..., 3].sum()))
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(process, schema=schema)

@@ -701,6 +701,59 @@ def test_vp8x_raw_alpha_all_filters_roundtrip():
         vp8l.vp8l_decode(vp8x_file(bytes([0]) + alpha.astype(np.uint8).tobytes(), anim=True))
 
 
+def test_webp_anim_mux_demux_blend_dispose():
+    """Animated WebP: mux -> demux round-trip with exact compositing —
+    copy frames verbatim, dispose-to-background fills the rect, and
+    the alpha-128 blend over an opaque canvas reduces to
+    (src*128 + dst*127) // 255 with alpha 255."""
+    vp8l = importlib.import_module(f"{PKG}.operators.vp8l")
+    H, W = 12, 16
+    i = np.arange(H)[:, None]
+    j = np.arange(W)[None, :]
+    f0 = np.stack([(3 * i + 5 * j) % 256, (7 * i + j) % 256, (i + j) % 256,
+                   np.full((H, W), 255)], axis=2).astype(np.uint8)
+    f2 = np.full((4, 6, 4), 80, np.uint8)
+    f2[..., 3] = 128
+    BG = (200, 100, 50, 255)
+    data = vp8l.webp_anim_encode(
+        [dict(x=0, y=0, rgba=f0, duration=40, blend=False, dispose=1),
+         dict(x=8, y=4, rgba=f2, duration=60, blend=True)],
+        W, H, bg=BG, loop=5,
+    )
+    canvases, durs, loop, bg = vp8l.webp_anim_decode(data)
+    assert durs == [40, 60] and loop == 5 and bg == BG
+    assert np.array_equal(canvases[0], f0)
+    exp = np.tile(np.array(BG, np.uint8), (H, W, 1)).reshape(H, W, 4)
+    exp[4:8, 8:14, 0] = (80 * 128 + 200 * 127) // 255
+    exp[4:8, 8:14, 1] = (80 * 128 + 100 * 127) // 255
+    exp[4:8, 8:14, 2] = (80 * 128 + 50 * 127) // 255
+    assert np.array_equal(canvases[1], exp)
+
+
+def test_webp_anim_transparent_canvas_blend_and_guards():
+    """Blending onto the initially TRANSPARENT canvas exercises the
+    zero/partial dst-alpha branch; structural guards reject odd
+    offsets, out-of-canvas rects, and non-animated files."""
+    vp8l = importlib.import_module(f"{PKG}.operators.vp8l")
+    f = np.full((4, 4, 4), 100, np.uint8)
+    f[..., 3] = 64
+    data = vp8l.webp_anim_encode(
+        [dict(x=2, y=2, rgba=f, duration=10, blend=True)], 8, 8
+    )
+    canvases, _, _, _ = vp8l.webp_anim_decode(data)
+    c = canvases[0]
+    # dst_a = 0: blend_a = 64, rgb = src*64*... / 64 = src values
+    assert (c[2:6, 2:6, 3] == 64).all() and (c[2:6, 2:6, 0] == 100).all()
+    assert (c[0, 0] == 0).all()  # untouched canvas stays transparent black
+    with pytest.raises(ValueError, match="even"):
+        vp8l.webp_anim_encode([dict(x=1, y=0, rgba=f)], 8, 8)
+    with pytest.raises(ValueError, match="outside"):
+        vp8l.webp_anim_encode([dict(x=6, y=6, rgba=f)], 8, 8)
+    still = vp8l.vp8l_encode(np.zeros((4, 4, 4), np.uint8))
+    with pytest.raises(ValueError, match="no ANMF|ANIM"):
+        vp8l.webp_anim_decode(still)
+
+
 def test_vp8_mutation_fuzz_never_silently_identical():
     """Flipping bytes of a valid VP8 stream must raise or change the
     output — no corruption path silently reproduces the original."""
