@@ -2498,6 +2498,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ),
         )
 
+    def q_bmp_decode(spark, sf_dir):
+        # BMP (round 12, late): the uncompressed DIB family scanned-
+        # document and screenshot corpora contain — 24-bit BGR, 8-bit
+        # palettized, 32-bit BGRA, bottom-up AND top-down (negative
+        # biHeight, every 5th fixture), 4-byte scanline padding at odd
+        # widths.  Channel sums fail any row-order, padding, BGR-
+        # swizzle, or palette mistake; bpp value-checks the header.
+        from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.multimodal import (
+            bmp_stats,
+            plant_bmps,
+        )
+
+        return _shared_result(
+            spark, sf_dir, "media_bmp",
+            lambda: bmp_stats(plant_bmps(load_table(spark, sf_dir, "documents"))),
+        )
+
     def q_png_lowbit(spark, sf_dir):
         # SUB-BYTE PNGs + tRNS (round 12): 1/2/4-bit gray (even ids)
         # and palette (odd ids), every 5th Adam7-interlaced, half
@@ -5188,6 +5205,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_png_alpha": q_png_alpha,  # new round 11
         "q_png_16bit": q_png_16bit,  # new round 11
         "q_png_lowbit": q_png_lowbit,  # new round 12
+        "q_bmp_decode": q_bmp_decode,  # new round 12
         "q_audio_features": q_audio_features,
         "q_g711_audio": q_g711_audio,
         "q_adpcm_audio": q_adpcm_audio,
@@ -9284,6 +9302,46 @@ def oracle_sql() -> dict[str, str]:
            CAST(SUM(vt) * 64 AS BIGINT) AS v_sum,
            CAST(SUM(yt * (r + 2 * c + 1)) * 256 AS BIGINT) AS y_wsum
     FROM mb GROUP BY media_id, mbw, mbh
+"""
+
+    # BMP: channel sums replay per variant — 24/32-bit direct
+    # arithmetic, 8-bit through the nested palette congruence
+    # (the q_png_palette pattern); orientation/padding must erase.
+    oracles["q_bmp_decode"] = """
+    WITH docs AS (
+      SELECT CAST(doc_id AS BIGINT) AS media_id,
+             CAST(5 + doc_id % 9 AS BIGINT) AS w,
+             CAST(4 + doc_id % 7 AS BIGINT) AS h,
+             doc_id % 3 AS variant
+      FROM documents
+    ),
+    px AS (
+      SELECT d.media_id, d.variant, d.w, d.h,
+             CASE WHEN d.variant = 1
+                  THEN (11 * ((3*i.i + 5*j.j + d.media_id) % 256) + d.media_id) % 256
+                  ELSE (31*i.i + 17*j.j + d.media_id) % 256 END AS r,
+             CASE WHEN d.variant = 1
+                  THEN (13 * ((3*i.i + 5*j.j + d.media_id) % 256) + 2*d.media_id) % 256
+                  ELSE (29*i.i + 19*j.j + 3*d.media_id) % 256 END AS g,
+             CASE WHEN d.variant = 1
+                  THEN (17 * ((3*i.i + 5*j.j + d.media_id) % 256) + 3*d.media_id) % 256
+                  ELSE (23*i.i + 13*j.j + 7*d.media_id) % 256 END AS b,
+             CASE WHEN d.variant = 2
+                  THEN (5*i.i + 3*j.j + 11*d.media_id) % 256
+                  ELSE 255 END AS a
+      FROM docs d
+      JOIN range(0, 11) i(i) ON i.i < d.h
+      JOIN range(0, 14) j(j) ON j.j < d.w
+    )
+    SELECT media_id,
+           CAST(CASE variant WHEN 0 THEN 24 WHEN 1 THEN 8 ELSE 32 END
+                AS BIGINT) AS bpp,
+           w AS width, h AS height,
+           CAST(SUM(r) AS BIGINT) AS r_sum,
+           CAST(SUM(g) AS BIGINT) AS g_sum,
+           CAST(SUM(b) AS BIGINT) AS b_sum,
+           CAST(SUM(a) AS BIGINT) AS a_sum
+    FROM px GROUP BY media_id, variant, w, h
 """
 
     # Animated WebP: three-frame compositing replay — frame 0 is the

@@ -5652,3 +5652,223 @@ def jpeg_progressive_decode(data: bytes):
             out[by : by + 8, bx : bx + 8] = np.clip(np.rint(block), 0, 255)
             bi += 1
     return out[:h, :w]
+
+
+# ---------------------------------------------------------------------------
+# BMP (round 12, late): the uncompressed DIB family scanned-document
+# and screenshot corpora actually contain.  Fully spec-covered for the
+# shapes that occur in practice: BITMAPINFOHEADER, 8-bit palettized /
+# 24-bit BGR / 32-bit BGRA, bottom-up AND top-down row order (negative
+# height), 4-byte scanline padding.  Both codec directions are exact
+# (the format is raw), so the planted-arithmetic oracle replays decode
+# verbatim; the per-file grain is the multimodal shard grain.
+# ---------------------------------------------------------------------------
+
+
+def bmp_encode(pixels, *, palette=None, top_down: bool = False) -> bytes:
+    """Encode a BMP: (h, w) uint8 indices with a palette (8-bit),
+    (h, w, 3) RGB (24-bit BGR rows), or (h, w, 4) RGBA (32-bit BGRA).
+    Rows pad to 4 bytes; bottom-up unless ``top_down`` (negative
+    biHeight)."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if arr.ndim == 2:
+        if palette is None:
+            raise ValueError("bmp: 8-bit encode needs a palette")
+        h, w = arr.shape
+        bpp = 8
+    elif arr.ndim == 3 and arr.shape[2] in (3, 4):
+        h, w = arr.shape[:2]
+        bpp = arr.shape[2] * 8
+    else:
+        raise ValueError("bmp: expected (h,w) indices, (h,w,3) RGB or (h,w,4) RGBA")
+    row_bytes = (w * bpp // 8 + 3) & ~3
+    pal_bytes = b""
+    if bpp == 8:
+        pal = np.asarray(palette, dtype=np.uint8)
+        if pal.shape[1] != 3:
+            raise ValueError("bmp: palette must be (n, 3) RGB")
+        quads = np.zeros((pal.shape[0], 4), dtype=np.uint8)
+        quads[:, 0] = pal[:, 2]  # BGRx quads
+        quads[:, 1] = pal[:, 1]
+        quads[:, 2] = pal[:, 0]
+        pal_bytes = quads.tobytes()
+    data_off = 14 + 40 + len(pal_bytes)
+    body = bytearray()
+    rows = range(h) if top_down else range(h - 1, -1, -1)
+    for r in rows:
+        if bpp == 8:
+            line = arr[r].tobytes()
+        elif bpp == 24:
+            line = arr[r][:, ::-1].tobytes()  # RGB -> BGR
+        else:
+            line = arr[r][:, [2, 1, 0, 3]].tobytes()  # RGBA -> BGRA
+        body += line + b"\x00" * (row_bytes - len(line))
+    info = struct.pack(
+        "<IiiHHIIiiII",
+        40, w, -h if top_down else h, 1, bpp, 0,  # BI_RGB
+        len(body), 2835, 2835,
+        (len(pal_bytes) // 4) if pal_bytes else 0, 0,
+    )
+    hdr = b"BM" + struct.pack("<IHHI", data_off + len(body), 0, 0, data_off)
+    return hdr + info + pal_bytes + bytes(body)
+
+
+def bmp_decode(data: bytes):
+    """Decode a BI_RGB BMP: returns (h, w, 3) RGB for 8/24-bit or
+    (h, w, 4) RGBA for 32-bit, already in top-down raster order
+    (bottom-up files are flipped; top-down files pass through)."""
+    import struct
+
+    import numpy as np
+
+    if data[:2] != b"BM" or len(data) < 54:
+        raise ValueError("not a BMP")
+    data_off = struct.unpack("<I", data[10:14])[0]
+    hdr_size = struct.unpack("<I", data[14:18])[0]
+    if hdr_size < 40:
+        raise ValueError("bmp: pre-BITMAPINFOHEADER DIBs not supported")
+    w, h_raw = struct.unpack("<ii", data[18:26])
+    planes, bpp = struct.unpack("<HH", data[26:30])
+    compression = struct.unpack("<I", data[30:34])[0]
+    n_colors = struct.unpack("<I", data[46:50])[0]
+    if planes != 1 or w <= 0 or h_raw == 0:
+        raise ValueError("bmp: bad plane/dimension fields")
+    if compression != 0:
+        raise ValueError("bmp: only BI_RGB (uncompressed) is supported")
+    if bpp not in (8, 24, 32):
+        raise ValueError("bmp: supported depths are 8/24/32")
+    top_down = h_raw < 0
+    h = -h_raw if top_down else h_raw
+    row_bytes = (w * bpp // 8 + 3) & ~3
+    body = data[data_off : data_off + row_bytes * h]
+    if len(body) != row_bytes * h:
+        raise ValueError("bmp: truncated pixel data")
+    mat = np.frombuffer(body, dtype=np.uint8).reshape(h, row_bytes)
+    if not top_down:
+        mat = mat[::-1]
+    if bpp == 8:
+        if n_colors == 0:
+            n_colors = 256
+        pal_raw = data[14 + hdr_size : 14 + hdr_size + 4 * n_colors]
+        if len(pal_raw) != 4 * n_colors:
+            raise ValueError("bmp: truncated palette")
+        quads = np.frombuffer(pal_raw, dtype=np.uint8).reshape(-1, 4)
+        pal_rgb = quads[:, [2, 1, 0]]
+        idx = mat[:, :w]
+        if int(idx.max(initial=0)) >= n_colors:
+            raise ValueError("bmp: palette index out of range")
+        return pal_rgb[idx]
+    if bpp == 24:
+        px = mat[:, : w * 3].reshape(h, w, 3)
+        return px[:, :, ::-1].copy()  # BGR -> RGB
+    px = mat[:, : w * 4].reshape(h, w, 4)
+    return px[:, :, [2, 1, 0, 3]].copy()  # BGRA -> RGBA
+
+
+def plant_bmps(documents: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """Planted BMP fixtures: variant cycles on id%3 — 24-bit BGR,
+    8-bit palettized (the congruence palette of the PNG fixtures),
+    32-bit BGRA with an arithmetic alpha plane; every id%5==0 file is
+    TOP-DOWN (negative biHeight — orientation is an encoding detail
+    the decode must erase).  W = 5 + id%9 (odd widths exercise the
+    4-byte scanline padding), H = 4 + id%7.
+
+        rgb:  r=(31i+17j+id)%256 g=(29i+19j+3id)%256 b=(23i+13j+7id)%256
+        idx:  v=(3i+5j+id)%256 through pal[k]=((11k+id)%256,
+              (13k+2id)%256, (17k+3id)%256)
+        a:    (5i+3j+11id)%256 (32-bit only; else 255)
+    """
+    import numpy as np
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for i in pdf[id_col]:
+                i = int(i)
+                w, h = 5 + i % 9, 4 + i % 7
+                ii = np.arange(h, dtype=np.int64)[:, None]
+                jj = np.arange(w, dtype=np.int64)[None, :]
+                td = i % 5 == 0
+                if i % 3 == 0:
+                    img = np.stack(
+                        [(31 * ii + 17 * jj + i) % 256,
+                         (29 * ii + 19 * jj + 3 * i) % 256,
+                         (23 * ii + 13 * jj + 7 * i) % 256], axis=2
+                    ).astype(np.uint8)
+                    payloads.append(bmp_encode(img, top_down=td))
+                elif i % 3 == 1:
+                    v = ((3 * ii + 5 * jj + i) % 256).astype(np.uint8)
+                    kk = np.arange(256, dtype=np.int64)
+                    pal = np.stack(
+                        [(11 * kk + i) % 256, (13 * kk + 2 * i) % 256,
+                         (17 * kk + 3 * i) % 256], axis=1
+                    ).astype(np.uint8)
+                    payloads.append(bmp_encode(v, palette=pal, top_down=td))
+                else:
+                    img = np.stack(
+                        [(31 * ii + 17 * jj + i) % 256,
+                         (29 * ii + 19 * jj + 3 * i) % 256,
+                         (23 * ii + 13 * jj + 7 * i) % 256,
+                         (5 * ii + 3 * jj + 11 * i) % 256], axis=2
+                    ).astype(np.uint8)
+                    payloads.append(bmp_encode(img, top_down=td))
+                ids.append(i)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "media_type": ["image"] * len(ids),
+                    "media": payloads,
+                    "source": ["planted"] * len(ids),
+                }
+            )
+
+    return _spread(documents.select(id_col)).mapInPandas(build, schema=MEDIA_SCHEMA)
+
+
+BMP_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("bpp", LongType(), False),
+        StructField("width", LongType(), False),
+        StructField("height", LongType(), False),
+        StructField("r_sum", LongType(), False),
+        StructField("g_sum", LongType(), False),
+        StructField("b_sum", LongType(), False),
+        StructField("a_sum", LongType(), False),
+    ]
+)
+
+
+def bmp_stats(media: DataFrame) -> DataFrame:
+    """Decode BMPs in ONE Arrow map stage: exact channel sums over the
+    top-down raster — a decoder that mishandles row order, padding,
+    BGR swizzle, or the palette fails the sums; bpp comes from the
+    header (offset 28) and value-checks the depth parse."""
+    import numpy as np
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "media_id", "bpp", "width", "height",
+                "r_sum", "g_sum", "b_sum", "a_sum",
+            )}
+            for mid, payload in zip(pdf["media_id"], pdf["media"]):
+                payload = bytes(payload)
+                bpp = int.from_bytes(payload[28:30], "little")
+                arr = bmp_decode(payload).astype(np.int64)
+                a = arr[..., 3] if arr.shape[2] == 4 else np.full(arr.shape[:2], 255)
+                rows["media_id"].append(int(mid))
+                rows["bpp"].append(bpp)
+                rows["height"].append(arr.shape[0])
+                rows["width"].append(arr.shape[1])
+                rows["r_sum"].append(int(arr[..., 0].sum()))
+                rows["g_sum"].append(int(arr[..., 1].sum()))
+                rows["b_sum"].append(int(arr[..., 2].sum()))
+                rows["a_sum"].append(int(a.sum()))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(process, schema=BMP_SCHEMA)

@@ -774,6 +774,65 @@ def test_vp8_mutation_fuzz_never_silently_identical():
         assert not same, f"silent corruption at byte {pos}"
 
 
+# ------------------------------------------------------------- BMP (r12)
+
+
+@pytest.mark.parametrize("i", list(range(12)))
+def test_bmp_roundtrip_all_variants(i):
+    """24-bit BGR, 8-bit palettized, 32-bit BGRA; both row orders; odd
+    widths exercising the 4-byte scanline padding."""
+    mm = _mm()
+    w, h = 5 + i % 9, 4 + i % 7
+    ii = np.arange(h)[:, None]
+    jj = np.arange(w)[None, :]
+    td = i % 5 == 0
+    if i % 3 == 0:
+        img = np.stack(
+            [(31 * ii + 17 * jj + i) % 256, (29 * ii + 19 * jj + 3 * i) % 256,
+             (23 * ii + 13 * jj + 7 * i) % 256], axis=2).astype(np.uint8)
+        assert np.array_equal(mm.bmp_decode(mm.bmp_encode(img, top_down=td)), img)
+    elif i % 3 == 1:
+        v = ((3 * ii + 5 * jj + i) % 256).astype(np.uint8)
+        kk = np.arange(256)
+        pal = np.stack(
+            [(11 * kk + i) % 256, (13 * kk + 2 * i) % 256, (17 * kk + 3 * i) % 256],
+            axis=1).astype(np.uint8)
+        got = mm.bmp_decode(mm.bmp_encode(v, palette=pal, top_down=td))
+        assert np.array_equal(got, pal[v])
+    else:
+        img = np.stack(
+            [(31 * ii + 17 * jj + i) % 256, (29 * ii + 19 * jj + 3 * i) % 256,
+             (23 * ii + 13 * jj + 7 * i) % 256, (5 * ii + 3 * jj + 11 * i) % 256],
+            axis=2).astype(np.uint8)
+        assert np.array_equal(mm.bmp_decode(mm.bmp_encode(img, top_down=td)), img)
+
+
+def test_bmp_guards():
+    """RLE compression, truncation, short palettes, and out-of-range
+    indices reject cleanly."""
+    import struct
+
+    mm = _mm()
+    img = np.zeros((3, 3, 3), np.uint8)
+    enc = bytearray(mm.bmp_encode(img))
+    bad = bytearray(enc)
+    bad[30:34] = struct.pack("<I", 1)  # BI_RLE8
+    with pytest.raises(ValueError, match="BI_RGB"):
+        mm.bmp_decode(bytes(bad))
+    with pytest.raises(ValueError, match="truncated pixel"):
+        mm.bmp_decode(bytes(enc[:-4]))
+    # 8-bit with an index past the declared color count
+    pal = np.zeros((4, 3), np.uint8)
+    v = np.full((2, 2), 3, np.uint8)
+    ok = mm.bmp_encode(v, palette=pal)
+    assert mm.bmp_decode(ok).shape == (2, 2, 3)
+    v_bad = np.full((2, 2), 4, np.uint8)
+    with pytest.raises(ValueError, match="index out of range"):
+        mm.bmp_decode(mm.bmp_encode(v_bad, palette=pal))
+    with pytest.raises(ValueError, match="not a BMP"):
+        mm.bmp_decode(b"XX" + bytes(60))
+
+
 def test_bench_rounds_schema_always_op_keyed():
     """bench.py records LOOP_STATS in the op-keyed nested form even for
     a single instrumented loop (r11 ADVICE, bench.py:89)."""
