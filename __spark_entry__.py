@@ -2498,6 +2498,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ),
         )
 
+    def q_tiff_decode(spark, sf_dir):
+        # TIFF (round 12, late): the other scanned-document staple —
+        # IFD walk over both byte orders, gray8/RGB24, single- and
+        # multi-strip layouts, compressions none / TIFF-LZW (MSB
+        # codes, early-change widths) / PackBits.  Strips decompress
+        # independently — the intra-file split grain giant scans
+        # shard by.  Channel sums + the compression tag read back
+        # value-check the whole path.
+        from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.multimodal import (
+            plant_tiffs,
+            tiff_stats,
+        )
+
+        return _shared_result(
+            spark, sf_dir, "media_tiff",
+            lambda: tiff_stats(plant_tiffs(load_table(spark, sf_dir, "documents"))),
+        )
+
     def q_bmp_decode(spark, sf_dir):
         # BMP (round 12, late): the uncompressed DIB family scanned-
         # document and screenshot corpora contain — 24-bit BGR, 8-bit
@@ -5206,6 +5224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_png_16bit": q_png_16bit,  # new round 11
         "q_png_lowbit": q_png_lowbit,  # new round 12
         "q_bmp_decode": q_bmp_decode,  # new round 12
+        "q_tiff_decode": q_tiff_decode,  # new round 12
         "q_audio_features": q_audio_features,
         "q_g711_audio": q_g711_audio,
         "q_adpcm_audio": q_adpcm_audio,
@@ -9302,6 +9321,41 @@ def oracle_sql() -> dict[str, str]:
            CAST(SUM(vt) * 64 AS BIGINT) AS v_sum,
            CAST(SUM(yt * (r + 2 * c + 1)) * 256 AS BIGINT) AS y_wsum
     FROM mb GROUP BY media_id, mbw, mbh
+"""
+
+    # TIFF: compression is a wire detail the decode must erase — the
+    # oracle replays the gray/RGB arithmetic per variant only.
+    oracles["q_tiff_decode"] = """
+    WITH docs AS (
+      SELECT CAST(doc_id AS BIGINT) AS media_id,
+             CAST(6 + doc_id % 9 AS BIGINT) AS w,
+             CAST(5 + doc_id % 6 AS BIGINT) AS h,
+             doc_id % 3 AS variant
+      FROM documents
+    ),
+    px AS (
+      SELECT d.media_id, d.variant, d.w, d.h,
+             CASE WHEN d.variant = 1
+                  THEN (31*i.i + 17*j.j + d.media_id) % 256
+                  ELSE (37*i.i + 23*j.j + d.media_id) % 256 END AS r,
+             CASE WHEN d.variant = 1
+                  THEN (29*i.i + 19*j.j + 3*d.media_id) % 256
+                  ELSE (37*i.i + 23*j.j + d.media_id) % 256 END AS g,
+             CASE WHEN d.variant = 1
+                  THEN (23*i.i + 13*j.j + 7*d.media_id) % 256
+                  ELSE (37*i.i + 23*j.j + d.media_id) % 256 END AS b
+      FROM docs d
+      JOIN range(0, 11) i(i) ON i.i < d.h
+      JOIN range(0, 15) j(j) ON j.j < d.w
+    )
+    SELECT media_id,
+           CAST(CASE variant WHEN 0 THEN 1 WHEN 1 THEN 5
+                ELSE 32773 END AS BIGINT) AS compression,
+           w AS width, h AS height,
+           CAST(SUM(r) AS BIGINT) AS r_sum,
+           CAST(SUM(g) AS BIGINT) AS g_sum,
+           CAST(SUM(b) AS BIGINT) AS b_sum
+    FROM px GROUP BY media_id, variant, w, h
 """
 
     # BMP: channel sums replay per variant — 24/32-bit direct

@@ -833,6 +833,60 @@ def test_bmp_guards():
         mm.bmp_decode(b"XX" + bytes(60))
 
 
+# ------------------------------------------------------------ TIFF (r12)
+
+
+@pytest.mark.parametrize("trial", list(range(12)))
+def test_tiff_roundtrip_matrix(trial):
+    """Gray8/RGB24 x none/LZW/PackBits x II/MM x single/multi-strip."""
+    mm = _mm()
+    rng = np.random.default_rng(trial)
+    h, w = int(rng.integers(2, 30)), int(rng.integers(2, 30))
+    img = rng.integers(0, 256, (h, w) if trial % 2 == 0 else (h, w, 3)).astype(np.uint8)
+    comp = [1, 5, 32773][trial % 3]
+    enc = mm.tiff_encode(
+        img, compression=comp, big_endian=(trial % 4 < 2),
+        rows_per_strip=None if trial % 5 else max(1, h // 3),
+    )
+    assert np.array_equal(mm.tiff_decode(enc), img)
+
+
+def test_tiff_lzw_table_growth_and_clear():
+    """Content large enough to walk the 9->10->11->12-bit widths and
+    force a table clear must round-trip exactly (the early-change
+    boundaries are where a wrong convention desynchronizes)."""
+    mm = _mm()
+    rng = np.random.default_rng(7)
+    # low-entropy but varied: long runs + noise islands -> deep table
+    base = np.repeat(rng.integers(0, 64, 4000).astype(np.uint8), 3)
+    img = base[: 100 * 117].reshape(100, 117)
+    enc = mm.tiff_encode(img, compression=5)
+    assert np.array_equal(mm.tiff_decode(enc), img)
+
+
+def test_tiff_guards():
+    mm = _mm()
+    img = np.zeros((4, 4), np.uint8)
+    enc = bytearray(mm.tiff_encode(img))
+    with pytest.raises(ValueError, match="not a TIFF"):
+        mm.tiff_decode(b"XX" + bytes(enc[2:]))
+    # unsupported compression tag
+    import struct
+    bad = bytearray(enc)
+    # find tag 259 in the IFD and rewrite its value to 7 (JPEG-in-TIFF)
+    (ifd,) = struct.unpack("<I", bytes(bad[4:8]))
+    (n,) = struct.unpack("<H", bytes(bad[ifd : ifd + 2]))
+    for k in range(n):
+        at = ifd + 2 + 12 * k
+        tag = struct.unpack("<H", bytes(bad[at : at + 2]))[0]
+        if tag == 259:
+            bad[at + 8 : at + 10] = struct.pack("<H", 7)
+    with pytest.raises(ValueError, match="compression"):
+        mm.tiff_decode(bytes(bad))
+    with pytest.raises(ValueError, match="truncated strip|shorter"):
+        mm.tiff_decode(bytes(enc[:-6]))
+
+
 def test_bench_rounds_schema_always_op_keyed():
     """bench.py records LOOP_STATS in the op-keyed nested form even for
     a single instrumented loop (r11 ADVICE, bench.py:89)."""
