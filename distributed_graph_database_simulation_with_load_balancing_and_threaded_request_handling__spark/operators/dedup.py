@@ -186,6 +186,12 @@ def substring_overlap_pairs(
         ).distinct()
 
     seed = grams(stride)
+    if stride == 1:
+        # seed doubles as the probe side: persist it so the gram
+        # explode + md5 digest + distinct (the dominant scan) runs
+        # once, not once per join side (stride > 1 builds genuinely
+        # different gram sets per side — nothing is shared there).
+        seed = seed.persist(StorageLevel.MEMORY_AND_DISK)
     probe = seed if stride == 1 else grams(1)
     sized = probe.withColumn(
         "ndocs", F.count("*").over(Window.partitionBy("h"))
@@ -510,9 +516,15 @@ def _jaccard_pairs_from_items(items: DataFrame, threshold: float) -> DataFrame:
     J(x,y) >= t implies min(|x|,|y|)/max(|x|,|y|) >= t, so
     size-incompatible pairs are discarded before the pair aggregation.
     Returns ``(id_a, id_b, jaccard)`` with jaccard rounded to 6."""
+    # Persist the counted inverted index: both sides of the self-join
+    # read it, and without the persist the ENTIRE upstream item
+    # pipeline (tokenize/shingle explode + distinct + the per-id count
+    # join) executes once per side — two full corpus passes instead of
+    # one at 100 TB.  Same ContextCleaner reclamation contract as
+    # minhash_dedup's combo persist.
     inv = items.join(
         items.groupBy("id").agg(F.count("*").cast("int").alias("n")), on="id"
-    ).select("id", "n", items.columns[1])
+    ).select("id", "n", items.columns[1]).persist(StorageLevel.MEMORY_AND_DISK)
     item_col = items.columns[1]
     pairs = (
         inv.alias("x")
@@ -775,7 +787,12 @@ def simhash_dedup(
     recall is exact for the default threshold.  Returns
     (id_a, id_b, hamming)."""
     sh = _simhash_df(documents, text_col=text_col, id_col=id_col, bands=bands, hash_fn=hash_fn)
-    blocked = sh.select("id", "sh", F.posexplode("bandv").alias("band", "bv"))
+    # Persist the banded signature table: both candidate-join sides
+    # read it, and the simhash pipeline above it (token explode +
+    # 64-bit sign sums, two shuffles) should run once, not per side.
+    blocked = sh.select(
+        "id", "sh", F.posexplode("bandv").alias("band", "bv")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     a = blocked.select("band", "bv", F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = blocked.select("band", "bv", F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     return (
@@ -806,7 +823,10 @@ def simhash_allpairs(
     than differing bits some band matches) — comparing the two is the
     measured-recall contract for the banding.  O(n^2) verification
     tool; returns (id_a, id_b, hamming)."""
-    sh = _simhash_df(documents, text_col=text_col, id_col=id_col, bands=1, hash_fn=hash_fn)
+    # Persisted: the all-pairs join reads the signature table twice.
+    sh = _simhash_df(
+        documents, text_col=text_col, id_col=id_col, bands=1, hash_fn=hash_fn
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     return (
@@ -859,6 +879,14 @@ def prefix_jaccard_join(
     nothing quadratic in the corpus.
     """
     t_num, t_den = int(threshold_num), int(threshold_den)
+    # Persist the exploded distinct-token table: FIVE consumers read
+    # it (the frequency agg, the size agg, the ranked prefix build,
+    # and both verification sides), and without the persist each one
+    # re-runs the normalize+tokenize+explode scan — five corpus passes
+    # instead of one at 100 TB (r12 plan capture showed the duplicated
+    # scan subtrees).  ``sizes`` (doc-count rows, three consumers)
+    # gets the same treatment.  ContextCleaner reclamation contract as
+    # minhash_dedup's combo persist.
     toks = (
         documents.select(
             F.col(id_col).alias("id"),
@@ -867,9 +895,12 @@ def prefix_jaccard_join(
             ).alias("tk"),
         )
         .where(F.col("tk") != "")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     freq = toks.groupBy("tk").agg(F.count("*").alias("f"))
-    sizes = toks.groupBy("id").agg(F.count("*").alias("n"))
+    sizes = toks.groupBy("id").agg(F.count("*").alias("n")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     ranked = toks.join(freq, "tk").select(
         "id",
         "tk",
@@ -878,7 +909,14 @@ def prefix_jaccard_join(
         .alias("rn"),
     )
     prefix_len = F.expr(f"n - (({t_num} * n + {t_den} - 1) div {t_den}) + 1")
-    pre = ranked.join(sizes, "id").where(F.col("rn") <= prefix_len)
+    # Persisted for the same reason: the candidate join reads the
+    # prefix table twice (p1/p2), and the window rank above it is a
+    # full token shuffle that should run once.
+    pre = (
+        ranked.join(sizes, "id")
+        .where(F.col("rn") <= prefix_len)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     p1 = pre.select(F.col("tk"), F.col("id").alias("id_a"))
     p2 = pre.select(F.col("tk"), F.col("id").alias("id_b"))
     cand = (
@@ -958,9 +996,15 @@ def edit_dedup(
     """
     band = max_edits if len_band is None else len_band
     grams = token_ngrams(documents, ngram_len=ngram_len).where(F.col("g") != "")
-    sized = grams.withColumn(
-        "bsz", F.count("*").over(Window.partitionBy("g"))
-    ).where(F.col("bsz") <= max_bucket)
+    # Persist the capped gram table: both candidate-join sides read
+    # it, and without the persist the tokenize+explode scan AND the
+    # bucket-size window shuffle execute once per side (two corpus
+    # passes).  Same reclamation contract as minhash_dedup's combo.
+    sized = (
+        grams.withColumn("bsz", F.count("*").over(Window.partitionBy("g")))
+        .where(F.col("bsz") <= max_bucket)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     a = sized.select("g", F.col("id").alias("doc_a"))
     b = sized.select("g", F.col("id").alias("doc_b"))
     cand = (
@@ -1014,10 +1058,13 @@ def cross_source_duplicates(
     """
     from ..functions.textfns import fingerprint
 
+    # Persisted: the per-fp source self-join reads the distinct
+    # fingerprint set twice; without the persist the fingerprint scan
+    # and its distinct exchange run once per side.
     fps = documents.select(
         fingerprint(F.col(text_col)).alias("fp"),
         F.col(source_col).alias("source"),
-    ).distinct()
+    ).distinct().persist(StorageLevel.MEMORY_AND_DISK)
     a = fps.select("fp", F.col("source").alias("source_a"))
     b = fps.select("fp", F.col("source").alias("source_b"))
     return (

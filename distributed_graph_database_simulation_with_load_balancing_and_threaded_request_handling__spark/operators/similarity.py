@@ -19,6 +19,7 @@ import pandas as pd  # module-level so stringified UDF type hints resolve
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..functions.vectors import as_double_vec, cosine_sim, dot, l2_norm
 from ..partitioning import ensure_parallelism
@@ -1226,9 +1227,24 @@ def _lsh_candidate_pairs(
         F.col(id_col).alias("id"), sig_udf(F.col(vec_col)).alias("sigs")
     )
     blocked = sigs.select("id", F.posexplode("sigs").alias("table", "sig"))
-    sized = blocked.withColumn(
-        "bsz", F.count("*").over(Window.partitionBy("table", "sig"))
-    ).where(F.col("bsz") <= max_bucket_size)
+    # Persist the sized bucket table: BOTH sides of the candidate
+    # self-join read it, and without the persist the whole upstream
+    # pipeline — the ArrowEvalPython signature pass over every vector,
+    # the explode, and the bucket-size window shuffle — executes once
+    # PER SIDE (the two subtrees carry distinct Python UDF instances,
+    # so Catalyst's exchange reuse never canonicalizes them equal; the
+    # r12 plan capture shows 2x ArrowEvalPython chains).  At 100 TB
+    # that is two full Python scoring passes instead of one.  Same
+    # ContextCleaner reclamation contract as minhash_dedup's combo
+    # persist (dedup.py): the blocks free when the returned DataFrame
+    # is garbage collected.
+    sized = (
+        blocked.withColumn(
+            "bsz", F.count("*").over(Window.partitionBy("table", "sig"))
+        )
+        .where(F.col("bsz") <= max_bucket_size)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     a = sized.select("table", "sig", F.col("id").alias("id_a"))
     b = sized.select("table", "sig", F.col("id").alias("id_b"))
     cand = (

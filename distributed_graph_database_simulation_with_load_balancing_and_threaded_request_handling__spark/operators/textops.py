@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..functions.textfns import (
     bpe_ish_token_count,
@@ -662,9 +663,14 @@ def similar_docs_jaccard(
         F.col(id_col).alias("doc_id"),
         normalize_text(F.col(text_col)).alias("norm"),
     ).where(F.col("norm") != "")
+    # Persist the distinct token table (read by the df aggregation AND
+    # the pruned-index build) and the pruned index itself (read three
+    # times: sizes, the query's token set, and the candidate join) —
+    # without the persists the tokenize scan re-runs once per
+    # consumer.  ContextCleaner reclamation contract as minhash_dedup.
     toks = base.select(
         "doc_id", F.explode(F.split("norm", " ")).alias("tok")
-    ).distinct()
+    ).distinct().persist(StorageLevel.MEMORY_AND_DISK)
     dfreq = toks.groupBy("tok").agg(F.count("*").alias("df"))
     n_docs = base.agg(F.count("*").alias("n_docs"))
     kept = (
@@ -672,6 +678,7 @@ def similar_docs_jaccard(
         .crossJoin(F.broadcast(n_docs))
         .where(F.col("df") * 100 <= F.lit(int(df_prune_pct)) * F.col("n_docs"))
         .select("doc_id", "tok")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     sizes = kept.groupBy("doc_id").agg(F.count("*").alias("sz"))
     qtoks = kept.where(F.col("doc_id") == int(query_doc_id)).select(
