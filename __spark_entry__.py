@@ -3162,8 +3162,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             sources.extend((gid, v) for v in range(1, n + 1))
         edges = spark.createDataFrame(rows, schema=GRAPH_EDGES_SCHEMA)
         src_df = spark.createDataFrame(sources, "graph_id int, start long")
-        return bfs_levels_multi(edges, src_df).select(
-            "graph_id", "start", "vertex", "level"
+        # probe_every=3 (the sssp/betweenness contract): this is the
+        # DEEPEST traversal loop in the registry (18 supersteps — the
+        # deepest assignment tree), so the convergence-probe action
+        # floor dominates; chaining 3 levels per probe reaches the
+        # identical fixpoint (empty-then-non-empty is impossible).
+        # Loop width 4 (the q_stream_requests rationale): the frontier
+        # carries at most the 152 traversals x a few vertices each, and
+        # the 18-superstep loop pays the per-task floor supersteps x
+        # partitions times — session width 32 was pure scheduling
+        # overhead here.
+        return _loop_parts(
+            spark,
+            lambda: bfs_levels_multi(edges, src_df, probe_every=3).select(
+                "graph_id", "start", "vertex", "level"
+            ),
+            n=4,
         )
 
     def q_repetition(spark, sf_dir):

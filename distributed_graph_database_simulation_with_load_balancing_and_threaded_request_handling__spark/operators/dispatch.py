@@ -142,9 +142,16 @@ def run_requests(requests: DataFrame, edges: DataFrame, *, assume_tree: bool = T
         F.col("start_vertex").cast("long").alias("start"),
     )
 
+    # The requests side of each fan-out join is CONTROL-PLANE sized
+    # (bounded by client count — the reference's msgq depth), while the
+    # traversal output is data-plane sized; without the hint both joins
+    # planned as SortMergeJoin (plans/r12/q_request_replies_before.txt:
+    # 2 SortMergeJoin, 4 Exchange), i.e. the BFS/leaf output was
+    # shuffled by (graph_id, start) just to be stamped with seq_nos.
+    # Broadcasting the requests makes the stamp exchange-free.
     op4 = reads.where(F.col("op_no") == 4)
     bfs = bfs_levels_multi(e, op4.select("graph_id", "start"))
-    out4 = op4.join(bfs, on=["graph_id", "start"]).select(
+    out4 = F.broadcast(op4).join(bfs, on=["graph_id", "start"]).select(
         "seq_no",
         F.lit(4).alias("op_no"),
         out_gid.alias("graph_id"),
@@ -160,7 +167,7 @@ def run_requests(requests: DataFrame, edges: DataFrame, *, assume_tree: bool = T
         # multi-source BFS orientation + child-detection join for the
         # whole batch (no per-request driver loop, no collect()).
         leaves = dfs_leaves_multi_general(e, op3.select("graph_id", "start"))
-    out3 = op3.join(leaves, on=["graph_id", "start"]).select(
+    out3 = F.broadcast(op3).join(leaves, on=["graph_id", "start"]).select(
         "seq_no",
         F.lit(3).alias("op_no"),
         out_gid.alias("graph_id"),

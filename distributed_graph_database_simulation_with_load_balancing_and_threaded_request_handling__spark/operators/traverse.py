@@ -62,6 +62,7 @@ def bfs_levels(
     validate_start: bool = True,
     undirected: bool = True,
     include_unreached: bool = False,
+    probe_every: int = 1,
 ) -> DataFrame:
     """Hop distance from ``start_vertex`` over a symmetric edge list.
 
@@ -91,6 +92,17 @@ def bfs_levels(
     last-two-frontiers property does not hold there (a directed edge
     may jump back to a much shallower vertex) and the full visited set
     must be retained.
+
+    ``probe_every`` chains that many expansion levels between
+    convergence-probe actions (the sssp/betweenness contract: every
+    chained level keeps its lazy localCheckpoint, so nothing re-executes
+    combinatorially — only the probe ACTION is amortized).  A frontier
+    can never be empty then non-empty, so a non-empty chain tail proves
+    every chained level non-empty, and a zero tail is resolved by
+    recounting the chain's already-materialized frames.  Identical
+    result for any chaining factor; worth it on DEEP traversals where
+    the per-action scheduling floor dominates (shallow dispatch BFS
+    measured a regression from chaining — leave 1 there).
     """
     spark = edges.sparkSession
     # The edge list is scanned once per level by the frontier join; if
@@ -114,48 +126,68 @@ def bfs_levels(
         seen_keys = frontier.select("vertex")
         prev_keys: DataFrame | None = None
         level = 0
-        while True:
+        probe = max(1, int(probe_every))
+        pending: list[DataFrame] = []
+        done = False
+        while not done:
             level += 1
-            if max_levels is not None and level > max_levels:
-                break
-            # Superstep: expand frontier one hop, drop already-visited.
-            neighbors = (
-                frontier.join(e, frontier["vertex"] == e["src"])
-                .select(e["dst"].alias("vertex"))
-                .distinct()
-            )
-            if undirected:
-                dedup = frontier.select("vertex")
-                if prev_keys is not None:
-                    dedup = dedup.unionAll(prev_keys)
-            else:
-                dedup = seen_keys
-            new = (
-                neighbors.join(dedup, on="vertex", how="left_anti")
-                .select(F.col("vertex"), F.lit(level).cast("int").alias("level"))
-            )
-            # Lazy checkpoint + count = ONE action that materializes the
-            # level (truncating lineage, giving AQE exact stats for the
-            # next join) and detects the empty frontier.
-            new = new.localCheckpoint(eager=False)
-            if new.count() == 0:
-                break
-            visited_levels.append(new)
-            prev_keys = frontier.select("vertex")
-            if not undirected:
-                # Incrementally-checkpointed running visited set: ONE
-                # union + lazy localCheckpoint per level (materialized
-                # by the next superstep's count action), so the
-                # anti-join build side is always a flat, already-
-                # materialized table — O(1) plan nodes per level
-                # instead of an O(depth) union tree re-evaluated from
-                # its leaves every level.
-                seen_keys = seen_keys.unionAll(
-                    new.select("vertex")
-                ).localCheckpoint(eager=False)
-            frontier = new
+            at_level_cap = max_levels is not None and level > max_levels
+            if not at_level_cap:
+                # Superstep: expand frontier one hop, drop already-visited.
+                neighbors = (
+                    frontier.join(e, frontier["vertex"] == e["src"])
+                    .select(e["dst"].alias("vertex"))
+                    .distinct()
+                )
+                if undirected:
+                    dedup = frontier.select("vertex")
+                    if prev_keys is not None:
+                        dedup = dedup.unionAll(prev_keys)
+                else:
+                    dedup = seen_keys
+                new = (
+                    neighbors.join(dedup, on="vertex", how="left_anti")
+                    .select(F.col("vertex"), F.lit(level).cast("int").alias("level"))
+                )
+                # Lazy checkpoint; the chain's probe count is the ONE
+                # action that materializes every chained level in
+                # sequence (truncating lineage, giving AQE exact stats
+                # for the next join) and detects the empty frontier.
+                new = new.localCheckpoint(eager=False)
+                pending.append(new)
+                prev_keys = frontier.select("vertex")
+                if not undirected:
+                    # Incrementally-checkpointed running visited set: ONE
+                    # union + lazy localCheckpoint per level (materialized
+                    # by the probe action), so the anti-join build side is
+                    # always a flat table — O(1) plan nodes per level
+                    # instead of an O(depth) union tree re-evaluated from
+                    # its leaves every level.
+                    seen_keys = seen_keys.unionAll(
+                        new.select("vertex")
+                    ).localCheckpoint(eager=False)
+                frontier = new
+                if len(pending) < probe:
+                    continue  # chain more levels before the probe action
+                if pending[-1].count() > 0:
+                    # Empty-then-non-empty is impossible, so a non-empty
+                    # tail proves every chained level non-empty.
+                    visited_levels.extend(pending)
+                    pending = []
+                    continue
+                pending = pending[:-1]  # tail known empty; trim the rest
+            # Zero tail (or the level cap): keep the non-empty prefix —
+            # these recounts read already-materialized checkpoint blocks.
+            for df in pending:
+                if df.count() == 0:
+                    break
+                visited_levels.append(df)
+            pending = []
+            done = True
 
-        LOOP_STATS["bfs_levels"] = {"supersteps": level}
+        # Same metric semantics as the unchained loop: non-empty
+        # expansion rounds + the final empty probe round.
+        LOOP_STATS["bfs_levels"] = {"supersteps": len(visited_levels)}
         out = visited_levels[0]
         for v in visited_levels[1:]:
             out = out.unionAll(v)
@@ -168,7 +200,11 @@ def bfs_levels(
         e.unpersist(blocking=False)
 
 def bfs_levels_multi(
-    edges: DataFrame, sources: DataFrame, *, undirected: bool = True
+    edges: DataFrame,
+    sources: DataFrame,
+    *,
+    undirected: bool = True,
+    probe_every: int = 1,
 ) -> DataFrame:
     """Multi-source BFS: one level-synchronous loop for ANY number of
     (graph_id, start) traversals at once — the set-oriented form of the
@@ -186,9 +222,12 @@ def bfs_levels_multi(
     traversals never interfere; the edge join shuffles on
     (graph_id, src) — co-partitioned with a graph_id-bucketed edge
     table; supersteps = the deepest requested traversal, not the sum.
-    One Spark action per superstep (lazy checkpoint + count) and, with
-    ``undirected`` (default — canonical edge lists are symmetric),
-    last-two-frontiers dedup per traversal (see ``bfs_levels``).
+    One Spark action per superstep (lazy checkpoint + count) — or per
+    CHAIN of ``probe_every`` supersteps (the ``bfs_levels`` chaining
+    contract: identical result, probe action amortized; use on deep
+    traversals) — and, with ``undirected`` (default — canonical edge
+    lists are symmetric), last-two-frontiers dedup per traversal (see
+    ``bfs_levels``).
     """
     spark = edges.sparkSession
     e = edges.select(
@@ -217,7 +256,10 @@ def bfs_levels_multi(
         seen_keys = frontier.select(*keys)
         prev_keys: DataFrame | None = None
         level = 0
-        while True:
+        probe = max(1, int(probe_every))
+        pending: list[DataFrame] = []
+        done = False
+        while not done:
             level += 1
             neighbors = (
                 frontier.join(
@@ -244,9 +286,7 @@ def bfs_levels_multi(
                         F.lit(level).cast("int").alias("level"))
                 .localCheckpoint(eager=False)
             )
-            if new.count() == 0:
-                break
-            visited_levels.append(new)
+            pending.append(new)
             prev_keys = frontier.select(*keys)
             if not undirected:
                 # Same incremental-checkpoint posture as bfs_levels:
@@ -255,7 +295,25 @@ def bfs_levels_multi(
                     new.select(*keys)
                 ).localCheckpoint(eager=False)
             frontier = new
-        LOOP_STATS["bfs_levels_multi"] = {"supersteps": level}
+            if len(pending) < probe:
+                continue  # chain more levels before the probe action
+            if pending[-1].count() > 0:
+                # Empty-then-non-empty is impossible, so a non-empty
+                # tail proves every chained level non-empty.
+                visited_levels.extend(pending)
+                pending = []
+                continue
+            # Zero tail: keep the non-empty prefix (recounts read the
+            # chain's already-materialized checkpoint blocks).
+            for df in pending[:-1]:
+                if df.count() == 0:
+                    break
+                visited_levels.append(df)
+            pending = []
+            done = True
+        # Same metric semantics as the unchained loop: non-empty
+        # expansion rounds + the final empty probe round.
+        LOOP_STATS["bfs_levels_multi"] = {"supersteps": len(visited_levels)}
         out = visited_levels[0]
         for v in visited_levels[1:]:
             out = out.unionAll(v)
@@ -281,8 +339,11 @@ def dfs_leaves_multi(edges: DataFrame, sources: DataFrame) -> DataFrame:
         on=["graph_id", "start"],
         how="left_semi",
     )
+    # Requests are control-plane sized (dispatch.run_requests contract)
+    # — broadcast them so the degree table is never shuffled by
+    # graph_id just to be fanned out per request.
     return (
-        valid.join(deg.where(F.col("degree") == 1), on="graph_id")
+        F.broadcast(valid).join(deg.where(F.col("degree") == 1), on="graph_id")
         .where(F.col("src") != F.col("start"))
         .select("graph_id", "start", F.col("src").alias("leaf"))
     )

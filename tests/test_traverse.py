@@ -220,3 +220,54 @@ def test_connected_components_probe_chaining_same_fixpoint(spark):
             for r in connected_components(edges, probe_every=probe).collect()
         }
         assert got == base, probe
+
+
+def test_bfs_probe_chaining_same_levels(spark):
+    # probe_every chains BFS expansion levels between convergence
+    # probes (the sssp/betweenness contract); the level assignment is
+    # unique, so the result must be identical for any chaining factor
+    # — including factors that overshoot past convergence and factors
+    # whose probe boundary lands exactly on the last non-empty level.
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.loopstats import (
+        LOOP_STATS,
+    )
+
+    pairs = [(i, i + 1) for i in range(1, 10)]  # path 1..10, depth 9
+    edges = make_edges(spark, pairs)
+    base = {(r["vertex"], r["level"]) for r in bfs_levels(edges, 1, graph_id=1).collect()}
+    base_steps = LOOP_STATS["bfs_levels"]["supersteps"]
+    for probe in (2, 3, 5, 10):
+        got = {
+            (r["vertex"], r["level"])
+            for r in bfs_levels(edges, 1, graph_id=1, probe_every=probe).collect()
+        }
+        assert got == base, probe
+        # metric semantics unchanged: non-empty levels + 1 empty probe
+        assert LOOP_STATS["bfs_levels"]["supersteps"] == base_steps, probe
+
+
+def test_bfs_levels_multi_probe_chaining_same_levels(spark):
+    # Multi-source form of the chaining contract: traversals of
+    # different depths ride one frontier; chaining must not leak rows
+    # between traversals or change any level.
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.loopstats import (
+        LOOP_STATS,
+    )
+
+    pairs = [(i, i + 1) for i in range(1, 10)]
+    edges = make_edges(spark, pairs)
+    src = spark.createDataFrame(
+        [(1, 1), (1, 5), (1, 10)], "graph_id int, start long"
+    )
+    base = {
+        (r["start"], r["vertex"], r["level"])
+        for r in bfs_levels_multi(edges, src).collect()
+    }
+    base_steps = LOOP_STATS["bfs_levels_multi"]["supersteps"]
+    for probe in (2, 4, 9):
+        got = {
+            (r["start"], r["vertex"], r["level"])
+            for r in bfs_levels_multi(edges, src, probe_every=probe).collect()
+        }
+        assert got == base, probe
+        assert LOOP_STATS["bfs_levels_multi"]["supersteps"] == base_steps, probe
