@@ -1151,6 +1151,102 @@ def four_clique_counts(
     ).select(F.col("vertex").cast("long").alias("vertex"), "cliques4")
 
 
+def _contract_selection(sel: DataFrame, *, max_doublings: int = 40) -> DataFrame:
+    """Merge-label table for one Borůvka round WITHOUT a nested hash-min
+    CC run: the selection relation ``(c, k.oc)`` is FUNCTIONAL (exactly
+    one best edge per component), and under a strict total edge order
+    every cycle of the best-edge graph is a 2-cycle (a longer cycle's
+    minimum-key edge would be selected by BOTH its endpoints), so the
+    component-pair graph is a pseudo-forest: trees hanging off
+    mutual-best pairs.  Root it directly —
+
+    1. cycle-break: ``p(c) <- min(c, p(c))`` exactly where
+       ``p(p(c)) == c`` (the mutual pair); the pointer graph becomes a
+       forest whose roots self-point (one c-cardinality self-join);
+    2. pointer doubling: ``p <- p∘p`` until fixpoint — chain depth
+       halves per round, so O(log chain) rounds (the r12 profile
+       measured hash-min chains of 12 on the first merge graph).
+
+    Cost per round: ONE self-join on component-cardinality rows — no
+    edge-set join, no aggregation — vs the nested CC's per-round
+    (labels ⋈ merge-edges) + min-aggregate + left join.  Same-boot
+    profile at sf0.1: the five nested CC runs were 15.7 s of q_msf's
+    ~20 s cold wall; this contraction replaces all of them.
+
+    Label VALUES differ from hash-min CC's (the component's ROOT — the
+    min endpoint of its mutual pair — rather than the global min id),
+    but the PARTITION is identical, and ``max_spanning_forest`` only
+    ever compares labels for equality (``cs != cd``) and groups by
+    them, so every round's selected edge set — and therefore the
+    forest — is bit-identical (the docstring's "label VALUES are
+    irrelevant" contract, now load-bearing).
+
+    Checkpoint-vs-persist note (the r11 BigInteger trap, live again):
+    ``localCheckpoint`` REWRITES stats from the child logical plan
+    (``LogicalRDD.rewriteStatsAndConstraints``), so a chain of
+    checkpointed self-joins squares ``sizeInBytes`` per round AND the
+    outer Borůvka loop compounds it through comp/sel — measured here:
+    the driver pinned a core in ``BigInteger.multiplyToomCook3`` for
+    11+ minutes at sf0.01.  ``persist()`` instead reads the REAL cached
+    size once the probe action materializes each round, so every
+    round's plan is optimized against linear, truthful stats.  The
+    returned frame is an eager localCheckpoint OVER the final cached
+    round (real stats, blocks independent of the persist handles),
+    after which all intermediates are released.
+
+    Returns ``(pc, p)``: every component appearing in ``sel`` mapped to
+    its root.  Raises on non-convergence (chain deeper than
+    2^max_doublings — impossible for any graph that fits in storage).
+    """
+    handles: list[DataFrame] = []
+    try:
+        p = sel.select(F.col("c"), F.col("k.oc").alias("p"))
+        # Every oc is itself a selecting component (the ``both`` union
+        # feeds each cross edge from BOTH endpoints), so the self-joins
+        # below are total — inner joins lose nothing.
+        q_ = p.select(F.col("c").alias("qc"), F.col("p").alias("qp"))
+        p = (
+            p.join(q_, p["p"] == F.col("qc"))
+            .select(
+                "c",
+                F.when(F.col("qp") == F.col("c"), F.least("c", "p"))
+                .otherwise(F.col("p"))
+                .alias("p"),
+            )
+            .persist()
+        )
+        handles.append(p)
+        for i in range(max_doublings):
+            q_ = p.select(F.col("c").alias("qc"), F.col("p").alias("qp"))
+            squared = (
+                p.join(q_, p["p"] == F.col("qc"))
+                .select(
+                    "c",
+                    F.col("qp").alias("p"),
+                    (F.col("qp") != F.col("p")).cast("int").alias("_chg"),
+                )
+                .persist()
+            )
+            handles.append(squared)
+            # The probe action ALSO materializes this round's cache
+            # (and, on round 0, the cycle-break frame) — the CC/sssp
+            # one-action-per-round idiom.
+            n_changed = squared.agg(F.sum("_chg")).collect()[0][0] or 0
+            p = squared.drop("_chg")
+            if n_changed == 0:
+                LOOP_STATS.setdefault("msf_contract", {"doublings": 0})
+                LOOP_STATS["msf_contract"]["doublings"] += i + 1
+                return p.select(F.col("c").alias("pc"), F.col("p")).localCheckpoint(
+                    eager=True
+                )
+        raise RuntimeError(
+            f"_contract_selection did not converge in {max_doublings} doublings"
+        )
+    finally:
+        for h in handles:
+            h.unpersist(blocking=False)
+
+
 def max_spanning_forest(
     edges: DataFrame,
     *,
@@ -1171,38 +1267,39 @@ def max_spanning_forest(
     (one ``min(struct(-w, src, dst, other_comp))`` hash aggregate over
     both orientations of the cross-component candidate set — no
     window); selected edges join the forest; touched components merge
-    by running ``connected_components`` (hash-min Pregel) over the
-    component-pair graph the selections induce.  Components at least
-    halve per round ⇒ O(log n) rounds (measured 4-5 on the co-purchase
-    graphs).  Label VALUES are irrelevant to the algorithm — only the
-    component PARTITION is, so any correct merge (hash-min here,
-    pointer doubling in the SQL oracle) yields identical rounds.
+    by pointer doubling on the FUNCTIONAL selection relation
+    (``_contract_selection`` — O(log chain) component-cardinality
+    self-joins; the nested hash-min CC this replaces needed O(chain)
+    edge-joining rounds and was ~80% of the operator's wall, r12
+    profile).  Components at least halve per round ⇒ O(log n) rounds
+    (measured 4-5 on the co-purchase graphs).  Label VALUES are
+    irrelevant to the algorithm — only the component PARTITION is, so
+    any correct merge (pointer doubling here, hash-min before r12,
+    whatever the SQL oracle uses) yields identical rounds.
 
     Raise-don't-diverge contract (the ktruss/kcore posture):
-    ``max_outer`` exhaustion raises (and the nested CC raises on ITS
-    non-convergence), so the engine can never silently disagree with
-    an oracle unrolled to the same bounds.
+    ``max_outer`` exhaustion raises (and the nested contraction raises
+    on ITS non-convergence), so the engine can never silently disagree
+    with an oracle unrolled to the same bounds.
 
-    Engine note — why hash-min and NOT pointer doubling here: chaining
-    k label-table SELF-joins squares Catalyst's size estimate each
-    step, and `localCheckpoint` faithfully rewrites those stats
-    (`LogicalRDD.rewriteStatsAndConstraints`), so the BigInt
-    `sizeInBytes` doubles its BIT LENGTH per doubling — by round 3 the
-    driver spends minutes in `BigInteger.multiply` (measured: jstack
-    shows ToomCook3 under rewriteStatsAndConstraints).  Hash-min CC
-    joins labels against a FIXED edge table per round — stats grow
-    linearly — which is the same reason every other iterative loop in
-    this module is shaped that way.
+    Engine note — the r11 objection to pointer doubling (chaining k
+    label self-joins squares Catalyst's size estimate per step until
+    the driver drowns in `BigInteger.multiply` under
+    `LogicalRDD.rewriteStatsAndConstraints`) is real and was reproduced
+    here; ``_contract_selection`` defuses it by ``persist()``-ing every
+    doubling round — once the probe action fills the cache, downstream
+    plans read the REAL InMemoryRelation size, so stats stay linear and
+    truthful (localCheckpoint would NOT help: it rewrites stats from
+    the child plan, not from the materialized blocks).
 
     Scale notes: per round — one candidate join of edges against the
     label table on each endpoint (hash joins on vertex keys) streaming
     straight into one map-side-combined struct-min per component, all
     under a SINGLE action (sel's eager checkpoint — the round-8 fused
     round; convergence reads take(1) off the materialized result),
-    then one CC run over the component-pair graph
-    (component-cardinality rows, shrinking geometrically) with its own
-    chained probes.  The forest accumulates as unions of per-round
-    checkpointed frames.
+    then one pointer-doubling contraction over the selection relation
+    (component-cardinality rows, shrinking geometrically).  The forest
+    accumulates as unions of per-round checkpointed frames.
     """
     w = F.col(weight_col).cast("long")
     e = edges.select(
@@ -1275,27 +1372,15 @@ def max_spanning_forest(
                 ).distinct()
                 .localCheckpoint(eager=False)
             )
-            from .traverse import connected_components
-
-            # CC expects a SYMMETRIC edge list (hash-min propagates
-            # along src -> dst only), so emit both orientations of
-            # each component pair.
-            cpairs = sel.select(
-                F.col("c").alias("src"), F.col("k.oc").alias("dst")
-            )
-            # probe_every=3: the merge graphs are tiny (component-
-            # cardinality rows) so the nested CC's cost is its ACTION
-            # count, not data — chaining 3 rounds per probe cuts the
-            # per-round scheduling floor (identical fixpoint; A/B in
-            # BASELINE.md round-6 third session).
-            merged = connected_components(
-                cpairs.unionAll(
-                    cpairs.select(
-                        F.col("dst").alias("src"), F.col("src").alias("dst")
-                    )
-                ),
-                probe_every=3,
-            ).select(F.col("vertex").alias("pc"), F.col("component").alias("p"))
+            # Touched components merge via pointer doubling on the
+            # FUNCTIONAL selection relation (see _contract_selection):
+            # O(log chain) c-cardinality self-joins replace the nested
+            # hash-min CC whose O(chain) edge-joining rounds were ~80%
+            # of this operator's wall (r12 profile: CC chains of
+            # 12/9/9/6/6 across the five merge graphs, 15.7 s of 20 s).
+            # Identical partition => identical per-round selections =>
+            # bit-identical forest.
+            merged = _contract_selection(sel)
             comp = (
                 comp.join(merged, comp["c"] == F.col("pc"), "left")
                 .select("v", F.coalesce("p", F.col("c")).alias("c"))

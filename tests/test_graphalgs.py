@@ -645,3 +645,44 @@ def test_betweenness_probe_chaining_same_result(spark):
             ).collect()
         }
         assert got == base, probe
+
+
+def test_msf_contract_selection_chain_and_cycle(spark):
+    # The Borůvka merge labels via pointer doubling on the FUNCTIONAL
+    # selection relation: a depth-9 pointer chain hanging off a
+    # mutual-best 2-cycle (0 <-> 1) plus a separate mutual pair
+    # (20 <-> 21).  Every component must map to its component's root
+    # (the min endpoint of the 2-cycle), exercising cycle-break and
+    # multiple doubling rounds.
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.graphalgs import (
+        _contract_selection,
+    )
+    from pyspark.sql import functions as F  # noqa: F401
+
+    rows = (
+        [(i, 0, i - 1, 0, i - 1) for i in range(1, 10)]
+        + [(0, 0, 1, 0, 1)]
+        + [(20, -1, 20, 21, 21), (21, -1, 20, 21, 20)]
+    )
+    sel = spark.createDataFrame(
+        [(c, (nw, s, d, oc)) for c, nw, s, d, oc in rows],
+        "c long, k struct<nw:long,src:long,dst:long,oc:long>",
+    )
+    got = {(r["pc"], r["p"]) for r in _contract_selection(sel).collect()}
+    assert got == {(i, 0) for i in range(10)} | {(20, 20), (21, 20)}
+
+
+def test_max_spanning_forest_long_chain(spark):
+    # A weight-monotone path: every component's best edge points DOWN
+    # the chain, so the first selection graph is one long pointer
+    # chain — the shape that needs O(log n) doubling rounds (and that
+    # the replaced hash-min CC walked one hop per round).  The max
+    # forest of a path is the path itself.
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.graphalgs import (
+        max_spanning_forest,
+    )
+
+    rows = [(i, i + 1, 100 - i) for i in range(1, 17)]
+    g = spark.createDataFrame(rows, "src long, dst long, cnt long")
+    got = {(r.src, r.dst, r.cnt) for r in max_spanning_forest(g).collect()}
+    assert got == set(rows)
