@@ -1064,26 +1064,22 @@ _APPROX_RESULT_CACHE: dict = {}
 _BUCKETED_TABLE_CACHE: dict = {}
 
 
-def _evict_other_sf(sf_dir: str) -> None:
-    """Session caches are keyed ``(applicationId, sf_dir[, ...])`` and
-    the harness sweeps one sf_dir at a time — when a different sf_dir
-    is requested, drop every entry for the previous one (unpersisting
-    where the cached object supports it; localCheckpoint blocks are
-    reclaimed by the ContextCleaner once unreferenced).  Keeps a
-    long-lived session from accumulating persisted blocks across
-    sf_dir sweeps (round-3 ADVICE)."""
-    for cache in (
-        _TREE_LEVELS_CACHE,
-        _RECALL_PAIRS_CACHE,
-        _PAGERANK_GRAPH_CACHE,
-        _KMEANS_CACHE,
-        _TRIANGLES_CACHE,
-        _LINKPRED_CACHE,
-        _COMMUNITIES_CACHE,
-        _APPROX_RESULT_CACHE,
-        _BUCKETED_TABLE_CACHE,
-    ):
-        for key in [k for k in cache if k[1] != sf_dir]:
+_SESSION_CACHES = (
+    _TREE_LEVELS_CACHE,
+    _RECALL_PAIRS_CACHE,
+    _PAGERANK_GRAPH_CACHE,
+    _KMEANS_CACHE,
+    _TRIANGLES_CACHE,
+    _LINKPRED_CACHE,
+    _COMMUNITIES_CACHE,
+    _APPROX_RESULT_CACHE,
+    _BUCKETED_TABLE_CACHE,
+)
+
+
+def _evict_caches(keep_sf_dir: str | None) -> None:
+    for cache in _SESSION_CACHES:
+        for key in [k for k in cache if keep_sf_dir is None or k[1] != keep_sf_dir]:
             obj = cache.pop(key)
             if cache is _BUCKETED_TABLE_CACHE:
                 # (name, base_dir) entry: DROP the metastore table and
@@ -1095,7 +1091,42 @@ def _evict_other_sf(sf_dir: str) -> None:
                 _drop_bucketed_table(obj)
             elif hasattr(obj, "unpersist"):
                 obj.unpersist()
+
+
+def _evict_other_sf(sf_dir: str) -> None:
+    """Session caches are keyed ``(applicationId, sf_dir[, ...])`` and
+    the harness sweeps one sf_dir at a time — when a different sf_dir
+    is requested, drop every entry for the previous one (unpersisting
+    where the cached object supports it; localCheckpoint blocks are
+    reclaimed by the ContextCleaner once unreferenced).  Keeps a
+    long-lived session from accumulating persisted blocks across
+    sf_dir sweeps (round-3 ADVICE)."""
+    _evict_caches(keep_sf_dir=sf_dir)
     evict_edge_cache(except_sf_dir=sf_dir)
+
+
+def reset_session_caches() -> None:
+    """Drop EVERY session memo — the nine result/intermediate caches
+    above plus the persisted edge tables in ``sources.graphs`` — so the
+    next query invocation computes entirely from the parquet inputs.
+
+    bench.py calls this before EACH timed run (round-12 verdict #1):
+    with best-of-N timing, a session memo makes run 2 a cache read and
+    ``min()`` then erases the build cost from the recorded number
+    (q_pagerank recorded 0.046 s while actually costing 7-12 s).  The
+    caches remain for non-benchmark use (a long-lived serving session
+    legitimately shares one persisted graph across requests, the
+    reference's resident-matrix posture), but timed runs must not see
+    them."""
+    _evict_caches(keep_sf_dir=None)
+    evict_edge_cache()
+    # The ANN trained-artifact store is a CROSS-RUN disk memo keyed on
+    # the testdata fingerprint — same gaming vector, purged too.
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.similarity import (
+        artifact_purge,
+    )
+
+    artifact_purge()
 
 
 def _drop_bucketed_table(entry: tuple) -> None:

@@ -12,10 +12,19 @@ exceeded the driver's 2000-char stdout tail):
 * stdout line 2 (LAST line, < 1 KB, always intact in a tail):
   compact summary ``{"metric", "value", "unit", "sf", "n_queries",
   "sec_per_query", "slowest": {top-10 map}, "full": "BENCH_FULL.json"}``.
-* ``BENCH_FULL.json`` at the repo root: the full record, pretty-printed.
+* ``BENCH_FULL_c{cpus}.json`` at the repo root: the full record, one
+  file per core count so the driver's low-core scaling re-run cannot
+  clobber the main run's per-query map (round-12 verdict #2);
+  ``BENCH_FULL.json`` stays as a latest-run alias.
 
 Each query is fully materialized (count of collected rows) so the
 timing covers the whole plan, not just planning.
+
+Timed runs are COLD with respect to every session memo:
+``entrymod.reset_session_caches()`` runs before each timed repetition
+(round-12 verdict #1 — previously the best-of-N min over memo-backed
+queries recorded a cache-hit read, e.g. q_pagerank at 0.046 s vs its
+real 7-12 s cost).
 """
 
 from __future__ import annotations
@@ -68,6 +77,12 @@ def main() -> None:
         runs: list[float] = []
         n = -1
         for i in range(3):
+            # De-game the timing (round-12 verdict #1): drop every
+            # session memo (result caches + persisted edge tables)
+            # before EACH timed run, so run 2+ rebuilds from the
+            # parquet scans exactly like run 1 and min() reflects the
+            # query's true cost, never a cache read.
+            entrymod.reset_session_caches()
             graphalgs.LOOP_STATS.clear()
             t0 = time.time()
             df = fn(spark, sf_dir)
@@ -93,9 +108,24 @@ def main() -> None:
             rounds[name] = stats
         print(f"# {name}: {n} rows in {timings[name]}s {runs}", file=sys.stderr)
 
-    full_line, compact_line = summary_lines(timings, sf, rounds=rounds, ab=load_ab())
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"), "w") as fh:
-        fh.write(full_line + "\n")
+    # Per-core-count full map (round-12 verdict #2): the driver re-runs
+    # the bench at a lower core count to measure scaling, and a single
+    # shared BENCH_FULL.json meant that run CLOBBERED the main map —
+    # PERF_r12 degraded to totals (per_query: {}).  Write the full map
+    # to BENCH_FULL_c{N}.json (one file per core count, never clobbered
+    # across counts) and keep BENCH_FULL.json as the
+    # latest-run alias for history/tools.
+    cpus = os.environ.get("SPARK_GRAFT_CPUS") or str(
+        spark.sparkContext.defaultParallelism
+    )
+    full_name = f"BENCH_FULL_c{cpus}.json"
+    full_line, compact_line = summary_lines(
+        timings, sf, rounds=rounds, ab=load_ab(), full_name=full_name
+    )
+    repo = os.path.dirname(os.path.abspath(__file__))
+    for fname in (full_name, "BENCH_FULL.json"):
+        with open(os.path.join(repo, fname), "w") as fh:
+            fh.write(full_line + "\n")
     print(full_line)
     print(compact_line)
 
@@ -130,6 +160,7 @@ def summary_lines(
     *,
     rounds: dict[str, dict] | None = None,
     ab: dict | None = None,
+    full_name: str = "BENCH_FULL.json",
 ) -> tuple[str, str]:
     """(full_record_json, compact_record_json).  The COMPACT line is
     printed LAST so a bounded stdout-tail capture always holds one
@@ -165,7 +196,7 @@ def summary_lines(
         "sec_per_query": round(total / max(len(timings), 1), 3),
         "loadavg_1m": load1,
         "slowest": slowest,
-        "full": "BENCH_FULL.json",
+        "full": full_name,
     }
     if ab:
         compact_rec["ab"] = ab

@@ -1234,6 +1234,10 @@ def _contract_selection(sel: DataFrame, *, max_doublings: int = 40) -> DataFrame
             n_changed = squared.agg(F.sum("_chg")).collect()[0][0] or 0
             p = squared.drop("_chg")
             if n_changed == 0:
+                # Accumulates across the Borůvka rounds of one
+                # max_spanning_forest call — the CALLER resets the
+                # entry per invocation (r12 ADVICE: a bare setdefault
+                # here made the count cumulative across queries).
                 LOOP_STATS.setdefault("msf_contract", {"doublings": 0})
                 LOOP_STATS["msf_contract"]["doublings"] += i + 1
                 return p.select(F.col("c").alias("pc"), F.col("p")).localCheckpoint(
@@ -1322,6 +1326,11 @@ def max_spanning_forest(
         )
         forest_parts: list[DataFrame] = []
         converged = False
+        # Per-call counter (r12 ADVICE): _contract_selection ACCUMULATES
+        # into this entry across the Borůvka rounds of ONE invocation;
+        # reset here so the metric is per-call like every other
+        # LOOP_STATS entry, not cumulative across queries in a session.
+        LOOP_STATS["msf_contract"] = {"doublings": 0}
         for _round in range(max_outer):
             cu = comp.select(F.col("v").alias("u_"), F.col("c").alias("cs"))
             cv = comp.select(F.col("v").alias("v_"), F.col("c").alias("cd"))

@@ -55,6 +55,21 @@ def _artifact_dir() -> str:
     return os.path.join(root, ".scratch", "ann_cache")
 
 
+def artifact_purge() -> None:
+    """Delete every stored trained artifact (codebooks, centroids).
+
+    De-gaming hook (round-13): the artifact store is a CROSS-RUN memo
+    keyed on the testdata fingerprint, so a benchmark that times
+    "training + encode" would otherwise load round N-1's training from
+    disk and record only the encode.  ``__spark_entry__.
+    reset_session_caches()`` calls this before each timed run; a real
+    serving deployment keeps the store (the round-8 trained-artifact
+    contract) and simply never calls the reset hook."""
+    import shutil
+
+    shutil.rmtree(_artifact_dir(), ignore_errors=True)
+
+
 def _artifact_load(kind: str, cache_key: str | None, config: dict):
     """Return the stored int-array payload for (kind, cache_key, config),
     or None on miss / no key / unreadable file."""

@@ -158,11 +158,14 @@ def bfs_levels(
                 prev_keys = frontier.select("vertex")
                 if not undirected:
                     # Incrementally-checkpointed running visited set: ONE
-                    # union + lazy localCheckpoint per level (materialized
-                    # by the probe action), so the anti-join build side is
-                    # always a flat table — O(1) plan nodes per level
-                    # instead of an O(depth) union tree re-evaluated from
-                    # its leaves every level.
+                    # union + lazy localCheckpoint per level.  With
+                    # probe_every > 1 the checkpoints within a chain stay
+                    # unmaterialized until the probe action, so the
+                    # anti-join build side is an O(probe_every) union
+                    # tree within a chain — flat again after each probe.
+                    # Bounded by the chaining factor (keep probe_every
+                    # small for directed traversals), never the O(depth)
+                    # union tree of the pre-checkpoint form.
                     seen_keys = seen_keys.unionAll(
                         new.select("vertex")
                     ).localCheckpoint(eager=False)
@@ -327,7 +330,14 @@ def dfs_leaves_multi(edges: DataFrame, sources: DataFrame) -> DataFrame:
     every (graph_id, start) request at once, the leaf set is the
     degree-1 vertices of that graph minus the start — ONE degree
     aggregation joined against all requests, regardless of request
-    count.  Returns (graph_id, start, leaf)."""
+    count.  Returns (graph_id, start, leaf).
+
+    ``sources`` is assumed CONTROL-PLANE SIZED (a request batch, the
+    ``dispatch.run_requests`` contract) and is broadcast unconditionally
+    to keep the degree table from being shuffled per request; callers
+    with a data-plane-sized source set (millions of rows) should not
+    use this operator as-is — the broadcast would be collected to the
+    driver and shipped whole to every executor."""
     e = edges.select("graph_id", "src", "dst")
     deg = e.groupBy("graph_id", "src").agg(F.count_distinct("dst").alias("degree"))
     src0 = sources.select(

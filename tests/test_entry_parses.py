@@ -238,6 +238,60 @@ def test_evict_other_sf_drops_bucketed_table_and_dir():
     assert not os.path.isdir(dir_a)
 
 
+def test_reset_session_caches_clears_every_memo():
+    """Round-12 verdict #1 (gaming): bench best-of-N timing must not
+    see session memos — reset_session_caches() must empty all nine
+    entry-level caches AND the persisted edge tables, unpersisting
+    DataFrames so executor memory is actually released."""
+    import pytest
+    from pyspark.sql import SparkSession
+
+    sf_a = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf_a):
+        pytest.skip("driver testdata not present")
+
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.sources import (
+        graphs,
+    )
+
+    spark = SparkSession.builder.master("local[4]").getOrCreate()
+    qs = entry.queries()
+    qs["q_bfs_levels"](spark, sf_a).count()
+    assert entry._TREE_LEVELS_CACHE and graphs._EDGE_CACHE
+    edges = next(iter(graphs._EDGE_CACHE.values()))
+
+    entry.reset_session_caches()
+    for cache in entry._SESSION_CACHES:
+        assert not cache, f"cache survived reset: {cache}"
+    assert not graphs._EDGE_CACHE
+    assert not edges.storageLevel.useMemory
+    assert not edges.storageLevel.useDisk
+
+
+def test_reset_session_caches_purges_ann_artifact_store(tmp_path, monkeypatch):
+    """The trained-artifact store is a CROSS-RUN disk memo keyed on the
+    testdata fingerprint — the de-gamed bench must retrain, not load
+    round N-1's training from disk."""
+    store = tmp_path / "ann_cache"
+    store.mkdir()
+    (store / "pq_books_deadbeef.json").write_text("{}")
+    monkeypatch.setenv("SPARK_GRAFT_ANN_CACHE", str(store))
+    entry.reset_session_caches()
+    assert not store.exists()
+
+
+def test_bench_times_cold_runs_and_writes_per_cpus_full_map():
+    """Pin the two round-12 verdict fixes in bench.py source: (1) the
+    inner timing loop resets the session caches before each timed run
+    (de-gamed best-of-N), and (2) the full per-query map goes to a
+    per-core-count file so a scaling re-run cannot clobber it."""
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    src = open(os.path.join(root, "bench.py")).read()
+    body = src.split("for i in range(3):", 1)[1]
+    assert body.index("reset_session_caches()") < body.index("t0 = time.time()")
+    assert "BENCH_FULL_c{cpus}.json" in src
+
+
 def test_bench_compact_line_fits_tail():
     """The driver records only a 2000-char stdout tail; rounds 4 and 5
     shipped unparseable official bench records because the single JSON
