@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
-from pyspark.storagelevel import StorageLevel
+from .persists import tracked_persist
 
 from ..functions.hashing import band_hashes
 from ..functions.textfns import char_shingles_normed, fingerprint, normalize_text, tokens
@@ -191,7 +191,7 @@ def substring_overlap_pairs(
         # explode + md5 digest + distinct (the dominant scan) runs
         # once, not once per join side (stride > 1 builds genuinely
         # different gram sets per side — nothing is shared there).
-        seed = seed.persist(StorageLevel.MEMORY_AND_DISK)
+        seed = seed.transform(tracked_persist)
     probe = seed if stride == 1 else grams(1)
     sized = probe.withColumn(
         "ndocs", F.count("*").over(Window.partitionBy("h"))
@@ -407,7 +407,7 @@ def minhash_dedup(
         staged.groupBy("id")
         .agg(*aggs, F.collect_set("shingle").alias("sh_set"))
         .select("id", F.array(*elems).alias("sig"), "sh_set")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(tracked_persist)
     )
     sigs = combo.select("id", "sig")
     # Carry the signature through the bucket self-join so screening is
@@ -524,7 +524,7 @@ def _jaccard_pairs_from_items(items: DataFrame, threshold: float) -> DataFrame:
     # minhash_dedup's combo persist.
     inv = items.join(
         items.groupBy("id").agg(F.count("*").cast("int").alias("n")), on="id"
-    ).select("id", "n", items.columns[1]).persist(StorageLevel.MEMORY_AND_DISK)
+    ).select("id", "n", items.columns[1]).transform(tracked_persist)
     item_col = items.columns[1]
     pairs = (
         inv.alias("x")
@@ -792,7 +792,7 @@ def simhash_dedup(
     # 64-bit sign sums, two shuffles) should run once, not per side.
     blocked = sh.select(
         "id", "sh", F.posexplode("bandv").alias("band", "bv")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).transform(tracked_persist)
     a = blocked.select("band", "bv", F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = blocked.select("band", "bv", F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     return (
@@ -826,7 +826,7 @@ def simhash_allpairs(
     # Persisted: the all-pairs join reads the signature table twice.
     sh = _simhash_df(
         documents, text_col=text_col, id_col=id_col, bands=1, hash_fn=hash_fn
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).transform(tracked_persist)
     a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     return (
@@ -895,11 +895,11 @@ def prefix_jaccard_join(
             ).alias("tk"),
         )
         .where(F.col("tk") != "")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(tracked_persist)
     )
     freq = toks.groupBy("tk").agg(F.count("*").alias("f"))
-    sizes = toks.groupBy("id").agg(F.count("*").alias("n")).persist(
-        StorageLevel.MEMORY_AND_DISK
+    sizes = (
+        toks.groupBy("id").agg(F.count("*").alias("n")).transform(tracked_persist)
     )
     ranked = toks.join(freq, "tk").select(
         "id",
@@ -915,7 +915,7 @@ def prefix_jaccard_join(
     pre = (
         ranked.join(sizes, "id")
         .where(F.col("rn") <= prefix_len)
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(tracked_persist)
     )
     p1 = pre.select(F.col("tk"), F.col("id").alias("id_a"))
     p2 = pre.select(F.col("tk"), F.col("id").alias("id_b"))
@@ -1003,7 +1003,7 @@ def edit_dedup(
     sized = (
         grams.withColumn("bsz", F.count("*").over(Window.partitionBy("g")))
         .where(F.col("bsz") <= max_bucket)
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(tracked_persist)
     )
     a = sized.select("g", F.col("id").alias("doc_a"))
     b = sized.select("g", F.col("id").alias("doc_b"))
@@ -1064,7 +1064,7 @@ def cross_source_duplicates(
     fps = documents.select(
         fingerprint(F.col(text_col)).alias("fp"),
         F.col(source_col).alias("source"),
-    ).distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    ).distinct().transform(tracked_persist)
     a = fps.select("fp", F.col("source").alias("source_a"))
     b = fps.select("fp", F.col("source").alias("source_b"))
     return (

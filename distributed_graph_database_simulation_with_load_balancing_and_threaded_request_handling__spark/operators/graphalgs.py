@@ -224,8 +224,8 @@ def triangle_counts(
 
 class PageRankGraph:
     """Materialized inputs shared by ``pagerank_fixed`` runs over the
-    same graph: the edge⋈outdeg subtree (eagerly localCheckpointed),
-    the vertex set, and the vertex count.
+    same graph: the narrow edge list, the per-vertex degree table, and
+    the vertex count.
 
     ONE ``groupBy`` computes both the weighted out-degree
     (``outdeg = SUM(w)``) and the unit out-degree
@@ -233,12 +233,21 @@ class PageRankGraph:
     uniform-split and the weight-proportional update rules — two
     PageRank variants over one graph pay for one build instead of two
     (the round-3 bench showed the build re-run per query was ~40% of
-    each PageRank query's cost)."""
+    each PageRank query's cost).
 
-    __slots__ = ("ed", "verts", "n")
+    r13 slimming (guide §2.3 "project before the exchange" / §5): the
+    old ``ed`` was the edge⋈outdeg join materialized per EDGE row
+    (5 longs x |E|); degrees are a VERTEX property, so they now live in
+    the |V|-sized ``deg`` table and the loop attaches them to the rank
+    vector (V-sized join) instead of to every edge — the eager edge
+    checkpoint shrinks 40% and the prepare loses the edge-sized join.
+    """
 
-    def __init__(self, ed: DataFrame, verts: DataFrame, n: int):
+    __slots__ = ("ed", "deg", "verts", "n")
+
+    def __init__(self, ed: DataFrame, deg: DataFrame, verts: DataFrame, n: int):
         self.ed = ed
+        self.deg = deg
         self.verts = verts
         self.n = n
 
@@ -248,14 +257,22 @@ def pagerank_prepare(
     *,
     graph_id: int | None = None,
     weight_col: str | None = None,
+    assume_symmetric: bool = False,
 ) -> PageRankGraph:
     """Build the shared ``PageRankGraph`` for ``pagerank_fixed``.
 
-    ``ed`` columns: ``(esrc, edst, w, outdeg, outdeg_unit)``.  With
-    ``weight_col=None`` the graph is unweighted (``w = 1`` and
+    ``ed`` columns: ``(esrc, edst, w)``; ``deg`` columns ``(vertex,
+    outdeg, outdeg_unit)`` covering EVERY vertex (0 for dangling).
+    With ``weight_col=None`` the graph is unweighted (``w = 1`` and
     ``outdeg == outdeg_unit``); with a weight column, both degree
     flavors are available and the same prepared graph can run the
     weighted AND the unweighted update rules.
+
+    ``assume_symmetric``: on a symmetric edge list every vertex has an
+    out-edge, so the out-degree aggregation's key set IS the vertex
+    set — the |V|+|E|-row distinct that otherwise derives ``verts`` is
+    skipped entirely (r13; the engine's canonical edge lists are
+    symmetric, so the entry queries all qualify).
 
     The eager ``localCheckpoint`` is deliberate (the triangle_counts
     idiom): the rank loop references ``ed`` once per round inside a
@@ -271,25 +288,29 @@ def pagerank_prepare(
         F.sum("w").alias("outdeg"),
         F.count("*").cast("long").alias("outdeg_unit"),
     )
-    verts = (
-        e.select(F.col("src").alias("vertex"))
-        .unionAll(e.select(F.col("dst").alias("vertex")))
-        .distinct()
-    )
-    ed = (
-        e.join(outdeg, e["src"] == outdeg["vertex"])
-        .select(
-            e["src"].alias("esrc"),
-            e["dst"].alias("edst"),
-            "w",
-            "outdeg",
-            "outdeg_unit",
+    if assume_symmetric:
+        deg = outdeg
+    else:
+        # Dangling vertices (dst-only) carry outdeg 0; their division
+        # expressions are never evaluated (no out-edge row joins them).
+        # The src side's distinct keys already live in outdeg, so the
+        # distinct runs over |V|+|E| rows, not 2|E|.
+        verts = (
+            outdeg.select("vertex")
+            .unionAll(e.select(F.col("dst").alias("vertex")))
+            .distinct()
         )
-        .localCheckpoint(eager=True)
-    )
-    verts = verts.localCheckpoint(eager=True)
-    n = verts.count()  # one driver scalar (reads the checkpoint)
-    return PageRankGraph(ed, verts, n)
+        deg = verts.join(outdeg, on="vertex", how="left").select(
+            "vertex",
+            F.coalesce("outdeg", F.lit(0)).cast("long").alias("outdeg"),
+            F.coalesce("outdeg_unit", F.lit(0)).cast("long").alias("outdeg_unit"),
+        )
+    ed = e.select(
+        F.col("src").alias("esrc"), F.col("dst").alias("edst"), "w"
+    ).localCheckpoint(eager=True)
+    deg = deg.localCheckpoint(eager=True)
+    n = deg.count()  # one driver scalar (reads the checkpoint)
+    return PageRankGraph(ed, deg, deg.select("vertex"), n)
 
 
 def pagerank_fixed(
@@ -413,28 +434,54 @@ def pagerank_fixed_both(
     _prev_parts = spark.conf.get(_parts_key)
     if loop_shuffle_partitions is not None:
         spark.conf.set(_parts_key, str(int(loop_shuffle_partitions)))
+    handles: list[DataFrame] = []
     try:
-        ed, verts, n = prepared.ed, prepared.verts, prepared.n
+        ed, deg, n = prepared.ed, prepared.deg, prepared.n
         if n == 0:
-            return verts.select(
+            return prepared.verts.select(
                 F.col("vertex").cast("long"),
                 F.lit(0).cast("long").alias("rank_scaled_u"),
                 F.lit(0.0).alias("rank_u"),
                 F.lit(0).cast("long").alias("rank_scaled_w"),
                 F.lit(0.0).alias("rank_w"),
             )
+        co_partitioned = loop_shuffle_partitions is not None
+        if co_partitioned:
+            # Exchange-free loop (r13, guide §2.4 "remove shuffles
+            # outright"): shuffle the edge and degree tables ONCE into
+            # the loop partitioning and persist (InMemoryRelation
+            # preserves outputPartitioning, so EnsureRequirements sees
+            # both join sides pre-clustered); with the SHUFFLE_HASH
+            # hint (broadcast ignores partitioning and would
+            # reintroduce a per-round driver build+ship) every round is
+            # then ONE exchange — the contribution aggregation — and
+            # zero broadcast builds.  Same-boot A/B at sf0.1/width 8:
+            # 5.3-5.9 s -> 3.0-3.4 s, bit-identical ranks.
+            w_ = int(loop_shuffle_partitions)
+            ed = ed.repartition(w_, "esrc").persist()
+            deg = deg.repartition(w_, "vertex").persist()
+            handles += [ed, deg]
         init = scale // n
         teleport = ((100 - damping_pct) * scale // 100) // n
-        ranks = verts.select(
+        # The rank vector CARRIES the degrees (r13): the per-round
+        # rebuild join is keyed on the |V|-sized deg table anyway, so
+        # threading (outdeg, outdeg_unit) through it costs two longs
+        # per vertex and lets the edge table stay narrow (esrc, edst,
+        # w) — the per-edge division reads the degree off the rank
+        # side.  Arithmetic identical to the old edge-carried form.
+        ranks = deg.select(
             "vertex",
+            "outdeg",
+            "outdeg_unit",
             F.lit(init).cast("long").alias("ru"),
             F.lit(init).cast("long").alias("rw"),
         )
         upd = f"CAST({teleport} + ({damping_pct} * coalesce({{s}}, 0)) div 100 AS LONG)"
         _CHECKPOINT_EVERY = 8
         for i in range(iters):
+            lhs = ranks.hint("shuffle_hash") if co_partitioned else ranks
             sums = (
-                ranks.join(ed, ranks["vertex"] == F.col("esrc"))
+                lhs.join(ed, lhs["vertex"] == F.col("esrc"))
                 .select(
                     F.col("edst").alias("sv"),
                     F.expr("ru div outdeg_unit").alias("cu"),
@@ -443,8 +490,11 @@ def pagerank_fixed_both(
                 .groupBy("sv")
                 .agg(F.sum("cu").alias("su"), F.sum("cw").alias("sw"))
             )
-            ranks = verts.join(sums, verts["vertex"] == F.col("sv"), "left").select(
-                verts["vertex"],
+            dlhs = deg.hint("shuffle_hash") if co_partitioned else deg
+            ranks = dlhs.join(sums, dlhs["vertex"] == F.col("sv"), "left").select(
+                dlhs["vertex"],
+                dlhs["outdeg"],
+                dlhs["outdeg_unit"],
                 F.expr(upd.format(s="su")).alias("ru"),
                 F.expr(upd.format(s="sw")).alias("rw"),
             )
@@ -459,11 +509,17 @@ def pagerank_fixed_both(
         )
         LOOP_STATS["pagerank_fixed_both"] = {"iters": iters}
         if loop_shuffle_partitions is not None:
+            # Eager: materializes the whole loop inside the operator
+            # (so the narrowed width binds and a bare count() cannot
+            # prune the unique-key rebuild joins) and makes the blocks
+            # independent of the loop persists released below.
             out = out.localCheckpoint(eager=True)
         return out
     finally:
         if loop_shuffle_partitions is not None:
             spark.conf.set(_parts_key, _prev_parts)
+        for h in handles:
+            h.unpersist(blocking=False)
 
 
 def degree_histogram(edges: DataFrame, *, graph_id: int | None = None) -> DataFrame:
@@ -940,6 +996,7 @@ def personalized_pagerank_fixed(
     graph_id: int | None = None,
     loop_shuffle_partitions: int | None = None,
     prepared: PageRankGraph | None = None,
+    assume_symmetric: bool = False,
 ) -> DataFrame:
     """Personalized PageRank (random walk with restart): identical
     integer fixed-point loop to ``pagerank_fixed`` except the teleport
@@ -965,7 +1022,9 @@ def personalized_pagerank_fixed(
     if prepared is None:
         if edges is None:
             raise ValueError("pass either edges or prepared")
-        prepared = pagerank_prepare(edges, graph_id=graph_id)
+        prepared = pagerank_prepare(
+            edges, graph_id=graph_id, assume_symmetric=assume_symmetric
+        )
     if sources is None:
         raise ValueError("sources is required")
     spark = prepared.verts.sparkSession
@@ -973,25 +1032,45 @@ def personalized_pagerank_fixed(
     _prev_parts = spark.conf.get(_parts_key)
     if loop_shuffle_partitions is not None:
         spark.conf.set(_parts_key, str(int(loop_shuffle_partitions)))
+    handles: list[DataFrame] = []
     try:
-        ed, verts = prepared.ed, prepared.verts
+        ed, deg = prepared.ed, prepared.deg
         srcs = sources.select(F.col(sources.columns[0]).cast("long").alias("sv0")).distinct()
         k = srcs.count()  # O(1)-rows-to-driver scalar, like prepared.n
         if k == 0:
             raise ValueError("personalized_pagerank_fixed: empty source set")
+        co_partitioned = loop_shuffle_partitions is not None
+        if co_partitioned:
+            # Exchange-free loop: see pagerank_fixed_both (one shuffle
+            # of the edge table into the loop partitioning, persisted;
+            # SHUFFLE_HASH keeps the planner off per-round broadcasts).
+            ed = ed.repartition(int(loop_shuffle_partitions), "esrc").persist()
+            handles.append(ed)
+        # The source tag table CARRIES outdeg_unit (r13, the
+        # pagerank_fixed_both posture): the per-round rebuild join is
+        # keyed on this |V|-sized table anyway, so threading the degree
+        # through it keeps the edge table narrow (esrc, edst, w).
         tagged = (
-            verts.join(
+            deg.join(
                 F.broadcast(srcs.withColumn("_is", F.lit(1))),
-                verts["vertex"] == F.col("sv0"),
+                deg["vertex"] == F.col("sv0"),
                 "left",
             )
-            .select("vertex", F.coalesce("_is", F.lit(0)).alias("is_src"))
+            .select(
+                "vertex", "outdeg_unit", F.coalesce("_is", F.lit(0)).alias("is_src")
+            )
             .localCheckpoint(eager=True)
         )
+        if co_partitioned:
+            tagged = tagged.repartition(
+                int(loop_shuffle_partitions), "vertex"
+            ).persist()
+            handles.append(tagged)
         init = scale // k
         tele = ((100 - damping_pct) * scale // 100) // k
         ranks = tagged.select(
             "vertex",
+            "outdeg_unit",
             "is_src",
             F.when(F.col("is_src") == 1, F.lit(init)).otherwise(F.lit(0))
             .cast("long")
@@ -999,8 +1078,9 @@ def personalized_pagerank_fixed(
         )
         _CHECKPOINT_EVERY = 8
         for i in range(iters):
+            lhs = ranks.hint("shuffle_hash") if co_partitioned else ranks
             sums = (
-                ranks.join(ed, ranks["vertex"] == F.col("esrc"))
+                lhs.join(ed, lhs["vertex"] == F.col("esrc"))
                 .select(
                     F.col("edst").alias("sv"),
                     F.expr("r div outdeg_unit").alias("c"),
@@ -1008,9 +1088,11 @@ def personalized_pagerank_fixed(
                 .groupBy("sv")
                 .agg(F.sum("c").alias("s"))
             )
-            ranks = tagged.join(sums, tagged["vertex"] == F.col("sv"), "left").select(
-                tagged["vertex"],
-                tagged["is_src"],
+            tlhs = tagged.hint("shuffle_hash") if co_partitioned else tagged
+            ranks = tlhs.join(sums, tlhs["vertex"] == F.col("sv"), "left").select(
+                tlhs["vertex"],
+                tlhs["outdeg_unit"],
+                tlhs["is_src"],
                 F.expr(
                     f"CAST(CASE WHEN is_src = 1 THEN {tele} ELSE 0 END "
                     f"+ ({damping_pct} * coalesce(s, 0)) div 100 AS LONG)"
@@ -1025,11 +1107,16 @@ def personalized_pagerank_fixed(
         )
         LOOP_STATS["personalized_pagerank_fixed"] = {"iters": iters}
         if loop_shuffle_partitions is not None:
+            # Eager: binds the narrowed width, defeats count() pruning
+            # of the unique-key rebuild joins, and frees the loop
+            # persists below without losing the result blocks.
             out = out.localCheckpoint(eager=True)
         return out
     finally:
         if loop_shuffle_partitions is not None:
             spark.conf.set(_parts_key, _prev_parts)
+        for h in handles:
+            h.unpersist(blocking=False)
 
 
 def eccentricities(
@@ -1456,13 +1543,22 @@ def betweenness_sampled(
     collect.  Depth beyond ``max_depth`` raises (the oracle unrolls a
     fixed bound; raising beats silently disagreeing with it).
     """
-    e = (
-        edges.select(
-            F.col("src").cast("long").alias("src"),
-            F.col("dst").cast("long").alias("dst"),
-        )
-        .persist()
+    # Co-partitioned loop (r13, guide §2.4): with a loop width set, the
+    # edge side is shuffled ONCE into the loop partitioning and
+    # persisted (InMemoryRelation preserves outputPartitioning), and
+    # the expansion join takes a SHUFFLE_HASH hint — each level then
+    # shuffles only the frontier (sigma rows) instead of collecting it
+    # to the driver and shipping a broadcast build per level.
+    # Same-boot A/B at sf0.1 (18 levels): 11.6-12.8 s -> 10.4 s,
+    # bit-identical bc_scaled.
+    _copart = loop_shuffle_partitions is not None
+    e = edges.select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
     )
+    if _copart:
+        e = e.repartition(int(loop_shuffle_partitions), "src")
+    e = e.persist()
     spark = e.sparkSession
     _parts_key = "spark.sql.shuffle.partitions"
     _prev_parts = spark.conf.get(_parts_key)
@@ -1489,8 +1585,9 @@ def betweenness_sampled(
         pending: list[DataFrame] = []
         done = False
         while not done:
-            expanded = frontier.join(e, frontier["vertex"] == e["src"]).select(
-                frontier["start"], e["dst"].alias("vertex"), frontier["sigma"]
+            flhs = frontier.hint("shuffle_hash") if _copart else frontier
+            expanded = flhs.join(e, flhs["vertex"] == e["src"]).select(
+                flhs["start"], e["dst"].alias("vertex"), flhs["sigma"]
             )
             sums = expanded.groupBy("start", "vertex").agg(
                 F.sum("sigma").cast("long").alias("sigma")

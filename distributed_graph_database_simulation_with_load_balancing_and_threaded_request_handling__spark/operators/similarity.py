@@ -19,7 +19,7 @@ import pandas as pd  # module-level so stringified UDF type hints resolve
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
+from .persists import tracked_persist
 
 from ..functions.vectors import as_double_vec, cosine_sim, dot, l2_norm
 from ..partitioning import ensure_parallelism
@@ -1258,7 +1258,7 @@ def _lsh_candidate_pairs(
             "bsz", F.count("*").over(Window.partitionBy("table", "sig"))
         )
         .where(F.col("bsz") <= max_bucket_size)
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(tracked_persist)
     )
     a = sized.select("table", "sig", F.col("id").alias("id_a"))
     b = sized.select("table", "sig", F.col("id").alias("id_b"))

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
+from .persists import tracked_persist
 
 from ..functions.textfns import (
     bpe_ish_token_count,
@@ -670,7 +670,7 @@ def similar_docs_jaccard(
     # consumer.  ContextCleaner reclamation contract as minhash_dedup.
     toks = base.select(
         "doc_id", F.explode(F.split("norm", " ")).alias("tok")
-    ).distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    ).distinct().transform(tracked_persist)
     dfreq = toks.groupBy("tok").agg(F.count("*").alias("df"))
     n_docs = base.agg(F.count("*").alias("n_docs"))
     kept = (
@@ -678,7 +678,7 @@ def similar_docs_jaccard(
         .crossJoin(F.broadcast(n_docs))
         .where(F.col("df") * 100 <= F.lit(int(df_prune_pct)) * F.col("n_docs"))
         .select("doc_id", "tok")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(tracked_persist)
     )
     sizes = kept.groupBy("doc_id").agg(F.count("*").alias("sz"))
     qtoks = kept.where(F.col("doc_id") == int(query_doc_id)).select(

@@ -208,6 +208,7 @@ def bfs_levels_multi(
     *,
     undirected: bool = True,
     probe_every: int = 1,
+    co_partition: bool = False,
 ) -> DataFrame:
     """Multi-source BFS: one level-synchronous loop for ANY number of
     (graph_id, start) traversals at once — the set-oriented form of the
@@ -233,11 +234,23 @@ def bfs_levels_multi(
     ``bfs_levels``).
     """
     spark = edges.sparkSession
+    # ``co_partition`` (r13, guide §2.4 — the betweenness_sampled /
+    # pagerank_fixed_both posture): shuffle the edge side ONCE into the
+    # session's current shuffle width keyed on (graph_id, src) and hint
+    # the expansion join SHUFFLE_HASH, so each superstep shuffles only
+    # the frontier instead of collecting it to the driver for a
+    # broadcast build per level.  Worth it on DEEP loops (A/B at
+    # sf0.1: the 18-superstep assignment replay −8%, shallow 4-6-level
+    # dispatch traversals neutral — leave False there).
     e = edges.select(
         F.col("graph_id").cast("int").alias("graph_id"),
         F.col("src").cast("long").alias("src"),
         F.col("dst").cast("long").alias("dst"),
-    ).persist()
+    )
+    if co_partition:
+        _w = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        e = e.repartition(_w, "graph_id", "src")
+    e = e.persist()
     try:
         src0 = sources.select(
             F.col("graph_id").cast("int").alias("graph_id"),
@@ -264,16 +277,17 @@ def bfs_levels_multi(
         done = False
         while not done:
             level += 1
+            flhs = frontier.hint("shuffle_hash") if co_partition else frontier
             neighbors = (
-                frontier.join(
+                flhs.join(
                     e,
                     on=[
-                        frontier["graph_id"] == e["graph_id"],
-                        frontier["vertex"] == e["src"],
+                        flhs["graph_id"] == e["graph_id"],
+                        flhs["vertex"] == e["src"],
                     ],
                 )
                 .select(
-                    frontier["graph_id"], frontier["start"], e["dst"].alias("vertex")
+                    flhs["graph_id"], flhs["start"], e["dst"].alias("vertex")
                 )
                 .distinct()
             )
@@ -567,6 +581,7 @@ def connected_components(
     max_iters: int = 50,
     pointer_jumping: bool = False,
     probe_every: int = 1,
+    co_partition: bool = False,
 ) -> DataFrame:
     """Connected components by hash-min label propagation (the
     canonical Pregel algorithm; GraphX `connectedComponents` computes
@@ -609,7 +624,16 @@ def connected_components(
     (a path graph longer than ``max_iters`` would otherwise get
     incorrect components with no signal).
     """
-    e = _edges_only(edges, graph_id).persist()
+    # ``co_partition`` (r13, the bfs_levels_multi posture): shuffle the
+    # edge side ONCE into the session's current shuffle width keyed on
+    # src and hint the label joins SHUFFLE_HASH — each round then
+    # shuffles only the V-sized label table instead of collecting it
+    # for a broadcast build per round.
+    e = _edges_only(edges, graph_id)
+    if co_partition:
+        _w = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        e = e.repartition(_w, "src")
+    e = e.persist()
     converged = False
     try:
         labels = (
@@ -621,12 +645,13 @@ def connected_components(
         probe = max(1, int(probe_every))
         rounds_since_probe = 0
         for i in range(max_iters):
+            llhs = labels.hint("shuffle_hash") if co_partition else labels
             nbr_min = (
-                labels.join(e, labels["vertex"] == e["src"])
+                llhs.join(e, llhs["vertex"] == e["src"])
                 .groupBy(e["dst"].alias("vertex"))
                 .agg(F.min("component").alias("nbr_component"))
             )
-            cand = labels.join(nbr_min, on="vertex", how="left").select(
+            cand = llhs.join(nbr_min, on="vertex", how="left").select(
                 "vertex",
                 "component",
                 F.coalesce("nbr_component", "component").alias("_nc"),

@@ -596,6 +596,74 @@ def test_pagerank_fixed_both_matches_single_runs(spark):
         assert r.rank_scaled_w == wei[v]
 
 
+def test_pagerank_co_partitioned_loop_and_symmetric_prepare_identical(spark):
+    # r13: (a) assume_symmetric prepare (vertex set derived from the
+    # out-degree aggregation) and (b) the width-set co-partitioned
+    # loop (edge/deg repartition+persist, SHUFFLE_HASH, eager final
+    # checkpoint) are pure plan changes — both must be value-identical
+    # to the generic prepare + lazy broadcast loop on a symmetric
+    # input.
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.graphalgs import (
+        pagerank_fixed_both,
+        pagerank_prepare,
+        personalized_pagerank_fixed,
+    )
+
+    half = [(1, 2, 9), (1, 3, 1), (2, 3, 4), (3, 4, 2)]
+    rows = half + [(b, a, w) for a, b, w in half]
+    df = spark.createDataFrame(rows, "src long, dst long, w long")
+    g_gen = pagerank_prepare(df, weight_col="w")
+    g_sym = pagerank_prepare(df, weight_col="w", assume_symmetric=True)
+    base = {r.vertex: r for r in pagerank_fixed_both(g_gen, iters=6).collect()}
+    for g in (g_gen, g_sym):
+        got = {
+            r.vertex: r
+            for r in pagerank_fixed_both(
+                g, iters=6, loop_shuffle_partitions=2
+            ).collect()
+        }
+        assert set(got) == set(base)
+        for v, r in base.items():
+            assert got[v].rank_scaled_u == r.rank_scaled_u
+            assert got[v].rank_scaled_w == r.rank_scaled_w
+    srcs = spark.createDataFrame([(1,), (4,)], "start long")
+    p_base = {
+        r.vertex: r.rank_scaled
+        for r in personalized_pagerank_fixed(df, srcs, iters=6).collect()
+    }
+    p_co = {
+        r.vertex: r.rank_scaled
+        for r in personalized_pagerank_fixed(
+            df, srcs, iters=6, loop_shuffle_partitions=2, assume_symmetric=True
+        ).collect()
+    }
+    assert p_base == p_co
+
+
+def test_betweenness_co_partitioned_loop_identical(spark):
+    # r13: the width-set forward loop pre-shuffles the edge table and
+    # hints SHUFFLE_HASH — bc_scaled must match the width-None
+    # broadcast loop exactly.
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.graphalgs import (
+        betweenness_sampled,
+    )
+
+    half = [(1, 2), (2, 3), (2, 4), (3, 5), (4, 5), (5, 6)]
+    rows = half + [(b, a) for a, b in half]
+    df = spark.createDataFrame(rows, "src long, dst long")
+    srcs = spark.createDataFrame([(1,), (6,)], "start long")
+    base = {
+        r.vertex: r.bc_scaled for r in betweenness_sampled(df, srcs).collect()
+    }
+    got = {
+        r.vertex: r.bc_scaled
+        for r in betweenness_sampled(
+            df, srcs, loop_shuffle_partitions=2, probe_every=3
+        ).collect()
+    }
+    assert base == got
+
+
 def test_parse_byte_conf_units():
     from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.graphalgs import (
         _parse_byte_conf,

@@ -271,3 +271,33 @@ def test_bfs_levels_multi_probe_chaining_same_levels(spark):
         }
         assert got == base, probe
         assert LOOP_STATS["bfs_levels_multi"]["supersteps"] == base_steps, probe
+
+
+def test_bfs_levels_multi_co_partition_same_levels(spark):
+    # r13 co-partitioned loop: pre-shuffling the edge side and forcing
+    # the SHUFFLE_HASH expansion join is a pure plan change — every
+    # (start, vertex, level) row and the superstep count must match
+    # the broadcast-join loop exactly (combined with probe chaining,
+    # the q_assignment_replay configuration).
+    from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.loopstats import (
+        LOOP_STATS,
+    )
+
+    pairs = [(i, i + 1) for i in range(1, 10)] + [(3, 11), (11, 12)]
+    edges = make_edges(spark, pairs)
+    src = spark.createDataFrame(
+        [(1, 1), (1, 5), (1, 12)], "graph_id int, start long"
+    )
+    base = {
+        (r["start"], r["vertex"], r["level"])
+        for r in bfs_levels_multi(edges, src).collect()
+    }
+    base_steps = LOOP_STATS["bfs_levels_multi"]["supersteps"]
+    got = {
+        (r["start"], r["vertex"], r["level"])
+        for r in bfs_levels_multi(
+            edges, src, probe_every=3, co_partition=True
+        ).collect()
+    }
+    assert got == base
+    assert LOOP_STATS["bfs_levels_multi"]["supersteps"] == base_steps
