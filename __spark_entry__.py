@@ -2177,7 +2177,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         edges = derived_tree_edges(spark, sf_dir, symmetric=True).where(
             (F.col("src") != ROOT_VID) & (F.col("dst") != ROOT_VID)
         )
-        return _loop_parts(spark, lambda: connected_components(edges, graph_id=1), warm=(edges,))
+        # co_partition (r13): edge side pre-shuffled once into the loop
+        # width, label joins SHUFFLE_HASH — no per-round broadcast
+        # builds (A/B on the strong-tie CC: −12-18%, identical labels).
+        return _loop_parts(
+            spark,
+            lambda: connected_components(edges, graph_id=1, co_partition=True),
+            warm=(edges,),
+        )
 
     # --- training-data extension operators (SURVEY.md §2.3 north-star) ---
 
@@ -3500,7 +3507,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 strong.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
             )
             _COMMUNITIES_CACHE[key] = _loop_parts(
-                spark, lambda: connected_components(sym), n=4, warm=(w,)
+                spark,
+                lambda: connected_components(sym, co_partition=True),
+                n=4,
+                warm=(w,),
             )
         return _COMMUNITIES_CACHE[key]
 
@@ -4067,16 +4077,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.lit("G1.txt").alias("graph_name"),
             (F.col("n_nationkey") + 100).cast("int").alias("start_vertex"),
         )
-        # Loop width 4 (the kcore rationale): each drain cycle's BFS
-        # shuffles carry frontier-sized rows and pay the per-task
-        # floor supersteps x partitions times, twice (one loop per
-        # cycle) — the narrowest width wins.
+        # Loop width 16 (r13 re-measure under the de-gamed protocol):
+        # the 25-request drain's deep frontiers carry ~180k rows per
+        # level — wide enough that width 4 (tuned against cache-hit
+        # numbers) starved the superstep shuffles; the sweep at sf0.1
+        # reads 3.8/3.8/3.3/3.5 s per dispatch at widths 4/8/16/32.
         return _loop_parts(
             spark,
             lambda: format_reply(
                 serve_requests_available_now(spark, reqs, edges, n_cycles=2)
             ),
-            n=4,
+            n=16,
             warm=(edges,),
         )
 

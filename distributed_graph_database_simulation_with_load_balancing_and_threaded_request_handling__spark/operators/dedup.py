@@ -489,7 +489,9 @@ def dedup_clusters(
     sym = edges.unionAll(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    comp = connected_components(sym)
+    # co_partition (r13): no per-round broadcast build of the label
+    # table; the pair-graph edge side is shuffled once instead.
+    comp = connected_components(sym, co_partition=True)
     out = comp.select(
         F.col("vertex").alias(id_col), F.col("component").alias("cluster_id")
     )

@@ -799,16 +799,16 @@ def sssp(
         F.col("src").alias("esrc"), F.col("dst").alias("edst"), "w"
     )
     if loop_shuffle_partitions is not None:
-        # The persisted edge side keeps its producer's partitioning
-        # (e.g. 64 map partitions off a scan-width build for a 50k-row
-        # graph window), and EVERY relax round schedules one task per
-        # edge partition — coalesce it to the loop width once so the
-        # per-round map stage matches the frontier-sized shuffles
-        # (A/B at sf0.1: ~7% mean off the 18-round loop).  Correct
-        # precisely when the caller asked for a narrow loop width,
-        # i.e. the graph window is small relative to the cluster; a
-        # big edge table keeps its scan parallelism (width None).
-        e = e.coalesce(int(loop_shuffle_partitions))
+        # Pre-shuffle the edge side ONCE into the loop partitioning
+        # (r13, upgrading the previous bare coalesce): the relaxation
+        # join then finds the persisted side already clustered on esrc
+        # and, with the SHUFFLE_HASH hint below, each round shuffles
+        # only the frontier instead of collecting it to the driver for
+        # a broadcast build per round (the betweenness/pagerank
+        # co-partition posture).  Correct precisely when the caller
+        # asked for a narrow loop width; a big edge table keeps its
+        # scan parallelism (width None).
+        e = e.repartition(int(loop_shuffle_partitions), "esrc")
     e = e.persist()
     spark = e.sparkSession
     _parts_key = "spark.sql.shuffle.partitions"
@@ -838,7 +838,12 @@ def sssp(
         # raise.
         probe = max(1, int(probe_every))
         for i in range(max_iters):
-            relaxed = frontier.join(e, F.col("v") == F.col("esrc")).select(
+            flhs = (
+                frontier.hint("shuffle_hash")
+                if loop_shuffle_partitions is not None
+                else frontier
+            )
+            relaxed = flhs.join(e, F.col("v") == F.col("esrc")).select(
                 F.col("edst").alias("v"),
                 (F.col("d") + F.col("w")).alias("d"),
                 F.lit(False).alias("settled"),
@@ -1238,7 +1243,9 @@ def four_clique_counts(
     ).select(F.col("vertex").cast("long").alias("vertex"), "cliques4")
 
 
-def _contract_selection(sel: DataFrame, *, max_doublings: int = 40) -> DataFrame:
+def _contract_selection(
+    sel: DataFrame, *, max_doublings: int = 40, probe_every: int = 1
+) -> DataFrame:
     """Merge-label table for one Borůvka round WITHOUT a nested hash-min
     CC run: the selection relation ``(c, k.oc)`` is FUNCTIONAL (exactly
     one best edge per component), and under a strict total edge order
@@ -1303,6 +1310,16 @@ def _contract_selection(sel: DataFrame, *, max_doublings: int = 40) -> DataFrame
             .persist()
         )
         handles.append(p)
+        # ``probe_every`` chains that many squarings between probe
+        # actions (squaring a fixpointed pointer table is a no-op, so
+        # any chaining factor returns identical labels).  Default 1:
+        # the r13 same-boot A/B measured chaining at 2 as a REGRESSION
+        # (q_msf 8.4 -> 10.3 s) — within a chain the second squaring
+        # plans against the first's un-materialized InMemoryRelation
+        # (child-plan stats, squared sizeInBytes), so the saved probe
+        # action costs more than it returns here, unlike the
+        # frontier-shaped sssp/CC loops.
+        probe = max(1, int(probe_every))
         for i in range(max_doublings):
             q_ = p.select(F.col("c").alias("qc"), F.col("p").alias("qp"))
             squared = (
@@ -1315,11 +1332,13 @@ def _contract_selection(sel: DataFrame, *, max_doublings: int = 40) -> DataFrame
                 .persist()
             )
             handles.append(squared)
-            # The probe action ALSO materializes this round's cache
-            # (and, on round 0, the cycle-break frame) — the CC/sssp
-            # one-action-per-round idiom.
-            n_changed = squared.agg(F.sum("_chg")).collect()[0][0] or 0
             p = squared.drop("_chg")
+            if (i + 1) % probe != 0 and i < max_doublings - 1:
+                continue  # chain more squarings before the probe action
+            # The probe action ALSO materializes the chained rounds'
+            # caches (and, on round 0, the cycle-break frame) — the
+            # CC/sssp one-action-per-chain idiom.
+            n_changed = squared.agg(F.sum("_chg")).collect()[0][0] or 0
             if n_changed == 0:
                 # Accumulates across the Borůvka rounds of one
                 # max_spanning_forest call — the CALLER resets the
@@ -2234,6 +2253,12 @@ def random_walks(
         F.col("src").alias("d_v"), "d_deg"
     )
     if loop_shuffle_partitions is not None:
+        # Bare coalesce, NOT the betweenness/pagerank co-partition
+        # (r13: repartition-on-join-keys + SHUFFLE_HASH was A/B'd here
+        # and REGRESSED q_walks 3.55 -> 3.91 s — this loop is fully
+        # lazy until one eager action, so its broadcast builds pipeline
+        # across steps and the extra input shuffles cost more than the
+        # builds they replace, unlike the probe-per-round loops).
         adj = adj.coalesce(int(loop_shuffle_partitions))
         deg = deg.coalesce(int(loop_shuffle_partitions))
     adj = adj.persist()

@@ -1652,6 +1652,12 @@ def lsh_knn_graph(
             "id_b",
             F.round(cosine_sim(F.col("vec_a"), F.col("vec_b")), round_digits).alias("sim"),
         )
+        # BOTH orientations of the union below read the scored pairs;
+        # without this persist the candidate self-join + distinct +
+        # two vector joins + cosine execute once PER BRANCH (r13 —
+        # the r12 plan dump showed the duplicated subtree; same
+        # multi-consumer contract as the bucket-table persist above).
+        .transform(tracked_persist)
     )
     directed = scored.select(
         F.col("id_a").alias("id"), F.col("id_b").alias("nbr"), "sim"

@@ -855,7 +855,8 @@ def bpe_train(
         )
     )
     spark = documents.sparkSession
-    words = words.persist()
+    base = words.persist()  # the corpus-sized aggregation runs once
+    words = base
     try:
         merges = []
         for rank in range(1, n_merges + 1):
@@ -888,18 +889,23 @@ def bpe_train(
             merged = pair.replace(" ", "")
             merges.append((rank, pair, merged, cnt))
             pat, rep = f" {pair} ", f" {merged} "
-            applied = words.select(
+            # Lazy merge chain (r13): round r's argmax evaluates r - 1
+            # stacked replace projections over the ONE persisted
+            # vocabulary — pure string expressions on a
+            # vocabulary-sized relation, far cheaper than the per-round
+            # persist + count + unpersist this replaces (two actions
+            # and a materialization per merge; the A/B is in
+            # OPTIMIZATION_r13.md).  The chain depth is bounded by
+            # n_merges, so plan growth is O(n_merges) projections.
+            words = words.select(
                 F.expr(
                     "trim(replace(replace(concat(' ', t, ' '),"
                     f" '{pat}', '{rep}'), '{pat}', '{rep}'))"
                 ).alias("t"),
                 "freq",
-            ).persist()
-            applied.count()  # materialize before dropping the parent
-            words.unpersist()
-            words = applied
+            )
     finally:
-        words.unpersist()
+        base.unpersist()
     return spark.createDataFrame(
         merges, "rank INT, pair STRING, merged STRING, freq BIGINT"
     )

@@ -78,6 +78,10 @@ def main() -> None:
             with open(os.path.join(plans_dir, f"{name}_{tag}.txt"), "w") as fh:
                 fh.write(plan)
             del df
+        if runs == 0:  # plan capture only
+            out[name] = {}
+            spark.sparkContext.setJobDescription(None)
+            continue
         counts, noops = [], []
         for _ in range(runs):
             entrymod.reset_session_caches()
