@@ -1077,7 +1077,7 @@ _SESSION_CACHES = (
 )
 
 
-def _evict_caches(keep_sf_dir: str | None) -> None:
+def _evict_caches(keep_sf_dir: str | None, *, blocking: bool = False) -> None:
     for cache in _SESSION_CACHES:
         for key in [k for k in cache if keep_sf_dir is None or k[1] != keep_sf_dir]:
             obj = cache.pop(key)
@@ -1090,7 +1090,7 @@ def _evict_caches(keep_sf_dir: str | None) -> None:
                 # string and the table/dir leaked).
                 _drop_bucketed_table(obj)
             elif hasattr(obj, "unpersist"):
-                obj.unpersist()
+                obj.unpersist(blocking=blocking)
 
 
 def _evict_other_sf(sf_dir: str) -> None:
@@ -1117,9 +1117,16 @@ def reset_session_caches() -> None:
     caches remain for non-benchmark use (a long-lived serving session
     legitimately shares one persisted graph across requests, the
     reference's resident-matrix posture), but timed runs must not see
-    them."""
-    _evict_caches(keep_sf_dir=None)
-    evict_edge_cache()
+    them.
+
+    Every release here is BLOCKING: this hook runs between timed bench
+    runs, and async unpersists would overlap the next timed run with
+    block-removal work (measured: the dedup pair-finding family read
+    2-3x slower in the full bench while flat in same-boot A/B — the
+    previous query's release storm was landing inside the next query's
+    timed region)."""
+    _evict_caches(keep_sf_dir=None, blocking=True)
+    evict_edge_cache(blocking=True)
     # The ANN trained-artifact store is a CROSS-RUN disk memo keyed on
     # the testdata fingerprint — same gaming vector, purged too.
     from distributed_graph_database_simulation_with_load_balancing_and_threaded_request_handling__spark.operators.persists import (

@@ -40,11 +40,15 @@ def tracked_persist(df: DataFrame) -> DataFrame:
 
 def release_operator_persists() -> int:
     """Unpersist every tracked block; returns how many were released.
-    Safe to call with the session already stopped (best-effort)."""
+    BLOCKING: callers are harness boundaries (the bench's per-run
+    reset), and an async release would overlap the NEXT timed run with
+    block-removal work — the removal must finish outside the timed
+    region.  Safe to call with the session already stopped
+    (best-effort)."""
     n = len(_LIVE)
     while _LIVE:
         try:
-            _LIVE.pop().unpersist()
+            _LIVE.pop().unpersist(blocking=True)
         except Exception:
             pass  # session shutting down: blocks die with the executor
     return n

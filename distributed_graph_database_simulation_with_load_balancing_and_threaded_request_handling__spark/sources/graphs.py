@@ -27,15 +27,19 @@ ROOT_VID = 999
 _EDGE_CACHE: dict[tuple, DataFrame] = {}
 
 
-def evict_edge_cache(except_sf_dir: str | None = None) -> None:
+def evict_edge_cache(
+    except_sf_dir: str | None = None, *, blocking: bool = False
+) -> None:
     """Unpersist and drop every cached edge table whose sf_dir differs
     from ``except_sf_dir`` (all of them when None).  Cache keys are
     ``(applicationId, sf_dir, kind, ...)`` — sf_dir is index 1.  The
     driver harness sweeps one sf_dir at a time, so a long-lived
     session switching sf_dirs releases the previous scale's persisted
-    blocks instead of accumulating them."""
+    blocks instead of accumulating them.  ``blocking=True`` is for
+    harness boundaries (the bench's per-run reset), where async block
+    removal would overlap the next timed run."""
     for key in [k for k in _EDGE_CACHE if except_sf_dir is None or k[1] != except_sf_dir]:
-        _EDGE_CACHE.pop(key).unpersist()
+        _EDGE_CACHE.pop(key).unpersist(blocking=blocking)
 
 
 def derived_tree_edges(
